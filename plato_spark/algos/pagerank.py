@@ -1,0 +1,183 @@
+"""PageRank — power iteration with plato-exact semantics.
+
+Reference: /root/reference/plato/algo/pagerank/pagerank.hpp
+  - opts (39-46): iterations<=100, damping 0.85, eps (0 disables early stop)
+  - init (90-98): rank=1.0, pre-divided by out-degree when odeg>0
+  - loop (100-146): pull-sum of in-neighbor states; rank' = (1-d) + d*sum
+    (UNNORMALIZED, N-scaled form: sums to ~N, dangling mass decays);
+    delta = sum_v |rank'-rank| (the reference computes |s'-s|*odeg on the
+    divided state s = rank/odeg, identical quantity);
+    when delta < eps the loop schedules exactly ONE more epoch (sets
+    epoch_i = iteration_-2) whose result — left undivided — is returned.
+Weighted variant: /root/reference/plato/algo/pagerank/weighted_pagerank.hpp:83-128
+  - no degree pre-division; contribution = rank_u * w(u,v)/sum_out_w(u).
+
+Two physical strategies, equivalence-tested against each other:
+
+impl='join'  pure DataFrame: contribs = edges JOIN state ON src (edges cached
+             hash-partitioned on src, so the join is co-partitioned and only
+             the groupBy(dst) shuffles — one exchange per superstep, with
+             map-side partial aggregation standing in for plato's
+             receiver-side write_add combiners).
+impl='spmv'  grouped-CSR blocks + route table + cogrouped pandas-UDF SpMV
+             (graph/csr.py) — the north-star layout; hub sources are
+             replicated at most once per block regardless of out-degree.
+
+Both run the same driver loop with per-superstep checkpoint/resume
+(engine/checkpoint.py) and lineage truncation.
+"""
+
+from __future__ import annotations
+
+import time
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from plato_spark.engine.checkpoint import CheckpointManager
+from plato_spark.graph.csr import build_csr_blocks, build_route, spmv_gather
+from plato_spark.graph.partitioning import degree_weighted_ranges
+
+
+def pagerank(
+    edges: DataFrame,
+    damping: float = 0.85,
+    eps: float = 1e-6,
+    max_iters: int = 100,
+    impl: str = "join",
+    weight: str | None = None,
+    num_blocks: int | None = None,
+    ckpt: CheckpointManager | None = None,
+) -> DataFrame:
+    """Returns (id: long, rank: double) for every vertex in ``edges``.
+
+    edges: directed (src, dst[, weight]) — for undirected graphs pass the
+    symmetrized table (graph.edges.symmetrize).
+    """
+    spark = edges.sparkSession
+    shuffle_n = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    edges = edges.repartition(shuffle_n, "src").persist()
+
+    # --- static per-vertex divisor: out-degree (or out-weight-sum) -------
+    if weight is None:
+        div = edges.groupBy(F.col("src").alias("id")).agg(F.count("*").alias("wsum"))
+    else:
+        div = edges.groupBy(F.col("src").alias("id")).agg(F.sum(weight).alias("wsum"))
+    verts = (
+        edges.select(F.col("src").alias("id"))
+        .unionByName(edges.select(F.col("dst").alias("id")))
+        .distinct()
+    )
+    base = (
+        verts.join(div, "id", "left")
+        .select("id", F.coalesce("wsum", F.lit(0.0)).cast("double").alias("wsum"))
+        .repartition(shuffle_n, "id")
+        .persist()
+    )
+    n_edges = edges.count()
+    base.count()
+
+    # --- physical gather strategy ---------------------------------------
+    if impl == "spmv":
+        if num_blocks is None:
+            num_blocks = min(shuffle_n, 64)
+        max_id = edges.agg(F.greatest(F.max("src"), F.max("dst"))).collect()[0][0]
+        ideg = edges.groupBy(F.col("dst").alias("id")).agg(F.count("*").alias("deg"))
+        boundaries = degree_weighted_ranges(ideg, num_blocks, max_id)
+        csr = build_csr_blocks(edges, boundaries, weight=weight).persist()
+        route = build_route(edges, boundaries).repartition(shuffle_n, "src").persist()
+        msgs_per_step = route.count()
+        csr.count()
+
+        def gather(contribs: DataFrame) -> DataFrame:
+            return spmv_gather(csr, route, contribs, "contrib",
+                               weighted=weight is not None).withColumnRenamed(
+                "gathered", "g")
+    elif impl == "join":
+        msgs_per_step = n_edges
+        if weight is None:
+            edge_val = edges.select("src", "dst", F.lit(1.0).alias("w"))
+        else:
+            edge_val = edges.select("src", "dst", F.col(weight).cast("double").alias("w"))
+        edge_val = edge_val.repartition(shuffle_n, "src").persist()
+        edge_val.count()
+
+        def gather(contribs: DataFrame) -> DataFrame:
+            return (
+                edge_val.join(
+                    contribs.select(F.col("id").alias("src"), "contrib"), "src"
+                )
+                .groupBy(F.col("dst").alias("id"))
+                .agg(F.sum(F.col("contrib") * F.col("w")).alias("g"))
+            )
+    else:
+        raise ValueError(f"unknown impl {impl!r}")
+
+    # --- state init: rank=1.0 (pagerank.hpp:90-98) ------------------------
+    state = base.select("id", "wsum", F.lit(1.0).alias("rank"))
+    start_iter, last_epoch = 0, False
+    if ckpt is not None:
+        latest = ckpt.latest()
+        if latest is not None:
+            st, manifest = ckpt.load(spark, latest)
+            if manifest.get("finished"):
+                return st.select("id", "rank")
+            state = st
+            start_iter = latest + 1
+            last_epoch = bool(manifest.get("last_epoch_next"))
+
+    # contribution divides by wsum EXCEPT for the unweighted dangling case
+    # (odeg==0 keeps undivided rank; never gathered anyway) and the weighted
+    # variant which always divides (weighted_pagerank.hpp:121 — wsum>0 for
+    # any vertex with out-edges).
+    def contrib_state(st: DataFrame) -> DataFrame:
+        return st.select(
+            "id",
+            F.when(F.col("wsum") > 0, F.col("rank") / F.col("wsum"))
+            .otherwise(F.col("rank"))
+            .alias("contrib"),
+        )
+
+    k = start_iter
+    while k < max_iters:
+        t0 = time.time()
+        g = gather(contrib_state(state))
+        new_state = (
+            state.join(g, "id", "left")
+            .select(
+                "id",
+                "wsum",
+                (F.lit(1.0 - damping) + F.lit(damping) * F.coalesce("g", F.lit(0.0))
+                 ).alias("rank"),
+                F.abs(
+                    F.lit(1.0 - damping)
+                    + F.lit(damping) * F.coalesce("g", F.lit(0.0))
+                    - F.col("rank")
+                ).alias("adelta"),
+            )
+        )
+        is_final = last_epoch or (k == max_iters - 1)
+        if ckpt is None:
+            new_state = new_state.localCheckpoint(eager=False)
+        delta = new_state.agg(F.sum("adelta")).collect()[0][0]
+        new_state = new_state.drop("adelta")
+        if ckpt is not None:
+            new_state = ckpt.save(
+                k,
+                new_state,
+                {
+                    "delta_norm": delta,
+                    "messages_sent": msgs_per_step,
+                    "superstep_sec": time.time() - t0,
+                    "last_epoch_next": bool(eps > 0.0 and delta < eps),
+                    "finished": is_final,
+                },
+            )
+        state = new_state
+        if is_final:
+            break
+        if eps > 0.0 and delta < eps:
+            last_epoch = True  # one extra epoch, pagerank.hpp:136
+        k += 1
+
+    return state.select("id", "rank")

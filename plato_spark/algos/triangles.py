@@ -1,0 +1,127 @@
+"""Triangle counting & common-neighbor ("mutual") queries.
+
+Reference: /root/reference/plato/algo/mutual/mutual.hpp:104-268
+  - per-vertex sorted neighbor arrays (126-143)
+  - each unordered pair (u,v) is processed exactly once — the reference uses
+    round-robin partition masks + a parity rule ((odd && u<v) || (!odd && u>v),
+    226-235) for load balancing; we get the same single-evaluation guarantee
+    from DEGREE-ORDERED EDGE ORIENTATION: direct every undirected edge from
+    the endpoint with smaller (degree, id) to the larger. The oriented
+    out-degree of ANY vertex is O(sqrt(E)), which is also the hub-skew bound
+    (a 10^7-degree hub contributes arrays of at most ~sqrt(2E)).
+  - intersection kernels (SIMD, /root/reference/plato/util/intersection.hpp:64-127)
+    map to Spark's JVM-side ``array_intersect`` / ``size`` — whole-stage
+    codegen, no Python in the hot path.
+
+triangle_count: sum over oriented edges (u,v) of |N+(u) ∩ N+(v)| — every
+triangle {a<b<c in (deg,id) order} is counted exactly once at edge (a,b).
+
+common_neighbors: per unordered pair (u,v) with an edge, the full set
+N(u) ∩ N(v) over the UNDIRECTED neighborhoods (plato's `mutual` example,
+/root/reference/example/mutual.cc:176-227).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from plato_spark.graph.edges import symmetrize
+
+
+def _degrees(canon: DataFrame) -> DataFrame:
+    """Undirected degree per vertex from the canonical (src<dst) table."""
+    return (
+        symmetrize(canon.select("src", "dst"))
+        .groupBy(F.col("src").alias("id"))
+        .agg(F.count("*").alias("deg"))
+    )
+
+
+def orient_edges(canon: DataFrame) -> DataFrame:
+    """Orient canonical undirected edges low->high by (degree, id) order.
+
+    Returns (src, dst) with (deg(src), src) < (deg(dst), dst).
+    """
+    deg = _degrees(canon)
+    d1 = deg.select(F.col("id").alias("src"), F.col("deg").alias("sdeg"))
+    d2 = deg.select(F.col("id").alias("dst"), F.col("deg").alias("ddeg"))
+    e = canon.select("src", "dst").join(d1, "src").join(d2, "dst")
+    fwd = (F.col("sdeg") < F.col("ddeg")) | (
+        (F.col("sdeg") == F.col("ddeg")) & (F.col("src") < F.col("dst"))
+    )
+    return e.select(
+        F.when(fwd, F.col("src")).otherwise(F.col("dst")).alias("src"),
+        F.when(fwd, F.col("dst")).otherwise(F.col("src")).alias("dst"),
+    )
+
+
+def _oriented_adj(oriented: DataFrame) -> DataFrame:
+    """(id, nbrs) — sorted oriented out-neighbor arrays (mutual.hpp:126-143)."""
+    return oriented.groupBy(F.col("src").alias("id")).agg(
+        F.sort_array(F.collect_set("dst")).alias("nbrs")
+    )
+
+
+def triangle_count(canon: DataFrame, per_vertex: bool = False) -> DataFrame:
+    """Exact triangle count over canonical undirected edges (src<dst, unique).
+
+    Returns a 1-row DataFrame (triangles: long), or per-vertex counts
+    (id, triangles) when per_vertex=True (each triangle credited to all
+    three corners).
+    """
+    oriented = orient_edges(canon)
+    adj = _oriented_adj(oriented).persist()
+    a_u = adj.select(F.col("id").alias("src"), F.col("nbrs").alias("nbrs_u"))
+    a_v = adj.select(F.col("id").alias("dst"), F.col("nbrs").alias("nbrs_v"))
+    pairs = (
+        oriented.join(a_u, "src")
+        .join(a_v, "dst")
+        .select(
+            "src",
+            "dst",
+            F.array_intersect("nbrs_u", "nbrs_v").alias("common"),
+        )
+    )
+    if not per_vertex:
+        return pairs.agg(
+            F.coalesce(F.sum(F.size("common")), F.lit(0)).cast("long").alias("triangles")
+        )
+    corners = (
+        pairs.select(F.col("src").alias("id"), F.size("common").alias("c"))
+        .unionByName(pairs.select(F.col("dst").alias("id"), F.size("common").alias("c")))
+        .unionByName(
+            pairs.select(F.explode("common").alias("id"), F.lit(1).alias("c"))
+        )
+    )
+    verts = (
+        canon.select(F.col("src").alias("id"))
+        .unionByName(canon.select(F.col("dst").alias("id")))
+        .distinct()
+    )
+    counted = corners.groupBy("id").agg(F.sum("c").cast("long").alias("triangles"))
+    return verts.join(counted, "id", "left").select(
+        "id", F.coalesce("triangles", F.lit(0)).cast("long").alias("triangles")
+    )
+
+
+def common_neighbors(canon: DataFrame, as_count: bool = True) -> DataFrame:
+    """Per linked pair (src<dst): common neighbors over UNDIRECTED adjacency.
+
+    Returns (src, dst, common_count) or (src, dst, common: array<long>).
+    Mirrors plato's mutual example output `src,dst,count|list`
+    (/root/reference/example/mutual.cc:204-222).
+    """
+    sym = symmetrize(canon.select("src", "dst"))
+    adj = sym.groupBy(F.col("src").alias("id")).agg(
+        F.sort_array(F.collect_set("dst")).alias("nbrs")
+    ).persist()
+    a_u = adj.select(F.col("id").alias("src"), F.col("nbrs").alias("nbrs_u"))
+    a_v = adj.select(F.col("id").alias("dst"), F.col("nbrs").alias("nbrs_v"))
+    pairs = canon.select("src", "dst").join(a_u, "src").join(a_v, "dst")
+    common = F.array_intersect("nbrs_u", "nbrs_v")
+    if as_count:
+        return pairs.select(
+            "src", "dst", F.size(common).cast("long").alias("common_count")
+        )
+    return pairs.select("src", "dst", F.sort_array(common).alias("common"))

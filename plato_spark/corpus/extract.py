@@ -1,0 +1,154 @@
+"""Edge extraction from the corpus table: co-commit + path-link.
+
+North-star contract (BASELINE.json): "vertices are repos/files and edges come
+from co-commit and path-link extraction via vectorized Arrow UDFs", with the
+per-row sha256(content) invariant preserved through extraction.
+
+- co-commit: two files edited in the same commit are linked; weight = number
+  of shared commits. Pair generation is vectorized: one JVM group-agg
+  collects each commit's distinct file list, then a mapInPandas Arrow pass
+  emits the pairs with numpy (never per-row Python). A pure self-join
+  variant (impl='join') exists for A/B benchmarking — same output.
+- path-link: files within the same (repo, directory) are chained in
+  lexicographic order (linear edge count — deliberately NOT a clique so hub
+  directories don't explode), and each repo vertex links to the head file of
+  each of its directories (repo<->file containment edges).
+
+Vertex keys: files are "repo/path", repos are "repo:<repo>"; dense encoding
+happens downstream (graph.edges.encode_vertices, mirroring plato's
+vid_encoder_t, /root/reference/plato/graph/structure/vid_encoder.hpp:40-165).
+
+sha256 invariant: ``with_content_sha`` stamps sha2(content,256) on the input;
+``extract_graph`` returns the stamped corpus it actually read alongside the
+edges so tests can assert digest equality pre/post extraction (input_hint).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+MAX_FILES_PER_COMMIT = 256  # clique guard: a commit touching >256 files is
+# linked as a star around its lexicographically-first file instead of a
+# full clique (keeps worst-case pair count linear; plato bounds the same
+# blow-up with its load-balancing masks, mutual.hpp:148-159).
+
+
+def with_content_sha(corpus: DataFrame) -> DataFrame:
+    return corpus.withColumn("content_sha", F.sha2(F.col("content"), 256))
+
+
+def _commit_file_lists(corpus: DataFrame) -> DataFrame:
+    files = corpus.select(
+        "commit", F.concat_ws("/", "repo", "path").alias("fkey")
+    ).dropDuplicates(["commit", "fkey"])
+    return files.groupBy("commit").agg(F.sort_array(F.collect_set("fkey")).alias("fkeys"))
+
+
+def co_commit_edges(corpus: DataFrame, impl: str = "arrow") -> DataFrame:
+    """(src, dst, weight, etype='co_commit') with src < dst (canonical).
+
+    weight = number of commits in which the pair co-occurred.
+    """
+    if impl == "join":
+        cf = corpus.select(
+            "commit", F.concat_ws("/", "repo", "path").alias("fkey")
+        ).dropDuplicates(["commit", "fkey"])
+        a = cf.select("commit", F.col("fkey").alias("src"))
+        b = cf.select("commit", F.col("fkey").alias("dst"))
+        pairs = a.join(b, "commit").where(F.col("src") < F.col("dst"))
+    elif impl == "arrow":
+        lists = _commit_file_lists(corpus)
+
+        def gen_pairs(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            for pdf in batches:
+                srcs: list[np.ndarray] = []
+                dsts: list[np.ndarray] = []
+                for fkeys in pdf["fkeys"]:
+                    arr = np.asarray(fkeys)
+                    n = len(arr)
+                    if n < 2:
+                        continue
+                    if n > MAX_FILES_PER_COMMIT:
+                        srcs.append(np.repeat(arr[0], n - 1))
+                        dsts.append(arr[1:])
+                        continue
+                    iu, ju = np.triu_indices(n, k=1)
+                    srcs.append(arr[iu])
+                    dsts.append(arr[ju])
+                if srcs:
+                    yield pd.DataFrame(
+                        {"src": np.concatenate(srcs), "dst": np.concatenate(dsts)}
+                    )
+                else:
+                    yield pd.DataFrame({"src": pd.Series(dtype=object),
+                                        "dst": pd.Series(dtype=object)})
+
+        pairs = lists.mapInPandas(gen_pairs, schema="src string, dst string")
+    else:
+        raise ValueError(f"unknown impl {impl!r}")
+
+    return (
+        pairs.groupBy("src", "dst")
+        .agg(F.count("*").cast("double").alias("weight"))
+        .withColumn("etype", F.lit("co_commit"))
+    )
+
+
+def path_link_edges(corpus: DataFrame) -> DataFrame:
+    """(src, dst, weight=1.0, etype='path_link'), canonical src<dst.
+
+    Chain files within each (repo, dir) in lexicographic order; link the repo
+    vertex to each directory's head file.
+    """
+    files = (
+        corpus.select(
+            "repo",
+            "path",
+            F.concat_ws("/", "repo", "path").alias("fkey"),
+            # directory = path minus last component
+            F.regexp_replace("path", "/[^/]*$", "").alias("dir"),
+        )
+        .dropDuplicates(["repo", "path"])
+    )
+    w = Window.partitionBy("repo", "dir").orderBy("path")
+    chain = (
+        files.withColumn("nxt", F.lead("fkey").over(w))
+        .where(F.col("nxt").isNotNull())
+        .select(
+            F.least("fkey", "nxt").alias("src"),
+            F.greatest("fkey", "nxt").alias("dst"),
+        )
+    )
+    heads = (
+        files.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select(
+            F.concat(F.lit("repo:"), F.col("repo")).alias("a"),
+            F.col("fkey").alias("b"),
+        )
+        .select(F.least("a", "b").alias("src"), F.greatest("a", "b").alias("dst"))
+    )
+    return (
+        chain.unionByName(heads)
+        .distinct()
+        .select("src", "dst", F.lit(1.0).alias("weight"), F.lit("path_link").alias("etype"))
+    )
+
+
+def extract_graph(corpus: DataFrame, impl: str = "arrow") -> tuple[DataFrame, DataFrame]:
+    """Full extraction: returns (edges, stamped_corpus).
+
+    edges: canonical (src<dst) string-keyed union of co-commit + path-link.
+    stamped_corpus: the exact rows read, with content_sha — callers verify
+    sha-set equality against the pre-extraction stamp (input_hint invariant).
+    """
+    stamped = with_content_sha(corpus)
+    cc = co_commit_edges(stamped.select("repo", "path", "commit"), impl=impl)
+    pl = path_link_edges(stamped.select("repo", "path"))
+    edges = cc.unionByName(pl)
+    return edges, stamped

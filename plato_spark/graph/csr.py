@@ -1,0 +1,123 @@
+"""Grouped-CSR adjacency blocks + pandas-UDF SpMV gather.
+
+This is the Spark-native analog of plato's bcsr/dcsc structures
+(/root/reference/plato/graph/structure/bcsr.hpp:56-68,
+ /root/reference/plato/graph/structure/dcsc.hpp:47-59): the vertex space is
+split into degree-balanced ranges (graph/partitioning.py); all edges whose
+*destination* falls in a range form one CSR block — a single row with flat
+``dsts``/``indptr``/``srcs`` arrays. "Doubly-compressed" behavior (only
+non-empty rows stored, dcsc.hpp:47-57) is automatic: ``dsts`` holds only
+vertices with >=1 in-edge.
+
+A superstep gather ("pull", plato's aggregate_message,
+/root/reference/plato/graph/message_passing.hpp:88-144) is then:
+
+  1. route:   static table (block, src) — which blocks need which source
+              states. A hub source is replicated at most once per block
+              (<= num_blocks copies) no matter how high its out-degree —
+              this is the hub-skew bound, replacing plato's load-balancing
+              masks (mutual.hpp:148-159).
+  2. msgs:    route join state  (co-partitioned hash join on src)
+  3. gather:  cogroup (csr, msgs) by block -> applyInPandas SpMV: numpy
+              searchsorted gather + add.reduceat segmented sum. Vectorized
+              Arrow exchange, no per-row Python (input_hint requirement).
+
+Scale notes: one block row carries ~|E|/num_blocks edges; callers size
+num_blocks so arrays stay ~tens of MB (Arrow-friendly). All heavy work is a
+single shuffle of msgs by block per superstep + map-side-combined groupBy.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from plato_spark.graph.partitioning import block_of_expr
+
+CSR_SCHEMA = (
+    "block int, dsts array<long>, indptr array<long>, srcs array<long>, weights array<double>"
+)
+
+
+def build_csr_blocks(
+    edges: DataFrame,
+    boundaries: list[int],
+    weight: str | None = None,
+) -> DataFrame:
+    """Group an edge table into per-range CSR blocks keyed by dst range.
+
+    edges: (src, dst[, weight]) — already in the direction to be *pulled
+    over* (dst gathers from src). Returns DataFrame with CSR_SCHEMA.
+    """
+    blk = block_of_expr(boundaries, "dst").alias("block")
+    cols = [blk, "src", "dst"] + ([F.col(weight).alias("w")] if weight else [])
+    tagged = edges.select(*cols)
+
+    has_w = weight is not None
+
+    def make_block(pdf: pd.DataFrame) -> pd.DataFrame:
+        order = np.lexsort((pdf["src"].to_numpy(), pdf["dst"].to_numpy()))
+        dst = pdf["dst"].to_numpy()[order]
+        src = pdf["src"].to_numpy()[order]
+        w = pdf["w"].to_numpy()[order] if has_w else np.zeros(0)
+        uniq, starts = np.unique(dst, return_index=True)
+        indptr = np.append(starts, len(dst))
+        return pd.DataFrame(
+            {
+                "block": [int(pdf["block"].iloc[0])],
+                "dsts": [uniq],
+                "indptr": [indptr],
+                "srcs": [src],
+                "weights": [w],
+            }
+        )
+
+    return tagged.groupBy("block").applyInPandas(make_block, schema=CSR_SCHEMA)
+
+
+def build_route(edges: DataFrame, boundaries: list[int]) -> DataFrame:
+    """Static message-routing table: distinct (block, src) pairs."""
+    blk = block_of_expr(boundaries, "dst").alias("block")
+    return edges.select(blk, "src").distinct()
+
+
+def spmv_gather(
+    csr: DataFrame,
+    route: DataFrame,
+    state: DataFrame,
+    value_col: str = "contrib",
+    weighted: bool = False,
+) -> DataFrame:
+    """One pull superstep: for every dst with in-edges, sum state[src]
+    (optionally * edge weight) over its in-neighbors.
+
+    state: (id, <value_col>) — must cover every src in the route table.
+    Returns (id, gathered: double) with one row per non-empty dst.
+    """
+    msgs = route.join(
+        state.select(F.col("id").alias("src"), F.col(value_col).alias("val")),
+        "src",
+    )
+
+    def gather(key, csr_pdf: pd.DataFrame, msg_pdf: pd.DataFrame) -> pd.DataFrame:
+        if len(csr_pdf) == 0 or len(msg_pdf) == 0:
+            return pd.DataFrame({"id": pd.Series(dtype="int64"),
+                                 "gathered": pd.Series(dtype="float64")})
+        dsts = np.asarray(csr_pdf["dsts"].iloc[0], dtype=np.int64)
+        indptr = np.asarray(csr_pdf["indptr"].iloc[0], dtype=np.int64)
+        srcs = np.asarray(csr_pdf["srcs"].iloc[0], dtype=np.int64)
+        m_src = msg_pdf["src"].to_numpy(dtype=np.int64)
+        m_val = msg_pdf["val"].to_numpy(dtype=np.float64)
+        order = np.argsort(m_src, kind="stable")
+        m_src, m_val = m_src[order], m_val[order]
+        vals = m_val[np.searchsorted(m_src, srcs)]
+        if weighted:
+            vals = vals * np.asarray(csr_pdf["weights"].iloc[0], dtype=np.float64)
+        sums = np.add.reduceat(vals, indptr[:-1])
+        return pd.DataFrame({"id": dsts, "gathered": sums})
+
+    return csr.groupBy("block").cogroup(msgs.groupBy("block")).applyInPandas(
+        gather, schema="id long, gathered double"
+    )

@@ -1,0 +1,136 @@
+"""Edge-table normalization, vid dictionary encoding, degrees, graph stats.
+
+Reference parity:
+- vid dictionary encoding: /root/reference/plato/graph/structure/vid_encoder.hpp:40-165
+  (murmur-shuffle dedup of raw uint64/string ids -> dense uint32, decode table).
+  Here: ``encode_vertices`` builds a dictionary DataFrame (vkey -> dense id)
+  with a deterministic dense-rank; decode is a join against the dictionary.
+- undirected doubling: the reference stores undirected graphs by doubling
+  edges at load (/root/reference/plato/graph/structure.hpp:1032-1033).
+  ``canonicalize_undirected`` keeps ONE canonical row (src < dst);
+  ``symmetrize`` expands to both directions for algorithms that pull/push.
+- graph stats: plato infers (vertices_, edges_, max_v_i_) with a bitmap +
+  allreduce during load (/root/reference/plato/graph/structure.hpp:190-237);
+  here one ``agg``.
+- degrees: generate_dense_out_degrees
+  (/root/reference/plato/graph/structure.hpp:239-289) -> groupBy().count().
+
+All functions are pure DataFrame plans: Catalyst handles pushdown/pruning,
+shuffles carry map-side partial aggregation (plato's receiver-side
+write_add/min combiners, /root/reference/plato/util/atomic.hpp).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def canonicalize_undirected(edges: DataFrame, src: str = "src", dst: str = "dst") -> DataFrame:
+    """Dedup an edge list into canonical undirected form: one row per
+    unordered pair with src < dst; self-loops dropped (plato's CSR build also
+    ignores self-edges for mutual/triangle semantics,
+    /root/reference/plato/algo/mutual/mutual.hpp:226-235 parity rule)."""
+    lo = F.least(F.col(src), F.col(dst)).alias("src")
+    hi = F.greatest(F.col(src), F.col(dst)).alias("dst")
+    return (
+        edges.select(lo, hi)
+        .where(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+
+
+def symmetrize(edges: DataFrame) -> DataFrame:
+    """Expand canonical undirected edges (src<dst, unique) to both directions.
+
+    Mirrors the reference's undirected doubling at load
+    (/root/reference/plato/graph/structure.hpp:1032-1033).
+    """
+    cols = edges.columns
+    rev = edges.select(
+        F.col("dst").alias("src"), F.col("src").alias("dst"),
+        *[c for c in cols if c not in ("src", "dst")],
+    ).select(*cols)
+    return edges.unionByName(rev)
+
+
+def encode_vertices(
+    edges: DataFrame, src: str = "src", dst: str = "dst"
+) -> tuple[DataFrame, DataFrame]:
+    """Dictionary-encode raw vertex keys (any orderable type) to dense longs.
+
+    Returns (encoded_edges[src,dst,...], dictionary[id, vkey]).
+
+    The reference's vid_encoder_t hashes raw ids across ranks, dedups in a
+    cuckoo table and allgathers the table
+    (/root/reference/plato/graph/structure/vid_encoder.hpp:80-165). The Spark
+    plan is the declarative equivalent: distinct -> deterministic dense rank
+    (order by key so the encoding is reproducible) -> two broadcast-or-shuffle
+    joins to rewrite endpoints. At 100TB scale the dictionary join is a plain
+    shuffle hash join on the vkey; Catalyst broadcasts it automatically when
+    the vertex set is small.
+    """
+    verts = (
+        edges.select(F.col(src).alias("vkey"))
+        .unionByName(edges.select(F.col(dst).alias("vkey")))
+        .distinct()
+    )
+    # deterministic dense id: rank by natural key order. zipWithIndex-style
+    # monotonically_increasing_id is NOT reproducible across partitionings,
+    # so use a window rank (single total order; acceptable because the
+    # dictionary is the small side — V << E).
+    w = Window.orderBy("vkey")
+    dictionary = verts.select(
+        (F.row_number().over(w) - F.lit(1)).cast("long").alias("id"),
+        "vkey",
+    )
+    others = [c for c in edges.columns if c not in (src, dst)]
+    d_src = dictionary.select(F.col("vkey").alias("__sk"), F.col("id").alias("__sid"))
+    d_dst = dictionary.select(F.col("vkey").alias("__dk"), F.col("id").alias("__did"))
+    enc = (
+        edges.join(d_src, edges[src] == d_src["__sk"], "inner")
+        .join(d_dst, edges[dst] == d_dst["__dk"], "inner")
+        .select(
+            F.col("__sid").alias("src"),
+            F.col("__did").alias("dst"),
+            *[F.col(c) for c in others],
+        )
+    )
+    return enc, dictionary
+
+
+def out_degrees(edges: DataFrame) -> DataFrame:
+    """(id, odeg) — out-degree per vertex present as a source."""
+    return edges.groupBy(F.col("src").alias("id")).agg(F.count("*").alias("odeg"))
+
+
+def in_degrees(edges: DataFrame) -> DataFrame:
+    """(id, ideg) — in-degree per vertex present as a destination."""
+    return edges.groupBy(F.col("dst").alias("id")).agg(F.count("*").alias("ideg"))
+
+
+def vertices(edges: DataFrame) -> DataFrame:
+    """(id) — all vertex ids appearing as src or dst."""
+    return (
+        edges.select(F.col("src").alias("id"))
+        .unionByName(edges.select(F.col("dst").alias("id")))
+        .distinct()
+    )
+
+
+def graph_stats(edges: DataFrame) -> dict:
+    """One-pass graph_info_t equivalent: edges, max id, distinct vertices.
+
+    Reference fills graph_info_t{vertices_, edges_, max_v_i_} via bitmap +
+    MPI_Allreduce (/root/reference/plato/graph/structure.hpp:226-234).
+    """
+    row = edges.agg(
+        F.count("*").alias("edges"),
+        F.greatest(F.max("src"), F.max("dst")).alias("max_id"),
+    ).collect()[0]
+    n_vertices = vertices(edges).count()
+    return {
+        "edges": row["edges"],
+        "max_id": row["max_id"],
+        "vertices": n_vertices,
+    }

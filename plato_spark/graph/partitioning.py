@@ -1,0 +1,101 @@
+"""Degree-weighted range partitioning + hub/skew policies.
+
+Reference parity:
+- sequence_balanced_by_{source,destination}_t: contiguous vertex ranges
+  balanced by sum(degree + alpha), alpha = 8*(partitions-1) by default
+  (/root/reference/plato/graph/partition/sequence.hpp:44-75,140-265).
+- hash_by_{source,destination}_t (/root/reference/plato/graph/partition/hash.hpp:33-121)
+  maps to plain ``repartition(n, col)``.
+
+``degree_weighted_ranges`` reproduces the sequence balancer without
+collecting per-vertex degrees to the driver: degrees are binned into a fixed
+number of buckets (driver sees O(bins) rows regardless of V — the same trick
+as plato's replicated __init_offset prefix-sum but over a compressed
+histogram), then a prefix-sum picks range boundaries so every block owns
+approximately equal (edges + alpha * vertices) work. At 100TB scale this is
+one groupBy over the degree table and a tiny collect.
+"""
+
+from __future__ import annotations
+
+import bisect
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def degree_weighted_ranges(
+    degrees: DataFrame,
+    num_blocks: int,
+    max_id: int,
+    alpha: float | None = None,
+    hist_bins: int = 8192,
+) -> list[int]:
+    """Compute range boundaries over dense ids [0, max_id] such that each of
+    ``num_blocks`` ranges has ~equal sum(degree + alpha).
+
+    degrees: DataFrame(id: long, deg: long)  (missing ids count as deg=0)
+    Returns sorted boundary list ``b`` of length num_blocks+1 with b[0]=0 and
+    b[-1]=max_id+1; block k owns ids in [b[k], b[k+1]).
+    """
+    if alpha is None:
+        alpha = 8.0 * (num_blocks - 1)  # plato default, sequence.hpp:180-187
+    n_ids = max_id + 1
+    bins = min(hist_bins, n_ids)
+    bin_size = (n_ids + bins - 1) // bins
+    deg_col = degrees.columns[1]
+    hist = (
+        degrees.groupBy((F.col("id") / F.lit(bin_size)).cast("long").alias("bin"))
+        .agg(F.sum(deg_col).alias("deg_sum"), F.count("*").alias("n"))
+        .collect()
+    )
+    deg_by_bin = {int(r["bin"]): int(r["deg_sum"]) for r in hist}
+    # every id contributes alpha (plato counts all owned vids); ids absent
+    # from the degree table contribute alpha only.
+    total = 0.0
+    bin_work = []
+    for b in range(bins):
+        ids_in_bin = min(bin_size, n_ids - b * bin_size)
+        w = deg_by_bin.get(b, 0) + alpha * ids_in_bin
+        bin_work.append(w)
+        total += w
+    target = total / num_blocks
+    boundaries = [0]
+    acc = 0.0
+    next_cut = target
+    for b in range(bins):
+        acc += bin_work[b]
+        while acc >= next_cut and len(boundaries) < num_blocks:
+            boundaries.append(min((b + 1) * bin_size, n_ids))
+            next_cut += target
+    while len(boundaries) < num_blocks:
+        boundaries.append(n_ids)
+    boundaries.append(n_ids)
+    # de-dup degenerate cuts while keeping monotone non-decreasing
+    for i in range(1, len(boundaries)):
+        if boundaries[i] < boundaries[i - 1]:
+            boundaries[i] = boundaries[i - 1]
+    return boundaries
+
+
+def block_of_expr(boundaries: list[int], col: str = "dst"):
+    """SQL expression assigning a dense id to its range block.
+
+    Built as a CASE chain for small block counts; for large counts callers
+    should join against a broadcast boundary table instead.
+    """
+    if len(boundaries) - 1 <= 64:
+        expr = F.lit(len(boundaries) - 2)
+        # walk from last block down so the first matching WHEN wins
+        cases = None
+        for k in range(len(boundaries) - 1):
+            cond = F.col(col) < F.lit(boundaries[k + 1])
+            cases = F.when(cond, F.lit(k)) if cases is None else cases.when(cond, F.lit(k))
+        return cases.otherwise(expr).cast("int")
+    raise ValueError("use a broadcast boundary-table join for >64 blocks")
+
+
+def block_of(boundaries: list[int], vid: int) -> int:
+    """Driver-side block lookup (mirror of block_of_expr)."""
+    k = bisect.bisect_right(boundaries, vid) - 1
+    return max(0, min(k, len(boundaries) - 2))

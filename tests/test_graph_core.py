@@ -1,0 +1,96 @@
+from conftest import edges_df
+from oracles import random_graph
+
+from plato_spark.graph.csr import build_csr_blocks, build_route, spmv_gather
+from plato_spark.graph.edges import (
+    canonicalize_undirected,
+    encode_vertices,
+    graph_stats,
+    out_degrees,
+    symmetrize,
+)
+from plato_spark.graph.partitioning import (
+    block_of,
+    degree_weighted_ranges,
+)
+
+from pyspark.sql import functions as F
+
+
+def test_canonicalize_and_symmetrize(spark):
+    df = edges_df(spark, [(2, 1), (1, 2), (3, 3), (4, 5)])
+    canon = canonicalize_undirected(df)
+    rows = {(r["src"], r["dst"]) for r in canon.collect()}
+    assert rows == {(1, 2), (4, 5)}
+    sym = {(r["src"], r["dst"]) for r in symmetrize(canon).collect()}
+    assert sym == {(1, 2), (2, 1), (4, 5), (5, 4)}
+
+
+def test_encode_vertices_dense_and_reversible(spark):
+    raw = spark.createDataFrame(
+        [("a/x", "b/y"), ("b/y", "c/z"), ("a/x", "c/z")], "src string, dst string"
+    )
+    enc, dic = encode_vertices(raw)
+    ids = sorted(r["id"] for r in dic.collect())
+    assert ids == [0, 1, 2]  # dense
+    # decode round-trip
+    dec = (
+        enc.join(dic.withColumnRenamed("id", "src"), "src")
+        .select(F.col("vkey").alias("s"), "dst")
+        .join(dic.withColumnRenamed("id", "dst"), "dst")
+        .select("s", F.col("vkey").alias("d"))
+    )
+    assert {(r["s"], r["d"]) for r in dec.collect()} == {
+        ("a/x", "b/y"), ("b/y", "c/z"), ("a/x", "c/z")
+    }
+
+
+def test_graph_stats_and_degrees(spark):
+    edges = [(0, 1), (0, 2), (1, 2), (5, 0)]
+    df = edges_df(spark, edges)
+    st = graph_stats(df)
+    assert st == {"edges": 4, "max_id": 5, "vertices": 4}
+    od = {r["id"]: r["odeg"] for r in out_degrees(df).collect()}
+    assert od == {0: 2, 1: 1, 5: 1}
+
+
+def test_degree_weighted_ranges_balance(spark):
+    # one hub (deg 1000) + uniform tail: hub must not share a block with
+    # the whole tail
+    rows = [(0, 1000)] + [(i, 2) for i in range(1, 401)]
+    deg = spark.createDataFrame(rows, "id long, deg long")
+    b = degree_weighted_ranges(deg, num_blocks=4, max_id=400, alpha=0.0, hist_bins=401)
+    assert b[0] == 0 and b[-1] == 401
+    assert len(b) == 5
+    # block work: hub alone ~1000, tail ~800 split across remaining blocks
+    assert block_of(b, 0) == 0
+    assert b[1] <= 200  # hub block closed early
+
+
+def test_csr_blocks_and_gather(spark):
+    edges = random_graph(n=30, m=150, seed=6, directed=True)
+    df = edges_df(spark, edges)
+    boundaries = [0, 10, 20, 30]
+    csr = build_csr_blocks(df, boundaries)
+    route = build_route(df, boundaries)
+    # state: value = id+1
+    verts = sorted({x for e in edges for x in e})
+    state = spark.createDataFrame([(v, float(v + 1)) for v in verts], "id long, contrib double")
+    got = {
+        r["id"]: r["gathered"]
+        for r in spmv_gather(csr, route, state).collect()
+    }
+    want = {}
+    for u, v in edges:
+        want[v] = want.get(v, 0.0) + (u + 1)
+    assert got == want
+
+
+def test_route_hub_replication_bound(spark):
+    # hub src with 100 out-edges lands once per block, not 100 times
+    edges = [(0, i + 1) for i in range(100)]
+    df = edges_df(spark, edges)
+    boundaries = [0, 50, 101]
+    route = build_route(df, boundaries)
+    hub_rows = route.where("src = 0").count()
+    assert hub_rows == 2  # one per block

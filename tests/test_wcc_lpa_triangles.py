@@ -1,0 +1,72 @@
+from conftest import df_to_dict, edges_df
+from oracles import (
+    common_neighbors_oracle,
+    lpa_oracle,
+    random_graph,
+    triangle_mix,
+    triangles_oracle,
+    wcc_oracle,
+)
+
+from plato_spark.algos.lpa import label_propagation
+from plato_spark.algos.triangles import common_neighbors, triangle_count
+from plato_spark.algos.wcc import connected_components
+from plato_spark.graph.edges import symmetrize
+
+
+def test_wcc_multi_component(spark):
+    # 3 clearly separated components + isolated pair (FIXTURES multi_component)
+    edges = (
+        random_graph(n=30, m=60, seed=2)
+        + [(a + 100, b + 100) for a, b in random_graph(n=20, m=40, seed=3)]
+        + [(200, 201), (201, 202)]
+    )
+    got = df_to_dict(connected_components(edges_df(spark, edges)), val="component")
+    want = wcc_oracle(edges)
+    assert got == want
+
+
+def test_wcc_chain(spark):
+    edges = [(i, i + 1) for i in range(50)]
+    got = df_to_dict(connected_components(edges_df(spark, edges)), val="component")
+    assert set(got.values()) == {0}
+
+
+def test_lpa_exact(spark):
+    canon = random_graph(n=40, m=140, seed=9)
+    sym = canon + [(b, a) for a, b in canon]
+    got = df_to_dict(label_propagation(edges_df(spark, sym), iterations=5), val="label")
+    want = lpa_oracle(sym, iterations=5)
+    assert got == want
+
+
+def test_lpa_directed_exact(spark):
+    edges = random_graph(n=35, m=120, seed=21, directed=True)
+    got = df_to_dict(label_propagation(edges_df(spark, edges), iterations=4), val="label")
+    want = lpa_oracle(edges, iterations=4)
+    assert got == want
+
+
+def test_triangles_mix(spark):
+    edges = triangle_mix()
+    got = triangle_count(edges_df(spark, edges)).collect()[0]["triangles"]
+    assert got == triangles_oracle(edges) == 2 + 10  # 2 triangles + C(5,3)=10
+
+
+def test_triangles_random(spark):
+    edges = random_graph(n=40, m=300, seed=4)
+    got = triangle_count(edges_df(spark, edges)).collect()[0]["triangles"]
+    assert got == triangles_oracle(edges)
+
+
+def test_triangles_star_zero(spark):
+    edges = [(0, i) for i in range(1, 12)]
+    got = triangle_count(edges_df(spark, edges)).collect()[0]["triangles"]
+    assert got == 0
+
+
+def test_common_neighbors(spark):
+    edges = triangle_mix()
+    rows = common_neighbors(edges_df(spark, edges), as_count=False).collect()
+    got = {(r["src"], r["dst"]): list(r["common"]) for r in rows}
+    assert got == common_neighbors_oracle(edges)
