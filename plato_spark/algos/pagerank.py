@@ -170,7 +170,10 @@ def pagerank(
                     "messages_sent": msgs_per_step,
                     "superstep_sec": time.time() - t0,
                     "last_epoch_next": bool(eps > 0.0 and delta < eps),
-                    "finished": is_final,
+                    # finished == CONVERGED (post-convergence epoch done).
+                    # Exhausting max_iters is NOT finished: a resume with a
+                    # larger budget must continue from here.
+                    "finished": bool(last_epoch),
                 },
             )
         state = new_state
