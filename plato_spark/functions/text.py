@@ -1,0 +1,112 @@
+"""Text-analysis operators for large-scale training-data pipelines.
+
+All hot paths are JVM built-ins (regexp_*, length, split — whole-stage
+codegen); only language-ID uses a pandas UDF (Arrow-batched numpy, never
+per-row Python). Where a DuckDB-oracle exists the exact expression is
+mirrored in __spark_entry__.oracle_sql().
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+
+TOKEN_RE = "[A-Za-z0-9_]+"
+STOPWORDS = ["the", "a", "of", "and", "to", "in", "is", "for", "on", "with"]
+
+
+def token_count_col(text: Column) -> Column:
+    """Word-ish token count (BPE-ish alnum runs), JVM-side."""
+    return F.size(F.regexp_extract_all(text, F.lit(TOKEN_RE), F.lit(0))).cast("long")
+
+
+def text_quality(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Per-document quality heuristics: length, token count, alpha/digit/
+    space/punct ratios, stopword ratio, mean token length.
+
+    Returns (id, n_chars, n_tokens, alpha_ratio, digit_ratio, space_ratio,
+    stopword_ratio, mean_token_len) — all ratios rounded to 6dp so results
+    hash-stably across engines.
+    """
+    t = F.col(text_col)
+    n_chars = F.length(t).cast("long")
+    toks = F.regexp_extract_all(t, F.lit(TOKEN_RE), F.lit(0))
+    n_tokens = F.size(toks).cast("long")
+    n_alpha = F.length(F.regexp_replace(t, "[^A-Za-z]", ""))
+    n_digit = F.length(F.regexp_replace(t, "[^0-9]", ""))
+    n_space = F.length(F.regexp_replace(t, "[^ \\t\\n]", ""))
+    stop_re = "(?i)\\b(" + "|".join(STOPWORDS) + ")\\b"
+    n_stop = F.size(F.regexp_extract_all(t, F.lit(stop_re), F.lit(0))).cast("long")
+    safe = F.greatest(n_chars, F.lit(1))
+    safe_tok = F.greatest(n_tokens, F.lit(1))
+    tok_chars = F.aggregate(
+        toks, F.lit(0), lambda acc, x: acc + F.length(x)
+    )
+    return df.select(
+        F.col(id_col),
+        n_chars.alias("n_chars"),
+        n_tokens.alias("n_tokens"),
+        F.round(n_alpha / safe, 6).alias("alpha_ratio"),
+        F.round(n_digit / safe, 6).alias("digit_ratio"),
+        F.round(n_space / safe, 6).alias("space_ratio"),
+        F.round(n_stop / safe_tok, 6).alias("stopword_ratio"),
+        F.round(tok_chars / safe_tok, 6).alias("mean_token_len"),
+    )
+
+
+def doc_fingerprint(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+                    shingle: int = 4) -> DataFrame:
+    """Deterministic document fingerprint: min xxhash64 over token
+    ``shingle``-grams (winnowing-style rolling hash; JVM-side).
+
+    Documents shorter than ``shingle`` tokens fall back to hashing the whole
+    token array. Returns (id, fingerprint: long).
+    """
+    toks = F.regexp_extract_all(F.col(text_col), F.lit(TOKEN_RE), F.lit(0))
+    n = F.size(toks)
+    grams = F.transform(
+        F.sequence(F.lit(1), F.greatest(n - F.lit(shingle - 1), F.lit(1))),
+        lambda i: F.xxhash64(F.concat_ws("", F.slice(toks, i, shingle))),
+    )
+    return df.select(
+        F.col(id_col),
+        F.array_min(grams).alias("fingerprint"),
+    )
+
+
+# -- language identification (character n-gram heuristic) -------------------
+
+_LANG_PROFILES = {
+    # tiny, deterministic character-trigram profiles; a real deployment
+    # would load fastText/CLD3 — out of scope for this sandbox, but the
+    # Spark-side plumbing (Arrow batch -> numpy scoring) is the real shape.
+    "en": [" th", "the", "he ", " an", "and", "ing", " of", "ion"],
+    "de": ["en ", "er ", "ch ", "der", "ein", "sch", "ich", "und"],
+    "fr": ["es ", "de ", " de", "le ", "ent", "que", "la ", "ion"],
+    "code": ["();", " = ", "def", "int", "for", "::", "=> ", "#in"],
+}
+
+
+def lang_id_ngram(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """(id, lang_pred) via character n-gram profile scoring (vectorized)."""
+    profiles = {k: list(v) for k, v in _LANG_PROFILES.items()}
+    langs = sorted(profiles)
+
+    @pandas_udf("string")
+    def _score(texts: pd.Series) -> pd.Series:
+        lowered = texts.fillna("").str.lower()
+        scores = np.zeros((len(texts), len(langs)), dtype=np.int64)
+        for j, lang in enumerate(langs):
+            for gram in profiles[lang]:
+                scores[:, j] += lowered.str.count(
+                    gram.replace("(", "\\(").replace(")", "\\)")
+                    .replace("=", "\\=").replace("#", "\\#").replace("|", "\\|")
+                ).to_numpy(dtype=np.int64)
+        best = np.asarray(langs)[np.argmax(scores, axis=1)]
+        best[scores.max(axis=1) == 0] = "unknown"
+        return pd.Series(best)
+
+    return df.select(F.col(id_col), _score(F.col(text_col)).alias("lang_pred"))
