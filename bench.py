@@ -1,0 +1,120 @@
+#!/usr/bin/env python
+"""Benchmark harness — headline queries at $SPARK_GRAFT_SF_DIR on
+local[$SPARK_GRAFT_CPUS]. Prints ONE JSON line:
+
+  {"metric": "...", "value": <total sec>, "unit": "sec",
+   "queries": {...per-query sec...}, "sf": <sf>,
+   "pagerank_supersteps_per_sec": ..., "pagerank_edges_per_sec": ...}
+
+Headline suite (the BASELINE.json metric is PageRank supersteps/sec and
+edges-processed/sec to 1e-6 convergence on the co-occurrence graph):
+
+  corpus_extract   synth corpus -> co-commit+path-link edges -> dense encode
+  pagerank_conv    PageRank damping 0.85 to delta<1e-6 (plato protocol)
+  wcc              hash-min connected components to fixpoint
+  lpa              label propagation, 10 rounds
+  triangles        exact degree-ordered triangle count
+
+Scaling-efficiency evidence (N vs 4N cores) is produced by
+tools/scaling_bench.py which re-invokes this file at two parallelism
+levels and writes BENCH/BASELINE.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from plato_spark.algos.lpa import label_propagation  # noqa: E402
+from plato_spark.algos.pagerank import pagerank  # noqa: E402
+from plato_spark.algos.triangles import triangle_count  # noqa: E402
+from plato_spark.algos.wcc import connected_components  # noqa: E402
+from plato_spark.corpus.extract import extract_graph  # noqa: E402
+from plato_spark.corpus.generator import synth_corpus  # noqa: E402
+from plato_spark.graph.edges import encode_vertices, symmetrize  # noqa: E402
+from plato_spark.session import get_spark  # noqa: E402
+from plato_spark.sources.tables import part_cooccurrence_edges  # noqa: E402
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
+    sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0.1)
+    # partitions scale with cores so scaling runs stay proportionally
+    # decomposed (SURVEY §7.4.6)
+    shuffle_n = int(os.environ.get("PLATO_SPARK_SHUFFLE_PARTITIONS", str(2 * cpus)))
+    spark = get_spark(
+        app_name="plato_spark_bench",
+        master=f"local[{cpus}]",
+        shuffle_partitions=shuffle_n,
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    queries: dict[str, float] = {}
+    extra: dict[str, float] = {}
+
+    # -- corpus extraction (the north-star input pipeline) -----------------
+    t0 = time.time()
+    corpus = synth_corpus(spark, sf)
+    edges_str, _ = extract_graph(corpus, impl="arrow")
+    enc, dic = encode_vertices(edges_str)
+    enc = enc.persist()
+    n_corpus_edges = enc.count()
+    queries["corpus_extract"] = time.time() - t0
+    extra["corpus_edges"] = n_corpus_edges
+
+    # -- graph suite on the co-occurrence graph ----------------------------
+    canon = part_cooccurrence_edges(spark, sf_dir).persist()
+    n_edges = canon.count()
+    sym = symmetrize(canon).persist()
+    sym.count()
+    extra["graph_edges_canonical"] = n_edges
+
+    t0 = time.time()
+    st: dict = {}
+    pr = pagerank(sym, damping=0.85, eps=1e-6, max_iters=100, impl="join", stats=st)
+    pr.select(F.sum("rank")).collect()
+    queries["pagerank_conv"] = time.time() - t0
+    iters = st.get("iterations", 0)
+    extra["pagerank_iterations"] = iters
+    if queries["pagerank_conv"] > 0 and iters:
+        extra["pagerank_supersteps_per_sec"] = iters / queries["pagerank_conv"]
+        extra["pagerank_edges_per_sec"] = 2 * n_edges * iters / queries["pagerank_conv"]
+
+    t0 = time.time()
+    wcc = connected_components(canon)
+    wcc.select(F.count_distinct("component")).collect()
+    queries["wcc"] = time.time() - t0
+
+    t0 = time.time()
+    lpa = label_propagation(sym, iterations=10)
+    lpa.select(F.count_distinct("label")).collect()
+    queries["lpa"] = time.time() - t0
+
+    t0 = time.time()
+    tri = triangle_count(canon).collect()[0]["triangles"]
+    queries["triangles"] = time.time() - t0
+    extra["triangle_total"] = tri
+
+    total = sum(queries.values())
+    out = {
+        "metric": "headline_suite_sec (corpus extract + pagerank@1e-6 + wcc + lpa10 + triangles)",
+        "value": round(total, 3),
+        "unit": "sec",
+        "queries": {k: round(v, 3) for k, v in queries.items()},
+        "sf": sf,
+        "cpus": cpus,
+        "shuffle_partitions": shuffle_n,
+        **{k: (round(v, 3) if isinstance(v, float) else v) for k, v in extra.items()},
+    }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

@@ -48,6 +48,7 @@ def pagerank(
     weight: str | None = None,
     num_blocks: int | None = None,
     ckpt: CheckpointManager | None = None,
+    stats: dict | None = None,
 ) -> DataFrame:
     """Returns (id: long, rank: double) for every vertex in ``edges``.
 
@@ -177,6 +178,12 @@ def pagerank(
                 },
             )
         state = new_state
+        if stats is not None:
+            stats.setdefault("superstep_secs", []).append(time.time() - t0)
+            stats.setdefault("deltas", []).append(delta)
+            stats["iterations"] = k + 1
+            stats["messages_per_step"] = msgs_per_step
+            stats["edges"] = n_edges
         if is_final:
             break
         if eps > 0.0 and delta < eps:

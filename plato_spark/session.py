@@ -47,6 +47,10 @@ def get_spark(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # iterative state⋈edges joins: hash join beats re-sorting the big
+        # cached edge table every superstep (~2x per-superstep win measured
+        # at 20M edges); planner still guards build-side size
+        .config("spark.sql.join.preferSortMergeJoin", "false")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "65536")
         # iterative plans re-use the same small dims many times; keep the
