@@ -63,6 +63,7 @@ def main() -> None:
     t0 = time.time()
     corpus = synth_corpus(spark, sf)
     edges_str, _ = extract_graph(corpus, impl="arrow")
+    edges_str = edges_str.persist()  # encode re-reads it (verts + 2 joins)
     enc, dic = encode_vertices(edges_str)
     enc = enc.persist()
     n_corpus_edges = enc.count()

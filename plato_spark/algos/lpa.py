@@ -26,6 +26,10 @@ from pyspark.sql import functions as F
 
 from plato_spark.engine.checkpoint import CheckpointManager
 from plato_spark.engine.superstep import SuperstepDriver
+from plato_spark.graph.partitioning import (
+    auto_shuffle_partitions,
+    scoped_shuffle_partitions,
+)
 
 
 def label_propagation(
@@ -39,8 +43,12 @@ def label_propagation(
     in-neighbors). For undirected semantics pass a symmetrized table.
     """
     spark = edges.sparkSession
-    shuffle_n = int(spark.conf.get("spark.sql.shuffle.partitions"))
-    e = edges.select("src", "dst").repartition(shuffle_n, "src").persist()
+    e0 = edges.select("src", "dst").persist()
+    n_e = e0.count()
+    shuffle_n = auto_shuffle_partitions(spark, n_e)
+    e = e0.repartition(shuffle_n, "src").persist()
+    e.count()
+    e0.unpersist()
     verts = (
         e.select(F.col("src").alias("id"))
         .unionByName(e.select(F.col("dst").alias("id")))
@@ -73,5 +81,6 @@ def label_propagation(
         }
 
     driver = SuperstepDriver(ckpt=ckpt, max_iters=iterations)
-    final = driver.run(state0, step)
+    with scoped_shuffle_partitions(spark, shuffle_n):
+        final = driver.run(state0, step)
     return final.select("id", "label")

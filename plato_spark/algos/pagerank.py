@@ -36,7 +36,11 @@ from pyspark.sql import functions as F
 
 from plato_spark.engine.checkpoint import CheckpointManager
 from plato_spark.graph.csr import build_csr_blocks, build_route, spmv_gather
-from plato_spark.graph.partitioning import degree_weighted_ranges
+from plato_spark.graph.partitioning import (
+    auto_shuffle_partitions,
+    degree_weighted_ranges,
+    scoped_shuffle_partitions,
+)
 
 
 def pagerank(
@@ -56,8 +60,10 @@ def pagerank(
     symmetrized table (graph.edges.symmetrize).
     """
     spark = edges.sparkSession
-    shuffle_n = int(spark.conf.get("spark.sql.shuffle.partitions"))
-    edges = edges.repartition(shuffle_n, "src").persist()
+    edges0 = edges.persist()
+    n_edges_pre = edges0.count()
+    shuffle_n = auto_shuffle_partitions(spark, n_edges_pre)
+    edges = edges0.repartition(shuffle_n, "src").persist()
 
     # --- static per-vertex divisor: out-degree (or out-weight-sum) -------
     if weight is None:
@@ -76,6 +82,7 @@ def pagerank(
         .persist()
     )
     n_edges = edges.count()
+    edges0.unpersist()
     base.count()
 
     # --- physical gather strategy ---------------------------------------
@@ -140,6 +147,16 @@ def pagerank(
         )
 
     k = start_iter
+    with scoped_shuffle_partitions(spark, shuffle_n):
+        state, k = _pagerank_loop(
+            spark, state, k, max_iters, last_epoch, damping, eps, gather,
+            contrib_state, ckpt, stats, msgs_per_step, n_edges,
+        )
+    return state.select("id", "rank")
+
+
+def _pagerank_loop(spark, state, k, max_iters, last_epoch, damping, eps,
+                   gather, contrib_state, ckpt, stats, msgs_per_step, n_edges):
     while k < max_iters:
         t0 = time.time()
         g = gather(contrib_state(state))
@@ -190,4 +207,4 @@ def pagerank(
             last_epoch = True  # one extra epoch, pagerank.hpp:136
         k += 1
 
-    return state.select("id", "rank")
+    return state, k

@@ -27,6 +27,10 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from plato_spark.graph.edges import symmetrize
+from plato_spark.graph.partitioning import (
+    auto_shuffle_partitions,
+    scoped_shuffle_partitions,
+)
 
 
 def _degrees(canon: DataFrame) -> DataFrame:
@@ -70,6 +74,18 @@ def triangle_count(canon: DataFrame, per_vertex: bool = False) -> DataFrame:
     (id, triangles) when per_vertex=True (each triangle credited to all
     three corners).
     """
+    spark = canon.sparkSession
+    canon = canon.persist()
+    n_edges = canon.count()
+    with scoped_shuffle_partitions(spark, auto_shuffle_partitions(spark, n_edges)):
+        # materialize inside the scope — shuffle.partitions is read at
+        # execution time, so a lazily-returned plan would miss the scope
+        out = _triangle_count(canon, per_vertex).persist()
+        out.count()
+    return out
+
+
+def _triangle_count(canon: DataFrame, per_vertex: bool) -> DataFrame:
     oriented = orient_edges(canon)
     adj = _oriented_adj(oriented).persist()
     a_u = adj.select(F.col("id").alias("src"), F.col("nbrs").alias("nbrs_u"))

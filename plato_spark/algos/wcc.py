@@ -26,6 +26,10 @@ from pyspark.sql import functions as F
 from plato_spark.engine.checkpoint import CheckpointManager
 from plato_spark.engine.superstep import SuperstepDriver
 from plato_spark.graph.edges import symmetrize
+from plato_spark.graph.partitioning import (
+    auto_shuffle_partitions,
+    scoped_shuffle_partitions,
+)
 
 # plato's push threshold: active_edges/edges < 0.05 (dualmode.hpp:41-43).
 # We approximate active-edge volume with the frontier-vertex ratio; computing
@@ -40,8 +44,12 @@ def connected_components(
 ) -> DataFrame:
     """Returns (id: long, component: long) — component = min vid reachable."""
     spark = edges.sparkSession
-    shuffle_n = int(spark.conf.get("spark.sql.shuffle.partitions"))
-    sym = symmetrize(edges.select("src", "dst")).repartition(shuffle_n, "src").persist()
+    sym0 = symmetrize(edges.select("src", "dst")).persist()
+    n_sym = sym0.count()
+    shuffle_n = auto_shuffle_partitions(spark, n_sym)
+    sym = sym0.repartition(shuffle_n, "src").persist()
+    sym.count()
+    sym0.unpersist()
 
     verts = (
         sym.select(F.col("src").alias("id")).distinct()
@@ -82,5 +90,6 @@ def connected_components(
         }
 
     driver = SuperstepDriver(ckpt=ckpt, max_iters=max_iters)
-    final = driver.run(state0, step)
+    with scoped_shuffle_partitions(spark, shuffle_n):
+        final = driver.run(state0, step)
     return final.select("id", F.col("label").alias("component"))

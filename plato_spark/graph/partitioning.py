@@ -95,6 +95,43 @@ def block_of_expr(boundaries: list[int], col: str = "dst"):
     raise ValueError("use a broadcast boundary-table join for >64 blocks")
 
 
+def auto_shuffle_partitions(
+    spark,
+    n_edges: int,
+    rows_per_partition: int = 250_000,
+    floor: int = 4,
+) -> int:
+    """Size shuffle parallelism to the graph, not the cluster ceiling.
+
+    Per-superstep fixed cost (task launch + codegen + scheduling) scales
+    with partition count: measured at sf0.1 (1.2M canonical edges,
+    local[32]) a superstep costs 3.5s at P=64 vs 0.6s at P=16. The ceiling
+    stays at the session's configured shuffle partitions so a 100TB input
+    still fans out to the full cluster; small inputs stop paying fleet-size
+    overhead. Mirrors plato's degree-balanced ownership: bounded work per
+    partition (sequence.hpp:44-75), here ~rows_per_partition edges.
+    """
+    ceiling = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    want = max(floor, (n_edges + rows_per_partition - 1) // rows_per_partition)
+    return min(ceiling, want)
+
+
+class scoped_shuffle_partitions:
+    """Temporarily set spark.sql.shuffle.partitions for a superstep loop."""
+
+    def __init__(self, spark, n: int):
+        self.spark, self.n = spark, n
+
+    def __enter__(self):
+        self.old = self.spark.conf.get("spark.sql.shuffle.partitions")
+        self.spark.conf.set("spark.sql.shuffle.partitions", str(self.n))
+        return self.n
+
+    def __exit__(self, *exc):
+        self.spark.conf.set("spark.sql.shuffle.partitions", self.old)
+        return False
+
+
 def block_of(boundaries: list[int], vid: int) -> int:
     """Driver-side block lookup (mirror of block_of_expr)."""
     k = bisect.bisect_right(boundaries, vid) - 1
