@@ -23,6 +23,11 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from plato_spark.algos.bfs import bfs, tree_stat
+from plato_spark.algos.closeness import closeness_sampled
+from plato_spark.algos.hanp import hanp
+from plato_spark.algos.hyperanf import hyperanf
+from plato_spark.algos.kcore import kcore
 from plato_spark.algos.lpa import label_propagation
 from plato_spark.algos.pagerank import pagerank
 from plato_spark.algos.triangles import common_neighbors, triangle_count
@@ -132,6 +137,107 @@ PR_ITERS = 10
 PRW_ITERS = 5
 LPA_ITERS = 3
 WCC_SQL_ITERS = 10  # >= graph diameter at sf<=0.1 (dense co-occurrence graph)
+BFS_SQL_ITERS = 5   # measured BFS eccentricity from min vertex is 2 at sf<=0.1
+KCORE_SQL_ITERS = 26  # h-index fixpoint measured at 19 iters on the sf0.01 graph
+CLOSENESS_SAMPLES = 4
+
+
+def _sql_bfs(iters: int = BFS_SQL_ITERS) -> str:
+    """Unrolled min-dist BFS from the smallest vertex id (sym graph)."""
+    ctes = ["d0 AS MATERIALIZED (SELECT id, 0 AS dist FROM verts "
+            "WHERE id = (SELECT min(id) FROM verts))"]
+    for k in range(iters):
+        ctes.append(
+            f"""d{k + 1} AS MATERIALIZED (
+  SELECT id, CAST(min(dist) AS INT) AS dist FROM (
+    SELECT id, dist FROM d{k}
+    UNION ALL
+    SELECT e.dst AS id, d.dist + 1 AS dist FROM d{k} d JOIN edges e ON e.src = d.id
+  ) u GROUP BY id)"""
+        )
+    return SQL_GRAPH_PREFIX + ", " + ",\n".join(ctes), f"d{iters}"
+
+
+def _sql_bfs_query() -> str:
+    prefix, last = _sql_bfs()
+    return prefix + f"\nSELECT id, dist FROM {last} ORDER BY id"
+
+
+def _sql_tree_stat() -> str:
+    prefix, last = _sql_bfs()
+    return prefix + f""",
+lv AS (SELECT dist, count(*) AS n FROM {last} GROUP BY dist)
+SELECT (SELECT CAST(max(dist) AS BIGINT) FROM {last}) AS depth,
+       (SELECT CAST(max(n) AS BIGINT) FROM lv) AS width"""
+
+
+def _sql_kcore(iters: int = KCORE_SQL_ITERS) -> str:
+    """Unrolled Montresor h-index iteration (kcore.hpp:191-232)."""
+    ctes = ["c0 AS MATERIALIZED (SELECT id, CAST(deg AS BIGINT) AS core FROM deg)"]
+    for k in range(iters):
+        ctes.append(
+            f"""c{k + 1} AS MATERIALIZED (
+  SELECT s.id, least(s.core, COALESCE(h.h, s.core)) AS core
+  FROM c{k} s LEFT JOIN (
+    SELECT id, max(least(rn, nc)) AS h FROM (
+      SELECT e.dst AS id, n.core AS nc,
+             CAST(row_number() OVER (PARTITION BY e.dst
+                                     ORDER BY n.core DESC, e.src ASC) AS BIGINT) AS rn
+      FROM edges e JOIN c{k} n ON e.src = n.id) t
+    GROUP BY id) h ON s.id = h.id)"""
+        )
+    return (
+        SQL_GRAPH_PREFIX + ", " + ",\n".join(ctes)
+        + f"\nSELECT id, core AS coreness FROM c{iters} ORDER BY id"
+    )
+
+
+def _sql_closeness(samples: int = CLOSENESS_SAMPLES, bfs_iters: int = 5,
+                   wcc_iters: int = 10) -> str:
+    """Sampled closeness with the engine's deterministic sample policy:
+    the ``samples`` smallest member ids of the major component."""
+    ctes = ["l0 AS MATERIALIZED (SELECT id, id AS lab FROM verts)"]
+    for k in range(wcc_iters):
+        ctes.append(
+            f"""l{k + 1} AS MATERIALIZED (
+  SELECT v.id, least(l.lab, COALESCE(m.minlab, l.lab)) AS lab
+  FROM verts v JOIN l{k} l ON v.id = l.id
+  LEFT JOIN (SELECT e.dst AS id, min(l2.lab) AS minlab
+             FROM edges e JOIN l{k} l2 ON e.src = l2.id
+             GROUP BY e.dst) m ON v.id = m.id)"""
+        )
+    ctes.append(
+        f"""major AS MATERIALIZED (
+  SELECT lab FROM (SELECT lab, count(*) AS n FROM l{wcc_iters} GROUP BY lab
+                   ORDER BY n DESC, lab ASC LIMIT 1) x),
+members AS MATERIALIZED (
+  SELECT id FROM l{wcc_iters} WHERE lab = (SELECT lab FROM major)),
+roots AS MATERIALIZED (
+  SELECT id AS root FROM members ORDER BY id LIMIT {samples}),
+fac AS MATERIALIZED (
+  SELECT CAST(count(*) AS DOUBLE)
+         / (SELECT count(*) FROM roots)
+         / (count(*) - 1) AS f
+  FROM members),
+m0 AS MATERIALIZED (SELECT root, root AS id, 0 AS dist FROM roots)"""
+    )
+    for k in range(bfs_iters):
+        ctes.append(
+            f"""m{k + 1} AS MATERIALIZED (
+  SELECT root, id, CAST(min(dist) AS INT) AS dist FROM (
+    SELECT root, id, dist FROM m{k}
+    UNION ALL
+    SELECT d.root, e.dst AS id, d.dist + 1 AS dist
+    FROM m{k} d JOIN edges e ON e.src = d.id
+  ) u GROUP BY root, id)"""
+        )
+    return SQL_GRAPH_PREFIX + ", " + ",\n".join(ctes) + f""",
+sums AS (SELECT id, CAST(sum(dist) AS DOUBLE) AS s FROM m{bfs_iters} GROUP BY id)
+SELECT mem.id,
+       round(CASE WHEN COALESCE(su.s, 0) > 0
+                  THEN 1.0 / ((SELECT f FROM fac) * su.s)
+                  ELSE 0.0 END, 6) AS closeness
+FROM members mem LEFT JOIN sums su ON mem.id = su.id ORDER BY mem.id"""
 
 TOKEN_RE_SQL = "[A-Za-z0-9_]+"
 
@@ -199,6 +305,45 @@ def q_triangle_count(spark, sf_dir):
 
 def q_common_neighbors(spark, sf_dir):
     return common_neighbors(part_cooccurrence_edges(spark, sf_dir))
+
+
+def q_bfs(spark, sf_dir):
+    canon = part_cooccurrence_edges(spark, sf_dir)
+    root = canon.agg(
+        F.least(F.min("src"), F.min("dst")).alias("m")
+    ).collect()[0]["m"]
+    return bfs(symmetrize(canon), root=int(root))
+
+
+def q_tree_stat(spark, sf_dir):
+    canon = part_cooccurrence_edges(spark, sf_dir)
+    root = canon.agg(
+        F.least(F.min("src"), F.min("dst")).alias("m")
+    ).collect()[0]["m"]
+    return tree_stat(symmetrize(canon), root=int(root))
+
+
+def q_kcore(spark, sf_dir):
+    return kcore(part_cooccurrence_edges(spark, sf_dir))
+
+
+def q_closeness(spark, sf_dir):
+    return closeness_sampled(
+        part_cooccurrence_edges(spark, sf_dir), num_samples=CLOSENESS_SAMPLES
+    )
+
+
+def q_hanp(spark, sf_dir):
+    sym = symmetrize(part_cooccurrence_edges(spark, sf_dir, weighted=True))
+    return hanp(sym, iterations=3, weight="weight")
+
+
+def q_hyperanf(spark, sf_dir):
+    sym = symmetrize(part_cooccurrence_edges(spark, sf_dir))
+    avg, curve = hyperanf(sym, iterations=10)
+    return spark.createDataFrame(
+        [(float(avg), len(curve) - 1)], "avg_distance double, supersteps int"
+    )
 
 
 def q_dedup_exact(spark, sf_dir):
@@ -279,6 +424,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lpa": q_lpa,
         "triangle_count": q_triangle_count,
         "common_neighbors": q_common_neighbors,
+        "bfs": q_bfs,
+        "tree_stat": q_tree_stat,
+        "kcore": q_kcore,
+        "closeness_sampled": q_closeness,
+        "hanp": q_hanp,
+        "hyperanf": q_hyperanf,
         "dedup_exact": q_dedup_exact,
         "token_count": q_token_count,
         "text_quality": q_text_quality,
@@ -309,6 +460,10 @@ def oracle_sql() -> dict[str, str]:
         "pagerank_weighted": _sql_pagerank(PRW_ITERS, weighted=True),
         "wcc": _sql_wcc(WCC_SQL_ITERS),
         "lpa": _sql_lpa(LPA_ITERS),
+        "bfs": _sql_bfs_query(),
+        "tree_stat": _sql_tree_stat(),
+        "kcore": _sql_kcore(),
+        "closeness_sampled": _sql_closeness(),
         "triangle_count": SQL_GRAPH_PREFIX
         + """SELECT CAST(count(*) AS BIGINT) AS triangles
              FROM canon a JOIN canon b ON a.dst = b.src

@@ -1,0 +1,86 @@
+"""Breadth-first search + tree depth/width statistics.
+
+Reference:
+- BFS: /root/reference/plato/algo/bfs/bfs.hpp:37-155 — frontier expansion
+  from opts.root over out-edges, parent array + CAS dedup, push/pull dual
+  mode; returns visited count. Our state carries (id, dist) levels instead
+  of parents (equivalent traversal; plato's bfs example also reports
+  levels); push/pull switch = broadcast-vs-shuffle frontier join.
+- tree depth/width: /root/reference/plato/algo/tree_stat/tree_stat.hpp:37-156
+  — BFS recording per-level frontier size (width) and level count (depth).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from plato_spark.graph.partitioning import (
+    auto_shuffle_partitions,
+    scoped_shuffle_partitions,
+)
+
+PUSH_THRESHOLD = 0.05
+
+
+def bfs(edges: DataFrame, root: int, max_iters: int = 10_000) -> DataFrame:
+    """Level-synchronous BFS over DIRECTED edges from ``root``.
+
+    Returns (id, dist) for REACHED vertices only (plato reports the visited
+    count; unreached vertices have no level). For undirected traversal pass
+    a symmetrized edge table.
+    """
+    spark = edges.sparkSession
+    e0 = edges.select("src", "dst").persist()
+    n_e = e0.count()
+    shuffle_n = auto_shuffle_partitions(spark, n_e)
+    e = e0.repartition(shuffle_n, "src").persist()
+    e.count()
+    e0.unpersist()
+    n_vertices = (
+        e.select(F.col("src").alias("id"))
+        .unionByName(e.select(F.col("dst").alias("id")))
+        .distinct()
+        .count()
+    )
+
+    visited = spark.createDataFrame([(int(root), 0)], "id long, dist int").persist()
+    frontier = visited
+    with scoped_shuffle_partitions(spark, shuffle_n):
+        level = 0
+        while level < max_iters:
+            level += 1
+            n_front = frontier.count()
+            if n_front == 0:
+                break
+            f = frontier.select(F.col("id").alias("src"))
+            if n_front < PUSH_THRESHOLD * n_vertices:
+                f = F.broadcast(f)
+            nxt = (
+                e.join(f, "src")
+                .select(F.col("dst").alias("id"))
+                .distinct()
+                .join(visited.select("id", F.lit(1).alias("__seen")), "id", "left")
+                .where(F.col("__seen").isNull())
+                .select("id", F.lit(level).cast("int").alias("dist"))
+                .persist()
+            )
+            nxt.count()
+            new_visited = visited.unionByName(nxt).persist()
+            new_visited.count()
+            visited.unpersist()
+            frontier.unpersist()
+            visited, frontier = new_visited, nxt
+    return visited
+
+
+def tree_stat(edges: DataFrame, root: int) -> DataFrame:
+    """(depth, width) of the BFS tree from root (tree_stat.hpp semantics:
+    depth = number of levels below root, width = max level population)."""
+    levels = bfs(edges, root)
+    return levels.agg(
+        F.max("dist").cast("long").alias("depth"),
+        F.max(F.lit(1)).alias("__one"),
+    ).drop("__one").crossJoin(
+        levels.groupBy("dist").count().agg(F.max("count").cast("long").alias("width"))
+    )

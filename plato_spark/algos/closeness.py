@@ -1,0 +1,102 @@
+"""Sampled closeness centrality (David et al. scheme).
+
+Reference: /root/reference/plato/algo/cnc/david.hpp
+  - run connected components first; restrict to the MAJOR component
+    (david.hpp:124-141)
+  - fac = V_major / (num_samples * (V_major - 1))  (david.hpp:139-140)
+  - BFS from each sample accumulating hop distances
+    (distance kernel /root/reference/plato/algo/cnc/distance.hpp:40-116);
+    closeness[v] = 1 / (fac * sum_s dist(s, v)), inf -> 0
+    (david.hpp:206-225)
+  - the reference samples roots RANDOMLY on rank 0 (make_samples); we pin
+    the num_samples SMALLEST vertex ids of the major component so results
+    are deterministic and oracle-checkable (documented divergence; the
+    estimator is identical given the same sample set).
+
+Spark plan: one MULTI-SOURCE level-synchronous BFS — the frontier carries a
+``root`` column so all samples expand in a single loop (k joins instead of
+k*diameter), then one groupBy(id).sum(dist).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from plato_spark.algos.wcc import connected_components
+from plato_spark.graph.edges import symmetrize
+from plato_spark.graph.partitioning import (
+    auto_shuffle_partitions,
+    scoped_shuffle_partitions,
+)
+
+
+def closeness_sampled(
+    edges: DataFrame,
+    num_samples: int = 10,
+    max_iters: int = 10_000,
+) -> DataFrame:
+    """(id, closeness: double rounded 6dp) for vertices of the major
+    component, over canonical undirected edges (src<dst, unique)."""
+    spark = edges.sparkSession
+    comp = connected_components(edges).persist()
+    major = (
+        comp.groupBy("component").count()
+        .orderBy(F.desc("count"), F.asc("component")).limit(1).collect()[0]
+    )
+    major_label, v_major = int(major["component"]), int(major["count"])
+    members = comp.where(F.col("component") == major_label).select("id").persist()
+    k = min(num_samples, v_major)
+    fac = float(v_major) / k / max(v_major - 1, 1)
+    roots = [int(r["id"]) for r in members.orderBy("id").limit(k).collect()]
+
+    sym0 = symmetrize(edges.select("src", "dst")).persist()
+    n_sym = sym0.count()
+    shuffle_n = auto_shuffle_partitions(spark, n_sym)
+    sym = sym0.repartition(shuffle_n, "src").persist()
+    sym.count()
+    sym0.unpersist()
+
+    visited = spark.createDataFrame(
+        [(r, r, 0) for r in roots], "root long, id long, dist int"
+    ).persist()
+    frontier = visited
+    with scoped_shuffle_partitions(spark, shuffle_n):
+        level = 0
+        while level < max_iters:
+            level += 1
+            if frontier.count() == 0:
+                break
+            nxt = (
+                sym.join(frontier.select("root", F.col("id").alias("src")), "src")
+                .select("root", F.col("dst").alias("id"))
+                .distinct()
+                .join(
+                    visited.select("root", "id", F.lit(1).alias("__seen")),
+                    ["root", "id"], "left",
+                )
+                .where(F.col("__seen").isNull())
+                .select("root", "id", F.lit(level).cast("int").alias("dist"))
+                .persist()
+            )
+            nxt.count()
+            new_visited = visited.unionByName(nxt).persist()
+            new_visited.count()
+            visited.unpersist()
+            frontier.unpersist()
+            visited, frontier = new_visited, nxt
+
+    sums = visited.groupBy("id").agg(F.sum("dist").cast("double").alias("s"))
+    return (
+        members.join(sums, "id", "left")
+        .select(
+            "id",
+            F.round(
+                F.when(
+                    F.coalesce("s", F.lit(0.0)) > 0,
+                    1.0 / (F.lit(fac) * F.col("s")),
+                ).otherwise(F.lit(0.0)),
+                6,
+            ).alias("closeness"),
+        )
+    )

@@ -1,0 +1,171 @@
+import math
+from collections import defaultdict, deque
+
+from conftest import df_to_dict, edges_df
+from oracles import random_graph, triangle_mix
+
+from plato_spark.algos.bfs import bfs, tree_stat
+from plato_spark.algos.closeness import closeness_sampled
+from plato_spark.algos.hanp import hanp
+from plato_spark.algos.hyperanf import hyperanf
+from plato_spark.algos.kcore import kcore
+
+
+# ---- oracles --------------------------------------------------------------
+
+def bfs_oracle(edges, root):
+    adj = defaultdict(list)
+    for u, v in edges:
+        adj[u].append(v)
+    dist = {root: 0}
+    q = deque([root])
+    while q:
+        u = q.popleft()
+        for v in adj[u]:
+            if v not in dist:
+                dist[v] = dist[u] + 1
+                q.append(v)
+    return dist
+
+
+def kcore_oracle(edges):
+    """Exact coreness by peeling (canonical undirected edges)."""
+    nbrs = defaultdict(set)
+    for u, v in edges:
+        nbrs[u].add(v)
+        nbrs[v].add(u)
+    deg = {v: len(n) for v, n in nbrs.items()}
+    core = {}
+    remaining = set(deg)
+    k = 0
+    while remaining:
+        k_min = min(deg[v] for v in remaining)
+        k = max(k, k_min)
+        peel = [v for v in remaining if deg[v] <= k]
+        while peel:
+            v = peel.pop()
+            if v not in remaining:
+                continue
+            core[v] = k
+            remaining.discard(v)
+            for u in nbrs[v]:
+                if u in remaining:
+                    deg[u] -= 1
+                    if deg[u] <= k:
+                        peel.append(u)
+    return core
+
+
+def hanp_oracle(edges, iterations=3, preference=1.0, hop_att=0.1, dis=1e-6, weights=None):
+    verts = sorted({x for e in edges for x in e})
+    w = weights if weights is not None else [1.0] * len(edges)
+    in_nbrs = defaultdict(list)
+    for (u, v), wi in zip(edges, w):
+        in_nbrs[v].append((u, wi))
+    label = {v: v for v in verts}
+    att = {v: 1.0 for v in verts}
+    for _ in range(iterations):
+        pl, pa = dict(label), dict(att)
+        for v in verts:
+            scores: dict = defaultdict(float)
+            max_att: dict = {}
+            for u, wi in in_nbrs[v]:
+                if pa[u] < 0:
+                    continue
+                lu = pl[u]
+                scores[lu] += pa[u] * preference * wi
+                max_att[lu] = max(max_att.get(lu, -1e18), pa[u])
+            if not scores:
+                continue
+            # quantized-score argmax, smallest label (engine's tie policy)
+            best = max(scores.items(), key=lambda kv: (round(kv[1] / dis), -kv[0]))
+            newl = best[0]
+            label[v] = newl
+            att[v] = max_att[newl] if newl == pl[v] else max_att[newl] - hop_att
+    return label
+
+
+# ---- tests ----------------------------------------------------------------
+
+def test_bfs_exact(spark):
+    edges = random_graph(n=50, m=200, seed=31, directed=True)
+    got = df_to_dict(bfs(edges_df(spark, edges), root=0), val="dist")
+    assert got == bfs_oracle(edges, 0)
+
+
+def test_bfs_chain_and_treestat(spark):
+    # binary-tree fixture (FIXTURES.md): depth 3, width 4 for 10 vertices
+    edges = [(i, 2 * i + 1) for i in range(5)] + [(i, 2 * i + 2) for i in range(4)]
+    got = df_to_dict(bfs(edges_df(spark, edges), root=0), val="dist")
+    assert got == bfs_oracle(edges, 0)
+    row = tree_stat(edges_df(spark, edges), root=0).collect()[0]
+    want = bfs_oracle(edges, 0)
+    levels = defaultdict(int)
+    for d in want.values():
+        levels[d] += 1
+    assert row["depth"] == max(want.values())
+    assert row["width"] == max(levels.values())
+
+
+def test_kcore_exact(spark):
+    for seed, m in [(41, 150), (43, 300)]:
+        edges = random_graph(n=40, m=m, seed=seed)
+        got = df_to_dict(kcore(edges_df(spark, edges)), val="coreness")
+        assert got == kcore_oracle(edges), f"seed={seed}"
+
+
+def test_kcore_mix(spark):
+    edges = triangle_mix()
+    got = df_to_dict(kcore(edges_df(spark, edges)), val="coreness")
+    want = kcore_oracle(edges)
+    assert got == want
+    assert got[10] == 4  # K5 member
+    assert got[21] == 1  # star leaf
+
+
+def test_hanp_matches_oracle(spark):
+    canon = random_graph(n=30, m=90, seed=47)
+    sym = canon + [(b, a) for a, b in canon]
+    got = df_to_dict(hanp(edges_df(spark, sym), iterations=3), val="label")
+    want = hanp_oracle(sym, iterations=3)
+    assert got == want
+
+
+def test_closeness_sampled(spark):
+    edges = random_graph(n=30, m=80, seed=53)
+    df = edges_df(spark, edges)
+    got = df_to_dict(closeness_sampled(df, num_samples=4), val="closeness")
+    # oracle: same deterministic sample policy
+    from oracles import wcc_oracle
+
+    comp = wcc_oracle(edges)
+    counts = defaultdict(int)
+    for v, c in comp.items():
+        counts[c] += 1
+    major = max(counts.items(), key=lambda kv: (kv[1], -kv[0]))[0]
+    members = sorted(v for v, c in comp.items() if c == major)
+    k = min(4, len(members))
+    fac = len(members) / k / (len(members) - 1)
+    roots = members[:k]
+    sums = defaultdict(int)
+    for r in roots:
+        d = bfs_oracle(edges + [(b, a) for a, b in edges], r)
+        for v, dist in d.items():
+            if comp.get(v) == major:
+                sums[v] += dist
+    for v in members:
+        want = 1.0 / (fac * sums[v]) if sums[v] > 0 else 0.0
+        assert math.isclose(got[v], round(want, 6), abs_tol=2e-6), (v, got[v], want)
+
+
+def test_hyperanf_reasonable(spark):
+    # path graph 0-1-2-...-9 (directed both ways): exact avg distance known
+    n = 10
+    canon = [(i, i + 1) for i in range(n - 1)]
+    sym = canon + [(b, a) for a, b in canon]
+    exact_pairs = sum(
+        abs(i - j) for i in range(n) for j in range(n) if i != j
+    ) / (n * (n - 1))
+    avg, curve = hyperanf(edges_df(spark, sym), iterations=15, lg_k=12)
+    assert curve[0] > 0 and curve[-1] >= curve[0]
+    assert abs(avg - exact_pairs) / exact_pairs < 0.15  # HLL tolerance
