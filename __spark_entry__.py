@@ -28,7 +28,12 @@ from plato_spark.algos.closeness import closeness_sampled
 from plato_spark.algos.hanp import hanp
 from plato_spark.algos.hyperanf import hyperanf
 from plato_spark.algos.kcore import kcore
+from plato_spark.algos.betweenness import betweenness_sampled
+from plato_spark.algos.louvain import louvain
 from plato_spark.algos.lpa import label_propagation
+from plato_spark.algos.nstep import nstep_degrees
+from plato_spark.algos.walks import random_walks
+from plato_spark.functions.multimodal import extract_features, synth_media
 from plato_spark.algos.pagerank import pagerank
 from plato_spark.algos.triangles import common_neighbors, triangle_count
 from plato_spark.algos.wcc import connected_components
@@ -346,6 +351,41 @@ def q_hyperanf(spark, sf_dir):
     )
 
 
+def q_louvain(spark, sf_dir):
+    return louvain(
+        part_cooccurrence_edges(spark, sf_dir, weighted=True),
+        outer_iterations=2, weight="weight",
+    )
+
+
+def q_betweenness(spark, sf_dir):
+    return betweenness_sampled(part_cooccurrence_edges(spark, sf_dir), num_samples=4)
+
+
+def q_nstep_degrees(spark, sf_dir):
+    return nstep_degrees(_sym(spark, sf_dir), steps=2, direction="out")
+
+
+def q_random_walks(spark, sf_dir):
+    return random_walks(_sym(spark, sf_dir), walk_length=5).select(
+        "walk_id", F.size("path").alias("path_len"), F.element_at("path", -1).alias("last")
+    )
+
+
+def q_node2vec_walks(spark, sf_dir):
+    return random_walks(_sym(spark, sf_dir), walk_length=4, p=0.5, q=2.0).select(
+        "walk_id", F.size("path").alias("path_len"), F.element_at("path", -1).alias("last")
+    )
+
+
+def q_media_features(spark, sf_dir):
+    media = synth_media(spark, n=120)
+    return extract_features(media).select(
+        "media_id", F.round(F.aggregate("features", F.lit(0.0),
+                                        lambda a, x: a + x), 6).alias("feat_sum")
+    )
+
+
 def q_dedup_exact(spark, sf_dir):
     return exact_dedup(load_table(spark, sf_dir, "documents"))
 
@@ -430,6 +470,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "closeness_sampled": q_closeness,
         "hanp": q_hanp,
         "hyperanf": q_hyperanf,
+        "louvain": q_louvain,
+        "betweenness_sampled": q_betweenness,
+        "nstep_degrees": q_nstep_degrees,
+        "random_walks": q_random_walks,
+        "node2vec_walks": q_node2vec_walks,
+        "media_features": q_media_features,
         "dedup_exact": q_dedup_exact,
         "token_count": q_token_count,
         "text_quality": q_text_quality,

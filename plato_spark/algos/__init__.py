@@ -7,3 +7,7 @@ from plato_spark.algos.kcore import kcore  # noqa: F401
 from plato_spark.algos.hanp import hanp  # noqa: F401
 from plato_spark.algos.hyperanf import hyperanf  # noqa: F401
 from plato_spark.algos.closeness import closeness_sampled  # noqa: F401
+from plato_spark.algos.louvain import louvain, modularity  # noqa: F401
+from plato_spark.algos.betweenness import betweenness_sampled  # noqa: F401
+from plato_spark.algos.nstep import nstep_degrees  # noqa: F401
+from plato_spark.algos.walks import random_walks  # noqa: F401

@@ -1,0 +1,129 @@
+"""Sampled betweenness centrality (Bader/Brandes scheme).
+
+Reference: /root/reference/plato/algo/bnc/bader.hpp:48-140 — Brandes
+dependency accumulation from sampled roots: per root, a forward BFS builds
+the shortest-path DAG (dist + sigma = #shortest paths), then a backward
+level sweep accumulates delta(u) += sigma_u/sigma_w * (1 + delta_w) over DAG
+edges u->w; bc(v) = sum over roots of delta (v != root). The reference
+samples roots randomly with adaptive stopping (bader.hpp:121); we pin the
+``num_samples`` SMALLEST vertex ids (deterministic, oracle-checkable —
+same estimator given the sample set, documented divergence like cnc/lpa).
+
+Spark plan: ONE multi-source pass — every frontier/sigma/delta table carries
+a ``root`` column, so the forward phase is diameter-many joins total (not
+per root) and the backward phase is max_level-many joins.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from plato_spark.graph.edges import symmetrize
+from plato_spark.graph.partitioning import (
+    auto_shuffle_partitions,
+    scoped_shuffle_partitions,
+)
+
+
+def betweenness_sampled(
+    edges: DataFrame,
+    num_samples: int = 10,
+    max_iters: int = 10_000,
+) -> DataFrame:
+    """(id, betweenness: double, 6dp) over canonical undirected edges."""
+    spark = edges.sparkSession
+    sym0 = symmetrize(edges.select("src", "dst")).persist()
+    n_sym = sym0.count()
+    shuffle_n = auto_shuffle_partitions(spark, n_sym)
+    sym = sym0.repartition(shuffle_n, "src").persist()
+    sym.count()
+    sym0.unpersist()
+
+    verts = (
+        sym.select(F.col("src").alias("id")).distinct().persist()
+    )
+    roots = [
+        int(r["id"]) for r in verts.orderBy("id").limit(num_samples).collect()
+    ]
+
+    # ---- forward: (root, id, dist, sigma) --------------------------------
+    visited = spark.createDataFrame(
+        [(r, r, 0, 1.0) for r in roots], "root long, id long, dist int, sigma double"
+    )
+    frontier = visited
+    levels = [frontier]
+    with scoped_shuffle_partitions(spark, shuffle_n):
+        level = 0
+        while level < max_iters:
+            level += 1
+            if frontier.count() == 0:
+                levels.pop()  # last frontier is empty
+                break
+            # localCheckpoint: truncate the exponentially nesting union plan
+            nxt = (
+                sym.join(
+                    frontier.select("root", F.col("id").alias("src"), "sigma"), "src"
+                )
+                .groupBy("root", F.col("dst").alias("id"))
+                .agg(F.sum("sigma").alias("sigma"))
+                .join(
+                    visited.select("root", "id", F.lit(1).alias("__seen")),
+                    ["root", "id"],
+                    "left",
+                )
+                .where(F.col("__seen").isNull())
+                .select("root", "id", F.lit(level).cast("int").alias("dist"), "sigma")
+                .localCheckpoint(eager=True)
+            )
+            visited, frontier = (
+                visited.unionByName(nxt).localCheckpoint(eager=True), nxt
+            )
+            levels.append(frontier)
+
+        # ---- backward: delta per level ------------------------------------
+        # delta(u) = sum over DAG-successors w: sigma_u/sigma_w * (1+delta_w)
+        delta = levels[-1].select(
+            "root", "id", "sigma", F.lit(0.0).alias("delta")
+        ) if levels else None
+        acc = [delta] if delta is not None else []
+        for lvl in range(len(levels) - 2, -1, -1):
+            succ = delta.select(
+                "root", F.col("id").alias("dst"),
+                ((F.lit(1.0) + F.col("delta")) / F.col("sigma")).alias("contrib"),
+            )
+            gathered = (
+                sym.join(succ, "dst")
+                .groupBy("root", F.col("src").alias("id"))
+                .agg(F.sum("contrib").alias("g"))
+            )
+            cur = levels[lvl].select("root", "id", "sigma")
+            delta = (
+                cur.join(gathered, ["root", "id"], "left")
+                .select(
+                    "root",
+                    "id",
+                    "sigma",
+                    (F.col("sigma") * F.coalesce("g", F.lit(0.0))).alias("delta"),
+                )
+                .localCheckpoint(eager=True)
+            )
+            acc.append(delta)
+
+        all_delta = acc[0]
+        for d in acc[1:]:
+            all_delta = all_delta.unionByName(d)
+        result = (
+            all_delta.where(F.col("id") != F.col("root"))
+            .groupBy("id")
+            .agg(F.sum("delta").alias("b"))
+        )
+        out = (
+            verts.join(result, "id", "left")
+            .select(
+                "id", F.round(F.coalesce("b", F.lit(0.0)), 6).alias("betweenness")
+            )
+            .persist()
+        )
+        out.count()
+    return out

@@ -44,7 +44,7 @@ def bfs(edges: DataFrame, root: int, max_iters: int = 10_000) -> DataFrame:
         .count()
     )
 
-    visited = spark.createDataFrame([(int(root), 0)], "id long, dist int").persist()
+    visited = spark.createDataFrame([(int(root), 0)], "id long, dist int")
     frontier = visited
     with scoped_shuffle_partitions(spark, shuffle_n):
         level = 0
@@ -56,6 +56,9 @@ def bfs(edges: DataFrame, root: int, max_iters: int = 10_000) -> DataFrame:
             f = frontier.select(F.col("id").alias("src"))
             if n_front < PUSH_THRESHOLD * n_vertices:
                 f = F.broadcast(f)
+            # localCheckpoint (not persist): the visited/frontier union chain
+            # otherwise grows an exponentially nested logical plan — plan
+            # truncation is mandatory in iterative loops (SURVEY §4#15)
             nxt = (
                 e.join(f, "src")
                 .select(F.col("dst").alias("id"))
@@ -63,14 +66,9 @@ def bfs(edges: DataFrame, root: int, max_iters: int = 10_000) -> DataFrame:
                 .join(visited.select("id", F.lit(1).alias("__seen")), "id", "left")
                 .where(F.col("__seen").isNull())
                 .select("id", F.lit(level).cast("int").alias("dist"))
-                .persist()
+                .localCheckpoint(eager=True)
             )
-            nxt.count()
-            new_visited = visited.unionByName(nxt).persist()
-            new_visited.count()
-            visited.unpersist()
-            frontier.unpersist()
-            visited, frontier = new_visited, nxt
+            visited, frontier = visited.unionByName(nxt).localCheckpoint(eager=True), nxt
     return visited
 
 

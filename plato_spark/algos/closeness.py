@@ -59,7 +59,7 @@ def closeness_sampled(
 
     visited = spark.createDataFrame(
         [(r, r, 0) for r in roots], "root long, id long, dist int"
-    ).persist()
+    )
     frontier = visited
     with scoped_shuffle_partitions(spark, shuffle_n):
         level = 0
@@ -67,6 +67,7 @@ def closeness_sampled(
             level += 1
             if frontier.count() == 0:
                 break
+            # localCheckpoint: truncate the exponentially nesting union plan
             nxt = (
                 sym.join(frontier.select("root", F.col("id").alias("src")), "src")
                 .select("root", F.col("dst").alias("id"))
@@ -77,14 +78,11 @@ def closeness_sampled(
                 )
                 .where(F.col("__seen").isNull())
                 .select("root", "id", F.lit(level).cast("int").alias("dist"))
-                .persist()
+                .localCheckpoint(eager=True)
             )
-            nxt.count()
-            new_visited = visited.unionByName(nxt).persist()
-            new_visited.count()
-            visited.unpersist()
-            frontier.unpersist()
-            visited, frontier = new_visited, nxt
+            visited, frontier = (
+                visited.unionByName(nxt).localCheckpoint(eager=True), nxt
+            )
 
     sums = visited.groupBy("id").agg(F.sum("dist").cast("double").alias("s"))
     return (

@@ -1,0 +1,140 @@
+"""Random-walk engine: uniform first-order walks + node2vec second-order.
+
+Reference: /root/reference/plato/engine/walk.hpp (KnightKing-style walker
+engine: walkers-as-messages, alias-table O(1) sampling, p/q second-order
+bias; opts walk.hpp:54-58) and example/node2vec_randomwalk.cc:38-45.
+
+Spark-native: walkers are rows (walk_id, step, prev, cur, path); each step
+joins the walker table with grouped adjacency arrays and picks the next
+neighbor. DETERMINISM: the reference seeds mt19937 per thread (not
+reproducible); we derive every choice from xxhash64(walk_id, step, seed) so
+a walk set is a pure function of (graph, seed) on any partitioning.
+
+- uniform walks: next = nbrs[hash % deg] — all JVM expressions.
+- node2vec: per-candidate weights 1/p (back to prev), 1 (distance-1 from
+  prev: membership via sorted-array binary search), 1/q (distance-2) —
+  weighted pick by one Arrow-batched pandas UDF (cumsum + searchsorted),
+  mirroring the alias-table's weighted choice without per-row Python.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+
+from plato_spark.graph.partitioning import (
+    auto_shuffle_partitions,
+    scoped_shuffle_partitions,
+)
+
+
+def _adjacency(edges: DataFrame) -> DataFrame:
+    return edges.groupBy(F.col("src").alias("cur")).agg(
+        F.sort_array(F.collect_set("dst")).alias("nbrs")
+    )
+
+
+def random_walks(
+    edges: DataFrame,
+    walk_length: int = 10,
+    walks_per_vertex: int = 1,
+    seed: int = 42,
+    p: float | None = None,
+    q: float | None = None,
+) -> DataFrame:
+    """(walk_id, path: array<long>) — walks from every vertex, directed edges.
+
+    p/q set => node2vec second-order bias (walk.hpp / node2vec example);
+    both None => uniform first-order. Walks stop early at sinks.
+    """
+    spark = edges.sparkSession
+    e0 = edges.select("src", "dst").persist()
+    n_e = e0.count()
+    shuffle_n = auto_shuffle_partitions(spark, n_e)
+    adj = _adjacency(e0).repartition(shuffle_n, "cur").persist()
+    adj.count()
+    second_order = p is not None or q is not None
+    p = p if p is not None else 1.0
+    q = q if q is not None else 1.0
+
+    verts = (
+        e0.select(F.col("src").alias("id"))
+        .unionByName(e0.select(F.col("dst").alias("id")))
+        .distinct()
+    )
+    walkers = verts.crossJoin(
+        spark.range(walks_per_vertex).select(F.col("id").alias("w"))
+    ).select(
+        (F.col("id") * walks_per_vertex + F.col("w")).alias("walk_id"),
+        F.col("id").alias("cur"),
+        F.lit(None).cast("long").alias("prev"),
+        F.array(F.col("id")).alias("path"),
+    ).persist()
+    walkers.count()
+    e0.unpersist()
+
+    if second_order:
+        @pandas_udf("long")
+        def pick_biased(nbrs: pd.Series, prev: pd.Series, prev_nbrs: pd.Series,
+                        u: pd.Series) -> pd.Series:
+            out = np.zeros(len(nbrs), dtype=np.int64)
+            for i in range(len(nbrs)):
+                cand = np.asarray(nbrs.iloc[i], dtype=np.int64)
+                pn = prev_nbrs.iloc[i]
+                pv = prev.iloc[i]
+                if pd.isna(pv) or pn is None:
+                    out[i] = cand[int(u.iloc[i] * len(cand)) % len(cand)]
+                    continue
+                pn = np.asarray(pn, dtype=np.int64)
+                w = np.full(len(cand), 1.0 / q)
+                idx = np.searchsorted(pn, cand)
+                idx = np.clip(idx, 0, max(len(pn) - 1, 0))
+                in_pn = (len(pn) > 0) & (pn[idx] == cand)
+                w[in_pn] = 1.0
+                w[cand == pv] = 1.0 / p
+                c = np.cumsum(w)
+                out[i] = cand[np.searchsorted(c, u.iloc[i] * c[-1], side="right")
+                              .clip(0, len(cand) - 1)]
+            return pd.Series(out)
+
+    with scoped_shuffle_partitions(spark, shuffle_n):
+        for step in range(1, walk_length):
+            u = (
+                F.pmod(F.xxhash64("walk_id", F.lit(step), F.lit(seed)), F.lit(1_000_003))
+                / F.lit(1_000_003.0)
+            )
+            j = walkers.join(adj, "cur", "left")
+            if second_order:
+                prev_adj = adj.select(
+                    F.col("cur").alias("prev"), F.col("nbrs").alias("prev_nbrs")
+                )
+                j = j.join(prev_adj, "prev", "left")
+                nxt_col = F.when(
+                    F.col("nbrs").isNull(), F.lit(None).cast("long")
+                ).otherwise(
+                    pick_biased(F.col("nbrs"), F.col("prev"), F.col("prev_nbrs"), u)
+                )
+            else:
+                nxt_col = F.when(
+                    F.col("nbrs").isNull(), F.lit(None).cast("long")
+                ).otherwise(
+                    F.element_at(
+                        "nbrs",
+                        (F.pmod((u * F.size("nbrs")).cast("long"), F.size("nbrs")) + 1
+                         ).cast("int"),
+                    )
+                )
+            new_walkers = j.select(
+                "walk_id",
+                F.coalesce(nxt_col, F.col("cur")).alias("cur"),
+                F.col("cur").alias("prev"),
+                F.when(nxt_col.isNull(), F.col("path"))
+                .otherwise(F.concat("path", F.array(nxt_col)))
+                .alias("path"),
+            ).localCheckpoint(eager=True)
+            walkers.unpersist()
+            walkers = new_walkers
+    return walkers.select("walk_id", "path")
