@@ -386,6 +386,34 @@ def q_media_features(spark, sf_dir):
     )
 
 
+def q_component_stats(spark, sf_dir):
+    """Per-component vertex/edge counts (cgm stats,
+    connected_component.hpp:247-341)."""
+    canon = part_cooccurrence_edges(spark, sf_dir).persist()
+    comp = connected_components(canon).persist()
+    vcnt = comp.groupBy("component").agg(F.count("*").cast("long").alias("n_vertices"))
+    ecnt = (
+        canon.join(comp.select(F.col("id").alias("src"), "component"), "src")
+        .groupBy("component")
+        .agg(F.count("*").cast("long").alias("n_edges"))
+    )
+    return vcnt.join(ecnt, "component", "left").select(
+        "component", "n_vertices", F.coalesce("n_edges", F.lit(0)).alias("n_edges")
+    )
+
+
+def q_events_windowed(spark, sf_dir):
+    """Batch form of the streaming tumbling-window aggregation
+    (plato_spark.streaming.windowed_event_counts)."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count("*").cast("long").alias("n"),
+             F.round(F.sum("value"), 6).alias("value_sum"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "n", "value_sum")
+    )
+
+
 def q_dedup_exact(spark, sf_dir):
     return exact_dedup(load_table(spark, sf_dir, "documents"))
 
@@ -476,6 +504,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "random_walks": q_random_walks,
         "node2vec_walks": q_node2vec_walks,
         "media_features": q_media_features,
+        "component_stats": q_component_stats,
+        "events_windowed": q_events_windowed,
         "dedup_exact": q_dedup_exact,
         "token_count": q_token_count,
         "text_quality": q_text_quality,
@@ -520,6 +550,21 @@ def oracle_sql() -> dict[str, str]:
                SELECT a.src AS u, b.src AS v, count(*) AS cnt
                FROM edges a JOIN edges b ON a.dst = b.dst AND a.src < b.src
                GROUP BY a.src, b.src) t ON c.src = t.u AND c.dst = t.v""",
+        "component_stats": _sql_wcc(WCC_SQL_ITERS).replace(
+            f"\nSELECT id, lab AS component FROM l{WCC_SQL_ITERS} ORDER BY id",
+            f""",
+vc AS (SELECT lab AS component, CAST(count(*) AS BIGINT) AS n_vertices
+       FROM l{WCC_SQL_ITERS} GROUP BY lab),
+ec AS (SELECT l.lab AS component, CAST(count(*) AS BIGINT) AS n_edges
+       FROM canon c JOIN l{WCC_SQL_ITERS} l ON c.src = l.id GROUP BY l.lab)
+SELECT vc.component, vc.n_vertices, COALESCE(ec.n_edges, 0) AS n_edges
+FROM vc LEFT JOIN ec ON vc.component = ec.component""",
+        ),
+        "events_windowed": """
+            SELECT date_trunc('hour', ts) AS window_start, event_type,
+                   CAST(count(*) AS BIGINT) AS n,
+                   round(sum(value), 6) AS value_sum
+            FROM events GROUP BY date_trunc('hour', ts), event_type""",
         "dedup_exact": """
             SELECT min(doc_id) AS keeper_id, CAST(count(*) AS BIGINT) AS dup_count,
                    sha256(text) AS content_sha
