@@ -1,0 +1,98 @@
+"""Physical-plan hygiene tests — the plan is part of the contract at 100TB.
+
+Checks .explain('formatted') output for: parquet filter/column pushdown,
+whole-stage codegen in the superstep hot path, hash-join (not per-iteration
+sort) for the state-edges join, and partial aggregation (map-side combine)
+standing in for plato's receiver-side write_add combiners.
+"""
+
+import io
+from contextlib import redirect_stdout
+
+from pyspark.sql import functions as F
+
+
+def plan_of(df) -> str:
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def test_parquet_pushdown(spark):
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    q = docs.where(F.col("lang") == "en").select("doc_id", "lang")
+    p = plan_of(q)
+    assert "PushedFilters" in p and "lang" in p.split("PushedFilters", 1)[1][:200]
+    # column pruning: text must NOT be read
+    assert "text" not in p.split("ReadSchema", 1)[1][:300]
+
+
+def test_superstep_join_is_hash_not_sort(spark):
+    # realistic superstep shape: cached edge table + state too big to
+    # broadcast (>10MB) but well under threshold*partitions -> the
+    # preferSortMergeJoin=false session conf must yield ShuffledHashJoin
+    # (no re-sort of the big cached side every iteration)
+    edges = (
+        spark.range(0, 8_000_000)
+        .select(
+            F.pmod(F.xxhash64("id"), F.lit(1_000_000)).alias("src"),
+            F.pmod(F.xxhash64("id", F.lit(1)), F.lit(1_000_000)).alias("dst"),
+        )
+        .repartition(8, "src")
+        .persist()
+    )
+    edges.count()  # materialize -> accurate InMemoryRelation stats
+    state = (
+        spark.range(0, 1_000_000)
+        .select(F.col("id"), F.lit(1.0).alias("contrib"))
+        .persist()
+    )
+    state.count()
+    step = (
+        edges.join(state.withColumnRenamed("id", "src"), "src")
+        .groupBy("dst")
+        .agg(F.sum("contrib").alias("g"))
+    )
+    p = plan_of(step)
+    edges.unpersist()
+    state.unpersist()
+    assert "SortMergeJoin" not in p, p
+    assert "ShuffledHashJoin" in p
+    # map-side combine: partial then final HashAggregate
+    assert p.count("HashAggregate") >= 2
+
+
+def test_superstep_uses_wholestage_codegen(spark):
+    edges = spark.createDataFrame(
+        [(i % 50, (i * 7) % 50) for i in range(500)], "src long, dst long"
+    )
+    import io
+    from contextlib import redirect_stdout
+
+    # AQE defers codegen to runtime stages; disable it to inspect the
+    # compiled template statically
+    old = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        step = edges.groupBy("dst").agg(F.count("*").alias("d"))
+        b = io.StringIO()
+        with redirect_stdout(b):
+            step.explain(mode="codegen")
+        out = b.getvalue()
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", old)
+    assert "WholeStageCodegen" in out, out[:500]
+    assert "Found 0 WholeStageCodegen" not in out
+
+
+def test_lineitem_extraction_prunes_columns(spark):
+    from plato_spark.sources.tables import part_cooccurrence_edges
+
+    q = part_cooccurrence_edges(spark, "/root/testdata/sf0.001")
+    p = plan_of(q)
+    # only l_orderkey + l_partkey may be read from the 11-column table
+    read = p.split("ReadSchema", 1)[1][:400]
+    assert "l_orderkey" in read and "l_partkey" in read
+    for col in ("l_extendedprice", "l_quantity", "l_shipdate", "l_returnflag"):
+        assert col not in read
