@@ -92,7 +92,14 @@ def pagerank(
         max_id = edges.agg(F.greatest(F.max("src"), F.max("dst"))).collect()[0][0]
         ideg = edges.groupBy(F.col("dst").alias("id")).agg(F.count("*").alias("deg"))
         boundaries = degree_weighted_ranges(ideg, num_blocks, max_id)
-        csr = build_csr_blocks(edges, boundaries, weight=weight).persist()
+        # pre-partition the CSR blocks by their cogroup key so the (large)
+        # adjacency arrays are NOT re-shuffled every superstep — only the
+        # small per-iteration message table moves
+        csr = (
+            build_csr_blocks(edges, boundaries, weight=weight)
+            .repartition(shuffle_n, "block")
+            .persist()
+        )
         route = build_route(edges, boundaries).repartition(shuffle_n, "src").persist()
         msgs_per_step = route.count()
         csr.count()

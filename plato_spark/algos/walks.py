@@ -37,6 +37,77 @@ def _adjacency(edges: DataFrame) -> DataFrame:
     )
 
 
+def metapath_walks(
+    edges: DataFrame,
+    metapath: list[str],
+    walk_length: int = 10,
+    seed: int = 42,
+    etype_col: str = "etype",
+) -> DataFrame:
+    """Heterogeneous walks constrained to an edge-type pattern.
+
+    Reference analog: plato's hnbbcsr structure + metapath walk engine
+    (/root/reference/plato/graph/structure/hnbbcsr.hpp:58-91,
+     /root/reference/example/metapath_randomwalk.cc). Step k follows an
+    edge of type metapath[k % len(metapath)]; walkers that reach a vertex
+    with no matching-type out-edge stop growing. Deterministic (hash-seeded
+    like random_walks).
+
+    Returns (walk_id, path: array<long>); one walk per vertex that has at
+    least one out-edge of metapath[0].
+    """
+    spark = edges.sparkSession
+    e0 = edges.select("src", "dst", F.col(etype_col).alias("et")).persist()
+    n_e = e0.count()
+    shuffle_n = auto_shuffle_partitions(spark, n_e)
+    # one adjacency table per edge type (hnbbcsr's per-type buckets)
+    adj_by_type = {
+        t: e0.where(F.col("et") == t)
+        .groupBy(F.col("src").alias("cur"))
+        .agg(F.sort_array(F.collect_set("dst")).alias("nbrs"))
+        .repartition(shuffle_n, "cur")
+        .persist()
+        for t in metapath
+    }
+    for a in adj_by_type.values():
+        a.count()
+
+    starts = adj_by_type[metapath[0]].select(F.col("cur").alias("id"))
+    walkers = starts.select(
+        F.col("id").alias("walk_id"),
+        F.col("id").alias("cur"),
+        F.array(F.col("id")).alias("path"),
+        F.lit(False).alias("stopped"),
+    )
+    with scoped_shuffle_partitions(spark, shuffle_n):
+        for step in range(1, walk_length):
+            adj = adj_by_type[metapath[(step - 1) % len(metapath)]]
+            u = (
+                F.pmod(F.xxhash64("walk_id", F.lit(step), F.lit(seed)), F.lit(1_000_003))
+                / F.lit(1_000_003.0)
+            )
+            j = walkers.join(adj, "cur", "left")
+            nxt = F.when(
+                F.col("stopped") | F.col("nbrs").isNull(), F.lit(None).cast("long")
+            ).otherwise(
+                F.element_at(
+                    "nbrs",
+                    (F.pmod((u * F.size("nbrs")).cast("long"), F.size("nbrs")) + 1
+                     ).cast("int"),
+                )
+            )
+            walkers = j.select(
+                "walk_id",
+                F.coalesce(nxt, F.col("cur")).alias("cur"),
+                F.when(nxt.isNull(), F.col("path"))
+                .otherwise(F.concat("path", F.array(nxt)))
+                .alias("path"),
+                (F.col("stopped") | nxt.isNull()).alias("stopped"),
+            ).localCheckpoint(eager=True)
+    e0.unpersist()
+    return walkers.select("walk_id", "path")
+
+
 def random_walks(
     edges: DataFrame,
     walk_length: int = 10,

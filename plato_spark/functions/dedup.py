@@ -97,15 +97,24 @@ def minhash_signatures(
     text_col: str = "text",
     id_col: str = "doc_id",
 ) -> DataFrame:
-    """(id, sig: array<long>) — minhash signature, all JVM built-ins."""
-    sh = _token_shingles(text_col, n)
-    sig = F.transform(
-        F.sequence(F.lit(0), F.lit(num_hashes - 1)),
-        lambda seed: F.array_min(
-            F.transform(sh, lambda x: F.xxhash64(x, seed))
-        ),
+    """(id, sig: array<long>) — minhash signature, all JVM built-ins.
+
+    Plan shape: explode shingles once, then ``num_hashes`` min-aggregates in
+    a single pass (map-side combined). The naive nested-transform form
+    re-tokenizes the document once PER HASH inside the lambda (measured 40s
+    for 500 docs); this form tokenizes once (sub-second).
+    """
+    sh_rows = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(_token_shingles(text_col, n)).alias("s"),
     )
-    return df.select(F.col(id_col).alias("id"), sig.alias("sig"))
+    aggs = [
+        F.min(F.xxhash64("s", F.lit(i))).alias(f"__h{i}") for i in range(num_hashes)
+    ]
+    sigs = sh_rows.groupBy("id").agg(*aggs)
+    return sigs.select(
+        "id", F.array(*[F.col(f"__h{i}") for i in range(num_hashes)]).alias("sig")
+    )
 
 
 def minhash_lsh_candidates(

@@ -140,3 +140,27 @@ def test_random_walks_node2vec_valid(spark):
         path = list(r["path"])
         for a, b in zip(path, path[1:]):
             assert b in adj[a]
+
+
+def test_metapath_walks(spark):
+    from plato_spark.algos.walks import metapath_walks
+    from pyspark.sql import functions as F
+
+    # bipartite-ish typed graph: 'ab' edges 0..4 -> 10..14, 'ba' edges back
+    edges = [(i, 10 + i, "ab") for i in range(5)] + [
+        (10 + i, (i + 1) % 5, "ba") for i in range(5)
+    ]
+    df = spark.createDataFrame(edges, "src long, dst long, etype string")
+    walks = metapath_walks(df, ["ab", "ba"], walk_length=5)
+    rows = {r["walk_id"]: list(r["path"]) for r in walks.collect()}
+    assert set(rows) == set(range(5))  # starts = vertices with 'ab' out-edges
+    typed = {("ab"): {(s, d) for s, d, t in edges if t == "ab"},
+             ("ba"): {(s, d) for s, d, t in edges if t == "ba"}}
+    for path in rows.values():
+        assert len(path) == 5
+        for k, (a, b) in enumerate(zip(path, path[1:])):
+            assert (a, b) in typed["ab" if k % 2 == 0 else "ba"]
+    # determinism
+    again = {r["walk_id"]: list(r["path"]) for r in
+             metapath_walks(df, ["ab", "ba"], walk_length=5).collect()}
+    assert again == rows
