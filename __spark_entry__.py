@@ -26,13 +26,14 @@ from pyspark.sql import functions as F
 from plato_spark.algos.bfs import bfs, tree_stat
 from plato_spark.algos.closeness import closeness_sampled
 from plato_spark.algos.hanp import hanp
+from plato_spark.algos.infomap import infomap
 from plato_spark.algos.hyperanf import hyperanf
 from plato_spark.algos.kcore import kcore
 from plato_spark.algos.betweenness import betweenness_sampled
 from plato_spark.algos.louvain import louvain
 from plato_spark.algos.lpa import label_propagation
 from plato_spark.algos.nstep import nstep_degrees
-from plato_spark.algos.walks import random_walks
+from plato_spark.algos.walks import metapath_walks, random_walks
 from plato_spark.functions.multimodal import extract_features, synth_media
 from plato_spark.algos.pagerank import pagerank
 from plato_spark.algos.triangles import common_neighbors, triangle_count
@@ -378,6 +379,34 @@ def q_node2vec_walks(spark, sf_dir):
     )
 
 
+def q_infomap(spark, sf_dir):
+    return infomap(
+        part_cooccurrence_edges(spark, sf_dir, weighted=True),
+        outer_iterations=1, inner_iterations=2, weight="weight",
+    )
+
+
+def q_metapath_walks(spark, sf_dir):
+    # typed graph: co-order edges typed by order priority class
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey"
+    ).dropDuplicates(["l_orderkey", "l_partkey"])
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", (F.pmod("o_orderkey", F.lit(2)) == 0).alias("even")
+    )
+    a = li.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("src"))
+    b = li.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("dst"))
+    typed = (
+        a.join(b, "k").where(F.col("src") != F.col("dst"))
+        .join(o.withColumnRenamed("o_orderkey", "k"), "k")
+        .select("src", "dst", F.when(F.col("even"), "even").otherwise("odd").alias("etype"))
+        .distinct()
+    )
+    return metapath_walks(typed, ["even", "odd"], walk_length=4).select(
+        "walk_id", F.size("path").alias("path_len"), F.element_at("path", -1).alias("last")
+    )
+
+
 def q_media_features(spark, sf_dir):
     media = synth_media(spark, n=120)
     return extract_features(media).select(
@@ -503,6 +532,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "nstep_degrees": q_nstep_degrees,
         "random_walks": q_random_walks,
         "node2vec_walks": q_node2vec_walks,
+        "metapath_walks": q_metapath_walks,
+        "infomap": q_infomap,
         "media_features": q_media_features,
         "component_stats": q_component_stats,
         "events_windowed": q_events_windowed,

@@ -10,4 +10,5 @@ from plato_spark.algos.closeness import closeness_sampled  # noqa: F401
 from plato_spark.algos.louvain import louvain, modularity  # noqa: F401
 from plato_spark.algos.betweenness import betweenness_sampled  # noqa: F401
 from plato_spark.algos.nstep import nstep_degrees  # noqa: F401
-from plato_spark.algos.walks import random_walks  # noqa: F401
+from plato_spark.algos.walks import random_walks, metapath_walks  # noqa: F401
+from plato_spark.algos.infomap import infomap  # noqa: F401

@@ -164,3 +164,32 @@ def test_metapath_walks(spark):
     again = {r["walk_id"]: list(r["path"]) for r in
              metapath_walks(df, ["ab", "ba"], walk_length=5).collect()}
     assert again == rows
+
+
+def test_infomap_cliques(spark):
+    from plato_spark.algos.infomap import infomap, _map_equation
+
+    edges = []
+    for base in (0, 10):
+        for i in range(5):
+            for j in range(i + 1, 5):
+                edges.append((base + i, base + j))
+    edges.append((0, 10))
+    df = edges_df(spark, edges)
+    mod = infomap(df, outer_iterations=2, inner_iterations=3)
+    got = df_to_dict(mod, val="module")
+    assert len({got[i] for i in range(5)}) == 1
+    assert len({got[i] for i in range(10, 15)}) == 1
+    assert got[0] != got[10]
+
+
+def test_infomap_deterministic(spark):
+    from plato_spark.algos.infomap import infomap
+
+    edges = random_graph(n=30, m=90, seed=101)
+    df = edges_df(spark, edges)
+    a = df_to_dict(infomap(df, outer_iterations=1, inner_iterations=2), val="module")
+    b = df_to_dict(infomap(df, outer_iterations=1, inner_iterations=2), val="module")
+    assert a == b
+    # non-trivial clustering: fewer modules than vertices
+    assert len(set(a.values())) < len(a)
