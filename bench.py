@@ -53,6 +53,9 @@ def main() -> None:
         app_name="plato_spark_bench",
         master=f"local[{cpus}]",
         shuffle_partitions=shuffle_n,
+        # tmpfs scratch: the sandbox disk shows ~2x run-to-run jitter on
+        # shuffle IO (see BENCH/BASELINE.md); shuffles here are <1GB
+        extra_conf={"spark.local.dir": "/dev/shm/plato_spark_bench"},
     )
     spark.sparkContext.setLogLevel("ERROR")
 

@@ -55,7 +55,8 @@ def symmetrize(edges: DataFrame) -> DataFrame:
 
 
 def encode_vertices(
-    edges: DataFrame, src: str = "src", dst: str = "dst"
+    edges: DataFrame, src: str = "src", dst: str = "dst",
+    num_partitions: int | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """Dictionary-encode raw vertex keys (any orderable type) to dense longs.
 
@@ -83,7 +84,14 @@ def encode_vertices(
     # serial bottleneck at 10^12-file scale; monotonically_increasing_id is
     # not reproducible across partitionings. This is the Spark analog of the
     # reference's allgathered dictionary (vid_encoder.hpp:80-165).
-    n_part = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    if num_partitions is None:
+        # size parallelism to the data (same rationale as
+        # partitioning.auto_shuffle_partitions: per-task overhead dominates
+        # small inputs; ceiling = session conf for cluster-scale runs)
+        from plato_spark.graph.partitioning import auto_shuffle_partitions
+
+        num_partitions = auto_shuffle_partitions(spark, edges.count())
+    n_part = num_partitions
     sorted_verts = (
         verts.repartitionByRange(n_part, "vkey")
         .sortWithinPartitions("vkey")
@@ -108,10 +116,14 @@ def encode_vertices(
         )
     )
     others = [c for c in edges.columns if c not in (src, dst)]
+    # explicit co-partitioning on the string key at n_part (independent of
+    # the ambient shuffle conf) keeps both dictionary joins exchange-light
+    dictionary = dictionary.repartition(n_part, "vkey").persist()
     d_src = dictionary.select(F.col("vkey").alias("__sk"), F.col("id").alias("__sid"))
     d_dst = dictionary.select(F.col("vkey").alias("__dk"), F.col("id").alias("__did"))
     enc = (
-        edges.join(d_src, edges[src] == d_src["__sk"], "inner")
+        edges.repartition(n_part, src)
+        .join(d_src, edges[src] == d_src["__sk"], "inner")
         .join(d_dst, edges[dst] == d_dst["__dk"], "inner")
         .select(
             F.col("__sid").alias("src"),
