@@ -70,3 +70,21 @@ def test_common_neighbors(spark):
     rows = common_neighbors(edges_df(spark, edges), as_count=False).collect()
     got = {(r["src"], r["dst"]): list(r["common"]) for r in rows}
     assert got == common_neighbors_oracle(edges)
+
+
+def test_parallelism_invariance_wcc_lpa_triangles(spark):
+    # SURVEY §5(d): identical results at different shuffle parallelism
+    canon = random_graph(n=40, m=150, seed=131)
+    sym = canon + [(b, a) for a, b in canon]
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    results = []
+    for p in ("8", "3"):
+        spark.conf.set("spark.sql.shuffle.partitions", p)
+        try:
+            w = df_to_dict(connected_components(edges_df(spark, canon)), val="component")
+            l = df_to_dict(label_propagation(edges_df(spark, sym), iterations=4), val="label")
+            t = triangle_count(edges_df(spark, canon)).collect()[0]["triangles"]
+            results.append((w, l, t))
+        finally:
+            spark.conf.set("spark.sql.shuffle.partitions", old)
+    assert results[0] == results[1]
