@@ -36,7 +36,11 @@ from plato_spark.algos.nstep import nstep_degrees
 from plato_spark.algos.walks import metapath_walks, random_walks
 from plato_spark.functions.multimodal import extract_features, synth_media
 from plato_spark.algos.pagerank import pagerank
-from plato_spark.algos.triangles import common_neighbors, triangle_count
+from plato_spark.algos.triangles import (
+    common_neighbor_payload,
+    common_neighbors,
+    triangle_count,
+)
 from plato_spark.algos.wcc import connected_components
 from plato_spark.functions.dedup import (
     exact_dedup,
@@ -443,6 +447,16 @@ def q_events_windowed(spark, sf_dir):
     )
 
 
+def q_common_neighbor_payload(spark, sf_dir):
+    """Mutual with vertex payload: avg part retail price over each linked
+    pair's common neighbors (example/mutual.cc vertex-data variant)."""
+    canon = part_cooccurrence_edges(spark, sf_dir)
+    payload = load_table(spark, sf_dir, "part").select(
+        F.col("p_partkey").alias("id"), F.col("p_retailprice").alias("v")
+    )
+    return common_neighbor_payload(canon, payload, "v")
+
+
 def q_dedup_exact(spark, sf_dir):
     return exact_dedup(load_table(spark, sf_dir, "documents"))
 
@@ -521,6 +535,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lpa": q_lpa,
         "triangle_count": q_triangle_count,
         "common_neighbors": q_common_neighbors,
+        "common_neighbor_payload": q_common_neighbor_payload,
         "bfs": q_bfs,
         "tree_stat": q_tree_stat,
         "kcore": q_kcore,
@@ -575,6 +590,16 @@ def oracle_sql() -> dict[str, str]:
         + """SELECT CAST(count(*) AS BIGINT) AS triangles
              FROM canon a JOIN canon b ON a.dst = b.src
              JOIN canon c ON c.src = a.src AND c.dst = b.dst""",
+        "common_neighbor_payload": SQL_GRAPH_PREFIX
+        + """SELECT c.src, c.dst,
+                    CAST(COALESCE(t.cnt, 0) AS BIGINT) AS common_count,
+                    t.avg_v AS value_avg
+             FROM canon c LEFT JOIN (
+               SELECT a.src AS u, b.src AS v, count(*) AS cnt,
+                      round(avg(p.p_retailprice), 6) AS avg_v
+               FROM edges a JOIN edges b ON a.dst = b.dst AND a.src < b.src
+               JOIN part p ON p.p_partkey = a.dst
+               GROUP BY a.src, b.src) t ON c.src = t.u AND c.dst = t.v""",
         "common_neighbors": SQL_GRAPH_PREFIX
         + """SELECT c.src, c.dst, CAST(COALESCE(t.cnt, 0) AS BIGINT) AS common_count
              FROM canon c LEFT JOIN (

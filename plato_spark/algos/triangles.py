@@ -121,6 +121,40 @@ def _triangle_count(canon: DataFrame, per_vertex: bool) -> DataFrame:
     )
 
 
+def common_neighbor_payload(
+    canon: DataFrame,
+    payload: DataFrame,
+    value_col: str,
+    id_col: str = "id",
+) -> DataFrame:
+    """Per linked pair: aggregate a per-vertex payload over the COMMON
+    neighbors — the reference's `mutual` example with vertex data
+    (/root/reference/example/mutual.cc:131-160,204-222: payload vectors
+    loaded per vertex, callback receives the common-neighbor list).
+
+    Returns (src, dst, common_count: long, value_avg: double 6dp); pairs
+    with no common neighbors get count 0 and NULL avg.
+    """
+    pairs = common_neighbors(canon, as_count=False)
+    exploded = pairs.select("src", "dst", F.explode("common").alias("nbr"))
+    joined = exploded.join(
+        payload.select(F.col(id_col).alias("nbr"), F.col(value_col).alias("v")), "nbr"
+    )
+    aggd = joined.groupBy("src", "dst").agg(
+        F.count("*").cast("long").alias("common_count"),
+        F.round(F.avg("v"), 6).alias("value_avg"),
+    )
+    return (
+        canon.select("src", "dst")
+        .join(aggd, ["src", "dst"], "left")
+        .select(
+            "src", "dst",
+            F.coalesce("common_count", F.lit(0)).cast("long").alias("common_count"),
+            "value_avg",
+        )
+    )
+
+
 def common_neighbors(canon: DataFrame, as_count: bool = True) -> DataFrame:
     """Per linked pair (src<dst): common neighbors over UNDIRECTED adjacency.
 
