@@ -62,14 +62,28 @@ def main() -> None:
     queries: dict[str, float] = {}
     extra: dict[str, float] = {}
 
+    # JVM/JIT warm-up outside the measured window (one trivial shuffle job)
+    spark.range(0, 1_000_000, 1, 8).groupBy((F.col("id") % 7).alias("k")).count().collect()
+
     # -- corpus extraction (the north-star input pipeline) -----------------
+    from plato_spark.corpus.generator import corpus_params
+    from plato_spark.graph.partitioning import (
+        auto_shuffle_partitions,
+        scoped_shuffle_partitions,
+    )
+
     t0 = time.time()
-    corpus = synth_corpus(spark, sf)
-    edges_str, _ = extract_graph(corpus, impl="arrow")
-    edges_str = edges_str.persist()  # encode re-reads it (verts + 2 joins)
-    enc, dic = encode_vertices(edges_str)
-    enc = enc.persist()
-    n_corpus_edges = enc.count()
+    # size the extraction fan-out to the corpus volume (same policy the
+    # algorithms apply internally; ~3x at sf0.1 vs cluster-width partitions)
+    expected_rows = corpus_params(sf)["n_commits"] * 6
+    ext_p = auto_shuffle_partitions(spark, expected_rows, rows_per_partition=25_000)
+    with scoped_shuffle_partitions(spark, ext_p):
+        corpus = synth_corpus(spark, sf)
+        edges_str, _ = extract_graph(corpus, impl="arrow")
+        edges_str = edges_str.persist()  # encode re-reads it (verts + 2 joins)
+        enc, dic = encode_vertices(edges_str)
+        enc = enc.persist()
+        n_corpus_edges = enc.count()
     queries["corpus_extract"] = time.time() - t0
     extra["corpus_edges"] = n_corpus_edges
 
