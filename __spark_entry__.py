@@ -152,6 +152,86 @@ KCORE_SQL_ITERS = 26  # h-index fixpoint measured at 19 iters on the sf0.01 grap
 CLOSENESS_SAMPLES = 4
 
 
+def _sql_hanp(iters: int = 3, preference: float = 1.0, hop_att: float = 0.1,
+              dis: float = 1e-6) -> str:
+    """Unrolled HANP vote (hanp.hpp:118-186, deterministic dis-quantized
+    smallest-label tie-break matching algos/hanp.py)."""
+    ctes = ["h0 AS MATERIALIZED (SELECT id, id AS label, CAST(1.0 AS DOUBLE) AS att FROM verts)"]
+    for k in range(iters):
+        ctes.append(
+            f"""hs{k} AS MATERIALIZED (
+  SELECT e.dst AS id, l.label AS cand,
+         sum(l.att * {preference} * e.weight) AS score,
+         max(l.att) AS max_att
+  FROM edges e JOIN h{k} l ON e.src = l.id
+  WHERE l.att >= 0
+  GROUP BY e.dst, l.label),
+hw{k} AS MATERIALIZED (
+  SELECT id, cand, max_att FROM (
+    SELECT id, cand, max_att,
+           row_number() OVER (PARTITION BY id
+                              ORDER BY CAST(round(score / {dis}) AS BIGINT) DESC,
+                                       cand ASC) AS rn
+    FROM hs{k}) t WHERE rn = 1),
+h{k + 1} AS MATERIALIZED (
+  SELECT s.id,
+         COALESCE(w.cand, s.label) AS label,
+         CASE WHEN w.cand IS NULL THEN s.att
+              WHEN w.cand = s.label THEN w.max_att
+              ELSE w.max_att - {hop_att} END AS att
+  FROM h{k} s LEFT JOIN hw{k} w ON s.id = w.id)"""
+        )
+    return (
+        SQL_GRAPH_PREFIX + ", " + ",\n".join(ctes)
+        + f"\nSELECT id, label FROM h{iters} ORDER BY id"
+    )
+
+
+def _sql_betweenness(samples: int = 4, levels: int = 5) -> str:
+    """Unrolled multi-source Brandes with the engine's smallest-id sample
+    policy (algos/betweenness.py)."""
+    ctes = [
+        f"""roots AS MATERIALIZED (SELECT id AS root FROM verts ORDER BY id LIMIT {samples}),
+fr0 AS MATERIALIZED (SELECT root, root AS id, CAST(1.0 AS DOUBLE) AS sigma FROM roots),
+vis0 AS MATERIALIZED (SELECT root, id, 0 AS dist, sigma FROM fr0)"""
+    ]
+    for k in range(levels):
+        ctes.append(
+            f"""fr{k + 1} AS MATERIALIZED (
+  SELECT f.root, e.dst AS id, sum(f.sigma) AS sigma
+  FROM fr{k} f JOIN edges e ON e.src = f.id
+  LEFT JOIN vis{k} v ON v.root = f.root AND v.id = e.dst
+  WHERE v.id IS NULL
+  GROUP BY f.root, e.dst),
+vis{k + 1} AS MATERIALIZED (
+  SELECT root, id, dist, sigma FROM vis{k}
+  UNION ALL SELECT root, id, {k + 1} AS dist, sigma FROM fr{k + 1})"""
+        )
+    K = levels
+    ctes.append(
+        f"d{K} AS MATERIALIZED (SELECT root, id, sigma, CAST(0.0 AS DOUBLE) AS delta "
+        f"FROM vis{K} WHERE dist = {K})"
+    )
+    for k in range(K - 1, -1, -1):
+        ctes.append(
+            f"""d{k} AS MATERIALIZED (
+  SELECT l.root, l.id, l.sigma,
+         l.sigma * COALESCE(sum((1.0 + n.delta) / n.sigma), 0.0) AS delta
+  FROM (SELECT root, id, sigma FROM vis{K} WHERE dist = {k}) l
+  LEFT JOIN edges e ON e.src = l.id
+  LEFT JOIN d{k + 1} n ON n.root = l.root AND n.id = e.dst
+  GROUP BY l.root, l.id, l.sigma)"""
+        )
+    union = " UNION ALL ".join(
+        f"SELECT root, id, delta FROM d{k}" for k in range(K + 1)
+    )
+    return SQL_GRAPH_PREFIX + ", " + ",\n".join(ctes) + f""",
+alld AS ({union}),
+bc AS (SELECT id, sum(delta) AS b FROM alld WHERE id != root GROUP BY id)
+SELECT v.id, round(COALESCE(bc.b, 0.0), 6) AS betweenness
+FROM verts v LEFT JOIN bc ON v.id = bc.id ORDER BY v.id"""
+
+
 def _sql_bfs(iters: int = BFS_SQL_ITERS) -> str:
     """Unrolled min-dist BFS from the smallest vertex id (sym graph)."""
     ctes = ["d0 AS MATERIALIZED (SELECT id, 0 AS dist FROM verts "
@@ -582,6 +662,8 @@ def oracle_sql() -> dict[str, str]:
         "pagerank_weighted": _sql_pagerank(PRW_ITERS, weighted=True),
         "wcc": _sql_wcc(WCC_SQL_ITERS),
         "lpa": _sql_lpa(LPA_ITERS),
+        "hanp": _sql_hanp(),
+        "betweenness_sampled": _sql_betweenness(),
         "bfs": _sql_bfs_query(),
         "tree_stat": _sql_tree_stat(),
         "kcore": _sql_kcore(),
