@@ -232,6 +232,50 @@ SELECT v.id, round(COALESCE(bc.b, 0.0), 6) AS betweenness
 FROM verts v LEFT JOIN bc ON v.id = bc.id ORDER BY v.id"""
 
 
+def _sql_louvain(sub_rounds: int = 2) -> str:
+    """Unrolled Louvain move phase (one level, algos/louvain.py semantics:
+    textbook Blondel gain, parity-alternating sync moves, smallest-target
+    tie-break at 1e-9 gain quantization)."""
+    ctes = ["c0 AS MATERIALIZED (SELECT id, id AS comm, "
+            "(SELECT d.wsum FROM deg d WHERE d.id = verts.id) AS ki FROM verts)"]
+    m_expr = "(SELECT sum(weight) FROM canon)"
+    for r in range(sub_rounds):
+        ctes.append(
+            f"""sg{r} AS MATERIALIZED (SELECT comm, sum(ki) AS sigma FROM c{r} GROUP BY comm),
+ni{r} AS MATERIALIZED (
+  SELECT e.dst AS id, l.comm AS cand, sum(e.weight) AS ki_in
+  FROM edges e JOIN c{r} l ON e.src = l.id GROUP BY e.dst, l.comm),
+own{r} AS MATERIALIZED (
+  SELECT n.id, n.ki_in FROM ni{r} n JOIN c{r} s ON n.id = s.id AND n.cand = s.comm),
+best{r} AS MATERIALIZED (
+  SELECT id, cand FROM (
+    SELECT s.id, n.cand,
+           n.ki_in - COALESCE(o.ki_in, 0.0)
+             - s.ki * (s.ki + st.sigma - sf.sigma) / (2.0 * {m_expr}) AS gain,
+           row_number() OVER (
+             PARTITION BY s.id
+             ORDER BY round(n.ki_in - COALESCE(o.ki_in, 0.0)
+               - s.ki * (s.ki + st.sigma - sf.sigma) / (2.0 * {m_expr}), 9) DESC,
+               n.cand ASC) AS rn
+    FROM c{r} s
+    JOIN ni{r} n ON n.id = s.id AND n.cand != s.comm
+    LEFT JOIN own{r} o ON o.id = s.id
+    JOIN sg{r} sf ON sf.comm = s.comm
+    JOIN sg{r} st ON st.comm = n.cand) t
+  WHERE rn = 1 AND gain > 1e-12),
+c{r + 1} AS MATERIALIZED (
+  SELECT s.id,
+         CASE WHEN b.cand IS NOT NULL AND s.id % 2 = {r % 2}
+              THEN b.cand ELSE s.comm END AS comm,
+         s.ki
+  FROM c{r} s LEFT JOIN best{r} b ON s.id = b.id)"""
+        )
+    return (
+        SQL_GRAPH_PREFIX + ", " + ",\n".join(ctes)
+        + f"\nSELECT id, comm AS community FROM c{sub_rounds} ORDER BY id"
+    )
+
+
 def _sql_bfs(iters: int = BFS_SQL_ITERS) -> str:
     """Unrolled min-dist BFS from the smallest vertex id (sym graph)."""
     ctes = ["d0 AS MATERIALIZED (SELECT id, 0 AS dist FROM verts "
@@ -437,6 +481,15 @@ def q_hyperanf(spark, sf_dir):
 
 
 def q_louvain(spark, sf_dir):
+    # one move level (2 sub-rounds) — the oracle-checkable configuration;
+    # the full multi-epoch path is q_louvain_multi below
+    return louvain(
+        part_cooccurrence_edges(spark, sf_dir, weighted=True),
+        outer_iterations=1, inner_iterations=1, weight="weight",
+    )
+
+
+def q_louvain_multi(spark, sf_dir):
     return louvain(
         part_cooccurrence_edges(spark, sf_dir, weighted=True),
         outer_iterations=2, weight="weight",
@@ -623,6 +676,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hanp": q_hanp,
         "hyperanf": q_hyperanf,
         "louvain": q_louvain,
+        "louvain_multi": q_louvain_multi,
         "betweenness_sampled": q_betweenness,
         "nstep_degrees": q_nstep_degrees,
         "random_walks": q_random_walks,
@@ -663,6 +717,7 @@ def oracle_sql() -> dict[str, str]:
         "wcc": _sql_wcc(WCC_SQL_ITERS),
         "lpa": _sql_lpa(LPA_ITERS),
         "hanp": _sql_hanp(),
+        "louvain": _sql_louvain(),
         "betweenness_sampled": _sql_betweenness(),
         "bfs": _sql_bfs_query(),
         "tree_stat": _sql_tree_stat(),

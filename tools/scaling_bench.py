@@ -164,6 +164,10 @@ scaling efficiency = throughput(4N) / (4 x throughput(N)) =
 Raw numbers: BENCH/scaling.json. Headline per-query timings at the bench
 scale factor: run `python bench.py` (driver records BENCH_r{{N}}.json).
 """
+    extra_path = os.path.join("BENCH", "extra.md")
+    if os.path.exists(extra_path):
+        with open(extra_path) as f:
+            md += "\n" + f.read()
     with open("BENCH/BASELINE.md", "w") as f:
         f.write(md)
     print(json.dumps(report))
