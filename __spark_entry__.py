@@ -45,6 +45,7 @@ from plato_spark.algos.wcc import connected_components
 from plato_spark.functions.dedup import (
     exact_dedup,
     minhash_lsh_candidates,
+    near_dup_clusters,
     ngram_jaccard_pairs,
     simhash_signatures,
 )
@@ -590,6 +591,15 @@ def q_common_neighbor_payload(spark, sf_dir):
     return common_neighbor_payload(canon, payload, "v")
 
 
+def q_dedup_clusters(spark, sf_dir):
+    """Near-dup clustering: jaccard pair graph -> WCC -> keeper per doc
+    (exact candidate mode so the SQL oracle is value-matched; the LSH
+    candidate path is equivalence-tested in pytest)."""
+    return near_dup_clusters(
+        load_table(spark, sf_dir, "documents"), threshold=0.5, use_lsh=False
+    )
+
+
 def q_dedup_exact(spark, sf_dir):
     return exact_dedup(load_table(spark, sf_dir, "documents"))
 
@@ -687,6 +697,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "component_stats": q_component_stats,
         "events_windowed": q_events_windowed,
         "dedup_exact": q_dedup_exact,
+        "dedup_clusters": q_dedup_clusters,
         "token_count": q_token_count,
         "text_quality": q_text_quality,
         "lang_distribution": q_lang_distribution,
@@ -806,6 +817,40 @@ FROM vc LEFT JOIN ec ON vc.component = ec.component""",
             WHERE round(length(list_intersect(a.sh, b.sh))
                         / greatest(length(a.sh) + length(b.sh)
                                    - length(list_intersect(a.sh, b.sh)), 1), 6) >= 0.5""",
+        "dedup_clusters": f"""
+            WITH t AS MATERIALIZED (
+              SELECT doc_id, regexp_extract_all(text, '{TOKEN_RE_SQL}') AS toks
+              FROM documents),
+            sh AS MATERIALIZED (SELECT doc_id,
+                     CASE WHEN length(toks) >= 3 THEN
+                       list_distinct([array_to_string(toks[i:i+2], ' ')
+                                      for i in range(1, length(toks) - 1)])
+                     ELSE [array_to_string(toks, ' ')] END AS sh
+                   FROM t),
+            pairs AS MATERIALIZED (
+              SELECT a.doc_id AS a, b.doc_id AS b
+              FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+              WHERE round(length(list_intersect(a.sh, b.sh))
+                          / greatest(length(a.sh) + length(b.sh)
+                                     - length(list_intersect(a.sh, b.sh)), 1), 6)
+                    >= 0.5),
+            pe AS MATERIALIZED (SELECT a AS src, b AS dst FROM pairs
+                                UNION ALL SELECT b AS src, a AS dst FROM pairs),
+            pv AS MATERIALIZED (SELECT DISTINCT src AS id FROM pe),
+            {", ".join(
+                (
+                    "w0 AS MATERIALIZED (SELECT id, id AS lab FROM pv)",
+                ) + tuple(
+                    f'''w{k + 1} AS MATERIALIZED (
+              SELECT v.id, least(l.lab, COALESCE(m.minlab, l.lab)) AS lab
+              FROM pv v JOIN w{k} l ON v.id = l.id
+              LEFT JOIN (SELECT e.dst AS id, min(l2.lab) AS minlab
+                         FROM pe e JOIN w{k} l2 ON e.src = l2.id
+                         GROUP BY e.dst) m ON v.id = m.id)'''
+                    for k in range(6)
+                )
+            )}
+            SELECT id AS doc_id, lab AS keeper_id FROM w6 ORDER BY id""",
         "similarity_threshold": """
             SELECT a.vec_id AS query_id,
                    CAST(sum(CASE WHEN

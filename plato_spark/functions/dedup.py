@@ -164,6 +164,40 @@ def minhash_lsh_candidates(
     )
 
 
+def near_dup_clusters(
+    df: DataFrame,
+    threshold: float = 0.5,
+    n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    use_lsh: bool = True,
+) -> DataFrame:
+    """Near-duplicate CLUSTERS: candidate pairs (MinHash-LSH at scale, or
+    all-pairs for oracle mode) -> exact n-gram Jaccard verification ->
+    connected components over the dup graph -> canonical keeper per doc.
+
+    This is the full training-data dedup pipeline: the similarity join
+    produces an edge table and the graph engine (algos/wcc hash-min) closes
+    transitive duplicate chains — doc A~B, B~C dedup to one keeper even when
+    A~C is below threshold. Returns (doc_id, keeper_id) for every document
+    that belongs to a near-dup cluster (singletons omitted).
+    """
+    from plato_spark.algos.wcc import connected_components
+
+    candidates = minhash_lsh_candidates(
+        df, n=n, text_col=text_col, id_col=id_col
+    ) if use_lsh else None
+    pairs = ngram_jaccard_pairs(
+        df, threshold=threshold, n=n, text_col=text_col, id_col=id_col,
+        candidates=candidates,
+    )
+    edges = pairs.select(F.col("a").alias("src"), F.col("b").alias("dst"))
+    comp = connected_components(edges)
+    return comp.select(
+        F.col("id").alias("doc_id"), F.col("component").alias("keeper_id")
+    )
+
+
 def simhash_signatures(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits: int = 64
 ) -> DataFrame:

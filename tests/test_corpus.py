@@ -79,3 +79,29 @@ def test_end_to_end_extraction_encodes_dense(spark):
     n = dic.count()
     assert sorted(r["id"] for r in dic.collect()) == list(range(n))
     assert enc.where("src = dst").count() == 0
+
+
+def test_near_dup_clusters_lsh_matches_exact(spark):
+    # documents with planted near-dups: LSH-candidate path must find the
+    # same clusters as all-pairs verification
+    from plato_spark.functions.dedup import near_dup_clusters
+
+    base = [
+        "the quick brown fox jumps over the lazy dog again and again " * 3,
+        "completely different content about spark graph engines " * 3,
+        "unrelated third document text with many unique words " * 3,
+    ]
+    rows = []
+    did = 0
+    for b in base:
+        for variant in (b, b + " tail", b.replace("the", "a", 1)):
+            rows.append((did, variant))
+            did += 1
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    exact = {(r["doc_id"], r["keeper_id"])
+             for r in near_dup_clusters(docs, use_lsh=False).collect()}
+    lsh = {(r["doc_id"], r["keeper_id"])
+           for r in near_dup_clusters(docs, use_lsh=True).collect()}
+    assert exact == lsh
+    keepers = {k for _, k in exact}
+    assert len(keepers) == 3  # one cluster per base document
