@@ -94,3 +94,25 @@ def test_route_hub_replication_bound(spark):
     route = build_route(df, boundaries)
     hub_rows = route.where("src = 0").count()
     assert hub_rows == 2  # one per block
+
+
+def test_encode_vertices_partitioning_invariant(spark):
+    # dense ids derive from global key order, so they must be identical
+    # under any parallelism / range-sampling outcome
+    raw = spark.createDataFrame(
+        [(f"k{i:03d}", f"k{(i * 7) % 50:03d}") for i in range(200)],
+        "src string, dst string",
+    )
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    outs = []
+    for p in ("8", "3"):
+        spark.conf.set("spark.sql.shuffle.partitions", p)
+        try:
+            enc, dic = encode_vertices(raw, num_partitions=int(p))
+            outs.append((
+                sorted(map(tuple, dic.collect())),
+                sorted(map(tuple, enc.collect())),
+            ))
+        finally:
+            spark.conf.set("spark.sql.shuffle.partitions", old)
+    assert outs[0] == outs[1]
