@@ -47,13 +47,22 @@ from plato_spark.functions.dedup import (
     minhash_lsh_candidates,
     near_dup_clusters,
     ngram_jaccard_pairs,
-    simhash_signatures,
+    simhash_signatures_portable,
 )
 from plato_spark.functions.similarity import (
+    brute_force_topk,
+    embedding_near_dup_clusters,
+    ivf_ann,
     lsh_bucketed_neighbors,
     threshold_neighbors,
 )
-from plato_spark.functions.text import doc_fingerprint, text_quality, token_count_col
+from plato_spark.functions.text import (
+    _LANG_PROFILES,
+    doc_fingerprint,
+    lang_id_ngram,
+    text_quality,
+    token_count_col,
+)
 from plato_spark.graph.edges import symmetrize
 from plato_spark.sources.tables import load_table, part_cooccurrence_edges
 
@@ -376,6 +385,276 @@ FROM members mem LEFT JOIN sums su ON mem.id = su.id ORDER BY mem.id"""
 
 TOKEN_RE_SQL = "[A-Za-z0-9_]+"
 
+# -- walk oracle building blocks --------------------------------------------
+
+def _walk_u_sql(step: int, seed: int = 42) -> str:
+    """Mirror of algos/walks._step_uniform(hash_impl='portable')."""
+    h = (f"CAST(('0x' || substr(md5(CAST(w.walk_id AS VARCHAR)"
+         f" || '|{step}|{seed}'), 1, 14)) AS BIGINT)")
+    return f"(({h} % 1000003) / 1000003.0)"
+
+
+def _walk_pick_sql(step: int, seed: int = 42) -> str:
+    """nbrs[floor(u*deg) % deg + 1] — identical truncation both engines."""
+    u = _walk_u_sql(step, seed)
+    return (f"a.nbrs[(CAST(floor({u} * length(a.nbrs)) AS BIGINT)"
+            f" % length(a.nbrs)) + 1]")
+
+
+def _sql_random_walks(walk_length: int = 5, seed: int = 42) -> str:
+    ctes = ["""adjw AS MATERIALIZED (
+  SELECT src AS cur, list(DISTINCT dst ORDER BY dst) AS nbrs
+  FROM edges GROUP BY src),
+rw0 AS MATERIALIZED (SELECT id AS walk_id, id AS cur, 1 AS plen FROM verts)"""]
+    for k in range(1, walk_length):
+        ctes.append(f"""rw{k} AS MATERIALIZED (
+  SELECT w.walk_id,
+         COALESCE({_walk_pick_sql(k, seed)}, w.cur) AS cur,
+         w.plen + CASE WHEN a.nbrs IS NULL THEN 0 ELSE 1 END AS plen
+  FROM rw{k - 1} w LEFT JOIN adjw a ON w.cur = a.cur)""")
+    return (
+        SQL_GRAPH_PREFIX + ", " + ",\n".join(ctes)
+        + f"\nSELECT walk_id, CAST(plen AS INT) AS path_len, cur AS last"
+          f" FROM rw{walk_length - 1}"
+    )
+
+
+def _sql_metapath_walks(walk_length: int = 4, seed: int = 42) -> str:
+    """Mirror of q_metapath_walks: co-order graph typed by order parity,
+    walks alternating even/odd edge types."""
+    ctes = ["""li2 AS MATERIALIZED (
+  SELECT DISTINCT l_orderkey AS k, l_partkey FROM lineitem),
+typed AS MATERIALIZED (
+  SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst,
+         CASE WHEN o.o_orderkey % 2 = 0 THEN 'even' ELSE 'odd' END AS etype
+  FROM li2 a JOIN li2 b ON a.k = b.k AND a.l_partkey != b.l_partkey
+  JOIN orders o ON o.o_orderkey = a.k),
+adj_even AS MATERIALIZED (
+  SELECT src AS cur, list(DISTINCT dst ORDER BY dst) AS nbrs
+  FROM typed WHERE etype = 'even' GROUP BY src),
+adj_odd AS MATERIALIZED (
+  SELECT src AS cur, list(DISTINCT dst ORDER BY dst) AS nbrs
+  FROM typed WHERE etype = 'odd' GROUP BY src),
+mw0 AS MATERIALIZED (
+  SELECT cur AS walk_id, cur, 1 AS plen, FALSE AS stopped FROM adj_even)"""]
+    metapath = ["even", "odd"]
+    for k in range(1, walk_length):
+        adj = f"adj_{metapath[(k - 1) % 2]}"
+        pick = _walk_pick_sql(k, seed)
+        ctes.append(f"""mw{k} AS MATERIALIZED (
+  SELECT w.walk_id,
+         CASE WHEN w.stopped OR a.nbrs IS NULL THEN w.cur
+              ELSE {pick} END AS cur,
+         w.plen + CASE WHEN w.stopped OR a.nbrs IS NULL THEN 0 ELSE 1 END AS plen,
+         (w.stopped OR a.nbrs IS NULL) AS stopped
+  FROM mw{k - 1} w LEFT JOIN {adj} a ON w.cur = a.cur)""")
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f"\nSELECT walk_id, CAST(plen AS INT) AS path_len, cur AS last"
+          f" FROM mw{walk_length - 1}"
+    )
+
+
+# -- embedding / sketch oracle building blocks ------------------------------
+
+EMB_SQL_PREFIX = """
+WITH v AS MATERIALIZED (
+  SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS vec FROM embeddings)
+"""
+
+# portable md5-derived 56/52-bit hash pair (functions/text.py portable_h1/h2;
+# verified bit-equal between Spark conv(substr(md5)) and this cast)
+H1_SQL = "CAST(('0x' || substr(md5({s}), 1, 14)) AS BIGINT)"
+H2_SQL = "CAST(('0x' || substr(md5({s}), 18, 13)) AS BIGINT)"
+
+
+def _cos_sql(x: str, y: str) -> str:
+    """Mirror of functions/similarity.cosine_sim_col (verified 0/4950
+    6dp-rounded mismatches vs the Spark zip_with/aggregate form)."""
+    return (
+        f"(list_dot_product({x}, {y}) / greatest("
+        f"sqrt(list_dot_product({x}, {x})) * sqrt(list_dot_product({y}, {y})),"
+        f" 1e-300))"
+    )
+
+
+def _sql_ann_topk(k: int = 5) -> str:
+    cos = _cos_sql("a.vec", "b.vec")
+    return EMB_SQL_PREFIX + f""",
+p AS (SELECT a.id AS query_id, b.id AS nbr_id, round({cos}, 6) AS cosine
+      FROM v a JOIN v b ON a.id != b.id)
+SELECT query_id, nbr_id, cosine, CAST(rn AS INT) AS "rank" FROM (
+  SELECT query_id, nbr_id, cosine,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cosine DESC, nbr_id ASC) AS rn
+  FROM p) t WHERE rn <= {k}"""
+
+
+def _sql_ivf_ann(k: int = 5, n_clusters: int = 8, n_probe: int = 2,
+                 lloyd_iters: int = 2, dim: int = 64) -> str:
+    """Unrolled deterministic IVF (functions/similarity.ivf_ann semantics:
+    seed centroids = smallest ids, Lloyd means rounded 6dp, sims 9dp)."""
+    cos9 = f"round({_cos_sql('v.vec', 'c.cvec')}, 9)"
+
+    def assign(name: str, cent: str) -> str:
+        return f"""{name} AS MATERIALIZED (
+  SELECT id, vec, cluster FROM (
+    SELECT v.id, v.vec, c.cluster,
+           row_number() OVER (PARTITION BY v.id
+                              ORDER BY {cos9} DESC, c.cluster ASC) AS rn
+    FROM v CROSS JOIN {cent} c) t WHERE rn = 1)"""
+
+    ctes = [f"""c0 AS MATERIALIZED (
+  SELECT row_number() OVER (ORDER BY id) - 1 AS cluster, vec AS cvec
+  FROM v ORDER BY id LIMIT {n_clusters})"""]
+    for r in range(lloyd_iters):
+        ctes.append(assign(f"a{r}", f"c{r}"))
+        ctes.append(f"""m{r} AS MATERIALIZED (
+  SELECT cluster, pos, round(avg(vec[pos]), 6) AS m
+  FROM a{r} CROSS JOIN (SELECT unnest(range(1, {dim + 1})) AS pos) p
+  GROUP BY cluster, pos),
+mv{r} AS MATERIALIZED (
+  SELECT cluster, list(m ORDER BY pos) AS cvec FROM m{r} GROUP BY cluster),
+c{r + 1} AS MATERIALIZED (
+  SELECT c.cluster, COALESCE(m.cvec, c.cvec) AS cvec
+  FROM c{r} c LEFT JOIN mv{r} m ON c.cluster = m.cluster)""")
+    L = lloyd_iters
+    ctes.append(assign("idx", f"c{L}"))
+    ctes.append(f"""pr AS MATERIALIZED (
+  SELECT id AS query_id, vec AS q_vec, cluster FROM (
+    SELECT v.id, v.vec, c.cluster,
+           row_number() OVER (PARTITION BY v.id
+                              ORDER BY {cos9} DESC, c.cluster ASC) AS rn
+    FROM v CROSS JOIN c{L} c) t WHERE rn <= {n_probe}),
+cand AS MATERIALIZED (
+  SELECT p.query_id, i.id AS nbr_id,
+         round({_cos_sql('p.q_vec', 'i.vec')}, 6) AS cosine
+  FROM pr p JOIN idx i ON p.cluster = i.cluster WHERE p.query_id != i.id)""")
+    return EMB_SQL_PREFIX + ", " + ",\n".join(ctes) + f"""
+SELECT query_id, nbr_id, cosine, CAST(rn AS INT) AS "rank" FROM (
+  SELECT query_id, nbr_id, cosine,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cosine DESC, nbr_id ASC) AS rn
+  FROM cand) t WHERE rn <= {k}"""
+
+
+def _sql_embedding_dedup(threshold: float = 0.42, iters: int = 8) -> str:
+    cos = _cos_sql("a.vec", "b.vec")
+    ctes = [f"""prs AS MATERIALIZED (
+  SELECT a.id AS a, b.id AS b FROM v a JOIN v b ON a.id < b.id
+  WHERE round({cos}, 6) >= {threshold}),
+pe AS MATERIALIZED (SELECT a AS src, b AS dst FROM prs
+                    UNION ALL SELECT b AS src, a AS dst FROM prs),
+pv AS MATERIALIZED (SELECT DISTINCT src AS id FROM pe),
+w0 AS MATERIALIZED (SELECT id, id AS lab FROM pv)"""]
+    for kk in range(iters):
+        ctes.append(f"""w{kk + 1} AS MATERIALIZED (
+  SELECT vv.id, least(l.lab, COALESCE(m.minlab, l.lab)) AS lab
+  FROM pv vv JOIN w{kk} l ON vv.id = l.id
+  LEFT JOIN (SELECT e.dst AS id, min(l2.lab) AS minlab
+             FROM pe e JOIN w{kk} l2 ON e.src = l2.id
+             GROUP BY e.dst) m ON vv.id = m.id)""")
+    return (
+        EMB_SQL_PREFIX + ", " + ",\n".join(ctes)
+        + f"\nSELECT id AS vec_id, lab AS keeper_id FROM w{iters} ORDER BY id"
+    )
+
+
+def _sql_lang_id() -> str:
+    """Mirror of functions/text.lang_id_ngram: per-language literal-gram
+    counts (non-overlapping, = replace-count), argmax with first-max-wins
+    over sorted language names, 'unknown' when every score is 0."""
+    langs = sorted(_LANG_PROFILES)
+    score_cols = []
+    for lang in langs:
+        terms = [
+            f"(length(t) - length(replace(t, '{g.replace(chr(39), chr(39) * 2)}', '')))"
+            f" / {len(g)}"
+            for g in _LANG_PROFILES[lang]
+        ]
+        score_cols.append("(" + " + ".join(terms) + f") AS s_{lang}")
+    first_max = " ".join(
+        f"WHEN s_{lang} = mx THEN '{lang}'" for lang in langs[:-1]
+    )
+    return f"""
+WITH s AS (SELECT doc_id, lower(text) AS t FROM documents),
+sc AS (SELECT doc_id, {', '.join(score_cols)} FROM s),
+mxx AS (SELECT doc_id, {', '.join('s_' + lang for lang in langs)},
+               greatest({', '.join('s_' + lang for lang in langs)}) AS mx
+        FROM sc)
+SELECT doc_id, CASE WHEN mx = 0 THEN 'unknown'
+  {first_max} ELSE '{langs[-1]}' END AS lang_pred
+FROM mxx"""
+
+
+def _sql_simhash(bits: int = 56) -> str:
+    """Mirror of functions/dedup.simhash_signatures_portable."""
+    vs = ",\n       ".join(
+        f"sum(((h >> {b}) & 1) * 2 - 1) AS v{b}" for b in range(bits)
+    )
+    sig = " + ".join(
+        f"(CASE WHEN v{b} > 0 THEN {1 << b} ELSE 0 END)" for b in range(bits)
+    )
+    return f"""
+WITH tk AS MATERIALIZED (
+  SELECT doc_id, unnest(regexp_extract_all(text, '{TOKEN_RE_SQL}')) AS t
+  FROM documents),
+h AS MATERIALIZED (SELECT doc_id, {H1_SQL.format(s='t')} AS h FROM tk),
+vv AS MATERIALIZED (SELECT doc_id, {vs} FROM h GROUP BY doc_id),
+sg AS (SELECT doc_id, {sig} AS simhash FROM vv)
+SELECT d.doc_id AS id, CAST(COALESCE(s.simhash, 0) AS BIGINT) AS simhash
+FROM documents d LEFT JOIN sg s ON d.doc_id = s.doc_id"""
+
+
+def _sql_minhash_candidates(num_hashes: int = 64, bands: int = 16,
+                            n: int = 3) -> str:
+    """Mirror of functions/dedup.minhash_lsh_candidates(hash_impl='portable'):
+    Kirsch-Mitzenmacher family h1 + i*h2 over distinct word-3-gram shingles,
+    16 bands x 4 rows, bucket key = comma-joined slot string."""
+    rows = num_hashes // bands
+    sig_aggs = ", ".join(f"min(h1 + {i} * h2) AS s{i}" for i in range(num_hashes))
+    band_selects = "\n  UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band, "
+        + " || ',' || ".join(f"CAST(s{b * rows + j} AS VARCHAR)" for j in range(rows))
+        + " AS bucket FROM sig"
+        for b in range(bands)
+    )
+    return f"""
+WITH t AS MATERIALIZED (
+  SELECT doc_id, regexp_extract_all(text, '{TOKEN_RE_SQL}') AS toks
+  FROM documents),
+sh AS MATERIALIZED (SELECT doc_id,
+        CASE WHEN length(toks) >= {n} THEN
+          list_distinct([array_to_string(toks[i:i+{n - 1}], ' ')
+                         for i in range(1, length(toks) - {n - 2})])
+        ELSE [array_to_string(toks, ' ')] END AS sh FROM t),
+ex AS MATERIALIZED (SELECT doc_id, unnest(sh) AS s FROM sh),
+hh AS MATERIALIZED (SELECT doc_id, {H1_SQL.format(s='s')} AS h1,
+                           {H2_SQL.format(s='s')} AS h2 FROM ex),
+sig AS MATERIALIZED (SELECT doc_id, {sig_aggs} FROM hh GROUP BY doc_id),
+banded AS MATERIALIZED (
+  {band_selects})
+SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+FROM banded x JOIN banded y
+  ON x.band = y.band AND x.bucket = y.bucket AND x.doc_id < y.doc_id"""
+
+
+def _sql_doc_fingerprint(shingle: int = 4) -> str:
+    """Mirror of functions/text.doc_fingerprint(hash_impl='portable')."""
+    return f"""
+WITH t AS MATERIALIZED (
+  SELECT doc_id, regexp_extract_all(text, '{TOKEN_RE_SQL}') AS toks
+  FROM documents),
+g AS (SELECT doc_id,
+        list_transform(range(1, greatest(length(toks) - {shingle - 1}, 1) + 1),
+                       i -> array_to_string(list_slice(toks, i, i + {shingle - 1}),
+                                            chr(1))) AS grams
+      FROM t)
+SELECT doc_id,
+       list_min(list_transform(grams,
+         s -> CAST(('0x' || substr(md5(s), 1, 14)) AS BIGINT))) AS fingerprint
+FROM g"""
+
 
 # ---------------------------------------------------------------------------
 # Spark-side query callables
@@ -506,7 +785,9 @@ def q_nstep_degrees(spark, sf_dir):
 
 
 def q_random_walks(spark, sf_dir):
-    return random_walks(_sym(spark, sf_dir), walk_length=5).select(
+    return random_walks(
+        _sym(spark, sf_dir), walk_length=5, hash_impl="portable"
+    ).select(
         "walk_id", F.size("path").alias("path_len"), F.element_at("path", -1).alias("last")
     )
 
@@ -540,7 +821,9 @@ def q_metapath_walks(spark, sf_dir):
         .select("src", "dst", F.when(F.col("even"), "even").otherwise("odd").alias("etype"))
         .distinct()
     )
-    return metapath_walks(typed, ["even", "odd"], walk_length=4).select(
+    return metapath_walks(
+        typed, ["even", "odd"], walk_length=4, hash_impl="portable"
+    ).select(
         "walk_id", F.size("path").alias("path_len"), F.element_at("path", -1).alias("last")
     )
 
@@ -627,30 +910,54 @@ def q_ngram_jaccard(spark, sf_dir):
     )
 
 
-def q_similarity_threshold(spark, sf_dir):
-    emb = load_table(spark, sf_dir, "embeddings").select(
+def _emb_double(spark, sf_dir):
+    return load_table(spark, sf_dir, "embeddings").select(
         "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("embedding")
     )
-    return threshold_neighbors(emb, threshold=0.8)
+
+
+def q_similarity_threshold(spark, sf_dir):
+    return threshold_neighbors(_emb_double(spark, sf_dir), threshold=0.8)
 
 
 def q_minhash_candidates(spark, sf_dir):
-    return minhash_lsh_candidates(load_table(spark, sf_dir, "documents"))
+    # portable hash family => value-checked against the DuckDB oracle;
+    # the xxhash64 fast path is equivalence-tested in pytest
+    return minhash_lsh_candidates(
+        load_table(spark, sf_dir, "documents"), hash_impl="portable"
+    )
 
 
 def q_simhash(spark, sf_dir):
-    return simhash_signatures(load_table(spark, sf_dir, "documents"))
+    return simhash_signatures_portable(load_table(spark, sf_dir, "documents"))
 
 
 def q_doc_fingerprint(spark, sf_dir):
-    return doc_fingerprint(load_table(spark, sf_dir, "documents"))
+    return doc_fingerprint(
+        load_table(spark, sf_dir, "documents"), hash_impl="portable"
+    )
+
+
+def q_lang_id(spark, sf_dir):
+    return lang_id_ngram(load_table(spark, sf_dir, "documents"))
 
 
 def q_lsh_ann(spark, sf_dir):
-    emb = load_table(spark, sf_dir, "embeddings").select(
-        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("embedding")
+    return lsh_bucketed_neighbors(_emb_double(spark, sf_dir), k=5)
+
+
+def q_ann_topk(spark, sf_dir):
+    return brute_force_topk(_emb_double(spark, sf_dir), k=5)
+
+
+def q_ivf_ann(spark, sf_dir):
+    return ivf_ann(
+        _emb_double(spark, sf_dir), k=5, n_clusters=8, n_probe=2, lloyd_iters=2
     )
-    return lsh_bucketed_neighbors(emb, k=5)
+
+
+def q_embedding_dedup(spark, sf_dir):
+    return embedding_near_dup_clusters(_emb_double(spark, sf_dir), threshold=0.42)
 
 
 # ---------------------------------------------------------------------------
@@ -703,10 +1010,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_distribution": q_lang_distribution,
         "ngram_jaccard_dups": q_ngram_jaccard,
         "similarity_threshold": q_similarity_threshold,
-        # no SQL oracle (engine-specific hashes / approximate):
+        "ann_topk": q_ann_topk,
+        "ivf_ann": q_ivf_ann,
+        "embedding_dedup": q_embedding_dedup,
+        "lang_id": q_lang_id,
         "minhash_lsh_candidates": q_minhash_candidates,
         "simhash": q_simhash,
         "doc_fingerprint": q_doc_fingerprint,
+        # no SQL oracle (randomized-hyperplane buckets; approximate):
         "lsh_ann": q_lsh_ann,
     }
 
@@ -851,6 +1162,15 @@ FROM vc LEFT JOIN ec ON vc.component = ec.component""",
                 )
             )}
             SELECT id AS doc_id, lab AS keeper_id FROM w6 ORDER BY id""",
+        "random_walks": _sql_random_walks(5),
+        "metapath_walks": _sql_metapath_walks(4),
+        "ann_topk": _sql_ann_topk(5),
+        "ivf_ann": _sql_ivf_ann(5),
+        "embedding_dedup": _sql_embedding_dedup(0.42),
+        "lang_id": _sql_lang_id(),
+        "minhash_lsh_candidates": _sql_minhash_candidates(),
+        "simhash": _sql_simhash(),
+        "doc_fingerprint": _sql_doc_fingerprint(),
         "similarity_threshold": """
             SELECT a.vec_id AS query_id,
                    CAST(sum(CASE WHEN

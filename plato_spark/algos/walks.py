@@ -29,6 +29,22 @@ from plato_spark.graph.partitioning import (
     auto_shuffle_partitions,
     scoped_shuffle_partitions,
 )
+from plato_spark.functions.text import portable_h1
+
+
+def _step_uniform(walk_id_col, step: int, seed: int, hash_impl: str):
+    """Deterministic per-(walker, step) uniform draw in [0, 1).
+
+    hash_impl="xxhash64" (fast default) or "portable" (md5-based, bit-equal
+    in DuckDB SQL so walk queries are value-checkable by an oracle).
+    """
+    if hash_impl == "portable":
+        h = portable_h1(
+            F.concat_ws("|", walk_id_col, F.lit(step), F.lit(seed))
+        )
+    else:
+        h = F.xxhash64(walk_id_col, F.lit(step), F.lit(seed))
+    return F.pmod(h, F.lit(1_000_003)) / F.lit(1_000_003.0)
 
 
 def _adjacency(edges: DataFrame) -> DataFrame:
@@ -43,6 +59,7 @@ def metapath_walks(
     walk_length: int = 10,
     seed: int = 42,
     etype_col: str = "etype",
+    hash_impl: str = "xxhash64",
 ) -> DataFrame:
     """Heterogeneous walks constrained to an edge-type pattern.
 
@@ -82,10 +99,7 @@ def metapath_walks(
     with scoped_shuffle_partitions(spark, shuffle_n):
         for step in range(1, walk_length):
             adj = adj_by_type[metapath[(step - 1) % len(metapath)]]
-            u = (
-                F.pmod(F.xxhash64("walk_id", F.lit(step), F.lit(seed)), F.lit(1_000_003))
-                / F.lit(1_000_003.0)
-            )
+            u = _step_uniform(F.col("walk_id"), step, seed, hash_impl)
             j = walkers.join(adj, "cur", "left")
             nxt = F.when(
                 F.col("stopped") | F.col("nbrs").isNull(), F.lit(None).cast("long")
@@ -115,6 +129,7 @@ def random_walks(
     seed: int = 42,
     p: float | None = None,
     q: float | None = None,
+    hash_impl: str = "xxhash64",
 ) -> DataFrame:
     """(walk_id, path: array<long>) — walks from every vertex, directed edges.
 
@@ -173,10 +188,7 @@ def random_walks(
 
     with scoped_shuffle_partitions(spark, shuffle_n):
         for step in range(1, walk_length):
-            u = (
-                F.pmod(F.xxhash64("walk_id", F.lit(step), F.lit(seed)), F.lit(1_000_003))
-                / F.lit(1_000_003.0)
-            )
+            u = _step_uniform(F.col("walk_id"), step, seed, hash_impl)
             j = walkers.join(adj, "cur", "left")
             if second_order:
                 prev_adj = adj.select(

@@ -22,7 +22,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
 
-from plato_spark.functions.text import TOKEN_RE
+from plato_spark.functions.text import TOKEN_RE, portable_h1, portable_h2
 
 
 def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
@@ -96,6 +96,7 @@ def minhash_signatures(
     n: int = 3,
     text_col: str = "text",
     id_col: str = "doc_id",
+    hash_impl: str = "xxhash64",
 ) -> DataFrame:
     """(id, sig: array<long>) — minhash signature, all JVM built-ins.
 
@@ -103,14 +104,29 @@ def minhash_signatures(
     a single pass (map-side combined). The naive nested-transform form
     re-tokenizes the document once PER HASH inside the lambda (measured 40s
     for 500 docs); this form tokenizes once (sub-second).
+
+    hash_impl: "xxhash64" (fastest; seeded family, Spark-specific) or
+    "portable" (md5-based Kirsch-Mitzenmacher family h1 + i*h2 — bit-equal
+    in DuckDB SQL, so the LSH pipeline is value-checkable by an oracle).
     """
     sh_rows = df.select(
         F.col(id_col).alias("id"),
         F.explode(_token_shingles(text_col, n)).alias("s"),
     )
-    aggs = [
-        F.min(F.xxhash64("s", F.lit(i))).alias(f"__h{i}") for i in range(num_hashes)
-    ]
+    if hash_impl == "portable":
+        sh_rows = sh_rows.select(
+            "id", portable_h1(F.col("s")).alias("__b1"),
+            portable_h2(F.col("s")).alias("__b2"),
+        )
+        aggs = [
+            F.min(F.col("__b1") + F.lit(i) * F.col("__b2")).alias(f"__h{i}")
+            for i in range(num_hashes)
+        ]
+    else:
+        aggs = [
+            F.min(F.xxhash64("s", F.lit(i))).alias(f"__h{i}")
+            for i in range(num_hashes)
+        ]
     sigs = sh_rows.groupBy("id").agg(*aggs)
     return sigs.select(
         "id", F.array(*[F.col(f"__h{i}") for i in range(num_hashes)]).alias("sig")
@@ -124,34 +140,39 @@ def minhash_lsh_candidates(
     n: int = 3,
     text_col: str = "text",
     id_col: str = "doc_id",
+    hash_impl: str = "xxhash64",
 ) -> DataFrame:
     """Near-dup candidate pairs (a < b) via MinHash + LSH banding.
 
     Two docs collide when any band (num_hashes/bands consecutive signature
-    slots) matches exactly. Shuffle key = (band, xxhash64(band slots)):
-    candidate generation is a self-equi-join on the bucket key — linear in
-    collisions. Dedup across bands keeps one row per pair.
+    slots) matches exactly. Shuffle key = (band, hash-or-concat of band
+    slots): candidate generation is a self-equi-join on the bucket key —
+    linear in collisions. Dedup across bands keeps one row per pair.
+    hash_impl="portable" makes both the signatures and the bucket key
+    engine-portable (oracle-checkable); "xxhash64" is the fast default.
     """
     rows_per_band = num_hashes // bands
-    sigs = minhash_signatures(df, num_hashes, n, text_col, id_col)
+    sigs = minhash_signatures(df, num_hashes, n, text_col, id_col, hash_impl)
+
+    def _bucket(b):
+        slot_str = F.concat_ws(
+            ",",
+            F.transform(
+                F.slice("sig", b * rows_per_band + 1, rows_per_band),
+                lambda v: v.cast("string"),
+            ),
+        )
+        # portable: the raw slot string joins equal iff slots equal — no
+        # engine-specific hash in the key; xxhash64: narrower shuffle key
+        return slot_str if hash_impl == "portable" else F.xxhash64(slot_str).cast("string")
+
     banded = sigs.select(
         "id",
         F.explode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(bands - 1)),
-                lambda b: F.struct(
-                    b.alias("band"),
-                    F.xxhash64(
-                        F.concat_ws(
-                            ",",
-                            F.transform(
-                                F.slice("sig", b * rows_per_band + 1, rows_per_band),
-                                lambda v: v.cast("string"),
-                            ),
-                        )
-                    ).alias("bucket"),
-                ),
-            )
+            F.array(*[
+                F.struct(F.lit(b).alias("band"), _bucket(b).alias("bucket"))
+                for b in range(bands)
+            ])
         ).alias("bb"),
     ).select("id", "bb.band", "bb.bucket")
     lhs = banded.select("band", "bucket", F.col("id").alias("a"))
@@ -233,3 +254,34 @@ def simhash_signatures(
         return pd.Series(out.view(np.int64))
 
     return df.select(F.col(id_col).alias("id"), _simhash(F.col(text_col)).alias("simhash"))
+
+
+def simhash_signatures_portable(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits: int = 56
+) -> DataFrame:
+    """(id, simhash: long) — Charikar simhash, all JVM built-ins AND
+    engine-portable (md5-based 56-bit token hash, oracle-checkable).
+
+    Plan shape mirrors minhash: explode tokens once, one groupBy(id) with
+    ``bits`` sum-aggregates (map-side combined — each partition reduces its
+    token stream to one 56-counter row per doc before the shuffle), then a
+    single bit-pack projection. Docs with no tokens get signature 0.
+    """
+    toks = F.regexp_extract_all(F.col(text_col), F.lit(TOKEN_RE), F.lit(0))
+    tok_rows = df.select(
+        F.col(id_col).alias("id"), F.explode(toks).alias("t")
+    ).select("id", portable_h1(F.col("t")).alias("h"))
+    aggs = [
+        F.sum(F.shiftright("h", b).bitwiseAND(F.lit(1)) * 2 - 1).alias(f"__v{b}")
+        for b in range(bits)
+    ]
+    votes = tok_rows.groupBy("id").agg(*aggs)
+    sig = None
+    for b in range(bits):
+        term = F.when(F.col(f"__v{b}") > 0, F.lit(1 << b)).otherwise(F.lit(0))
+        sig = term if sig is None else sig + term
+    voted = votes.select("id", sig.cast("long").alias("simhash"))
+    base = df.select(F.col(id_col).alias("id"))
+    return base.join(voted, "id", "left").select(
+        "id", F.coalesce("simhash", F.lit(0)).cast("long").alias("simhash")
+    )

@@ -9,6 +9,14 @@
   (deterministic planes, numpy matmul in an Arrow UDF) bucket the vectors;
   exact cosine is evaluated only within buckets. Recall < 1 by design;
   verified in tests against brute force on fixtures.
+- ivf_ann: the other scale path — IVF (inverted-file) coarse quantizer:
+  deterministic k-means centroids, vectors bucketed by nearest centroid,
+  queries probe the ``n_probe`` nearest cells only. Fully deterministic
+  (seeded init = smallest ids, fixed Lloyd iterations, rounded means), so
+  it is value-checkable against an unrolled SQL oracle.
+- embedding_near_dup_clusters: embedding-cosine near-dup dedup — the
+  similarity join produces a dup-pair edge table and hash-min WCC closes
+  transitive chains to a canonical keeper per vector.
 """
 
 from __future__ import annotations
@@ -73,6 +81,143 @@ def threshold_neighbors(
     return (
         pairs.groupBy("query_id")
         .agg(F.sum(F.when(cos >= threshold, 1).otherwise(0)).cast("long").alias("n_similar"))
+    )
+
+
+def ivf_ann(
+    emb: DataFrame,
+    k: int = 10,
+    n_clusters: int = 8,
+    n_probe: int = 2,
+    lloyd_iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k via an IVF coarse quantizer (the 100TB path).
+
+    Index build: deterministic k-means — initial centroids are the vectors
+    of the ``n_clusters`` smallest ids, then ``lloyd_iters`` rounds of
+    (assign to highest-cosine centroid, recompute per-dimension means).
+    Centroid tables are tiny (k x dim) so every assignment pass is a
+    broadcast nested-loop join evaluated JVM-side (zip_with/aggregate
+    codegen, no Python); means are computed with one posexplode +
+    groupBy(cluster, pos) shuffle and rounded to 6dp so the quantizer is
+    bit-reproducible across engines and partitionings.
+
+    Search: each query probes its ``n_probe`` best cells; exact cosine runs
+    only against vectors in probed cells. Returns
+    (query_id, nbr_id, cosine, rank<=k) — approximate (recall<1 vs brute
+    force; cross-cell neighbors are missed by design).
+    """
+    vecs = emb.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))
+
+    # deterministic seed centroids: vectors of the n_clusters smallest ids
+    w_seed = Window.orderBy(F.col("id").asc())
+    cent = (
+        vecs.withColumn("__rn", F.row_number().over(w_seed))
+        .where(F.col("__rn") <= n_clusters)
+        .select((F.col("__rn") - 1).alias("cluster"), F.col("vec").alias("cvec"))
+    )
+
+    def _assign(c: DataFrame) -> DataFrame:
+        sim = F.round(cosine_sim_col(F.col("vec"), F.col("cvec")), 9)
+        scored = vecs.crossJoin(F.broadcast(c)).select(
+            "id", "vec", "cluster", sim.alias("sim")
+        )
+        w = Window.partitionBy("id").orderBy(
+            F.col("sim").desc(), F.col("cluster").asc()
+        )
+        return (
+            scored.withColumn("__rn", F.row_number().over(w))
+            .where(F.col("__rn") == 1)
+            .select("id", "vec", "cluster")
+        )
+
+    for _ in range(lloyd_iters):
+        assigned = _assign(cent)
+        means = (
+            assigned.select("cluster", F.posexplode("vec").alias("pos", "v"))
+            .groupBy("cluster", "pos")
+            .agg(F.round(F.avg("v"), 6).alias("m"))
+            .groupBy("cluster")
+            .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("pm"))
+            .select("cluster", F.col("pm.m").alias("cvec"))
+        )
+        # clusters emptied by reassignment keep their previous centroid
+        cent = (
+            cent.select("cluster", F.col("cvec").alias("prev"))
+            .join(means, "cluster", "left")
+            .select("cluster", F.coalesce("cvec", "prev").alias("cvec"))
+        )
+
+    index = _assign(cent).select(
+        F.col("cluster"), F.col("id").alias("nbr_id"), F.col("vec").alias("nbr_vec")
+    )
+
+    # probe: top n_probe cells per query vector
+    psim = F.round(cosine_sim_col(F.col("vec"), F.col("cvec")), 9)
+    w_probe = Window.partitionBy("id").orderBy(
+        F.col("sim").desc(), F.col("cluster").asc()
+    )
+    probes = (
+        vecs.crossJoin(F.broadcast(cent))
+        .select("id", "vec", "cluster", psim.alias("sim"))
+        .withColumn("__rn", F.row_number().over(w_probe))
+        .where(F.col("__rn") <= n_probe)
+        .select(F.col("id").alias("query_id"), F.col("vec").alias("q_vec"), "cluster")
+    )
+
+    cand = (
+        probes.join(index, "cluster")
+        .where(F.col("query_id") != F.col("nbr_id"))
+        .select(
+            "query_id", "nbr_id",
+            F.round(cosine_sim_col(F.col("q_vec"), F.col("nbr_vec")), 6).alias("cosine"),
+        )
+    )
+    w_rank = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("nbr_id").asc()
+    )
+    return cand.withColumn("rank", F.row_number().over(w_rank)).where(F.col("rank") <= k)
+
+
+def embedding_near_dup_clusters(
+    emb: DataFrame,
+    threshold: float = 0.42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    candidates: DataFrame | None = None,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate CLUSTERS over a vector column.
+
+    Pipeline: cosine-threshold similarity join (all-pairs for oracle mode;
+    pass LSH/IVF ``candidates`` (query_id, nbr_id) at scale) -> dup-pair
+    edge table -> hash-min connected components -> canonical keeper per
+    vector. Transitive chains (A~B, B~C) dedup to one keeper even when A~C
+    is below threshold. Returns (vec_id, keeper_id) for every vector in a
+    near-dup cluster (singletons omitted).
+    """
+    from plato_spark.algos.wcc import connected_components
+
+    if candidates is None:
+        pairs = _pairs(emb, None, id_col, vec_col).where(
+            F.col("query_id") < F.col("nbr_id")
+        )
+    else:
+        base = emb.select(F.col(id_col).alias("nbr_id"), F.col(vec_col).alias("nbr_vec"))
+        qs = emb.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec"))
+        pairs = (
+            candidates.where(F.col("query_id") < F.col("nbr_id"))
+            .join(qs, "query_id").join(base, "nbr_id")
+        )
+    cos = F.round(cosine_sim_col(F.col("q_vec"), F.col("nbr_vec")), 6)
+    edges = pairs.select(
+        F.col("query_id").alias("src"), F.col("nbr_id").alias("dst"),
+        cos.alias("cosine"),
+    ).where(F.col("cosine") >= threshold).select("src", "dst")
+    comp = connected_components(edges)
+    return comp.select(
+        F.col("id").alias("vec_id"), F.col("component").alias("keeper_id")
     )
 
 

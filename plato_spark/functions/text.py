@@ -18,6 +18,29 @@ TOKEN_RE = "[A-Za-z0-9_]+"
 STOPWORDS = ["the", "a", "of", "and", "to", "in", "is", "for", "on", "with"]
 
 
+# -- portable 64-bit hash family (identical in Spark SQL and DuckDB SQL) ----
+#
+# h1 = first 14 hex chars of md5  (56-bit), h2 = hex chars 18..30 (52-bit);
+# the i-th hash of the family is h1 + i*h2 (Kirsch-Mitzenmacher double
+# hashing; i <= 64 keeps the sum < 2^59, no overflow, no modulus needed).
+# Spark evaluates md5/conv JVM-side (whole-stage codegen); DuckDB mirrors it
+# with CAST(('0x' || substr(md5(s), ...)) AS BIGINT), so sketch queries
+# (minhash/simhash/fingerprint) become value-checkable against SQL oracles.
+
+def portable_h1(col: Column) -> Column:
+    """56-bit integer from md5 hex chars [1,14] — JVM-side, engine-portable."""
+    return F.conv(F.substring(F.md5(col), 1, 14), 16, 10).cast("long")
+
+
+def portable_h2(col: Column) -> Column:
+    """52-bit integer from md5 hex chars [18,13] — independent of h1."""
+    return F.conv(F.substring(F.md5(col), 18, 13), 16, 10).cast("long")
+
+
+PORTABLE_H1_SQL = "CAST(('0x' || substr(md5({s}), 1, 14)) AS BIGINT)"
+PORTABLE_H2_SQL = "CAST(('0x' || substr(md5({s}), 18, 13)) AS BIGINT)"
+
+
 def token_count_col(text: Column) -> Column:
     """Word-ish token count (BPE-ish alnum runs), JVM-side."""
     return F.size(F.regexp_extract_all(text, F.lit(TOKEN_RE), F.lit(0))).cast("long")
@@ -58,18 +81,21 @@ def text_quality(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") 
 
 
 def doc_fingerprint(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
-                    shingle: int = 4) -> DataFrame:
-    """Deterministic document fingerprint: min xxhash64 over token
+                    shingle: int = 4, hash_impl: str = "xxhash64") -> DataFrame:
+    """Deterministic document fingerprint: min hash over token
     ``shingle``-grams (winnowing-style rolling hash; JVM-side).
 
+    hash_impl: "xxhash64" (fastest; Spark-specific) or "portable" (md5-based
+    56-bit family, identical in DuckDB SQL — the oracle-checked path).
     Documents shorter than ``shingle`` tokens fall back to hashing the whole
     token array. Returns (id, fingerprint: long).
     """
+    hash_fn = F.xxhash64 if hash_impl == "xxhash64" else portable_h1
     toks = F.regexp_extract_all(F.col(text_col), F.lit(TOKEN_RE), F.lit(0))
     n = F.size(toks)
     grams = F.transform(
         F.sequence(F.lit(1), F.greatest(n - F.lit(shingle - 1), F.lit(1))),
-        lambda i: F.xxhash64(F.concat_ws("", F.slice(toks, i, shingle))),
+        lambda i: hash_fn(F.concat_ws("", F.slice(toks, i, shingle))),
     )
     return df.select(
         F.col(id_col),
@@ -105,7 +131,8 @@ def lang_id_ngram(df: DataFrame, text_col: str = "text", id_col: str = "doc_id")
                     gram.replace("(", "\\(").replace(")", "\\)")
                     .replace("=", "\\=").replace("#", "\\#").replace("|", "\\|")
                 ).to_numpy(dtype=np.int64)
-        best = np.asarray(langs)[np.argmax(scores, axis=1)]
+        # dtype=object: a fixed-width '<U4' array would truncate "unknown"
+        best = np.asarray(langs, dtype=object)[np.argmax(scores, axis=1)]
         best[scores.max(axis=1) == 0] = "unknown"
         return pd.Series(best)
 
