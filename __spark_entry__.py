@@ -32,7 +32,7 @@ from plato_spark.algos.kcore import kcore
 from plato_spark.algos.betweenness import betweenness_sampled
 from plato_spark.algos.louvain import louvain
 from plato_spark.algos.lpa import label_propagation
-from plato_spark.algos.nstep import nstep_degrees
+from plato_spark.algos.nstep import nstep_degrees, nstep_reach_exact
 from plato_spark.algos.walks import metapath_walks, random_walks
 from plato_spark.functions.multimodal import extract_features, synth_media
 from plato_spark.algos.pagerank import pagerank
@@ -419,6 +419,65 @@ rw0 AS MATERIALIZED (SELECT id AS walk_id, id AS cur, 1 AS plen FROM verts)"""]
     )
 
 
+def _sql_node2vec_walks(walk_length: int = 4, seed: int = 42,
+                        p: float = 0.5, q: float = 2.0) -> str:
+    """Unrolled node2vec (algos/walks.pick_biased semantics): weights
+    1/p back-to-prev, 1.0 distance-1, 1/q distance-2; pick = searchsorted
+    over the weight cumsum at u*total (side='right', clipped). Weights
+    0.5/1.0/2.0 are exact binary fractions so the cumsum is bit-identical
+    across engines; membership test mirrors the sorted-array probe."""
+    inv_p, inv_q = 1.0 / p, 1.0 / q
+    ctes = ["""adjw AS MATERIALIZED (
+  SELECT src AS cur, list(DISTINCT dst ORDER BY dst) AS nbrs
+  FROM edges GROUP BY src),
+n2v0 AS MATERIALIZED (
+  SELECT id AS walk_id, id AS cur, CAST(NULL AS BIGINT) AS prev, 1 AS plen
+  FROM verts)"""]
+    for k in range(1, walk_length):
+        u = _walk_u_sql(k, seed)
+        if k == 1:
+            # prev is NULL on the first hop: uniform pick (pick_biased's
+            # int(u*len)%len branch == the uniform formula)
+            ctes.append(f"""n2v1 AS MATERIALIZED (
+  SELECT w.walk_id,
+         COALESCE({_walk_pick_sql(k, seed)}, w.cur) AS cur,
+         w.cur AS prev,
+         w.plen + CASE WHEN a.nbrs IS NULL THEN 0 ELSE 1 END AS plen
+  FROM n2v0 w LEFT JOIN adjw a ON w.cur = a.cur)""")
+            continue
+        ctes.append(f"""ex{k} AS MATERIALIZED (
+  SELECT w.walk_id, w.cur, w.prev, {u} AS u,
+         unnest(a.nbrs) AS cand, generate_subscripts(a.nbrs, 1) AS pos
+  FROM n2v{k - 1} w JOIN adjw a ON w.cur = a.cur),
+wg{k} AS MATERIALIZED (
+  SELECT e.walk_id, e.cand, e.pos, e.u,
+         CASE WHEN e.cand = e.prev THEN {inv_p!r}
+              WHEN list_contains(pa.nbrs, e.cand) THEN 1.0
+              ELSE {inv_q!r} END AS wgt
+  FROM ex{k} e JOIN adjw pa ON e.prev = pa.cur),
+cm{k} AS MATERIALIZED (
+  SELECT walk_id, cand, pos, u,
+         sum(wgt) OVER (PARTITION BY walk_id ORDER BY pos) AS cum,
+         sum(wgt) OVER (PARTITION BY walk_id) AS tot,
+         count(*) OVER (PARTITION BY walk_id) AS deg
+  FROM wg{k}),
+pk{k} AS MATERIALIZED (
+  SELECT walk_id,
+         least(sum(CASE WHEN cum <= u * tot THEN 1 ELSE 0 END),
+               any_value(deg) - 1) AS idx
+  FROM cm{k} GROUP BY walk_id),
+n2v{k} AS MATERIALIZED (
+  SELECT w.walk_id, a.nbrs[CAST(pk.idx AS INT) + 1] AS cur,
+         w.cur AS prev, w.plen + 1 AS plen
+  FROM n2v{k - 1} w JOIN pk{k} pk ON w.walk_id = pk.walk_id
+  JOIN adjw a ON w.cur = a.cur)""")
+    return (
+        SQL_GRAPH_PREFIX + ", " + ",\n".join(ctes)
+        + f"\nSELECT walk_id, CAST(plen AS INT) AS path_len, cur AS last"
+          f" FROM n2v{walk_length - 1}"
+    )
+
+
 def _sql_metapath_walks(walk_length: int = 4, seed: int = 42) -> str:
     """Mirror of q_metapath_walks: co-order graph typed by order parity,
     walks alternating even/odd edge types."""
@@ -784,6 +843,10 @@ def q_nstep_degrees(spark, sf_dir):
     return nstep_degrees(_sym(spark, sf_dir), steps=2, direction="out")
 
 
+def q_nstep_exact(spark, sf_dir):
+    return nstep_reach_exact(_sym(spark, sf_dir), steps=2)
+
+
 def q_random_walks(spark, sf_dir):
     return random_walks(
         _sym(spark, sf_dir), walk_length=5, hash_impl="portable"
@@ -793,7 +856,9 @@ def q_random_walks(spark, sf_dir):
 
 
 def q_node2vec_walks(spark, sf_dir):
-    return random_walks(_sym(spark, sf_dir), walk_length=4, p=0.5, q=2.0).select(
+    return random_walks(
+        _sym(spark, sf_dir), walk_length=4, p=0.5, q=2.0, hash_impl="portable"
+    ).select(
         "walk_id", F.size("path").alias("path_len"), F.element_at("path", -1).alias("last")
     )
 
@@ -996,6 +1061,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "louvain_multi": q_louvain_multi,
         "betweenness_sampled": q_betweenness,
         "nstep_degrees": q_nstep_degrees,
+        "nstep_exact": q_nstep_exact,
         "random_walks": q_random_walks,
         "node2vec_walks": q_node2vec_walks,
         "metapath_walks": q_metapath_walks,
@@ -1162,7 +1228,15 @@ FROM vc LEFT JOIN ec ON vc.component = ec.component""",
                 )
             )}
             SELECT id AS doc_id, lab AS keeper_id FROM w6 ORDER BY id""",
+        "nstep_exact": SQL_GRAPH_PREFIX
+        + """, r1 AS MATERIALIZED (SELECT DISTINCT src, dst FROM edges),
+r2 AS MATERIALIZED (
+  SELECT DISTINCT a.src, b.dst FROM r1 a JOIN r1 b ON a.dst = b.src),
+rr AS (SELECT src, dst FROM r1 UNION SELECT src, dst FROM r2)
+SELECT src AS id, CAST(count(DISTINCT dst) AS BIGINT) AS n_reach
+FROM rr GROUP BY src""",
         "random_walks": _sql_random_walks(5),
+        "node2vec_walks": _sql_node2vec_walks(4),
         "metapath_walks": _sql_metapath_walks(4),
         "ann_topk": _sql_ann_topk(5),
         "ivf_ann": _sql_ivf_ann(5),

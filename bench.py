@@ -78,7 +78,9 @@ def main() -> None:
     expected_rows = corpus_params(sf)["n_commits"] * 6
     ext_p = auto_shuffle_partitions(spark, expected_rows, rows_per_partition=25_000)
     with scoped_shuffle_partitions(spark, ext_p):
-        corpus = synth_corpus(spark, sf)
+        # persist: extraction scans the corpus twice (co-commit + path-link);
+        # unpersisted, the synthetic generator would run once per scan
+        corpus = synth_corpus(spark, sf).persist()
         edges_str, _ = extract_graph(corpus, impl="arrow")
         edges_str = edges_str.persist()  # encode re-reads it (verts + 2 joins)
         enc, dic = encode_vertices(edges_str)

@@ -85,3 +85,29 @@ def nstep_degrees(
         "id",
         F.round(F.hll_sketch_estimate("sk") - 1.0, 3).alias("nstep_degree"),
     )
+
+
+def nstep_reach_exact(edges: DataFrame, steps: int = 2) -> DataFrame:
+    """(id, n_reach) — EXACT n-hop out-neighborhood sizes (self not
+    special-cased: v counts itself only if a directed cycle returns in <=n).
+
+    Correctness baseline for nstep_degrees' HLL estimates, same pairing as
+    brute-force-vs-IVF in similarity search: exact k-hop materialization is
+    O(E * avg_deg^(k-1)) pairs worst-case, so at 100TB scale use the sketch;
+    at validation scale this is the oracle-checkable ground truth
+    (reference: nstepdegrees.hpp computes the same quantity approximately).
+    """
+    e = edges.select("src", "dst").distinct()
+    reach = e
+    hop = e
+    for _ in range(steps - 1):
+        hop = (
+            hop.select("src", F.col("dst").alias("mid"))
+            .join(e.select(F.col("src").alias("mid"), "dst"), "mid")
+            .select("src", "dst")
+            .distinct()
+        )
+        reach = reach.unionByName(hop).distinct()
+    return reach.groupBy(F.col("src").alias("id")).agg(
+        F.count_distinct("dst").cast("long").alias("n_reach")
+    )

@@ -109,6 +109,22 @@ def test_nstep_degrees_accuracy(spark):
         assert abs(got[v] - exact) <= max(2, 0.2 * exact), (v, got[v], exact)
 
 
+def test_nstep_reach_exact(spark):
+    from plato_spark.algos.nstep import nstep_reach_exact
+
+    edges = random_graph(n=40, m=100, seed=73, directed=True)
+    got = df_to_dict(nstep_reach_exact(edges_df(spark, edges), steps=2),
+                     val="n_reach")
+    adj = defaultdict(set)
+    for u, v in edges:
+        adj[u].add(v)
+    for v, n in got.items():
+        reach = set(adj[v]) | {w for u in adj[v] for w in adj[u]}
+        assert n == len(reach), (v, n, len(reach))
+    # only vertices with out-edges appear
+    assert set(got) == {u for u, _ in edges}
+
+
 def test_random_walks_uniform(spark):
     edges = random_graph(n=25, m=120, seed=79, directed=True)
     adj = defaultdict(set)

@@ -93,3 +93,58 @@ def test_windowed_event_counts_streaming(spark, tmp_path):
     )
     assert len(got) == want
     assert sum(r["n"] for r in got) == 30
+
+
+def test_sessionize_events_stateful(spark, tmp_path):
+    """applyInPandasWithState sessionization: in-batch gap closure in batch 1,
+    event-time-timeout flush in batch 2 once the watermark advances."""
+    from plato_spark.streaming.ingest import sessionize_events
+
+    src_dir = str(tmp_path / "sess_in")
+    os.makedirs(src_dir)
+    schema = "event_id long, ts timestamp, user_id long, event_type string, value double"
+
+    def write_file(rows, name):
+        spark.createDataFrame(
+            rows, "event_id long, ts_s string, user_id long, event_type string, value double"
+        ).select(
+            "event_id", F.to_timestamp("ts_s").alias("ts"),
+            "user_id", "event_type", "value",
+        ).coalesce(1).write.mode("append").parquet(src_dir)
+
+    # batch 1: user 1 has two sessions split by an in-batch gap; user 2 one open session
+    write_file(
+        [
+            (0, "2024-01-01 00:00:00", 1, "click", 1.0),
+            (1, "2024-01-01 00:02:00", 1, "view", 2.0),
+            (2, "2024-01-01 01:00:00", 1, "click", 4.0),
+            (3, "2024-01-01 00:00:30", 2, "click", 8.0),
+        ],
+        "f1",
+    )
+    # batch 2: user 3 far in the future advances the watermark -> timeouts fire
+    write_file([(4, "2024-01-01 06:00:00", 3, "click", 16.0)], "f2")
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src_dir)
+    )
+    sess = sessionize_events(stream, gap_seconds=300, watermark="1 hour")
+    q = (
+        sess.writeStream.format("memory")
+        .queryName("sessions_out")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    rows = spark.sql(
+        "SELECT user_id, n_events, value_sum FROM sessions_out ORDER BY user_id, n_events DESC"
+    ).collect()
+    got = [(r["user_id"], r["n_events"], r["value_sum"]) for r in rows]
+    # u1 session1 (2 events), u1 session2 (1), u2 session (1); u3 still open
+    assert (1, 2, 3.0) in got
+    assert (1, 1, 4.0) in got
+    assert (2, 1, 8.0) in got
+    assert all(u != 3 for u, _, _ in got)
