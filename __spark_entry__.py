@@ -768,6 +768,12 @@ def q_wcc(spark, sf_dir):
     return connected_components(part_cooccurrence_edges(spark, sf_dir))
 
 
+def q_wcc_jump(spark, sf_dir):
+    # pointer-jumping impl converges to the same min-vid fixpoint labels,
+    # so the hash-min unrolled oracle applies verbatim
+    return connected_components(part_cooccurrence_edges(spark, sf_dir), impl="jump")
+
+
 def q_lpa(spark, sf_dir):
     return label_propagation(_sym(spark, sf_dir), iterations=LPA_ITERS)
 
@@ -1047,6 +1053,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pagerank_spmv": q_pagerank_spmv,
         "pagerank_weighted": q_pagerank_weighted,
         "wcc": q_wcc,
+        "wcc_jump": q_wcc_jump,
         "lpa": q_lpa,
         "triangle_count": q_triangle_count,
         "common_neighbors": q_common_neighbors,
@@ -1103,6 +1110,7 @@ def oracle_sql() -> dict[str, str]:
         "pagerank_spmv": _sql_pagerank(PR_ITERS),
         "pagerank_weighted": _sql_pagerank(PRW_ITERS, weighted=True),
         "wcc": _sql_wcc(WCC_SQL_ITERS),
+        "wcc_jump": _sql_wcc(WCC_SQL_ITERS),
         "lpa": _sql_lpa(LPA_ITERS),
         "hanp": _sql_hanp(),
         "louvain": _sql_louvain(),

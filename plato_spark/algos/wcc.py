@@ -41,8 +41,19 @@ def connected_components(
     edges: DataFrame,
     max_iters: int = 100,
     ckpt: CheckpointManager | None = None,
+    impl: str = "hashmin",
 ) -> DataFrame:
-    """Returns (id: long, component: long) — component = min vid reachable."""
+    """Returns (id: long, component: long) — component = min vid reachable.
+
+    impl="hashmin": the reference's frontier loop — O(diameter) supersteps,
+    optimal message volume on small-diameter graphs (social/co-occurrence).
+    impl="jump": hash-min exchange + two pointer-jumping hops per superstep
+    (label <- label[label], path doubling) — O(log diameter) supersteps.
+    At 100TB the corpus graph contains long path-link chains (files chained
+    per directory), where diameter ~ directory size makes plain hash-min
+    unboundedly slow; jumping converges a 10^4-long chain in ~15 rounds.
+    Both produce identical min-vid labels (equivalence-tested).
+    """
     spark = edges.sparkSession
     sym0 = symmetrize(edges.select("src", "dst")).persist()
     n_sym = sym0.count()
@@ -89,7 +100,43 @@ def connected_components(
             "converged": False,
         }
 
+    def step_jump(state: DataFrame, k: int):
+        # 1. one hash-min exchange (the reference superstep, frontier-free:
+        #    jumping rewrites labels without messages, so the changed-set
+        #    no longer bounds who must speak)
+        msgs = (
+            sym.join(
+                state.select(F.col("id").alias("src"), F.col("label").alias("msg")),
+                "src",
+            )
+            .groupBy(F.col("dst").alias("id"))
+            .agg(F.min("msg").alias("cand"))
+        )
+        s = state.join(msgs, "id", "left").select(
+            "id",
+            F.col("label").alias("old"),
+            F.least(F.col("label"), F.coalesce("cand", F.col("label"))).alias("label"),
+        )
+        # 2. two pointer jumps: label <- label(label). Every label IS a
+        #    vertex id, so the parent lookup is a self-join on the state
+        #    table; labels only decrease (min-vid invariant), halving the
+        #    distance-to-root each hop.
+        for _ in range(2):
+            parent = s.select(F.col("id").alias("label"), F.col("label").alias("plab"))
+            s = s.join(parent, "label", "left").select(
+                "id", "old",
+                F.least(F.col("label"), F.coalesce("plab", F.col("label"))).alias("label"),
+            )
+        n_changed = s.where(F.col("label") < F.col("old")).count()
+        new_state = s.select("id", "label", (F.col("label") < F.col("old")).alias("changed"))
+        return new_state, {
+            "messages_sent": n_sym,
+            "frontier": n_changed,
+            "delta_norm": float(n_changed),
+            "converged": n_changed == 0,
+        }
+
     driver = SuperstepDriver(ckpt=ckpt, max_iters=max_iters)
     with scoped_shuffle_partitions(spark, shuffle_n):
-        final = driver.run(state0, step)
+        final = driver.run(state0, step_jump if impl == "jump" else step)
     return final.select("id", F.col("label").alias("component"))

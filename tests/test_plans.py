@@ -96,3 +96,44 @@ def test_lineitem_extraction_prunes_columns(spark):
     assert "l_orderkey" in read and "l_partkey" in read
     for col in ("l_extendedprice", "l_quantity", "l_shipdate", "l_returnflag"):
         assert col not in read
+
+
+def test_minhash_signatures_stay_jvm_side(spark):
+    """The sketch hot path must be whole-stage-codegen built-ins — a Python
+    UDF here would serialize every shingle through Arrow for nothing."""
+    from plato_spark.functions.dedup import minhash_signatures
+
+    docs = spark.createDataFrame(
+        [(i, f"alpha beta gamma delta epsilon {i}") for i in range(20)],
+        "doc_id long, text string",
+    )
+    for impl in ("xxhash64", "portable"):
+        p = plan_of(minhash_signatures(docs, hash_impl=impl))
+        assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p, impl
+        # partial aggregation: the 64 mins combine map-side before the shuffle
+        assert "partial_min" in p or "HashAggregate" in p, impl
+
+
+def test_simhash_portable_single_shuffle_partial_agg(spark):
+    from plato_spark.functions.dedup import simhash_signatures_portable
+
+    docs = spark.createDataFrame(
+        [(i, f"one two three {i}") for i in range(10)], "doc_id long, text string"
+    )
+    p = plan_of(simhash_signatures_portable(docs))
+    assert "ArrowEvalPython" not in p and "BatchEvalPython" not in p
+    # one exchange for the vote aggregation (plus the base-join exchanges)
+    assert p.count("Exchange hashpartitioning(id") <= 3, p
+
+
+def test_ivf_assignment_broadcasts_centroids(spark):
+    """The k x dim centroid table must broadcast — shuffling the full vector
+    table against 8 centroids would be a pointless wide exchange."""
+    from plato_spark.functions.similarity import ivf_ann
+
+    emb = spark.createDataFrame(
+        [(i, [float(i % 7), float(i % 3), 1.0, 0.5]) for i in range(64)],
+        "vec_id long, embedding array<double>",
+    )
+    p = plan_of(ivf_ann(emb, k=3, n_clusters=4, lloyd_iters=1))
+    assert "BroadcastNestedLoopJoin" in p or "BroadcastExchange" in p, p

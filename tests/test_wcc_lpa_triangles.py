@@ -88,3 +88,26 @@ def test_parallelism_invariance_wcc_lpa_triangles(spark):
         finally:
             spark.conf.set("spark.sql.shuffle.partitions", old)
     assert results[0] == results[1]
+
+
+def test_wcc_jump_matches_hashmin(spark):
+    from oracles import random_graph
+
+    edges = random_graph(n=60, m=110, seed=17, directed=False)
+    df = edges_df(spark, edges)
+    a = {r["id"]: r["component"]
+         for r in connected_components(df, impl="hashmin").collect()}
+    b = {r["id"]: r["component"]
+         for r in connected_components(df, impl="jump").collect()}
+    assert a == b
+
+
+def test_wcc_jump_long_chain_logarithmic(spark):
+    """A 400-vertex path has diameter 399: hash-min needs ~400 supersteps,
+    pointer jumping must finish in O(log n) (~<=12 rounds of 1 exchange +
+    2 jumps each)."""
+    chain = [(i, i + 1) for i in range(400)]
+    df = edges_df(spark, chain)
+    got = connected_components(df, max_iters=14, impl="jump")
+    comps = {r["component"] for r in got.collect()}
+    assert comps == {0}
