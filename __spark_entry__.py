@@ -37,6 +37,7 @@ from plato_spark.algos.walks import metapath_walks, random_walks
 from plato_spark.functions.multimodal import extract_features, synth_media
 from plato_spark.algos.pagerank import pagerank
 from plato_spark.algos.triangles import (
+    clustering_coefficient,
     common_neighbor_payload,
     common_neighbors,
     triangle_count,
@@ -786,6 +787,20 @@ def q_common_neighbors(spark, sf_dir):
     return common_neighbors(part_cooccurrence_edges(spark, sf_dir))
 
 
+def q_clustering_coefficient(spark, sf_dir):
+    return clustering_coefficient(part_cooccurrence_edges(spark, sf_dir))
+
+
+def q_degree_histogram(spark, sf_dir):
+    return (
+        _sym(spark, sf_dir)
+        .groupBy(F.col("src").alias("id"))
+        .agg(F.count("*").alias("degree"))
+        .groupBy(F.floor(F.log2("degree")).cast("long").alias("bucket"))
+        .agg(F.count("*").cast("long").alias("n"))
+    )
+
+
 def q_bfs(spark, sf_dir):
     canon = part_cooccurrence_edges(spark, sf_dir)
     root = canon.agg(
@@ -1056,6 +1071,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "wcc_jump": q_wcc_jump,
         "lpa": q_lpa,
         "triangle_count": q_triangle_count,
+        "clustering_coefficient": q_clustering_coefficient,
+        "degree_histogram": q_degree_histogram,
         "common_neighbors": q_common_neighbors,
         "common_neighbor_payload": q_common_neighbor_payload,
         "bfs": q_bfs,
@@ -1123,6 +1140,24 @@ def oracle_sql() -> dict[str, str]:
         + """SELECT CAST(count(*) AS BIGINT) AS triangles
              FROM canon a JOIN canon b ON a.dst = b.src
              JOIN canon c ON c.src = a.src AND c.dst = b.dst""",
+        "clustering_coefficient": SQL_GRAPH_PREFIX
+        + """, tri AS MATERIALIZED (
+  SELECT a.src AS x, a.dst AS y, b.dst AS z
+  FROM canon a JOIN canon b ON a.dst = b.src
+  JOIN canon c ON c.src = a.src AND c.dst = b.dst),
+corners AS (SELECT x AS id FROM tri UNION ALL
+            SELECT y AS id FROM tri UNION ALL
+            SELECT z AS id FROM tri),
+tv AS (SELECT id, CAST(count(*) AS BIGINT) AS t FROM corners GROUP BY id)
+SELECT v.id,
+       CASE WHEN d.deg >= 2
+            THEN round(2.0 * COALESCE(tv.t, 0) / (d.deg * (d.deg - 1)), 6)
+            ELSE 0.0 END AS lcc
+FROM verts v JOIN deg d ON v.id = d.id LEFT JOIN tv ON v.id = tv.id""",
+        "degree_histogram": SQL_GRAPH_PREFIX
+        + """SELECT CAST(floor(log2(deg)) AS BIGINT) AS bucket,
+                    CAST(count(*) AS BIGINT) AS n
+             FROM deg GROUP BY 1""",
         "common_neighbor_payload": SQL_GRAPH_PREFIX
         + """SELECT c.src, c.dst,
                     CAST(COALESCE(t.cnt, 0) AS BIGINT) AS common_count,

@@ -121,6 +121,28 @@ def _triangle_count(canon: DataFrame, per_vertex: bool) -> DataFrame:
     )
 
 
+def clustering_coefficient(canon: DataFrame) -> DataFrame:
+    """(id, lcc) — local clustering coefficient per vertex:
+    2*tri(v) / (deg(v)*(deg(v)-1)), deg < 2 => 0.0, rounded 6dp.
+
+    Composes the per-vertex oriented triangle count with the undirected
+    degree table — one extra co-partitioned join over triangle_count's
+    plan, no new shuffle shape (the classic mutual-derived statistic;
+    reference computes the ingredients in mutual.hpp / cgm stats).
+    """
+    tri = triangle_count(canon, per_vertex=True)
+    deg = _degrees(canon)
+    lcc = F.when(
+        F.col("deg") >= 2,
+        F.round(
+            2.0 * F.col("triangles") / (F.col("deg") * (F.col("deg") - 1)), 6
+        ),
+    ).otherwise(F.lit(0.0))
+    return tri.join(deg, "id", "left").select(
+        "id", lcc.alias("lcc")
+    )
+
+
 def common_neighbor_payload(
     canon: DataFrame,
     payload: DataFrame,

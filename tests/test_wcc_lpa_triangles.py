@@ -111,3 +111,12 @@ def test_wcc_jump_long_chain_logarithmic(spark):
     got = connected_components(df, max_iters=14, impl="jump")
     comps = {r["component"] for r in got.collect()}
     assert comps == {0}
+
+
+def test_clustering_coefficient_small(spark):
+    from plato_spark.algos.triangles import clustering_coefficient
+
+    # triangle 0-1-2 plus pendant 2-3
+    df = edges_df(spark, [(0, 1), (0, 2), (1, 2), (2, 3)])
+    got = df_to_dict(clustering_coefficient(df), val="lcc")
+    assert got == {0: 1.0, 1: 1.0, 2: round(1 / 3, 6), 3: 0.0}
