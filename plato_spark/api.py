@@ -31,7 +31,12 @@ from plato_spark.algos.louvain import louvain, modularity
 from plato_spark.algos.lpa import label_propagation
 from plato_spark.algos.nstep import nstep_degrees
 from plato_spark.algos.pagerank import pagerank
-from plato_spark.algos.triangles import common_neighbors, triangle_count
+from plato_spark.algos.nstep import nstep_reach_exact
+from plato_spark.algos.triangles import (
+    clustering_coefficient,
+    common_neighbors,
+    triangle_count,
+)
 from plato_spark.algos.walks import metapath_walks, random_walks
 from plato_spark.algos.wcc import connected_components
 from plato_spark.corpus.extract import extract_graph
@@ -139,6 +144,12 @@ class LinkGraph:
 
     def triangle_count(self, per_vertex: bool = False) -> DataFrame:
         return triangle_count(self.edges.select("src", "dst"), per_vertex=per_vertex)
+
+    def clustering_coefficient(self, decode: bool = False) -> DataFrame:
+        return self._maybe_decode(clustering_coefficient(self.edges), decode)
+
+    def nstep_reach_exact(self, **kw) -> DataFrame:
+        return nstep_reach_exact(self.sym, **kw)
 
     def common_neighbors(self, **kw) -> DataFrame:
         return common_neighbors(self.edges.select("src", "dst"), **kw)
