@@ -159,7 +159,7 @@ PRW_ITERS = 5
 LPA_ITERS = 3
 WCC_SQL_ITERS = 10  # >= graph diameter at sf<=0.1 (dense co-occurrence graph)
 BFS_SQL_ITERS = 5   # measured BFS eccentricity from min vertex is 2 at sf<=0.1
-KCORE_SQL_ITERS = 26  # h-index fixpoint measured at 19 iters on the sf0.01 graph
+KCORE_SQL_ITERS = 40  # h-index fixpoint: 19 iters at sf0.01, 38 at sf0.1
 CLOSENESS_SAMPLES = 4
 
 

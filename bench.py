@@ -107,6 +107,16 @@ def main() -> None:
         extra["pagerank_supersteps_per_sec"] = iters / queries["pagerank_conv"]
         extra["pagerank_edges_per_sec"] = 2 * n_edges * iters / queries["pagerank_conv"]
 
+    # north-star layout A/B: grouped-CSR + Arrow SpMV gather (reported as an
+    # extra; the headline pagerank above is the one-shuffle join plan)
+    t0 = time.time()
+    st_spmv: dict = {}
+    pr2 = pagerank(sym, damping=0.85, eps=1e-6, max_iters=100, impl="spmv",
+                   stats=st_spmv)
+    pr2.select(F.sum("rank")).collect()
+    extra["pagerank_spmv_sec"] = time.time() - t0
+    extra["pagerank_spmv_iterations"] = st_spmv.get("iterations", 0)
+
     t0 = time.time()
     wcc = connected_components(canon)
     wcc.select(F.count_distinct("component")).collect()
