@@ -121,3 +121,26 @@ def spmv_gather(
     return csr.groupBy("block").cogroup(msgs.groupBy("block")).applyInPandas(
         gather, schema="id long, gathered double"
     )
+
+
+def save_csr_blocks(csr: DataFrame, path: str) -> None:
+    """Persist CSR blocks as Parquet, one directory per block.
+
+    The block layout survives restarts: a reload skips the edge shuffle +
+    block build entirely (plato rebuilds its bcsr/dcsc from CSV on every
+    run — persisting the built structure is the Spark-native upgrade,
+    §1.3 'Parquet for persistence'). partitionBy("block") gives partition
+    pruning when a job needs a vertex-range subset.
+    """
+    csr.write.mode("overwrite").partitionBy("block").parquet(path)
+
+
+def load_csr_blocks(spark, path: str, num_partitions: int | None = None) -> DataFrame:
+    """Reload persisted CSR blocks, re-partitioned on the cogroup key so
+    supersteps over them shuffle only the message table."""
+    csr = spark.read.parquet(path).select(
+        "block", "dsts", "indptr", "srcs", "weights"
+    )
+    if num_partitions:
+        csr = csr.repartition(num_partitions, "block")
+    return csr

@@ -116,3 +116,39 @@ def test_encode_vertices_partitioning_invariant(spark):
         finally:
             spark.conf.set("spark.sql.shuffle.partitions", old)
     assert outs[0] == outs[1]
+
+
+def test_csr_blocks_parquet_roundtrip(spark, tmp_path):
+    """Persisted CSR blocks reload bit-identically and gather the same."""
+    from plato_spark.graph.csr import (
+        build_csr_blocks,
+        build_route,
+        load_csr_blocks,
+        save_csr_blocks,
+        spmv_gather,
+    )
+    from oracles import random_graph
+    from conftest import edges_df
+    from plato_spark.graph.partitioning import degree_weighted_ranges
+
+    edges = random_graph(n=50, m=200, seed=11, directed=True)
+    df = edges_df(spark, edges)
+    from pyspark.sql import functions as F
+    ideg = df.groupBy(F.col("dst").alias("id")).agg(F.count("*").alias("deg"))
+    boundaries = degree_weighted_ranges(ideg, 4, 49)
+    csr = build_csr_blocks(df, boundaries)
+    save_csr_blocks(csr, str(tmp_path / "csr"))
+    back = load_csr_blocks(spark, str(tmp_path / "csr"), num_partitions=4)
+
+    route = build_route(df, boundaries)
+    state = df.select(F.col("src").alias("id")).distinct().select(
+        "id", F.lit(1.0).alias("contrib")
+    )
+    a = {r["id"]: r["gathered"] for r in spmv_gather(csr, route, state).collect()}
+    b = {r["id"]: r["gathered"] for r in spmv_gather(back, route, state).collect()}
+    assert a == b
+    # sanity: gather of all-ones = in-degree
+    want = {}
+    for _, v in edges:
+        want[v] = want.get(v, 0) + 1
+    assert a == {k: float(v) for k, v in want.items()}
