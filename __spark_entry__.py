@@ -950,6 +950,24 @@ def q_events_windowed(spark, sf_dir):
     )
 
 
+def q_events_sessions(spark, sf_dir):
+    """Batch session windows (native F.session_window; the streaming
+    counterpart is plato_spark.streaming.sessionize_events). A session
+    extends while consecutive events are < 30 min apart (half-open
+    window: an exactly-30-min gap starts a new session)."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+            F.count("*").cast("long").alias("n_events"),
+            F.round(F.sum("value"), 6).alias("value_sum"),
+        )
+        .select("user_id", "session_start", "session_end", "n_events", "value_sum")
+    )
+
+
 def q_common_neighbor_payload(spark, sf_dir):
     """Mutual with vertex payload: avg part retail price over each linked
     pair's common neighbors (example/mutual.cc vertex-data variant)."""
@@ -1093,6 +1111,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_features": q_media_features,
         "component_stats": q_component_stats,
         "events_windowed": q_events_windowed,
+        "events_sessions": q_events_sessions,
         "dedup_exact": q_dedup_exact,
         "dedup_clusters": q_dedup_clusters,
         "token_count": q_token_count,
@@ -1189,6 +1208,21 @@ FROM vc LEFT JOIN ec ON vc.component = ec.component""",
                    CAST(count(*) AS BIGINT) AS n,
                    round(sum(value), 6) AS value_sum
             FROM events GROUP BY date_trunc('hour', ts), event_type""",
+        "events_sessions": """
+            WITH x AS (
+              SELECT user_id, ts, value,
+                     CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                               < INTERVAL 30 MINUTE
+                          THEN 0 ELSE 1 END AS brk
+              FROM events),
+            g AS (SELECT user_id, ts, value,
+                         sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+                                        ROWS UNBOUNDED PRECEDING) AS grp
+                  FROM x)
+            SELECT user_id, min(ts) AS session_start, max(ts) AS session_end,
+                   CAST(count(*) AS BIGINT) AS n_events,
+                   round(sum(value), 6) AS value_sum
+            FROM g GROUP BY user_id, grp""",
         "dedup_exact": """
             SELECT min(doc_id) AS keeper_id, CAST(count(*) AS BIGINT) AS dup_count,
                    sha256(text) AS content_sha
