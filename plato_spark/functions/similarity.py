@@ -111,12 +111,15 @@ def ivf_ann(
     """
     vecs = emb.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))
 
-    # deterministic seed centroids: vectors of the n_clusters smallest ids
+    # deterministic seed centroids: vectors of the n_clusters smallest ids.
+    # orderBy+limit compiles to TakeOrderedAndProject (distributed top-k);
+    # the global row_number window then runs over only n_clusters rows —
+    # never over the full vector table (no single-partition bottleneck).
+    seeds = vecs.orderBy(F.col("id").asc()).limit(n_clusters)
     w_seed = Window.orderBy(F.col("id").asc())
-    cent = (
-        vecs.withColumn("__rn", F.row_number().over(w_seed))
-        .where(F.col("__rn") <= n_clusters)
-        .select((F.col("__rn") - 1).alias("cluster"), F.col("vec").alias("cvec"))
+    cent = seeds.select(
+        (F.row_number().over(w_seed) - 1).alias("cluster"),
+        F.col("vec").alias("cvec"),
     )
 
     def _assign(c: DataFrame) -> DataFrame:
