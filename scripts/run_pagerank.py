@@ -19,8 +19,11 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import sys
 import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def main() -> None:
@@ -43,7 +46,12 @@ def main() -> None:
     from plato_spark.graph.edges import encode_vertices, symmetrize, canonicalize_undirected
     from plato_spark.sources.sinks import write_result
 
-    spark = SparkSession.builder.appName("plato_spark_pagerank").getOrCreate()
+    from pyspark import SparkConf
+    if SparkConf().contains("spark.master"):  # set by spark-submit
+        spark = SparkSession.builder.appName("plato_spark_pagerank").getOrCreate()
+    else:
+        from plato_spark.session import get_spark
+        spark = get_spark(app_name="plato_spark_pagerank")
 
     t0 = time.time()
     corpus = synth_corpus(spark, args.sf)
