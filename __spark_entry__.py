@@ -787,6 +787,11 @@ def q_common_neighbors(spark, sf_dir):
     return common_neighbors(part_cooccurrence_edges(spark, sf_dir))
 
 
+def q_common_neighbor_lists(spark, sf_dir):
+    """Mutual's list output mode (example/mutual.cc:204-222: src,dst,list)."""
+    return common_neighbors(part_cooccurrence_edges(spark, sf_dir), as_count=False)
+
+
 def q_clustering_coefficient(spark, sf_dir):
     return clustering_coefficient(part_cooccurrence_edges(spark, sf_dir))
 
@@ -1092,6 +1097,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "clustering_coefficient": q_clustering_coefficient,
         "degree_histogram": q_degree_histogram,
         "common_neighbors": q_common_neighbors,
+        "common_neighbor_lists": q_common_neighbor_lists,
         "common_neighbor_payload": q_common_neighbor_payload,
         "bfs": q_bfs,
         "tree_stat": q_tree_stat,
@@ -1191,6 +1197,13 @@ FROM verts v JOIN deg d ON v.id = d.id LEFT JOIN tv ON v.id = tv.id""",
         + """SELECT c.src, c.dst, CAST(COALESCE(t.cnt, 0) AS BIGINT) AS common_count
              FROM canon c LEFT JOIN (
                SELECT a.src AS u, b.src AS v, count(*) AS cnt
+               FROM edges a JOIN edges b ON a.dst = b.dst AND a.src < b.src
+               GROUP BY a.src, b.src) t ON c.src = t.u AND c.dst = t.v""",
+        "common_neighbor_lists": SQL_GRAPH_PREFIX
+        + """SELECT c.src, c.dst,
+                    COALESCE(t.l, CAST([] AS BIGINT[])) AS common
+             FROM canon c LEFT JOIN (
+               SELECT a.src AS u, b.src AS v, list(a.dst ORDER BY a.dst) AS l
                FROM edges a JOIN edges b ON a.dst = b.dst AND a.src < b.src
                GROUP BY a.src, b.src) t ON c.src = t.u AND c.dst = t.v""",
         "component_stats": _sql_wcc(WCC_SQL_ITERS).replace(
