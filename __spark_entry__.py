@@ -33,6 +33,7 @@ from plato_spark.algos.betweenness import betweenness_sampled
 from plato_spark.algos.louvain import louvain
 from plato_spark.algos.lpa import label_propagation
 from plato_spark.algos.nstep import nstep_degrees, nstep_reach_exact
+from plato_spark.algos.sssp import sssp
 from plato_spark.algos.walks import metapath_walks, random_walks
 from plato_spark.functions.multimodal import extract_features, synth_media
 from plato_spark.algos.pagerank import pagerank
@@ -314,6 +315,27 @@ def _sql_tree_stat() -> str:
 lv AS (SELECT dist, count(*) AS n FROM {last} GROUP BY dist)
 SELECT (SELECT CAST(max(dist) AS BIGINT) FROM {last}) AS depth,
        (SELECT CAST(max(n) AS BIGINT) FROM lv) AS width"""
+
+
+def _sql_sssp(iters: int = 8) -> str:
+    """Unrolled min-plus relaxation from the smallest vertex; ``iters`` must
+    be >= the max hop count of any weighted shortest path (measured 4 at
+    sf0.01, 5 at sf0.1 on the co-occurrence graph; 8 = headroom)."""
+    ctes = ["""sd0 AS MATERIALIZED (
+  SELECT id, CAST(0.0 AS DOUBLE) AS dist FROM verts
+  WHERE id = (SELECT min(id) FROM verts))"""]
+    for k in range(iters):
+        ctes.append(f"""sd{k + 1} AS MATERIALIZED (
+  SELECT id, min(dist) AS dist FROM (
+    SELECT id, dist FROM sd{k}
+    UNION ALL
+    SELECT e.dst AS id, d.dist + e.weight AS dist
+    FROM sd{k} d JOIN edges e ON e.src = d.id) u
+  GROUP BY id)""")
+    return (
+        SQL_GRAPH_PREFIX + ", " + ",\n".join(ctes)
+        + f"\nSELECT id, round(dist, 6) AS dist FROM sd{iters} ORDER BY id"
+    )
 
 
 def _sql_kcore(iters: int = KCORE_SQL_ITERS) -> str:
@@ -822,6 +844,16 @@ def q_tree_stat(spark, sf_dir):
     return tree_stat(symmetrize(canon), root=int(root))
 
 
+def q_sssp(spark, sf_dir):
+    """Weighted shortest paths from the smallest vertex (edge length =
+    co-occurrence weight), exact min-plus distances."""
+    sym = symmetrize(part_cooccurrence_edges(spark, sf_dir, weighted=True))
+    root = sym.agg(F.min("src").alias("m")).collect()[0]["m"]
+    return sssp(sym, root=int(root), weight="weight").select(
+        "id", F.round("dist", 6).alias("dist")
+    )
+
+
 def q_kcore(spark, sf_dir):
     return kcore(part_cooccurrence_edges(spark, sf_dir))
 
@@ -1102,6 +1134,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bfs": q_bfs,
         "tree_stat": q_tree_stat,
         "kcore": q_kcore,
+        "sssp": q_sssp,
         "closeness_sampled": q_closeness,
         "hanp": q_hanp,
         "hyperanf": q_hyperanf,
@@ -1160,6 +1193,7 @@ def oracle_sql() -> dict[str, str]:
         "bfs": _sql_bfs_query(),
         "tree_stat": _sql_tree_stat(),
         "kcore": _sql_kcore(),
+        "sssp": _sql_sssp(),
         "closeness_sampled": _sql_closeness(),
         "triangle_count": SQL_GRAPH_PREFIX
         + """SELECT CAST(count(*) AS BIGINT) AS triangles

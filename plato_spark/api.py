@@ -32,6 +32,7 @@ from plato_spark.algos.lpa import label_propagation
 from plato_spark.algos.nstep import nstep_degrees
 from plato_spark.algos.pagerank import pagerank
 from plato_spark.algos.nstep import nstep_reach_exact
+from plato_spark.algos.sssp import sssp
 from plato_spark.algos.triangles import (
     clustering_coefficient,
     common_neighbors,
@@ -153,6 +154,11 @@ class LinkGraph:
 
     def common_neighbors(self, **kw) -> DataFrame:
         return common_neighbors(self.edges.select("src", "dst"), **kw)
+
+    def sssp(self, root: int, decode: bool = False, **kw) -> DataFrame:
+        if self.weight and "weight" not in kw:
+            kw["weight"] = self.weight
+        return self._maybe_decode(sssp(self.sym, root=root, **kw), decode)
 
     def bfs(self, root: int, **kw) -> DataFrame:
         return bfs(self.sym.select("src", "dst"), root=root, **kw)

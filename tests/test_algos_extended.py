@@ -169,3 +169,43 @@ def test_hyperanf_reasonable(spark):
     avg, curve = hyperanf(edges_df(spark, sym), iterations=15, lg_k=12)
     assert curve[0] > 0 and curve[-1] >= curve[0]
     assert abs(avg - exact_pairs) / exact_pairs < 0.15  # HLL tolerance
+
+
+def test_sssp_matches_dijkstra(spark):
+    import heapq
+
+    from conftest import edges_df
+    from oracles import random_graph
+    from plato_spark.algos.sssp import sssp
+
+    edges = random_graph(n=40, m=120, seed=5, directed=True)
+    weights = [1.0 + ((u * 7 + v * 13) % 5) for u, v in edges]
+    df = edges_df(spark, edges, weights)
+    root = min(u for u, _ in edges)
+    got = {r["id"]: r["dist"] for r in sssp(df, root=root, weight="weight").collect()}
+
+    adj = {}
+    for (u, v), w in zip(edges, weights):
+        adj.setdefault(u, []).append((v, w))
+    dist = {root: 0.0}
+    pq = [(0.0, root)]
+    while pq:
+        d, u = heapq.heappop(pq)
+        if d > dist.get(u, float("inf")):
+            continue
+        for v, w in adj.get(u, []):
+            nd = d + w
+            if nd < dist.get(v, float("inf")):
+                dist[v] = nd
+                heapq.heappush(pq, (nd, v))
+    assert got == dist
+
+
+def test_sssp_unweighted_is_bfs(spark):
+    from conftest import edges_df
+    from plato_spark.algos.sssp import sssp
+
+    chain = [(i, i + 1) for i in range(20)]
+    df = edges_df(spark, chain)
+    got = {r["id"]: r["dist"] for r in sssp(df, root=0).collect()}
+    assert got == {i: float(i) for i in range(21)}
