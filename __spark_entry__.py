@@ -36,7 +36,7 @@ from plato_spark.algos.nstep import nstep_degrees, nstep_reach_exact
 from plato_spark.algos.sssp import sssp
 from plato_spark.algos.walks import metapath_walks, random_walks
 from plato_spark.functions.multimodal import extract_features, synth_media
-from plato_spark.algos.pagerank import pagerank
+from plato_spark.algos.pagerank import pagerank, personalized_pagerank
 from plato_spark.algos.triangles import (
     clustering_coefficient,
     common_neighbor_payload,
@@ -112,6 +112,27 @@ def _sql_pagerank(iters: int, damping: float = 0.85, weighted: bool = False) -> 
     return (
         SQL_GRAPH_PREFIX + ", " + ",\n".join(ctes)
         + f"\nSELECT id, round(rank, 6) AS rank FROM r{iters} ORDER BY id"
+    )
+
+
+def _sql_ppr(iters: int = 10, damping: float = 0.85, n_sources: int = 4) -> str:
+    """Unrolled personalized PageRank (algos/pagerank.personalized_pagerank):
+    teleport mass restricted to the n_sources smallest vertices, r0 = s."""
+    ctes = [f"""srcs AS MATERIALIZED (SELECT id FROM verts ORDER BY id LIMIT {n_sources}),
+pb AS MATERIALIZED (
+  SELECT v.id, CASE WHEN s.id IS NOT NULL THEN 1.0 ELSE 0.0 END AS s
+  FROM verts v LEFT JOIN srcs s ON v.id = s.id),
+pr0 AS MATERIALIZED (SELECT id, CAST(s AS DOUBLE) AS rank FROM pb)"""]
+    for k in range(iters):
+        ctes.append(f"""pr{k + 1} AS MATERIALIZED (
+  SELECT b.id, {1.0 - damping} * b.s + {damping} * COALESCE(g.g, 0.0) AS rank
+  FROM pb b LEFT JOIN (
+    SELECT e.dst AS id, sum(r.rank / d.deg) AS g
+    FROM edges e JOIN pr{k} r ON e.src = r.id JOIN deg d ON e.src = d.id
+    GROUP BY e.dst) g ON b.id = g.id)""")
+    return (
+        SQL_GRAPH_PREFIX + ", " + ",\n".join(ctes)
+        + f"\nSELECT id, round(rank, 6) AS rank FROM pr{iters} ORDER BY id"
     )
 
 
@@ -787,6 +808,23 @@ def q_pagerank_weighted(spark, sf_dir):
     return r.select("id", F.round("rank", 6).alias("rank"))
 
 
+PPR_ITERS = 10
+PPR_SOURCES = 4
+
+
+def q_ppr(spark, sf_dir):
+    """Personalized PageRank from the PPR_SOURCES smallest vertices
+    (deterministic source policy, same idea as the closeness sampler)."""
+    sym = _sym(spark, sf_dir)
+    srcs = [
+        r["id"]
+        for r in sym.select(F.col("src").alias("id")).distinct()
+        .orderBy("id").limit(PPR_SOURCES).collect()
+    ]
+    r = personalized_pagerank(sym, sources=srcs, iterations=PPR_ITERS)
+    return r.select("id", F.round("rank", 6).alias("rank"))
+
+
 def q_wcc(spark, sf_dir):
     return connected_components(part_cooccurrence_edges(spark, sf_dir))
 
@@ -1122,6 +1160,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pagerank": q_pagerank,
         "pagerank_spmv": q_pagerank_spmv,
         "pagerank_weighted": q_pagerank_weighted,
+        "personalized_pagerank": q_ppr,
         "wcc": q_wcc,
         "wcc_jump": q_wcc_jump,
         "lpa": q_lpa,
@@ -1184,6 +1223,7 @@ def oracle_sql() -> dict[str, str]:
         "pagerank": _sql_pagerank(PR_ITERS),
         "pagerank_spmv": _sql_pagerank(PR_ITERS),
         "pagerank_weighted": _sql_pagerank(PRW_ITERS, weighted=True),
+        "personalized_pagerank": _sql_ppr(PPR_ITERS, n_sources=PPR_SOURCES),
         "wcc": _sql_wcc(WCC_SQL_ITERS),
         "wcc_jump": _sql_wcc(WCC_SQL_ITERS),
         "lpa": _sql_lpa(LPA_ITERS),

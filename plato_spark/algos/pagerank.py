@@ -215,3 +215,78 @@ def _pagerank_loop(spark, state, k, max_iters, last_epoch, damping, eps,
         k += 1
 
     return state, k
+
+
+def personalized_pagerank(
+    edges: DataFrame,
+    sources: list[int],
+    damping: float = 0.85,
+    iterations: int = 10,
+    weight: str | None = None,
+) -> DataFrame:
+    """Random walk with restart: rank' = (1-d)*s + d * pull-sum, where
+    s_v = 1.0 for ``sources`` else 0 (r0 = s). Fixed iteration count —
+    the personalization analog of the reference's pagerank loop
+    (/root/reference/plato/algo/pagerank/pagerank.hpp:100-146 with the
+    teleport mass restricted to the source set). Returns (id, rank).
+
+    Plan shape matches pagerank(impl='join'): edges cached hash-partitioned
+    on src, one map-side-combined groupBy(dst) exchange per superstep,
+    lineage truncated every iteration.
+    """
+    spark = edges.sparkSession
+    e0 = edges.persist()
+    n_e = e0.count()
+    shuffle_n = auto_shuffle_partitions(spark, n_e)
+    if weight is None:
+        ev = e0.select("src", "dst", F.lit(1.0).alias("w"))
+    else:
+        ev = e0.select("src", "dst", F.col(weight).cast("double").alias("w"))
+    ev = ev.repartition(shuffle_n, "src").persist()
+    ev.count()
+    e0.unpersist()
+
+    div = ev.groupBy(F.col("src").alias("id")).agg(F.sum("w").alias("wsum"))
+    verts = (
+        ev.select(F.col("src").alias("id"))
+        .unionByName(ev.select(F.col("dst").alias("id")))
+        .distinct()
+    )
+    src_set = {int(s) for s in sources}
+    is_src = F.col("id").isin(src_set)
+    base = (
+        verts.join(div, "id", "left")
+        .select(
+            "id",
+            F.coalesce("wsum", F.lit(0.0)).cast("double").alias("wsum"),
+            F.when(is_src, F.lit(1.0)).otherwise(F.lit(0.0)).alias("s"),
+        )
+        .repartition(shuffle_n, "id")
+        .persist()
+    )
+    base.count()
+
+    state = base.select("id", "wsum", "s", F.col("s").alias("rank"))
+    with scoped_shuffle_partitions(spark, shuffle_n):
+        for _ in range(iterations):
+            contribs = state.select(
+                F.col("id").alias("src"),
+                F.when(F.col("wsum") > 0, F.col("rank") / F.col("wsum"))
+                .otherwise(F.col("rank"))
+                .alias("contrib"),
+            )
+            g = (
+                ev.join(contribs, "src")
+                .groupBy(F.col("dst").alias("id"))
+                .agg(F.sum(F.col("contrib") * F.col("w")).alias("g"))
+            )
+            state = (
+                state.join(g, "id", "left")
+                .select(
+                    "id", "wsum", "s",
+                    (F.lit(1.0 - damping) * F.col("s")
+                     + F.lit(damping) * F.coalesce("g", F.lit(0.0))).alias("rank"),
+                )
+                .localCheckpoint(eager=False)
+            )
+    return state.select("id", "rank")

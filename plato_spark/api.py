@@ -30,7 +30,7 @@ from plato_spark.algos.kcore import kcore
 from plato_spark.algos.louvain import louvain, modularity
 from plato_spark.algos.lpa import label_propagation
 from plato_spark.algos.nstep import nstep_degrees
-from plato_spark.algos.pagerank import pagerank
+from plato_spark.algos.pagerank import pagerank, personalized_pagerank
 from plato_spark.algos.nstep import nstep_reach_exact
 from plato_spark.algos.sssp import sssp
 from plato_spark.algos.triangles import (
@@ -129,6 +129,13 @@ class LinkGraph:
         if self.weight and "weight" not in kw:
             kw["weight"] = self.weight
         return self._maybe_decode(pagerank(self.sym, ckpt=ckpt, **kw), decode)
+
+    def personalized_pagerank(self, sources: list[int], decode: bool = False,
+                              **kw) -> DataFrame:
+        if self.weight and "weight" not in kw:
+            kw["weight"] = self.weight
+        return self._maybe_decode(
+            personalized_pagerank(self.sym, sources, **kw), decode)
 
     def connected_components(self, decode: bool = False, **kw) -> DataFrame:
         return self._maybe_decode(

@@ -75,3 +75,39 @@ def test_pagerank_parallelism_invariance(spark):
         spark.conf.set("spark.sql.shuffle.partitions", old)
     for v in a:
         assert math.isclose(a[v], b[v], abs_tol=1e-9)
+
+
+def test_personalized_pagerank_oracle(spark):
+    """PPR vs a numpy power-iteration oracle with restricted teleport."""
+    import numpy as np
+
+    from conftest import edges_df
+    from oracles import random_graph
+    from plato_spark.algos.pagerank import personalized_pagerank
+
+    edges = random_graph(n=30, m=90, seed=3, directed=True)
+    df = edges_df(spark, edges)
+    sources = [0, 1]
+    got = {r["id"]: r["rank"]
+           for r in personalized_pagerank(df, sources, iterations=8).collect()}
+
+    ids = sorted({u for e in edges for u in e})
+    idx = {v: i for i, v in enumerate(ids)}
+    n = len(ids)
+    odeg = np.zeros(n)
+    for u, _ in edges:
+        odeg[idx[u]] += 1
+    s = np.zeros(n)
+    for v in sources:
+        s[idx[v]] = 1.0
+    r = s.copy()
+    for _ in range(8):
+        contrib = np.where(odeg > 0, r / np.maximum(odeg, 1), r)
+        g = np.zeros(n)
+        for u, v in edges:
+            g[idx[v]] += contrib[idx[u]]
+        r = 0.15 * s + 0.85 * g
+    for v in ids:
+        assert abs(got[v] - r[idx[v]]) < 1e-9, (v, got[v], r[idx[v]])
+    # mass concentrates near sources
+    assert got[0] > np.median(list(got.values()))
