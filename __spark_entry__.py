@@ -39,6 +39,7 @@ from plato_spark.functions.multimodal import extract_features, synth_media
 from plato_spark.algos.pagerank import pagerank, personalized_pagerank
 from plato_spark.algos.triangles import (
     clustering_coefficient,
+    neighborhood_similarity,
     common_neighbor_payload,
     common_neighbors,
     triangle_count,
@@ -852,6 +853,18 @@ def q_common_neighbor_lists(spark, sf_dir):
     return common_neighbors(part_cooccurrence_edges(spark, sf_dir), as_count=False)
 
 
+def q_link_jaccard(spark, sf_dir):
+    return neighborhood_similarity(
+        part_cooccurrence_edges(spark, sf_dir), method="jaccard"
+    )
+
+
+def q_link_adamic_adar(spark, sf_dir):
+    return neighborhood_similarity(
+        part_cooccurrence_edges(spark, sf_dir), method="adamic_adar"
+    )
+
+
 def q_clustering_coefficient(spark, sf_dir):
     return clustering_coefficient(part_cooccurrence_edges(spark, sf_dir))
 
@@ -1169,6 +1182,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "degree_histogram": q_degree_histogram,
         "common_neighbors": q_common_neighbors,
         "common_neighbor_lists": q_common_neighbor_lists,
+        "link_jaccard": q_link_jaccard,
+        "link_adamic_adar": q_link_adamic_adar,
         "common_neighbor_payload": q_common_neighbor_payload,
         "bfs": q_bfs,
         "tree_stat": q_tree_stat,
@@ -1239,6 +1254,24 @@ def oracle_sql() -> dict[str, str]:
         + """SELECT CAST(count(*) AS BIGINT) AS triangles
              FROM canon a JOIN canon b ON a.dst = b.src
              JOIN canon c ON c.src = a.src AND c.dst = b.dst""",
+        "link_jaccard": SQL_GRAPH_PREFIX
+        + """SELECT c.src, c.dst,
+                    round(COALESCE(t.cnt, 0)
+                          / greatest(du.deg + dv.deg - COALESCE(t.cnt, 0), 1), 6)
+                      AS score
+             FROM canon c
+             JOIN deg du ON c.src = du.id JOIN deg dv ON c.dst = dv.id
+             LEFT JOIN (
+               SELECT a.src AS u, b.src AS v, count(*) AS cnt
+               FROM edges a JOIN edges b ON a.dst = b.dst AND a.src < b.src
+               GROUP BY a.src, b.src) t ON c.src = t.u AND c.dst = t.v""",
+        "link_adamic_adar": SQL_GRAPH_PREFIX
+        + """SELECT c.src, c.dst, round(COALESCE(t.s, 0.0), 6) AS score
+             FROM canon c LEFT JOIN (
+               SELECT a.src AS u, b.src AS v, sum(1.0 / ln(d.deg)) AS s
+               FROM edges a JOIN edges b ON a.dst = b.dst AND a.src < b.src
+               JOIN deg d ON d.id = a.dst
+               GROUP BY a.src, b.src) t ON c.src = t.u AND c.dst = t.v""",
         "clustering_coefficient": SQL_GRAPH_PREFIX
         + """, tri AS MATERIALIZED (
   SELECT a.src AS x, a.dst AS y, b.dst AS z

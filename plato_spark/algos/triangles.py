@@ -143,6 +143,54 @@ def clustering_coefficient(canon: DataFrame) -> DataFrame:
     )
 
 
+def neighborhood_similarity(canon: DataFrame, method: str = "jaccard") -> DataFrame:
+    """Link-prediction scores per linked pair (src<dst) over UNDIRECTED
+    neighborhoods — the mutual family's scoring extension
+    (reference computes the ingredients: mutual.hpp common sets + degrees).
+
+    method="jaccard":      |N(u) ∩ N(v)| / |N(u) ∪ N(v)|
+    method="adamic_adar":  Σ_{w ∈ N(u) ∩ N(v)} 1 / ln(deg(w))
+    Returns (src, dst, score) rounded 6dp; pairs with empty intersection
+    score 0.0. Same plan shape as common_neighbors (one adjacency build,
+    JVM array_intersect); adamic-adar adds one explode + degree join.
+    """
+    deg = _degrees(canon)
+    if method == "jaccard":
+        pairs = common_neighbors(canon, as_count=True)
+        du = deg.select(F.col("id").alias("src"), F.col("deg").alias("du"))
+        dv = deg.select(F.col("id").alias("dst"), F.col("deg").alias("dv"))
+        return (
+            pairs.join(du, "src").join(dv, "dst")
+            .select(
+                "src", "dst",
+                F.round(
+                    F.col("common_count")
+                    / F.greatest(
+                        F.col("du") + F.col("dv") - F.col("common_count"), F.lit(1)
+                    ),
+                    6,
+                ).alias("score"),
+            )
+        )
+    if method == "adamic_adar":
+        lists = common_neighbors(canon, as_count=False)
+        exploded = lists.select("src", "dst", F.explode("common").alias("w"))
+        scored = (
+            exploded.join(deg.select(F.col("id").alias("w"), "deg"), "w")
+            .groupBy("src", "dst")
+            .agg(F.sum(1.0 / F.log("deg")).alias("s"))
+        )
+        return (
+            canon.select("src", "dst")
+            .join(scored, ["src", "dst"], "left")
+            .select(
+                "src", "dst",
+                F.round(F.coalesce("s", F.lit(0.0)), 6).alias("score"),
+            )
+        )
+    raise ValueError(f"unknown method {method!r}")
+
+
 def common_neighbor_payload(
     canon: DataFrame,
     payload: DataFrame,

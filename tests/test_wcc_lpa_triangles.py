@@ -120,3 +120,23 @@ def test_clustering_coefficient_small(spark):
     df = edges_df(spark, [(0, 1), (0, 2), (1, 2), (2, 3)])
     got = df_to_dict(clustering_coefficient(df), val="lcc")
     assert got == {0: 1.0, 1: 1.0, 2: round(1 / 3, 6), 3: 0.0}
+
+
+def test_neighborhood_similarity_small(spark):
+    import math
+
+    from plato_spark.algos.triangles import neighborhood_similarity
+
+    # triangle 0-1-2 plus pendant 2-3
+    df = edges_df(spark, [(0, 1), (0, 2), (1, 2), (2, 3)])
+    jac = {(r["src"], r["dst"]): r["score"]
+           for r in neighborhood_similarity(df, "jaccard").collect()}
+    # N(0)={1,2}, N(1)={0,2}: inter={2}, union={0,1,2} -> 1/3
+    assert jac[(0, 1)] == round(1 / 3, 6)
+    # N(2)={0,1,3}, N(3)={2}: inter={} -> 0
+    assert jac[(2, 3)] == 0.0
+    aa = {(r["src"], r["dst"]): r["score"]
+          for r in neighborhood_similarity(df, "adamic_adar").collect()}
+    # common neighbor of (0,1) is 2 with deg 3 -> 1/ln 3
+    assert aa[(0, 1)] == round(1 / math.log(3), 6)
+    assert aa[(2, 3)] == 0.0
