@@ -56,7 +56,8 @@ from plato_spark.functions.similarity import (
     brute_force_topk,
     embedding_near_dup_clusters,
     ivf_ann,
-    lsh_bucketed_neighbors,
+    lsh_bucketed_neighbors_portable,
+    rademacher_planes,
     threshold_neighbors,
 )
 from plato_spark.functions.text import (
@@ -580,6 +581,35 @@ def _cos_sql(x: str, y: str) -> str:
         f"sqrt(list_dot_product({x}, {x})) * sqrt(list_dot_product({y}, {y})),"
         f" 1e-300))"
     )
+
+
+def _sql_lsh_ann(k: int = 5, num_planes: int = 10, num_tables: int = 3,
+                 dim: int = 64) -> str:
+    """Mirror of functions/similarity.lsh_bucketed_neighbors_portable —
+    the same hashlib-derived +/-1 plane literals are inlined here, so both
+    engines compute identical dot signs, buckets, and top-k."""
+    planes = rademacher_planes(num_tables, num_planes, dim)
+    bucket_exprs = []
+    for t in range(num_tables):
+        bits = " + ".join(
+            "(CASE WHEN list_dot_product(vec, ["
+            + ", ".join(str(s) for s in planes[t][p])
+            + f"]) > 0 THEN {1 << p} ELSE 0 END)"
+            for p in range(num_planes)
+        )
+        bucket_exprs.append(f"(({bits}) * {num_tables} + {t})")
+    cos = _cos_sql("a.vec", "b.vec")
+    return EMB_SQL_PREFIX + f""",
+tg AS MATERIALIZED (
+  SELECT id, vec, unnest([{", ".join(bucket_exprs)}]) AS bucket FROM v),
+cand AS MATERIALIZED (
+  SELECT DISTINCT a.id AS query_id, b.id AS nbr_id, round({cos}, 6) AS cosine
+  FROM tg a JOIN tg b ON a.bucket = b.bucket AND a.id != b.id)
+SELECT query_id, nbr_id, cosine, CAST(rn AS INT) AS "rank" FROM (
+  SELECT query_id, nbr_id, cosine,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cosine DESC, nbr_id ASC) AS rn
+  FROM cand) t WHERE rn <= {k}"""
 
 
 def _sql_ann_topk(k: int = 5) -> str:
@@ -1135,7 +1165,9 @@ def q_lang_id(spark, sf_dir):
 
 
 def q_lsh_ann(spark, sf_dir):
-    return lsh_bucketed_neighbors(_emb_double(spark, sf_dir), k=5)
+    # deterministic Rademacher planes => the approximate result itself is
+    # value-checked; the gaussian numpy-matmul variant stays pytest-covered
+    return lsh_bucketed_neighbors_portable(_emb_double(spark, sf_dir), k=5)
 
 
 def q_ann_topk(spark, sf_dir):
@@ -1437,6 +1469,7 @@ FROM rr GROUP BY src""",
         "metapath_walks": _sql_metapath_walks(4),
         "ann_topk": _sql_ann_topk(5),
         "ivf_ann": _sql_ivf_ann(5),
+        "lsh_ann": _sql_lsh_ann(5),
         "embedding_dedup": _sql_embedding_dedup(0.42),
         "lang_id": _sql_lang_id(),
         "minhash_lsh_candidates": _sql_minhash_candidates(),

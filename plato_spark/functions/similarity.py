@@ -224,6 +224,77 @@ def embedding_near_dup_clusters(
     )
 
 
+def rademacher_planes(num_tables: int, num_planes: int, dim: int) -> list:
+    """Deterministic +/-1 hyperplanes from md5 parity — the same bytes any
+    engine (or the DuckDB oracle generator) derives, so sign-LSH becomes
+    reproducible across engines. Rademacher projections are an unbiased
+    random-projection family (same guarantee class as gaussian planes)."""
+    import hashlib
+
+    planes = []
+    for t in range(num_tables):
+        tbl = []
+        for p in range(num_planes):
+            row = []
+            for d in range(dim):
+                h = hashlib.md5(f"{t}|{p}|{d}".encode()).hexdigest()
+                row.append(1.0 if int(h[:14], 16) % 2 == 0 else -1.0)
+            tbl.append(row)
+        planes.append(tbl)
+    return planes
+
+
+def lsh_bucketed_neighbors_portable(
+    emb: DataFrame,
+    k: int = 10,
+    num_planes: int = 10,
+    num_tables: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Sign-LSH ANN with deterministic Rademacher planes, all JVM-side
+    (zip_with/aggregate dot products — no Python, and bit-reproducible in
+    SQL, so the approximate result is value-checkable by an oracle).
+
+    Same bucket->exact-cosine->top-k shape as lsh_bucketed_neighbors; the
+    numpy-matmul gaussian variant stays the high-dim throughput path.
+    """
+    dim = int(emb.select(F.size(vec_col).alias("d")).first()["d"])
+    planes = rademacher_planes(num_tables, num_planes, dim)
+
+    vec = F.col(vec_col)
+    buckets = []
+    for t in range(num_tables):
+        sig = None
+        for p in range(num_planes):
+            signs = F.array(*[F.lit(s) for s in planes[t][p]])
+            dot = F.aggregate(
+                F.zip_with(vec, signs, lambda x, y: x * y),
+                F.lit(0.0), lambda acc, x: acc + x,
+            )
+            bit = F.when(dot > 0, F.lit(1 << p)).otherwise(F.lit(0))
+            sig = bit if sig is None else sig + bit
+        buckets.append((sig * num_tables + t).cast("long"))
+
+    tagged = emb.select(
+        F.col(id_col).alias("id"), vec.alias("v"),
+        F.explode(F.array(*buckets)).alias("bucket"),
+    )
+    lhs = tagged.select("bucket", F.col("id").alias("query_id"), F.col("v").alias("q_vec"))
+    rhs = tagged.select("bucket", F.col("id").alias("nbr_id"), F.col("v").alias("nbr_vec"))
+    cand = (
+        lhs.join(rhs, "bucket")
+        .where(F.col("query_id") != F.col("nbr_id"))
+        .select(
+            "query_id", "nbr_id",
+            F.round(cosine_sim_col(F.col("q_vec"), F.col("nbr_vec")), 6).alias("cosine"),
+        )
+        .dropDuplicates(["query_id", "nbr_id"])
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("nbr_id").asc())
+    return cand.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
+
+
 def lsh_bucketed_neighbors(
     emb: DataFrame,
     k: int = 10,

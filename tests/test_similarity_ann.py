@@ -170,3 +170,18 @@ def test_lang_id_unknown_not_truncated(spark):
     assert got[0] == "unknown"
     assert got[1] == "en"
     assert got[2] == "code"
+
+
+def test_lsh_portable_exact_within_buckets(emb):
+    from plato_spark.functions.similarity import lsh_bucketed_neighbors_portable
+
+    got = lsh_bucketed_neighbors_portable(emb, k=3, num_planes=6, num_tables=2).collect()
+    assert got  # buckets non-degenerate on clustered data
+    all_pairs = {
+        (r["query_id"], r["nbr_id"]): r["cosine"]
+        for r in brute_force_topk(emb, k=100).collect()
+    }
+    for r in got:
+        assert all_pairs[(r["query_id"], r["nbr_id"])] == r["cosine"]
+    again = lsh_bucketed_neighbors_portable(emb, k=3, num_planes=6, num_tables=2).collect()
+    assert sorted(map(tuple, got)) == sorted(map(tuple, again))
