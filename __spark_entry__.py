@@ -879,8 +879,18 @@ def q_common_neighbors(spark, sf_dir):
 
 
 def q_common_neighbor_lists(spark, sf_dir):
-    """Mutual's list output mode (example/mutual.cc:204-222: src,dst,list)."""
-    return common_neighbors(part_cooccurrence_edges(spark, sf_dir), as_count=False)
+    """Mutual's list output mode (example/mutual.cc:204-222: src,dst,list).
+
+    The list is emitted as a canonical comma-joined STRING (the reference
+    prints it as text too) so the driver's pandas canonicalizer can sort
+    and hash it — array columns are unhashable there.
+    """
+    lists = common_neighbors(part_cooccurrence_edges(spark, sf_dir), as_count=False)
+    return lists.select(
+        "src",
+        "dst",
+        F.concat_ws(",", F.col("common").cast("array<string>")).alias("common"),
+    )
 
 
 def q_link_jaccard(spark, sf_dir):
@@ -1340,7 +1350,7 @@ FROM verts v JOIN deg d ON v.id = d.id LEFT JOIN tv ON v.id = tv.id""",
                GROUP BY a.src, b.src) t ON c.src = t.u AND c.dst = t.v""",
         "common_neighbor_lists": SQL_GRAPH_PREFIX
         + """SELECT c.src, c.dst,
-                    COALESCE(t.l, CAST([] AS BIGINT[])) AS common
+                    COALESCE(array_to_string(t.l, ','), '') AS common
              FROM canon c LEFT JOIN (
                SELECT a.src AS u, b.src AS v, list(a.dst ORDER BY a.dst) AS l
                FROM edges a JOIN edges b ON a.dst = b.dst AND a.src < b.src
