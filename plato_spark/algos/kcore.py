@@ -1,24 +1,40 @@
 """K-core decomposition (coreness / shell index) — Montresor h-index method.
 
 Reference: /root/reference/plato/algo/kcore/kcore.hpp:63-267
-  - coreness init = degree; each round every (active) vertex recomputes the
+  - coreness init = degree; each round every ACTIVE vertex recomputes the
     h-index of its neighbors' current estimates (kcore.hpp:191-232: largest
     i such that >= i neighbors have estimate >= i, capped by own estimate);
     a decrease activates the vertex's neighbors; fixpoint = exact coreness.
+  - the reference maintains an explicit active set (kcore.hpp:150-171,
+    233-249: only vertices with a changed neighbor recompute) — mirrored
+    here as a frontier semi-join, so late rounds touch only the long-tail
+    vertices still converging instead of re-scanning the whole graph.
   - plato's sparse/dense broadcast switch (kcore.hpp:150-171) maps to the
-    same frontier broadcast-vs-shuffle policy as wcc.
+    same frontier broadcast-vs-shuffle policy as wcc (dualmode.hpp:41-43).
 
-Spark plan per superstep (all JVM-side):
-  est(src) JOIN edges -> window rank per dst ordered by neighbor estimate
-  desc -> h = max(min(rank, est)) -> new = min(old, h).
-The h-index identity (sort desc, h = max_j min(j, e_j)) replaces plato's
-per-vertex counting loop; monotone non-increasing => synchronous iteration
-converges to the identical fixpoint.
+Spark plan per superstep (all JVM-side, no window sort, no Python):
+  1. targets = vertices with >=1 neighbor whose core changed last round
+     (broadcast semi-join while the frontier is sparse).
+  2. gather: edges into targets joined with the neighbor estimate nc,
+     capped at the target's own core C (h <= C always, so capping first
+     both preserves the answer — min(C, h_uncapped) == h_capped — and
+     shrinks the value domain).
+  3. histogram: groupBy(dst, capped nc) count — map-side combine collapses
+     a 10^7-degree hub's messages to at most C distinct rows, so no
+     unbounded collect_list row exists anywhere in the plan.
+  4. h-index fold: sort the (nc, cnt) histogram desc and fold
+     h = max over prefixes of min(nc, cumulative count) with a JVM
+     `aggregate` — replaces the per-dst row_number window (a full sort
+     shuffle of E rows per round in the old plan).
+
+Monotone non-increasing estimates => the synchronous frontier iteration
+converges to the identical fixpoint as full recomputation (a vertex whose
+neighbors are all unchanged recomputes the same h it had).
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from plato_spark.graph.edges import symmetrize
@@ -27,12 +43,43 @@ from plato_spark.graph.partitioning import (
     scoped_shuffle_partitions,
 )
 
+# plato's push threshold (dualmode.hpp:41-43), same policy as wcc.
+PUSH_THRESHOLD = 0.05
 
-def kcore(edges: DataFrame, max_iters: int = 1000) -> DataFrame:
+
+def _h_from_histogram(col: str) -> F.Column:
+    """h-index from a desc-sorted array<struct<nc,cnt>> histogram.
+
+    For the desc-sorted histogram, after consuming prefix group g there are
+    cum_g neighbors with estimate >= nc_g, so min(nc_g, cum_g) is a valid
+    h candidate; the max over prefixes is exactly the h-index.
+    """
+    zero = F.struct(
+        F.lit(0).cast("long").alias("cum"), F.lit(0).cast("long").alias("best")
+    )
+    return F.aggregate(
+        col,
+        zero,
+        lambda acc, x: F.struct(
+            (acc["cum"] + x["cnt"]).alias("cum"),
+            F.greatest(
+                acc["best"], F.least(x["nc"], acc["cum"] + x["cnt"])
+            ).alias("best"),
+        ),
+        lambda acc: acc["best"],
+    )
+
+
+def kcore(
+    edges: DataFrame, max_iters: int = 1000, metrics: list | None = None
+) -> DataFrame:
     """Exact coreness per vertex over canonical undirected edges (src<dst).
 
-    Returns (id, coreness: long).
+    Returns (id, coreness: long). Pass ``metrics=[]`` to receive per-round
+    dicts (frontier size, targets recomputed, seconds) for scale audits.
     """
+    import time
+
     spark = edges.sparkSession
     sym0 = symmetrize(edges.select("src", "dst")).persist()
     n_sym = sym0.count()
@@ -41,32 +88,67 @@ def kcore(edges: DataFrame, max_iters: int = 1000) -> DataFrame:
     sym.count()
     sym0.unpersist()
 
-    deg = sym.groupBy(F.col("src").alias("id")).agg(F.count("*").alias("deg")).persist()
-    state = deg.select("id", F.col("deg").cast("long").alias("core"))
+    deg = (
+        sym.groupBy(F.col("src").alias("id"))
+        .agg(F.count("*").cast("long").alias("deg"))
+        .persist()
+    )
+    n_vertices = deg.count()
+    state = deg.select("id", F.col("deg").alias("core"))
+    # round 0: everyone just "changed" (init = degree), so all recompute
+    frontier = deg.select("id")
+    n_front = n_vertices
 
     with scoped_shuffle_partitions(spark, shuffle_n):
         k = 0
         prev_cached = None
-        while k < max_iters:
-            nbr = sym.join(
-                state.select(F.col("id").alias("src"), F.col("core").alias("nc")), "src"
+        while k < max_iters and n_front > 0:
+            t0 = time.time()
+            sparse = n_front < PUSH_THRESHOLD * n_vertices
+            f_src = frontier.select(F.col("id").alias("src"))
+            if sparse:
+                f_src = F.broadcast(f_src)
+            targets = (
+                sym.join(f_src, "src")
+                .select(F.col("dst").alias("id"))
+                .distinct()
             )
-            w = Window.partitionBy("dst").orderBy(F.desc("nc"), F.asc("src"))
-            h = (
-                nbr.withColumn("rn", F.row_number().over(w))
-                .groupBy(F.col("dst").alias("id"))
-                .agg(F.max(F.least(F.col("rn").cast("long"), F.col("nc"))).alias("h"))
+            # target's own core rides along so the gather caps nc at C
+            tgt = state.join(targets, "id").select(
+                F.col("id").alias("dst"), F.col("core").alias("cap")
             )
-            new_state = (
-                state.join(h, "id", "left")
-                .select(
-                    "id",
-                    F.least(F.col("core"), F.coalesce("h", F.col("core"))).alias("core"),
-                    (F.coalesce("h", F.col("core")) < F.col("core")).alias("chg"),
+            if sparse:
+                tgt = F.broadcast(tgt)
+            gathered = (
+                sym.join(
+                    state.select(
+                        F.col("id").alias("src"), F.col("core").alias("nc")
+                    ),
+                    "src",
                 )
+                .join(tgt, "dst")
+                .select("dst", F.least("nc", "cap").alias("nc"))
+            )
+            hist = gathered.groupBy("dst", "nc").agg(
+                F.count("*").cast("long").alias("cnt")
+            )
+            h = (
+                hist.groupBy(F.col("dst").alias("id"))
+                .agg(
+                    F.sort_array(
+                        F.collect_list(F.struct("nc", "cnt")), asc=False
+                    ).alias("a")
+                )
+                .select("id", _h_from_histogram("a").alias("h"))
+            )
+            new_state = state.join(h, "id", "left").select(
+                "id",
+                F.least(F.col("core"), F.coalesce("h", F.col("core"))).alias("core"),
+                (F.coalesce("h", F.col("core")) < F.col("core")).alias("chg"),
             )
             new_state = new_state.localCheckpoint(eager=False)
-            changed = new_state.where("chg").count()
+            frontier = new_state.where("chg").select("id")
+            n_front = frontier.count()
             new_state = new_state.drop("chg")
             if prev_cached is not None:
                 try:
@@ -75,6 +157,13 @@ def kcore(edges: DataFrame, max_iters: int = 1000) -> DataFrame:
                     pass
             prev_cached, state = state, new_state
             k += 1
-            if changed == 0:
-                break
+            if metrics is not None:
+                metrics.append(
+                    {
+                        "iter": k,
+                        "frontier": n_front,
+                        "sparse_push": sparse,
+                        "sec": round(time.time() - t0, 3),
+                    }
+                )
     return state.select("id", F.col("core").cast("long").alias("coreness"))

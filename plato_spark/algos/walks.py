@@ -166,24 +166,90 @@ def random_walks(
         @pandas_udf("long")
         def pick_biased(nbrs: pd.Series, prev: pd.Series, prev_nbrs: pd.Series,
                         u: pd.Series) -> pd.Series:
-            out = np.zeros(len(nbrs), dtype=np.int64)
-            for i in range(len(nbrs)):
-                cand = np.asarray(nbrs.iloc[i], dtype=np.int64)
-                pn = prev_nbrs.iloc[i]
-                pv = prev.iloc[i]
-                if pd.isna(pv) or pn is None:
-                    out[i] = cand[int(u.iloc[i] * len(cand)) % len(cand)]
-                    continue
-                pn = np.asarray(pn, dtype=np.int64)
-                w = np.full(len(cand), 1.0 / q)
-                idx = np.searchsorted(pn, cand)
-                idx = np.clip(idx, 0, max(len(pn) - 1, 0))
-                in_pn = (len(pn) > 0) & (pn[idx] == cand)
+            # Fully vectorized per Arrow batch (no per-row Python): flatten
+            # all candidate arrays, compute weights segment-wise, pick with a
+            # single global cumsum + searchsorted. Same pattern as the SpMV
+            # kernel in graph/csr.py. With 1/p, 1/q binary fractions the
+            # global-cumsum-minus-prefix arithmetic is exact, so picks are
+            # bitwise identical to a per-row np.cumsum (what the DuckDB
+            # oracle mirrors).
+            n = len(nbrs)
+            cand_list = [
+                np.asarray(a, dtype=np.int64) if a is not None else
+                np.empty(0, dtype=np.int64)
+                for a in nbrs.values
+            ]
+            lens = np.fromiter((len(a) for a in cand_list), np.int64, n)
+            offs = np.zeros(n + 1, dtype=np.int64)
+            np.cumsum(lens, out=offs[1:])
+            total = int(offs[-1])
+            out = np.zeros(n, dtype=np.int64)
+            if total == 0:
+                return pd.Series(out)
+            cand = np.concatenate(cand_list)
+            row_of = np.repeat(np.arange(n, dtype=np.int64), lens)
+            uu = u.to_numpy(dtype=np.float64)
+            has_prev = (~pd.isna(prev)).to_numpy()
+            pn_list = [
+                np.asarray(a, dtype=np.int64) if a is not None else
+                np.empty(0, dtype=np.int64)
+                for a in prev_nbrs.values
+            ]
+            pn_has = np.fromiter(
+                (a is not None for a in prev_nbrs.values), bool, n
+            )
+            pn_lens = np.fromiter((len(a) for a in pn_list), np.int64, n)
+            pn_flat = (
+                np.concatenate(pn_list) if pn_lens.sum() > 0
+                else np.empty(0, dtype=np.int64)
+            )
+
+            w = np.full(total, 1.0 / q)
+            if len(pn_flat) > 0:
+                # membership of cand[i] in its row's sorted prev_nbrs via one
+                # global searchsorted over row-keyed values (key = v + row*M)
+                m = int(max(cand.max(), pn_flat.max())) + 1
+                if m * n < 2**62:
+                    cand_key = cand + row_of * m
+                    pn_key = pn_flat + np.repeat(
+                        np.arange(n, dtype=np.int64), pn_lens
+                    ) * m
+                    idx = np.searchsorted(pn_key, cand_key)
+                    in_pn = np.zeros(total, dtype=bool)
+                    ok = idx < len(pn_key)
+                    in_pn[ok] = pn_key[idx[ok]] == cand_key[ok]
+                else:  # keyed ids would overflow int64 — per-row fallback
+                    in_pn = np.zeros(total, dtype=bool)
+                    for i in range(n):
+                        s, e = offs[i], offs[i + 1]
+                        pni = pn_list[i]
+                        if e > s and len(pni) > 0:
+                            ix = np.searchsorted(pni, cand[s:e]).clip(
+                                0, len(pni) - 1
+                            )
+                            in_pn[s:e] = pni[ix] == cand[s:e]
                 w[in_pn] = 1.0
-                w[cand == pv] = 1.0 / p
-                c = np.cumsum(w)
-                out[i] = cand[np.searchsorted(c, u.iloc[i] * c[-1], side="right")
-                              .clip(0, len(cand) - 1)]
+            prev_f = np.where(has_prev, pd.to_numeric(prev).to_numpy(
+                dtype=np.float64, na_value=np.nan), np.nan)
+            w[cand == np.repeat(prev_f, lens)] = 1.0 / p
+
+            c = np.cumsum(w)
+            pfx = np.concatenate([[0.0], c])
+            prefix = pfx[offs[:-1]]
+            totals = pfx[offs[1:]] - prefix
+            target = prefix + uu * totals
+            pos = np.searchsorted(c, target, side="right")
+            nonempty = lens > 0
+            lo = offs[:-1]
+            hi = np.maximum(offs[1:] - 1, lo)
+            pos = np.clip(pos, lo, hi)
+            out[nonempty] = cand[pos[nonempty]]
+            # rows with no usable prev context fall back to the uniform
+            # index pick (bitwise-identical to the first-order formula)
+            uni = nonempty & (~has_prev | ~pn_has)
+            if uni.any():
+                ui = (uu[uni] * lens[uni]).astype(np.int64) % lens[uni]
+                out[uni] = cand[offs[:-1][uni] + ui]
             return pd.Series(out)
 
     with scoped_shuffle_partitions(spark, shuffle_n):
