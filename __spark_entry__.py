@@ -32,7 +32,13 @@ from plato_spark.algos.kcore import kcore
 from plato_spark.algos.betweenness import betweenness_sampled
 from plato_spark.algos.louvain import louvain
 from plato_spark.algos.lpa import label_propagation
-from plato_spark.algos.nstep import nstep_degrees, nstep_reach_exact
+from plato_spark.algos.hll_portable import (
+    hyperanf_portable,
+    nstep_degrees_portable,
+    sql_hyperanf_oracle,
+    sql_nstep_oracle,
+)
+from plato_spark.algos.nstep import nstep_reach_exact
 from plato_spark.algos.sssp import sssp
 from plato_spark.algos.walks import metapath_walks, random_walks
 from plato_spark.functions.multimodal import extract_features, synth_media
@@ -57,6 +63,7 @@ from plato_spark.functions.similarity import (
     embedding_near_dup_clusters,
     ivf_ann,
     lsh_bucketed_neighbors_portable,
+    lsh_candidate_pairs_portable,
     rademacher_planes,
     threshold_neighbors,
 )
@@ -583,11 +590,10 @@ def _cos_sql(x: str, y: str) -> str:
     )
 
 
-def _sql_lsh_ann(k: int = 5, num_planes: int = 10, num_tables: int = 3,
-                 dim: int = 64) -> str:
-    """Mirror of functions/similarity.lsh_bucketed_neighbors_portable —
-    the same hashlib-derived +/-1 plane literals are inlined here, so both
-    engines compute identical dot signs, buckets, and top-k."""
+def _sql_bucket_exprs(num_planes: int, num_tables: int, dim: int) -> list:
+    """The Rademacher sign-LSH bucket expressions — same hashlib-derived
+    +/-1 plane literals as functions/similarity.rademacher_planes, so both
+    engines compute identical dot signs and buckets."""
     planes = rademacher_planes(num_tables, num_planes, dim)
     bucket_exprs = []
     for t in range(num_tables):
@@ -598,6 +604,13 @@ def _sql_lsh_ann(k: int = 5, num_planes: int = 10, num_tables: int = 3,
             for p in range(num_planes)
         )
         bucket_exprs.append(f"(({bits}) * {num_tables} + {t})")
+    return bucket_exprs
+
+
+def _sql_lsh_ann(k: int = 5, num_planes: int = 10, num_tables: int = 3,
+                 dim: int = 64) -> str:
+    """Mirror of functions/similarity.lsh_bucketed_neighbors_portable."""
+    bucket_exprs = _sql_bucket_exprs(num_planes, num_tables, dim)
     cos = _cos_sql("a.vec", "b.vec")
     return EMB_SQL_PREFIX + f""",
 tg AS MATERIALIZED (
@@ -672,10 +685,19 @@ SELECT query_id, nbr_id, cosine, CAST(rn AS INT) AS "rank" FROM (
   FROM cand) t WHERE rn <= {k}"""
 
 
-def _sql_embedding_dedup(threshold: float = 0.42, iters: int = 8) -> str:
+def _sql_embedding_dedup(threshold: float = 0.42, iters: int = 8,
+                         num_planes: int = 10, num_tables: int = 3,
+                         dim: int = 64) -> str:
+    """Mirror of q_embedding_dedup: LSH-bucketed candidate pairs (same
+    Rademacher plane literals as the Spark side) -> cosine threshold ->
+    hash-min WCC keeper labels."""
+    bucket_exprs = _sql_bucket_exprs(num_planes, num_tables, dim)
     cos = _cos_sql("a.vec", "b.vec")
-    ctes = [f"""prs AS MATERIALIZED (
-  SELECT a.id AS a, b.id AS b FROM v a JOIN v b ON a.id < b.id
+    ctes = [f"""tg AS MATERIALIZED (
+  SELECT id, vec, unnest([{", ".join(bucket_exprs)}]) AS bucket FROM v),
+prs AS MATERIALIZED (
+  SELECT DISTINCT a.id AS a, b.id AS b
+  FROM tg a JOIN tg b ON a.bucket = b.bucket AND a.id < b.id
   WHERE round({cos}, 6) >= {threshold}),
 pe AS MATERIALIZED (SELECT a AS src, b AS dst FROM prs
                     UNION ALL SELECT b AS src, a AS dst FROM prs),
@@ -960,12 +982,21 @@ def q_hanp(spark, sf_dir):
     return hanp(sym, iterations=3, weight="weight")
 
 
+HYPERANF_STEPS = 4
+NSTEP_STEPS = 2
+
+
 def q_hyperanf(spark, sf_dir):
-    sym = symmetrize(part_cooccurrence_edges(spark, sf_dir))
-    avg, curve = hyperanf(sym, iterations=10)
-    return spark.createDataFrame(
-        [(float(avg), len(curve) - 1)], "avg_distance double, supersteps int"
-    )
+    """Portable-HLL ANF curve + avg distance (hyperanf.hpp:61-70,83-195).
+
+    Engine-portable registers (md5 family) make the approximate curve
+    value-checkable in DuckDB against the exact reachability ball; the
+    Datasketches variant (algos/hyperanf.hyperanf, lg_k=12) remains the
+    high-accuracy scale path and is pytest-covered.
+    """
+    sym = _sym(spark, sf_dir)
+    # input is already symmetric -> direction='in' avoids re-symmetrizing
+    return hyperanf_portable(sym, steps=HYPERANF_STEPS, direction="in")
 
 
 def q_louvain(spark, sf_dir):
@@ -977,11 +1008,60 @@ def q_louvain(spark, sf_dir):
     )
 
 
-def q_louvain_multi(spark, sf_dir):
-    return louvain(
-        part_cooccurrence_edges(spark, sf_dir, weighted=True),
-        outer_iterations=2, weight="weight",
+def _nation_clique_graph(spark, sf_dir):
+    """Deterministic clique-bar fixture: 5 intra-region 5-cliques (w=1)
+    joined by a weak path over per-region min-nationkey reps (w=0.5).
+
+    The modularity / map-equation optimum is provably the region
+    partition (merging two cliques across a single 0.5-weight bridge
+    strictly lowers both objectives), which makes multi-epoch community
+    detection value-checkable: the oracle states the region partition.
+    """
+    nation = spark.read.parquet(f"{sf_dir}/nation.parquet").select(
+        F.col("n_nationkey").cast("long").alias("id"),
+        F.col("n_regionkey").cast("long").alias("r"),
     )
+    a, b = nation.alias("a"), nation.alias("b")
+    intra = a.join(
+        b, (F.col("a.r") == F.col("b.r")) & (F.col("a.id") < F.col("b.id"))
+    ).select(
+        F.col("a.id").alias("src"),
+        F.col("b.id").alias("dst"),
+        F.lit(1.0).alias("weight"),
+    )
+    reps = nation.groupBy("r").agg(F.min("id").alias("m"))
+    r2 = reps.select((F.col("r") - 1).alias("r"), F.col("m").alias("m2"))
+    bridges = reps.join(r2, "r").select(
+        F.least("m", "m2").alias("src"),
+        F.greatest("m", "m2").alias("dst"),
+        F.lit(0.5).alias("weight"),
+    )
+    return intra.unionByName(bridges)
+
+
+def _canonical_communities(labels: DataFrame, label_col: str) -> DataFrame:
+    mins = labels.groupBy(label_col).agg(F.min("id").alias("cmin"))
+    return labels.join(mins, label_col).select(
+        "id", F.col("cmin").alias(label_col)
+    )
+
+
+NATION_PARTITION_SQL = """
+SELECT CAST(n.n_nationkey AS BIGINT) AS id,
+       CAST((SELECT min(n2.n_nationkey) FROM nation n2
+             WHERE n2.n_regionkey = n.n_regionkey) AS BIGINT) AS {out}
+FROM nation n"""
+
+
+def q_louvain_multi(spark, sf_dir):
+    """Multi-epoch Louvain (contract + repeat, louvain.hpp:379-402) on the
+    unique-optimum clique-bar fixture; labels canonicalized to the min
+    member id so the driver can value-check the recovered partition.
+    The sf0.01 co-occurrence multi-epoch run stays pytest-covered."""
+    labels = louvain(
+        _nation_clique_graph(spark, sf_dir), outer_iterations=2, weight="weight"
+    )
+    return _canonical_communities(labels, "community")
 
 
 def q_betweenness(spark, sf_dir):
@@ -989,7 +1069,12 @@ def q_betweenness(spark, sf_dir):
 
 
 def q_nstep_degrees(spark, sf_dir):
-    return nstep_degrees(_sym(spark, sf_dir), steps=2, direction="out")
+    """Portable-HLL n-hop ball sizes (nstepdegrees.hpp:48-164) —
+    value-checked against the exact ball; Datasketches variant stays the
+    scale path (pytest-covered, direction in/out/both)."""
+    return nstep_degrees_portable(
+        _sym(spark, sf_dir), steps=NSTEP_STEPS, direction="out"
+    )
 
 
 def q_nstep_exact(spark, sf_dir):
@@ -1013,10 +1098,15 @@ def q_node2vec_walks(spark, sf_dir):
 
 
 def q_infomap(spark, sf_dir):
-    return infomap(
-        part_cooccurrence_edges(spark, sf_dir, weighted=True),
-        outer_iterations=1, inner_iterations=2, weight="weight",
+    """Infomap (map-equation, infomap.hpp:48-60) on the unique-optimum
+    clique-bar fixture — value-checked against the region partition; the
+    co-occurrence-graph run stays pytest-covered (determinism, descent,
+    clique recovery)."""
+    labels = infomap(
+        _nation_clique_graph(spark, sf_dir),
+        outer_iterations=2, inner_iterations=3, weight="weight",
     )
+    return _canonical_communities(labels, "module")
 
 
 def q_metapath_walks(spark, sf_dir):
@@ -1191,7 +1281,14 @@ def q_ivf_ann(spark, sf_dir):
 
 
 def q_embedding_dedup(spark, sf_dir):
-    return embedding_near_dup_clusters(_emb_double(spark, sf_dir), threshold=0.42)
+    """Embedding near-dup clusters fed by LSH-bucketed candidates — the
+    100TB-shape pipeline (no crossJoin of the vector table anywhere in the
+    plan); the Rademacher planes make the candidate set itself
+    oracle-reproducible. All-pairs mode stays pytest-covered as the exact
+    recall baseline."""
+    emb = _emb_double(spark, sf_dir)
+    cands = lsh_candidate_pairs_portable(emb, num_planes=10, num_tables=3)
+    return embedding_near_dup_clusters(emb, threshold=0.42, candidates=cands)
 
 
 # ---------------------------------------------------------------------------
@@ -1286,6 +1383,8 @@ def oracle_sql() -> dict[str, str]:
         "lpa": _sql_lpa(LPA_ITERS),
         "hanp": _sql_hanp(),
         "louvain": _sql_louvain(),
+        "louvain_multi": NATION_PARTITION_SQL.format(out="community"),
+        "infomap": NATION_PARTITION_SQL.format(out="module"),
         "betweenness_sampled": _sql_betweenness(),
         "bfs": _sql_bfs_query(),
         "tree_stat": _sql_tree_stat(),
@@ -1474,6 +1573,12 @@ r2 AS MATERIALIZED (
 rr AS (SELECT src, dst FROM r1 UNION SELECT src, dst FROM r2)
 SELECT src AS id, CAST(count(DISTINCT dst) AS BIGINT) AS n_reach
 FROM rr GROUP BY src""",
+        "nstep_degrees": sql_nstep_oracle(
+            NSTEP_STEPS, SQL_GRAPH_PREFIX.rstrip()
+        ),
+        "hyperanf": sql_hyperanf_oracle(
+            HYPERANF_STEPS, SQL_GRAPH_PREFIX.rstrip()
+        ),
         "random_walks": _sql_random_walks(5),
         "node2vec_walks": _sql_node2vec_walks(4),
         "metapath_walks": _sql_metapath_walks(4),

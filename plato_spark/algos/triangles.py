@@ -225,23 +225,87 @@ def common_neighbor_payload(
     )
 
 
-def common_neighbors(canon: DataFrame, as_count: bool = True) -> DataFrame:
+def _segmented_undirected_adj(sym: DataFrame, segments: int) -> DataFrame:
+    """(id, salt, nbrs) — undirected adjacency hash-segmented by NEIGHBOR
+    value into a fixed number of segments, so a hub's 10^7 neighbors become
+    `segments` bounded rows instead of one unbounded array (SURVEY §7.4.3;
+    plato spreads the same work with round-robin partition masks,
+    mutual.hpp:148-159). Segmenting by a hash of the neighbor makes the
+    segmentation CONSISTENT across vertices: N(u) ∩ N(v) =
+    ∪_s N_s(u) ∩ N_s(v), so pairwise intersections distribute."""
+    return (
+        sym.select(
+            F.col("src").alias("id"),
+            F.col("dst").alias("n"),
+            F.pmod(F.xxhash64("dst", F.lit(23)), F.lit(segments)).cast("int").alias("salt"),
+        )
+        .groupBy("id", "salt")
+        .agg(F.sort_array(F.collect_set("n")).alias("nbrs"))
+    )
+
+
+def common_neighbors(
+    canon: DataFrame, as_count: bool = True, hub_cap: int = 100_000
+) -> DataFrame:
     """Per linked pair (src<dst): common neighbors over UNDIRECTED adjacency.
 
     Returns (src, dst, common_count) or (src, dst, common: array<long>).
     Mirrors plato's mutual example output `src,dst,count|list`
     (/root/reference/example/mutual.cc:204-222).
+
+    hub_cap bounds the size of any collected neighbor-array row: when the
+    max degree exceeds it, adjacency is hash-segmented (consistent across
+    vertices) and per-segment intersections are re-reduced per pair —
+    identical results, no unbounded row. When max degree <= hub_cap the
+    plan is the plain one-array-per-vertex join (no extra cost).
     """
-    sym = symmetrize(canon.select("src", "dst"))
-    adj = sym.groupBy(F.col("src").alias("id")).agg(
-        F.sort_array(F.collect_set("dst")).alias("nbrs")
-    ).persist()
-    a_u = adj.select(F.col("id").alias("src"), F.col("nbrs").alias("nbrs_u"))
-    a_v = adj.select(F.col("id").alias("dst"), F.col("nbrs").alias("nbrs_v"))
-    pairs = canon.select("src", "dst").join(a_u, "src").join(a_v, "dst")
-    common = F.array_intersect("nbrs_u", "nbrs_v")
-    if as_count:
-        return pairs.select(
-            "src", "dst", F.size(common).cast("long").alias("common_count")
+    sym = symmetrize(canon.select("src", "dst")).persist()
+    deg = sym.groupBy(F.col("src").alias("id")).agg(F.count("*").alias("deg"))
+    max_deg = deg.agg(F.max("deg")).collect()[0][0] or 0
+    segments = int((max_deg + hub_cap - 1) // hub_cap) if max_deg else 1
+    pairs0 = canon.select("src", "dst")
+
+    if segments <= 1:
+        adj = sym.groupBy(F.col("src").alias("id")).agg(
+            F.sort_array(F.collect_set("dst")).alias("nbrs")
+        ).persist()
+        a_u = adj.select(F.col("id").alias("src"), F.col("nbrs").alias("nbrs_u"))
+        a_v = adj.select(F.col("id").alias("dst"), F.col("nbrs").alias("nbrs_v"))
+        pairs = pairs0.join(a_u, "src").join(a_v, "dst")
+        common = F.array_intersect("nbrs_u", "nbrs_v")
+        if as_count:
+            return pairs.select(
+                "src", "dst", F.size(common).cast("long").alias("common_count")
+            )
+        return pairs.select("src", "dst", F.sort_array(common).alias("common"))
+
+    adj = _segmented_undirected_adj(sym, segments).persist()
+    a_u = adj.select(
+        F.col("id").alias("src"), "salt", F.col("nbrs").alias("nbrs_u")
+    )
+    a_v = adj.select(
+        F.col("id").alias("dst"), "salt", F.col("nbrs").alias("nbrs_v")
+    )
+    seg = (
+        pairs0.join(a_u, "src")
+        .join(a_v, ["dst", "salt"])
+        .select(
+            "src", "dst",
+            F.array_intersect("nbrs_u", "nbrs_v").alias("common"),
         )
-    return pairs.select("src", "dst", F.sort_array(common).alias("common"))
+    )
+    if as_count:
+        aggd = seg.groupBy("src", "dst").agg(
+            F.sum(F.size("common")).cast("long").alias("common_count")
+        )
+        return pairs0.join(aggd, ["src", "dst"], "left").select(
+            "src", "dst",
+            F.coalesce("common_count", F.lit(0)).cast("long").alias("common_count"),
+        )
+    aggd = seg.groupBy("src", "dst").agg(
+        F.sort_array(F.flatten(F.collect_list("common"))).alias("common")
+    )
+    return pairs0.join(aggd, ["src", "dst"], "left").select(
+        "src", "dst",
+        F.coalesce("common", F.array().cast("array<long>")).alias("common"),
+    )

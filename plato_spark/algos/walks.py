@@ -122,6 +122,107 @@ def metapath_walks(
     return walkers.select("walk_id", "path")
 
 
+def _ranked_segment_adjacency(e0: DataFrame, cap: int) -> DataFrame:
+    """(cur, seg, deg, nbrs) — out-neighbors in globally sorted order split
+    into contiguous rank segments of at most ``cap`` entries, so a
+    10^7-degree hub becomes ceil(d/cap) bounded rows (SURVEY §7.4.3). The
+    walker's pick r = floor(u*deg) addresses segment r//cap at offset
+    r%cap — bitwise the same neighbor the one-array plan picks."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("src").orderBy("dst")
+    ranked = (
+        e0.select("src", "dst").distinct()
+        .withColumn("__r", F.row_number().over(w) - 1)
+        .withColumn("__seg", (F.col("__r") / cap).cast("int"))
+    )
+    return (
+        ranked.groupBy(F.col("src").alias("cur"), F.col("__seg").alias("seg"))
+        .agg(
+            F.sort_array(F.collect_list("dst")).alias("nbrs"),
+            F.count("*").alias("__segn"),
+        )
+        .withColumn(
+            "deg",
+            F.sum("__segn").over(
+                Window.partitionBy("cur").rowsBetween(
+                    Window.unboundedPreceding, Window.unboundedFollowing
+                )
+            ),
+        )
+        .drop("__segn")
+    )
+
+
+def _random_walks_segmented(
+    e0: DataFrame,
+    walk_length: int,
+    walks_per_vertex: int,
+    seed: int,
+    hash_impl: str,
+    cap: int,
+    shuffle_n: int,
+) -> DataFrame:
+    """Hub-capped first-order walk loop — same picks as the one-array plan
+    (r-th smallest distinct out-neighbor, r = pmod(floor(u*deg), deg)),
+    addressed as (segment r//cap, offset r%cap)."""
+    spark = e0.sparkSession
+    seg_adj = (
+        _ranked_segment_adjacency(e0, cap).repartition(shuffle_n, "cur").persist()
+    )
+    seg_adj.count()
+    deg_tbl = seg_adj.select("cur", "deg").distinct().persist()
+
+    verts = (
+        e0.select(F.col("src").alias("id"))
+        .unionByName(e0.select(F.col("dst").alias("id")))
+        .distinct()
+    )
+    walkers = verts.crossJoin(
+        spark.range(walks_per_vertex).select(F.col("id").alias("w"))
+    ).select(
+        (F.col("id") * walks_per_vertex + F.col("w")).alias("walk_id"),
+        F.col("id").alias("cur"),
+        F.array(F.col("id")).alias("path"),
+    ).persist()
+    walkers.count()
+    e0.unpersist()
+
+    with scoped_shuffle_partitions(spark, shuffle_n):
+        for step in range(1, walk_length):
+            u = _step_uniform(F.col("walk_id"), step, seed, hash_impl)
+            j = walkers.join(deg_tbl, "cur", "left").select(
+                "walk_id", "cur", "path",
+                F.when(
+                    F.col("deg").isNull(), F.lit(None).cast("long")
+                ).otherwise(
+                    F.pmod((u * F.col("deg")).cast("long"), F.col("deg"))
+                ).alias("__r"),
+            )
+            j = j.withColumn("seg", (F.col("__r") / cap).cast("int"))
+            j2 = j.join(
+                seg_adj.select("cur", "seg", "nbrs"), ["cur", "seg"], "left"
+            )
+            nxt = F.when(
+                F.col("__r").isNull() | F.col("nbrs").isNull(),
+                F.lit(None).cast("long"),
+            ).otherwise(
+                F.element_at(
+                    "nbrs", (F.col("__r") - F.col("seg") * cap + 1).cast("int")
+                )
+            )
+            new_walkers = j2.select(
+                "walk_id",
+                F.coalesce(nxt, F.col("cur")).alias("cur"),
+                F.when(nxt.isNull(), F.col("path"))
+                .otherwise(F.concat("path", F.array(nxt)))
+                .alias("path"),
+            ).localCheckpoint(eager=True)
+            walkers.unpersist()
+            walkers = new_walkers
+    return walkers.select("walk_id", "path")
+
+
 def random_walks(
     edges: DataFrame,
     walk_length: int = 10,
@@ -130,16 +231,33 @@ def random_walks(
     p: float | None = None,
     q: float | None = None,
     hash_impl: str = "xxhash64",
+    hub_cap: int | None = None,
 ) -> DataFrame:
     """(walk_id, path: array<long>) — walks from every vertex, directed edges.
 
     p/q set => node2vec second-order bias (walk.hpp / node2vec example);
     both None => uniform first-order. Walks stop early at sinks.
+
+    hub_cap (first-order only): bound any adjacency row to ``hub_cap``
+    neighbors via contiguous rank segments — picks are identical to the
+    one-array plan (same sorted order, same index), but no row blows up on
+    a hub. Two co-partitioned joins per step instead of one.
     """
     spark = edges.sparkSession
     e0 = edges.select("src", "dst").persist()
     n_e = e0.count()
     shuffle_n = auto_shuffle_partitions(spark, n_e)
+    second_order_req = p is not None or q is not None
+    if hub_cap is not None:
+        if second_order_req:
+            raise ValueError(
+                "hub_cap supports first-order walks only (the biased pick "
+                "needs the full candidate set per row)"
+            )
+        return _random_walks_segmented(
+            e0, walk_length, walks_per_vertex, seed, hash_impl,
+            hub_cap, shuffle_n,
+        )
     adj = _adjacency(e0).repartition(shuffle_n, "cur").persist()
     adj.count()
     second_order = p is not None or q is not None

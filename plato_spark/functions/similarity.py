@@ -244,6 +244,59 @@ def rademacher_planes(num_tables: int, num_planes: int, dim: int) -> list:
     return planes
 
 
+def _portable_bucket_tags(
+    emb: DataFrame,
+    num_planes: int,
+    num_tables: int,
+    id_col: str,
+    vec_col: str,
+) -> DataFrame:
+    """(id, v, bucket) — one row per (vector, LSH table), Rademacher signs
+    evaluated JVM-side."""
+    dim = int(emb.select(F.size(vec_col).alias("d")).first()["d"])
+    planes = rademacher_planes(num_tables, num_planes, dim)
+    vec = F.col(vec_col)
+    buckets = []
+    for t in range(num_tables):
+        sig = None
+        for p in range(num_planes):
+            signs = F.array(*[F.lit(s) for s in planes[t][p]])
+            dot = F.aggregate(
+                F.zip_with(vec, signs, lambda x, y: x * y),
+                F.lit(0.0), lambda acc, x: acc + x,
+            )
+            bit = F.when(dot > 0, F.lit(1 << p)).otherwise(F.lit(0))
+            sig = bit if sig is None else sig + bit
+        buckets.append((sig * num_tables + t).cast("long"))
+    return emb.select(
+        F.col(id_col).alias("id"), vec.alias("v"),
+        F.explode(F.array(*buckets)).alias("bucket"),
+    )
+
+
+def lsh_candidate_pairs_portable(
+    emb: DataFrame,
+    num_planes: int = 10,
+    num_tables: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Distinct candidate pairs (query_id < nbr_id) sharing >=1 LSH bucket —
+    the scale-path candidate generator for embedding_near_dup_clusters:
+    a bucketed equi-join instead of the all-pairs crossJoin, with
+    deterministic Rademacher planes so the candidate set itself is
+    oracle-reproducible."""
+    tagged = _portable_bucket_tags(emb, num_planes, num_tables, id_col, vec_col)
+    lhs = tagged.select("bucket", F.col("id").alias("query_id"))
+    rhs = tagged.select("bucket", F.col("id").alias("nbr_id"))
+    return (
+        lhs.join(rhs, "bucket")
+        .where(F.col("query_id") < F.col("nbr_id"))
+        .select("query_id", "nbr_id")
+        .distinct()
+    )
+
+
 def lsh_bucketed_neighbors_portable(
     emb: DataFrame,
     k: int = 10,
@@ -259,27 +312,7 @@ def lsh_bucketed_neighbors_portable(
     Same bucket->exact-cosine->top-k shape as lsh_bucketed_neighbors; the
     numpy-matmul gaussian variant stays the high-dim throughput path.
     """
-    dim = int(emb.select(F.size(vec_col).alias("d")).first()["d"])
-    planes = rademacher_planes(num_tables, num_planes, dim)
-
-    vec = F.col(vec_col)
-    buckets = []
-    for t in range(num_tables):
-        sig = None
-        for p in range(num_planes):
-            signs = F.array(*[F.lit(s) for s in planes[t][p]])
-            dot = F.aggregate(
-                F.zip_with(vec, signs, lambda x, y: x * y),
-                F.lit(0.0), lambda acc, x: acc + x,
-            )
-            bit = F.when(dot > 0, F.lit(1 << p)).otherwise(F.lit(0))
-            sig = bit if sig is None else sig + bit
-        buckets.append((sig * num_tables + t).cast("long"))
-
-    tagged = emb.select(
-        F.col(id_col).alias("id"), vec.alias("v"),
-        F.explode(F.array(*buckets)).alias("bucket"),
-    )
+    tagged = _portable_bucket_tags(emb, num_planes, num_tables, id_col, vec_col)
     lhs = tagged.select("bucket", F.col("id").alias("query_id"), F.col("v").alias("q_vec"))
     rhs = tagged.select("bucket", F.col("id").alias("nbr_id"), F.col("v").alias("nbr_vec"))
     cand = (
