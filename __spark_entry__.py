@@ -27,7 +27,6 @@ from plato_spark.algos.bfs import bfs, tree_stat
 from plato_spark.algos.closeness import closeness_sampled
 from plato_spark.algos.hanp import hanp
 from plato_spark.algos.infomap import infomap
-from plato_spark.algos.hyperanf import hyperanf
 from plato_spark.algos.kcore import kcore
 from plato_spark.algos.betweenness import betweenness_sampled
 from plato_spark.algos.louvain import louvain
@@ -1008,9 +1007,13 @@ def q_louvain(spark, sf_dir):
     )
 
 
-def _nation_clique_graph(spark, sf_dir):
+def _nation_clique_graph(spark, sf_dir, bridges=True):
     """Deterministic clique-bar fixture: 5 intra-region 5-cliques (w=1)
     joined by a weak path over per-region min-nationkey reps (w=0.5).
+    bridges=False drops the path (pure disconnected cliques — used for the
+    density variant, whose greedy can wedge a bridge vertex between two
+    cliques and leave them merged; without bridges the optimum is still a
+    multi-round merge of 25 singletons into 5 cliques).
 
     The modularity / map-equation optimum is provably the region
     partition (merging two cliques across a single 0.5-weight bridge
@@ -1029,14 +1032,16 @@ def _nation_clique_graph(spark, sf_dir):
         F.col("b.id").alias("dst"),
         F.lit(1.0).alias("weight"),
     )
+    if not bridges:
+        return intra
     reps = nation.groupBy("r").agg(F.min("id").alias("m"))
     r2 = reps.select((F.col("r") - 1).alias("r"), F.col("m").alias("m2"))
-    bridges = reps.join(r2, "r").select(
+    bridge_edges = reps.join(r2, "r").select(
         F.least("m", "m2").alias("src"),
         F.greatest("m", "m2").alias("dst"),
         F.lit(0.5).alias("weight"),
     )
-    return intra.unionByName(bridges)
+    return intra.unionByName(bridge_edges)
 
 
 def _canonical_communities(labels: DataFrame, label_col: str) -> DataFrame:
@@ -1060,6 +1065,18 @@ def q_louvain_multi(spark, sf_dir):
     The sf0.01 co-occurrence multi-epoch run stays pytest-covered."""
     labels = louvain(
         _nation_clique_graph(spark, sf_dir), outer_iterations=2, weight="weight"
+    )
+    return _canonical_communities(labels, "community")
+
+
+def q_louvain_density(spark, sf_dir):
+    """Fast-unfolding density variant (louvain_density.hpp:194-219,
+    example/fast_unfolding_with_density_simple.cc) on the unique-optimum
+    clique-bar fixture — the density-modulated objective also peaks at the
+    region partition (cliques are maximally dense)."""
+    labels = louvain(
+        _nation_clique_graph(spark, sf_dir, bridges=False),
+        outer_iterations=2, weight="weight", variant="density",
     )
     return _canonical_communities(labels, "community")
 
@@ -1333,6 +1350,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hyperanf": q_hyperanf,
         "louvain": q_louvain,
         "louvain_multi": q_louvain_multi,
+        "louvain_density": q_louvain_density,
         "betweenness_sampled": q_betweenness,
         "nstep_degrees": q_nstep_degrees,
         "nstep_exact": q_nstep_exact,
@@ -1384,6 +1402,7 @@ def oracle_sql() -> dict[str, str]:
         "hanp": _sql_hanp(),
         "louvain": _sql_louvain(),
         "louvain_multi": NATION_PARTITION_SQL.format(out="community"),
+        "louvain_density": NATION_PARTITION_SQL.format(out="community"),
         "infomap": NATION_PARTITION_SQL.format(out="module"),
         "betweenness_sampled": _sql_betweenness(),
         "bfs": _sql_bfs_query(),

@@ -35,9 +35,9 @@ from plato_spark.algos.lpa import label_propagation  # noqa: E402
 from plato_spark.algos.pagerank import pagerank  # noqa: E402
 from plato_spark.algos.triangles import triangle_count  # noqa: E402
 from plato_spark.algos.wcc import connected_components  # noqa: E402
-from plato_spark.corpus.extract import extract_graph  # noqa: E402
+from plato_spark.corpus.extract import extract_graph_encoded  # noqa: E402
 from plato_spark.corpus.generator import synth_corpus  # noqa: E402
-from plato_spark.graph.edges import encode_vertices, symmetrize  # noqa: E402
+from plato_spark.graph.edges import symmetrize  # noqa: E402
 from plato_spark.session import get_spark  # noqa: E402
 from plato_spark.sources.tables import part_cooccurrence_edges  # noqa: E402
 
@@ -81,9 +81,10 @@ def main() -> None:
         # persist: extraction scans the corpus twice (co-commit + path-link);
         # unpersisted, the synthetic generator would run once per scan
         corpus = synth_corpus(spark, sf).persist()
-        edges_str, _ = extract_graph(corpus, impl="arrow")
-        edges_str = edges_str.persist()  # encode re-reads it (verts + 2 joins)
-        enc, dic = encode_vertices(edges_str)
+        # encode-first path: the pair shuffle carries longs, pair counts
+        # pre-aggregated per Arrow batch (equivalence-tested against the
+        # string path in tests/test_corpus.py)
+        enc, dic, _ = extract_graph_encoded(corpus)
         enc = enc.persist()
         n_corpus_edges = enc.count()
     queries["corpus_extract"] = time.time() - t0

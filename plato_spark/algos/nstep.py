@@ -29,9 +29,13 @@ def nstep_degrees(
 ) -> DataFrame:
     """(id, nstep_degree: double) over directed edges.
 
-    direction: 'out' = vertices reachable FROM v within n hops;
-               'in'  = vertices that can reach v.
+    direction: 'out'  = vertices reachable FROM v within n hops;
+               'in'   = vertices that can reach v;
+               'both' = ball over the symmetrized graph
+    (the reference's in/out/both option, nstepdegrees.hpp:48-52).
     """
+    from plato_spark.graph.edges import symmetrize
+
     spark = edges.sparkSession
     if direction == "in":
         e0 = edges.select("src", "dst")
@@ -39,6 +43,8 @@ def nstep_degrees(
         # reverse the edges: sketches flow along u->v meaning "u is reachable
         # from ...": to collect v's OUT-ball we propagate sketches backwards
         e0 = edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    elif direction == "both":
+        e0 = symmetrize(edges.select("src", "dst")).distinct()
     else:
         raise ValueError(direction)
     e0 = e0.persist()

@@ -233,24 +233,45 @@ def simhash_signatures(
         import re
 
         tok_re = re.compile(TOKEN_RE)
-        out = np.zeros(len(texts), dtype=np.uint64)
-        for i, t in enumerate(texts.fillna("")):
-            toks = tok_re.findall(t)
-            if not toks:
-                continue
-            # stable 64-bit FNV-1a per token (no PYTHONHASHSEED dependence)
-            hs = np.zeros(len(toks), dtype=np.uint64)
-            for j, tok in enumerate(toks):
-                h = np.uint64(0xCBF29CE484222325)
-                for ch in tok.encode():
-                    h = np.uint64((int(h) ^ ch) * 0x100000001B3 & 0xFFFFFFFFFFFFFFFF)
-                hs[j] = h
-            bits_matrix = ((hs[:, None] >> np.arange(bits, dtype=np.uint64)) & 1).astype(np.int64)
-            votes = bits_matrix.sum(axis=0) * 2 - len(toks)
-            sig = np.uint64(0)
-            for b in np.nonzero(votes > 0)[0]:
-                sig |= np.uint64(1) << np.uint64(b)
-            out[i] = sig
+        n_docs = len(texts)
+        out = np.zeros(n_docs, dtype=np.uint64)
+        tok_lists = [tok_re.findall(t) for t in texts.fillna("")]
+        tok_counts = np.fromiter((len(t) for t in tok_lists), np.int64, n_docs)
+        n_tok = int(tok_counts.sum())
+        if n_tok == 0:
+            return pd.Series(out.view(np.int64))
+        enc = [tok.encode() for toks in tok_lists for tok in toks]
+        lens = np.fromiter((len(b) for b in enc), np.int64, n_tok)
+        max_len = int(lens.max())
+        flat = np.frombuffer(b"".join(enc), dtype=np.uint8)
+        offs = np.zeros(n_tok, dtype=np.int64)
+        np.cumsum(lens[:-1], out=offs[1:])
+        # padded (token x byte-position) matrix, built without a per-token loop
+        pos = np.arange(max_len, dtype=np.int64)
+        valid = pos[None, :] < lens[:, None]
+        buf = np.zeros((n_tok, max_len), dtype=np.uint64)
+        buf[valid] = flat[(offs[:, None] + pos[None, :])[valid]]
+        # stable 64-bit FNV-1a, vectorized ACROSS tokens: one fused
+        # xor-multiply per byte position (uint64 wraparound == `& mask`)
+        h = np.full(n_tok, 0xCBF29CE484222325, dtype=np.uint64)
+        prime = np.uint64(0x100000001B3)
+        for p in range(max_len):
+            m = lens > p
+            h[m] = (h[m] ^ buf[m, p]) * prime
+        bits_matrix = (
+            (h[:, None] >> np.arange(bits, dtype=np.uint64)) & np.uint64(1)
+        ).astype(np.int64)
+        doc_starts = np.zeros(n_docs, dtype=np.int64)
+        np.cumsum(tok_counts[:-1], out=doc_starts[1:])
+        nonempty = tok_counts > 0
+        votes = np.zeros((n_docs, bits), dtype=np.int64)
+        votes[nonempty] = np.add.reduceat(
+            bits_matrix, doc_starts[nonempty], axis=0
+        )
+        votes = votes * 2 - tok_counts[:, None]
+        weights = (np.uint64(1) << np.arange(bits, dtype=np.uint64))
+        sigs = ((votes > 0).astype(np.uint64) * weights).sum(axis=1)
+        out[nonempty] = sigs[nonempty]
         return pd.Series(out.view(np.int64))
 
     return df.select(F.col(id_col).alias("id"), _simhash(F.col(text_col)).alias("simhash"))

@@ -54,44 +54,17 @@ def symmetrize(edges: DataFrame) -> DataFrame:
     return edges.unionByName(rev)
 
 
-def encode_vertices(
-    edges: DataFrame, src: str = "src", dst: str = "dst",
-    num_partitions: int | None = None,
-) -> tuple[DataFrame, DataFrame]:
-    """Dictionary-encode raw vertex keys (any orderable type) to dense longs.
-
-    Returns (encoded_edges[src,dst,...], dictionary[id, vkey]).
-
-    The reference's vid_encoder_t hashes raw ids across ranks, dedups in a
-    cuckoo table and allgathers the table
-    (/root/reference/plato/graph/structure/vid_encoder.hpp:80-165). The Spark
-    plan is the declarative equivalent: distinct -> deterministic dense rank
-    (order by key so the encoding is reproducible) -> two broadcast-or-shuffle
-    joins to rewrite endpoints. At 100TB scale the dictionary join is a plain
-    shuffle hash join on the vkey; Catalyst broadcasts it automatically when
-    the vertex set is small.
-    """
-    spark = edges.sparkSession
-    verts = (
-        edges.select(F.col(src).alias("vkey"))
-        .unionByName(edges.select(F.col(dst).alias("vkey")))
-        .distinct()
-    )
-    # deterministic dense id = rank of vkey in total sort order, computed
-    # DISTRIBUTED: range-partition by key, sort within partitions, then
-    # zipWithIndex (per-partition offsets via one lightweight count job).
-    # A single-partition window (row_number over global order) would be a
-    # serial bottleneck at 10^12-file scale; monotonically_increasing_id is
-    # not reproducible across partitionings. This is the Spark analog of the
-    # reference's allgathered dictionary (vid_encoder.hpp:80-165).
-    if num_partitions is None:
-        # size parallelism to the data (same rationale as
-        # partitioning.auto_shuffle_partitions: per-task overhead dominates
-        # small inputs; ceiling = session conf for cluster-scale runs)
-        from plato_spark.graph.partitioning import auto_shuffle_partitions
-
-        num_partitions = auto_shuffle_partitions(spark, edges.count())
-    n_part = num_partitions
+def build_dictionary(verts: DataFrame, n_part: int) -> DataFrame:
+    """(id, vkey) — deterministic dense rank of DISTINCT keys, computed
+    DISTRIBUTED: range-partition by key, sort within partitions, then
+    per-partition offsets via one lightweight count job (zipWithIndex
+    pattern). A single-partition window (row_number over global order)
+    would be a serial bottleneck at 10^12-file scale;
+    monotonically_increasing_id is not reproducible across partitionings.
+    Spark analog of the reference's allgathered dictionary
+    (/root/reference/plato/graph/structure/vid_encoder.hpp:80-165).
+    Returned hash-partitioned on vkey at n_part and persisted."""
+    spark = verts.sparkSession
     sorted_verts = (
         verts.repartitionByRange(n_part, "vkey")
         .sortWithinPartitions("vkey")
@@ -115,10 +88,44 @@ def encode_vertices(
             "vkey",
         )
     )
+    # explicit co-partitioning on the key at n_part (independent of the
+    # ambient shuffle conf) keeps downstream dictionary joins exchange-light
+    return dictionary.repartition(n_part, "vkey").persist()
+
+
+def encode_vertices(
+    edges: DataFrame, src: str = "src", dst: str = "dst",
+    num_partitions: int | None = None,
+) -> tuple[DataFrame, DataFrame]:
+    """Dictionary-encode raw vertex keys (any orderable type) to dense longs.
+
+    Returns (encoded_edges[src,dst,...], dictionary[id, vkey]).
+
+    The reference's vid_encoder_t hashes raw ids across ranks, dedups in a
+    cuckoo table and allgathers the table
+    (/root/reference/plato/graph/structure/vid_encoder.hpp:80-165). The Spark
+    plan is the declarative equivalent: distinct -> deterministic dense rank
+    (order by key so the encoding is reproducible) -> two broadcast-or-shuffle
+    joins to rewrite endpoints. At 100TB scale the dictionary join is a plain
+    shuffle hash join on the vkey; Catalyst broadcasts it automatically when
+    the vertex set is small.
+    """
+    spark = edges.sparkSession
+    verts = (
+        edges.select(F.col(src).alias("vkey"))
+        .unionByName(edges.select(F.col(dst).alias("vkey")))
+        .distinct()
+    )
+    if num_partitions is None:
+        # size parallelism to the data (same rationale as
+        # partitioning.auto_shuffle_partitions: per-task overhead dominates
+        # small inputs; ceiling = session conf for cluster-scale runs)
+        from plato_spark.graph.partitioning import auto_shuffle_partitions
+
+        num_partitions = auto_shuffle_partitions(spark, edges.count())
+    n_part = num_partitions
+    dictionary = build_dictionary(verts, n_part)
     others = [c for c in edges.columns if c not in (src, dst)]
-    # explicit co-partitioning on the string key at n_part (independent of
-    # the ambient shuffle conf) keeps both dictionary joins exchange-light
-    dictionary = dictionary.repartition(n_part, "vkey").persist()
     d_src = dictionary.select(F.col("vkey").alias("__sk"), F.col("id").alias("__sid"))
     d_dst = dictionary.select(F.col("vkey").alias("__dk"), F.col("id").alias("__did"))
     enc = (

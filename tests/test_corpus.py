@@ -81,6 +81,28 @@ def test_end_to_end_extraction_encodes_dense(spark):
     assert enc.where("src = dst").count() == 0
 
 
+def test_extract_graph_encoded_equals_string_path(spark):
+    from plato_spark.corpus.extract import extract_graph_encoded
+
+    corpus = synth_corpus(spark, 0.001).persist()
+    edges, _ = extract_graph(corpus)
+    enc_ref, dic_ref = encode_vertices(edges)
+    enc_fast, dic_fast, _ = extract_graph_encoded(corpus)
+    ref = {
+        (r["src"], r["dst"], r["etype"]): r["weight"]
+        for r in enc_ref.collect()
+    }
+    fast = {
+        (r["src"], r["dst"], r["etype"]): r["weight"]
+        for r in enc_fast.collect()
+    }
+    assert ref == fast and len(ref) > 100
+    assert (
+        sorted(tuple(r) for r in dic_ref.collect())
+        == sorted(tuple(r) for r in dic_fast.collect())
+    )
+
+
 def test_near_dup_clusters_lsh_matches_exact(spark):
     # documents with planted near-dups: LSH-candidate path must find the
     # same clusters as all-pairs verification

@@ -1,0 +1,106 @@
+#!/usr/bin/env python
+"""Scale-shape evidence extras (run on an IDLE machine; results pasted into
+BENCH/extra.md):
+
+1. kcore-decay  — per-superstep frontier size + wall time of the
+   frontier-pruned k-core on the sf0.1 co-occurrence graph: late rounds
+   must cost a small fraction of round 1 (the reference's active-set
+   effect, kcore.hpp:150-171).
+2. node2vec-throughput — biased-pick step throughput on a mean-degree~50
+   fixture (the vectorized Arrow kernel vs the per-row baseline bound:
+   VERDICT r1 asked for >=5x; we report absolute steps/s and walker-steps/s).
+
+Usage: python tools/extras_bench.py [kcore|node2vec|all] [sf_dir]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from plato_spark.algos.kcore import kcore  # noqa: E402
+from plato_spark.algos.walks import random_walks  # noqa: E402
+from plato_spark.session import get_spark  # noqa: E402
+from plato_spark.sources.tables import part_cooccurrence_edges  # noqa: E402
+
+
+def bench_kcore(spark, sf_dir):
+    canon = part_cooccurrence_edges(spark, sf_dir).persist()
+    canon.count()
+    metrics: list = []
+    t0 = time.time()
+    out = kcore(canon, metrics=metrics)
+    n = out.count()
+    total = time.time() - t0
+    first = metrics[0]["sec"]
+    late = [m["sec"] for m in metrics[len(metrics) // 2:]]
+    print(json.dumps({
+        "extra": "kcore_decay",
+        "sf_dir": sf_dir,
+        "vertices": n,
+        "iterations": len(metrics),
+        "total_sec": round(total, 2),
+        "iter1_sec": first,
+        "late_half_mean_sec": round(sum(late) / max(len(late), 1), 3),
+        "per_iter": metrics,
+    }))
+
+
+def bench_node2vec(spark, sf_dir):
+    # mean-degree ~50 fixture: 100k directed edges over 2000 vertices
+    n_v, n_e = 2000, 100_000
+    e = (
+        spark.range(n_e)
+        .select(
+            F.pmod(F.xxhash64("id", F.lit(11)), F.lit(n_v)).alias("src"),
+            F.pmod(F.xxhash64("id", F.lit(13)), F.lit(n_v)).alias("dst"),
+        )
+        .where(F.col("src") != F.col("dst"))
+        .distinct()
+        .persist()
+    )
+    n_edges = e.count()
+    walk_len = 8
+    t0 = time.time()
+    walks = random_walks(e, walk_length=walk_len, p=2.0, q=0.5, seed=11)
+    n_walkers = walks.count()
+    steps = walks.agg(F.sum(F.size("path") - 1)).collect()[0][0]
+    sec = time.time() - t0
+    print(json.dumps({
+        "extra": "node2vec_step_throughput",
+        "edges": n_edges,
+        "mean_out_degree": round(n_edges / n_v, 1),
+        "walkers": n_walkers,
+        "walk_length": walk_len,
+        "walker_steps": int(steps),
+        "total_sec": round(sec, 2),
+        "walker_steps_per_sec": round(steps / sec, 1),
+        "supersteps_per_sec": round((walk_len - 1) / sec, 3),
+    }))
+
+
+def main():
+    which = sys.argv[1] if len(sys.argv) > 1 else "all"
+    sf_dir = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.1"
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", 32))
+    spark = get_spark(
+        app_name="plato_spark_extras",
+        master=f"local[{cpus}]",
+        shuffle_partitions=2 * cpus,
+        extra_conf={"spark.local.dir": "/dev/shm/plato_spark_bench"},
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    if which in ("kcore", "all"):
+        bench_kcore(spark, sf_dir)
+    if which in ("node2vec", "all"):
+        bench_node2vec(spark, sf_dir)
+
+
+if __name__ == "__main__":
+    main()
