@@ -49,7 +49,11 @@ from plato_spark.algos.triangles import (
     common_neighbors,
     triangle_count,
 )
-from plato_spark.algos.wcc import connected_components
+from plato_spark.algos.wcc import (
+    component_edges,
+    connected_components,
+    major_component,
+)
 from plato_spark.functions.dedup import (
     exact_dedup,
     minhash_lsh_candidates,
@@ -1173,6 +1177,24 @@ def q_component_stats(spark, sf_dir):
     )
 
 
+def q_component_edges(spark, sf_dir):
+    """write_all_edges parity: every canonical edge labeled with its
+    component (connected_component.hpp:496-538)."""
+    canon = part_cooccurrence_edges(spark, sf_dir).persist()
+    comp = connected_components(canon)
+    return component_edges(canon, comp)
+
+
+def q_major_component_edges(spark, sf_dir):
+    """write_component parity: the largest component's edges
+    (connected_component.hpp:388-467; default target = major_label_)."""
+    canon = part_cooccurrence_edges(spark, sf_dir).persist()
+    comp = connected_components(canon).persist()
+    return component_edges(canon, comp, target=major_component(comp)).select(
+        "src", "dst"
+    )
+
+
 def q_events_windowed(spark, sf_dir):
     """Batch form of the streaming tumbling-window aggregation
     (plato_spark.streaming.windowed_event_counts)."""
@@ -1360,6 +1382,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "infomap": q_infomap,
         "media_features": q_media_features,
         "component_stats": q_component_stats,
+        "component_edges": q_component_edges,
+        "major_component_edges": q_major_component_edges,
         "events_windowed": q_events_windowed,
         "events_sessions": q_events_sessions,
         "dedup_exact": q_dedup_exact,
@@ -1482,6 +1506,21 @@ ec AS (SELECT l.lab AS component, CAST(count(*) AS BIGINT) AS n_edges
        FROM canon c JOIN l{WCC_SQL_ITERS} l ON c.src = l.id GROUP BY l.lab)
 SELECT vc.component, vc.n_vertices, COALESCE(ec.n_edges, 0) AS n_edges
 FROM vc LEFT JOIN ec ON vc.component = ec.component""",
+        ),
+        "component_edges": _sql_wcc(WCC_SQL_ITERS).replace(
+            f"\nSELECT id, lab AS component FROM l{WCC_SQL_ITERS} ORDER BY id",
+            f"""
+SELECT l.lab AS component, c.src, c.dst
+FROM canon c JOIN l{WCC_SQL_ITERS} l ON c.src = l.id""",
+        ),
+        "major_component_edges": _sql_wcc(WCC_SQL_ITERS).replace(
+            f"\nSELECT id, lab AS component FROM l{WCC_SQL_ITERS} ORDER BY id",
+            f""",
+maj AS (SELECT lab FROM l{WCC_SQL_ITERS}
+        GROUP BY lab ORDER BY count(*) DESC, lab ASC LIMIT 1)
+SELECT c.src, c.dst
+FROM canon c JOIN l{WCC_SQL_ITERS} l ON c.src = l.id
+WHERE l.lab = (SELECT lab FROM maj)""",
         ),
         "events_windowed": """
             SELECT date_trunc('hour', ts) AS window_start, event_type,

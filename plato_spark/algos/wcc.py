@@ -140,3 +140,43 @@ def connected_components(
     with scoped_shuffle_partitions(spark, shuffle_n):
         final = driver.run(state0, step_jump if impl == "jump" else step)
     return final.select("id", F.col("label").alias("component"))
+
+
+def component_edges(
+    edges: DataFrame, components: DataFrame, target: int | None = None
+) -> DataFrame:
+    """Edge-level component output: (component, src, dst) per canonical edge.
+
+    Reference parity: connected_component.hpp:496-538 (write_all_edges,
+    label,src,dst triples) and :388-467 (write_component — one target
+    component's edges; target=None here keeps all, the reference's
+    write_all_edges mode). At the fixpoint both endpoints share a label,
+    so labeling by src alone is exact — one broadcast-or-shuffle join,
+    no second label lookup.
+    """
+    lab = components.select(F.col("id").alias("src"), "component")
+    out = (
+        edges.select("src", "dst")
+        .join(lab, "src")
+        .select("component", "src", "dst")
+    )
+    if target is not None:
+        out = out.where(F.col("component") == F.lit(target))
+    return out
+
+
+def major_component(components: DataFrame) -> int:
+    """Label of the largest component (ties -> smallest label).
+
+    The reference's default target for write_component is major_label_,
+    computed during its stats pass (connected_component.hpp:247-341,
+    408-415). Scalar aggregate — the collect is O(1) rows.
+    """
+    row = (
+        components.groupBy("component")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.desc("n"), F.asc("component"))
+        .limit(1)
+        .collect()[0]
+    )
+    return row["component"]

@@ -140,3 +140,20 @@ def test_neighborhood_similarity_small(spark):
     # common neighbor of (0,1) is 2 with deg 3 -> 1/ln 3
     assert aa[(0, 1)] == round(1 / math.log(3), 6)
     assert aa[(2, 3)] == 0.0
+
+
+def test_component_edges_and_major(spark):
+    # two components: triangle {0,1,2} (3 edges) and pair {10,11} (1 edge);
+    # write_all_edges parity: every canonical edge labeled by its component
+    # (connected_component.hpp:496-538); major = largest component's label.
+    from plato_spark.algos.wcc import component_edges, major_component
+
+    edges = [(0, 1), (1, 2), (0, 2), (10, 11)]
+    e = edges_df(spark, edges)
+    comp = connected_components(e)
+    lab = component_edges(e, comp).collect()
+    got = {(r.src, r.dst): r.component for r in lab}
+    assert got == {(0, 1): 0, (1, 2): 0, (0, 2): 0, (10, 11): 10}
+    assert major_component(comp) == 0
+    maj = component_edges(e, comp, target=major_component(comp)).collect()
+    assert sorted((r.src, r.dst) for r in maj) == [(0, 1), (0, 2), (1, 2)]
