@@ -59,6 +59,7 @@ from plato_spark.functions.dedup import (
     minhash_lsh_candidates,
     near_dup_clusters,
     ngram_jaccard_pairs,
+    simhash_near_dup_pairs,
     simhash_signatures_portable,
 )
 from plato_spark.functions.similarity import (
@@ -70,10 +71,12 @@ from plato_spark.functions.similarity import (
     rademacher_planes,
     threshold_neighbors,
 )
+from plato_spark.functions.sampling import hash_split, stratified_sample
 from plato_spark.functions.text import (
     _LANG_PROFILES,
     doc_fingerprint,
     lang_id_ngram,
+    quality_filter,
     text_quality,
     token_count_col,
 )
@@ -1257,6 +1260,29 @@ def q_text_quality(spark, sf_dir):
     return text_quality(load_table(spark, sf_dir, "documents"))
 
 
+def q_quality_filter(spark, sf_dir):
+    """Training-data KEEP/DROP gate over the quality heuristics."""
+    return quality_filter(load_table(spark, sf_dir, "documents"))
+
+
+def q_stratified_sample(spark, sf_dir):
+    """Deterministic per-language downsample (portable hash gate):
+    keep 50% of en, 100% of zh, 25% of every other stratum."""
+    return stratified_sample(
+        load_table(spark, sf_dir, "documents"),
+        strata_col="lang",
+        fractions={"en": 0.5, "zh": 1.0},
+        default_fraction=0.25,
+    ).select("doc_id", "lang")
+
+
+def q_hash_split(spark, sf_dir):
+    """Deterministic disjoint train/val/test assignment (90/5/5)."""
+    return hash_split(load_table(spark, sf_dir, "documents")).select(
+        "doc_id", "split"
+    )
+
+
 def q_lang_distribution(spark, sf_dir):
     return (
         load_table(spark, sf_dir, "documents")
@@ -1291,6 +1317,14 @@ def q_minhash_candidates(spark, sf_dir):
 
 def q_simhash(spark, sf_dir):
     return simhash_signatures_portable(load_table(spark, sf_dir, "documents"))
+
+
+def q_simhash_dups(spark, sf_dir):
+    """Banded simhash near-dup join (pigeonhole-exact recall at
+    hamming <= 3); the oracle computes the all-pairs ground truth."""
+    return simhash_near_dup_pairs(
+        load_table(spark, sf_dir, "documents"), max_hamming=3
+    )
 
 
 def q_doc_fingerprint(spark, sf_dir):
@@ -1390,6 +1424,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_clusters": q_dedup_clusters,
         "token_count": q_token_count,
         "text_quality": q_text_quality,
+        "quality_filter": q_quality_filter,
+        "stratified_sample": q_stratified_sample,
+        "hash_split": q_hash_split,
         "lang_distribution": q_lang_distribution,
         "ngram_jaccard_dups": q_ngram_jaccard,
         "similarity_threshold": q_similarity_threshold,
@@ -1399,6 +1436,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id": q_lang_id,
         "minhash_lsh_candidates": q_minhash_candidates,
         "simhash": q_simhash,
+        "simhash_dups": q_simhash_dups,
         "doc_fingerprint": q_doc_fingerprint,
         # no SQL oracle (randomized-hyperplane buckets; approximate):
         "lsh_ann": q_lsh_ann,
@@ -1569,6 +1607,41 @@ WHERE l.lab = (SELECT lab FROM maj)""",
               round(COALESCE(list_sum(list_transform(toks, x -> length(x))), 0)
                     / greatest(length(toks), 1), 6) AS mean_token_len
             FROM t""",
+        "quality_filter": f"""
+            WITH t AS (SELECT doc_id, text,
+                              regexp_extract_all(text, '{TOKEN_RE_SQL}') AS toks
+                       FROM documents),
+            q AS (SELECT doc_id,
+              CAST(length(toks) AS BIGINT) AS n_tokens,
+              round(length(regexp_replace(text, '[^A-Za-z]', '', 'g'))
+                    / greatest(length(text), 1), 6) AS alpha_ratio,
+              round(length(regexp_replace(text, '[^0-9]', '', 'g'))
+                    / greatest(length(text), 1), 6) AS digit_ratio,
+              round(COALESCE(list_sum(list_transform(toks, x -> length(x))), 0)
+                    / greatest(length(toks), 1), 6) AS mean_token_len
+            FROM t)
+            SELECT doc_id,
+                   (n_tokens >= 8 AND alpha_ratio >= 0.45
+                    AND digit_ratio <= 0.3
+                    AND mean_token_len >= 2.0
+                    AND mean_token_len <= 12.0) AS keep
+            FROM q""",
+        "stratified_sample": """
+            SELECT doc_id, lang FROM documents
+            WHERE CAST(('0x' || substr(md5('strat1' || CAST(doc_id AS VARCHAR)), 1, 14)) AS BIGINT)
+                  % 1000000
+                  < CASE lang WHEN 'en' THEN 500000
+                              WHEN 'zh' THEN 1000000
+                              ELSE 250000 END""",
+        "hash_split": """
+            SELECT doc_id,
+                   CASE WHEN g < 900000 THEN 'train'
+                        WHEN g < 950000 THEN 'val'
+                        ELSE 'test' END AS split
+            FROM (SELECT doc_id,
+                         CAST(('0x' || substr(md5('split1' || CAST(doc_id AS VARCHAR)), 1, 14)) AS BIGINT)
+                         % 1000000 AS g
+                  FROM documents)""",
         "lang_distribution": "SELECT lang, CAST(count(*) AS BIGINT) AS n "
         "FROM documents GROUP BY lang",
         "ngram_jaccard_dups": f"""
@@ -1647,6 +1720,18 @@ FROM rr GROUP BY src""",
         "lang_id": _sql_lang_id(),
         "minhash_lsh_candidates": _sql_minhash_candidates(),
         "simhash": _sql_simhash(),
+        "simhash_dups": _sql_simhash().replace(
+            """SELECT d.doc_id AS id, CAST(COALESCE(s.simhash, 0) AS BIGINT) AS simhash
+FROM documents d LEFT JOIN sg s ON d.doc_id = s.doc_id""",
+            """SELECT x.id AS a, y.id AS b,
+       CAST(bit_count(xor(x.simhash, y.simhash)) AS BIGINT) AS hamming
+FROM (SELECT d.doc_id AS id, CAST(COALESCE(s.simhash, 0) AS BIGINT) AS simhash
+      FROM documents d LEFT JOIN sg s ON d.doc_id = s.doc_id) x
+JOIN (SELECT d.doc_id AS id, CAST(COALESCE(s.simhash, 0) AS BIGINT) AS simhash
+      FROM documents d LEFT JOIN sg s ON d.doc_id = s.doc_id) y
+  ON x.id < y.id
+WHERE bit_count(xor(x.simhash, y.simhash)) <= 3""",
+        ),
         "doc_fingerprint": _sql_doc_fingerprint(),
         "similarity_threshold": """
             SELECT a.vec_id AS query_id,

@@ -219,6 +219,69 @@ def near_dup_clusters(
     )
 
 
+def simhash_near_dup_pairs(
+    df: DataFrame,
+    max_hamming: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bits: int = 56,
+) -> DataFrame:
+    """(a, b, hamming) near-dup pairs with hamming(simhash) <= max_hamming.
+
+    Scale path for the simhash family (pairs with minhash_lsh_candidates):
+    the signature is split into max_hamming+1 contiguous bit blocks; by
+    pigeonhole, any pair within the hamming budget agrees EXACTLY on at
+    least one block, so a per-block equi-join has perfect recall and the
+    single JVM ``bit_count(xor)`` verification removes false positives.
+    Shuffle volume = (max_hamming+1) rows per doc — linear, no crossJoin;
+    the all-pairs DuckDB oracle over the same portable signatures checks
+    the banding end-to-end (identical result set iff recall is exact).
+    """
+    bands = max_hamming + 1
+    sigs = simhash_signatures_portable(df, text_col, id_col, bits)
+    base, rem = divmod(bits, bands)
+    blocks: list[tuple[int, int]] = []
+    start = 0
+    for b in range(bands):
+        w = base + (1 if b < rem else 0)
+        blocks.append((start, w))
+        start += w
+    banded = sigs.select(
+        "id",
+        "simhash",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(b).alias("band"),
+                    F.shiftright("simhash", s)
+                    .bitwiseAND(F.lit((1 << w) - 1))
+                    .alias("key"),
+                )
+                for b, (s, w) in enumerate(blocks)
+            ])
+        ).alias("bb"),
+    ).select("id", "simhash", "bb.band", "bb.key")
+    lhs = banded.select(
+        "band", "key", F.col("id").alias("a"), F.col("simhash").alias("sa")
+    )
+    rhs = banded.select(
+        "band", "key", F.col("id").alias("b"), F.col("simhash").alias("sb")
+    )
+    return (
+        lhs.join(rhs, ["band", "key"])
+        .where(F.col("a") < F.col("b"))
+        .select(
+            "a",
+            "b",
+            F.bit_count(F.col("sa").bitwiseXOR(F.col("sb")))
+            .cast("long")
+            .alias("hamming"),
+        )
+        .where(F.col("hamming") <= max_hamming)
+        .distinct()
+    )
+
+
 def simhash_signatures(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits: int = 64
 ) -> DataFrame:

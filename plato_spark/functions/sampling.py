@@ -1,0 +1,86 @@
+"""Deterministic sampling / splitting for training-data pipelines.
+
+The two operations every corpus-preparation job needs downstream of dedup
+and quality filtering:
+
+- stratified_sample: per-stratum hash-gated downsampling (e.g. keep 100%
+  of code, 50% of English, 25% of everything else) — the mix-rebalancing
+  step of dataset curation.
+- hash_split: disjoint train/val/test assignment.
+
+Both are pure projections/filters over the PORTABLE md5 hash family
+(functions/text.portable_h1) of (salt || id): no RNG state, no shuffle, no
+driver involvement — every executor decides each row locally, the same row
+always lands in the same bucket under ANY partitioning or re-run (the
+property `.sample()` does NOT give you across retries/speculation), and a
+DuckDB oracle reproduces the exact kept set. Scale shape: a narrow
+whole-stage-codegen filter — zero exchanges at 100 TB.
+
+The gate compares ``pmod(h1(salt || id), 1_000_000) < fraction * 1e6``;
+fractions are exact to 1e-6, which is the resolution any practical corpus
+quota needs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from plato_spark.functions.text import portable_h1
+
+GATE_MOD = 1_000_000
+
+
+def _gate(id_col: Column, salt: str) -> Column:
+    """Uniform-ish integer in [0, GATE_MOD) from the portable hash."""
+    return F.pmod(portable_h1(F.concat(F.lit(salt), id_col.cast("string"))),
+                  F.lit(GATE_MOD))
+
+
+def stratified_sample(
+    df: DataFrame,
+    strata_col: str = "lang",
+    fractions: dict[str, float] | None = None,
+    default_fraction: float = 0.25,
+    id_col: str = "doc_id",
+    salt: str = "strat1",
+) -> DataFrame:
+    """Rows whose hash gate falls under their stratum's keep-fraction.
+
+    fractions: {stratum_value: keep_fraction}; strata not listed use
+    default_fraction. Deterministic: same (salt, id) -> same decision.
+    """
+    fractions = fractions or {}
+    thresh: Column = F.lit(int(round(default_fraction * GATE_MOD)))
+    for val, frac in sorted(fractions.items()):
+        thresh = F.when(
+            F.col(strata_col) == F.lit(val), F.lit(int(round(frac * GATE_MOD)))
+        ).otherwise(thresh)
+    return df.where(_gate(F.col(id_col), salt) < thresh)
+
+
+def hash_split(
+    df: DataFrame,
+    weights: dict[str, float] | None = None,
+    id_col: str = "doc_id",
+    salt: str = "split1",
+) -> DataFrame:
+    """df + a ``split`` column: disjoint deterministic train/val/test.
+
+    weights must sum to ~1; rows are assigned by cumulative gate ranges in
+    the given dict order (insertion-ordered), so {"train": .9, "val": .05,
+    "test": .05} maps gate [0, .9e6) -> train, [.9e6, .95e6) -> val, rest
+    -> test (the last split absorbs rounding).
+    """
+    weights = weights or {"train": 0.9, "val": 0.05, "test": 0.05}
+    names = list(weights)
+    gate = _gate(F.col(id_col), salt)
+    expr: Column = F.lit(names[-1])
+    cum = 0.0
+    conds = []
+    for name in names[:-1]:
+        cum += weights[name]
+        conds.append((int(round(cum * GATE_MOD)), name))
+    for bound, name in reversed(conds):
+        expr = F.when(gate < F.lit(bound), F.lit(name)).otherwise(expr)
+    return df.withColumn("split", expr)

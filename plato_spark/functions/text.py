@@ -80,6 +80,34 @@ def text_quality(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") 
     )
 
 
+def quality_filter(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_tokens: int = 8,
+    min_alpha_ratio: float = 0.45,
+    max_digit_ratio: float = 0.3,
+    min_mean_token_len: float = 2.0,
+    max_mean_token_len: float = 12.0,
+) -> DataFrame:
+    """(id, keep) — the KEEP/DROP gate of a training-data pipeline.
+
+    Thresholds over the text_quality heuristics (C4/Gopher-style rules:
+    too-short, too-numeric, gibberish-token docs are dropped). Comparisons
+    run on the 6dp-rounded ratios so the decision is engine-portable.
+    Pure whole-stage-codegen projection — zero exchanges at any scale.
+    """
+    q = text_quality(df, text_col, id_col)
+    keep = (
+        (F.col("n_tokens") >= F.lit(min_tokens))
+        & (F.col("alpha_ratio") >= F.lit(min_alpha_ratio))
+        & (F.col("digit_ratio") <= F.lit(max_digit_ratio))
+        & (F.col("mean_token_len") >= F.lit(min_mean_token_len))
+        & (F.col("mean_token_len") <= F.lit(max_mean_token_len))
+    )
+    return q.select(F.col(id_col), keep.alias("keep"))
+
+
 def doc_fingerprint(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
                     shingle: int = 4, hash_impl: str = "xxhash64") -> DataFrame:
     """Deterministic document fingerprint: min hash over token

@@ -1,0 +1,63 @@
+"""Deterministic sampling/splitting: exact equality against a pure-python
+recomputation of the portable md5 gate, plus pipeline-level invariants."""
+
+from __future__ import annotations
+
+import hashlib
+
+from plato_spark.functions.sampling import GATE_MOD, hash_split, stratified_sample
+from plato_spark.functions.text import quality_filter
+
+
+def _h1(s: str) -> int:
+    return int(hashlib.md5(s.encode()).hexdigest()[:14], 16)
+
+
+def _docs(spark, n=200):
+    langs = ["en", "zh", "es", "de"]
+    rows = [(i, f"some text body number {i} with several words here",
+             langs[i % 4]) for i in range(n)]
+    return spark.createDataFrame(rows, "doc_id long, text string, lang string")
+
+
+def test_stratified_sample_matches_python_gate(spark):
+    df = _docs(spark)
+    fr = {"en": 0.5, "zh": 1.0}
+    got = {r["doc_id"] for r in
+           stratified_sample(df, fractions=fr, default_fraction=0.25).collect()}
+    langs = {i: ["en", "zh", "es", "de"][i % 4] for i in range(200)}
+    want = {
+        i for i in range(200)
+        if _h1(f"strat1{i}") % GATE_MOD
+        < int(round(fr.get(langs[i], 0.25) * GATE_MOD))
+    }
+    assert got == want
+    assert 0 < len(got) < 200  # non-trivial split
+    # rerun = identical (no RNG state)
+    again = {r["doc_id"] for r in
+             stratified_sample(df, fractions=fr, default_fraction=0.25).collect()}
+    assert got == again
+
+
+def test_hash_split_disjoint_cover_and_exact(spark):
+    df = _docs(spark)
+    got = {r["doc_id"]: r["split"] for r in hash_split(df).collect()}
+    assert len(got) == 200  # every row assigned exactly once
+    want = {}
+    for i in range(200):
+        g = _h1(f"split1{i}") % GATE_MOD
+        want[i] = "train" if g < 900000 else ("val" if g < 950000 else "test")
+    assert got == want
+    assert set(got.values()) == {"train", "val", "test"}
+
+
+def test_quality_filter_rules(spark):
+    rows = [
+        (0, "a good long enough document with many plain english words inside"),
+        (1, "short"),                                   # too few tokens
+        (2, "1 2 3 4 5 6 7 8 9 10 11 12 13 14 15 16"),  # too numeric
+        (3, ""),                                        # empty
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r["keep"] for r in quality_filter(df).collect()}
+    assert got == {0: True, 1: False, 2: False, 3: False}

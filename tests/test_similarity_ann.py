@@ -185,3 +185,23 @@ def test_lsh_portable_exact_within_buckets(emb):
         assert all_pairs[(r["query_id"], r["nbr_id"])] == r["cosine"]
     again = lsh_bucketed_neighbors_portable(emb, k=3, num_planes=6, num_tables=2).collect()
     assert sorted(map(tuple, got)) == sorted(map(tuple, again))
+
+
+def test_simhash_banded_pairs_exact_recall(docs, spark):
+    """Banded join (pigeonhole blocks) must return EXACTLY the all-pairs
+    hamming<=k ground truth computed from the same signatures."""
+    from itertools import combinations
+
+    from plato_spark.functions.dedup import simhash_near_dup_pairs
+
+    sig = {r["id"]: r["simhash"]
+           for r in simhash_signatures_portable(docs).collect()}
+    for k in (0, 3, 8):
+        want = {
+            (a, b, bin(sig[a] ^ sig[b]).count("1"))
+            for a, b in combinations(sorted(sig), 2)
+            if bin(sig[a] ^ sig[b]).count("1") <= k
+        }
+        got = {tuple(r) for r in
+               simhash_near_dup_pairs(docs, max_hamming=k).collect()}
+        assert got == want, f"k={k}"

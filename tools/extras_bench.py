@@ -9,8 +9,12 @@ BENCH/extra.md):
 2. node2vec-throughput — biased-pick step throughput on a mean-degree~50
    fixture (the vectorized Arrow kernel vs the per-row baseline bound:
    VERDICT r1 asked for >=5x; we report absolute steps/s and walker-steps/s).
+3. ann-recall — recall@k of the two scale-path ANN indexes (IVF cells,
+   sign-LSH buckets) against the exact brute-force top-k on the sf
+   embeddings table, with wall times: the measured accuracy/cost tradeoff
+   behind defaulting the bucketed paths at 100TB.
 
-Usage: python tools/extras_bench.py [kcore|node2vec|all] [sf_dir]
+Usage: python tools/extras_bench.py [kcore|node2vec|ann|all] [sf_dir]
 """
 
 from __future__ import annotations
@@ -85,6 +89,54 @@ def bench_node2vec(spark, sf_dir):
     }))
 
 
+def bench_ann_recall(spark, sf_dir, k=10):
+    from plato_spark.functions.similarity import (
+        brute_force_topk,
+        ivf_ann,
+        lsh_bucketed_neighbors_portable,
+    )
+
+    emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet")).persist()
+    n = emb.count()
+
+    t0 = time.time()
+    truth = brute_force_topk(emb, k=k).select("query_id", "nbr_id").persist()
+    n_truth = truth.count()
+    t_brute = time.time() - t0
+
+    def recall(approx_df):
+        hit = truth.join(approx_df.select("query_id", "nbr_id"),
+                         ["query_id", "nbr_id"]).count()
+        return hit / n_truth
+
+    t0 = time.time()
+    ivf = ivf_ann(emb, k=k, n_clusters=16, n_probe=4).persist()
+    ivf.count()
+    t_ivf = time.time() - t0
+    r_ivf = recall(ivf)
+
+    t0 = time.time()
+    lsh = lsh_bucketed_neighbors_portable(emb, k=k, num_planes=8,
+                                          num_tables=4).persist()
+    lsh.count()
+    t_lsh = time.time() - t0
+    r_lsh = recall(lsh)
+
+    print(json.dumps({
+        "extra": "ann_recall",
+        "sf_dir": sf_dir,
+        "vectors": n,
+        "k": k,
+        "brute_force_sec": round(t_brute, 2),
+        "ivf_sec": round(t_ivf, 2),
+        "ivf_recall": round(r_ivf, 4),
+        "ivf_params": {"n_clusters": 16, "n_probe": 4},
+        "lsh_sec": round(t_lsh, 2),
+        "lsh_recall": round(r_lsh, 4),
+        "lsh_params": {"num_planes": 8, "num_tables": 4},
+    }))
+
+
 def main():
     which = sys.argv[1] if len(sys.argv) > 1 else "all"
     sf_dir = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.1"
@@ -100,6 +152,8 @@ def main():
         bench_kcore(spark, sf_dir)
     if which in ("node2vec", "all"):
         bench_node2vec(spark, sf_dir)
+    if which in ("ann", "all"):
+        bench_ann_recall(spark, sf_dir)
 
 
 if __name__ == "__main__":
