@@ -801,6 +801,175 @@ FROM banded x JOIN banded y
   ON x.band = y.band AND x.bucket = y.bucket AND x.doc_id < y.doc_id"""
 
 
+def _sql_curation(num_hashes: int = 64, bands: int = 16, n: int = 3,
+                  wcc_iters: int = 6) -> str:
+    """Mirror of functions/curation.curate_corpus(hash_impl='portable'):
+    quality gate -> sha256 exact dedup -> portable minhash-LSH candidates
+    -> 3-gram Jaccard >= 0.5 verify -> WCC closure -> stratified sample
+    (en 0.5 / zh 1.0 / else 0.25) -> 90/5/5 split. Every stage value-exact
+    because the LSH banding itself uses the portable md5 family."""
+    rows = num_hashes // bands
+    sig_aggs = ", ".join(f"min(h1 + {i} * h2) AS s{i}" for i in range(num_hashes))
+    band_selects = "\n  UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band, "
+        + " || ',' || ".join(f"CAST(s{b * rows + j} AS VARCHAR)" for j in range(rows))
+        + " AS bucket FROM sig"
+        for b in range(bands)
+    )
+    jac = ("round(length(list_intersect(sa.sh, sb.sh)) "
+           "/ greatest(length(sa.sh) + length(sb.sh) "
+           "- length(list_intersect(sa.sh, sb.sh)), 1), 6)")
+    wcc_ctes = ",\n".join(
+        ["w0 AS MATERIALIZED (SELECT id, id AS lab FROM pv)"]
+        + [
+            f"""w{k + 1} AS MATERIALIZED (
+  SELECT v.id, least(l.lab, COALESCE(m.minlab, l.lab)) AS lab
+  FROM pv v JOIN w{k} l ON v.id = l.id
+  LEFT JOIN (SELECT e.dst AS id, min(l2.lab) AS minlab
+             FROM pe e JOIN w{k} l2 ON e.src = l2.id
+             GROUP BY e.dst) m ON v.id = m.id)"""
+            for k in range(wcc_iters)
+        ]
+    )
+    return f"""
+WITH qd AS MATERIALIZED (
+  SELECT doc_id,
+         (CAST(length(toks) AS BIGINT) >= 8
+          AND round(length(regexp_replace(text, '[^A-Za-z]', '', 'g'))
+                    / greatest(length(text), 1), 6) >= 0.45
+          AND round(length(regexp_replace(text, '[^0-9]', '', 'g'))
+                    / greatest(length(text), 1), 6) <= 0.3
+          AND round(COALESCE(list_sum(list_transform(toks, x -> length(x))), 0)
+                    / greatest(length(toks), 1), 6) BETWEEN 2.0 AND 12.0) AS keep
+  FROM (SELECT doc_id, text,
+               regexp_extract_all(text, '{TOKEN_RE_SQL}') AS toks
+        FROM documents)),
+base AS MATERIALIZED (
+  SELECT d.doc_id, d.text, d.lang FROM documents d
+  JOIN qd ON d.doc_id = qd.doc_id WHERE qd.keep),
+shx AS MATERIALIZED (SELECT doc_id, sha256(text) AS sha FROM base),
+ek AS MATERIALIZED (SELECT sha, min(doc_id) AS ekeeper FROM shx GROUP BY sha),
+ed AS MATERIALIZED (
+  SELECT s.doc_id FROM shx s JOIN ek ON s.sha = ek.sha
+  WHERE s.doc_id <> ek.ekeeper),
+s1 AS MATERIALIZED (
+  SELECT * FROM base WHERE doc_id NOT IN (SELECT doc_id FROM ed)),
+t AS MATERIALIZED (
+  SELECT doc_id, regexp_extract_all(text, '{TOKEN_RE_SQL}') AS toks FROM s1),
+sh AS MATERIALIZED (SELECT doc_id,
+        CASE WHEN length(toks) >= {n} THEN
+          list_distinct([array_to_string(toks[i:i+{n - 1}], ' ')
+                         for i in range(1, length(toks) - {n - 2})])
+        ELSE [array_to_string(toks, ' ')] END AS sh FROM t),
+ex AS MATERIALIZED (SELECT doc_id, unnest(sh) AS s FROM sh),
+hh AS MATERIALIZED (SELECT doc_id, {H1_SQL.format(s='s')} AS h1,
+                           {H2_SQL.format(s='s')} AS h2 FROM ex),
+sig AS MATERIALIZED (SELECT doc_id, {sig_aggs} FROM hh GROUP BY doc_id),
+banded AS MATERIALIZED (
+  {band_selects}),
+cand AS MATERIALIZED (
+  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+  FROM banded x JOIN banded y
+    ON x.band = y.band AND x.bucket = y.bucket AND x.doc_id < y.doc_id),
+pairs AS MATERIALIZED (
+  SELECT c.a, c.b FROM cand c
+  JOIN sh sa ON sa.doc_id = c.a JOIN sh sb ON sb.doc_id = c.b
+  WHERE {jac} >= 0.5),
+pe AS MATERIALIZED (SELECT a AS src, b AS dst FROM pairs
+                    UNION ALL SELECT b AS src, a AS dst FROM pairs),
+pv AS MATERIALIZED (SELECT DISTINCT src AS id FROM pe),
+{wcc_ctes},
+ndp AS MATERIALIZED (SELECT id AS doc_id FROM w{wcc_iters} WHERE id <> lab),
+s2 AS MATERIALIZED (
+  SELECT * FROM s1 WHERE doc_id NOT IN (SELECT doc_id FROM ndp)),
+samp AS MATERIALIZED (
+  SELECT doc_id FROM s2
+  WHERE CAST(('0x' || substr(md5('strat1' || CAST(doc_id AS VARCHAR)), 1, 14)) AS BIGINT)
+        % 1000000
+        < CASE lang WHEN 'en' THEN 500000
+                    WHEN 'zh' THEN 1000000
+                    ELSE 250000 END),
+spl AS MATERIALIZED (
+  SELECT doc_id,
+         CASE WHEN g < 900000 THEN 'train'
+              WHEN g < 950000 THEN 'val'
+              ELSE 'test' END AS split
+  FROM (SELECT doc_id,
+               CAST(('0x' || substr(md5('split1' || CAST(doc_id AS VARCHAR)), 1, 14)) AS BIGINT)
+               % 1000000 AS g
+        FROM samp))
+SELECT d.doc_id,
+       CASE WHEN NOT qd.keep THEN 'low_quality'
+            WHEN ed.doc_id IS NOT NULL THEN 'exact_dup'
+            WHEN ndp.doc_id IS NOT NULL THEN 'near_dup'
+            WHEN spl.doc_id IS NULL THEN 'sampled_out'
+            ELSE 'kept' END AS status,
+       COALESCE(spl.split, '') AS split
+FROM documents d
+JOIN qd ON d.doc_id = qd.doc_id
+LEFT JOIN ed ON d.doc_id = ed.doc_id
+LEFT JOIN ndp ON d.doc_id = ndp.doc_id
+LEFT JOIN spl ON d.doc_id = spl.doc_id"""
+
+
+def _sql_dedup_clusters_lsh(num_hashes: int = 64, bands: int = 16, n: int = 3,
+                            wcc_iters: int = 6) -> str:
+    """Mirror of functions/dedup.near_dup_clusters(use_lsh=True,
+    hash_impl='portable'): the LSH banding, the jaccard verify, and the
+    WCC closure are ALL reproduced, so the bucketed path is value-checked."""
+    rows = num_hashes // bands
+    sig_aggs = ", ".join(f"min(h1 + {i} * h2) AS s{i}" for i in range(num_hashes))
+    band_selects = "\n  UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band, "
+        + " || ',' || ".join(f"CAST(s{b * rows + j} AS VARCHAR)" for j in range(rows))
+        + " AS bucket FROM sig"
+        for b in range(bands)
+    )
+    jac = ("round(length(list_intersect(sa.sh, sb.sh)) "
+           "/ greatest(length(sa.sh) + length(sb.sh) "
+           "- length(list_intersect(sa.sh, sb.sh)), 1), 6)")
+    wcc_ctes = ",\n".join(
+        ["w0 AS MATERIALIZED (SELECT id, id AS lab FROM pv)"]
+        + [
+            f"""w{k + 1} AS MATERIALIZED (
+  SELECT v.id, least(l.lab, COALESCE(m.minlab, l.lab)) AS lab
+  FROM pv v JOIN w{k} l ON v.id = l.id
+  LEFT JOIN (SELECT e.dst AS id, min(l2.lab) AS minlab
+             FROM pe e JOIN w{k} l2 ON e.src = l2.id
+             GROUP BY e.dst) m ON v.id = m.id)"""
+            for k in range(wcc_iters)
+        ]
+    )
+    return f"""
+WITH t AS MATERIALIZED (
+  SELECT doc_id, regexp_extract_all(text, '{TOKEN_RE_SQL}') AS toks
+  FROM documents),
+sh AS MATERIALIZED (SELECT doc_id,
+        CASE WHEN length(toks) >= {n} THEN
+          list_distinct([array_to_string(toks[i:i+{n - 1}], ' ')
+                         for i in range(1, length(toks) - {n - 2})])
+        ELSE [array_to_string(toks, ' ')] END AS sh FROM t),
+ex AS MATERIALIZED (SELECT doc_id, unnest(sh) AS s FROM sh),
+hh AS MATERIALIZED (SELECT doc_id, {H1_SQL.format(s='s')} AS h1,
+                           {H2_SQL.format(s='s')} AS h2 FROM ex),
+sig AS MATERIALIZED (SELECT doc_id, {sig_aggs} FROM hh GROUP BY doc_id),
+banded AS MATERIALIZED (
+  {band_selects}),
+cand AS MATERIALIZED (
+  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+  FROM banded x JOIN banded y
+    ON x.band = y.band AND x.bucket = y.bucket AND x.doc_id < y.doc_id),
+pairs AS MATERIALIZED (
+  SELECT c.a, c.b FROM cand c
+  JOIN sh sa ON sa.doc_id = c.a JOIN sh sb ON sb.doc_id = c.b
+  WHERE {jac} >= 0.5),
+pe AS MATERIALIZED (SELECT a AS src, b AS dst FROM pairs
+                    UNION ALL SELECT b AS src, a AS dst FROM pairs),
+pv AS MATERIALIZED (SELECT DISTINCT src AS id FROM pe),
+{wcc_ctes}
+SELECT id AS doc_id, lab AS keeper_id FROM w{wcc_iters} ORDER BY id"""
+
+
 def _sql_doc_fingerprint(shingle: int = 4) -> str:
     """Mirror of functions/text.doc_fingerprint(hash_impl='portable')."""
     return f"""
@@ -1239,11 +1408,13 @@ def q_common_neighbor_payload(spark, sf_dir):
 
 
 def q_dedup_clusters(spark, sf_dir):
-    """Near-dup clustering: jaccard pair graph -> WCC -> keeper per doc
-    (exact candidate mode so the SQL oracle is value-matched; the LSH
-    candidate path is equivalence-tested in pytest)."""
+    """Near-dup clustering through the BUCKETED scale path: portable
+    minhash-LSH candidates -> jaccard verify -> WCC -> keeper per doc.
+    The oracle mirrors the banding itself (portable md5 family), so the
+    approximate candidate set is value-checked, not just the verifier."""
     return near_dup_clusters(
-        load_table(spark, sf_dir, "documents"), threshold=0.5, use_lsh=False
+        load_table(spark, sf_dir, "documents"), threshold=0.5,
+        use_lsh=True, hash_impl="portable",
     )
 
 
@@ -1258,6 +1429,19 @@ def q_token_count(spark, sf_dir):
 
 def q_text_quality(spark, sf_dir):
     return text_quality(load_table(spark, sf_dir, "documents"))
+
+
+def q_corpus_curation(spark, sf_dir):
+    """Five-stage curation DAG (quality -> exact dedup -> LSH near-dup ->
+    stratified sample -> split), the bucketed scale path end-to-end —
+    value-checked because every hash is portable (functions/curation)."""
+    from plato_spark.functions.curation import curate_corpus
+
+    return curate_corpus(
+        load_table(spark, sf_dir, "documents"),
+        fractions={"en": 0.5, "zh": 1.0},
+        default_fraction=0.25,
+    )
 
 
 def q_quality_filter(spark, sf_dir):
@@ -1425,6 +1609,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_count": q_token_count,
         "text_quality": q_text_quality,
         "quality_filter": q_quality_filter,
+        "corpus_curation": q_corpus_curation,
         "stratified_sample": q_stratified_sample,
         "hash_split": q_hash_split,
         "lang_distribution": q_lang_distribution,
@@ -1626,6 +1811,7 @@ WHERE l.lab = (SELECT lab FROM maj)""",
                     AND mean_token_len >= 2.0
                     AND mean_token_len <= 12.0) AS keep
             FROM q""",
+        "corpus_curation": _sql_curation(),
         "stratified_sample": """
             SELECT doc_id, lang FROM documents
             WHERE CAST(('0x' || substr(md5('strat1' || CAST(doc_id AS VARCHAR)), 1, 14)) AS BIGINT)
@@ -1663,40 +1849,7 @@ WHERE l.lab = (SELECT lab FROM maj)""",
             WHERE round(length(list_intersect(a.sh, b.sh))
                         / greatest(length(a.sh) + length(b.sh)
                                    - length(list_intersect(a.sh, b.sh)), 1), 6) >= 0.5""",
-        "dedup_clusters": f"""
-            WITH t AS MATERIALIZED (
-              SELECT doc_id, regexp_extract_all(text, '{TOKEN_RE_SQL}') AS toks
-              FROM documents),
-            sh AS MATERIALIZED (SELECT doc_id,
-                     CASE WHEN length(toks) >= 3 THEN
-                       list_distinct([array_to_string(toks[i:i+2], ' ')
-                                      for i in range(1, length(toks) - 1)])
-                     ELSE [array_to_string(toks, ' ')] END AS sh
-                   FROM t),
-            pairs AS MATERIALIZED (
-              SELECT a.doc_id AS a, b.doc_id AS b
-              FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-              WHERE round(length(list_intersect(a.sh, b.sh))
-                          / greatest(length(a.sh) + length(b.sh)
-                                     - length(list_intersect(a.sh, b.sh)), 1), 6)
-                    >= 0.5),
-            pe AS MATERIALIZED (SELECT a AS src, b AS dst FROM pairs
-                                UNION ALL SELECT b AS src, a AS dst FROM pairs),
-            pv AS MATERIALIZED (SELECT DISTINCT src AS id FROM pe),
-            {", ".join(
-                (
-                    "w0 AS MATERIALIZED (SELECT id, id AS lab FROM pv)",
-                ) + tuple(
-                    f'''w{k + 1} AS MATERIALIZED (
-              SELECT v.id, least(l.lab, COALESCE(m.minlab, l.lab)) AS lab
-              FROM pv v JOIN w{k} l ON v.id = l.id
-              LEFT JOIN (SELECT e.dst AS id, min(l2.lab) AS minlab
-                         FROM pe e JOIN w{k} l2 ON e.src = l2.id
-                         GROUP BY e.dst) m ON v.id = m.id)'''
-                    for k in range(6)
-                )
-            )}
-            SELECT id AS doc_id, lab AS keeper_id FROM w6 ORDER BY id""",
+        "dedup_clusters": _sql_dedup_clusters_lsh(),
         "nstep_exact": SQL_GRAPH_PREFIX
         + """, r1 AS MATERIALIZED (SELECT DISTINCT src, dst FROM edges),
 r2 AS MATERIALIZED (

@@ -192,6 +192,7 @@ def near_dup_clusters(
     text_col: str = "text",
     id_col: str = "doc_id",
     use_lsh: bool = True,
+    hash_impl: str = "xxhash64",
 ) -> DataFrame:
     """Near-duplicate CLUSTERS: candidate pairs (MinHash-LSH at scale, or
     all-pairs for oracle mode) -> exact n-gram Jaccard verification ->
@@ -206,7 +207,7 @@ def near_dup_clusters(
     from plato_spark.algos.wcc import connected_components
 
     candidates = minhash_lsh_candidates(
-        df, n=n, text_col=text_col, id_col=id_col
+        df, n=n, text_col=text_col, id_col=id_col, hash_impl=hash_impl
     ) if use_lsh else None
     pairs = ngram_jaccard_pairs(
         df, threshold=threshold, n=n, text_col=text_col, id_col=id_col,

@@ -13,8 +13,13 @@ BENCH/extra.md):
    sign-LSH buckets) against the exact brute-force top-k on the sf
    embeddings table, with wall times: the measured accuracy/cost tradeoff
    behind defaulting the bucketed paths at 100TB.
+4. sf1-ab — the join-plan vs grouped-CSR/Arrow-SpMV PageRank A/B at sf=1
+   (11.6M string edges), measuring where the crossover sits instead of
+   asserting it (VERDICT r1 #10). Fixed superstep count so both plans do
+   identical numeric work.
 
-Usage: python tools/extras_bench.py [kcore|node2vec|ann|all] [sf_dir]
+Usage: python tools/extras_bench.py [kcore|node2vec|ann|sf1|all] [sf_dir]
+("all" excludes sf1 — it is a ~10 min dedicated run.)
 """
 
 from __future__ import annotations
@@ -137,6 +142,46 @@ def bench_ann_recall(spark, sf_dir, k=10):
     }))
 
 
+def bench_sf1_ab(spark, iters=10):
+    from plato_spark.algos.pagerank import pagerank
+    from plato_spark.corpus.extract import extract_graph_encoded
+    from plato_spark.corpus.generator import synth_corpus
+    from plato_spark.graph.edges import symmetrize
+
+    t0 = time.time()
+    corpus = synth_corpus(spark, 1.0).persist()
+    enc, dic, _ = extract_graph_encoded(corpus)
+    enc = enc.persist()
+    n_edges = enc.count()
+    t_extract = time.time() - t0
+    corpus.unpersist()
+
+    sym = symmetrize(enc.select("src", "dst")).persist()
+    n_sym = sym.count()
+
+    out = {}
+    for impl in ("join", "spmv"):
+        t0 = time.time()
+        pr = pagerank(sym, damping=0.85, eps=0.0, max_iters=iters, impl=impl)
+        chk = pr.agg(F.sum("rank")).collect()[0][0]
+        sec = time.time() - t0
+        out[impl] = {
+            "sec": round(sec, 2),
+            "supersteps_per_sec": round(iters / sec, 4),
+            "edges_per_sec": round(n_sym * iters / sec, 1),
+            "rank_checksum": round(float(chk), 4),
+        }
+    print(json.dumps({
+        "extra": "sf1_pagerank_plan_ab",
+        "sf": 1.0,
+        "extract_sec": round(t_extract, 2),
+        "encoded_edges": n_edges,
+        "directed_edges": n_sym,
+        "supersteps": iters,
+        "plans": out,
+    }))
+
+
 def main():
     which = sys.argv[1] if len(sys.argv) > 1 else "all"
     sf_dir = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.1"
@@ -154,6 +199,8 @@ def main():
         bench_node2vec(spark, sf_dir)
     if which in ("ann", "all"):
         bench_ann_recall(spark, sf_dir)
+    if which == "sf1":
+        bench_sf1_ab(spark)
 
 
 if __name__ == "__main__":
