@@ -1057,6 +1057,34 @@ def q_wcc(spark, sf_dir):
     return connected_components(part_cooccurrence_edges(spark, sf_dir))
 
 
+def q_wcc_incremental(spark, sf_dir):
+    """Incremental WCC (streaming/incremental.merge_edge_batch): the edge
+    table arrives as three micro-batches folded into persisted state; the
+    final labels must equal batch WCC from scratch, so the plain hash-min
+    oracle applies verbatim."""
+    import shutil
+    import tempfile
+
+    from plato_spark.streaming.incremental import (
+        merge_edge_batch,
+        read_component_state,
+    )
+
+    canon = part_cooccurrence_edges(spark, sf_dir).persist()
+    sd = tempfile.mkdtemp(prefix="plato_incwcc_")
+    try:
+        for i in range(3):
+            merge_edge_batch(
+                canon.where(F.pmod(F.col("src") + F.col("dst"), F.lit(3)) == i),
+                sd,
+            )
+        # localCheckpoint severs lineage from the temp dir before cleanup
+        out = read_component_state(spark, sd).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(sd, ignore_errors=True)
+    return out
+
+
 def q_wcc_jump(spark, sf_dir):
     # pointer-jumping impl converges to the same min-vid fixpoint labels,
     # so the hash-min unrolled oracle applies verbatim
@@ -1572,6 +1600,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "personalized_pagerank": q_ppr,
         "wcc": q_wcc,
         "wcc_jump": q_wcc_jump,
+        "wcc_incremental": q_wcc_incremental,
         "lpa": q_lpa,
         "triangle_count": q_triangle_count,
         "clustering_coefficient": q_clustering_coefficient,
@@ -1645,6 +1674,7 @@ def oracle_sql() -> dict[str, str]:
         "personalized_pagerank": _sql_ppr(PPR_ITERS, n_sources=PPR_SOURCES),
         "wcc": _sql_wcc(WCC_SQL_ITERS),
         "wcc_jump": _sql_wcc(WCC_SQL_ITERS),
+        "wcc_incremental": _sql_wcc(WCC_SQL_ITERS),
         "lpa": _sql_lpa(LPA_ITERS),
         "hanp": _sql_hanp(),
         "louvain": _sql_louvain(),

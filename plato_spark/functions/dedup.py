@@ -237,6 +237,11 @@ def simhash_near_dup_pairs(
     Shuffle volume = (max_hamming+1) rows per doc — linear, no crossJoin;
     the all-pairs DuckDB oracle over the same portable signatures checks
     the banding end-to-end (identical result set iff recall is exact).
+
+    Skew note: byte-identical documents share a signature and land in the
+    same buckets, so run exact dedup first at scale (curation.curate_corpus
+    stages it that way); empty docs all carry signature 0 and would
+    otherwise form one quadratic bucket.
     """
     bands = max_hamming + 1
     sigs = simhash_signatures_portable(df, text_col, id_col, bits)

@@ -114,15 +114,16 @@ def bench_ann_recall(spark, sf_dir, k=10):
                          ["query_id", "nbr_id"]).count()
         return hit / n_truth
 
+    # operating points picked from the measured sweep in BENCH/extra.md
     t0 = time.time()
-    ivf = ivf_ann(emb, k=k, n_clusters=16, n_probe=4).persist()
+    ivf = ivf_ann(emb, k=k, n_clusters=8, n_probe=4).persist()
     ivf.count()
     t_ivf = time.time() - t0
     r_ivf = recall(ivf)
 
     t0 = time.time()
-    lsh = lsh_bucketed_neighbors_portable(emb, k=k, num_planes=8,
-                                          num_tables=4).persist()
+    lsh = lsh_bucketed_neighbors_portable(emb, k=k, num_planes=5,
+                                          num_tables=12).persist()
     lsh.count()
     t_lsh = time.time() - t0
     r_lsh = recall(lsh)
@@ -135,10 +136,10 @@ def bench_ann_recall(spark, sf_dir, k=10):
         "brute_force_sec": round(t_brute, 2),
         "ivf_sec": round(t_ivf, 2),
         "ivf_recall": round(r_ivf, 4),
-        "ivf_params": {"n_clusters": 16, "n_probe": 4},
+        "ivf_params": {"n_clusters": 8, "n_probe": 4},
         "lsh_sec": round(t_lsh, 2),
         "lsh_recall": round(r_lsh, 4),
-        "lsh_params": {"num_planes": 8, "num_tables": 4},
+        "lsh_params": {"num_planes": 5, "num_tables": 12},
     }))
 
 
