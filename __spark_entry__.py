@@ -912,6 +912,34 @@ LEFT JOIN ndp ON d.doc_id = ndp.doc_id
 LEFT JOIN spl ON d.doc_id = spl.doc_id"""
 
 
+def _sql_hits(iters: int = 5) -> str:
+    """Mirror of algos/hits.hits: L1-normalized power iteration, the
+    denominators computed as edge-sums exactly like the Spark side."""
+    ctes = ["hh0 AS MATERIALIZED (SELECT id, CAST(1.0 AS DOUBLE) AS hub, "
+            "CAST(1.0 AS DOUBLE) AS auth FROM verts)"]
+    for k in range(1, iters + 1):
+        ctes.append(f"""ar{k} AS MATERIALIZED (
+  SELECT c.dst AS id, sum(h.hub) AS s
+  FROM canon c JOIN hh{k - 1} h ON c.src = h.id GROUP BY c.dst),
+aa{k} AS MATERIALIZED (
+  SELECT v.id, COALESCE(ar.s, 0) / (SELECT sum(s) FROM ar{k}) AS auth
+  FROM verts v LEFT JOIN ar{k} ar ON v.id = ar.id),
+hr{k} AS MATERIALIZED (
+  SELECT c.src AS id, sum(a.auth) AS s
+  FROM canon c JOIN aa{k} a ON c.dst = a.id GROUP BY c.src),
+hh{k} AS MATERIALIZED (
+  SELECT v.id, COALESCE(hr.s, 0) / (SELECT sum(s) FROM hr{k}) AS hub,
+         a.auth
+  FROM verts v LEFT JOIN hr{k} hr ON v.id = hr.id
+  JOIN aa{k} a ON v.id = a.id)""")
+    return (
+        SQL_GRAPH_PREFIX + ", " + ",\n".join(ctes)
+        + f"""
+SELECT id, round(hub, 6) AS hub, round(auth, 6) AS authority
+FROM hh{iters} ORDER BY id"""
+    )
+
+
 def _sql_dedup_clusters_lsh(num_hashes: int = 64, bands: int = 16, n: int = 3,
                             wcc_iters: int = 6) -> str:
     """Mirror of functions/dedup.near_dup_clusters(use_lsh=True,
@@ -1055,6 +1083,23 @@ def q_ppr(spark, sf_dir):
 
 def q_wcc(spark, sf_dir):
     return connected_components(part_cooccurrence_edges(spark, sf_dir))
+
+
+def q_hits(spark, sf_dir):
+    """HITS hubs/authorities on the canonically-oriented co-occurrence
+    graph (algos/hits; beyond the reference menu — L1-normalized power
+    iteration, fixed 5 rounds for the oracle)."""
+    from plato_spark.algos.hits import hits
+
+    return hits(part_cooccurrence_edges(spark, sf_dir), iterations=5)
+
+
+def q_gnn_neighbor_sample(spark, sf_dir):
+    """Deterministic GraphSAGE fan-out (k=5) through the degree-aware
+    prefilter scale path (exact by fallback; algos/neighbor_sample)."""
+    from plato_spark.algos.neighbor_sample import neighbor_sample
+
+    return neighbor_sample(part_cooccurrence_edges(spark, sf_dir), k=5)
 
 
 def q_wcc_incremental(spark, sf_dir):
@@ -1601,6 +1646,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "wcc": q_wcc,
         "wcc_jump": q_wcc_jump,
         "wcc_incremental": q_wcc_incremental,
+        "hits": q_hits,
+        "gnn_neighbor_sample": q_gnn_neighbor_sample,
         "lpa": q_lpa,
         "triangle_count": q_triangle_count,
         "clustering_coefficient": q_clustering_coefficient,
@@ -1675,6 +1722,16 @@ def oracle_sql() -> dict[str, str]:
         "wcc": _sql_wcc(WCC_SQL_ITERS),
         "wcc_jump": _sql_wcc(WCC_SQL_ITERS),
         "wcc_incremental": _sql_wcc(WCC_SQL_ITERS),
+        "hits": _sql_hits(5),
+        "gnn_neighbor_sample": SQL_GRAPH_PREFIX + """
+SELECT src, dst AS nbr, CAST(rn AS BIGINT) AS pos FROM (
+  SELECT src, dst,
+         row_number() OVER (PARTITION BY src ORDER BY h, dst) AS rn
+  FROM (SELECT src, dst,
+               CAST(('0x' || substr(md5('gnn1' || CAST(src AS VARCHAR)
+                     || ':' || CAST(dst AS VARCHAR)), 1, 14)) AS BIGINT) AS h
+        FROM edges))
+WHERE rn <= 5""",
         "lpa": _sql_lpa(LPA_ITERS),
         "hanp": _sql_hanp(),
         "louvain": _sql_louvain(),
