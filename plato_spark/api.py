@@ -206,3 +206,21 @@ class LinkGraph:
 
     def metapath_walks(self, metapath: list[str], **kw) -> DataFrame:
         return metapath_walks(self.edges, metapath, **kw)
+
+    def hits(self, decode: bool = False, **kw) -> DataFrame:
+        from plato_spark.algos.hits import hits
+
+        return self._maybe_decode(
+            hits(self.edges.select("src", "dst"), **kw), decode, ("id",)
+        )
+
+    def component_edges(self, target: int | None = None, **kw) -> DataFrame:
+        from plato_spark.algos.wcc import component_edges
+
+        e = self.edges.select("src", "dst")
+        return component_edges(e, connected_components(e, **kw), target=target)
+
+    def neighbor_sample(self, k: int = 5, **kw) -> DataFrame:
+        from plato_spark.algos.neighbor_sample import neighbor_sample
+
+        return neighbor_sample(self.edges.select("src", "dst"), k=k, **kw)

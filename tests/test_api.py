@@ -52,3 +52,20 @@ def test_linkgraph_string_edges_encoded(spark):
     by_key = {r["id_key"]: r["component"] for r in comp.collect()}
     assert by_key["a"] == by_key["b"] == by_key["c"]
     assert by_key["x"] == by_key["y"] != by_key["a"]
+
+
+def test_linkgraph_round2_methods(spark):
+    canon = random_graph(n=30, m=80, seed=7)
+    g = LinkGraph.from_edges(edges_df(spark, canon))
+
+    h = g.hits(iterations=3)
+    assert set(h.columns) == {"id", "hub", "authority"}
+    assert h.count() == len({x for e in canon for x in e})
+
+    ce = g.component_edges()
+    assert set(ce.columns) == {"component", "src", "dst"}
+    assert ce.count() == len(canon)
+
+    ns = g.neighbor_sample(k=3)
+    assert set(ns.columns) == {"src", "nbr", "pos"}
+    assert ns.groupBy("src").count().agg({"count": "max"}).collect()[0][0] <= 3
