@@ -912,6 +912,30 @@ LEFT JOIN ndp ON d.doc_id = ndp.doc_id
 LEFT JOIN spl ON d.doc_id = spl.doc_id"""
 
 
+KTRUSS_SQL_ITERS = 12  # measured peel fixpoint: 4 rounds at sf0.01, 9 at
+# sf0.1; extra rounds are identity (peeling a fixpoint changes nothing)
+
+
+def _sql_ktruss(k: int = 5, iters: int = KTRUSS_SQL_ITERS) -> str:
+    """Mirror of algos/ktruss.ktruss: unrolled support-peel."""
+    ctes = ["e0 AS MATERIALIZED (SELECT src, dst FROM canon)"]
+    for i in range(iters):
+        ctes.append(f"""sy{i} AS MATERIALIZED (
+  SELECT src, dst FROM e{i} UNION ALL SELECT dst AS src, src AS dst FROM e{i}),
+su{i} AS MATERIALIZED (
+  SELECT a.src AS u, b.src AS v, count(*) AS c
+  FROM sy{i} a JOIN sy{i} b ON a.dst = b.dst AND a.src < b.src
+  GROUP BY a.src, b.src),
+e{i + 1} AS MATERIALIZED (
+  SELECT e.src, e.dst FROM e{i} e
+  JOIN su{i} s ON e.src = s.u AND e.dst = s.v
+  WHERE s.c >= {k - 2})""")
+    return (
+        SQL_GRAPH_PREFIX + ", " + ",\n".join(ctes)
+        + f"\nSELECT src, dst FROM e{iters} ORDER BY src, dst"
+    )
+
+
 def _sql_hits(iters: int = 5) -> str:
     """Mirror of algos/hits.hits: L1-normalized power iteration, the
     denominators computed as edge-sums exactly like the Spark side."""
@@ -1092,6 +1116,14 @@ def q_hits(spark, sf_dir):
     from plato_spark.algos.hits import hits
 
     return hits(part_cooccurrence_edges(spark, sf_dir), iterations=5)
+
+
+def q_ktruss(spark, sf_dir):
+    """Maximal 5-truss of the co-occurrence graph (algos/ktruss: support
+    peel to the unique fixpoint; hub-capped adjacency throughout)."""
+    from plato_spark.algos.ktruss import ktruss
+
+    return ktruss(part_cooccurrence_edges(spark, sf_dir), k=5)
 
 
 def q_gnn_neighbor_sample(spark, sf_dir):
@@ -1648,6 +1680,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "wcc_incremental": q_wcc_incremental,
         "hits": q_hits,
         "gnn_neighbor_sample": q_gnn_neighbor_sample,
+        "ktruss": q_ktruss,
         "lpa": q_lpa,
         "triangle_count": q_triangle_count,
         "clustering_coefficient": q_clustering_coefficient,
@@ -1723,6 +1756,7 @@ def oracle_sql() -> dict[str, str]:
         "wcc_jump": _sql_wcc(WCC_SQL_ITERS),
         "wcc_incremental": _sql_wcc(WCC_SQL_ITERS),
         "hits": _sql_hits(5),
+        "ktruss": _sql_ktruss(5),
         "gnn_neighbor_sample": SQL_GRAPH_PREFIX + """
 SELECT src, dst AS nbr, CAST(rn AS BIGINT) AS pos FROM (
   SELECT src, dst,

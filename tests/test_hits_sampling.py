@@ -81,3 +81,22 @@ def test_neighbor_sample_seed_changes_sample(spark):
     s2 = {tuple(r) for r in neighbor_sample(e, k=5, seed="b").collect()}
     assert s1 != s2  # different seeds, different (deterministic) subsets
     assert s1 == {tuple(r) for r in neighbor_sample(e, k=5, seed="a").collect()}
+
+
+def test_ktruss_fixture(spark):
+    """5-clique survives k=5 (every edge closes 3 triangles); a pendant
+    triangle survives only k=3; chain edges never (support 0)."""
+    from itertools import combinations
+
+    from plato_spark.algos.ktruss import ktruss
+
+    clique = list(combinations(range(5), 2))          # support 3 each
+    tri = [(10, 11), (10, 12), (11, 12)]              # support 1 each
+    chain = [(20, 21), (21, 22)]                      # support 0
+    e = edges_df(spark, clique + tri + chain)
+
+    k5 = sorted(map(tuple, ktruss(e, k=5).collect()))
+    assert k5 == sorted(clique)
+    k3 = sorted(map(tuple, ktruss(e, k=3).collect()))
+    assert k3 == sorted(clique + tri)
+    assert ktruss(e, k=6).count() == 0  # 5-clique cannot be a 6-truss
