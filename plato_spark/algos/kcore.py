@@ -146,7 +146,7 @@ def kcore(
                 F.least(F.col("core"), F.coalesce("h", F.col("core"))).alias("core"),
                 (F.coalesce("h", F.col("core")) < F.col("core")).alias("chg"),
             )
-            new_state = new_state.localCheckpoint(eager=False)
+            new_state = new_state.localCheckpoint(eager=True)
             frontier = new_state.where("chg").select("id")
             n_front = frontier.count()
             new_state = new_state.drop("chg")

@@ -12,7 +12,9 @@ graphs). Peel loop:
 The fixpoint (maximal k-truss) is unique, so the result is deterministic
 and SQL-oracle-checkable with an unrolled peel (extra rounds beyond the
 fixpoint are identity, so the oracle just needs >= the measured round
-count). Support reuses algos/triangles.common_neighbors — the hub-capped
+count; value-matched at sf0.01 — at sf0.1 the 12-round unrolled DuckDB
+peel is cost-prohibitive, so sf0.1 coverage is the measured Spark
+fixpoint, 9 rounds / 917,088 edges, plus the fixture tests). Support reuses algos/triangles.common_neighbors — the hub-capped
 (consistently-segmented) adjacency path, so a 10^7-degree hub never
 materializes an unbounded row. Lineage is truncated per peel
 (localCheckpoint), the same discipline as every other iterative loop.

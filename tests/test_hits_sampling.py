@@ -100,3 +100,15 @@ def test_ktruss_fixture(spark):
     k3 = sorted(map(tuple, ktruss(e, k=3).collect()))
     assert k3 == sorted(clique + tri)
     assert ktruss(e, k=6).count() == 0  # 5-clique cannot be a 6-truss
+
+
+def test_neighbor_sample_two_layer_frontier(spark):
+    """GraphSAGE layer-2: sampling restricted to layer-1's neighbor set."""
+    edges = [(i, j) for i in range(20) for j in range(20, 26)]  # bipartite
+    e = edges_df(spark, edges)
+    l1 = neighbor_sample(e, k=2, seed="s")
+    f = l1.select(l1.nbr.alias("src"))
+    l2 = neighbor_sample(e, k=3, seed="s", frontier=f)
+    l1_nbrs = {r["nbr"] for r in l1.collect()}
+    assert {r["src"] for r in l2.collect()} == l1_nbrs  # only frontier sampled
+    assert l2.groupBy("src").count().agg({"count": "max"}).collect()[0][0] <= 3
