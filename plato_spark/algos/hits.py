@@ -13,12 +13,18 @@ opposite edge directions):
   hub(u)   = sum_{(u,v) in E} auth(v)   then L1-normalize
 
 Plan shape mirrors algos/pagerank impl='join': the edge table is cached
-hash-partitioned on src once; each gather is one co-partitioned join +
-map-side-combined groupBy; L1 normalization is a scalar agg broadcast
-back as a literal (collect of ONE number, not per-row data). L1 (not L2)
-keeps the oracle exact-mirrorable in SQL; any positive scaling converges
-to the same principal direction. Fixed iteration count + 6dp rounding =
-deterministic, DuckDB-value-checkable.
+hash-partitioned on src once (plus a dst-partitioned copy for the
+reverse gather, so both directions join co-partitioned); each gather is
+one co-partitioned join + map-side-combined groupBy; L1 normalization
+stays IN the plan as a broadcast 1-row aggregate (no driver collect —
+the sole action per iteration is the lineage-truncating localCheckpoint,
+and the in-plan division is float-identical to dividing by a collected
+scalar, so the SQL oracle is unchanged). L1 (not L2) keeps the oracle
+exact-mirrorable in SQL; any positive scaling converges to the same
+principal direction. Fixed iteration count + 6dp rounding =
+deterministic, DuckDB-value-checkable. No final sort: output order is
+unspecified (the driver compare is order-insensitive), a global orderBy
+would be a pure full-sort exchange.
 """
 
 from __future__ import annotations
@@ -40,6 +46,10 @@ def hits(edges: DataFrame, iterations: int = 5) -> DataFrame:
     shuffle_n = auto_shuffle_partitions(spark, n_e)
     e = e0.repartition(shuffle_n, "src").persist()
     e.count()
+    # dst-partitioned copy: the reverse gather joins on dst; without it
+    # every iteration re-shuffles the full edge table
+    e_dst = e0.repartition(shuffle_n, "dst").persist()
+    e_dst.count()
     e0.unpersist()
 
     verts = (
@@ -55,38 +65,57 @@ def hits(edges: DataFrame, iterations: int = 5) -> DataFrame:
         "id", F.lit(1.0).alias("hub"), F.lit(1.0).alias("auth")
     ).persist()
 
+    def _l1_total(raw: DataFrame, col: str) -> DataFrame:
+        # 1-row L1 mass, guarded like the old collected scalar (`or 1.0`)
+        t = F.coalesce(F.sum(col), F.lit(1.0))
+        return raw.agg(
+            F.when(t == 0.0, F.lit(1.0)).otherwise(t).alias(f"{col}_tot")
+        )
+
     with scoped_shuffle_partitions(spark, shuffle_n):
         for _ in range(iterations):
-            # gather hubs along edges -> raw authorities
+            # gather hubs along edges -> raw authorities; normalization
+            # rides in-plan as a broadcast 1-row agg (persist so the raw
+            # table is computed once for both the agg and the join)
             a_raw = (
                 e.join(state.select(F.col("id").alias("src"), "hub"), "src")
                 .groupBy(F.col("dst").alias("id"))
                 .agg(F.sum("hub").alias("a_raw"))
+                .persist()
             )
-            a_tot = a_raw.agg(F.sum("a_raw")).collect()[0][0] or 1.0
-            auth = state.select("id").join(a_raw, "id", "left").select(
-                "id",
-                (F.coalesce("a_raw", F.lit(0.0)) / F.lit(float(a_tot))).alias("auth"),
-            )
-            # gather authorities backwards -> raw hubs
-            h_raw = (
-                e.join(auth.select(F.col("id").alias("dst"), "auth"), "dst")
-                .groupBy(F.col("src").alias("id"))
-                .agg(F.sum("auth").alias("h_raw"))
-            )
-            h_tot = h_raw.agg(F.sum("h_raw")).collect()[0][0] or 1.0
-            new_state = (
-                auth.join(h_raw, "id", "left")
+            auth = (
+                state.select("id")
+                .join(a_raw, "id", "left")
+                .crossJoin(F.broadcast(_l1_total(a_raw, "a_raw")))
                 .select(
                     "id",
-                    (F.coalesce("h_raw", F.lit(0.0)) / F.lit(float(h_tot))).alias("hub"),
+                    (F.coalesce("a_raw", F.lit(0.0)) / F.col("a_raw_tot")).alias("auth"),
+                )
+            )
+            # gather authorities backwards -> raw hubs (dst-partitioned copy)
+            h_raw = (
+                e_dst.join(auth.select(F.col("id").alias("dst"), "auth"), "dst")
+                .groupBy(F.col("src").alias("id"))
+                .agg(F.sum("auth").alias("h_raw"))
+                .persist()
+            )
+            new_state = (
+                auth.join(h_raw, "id", "left")
+                .crossJoin(F.broadcast(_l1_total(h_raw, "h_raw")))
+                .select(
+                    "id",
+                    (F.coalesce("h_raw", F.lit(0.0)) / F.col("h_raw_tot")).alias("hub"),
                     "auth",
                 )
-                .localCheckpoint(eager=True)
+                .localCheckpoint(eager=True)  # the ONE action per iteration
             )
-            state.unpersist()
+            for c in (a_raw, h_raw, state):
+                try:
+                    c.unpersist()
+                except Exception:
+                    pass
             state = new_state
 
     return state.select(
         "id", F.round("hub", 6).alias("hub"), F.round("auth", 6).alias("authority")
-    ).orderBy("id")
+    )

@@ -158,14 +158,19 @@ def infomap(
             pa2 = F.col("pa") - F.col("p")
             pb2 = F.col("pb") + F.col("p")
             dQ = (qa2 + qb2) - (F.col("qa") + F.col("qb"))
-            Qtot = mstat.agg(F.sum("q")).collect()[0][0] or 0.0
+            # total module-exit flow rides in-plan as a broadcast 1-row agg
+            # off the already-persisted mstat (no extra driver action)
+            qtot_df = mstat.agg(
+                F.coalesce(F.sum("q"), F.lit(0.0)).alias("q_tot")
+            )
+            cands = cands.crossJoin(F.broadcast(qtot_df))
 
             def plogp(c):
                 return _plogp(c)
 
-            Q2 = F.lit(Qtot) + dQ
+            Q2 = F.col("q_tot") + dQ
             dL = (
-                (plogp(Q2) - plogp(F.lit(Qtot)))
+                (plogp(Q2) - plogp(F.col("q_tot")))
                 - 2.0 * (plogp(qa2) + plogp(qb2) - plogp(F.col("qa")) - plogp(F.col("qb")))
                 + (
                     plogp(qa2 + pa2) + plogp(qb2 + pb2)

@@ -45,6 +45,10 @@ from plato_spark.graph.partitioning import (
 
 # plato's push threshold (dualmode.hpp:41-43), same policy as wcc.
 PUSH_THRESHOLD = 0.05
+# upper bound on broadcastable target-side rows (the frontier's summed
+# degree bounds |targets|); above this the gather falls back to a shuffle
+# join even when the frontier itself is tiny
+TGT_BROADCAST_MAX = 2_000_000
 
 
 def _h_from_histogram(col: str) -> F.Column:
@@ -98,6 +102,7 @@ def kcore(
     # round 0: everyone just "changed" (init = degree), so all recompute
     frontier = deg.select("id")
     n_front = n_vertices
+    front_deg_sum = n_sym  # sum of all degrees = |sym|
 
     with scoped_shuffle_partitions(spark, shuffle_n):
         k = 0
@@ -117,7 +122,11 @@ def kcore(
             tgt = state.join(targets, "id").select(
                 F.col("id").alias("dst"), F.col("core").alias("cap")
             )
-            if sparse:
+            # |targets| <= sum of frontier degrees: a sparse frontier that
+            # contains one 10^7-degree hub still fans out to 10^7 targets,
+            # so the tgt broadcast is gated on the degree sum, not on
+            # frontier row count (broadcasting f_src alone is always safe).
+            if sparse and front_deg_sum < TGT_BROADCAST_MAX:
                 tgt = F.broadcast(tgt)
             gathered = (
                 sym.join(
@@ -148,7 +157,13 @@ def kcore(
             )
             new_state = new_state.localCheckpoint(eager=True)
             frontier = new_state.where("chg").select("id")
-            n_front = frontier.count()
+            # one action for both frontier size and its degree sum (the
+            # broadcast gate above); deg is cached so this is a cheap join
+            fstat = frontier.join(deg, "id").agg(
+                F.count("*").alias("n"), F.sum("deg").alias("ds")
+            ).first()
+            n_front = int(fstat["n"])
+            front_deg_sum = int(fstat["ds"] or 0)
             new_state = new_state.drop("chg")
             if prev_cached is not None:
                 try:

@@ -4,24 +4,35 @@ closes >= k-2 triangles WITHIN the subgraph.
 Beyond the reference menu (plato ships vertex-level k-core,
 /root/reference/plato/algo/kcore/kcore.hpp; k-truss is its edge analog
 and the standard next step for community-core extraction on link
-graphs). Peel loop:
+graphs).
 
-  support(u,v) = |N(u) ∩ N(v)| over the CURRENT edge set
-  drop every edge with support < k-2; repeat to fixpoint.
+INCREMENTAL peel (the 100 TB shape): support is computed in full ONCE
+(hub-capped common-neighbor pass), then maintained by decrement.
+Per round:
 
-The fixpoint (maximal k-truss) is unique, so the result is deterministic
-and SQL-oracle-checkable with an unrolled peel (extra rounds beyond the
-fixpoint are identity, so the oracle just needs >= the measured round
-count; value-matched at sf0.01 — at sf0.1 the 12-round unrolled DuckDB
-peel is cost-prohibitive, so sf0.1 coverage is the measured Spark
-fixpoint, 9 rounds / 917,088 edges, plus the fixture tests). Support reuses algos/triangles.common_neighbors — the hub-capped
-(consistently-segmented) adjacency path, so a 10^7-degree hub never
-materializes an unbounded row. Lineage is truncated per peel
-(localCheckpoint), the same discipline as every other iterative loop.
+  P            = alive edges with support < k-2
+  dead tris    = DISTINCT triangles (a<b<c) that contain a P-edge,
+                 enumerated only from the P-edges' endpoints against the
+                 round-start adjacency (cost ∝ Σ deg(P endpoints), not E)
+  new support  = support - #dead triangles through each surviving edge
 
-Cost shape: each round is one adjacency build + one per-edge
-intersection over a SHRINKING edge set — the expensive round is the
-first, exactly like the reference's peeling algorithms.
+The distinct-triangle step is what makes the decrement exact when two or
+three edges of one triangle are peeled in the same round (the triangle
+dies once, not twice). A triangle killed in round t is never re-counted
+in round t+1 because enumeration runs against the round-start edge set,
+which no longer contains earlier peeled edges. The fixpoint (maximal
+k-truss) is unique, so the result is deterministic and SQL-oracle-
+checkable with an unrolled peel (extra rounds beyond the fixpoint are
+identity; value-matched at sf0.01 — at sf0.1 the 12-round unrolled
+DuckDB peel is cost-prohibitive, so sf0.1 coverage is the measured
+Spark fixpoint plus the fixture tests).
+
+Hub discipline: both the initial pass and the per-round enumeration use
+the consistent hash-segmented adjacency (segments fixed from the
+original max degree, degrees only shrink), so a 10^7-degree hub never
+materializes an unbounded collect_set row. Endpoint sets are broadcast
+only below a row bound. Lineage is truncated per peel (localCheckpoint),
+the same discipline as every other iterative loop.
 """
 
 from __future__ import annotations
@@ -29,37 +40,115 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from plato_spark.algos.triangles import common_neighbors
+from plato_spark.algos.triangles import (
+    _segmented_undirected_adj,
+    common_neighbors,
+)
+from plato_spark.graph.edges import symmetrize
+
+ENDS_BROADCAST_MAX = 1_000_000
 
 
 def ktruss(
     canon: DataFrame,
     k: int = 5,
-    max_iters: int = 50,
+    max_iters: int = 100,
     metrics: list | None = None,
+    hub_cap: int = 100_000,
 ) -> DataFrame:
     """(src, dst) — the edges of the maximal k-truss of ``canon``.
 
     canon: canonical undirected edge table (src < dst, unique).
+    Pass ``metrics=[]`` to receive per-round dicts (peeled edges, dead
+    triangles, damaged edges) — the evidence that round-2+ cost tracks
+    the peeled set, not the full edge count.
     """
     if k < 3:
         raise ValueError("k-truss is defined for k >= 3")
+    need = k - 2
+
     cur = canon.select("src", "dst").localCheckpoint(eager=True)
-    n_prev = cur.count()
+    # segment count fixed from the ORIGINAL max degree (degrees only
+    # shrink during peeling, so this stays a valid bound)
+    sym0 = symmetrize(cur)
+    max_deg = (
+        sym0.groupBy("src").agg(F.count("*").alias("d")).agg(F.max("d")).first()[0]
+        or 0
+    )
+    segments = int((max_deg + hub_cap - 1) // hub_cap) if max_deg else 1
+
+    # one full support pass (hub-capped); support(e) = #triangles through e
+    caches: list = []
+    state = (
+        common_neighbors(cur, as_count=True, hub_cap=hub_cap, caches=caches)
+        .select("src", "dst", F.col("common_count").alias("support"))
+        .localCheckpoint(eager=True)
+    )
+    for c in caches:  # state is materialized; drop the builder's caches
+        try:
+            c.unpersist()
+        except Exception:
+            pass
+
     for it in range(max_iters):
-        if n_prev == 0:
+        peeled = state.where(F.col("support") < need).select("src", "dst")
+        n_peel = peeled.count()
+        if metrics is not None:
+            metrics.append({"iter": it, "peeled": n_peel})
+        if n_peel == 0:
             break
-        sup = common_neighbors(cur, as_count=True)
-        nxt = (
-            sup.where(F.col("common_count") >= k - 2)
-            .select("src", "dst")
+
+        alive = state.select("src", "dst")  # round-start edge set (incl. P)
+        sym = symmetrize(alive)
+        ends = (
+            peeled.select(F.col("src").alias("id"))
+            .unionByName(peeled.select(F.col("dst").alias("id")))
+            .distinct()
+        )
+        if 2 * n_peel <= ENDS_BROADCAST_MAX:
+            ends = F.broadcast(ends)
+        # adjacency ONLY for peeled endpoints, consistently segmented so
+        # N(u) ∩ N(v) = ∪_s N_s(u) ∩ N_s(v) distributes across hubs
+        adj = _segmented_undirected_adj(
+            sym.join(ends.withColumnRenamed("id", "src"), "src"), segments
+        )
+        a_u = adj.select(F.col("id").alias("src"), "salt", F.col("nbrs").alias("nu"))
+        a_v = adj.select(F.col("id").alias("dst"), "salt", F.col("nbrs").alias("nv"))
+        wit = (
+            peeled.join(a_u, "src")
+            .join(a_v, ["dst", "salt"])
+            .select("src", "dst", F.explode(F.array_intersect("nu", "nv")).alias("w"))
+        )
+        # distinct dead triangles (a<b<c): dedupes the case where 2-3
+        # edges of one triangle are peeled in the same round
+        tri = wit.select(
+            F.least("src", "dst", "w").alias("a"),
+            F.expr(
+                "CAST(src AS BIGINT) + CAST(dst AS BIGINT) + CAST(w AS BIGINT)"
+            ).alias("s"),
+            F.greatest("src", "dst", "w").alias("c"),
+        ).select(
+            "a", (F.col("s") - F.col("a") - F.col("c")).alias("b"), "c"
+        ).distinct()
+        dmg = (
+            tri.select(F.col("a").alias("src"), F.col("b").alias("dst"))
+            .unionAll(tri.select(F.col("a").alias("src"), F.col("c").alias("dst")))
+            .unionAll(tri.select(F.col("b").alias("src"), F.col("c").alias("dst")))
+            .join(peeled, ["src", "dst"], "left_anti")
+            .groupBy("src", "dst")
+            .agg(F.count("*").cast("long").alias("dead"))
+        )
+        state = (
+            state.join(peeled, ["src", "dst"], "left_anti")
+            .join(dmg, ["src", "dst"], "left")
+            .select(
+                "src",
+                "dst",
+                (F.col("support") - F.coalesce("dead", F.lit(0))).alias("support"),
+            )
             .localCheckpoint(eager=True)
         )
-        n = nxt.count()
         if metrics is not None:
-            metrics.append({"iter": it, "edges": n})
-        cur = nxt
-        if n == n_prev:
-            break
-        n_prev = n
-    return cur
+            metrics[-1]["dead_triangles"] = tri.count()
+
+    return state.select("src", "dst")

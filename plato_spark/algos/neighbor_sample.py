@@ -30,6 +30,10 @@ from plato_spark.graph.edges import symmetrize
 
 HASH_SPACE = float(1 << 56)  # portable_h1 range
 OVERSAMPLE = 4.0
+# frontier tables below this row count are broadcast into the edge
+# semi-join; above it (e.g. a layer-2 frontier over millions of seeds)
+# a plain shuffle semi-join is used instead
+FRONTIER_BROADCAST_MAX = 1_000_000
 
 
 def _edge_hash(seed: str, src: Column, dst: Column) -> Column:
@@ -54,7 +58,12 @@ def neighbor_sample(
     g = symmetrize(edges.select("src", "dst")) if symmetric else edges.select("src", "dst")
     g = g.distinct()  # neighbors are a SET (tolerates non-canonical input)
     if frontier is not None:
-        g = g.join(F.broadcast(frontier.select("src").distinct()), "src")
+        f = frontier.select("src").distinct()
+        # one cheap action decides broadcast vs shuffle semi-join; a
+        # million-seed layer-2 frontier must not be force-broadcast
+        if f.count() <= FRONTIER_BROADCAST_MAX:
+            f = F.broadcast(f)
+        g = g.join(f, "src")
     base = g.select("src", "dst", _edge_hash(seed, F.col("src"), F.col("dst")).alias("h"))
 
     if prefilter:

@@ -245,7 +245,10 @@ def _segmented_undirected_adj(sym: DataFrame, segments: int) -> DataFrame:
 
 
 def common_neighbors(
-    canon: DataFrame, as_count: bool = True, hub_cap: int = 100_000
+    canon: DataFrame,
+    as_count: bool = True,
+    hub_cap: int = 100_000,
+    caches: list | None = None,
 ) -> DataFrame:
     """Per linked pair (src<dst): common neighbors over UNDIRECTED adjacency.
 
@@ -258,8 +261,15 @@ def common_neighbors(
     vertices) and per-segment intersections are re-reduced per pair —
     identical results, no unbounded row. When max degree <= hub_cap the
     plan is the plain one-array-per-vertex join (no extra cost).
+
+    caches: optional list the persisted intermediates (sym, adj) are
+    appended to so a caller that materializes the result (e.g. via
+    localCheckpoint) can unpersist them instead of leaning on LRU
+    eviction.
     """
     sym = symmetrize(canon.select("src", "dst")).persist()
+    if caches is not None:
+        caches.append(sym)
     deg = sym.groupBy(F.col("src").alias("id")).agg(F.count("*").alias("deg"))
     max_deg = deg.agg(F.max("deg")).collect()[0][0] or 0
     segments = int((max_deg + hub_cap - 1) // hub_cap) if max_deg else 1
@@ -269,6 +279,8 @@ def common_neighbors(
         adj = sym.groupBy(F.col("src").alias("id")).agg(
             F.sort_array(F.collect_set("dst")).alias("nbrs")
         ).persist()
+        if caches is not None:
+            caches.append(adj)
         a_u = adj.select(F.col("id").alias("src"), F.col("nbrs").alias("nbrs_u"))
         a_v = adj.select(F.col("id").alias("dst"), F.col("nbrs").alias("nbrs_v"))
         pairs = pairs0.join(a_u, "src").join(a_v, "dst")
@@ -280,6 +292,8 @@ def common_neighbors(
         return pairs.select("src", "dst", F.sort_array(common).alias("common"))
 
     adj = _segmented_undirected_adj(sym, segments).persist()
+    if caches is not None:
+        caches.append(adj)
     a_u = adj.select(
         F.col("id").alias("src"), "salt", F.col("nbrs").alias("nbrs_u")
     )

@@ -32,6 +32,14 @@ from plato_spark.graph.partitioning import (
 from plato_spark.functions.text import portable_h1
 
 
+def _dyadic_exact(v: float, bits: int = 20) -> bool:
+    """True if v is an integer multiple of 2**-bits (e.g. 1/p for p in
+    0.25, 0.5, 1, 2, 4 ...). Partial sums of such weights are exact in
+    float64 up to ~2**(53-bits) terms, so a global cumsum with prefix
+    subtraction is bitwise identical to per-row accumulation."""
+    return float(v * (1 << bits)).is_integer()
+
+
 def _step_uniform(walk_id_col, step: int, seed: int, hash_impl: str):
     """Deterministic per-(walker, step) uniform draw in [0, 1).
 
@@ -281,16 +289,21 @@ def random_walks(
     e0.unpersist()
 
     if second_order:
+        # The global-cumsum-minus-prefix pick below is bitwise identical to
+        # a per-row np.cumsum (what the DuckDB oracle mirrors) ONLY when
+        # every weight is a low-bit dyadic rational — then every partial sum
+        # is exact and no float rounding can flip a pick at a bucket
+        # boundary. For general p/q we keep the flattening but run the
+        # cumsum per segment, which matches the oracle for any weights.
+        global_cumsum_exact = _dyadic_exact(1.0 / p) and _dyadic_exact(1.0 / q)
+
         @pandas_udf("long")
         def pick_biased(nbrs: pd.Series, prev: pd.Series, prev_nbrs: pd.Series,
                         u: pd.Series) -> pd.Series:
             # Fully vectorized per Arrow batch (no per-row Python): flatten
             # all candidate arrays, compute weights segment-wise, pick with a
             # single global cumsum + searchsorted. Same pattern as the SpMV
-            # kernel in graph/csr.py. With 1/p, 1/q binary fractions the
-            # global-cumsum-minus-prefix arithmetic is exact, so picks are
-            # bitwise identical to a per-row np.cumsum (what the DuckDB
-            # oracle mirrors).
+            # kernel in graph/csr.py.
             n = len(nbrs)
             cand_list = [
                 np.asarray(a, dtype=np.int64) if a is not None else
@@ -351,16 +364,26 @@ def random_walks(
                 dtype=np.float64, na_value=np.nan), np.nan)
             w[cand == np.repeat(prev_f, lens)] = 1.0 / p
 
-            c = np.cumsum(w)
-            pfx = np.concatenate([[0.0], c])
-            prefix = pfx[offs[:-1]]
-            totals = pfx[offs[1:]] - prefix
-            target = prefix + uu * totals
-            pos = np.searchsorted(c, target, side="right")
             nonempty = lens > 0
             lo = offs[:-1]
             hi = np.maximum(offs[1:] - 1, lo)
-            pos = np.clip(pos, lo, hi)
+            if global_cumsum_exact:
+                c = np.cumsum(w)
+                pfx = np.concatenate([[0.0], c])
+                prefix = pfx[offs[:-1]]
+                totals = pfx[offs[1:]] - prefix
+                target = prefix + uu * totals
+                pos = np.searchsorted(c, target, side="right")
+                pos = np.clip(pos, lo, hi)
+            else:
+                # per-segment cumsum: float-exact match of the per-row
+                # oracle for arbitrary p/q (slower; only non-dyadic params)
+                pos = lo.copy()
+                for i in np.nonzero(nonempty)[0]:
+                    s, e = int(offs[i]), int(offs[i + 1])
+                    cw = np.cumsum(w[s:e])
+                    j = np.searchsorted(cw, uu[i] * cw[-1], side="right")
+                    pos[i] = s + min(int(j), e - s - 1)
             out[nonempty] = cand[pos[nonempty]]
             # rows with no usable prev context fall back to the uniform
             # index pick (bitwise-identical to the first-order formula)

@@ -315,18 +315,30 @@ def simhash_signatures(
         flat = np.frombuffer(b"".join(enc), dtype=np.uint8)
         offs = np.zeros(n_tok, dtype=np.int64)
         np.cumsum(lens[:-1], out=offs[1:])
-        # padded (token x byte-position) matrix, built without a per-token loop
-        pos = np.arange(max_len, dtype=np.int64)
-        valid = pos[None, :] < lens[:, None]
-        buf = np.zeros((n_tok, max_len), dtype=np.uint64)
-        buf[valid] = flat[(offs[:, None] + pos[None, :])[valid]]
         # stable 64-bit FNV-1a, vectorized ACROSS tokens: one fused
-        # xor-multiply per byte position (uint64 wraparound == `& mask`)
+        # xor-multiply per byte position (uint64 wraparound == `& mask`).
+        # Byte positions are processed in fixed-width chunks so peak extra
+        # memory is bounded at |alive tokens| x CHUNK, not n_tok x max_len:
+        # one pathological megabyte-long token no longer inflates a dense
+        # padding matrix (values are bit-identical to the unchunked pass).
+        CHUNK = 64
         h = np.full(n_tok, 0xCBF29CE484222325, dtype=np.uint64)
         prime = np.uint64(0x100000001B3)
-        for p in range(max_len):
-            m = lens > p
-            h[m] = (h[m] ^ buf[m, p]) * prime
+        for c0 in range(0, max_len, CHUNK):
+            idx = np.nonzero(lens > c0)[0]
+            if idx.size == 0:
+                break
+            width = min(CHUNK, max_len - c0)
+            pos = np.arange(c0, c0 + width, dtype=np.int64)
+            sub_lens = lens[idx]
+            valid = pos[None, :] < sub_lens[:, None]
+            buf = np.zeros((idx.size, width), dtype=np.uint64)
+            buf[valid] = flat[(offs[idx][:, None] + pos[None, :])[valid]]
+            hh = h[idx]
+            for p in range(width):
+                m = sub_lens > c0 + p
+                hh[m] = (hh[m] ^ buf[m, p]) * prime
+            h[idx] = hh
         bits_matrix = (
             (h[:, None] >> np.arange(bits, dtype=np.uint64)) & np.uint64(1)
         ).astype(np.int64)

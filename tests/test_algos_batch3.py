@@ -158,6 +158,25 @@ def test_random_walks_node2vec_valid(spark):
             assert b in adj[a]
 
 
+def test_node2vec_non_dyadic_pq_fallback(spark):
+    """Non-binary-fraction p/q (1/3, 1/0.3) must route through the
+    per-segment cumsum path and still produce valid, deterministic walks."""
+    canon = random_graph(n=20, m=60, seed=84)
+    sym = canon + [(b, a) for a, b in canon]
+    adj = defaultdict(set)
+    for u, v in sym:
+        adj[u].add(v)
+    walks = random_walks(edges_df(spark, sym), walk_length=5, p=3.0, q=0.3)
+    rows = {r["walk_id"]: list(r["path"]) for r in walks.collect()}
+    for path in rows.values():
+        for a, b in zip(path, path[1:]):
+            assert b in adj[a]
+    again = {r["walk_id"]: list(r["path"])
+             for r in random_walks(edges_df(spark, sym), walk_length=5,
+                                   p=3.0, q=0.3).collect()}
+    assert again == rows
+
+
 def test_metapath_walks(spark):
     from plato_spark.algos.walks import metapath_walks
     from pyspark.sql import functions as F

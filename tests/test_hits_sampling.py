@@ -102,6 +102,39 @@ def test_ktruss_fixture(spark):
     assert ktruss(e, k=6).count() == 0  # 5-clique cannot be a 6-truss
 
 
+def test_ktruss_incremental_matches_full_recompute(spark):
+    """The decrement-based peel must reach the same fixpoint as a naive
+    full-support-recompute peel on a random graph with multiple peel
+    rounds (including triangles losing 2+ edges in one round)."""
+    from collections import defaultdict
+
+    from oracles import random_graph
+
+    from plato_spark.algos.ktruss import ktruss
+
+    canon = random_graph(n=25, m=120, seed=31)
+
+    def peel(edge_set, k):
+        edges = set(edge_set)
+        while True:
+            adj = defaultdict(set)
+            for u, v in edges:
+                adj[u].add(v)
+                adj[v].add(u)
+            drop = {(u, v) for u, v in edges if len(adj[u] & adj[v]) < k - 2}
+            if not drop:
+                return edges
+            edges -= drop
+
+    e = edges_df(spark, canon)
+    for k in (3, 4, 5):
+        metrics = []
+        got = sorted(map(tuple, ktruss(e, k=k, metrics=metrics).collect()))
+        assert got == sorted(peel(canon, k)), f"k={k}"
+        # incremental invariant: round-2+ work tracks the peeled set
+        assert metrics[-1]["peeled"] == 0
+
+
 def test_neighbor_sample_two_layer_frontier(spark):
     """GraphSAGE layer-2: sampling restricted to layer-1's neighbor set."""
     edges = [(i, j) for i in range(20) for j in range(20, 26)]  # bipartite

@@ -149,6 +149,47 @@ def test_portable_simhash_properties(docs):
     assert ham_near < ham_far        # near-dup closer than unrelated
 
 
+def test_simhash_numpy_long_token_chunked_identical(spark):
+    """Regression: the vectorized simhash pads tokens into a (n_tok x
+    max_len) matrix; a single megabyte-long token used to inflate it to
+    ~8*n*max_len bytes. The chunked pass must stay bit-identical to a
+    scalar FNV-1a reference even for pathological token lengths."""
+    from plato_spark.functions.dedup import simhash_signatures
+
+    long_tok = "a" * 300_000  # forces many 64-byte chunks
+    df = spark.createDataFrame(
+        [(0, f"hello {long_tok} world"), (1, "hello world"), (2, long_tok)],
+        "doc_id long, text string",
+    )
+    sig = {r["id"]: r["simhash"] for r in simhash_signatures(df).collect()}
+
+    def fnv(tok: str) -> int:
+        h = 0xCBF29CE484222325
+        for b in tok.encode():
+            h = ((h ^ b) * 0x100000001B3) & 0xFFFFFFFFFFFFFFFF
+        return h
+
+    import re
+
+    from plato_spark.functions.text import TOKEN_RE
+
+    def ref_sig(text: str) -> int:
+        toks = re.compile(TOKEN_RE).findall(text)
+        votes = [0] * 64
+        for t in toks:
+            h = fnv(t)
+            for i in range(64):
+                votes[i] += 1 if (h >> i) & 1 else -1
+        out = 0
+        for i in range(64):
+            if votes[i] > 0:
+                out |= 1 << i
+        return out - (1 << 64) if out >= (1 << 63) else out
+
+    for i, text in [(0, f"hello {long_tok} world"), (1, "hello world"), (2, long_tok)]:
+        assert sig[i] == ref_sig(text), f"doc {i} mismatch"
+
+
 def test_doc_fingerprint_portable_deterministic(docs):
     fp1 = {r["doc_id"]: r["fingerprint"]
            for r in doc_fingerprint(docs, hash_impl="portable").collect()}
