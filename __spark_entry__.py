@@ -1489,6 +1489,22 @@ def q_events_windowed(spark, sf_dir):
     )
 
 
+def q_spread_behaviour(spark, sf_dir):
+    """spread.cc list mode (example/spread.cc:718-760): per relation
+    vertex, aggregate its neighbors' behaviour rows by behaviour id —
+    relation graph = co-occurrence edges, behaviour table = events
+    (user_id -> event_type, value)."""
+    from plato_spark.algos.spread import spread_aggregate
+
+    canon = part_cooccurrence_edges(spark, sf_dir)
+    beh = load_table(spark, sf_dir, "events").select(
+        F.col("user_id").alias("id"), "event_type", "value"
+    )
+    return spread_aggregate(
+        canon, beh, id_col="id", behaviour_col="event_type", sum_cols=("value",)
+    )
+
+
 def q_events_sessions(spark, sf_dir):
     """Batch session windows (native F.session_window; the streaming
     counterpart is plato_spark.streaming.sessionize_events). A session
@@ -1698,6 +1714,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "similarity_threshold": q_similarity_threshold,
         # -- newly oracle-checkable in r3 (was no_oracle) --
         "media_features": q_media_features,
+        # -- new in r3 --
+        "spread_behaviour": q_spread_behaviour,
         # -- r1+r2 driver-green rows --
         "co_occurrence_edges": q_edges,
         "degrees": q_degrees,
@@ -1965,6 +1983,12 @@ WHERE l.lab = (SELECT lab FROM maj)""",
                         ELSE NULL END AS sample_rate,
                    CAST(CASE WHEN doc_id % 5 = 4 THEN 16 ELSE 8 END AS INT) AS bit_depth
             FROM documents""",
+        "spread_behaviour": SQL_GRAPH_PREFIX + """
+            SELECT e.src AS uin, ev.event_type AS behaviour_id,
+                   CAST(count(*) AS BIGINT) AS cnt,
+                   round(sum(ev.value), 6) AS value_sum
+            FROM edges e JOIN events ev ON e.dst = ev.user_id
+            GROUP BY e.src, ev.event_type""",
         "stratified_sample": """
             SELECT doc_id, lang FROM documents
             WHERE CAST(('0x' || substr(md5('strat1' || CAST(doc_id AS VARCHAR)), 1, 14)) AS BIGINT)

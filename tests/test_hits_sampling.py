@@ -145,3 +145,29 @@ def test_neighbor_sample_two_layer_frontier(spark):
     l1_nbrs = {r["nbr"] for r in l1.collect()}
     assert {r["src"] for r in l2.collect()} == l1_nbrs  # only frontier sampled
     assert l2.groupBy("src").count().agg({"count": "max"}).collect()[0][0] <= 3
+
+
+def test_spread_count_and_aggregate(spark):
+    """spread.cc semantics: star 0-{1,2,3}, behaviours on 1 (two rows) and
+    2 (one row); vertex 0 spreads over 3 rows from 2 distinct neighbors,
+    leaves spread over vertex 0 only if 0 had behaviours (it doesn't)."""
+    from plato_spark.algos.spread import spread_aggregate, spread_count
+
+    e = edges_df(spark, [(0, 1), (0, 2), (0, 3)])
+    beh = spark.createDataFrame(
+        [(1, "click", 2.0), (1, "view", 3.0), (2, "click", 5.0)],
+        "id long, behaviour_id string, value double",
+    )
+    cnt = {r["uin"]: (r["distinct_nbrs"], r["spread_cnt"])
+           for r in spread_count(e, beh).collect()}
+    assert cnt == {0: (2, 3)}  # leaves 1,2,3 have only neighbor 0 (no behaviours)
+
+    agg = {(r["uin"], r["behaviour_id"]): (r["cnt"], r["value_sum"])
+           for r in spread_aggregate(e, beh, sum_cols=("value",)).collect()}
+    assert agg == {(0, "click"): (2, 7.0), (0, "view"): (1, 3.0)}
+
+    # directed mode: only out-neighbors spread
+    d = spark.createDataFrame([(1, 0)], "src long, dst long")
+    cnt_d = {r["uin"]: r["spread_cnt"]
+             for r in spread_count(d, beh, directed=True).collect()}
+    assert cnt_d == {}  # 1 -> 0 but 0 has no behaviours
