@@ -73,3 +73,35 @@ def test_incremental_streaming_query(spark, tmp_path):
     q2 = incremental_wcc(stream, sd, ck)
     q2.awaitTermination(120)
     assert _state(spark, sd) == {0: 0, 1: 0, 2: 0, 3: 0}
+
+
+def test_partition_pruned_state_rewrite(spark, tmp_path):
+    """A batch touching one component must rewrite only its buckets:
+    untouched buckets keep their version number (no O(V) rewrite)."""
+    import os
+
+    from plato_spark.streaming.incremental import _bucket_dirs, _versions
+
+    sd = str(tmp_path / "state")
+    # seed many small components so they spread over many buckets
+    seed = [(i, i + 1000) for i in range(50)]
+    st0 = merge_edge_batch(
+        spark.createDataFrame(seed, "src long, dst long"), sd, n_buckets=16
+    )
+    assert st0["total_buckets"] == 16
+    v_before = {d: _versions(d) for d in _bucket_dirs(sd)}
+
+    # one edge inside component 7 + one merge 7<-8: touches few buckets
+    st1 = merge_edge_batch(
+        spark.createDataFrame([(7, 8)], "src long, dst long"), sd, n_buckets=16
+    )
+    assert 0 < st1["touched_buckets"] <= 3
+    v_after = {d: _versions(d) for d in _bucket_dirs(sd) if d in v_before}
+    advanced = [d for d in v_before if v_after.get(d) != v_before[d]]
+    assert len(advanced) <= st1["touched_buckets"]  # only touched advance
+
+    # state still correct
+    got = {r["id"]: r["component"]
+           for r in read_component_state(spark, sd).collect()}
+    assert got[8] == 7 and got[1008] == 7 and got[1007] == 7
+    assert got[9] == 9 and got[1009] == 9
