@@ -96,31 +96,41 @@ def spmv_gather(
     state: (id, <value_col>) — must cover every src in the route table.
     Returns (id, gathered: double) with one row per non-empty dst.
     """
+    # Pack the per-block messages into SORTED struct arrays on the JVM
+    # (sort_array on struct<src,val> sorts by src; src is unique per block
+    # by route construction), so the Arrow exchange moves ONE row per
+    # block — two packed columnar arrays — instead of millions of tiny
+    # (block, src, val) rows, and the Python side needs no argsort.
     msgs = route.join(
         state.select(F.col("id").alias("src"), F.col(value_col).alias("val")),
         "src",
     )
-
-    def gather(key, csr_pdf: pd.DataFrame, msg_pdf: pd.DataFrame) -> pd.DataFrame:
-        if len(csr_pdf) == 0 or len(msg_pdf) == 0:
-            return pd.DataFrame({"id": pd.Series(dtype="int64"),
-                                 "gathered": pd.Series(dtype="float64")})
-        dsts = np.asarray(csr_pdf["dsts"].iloc[0], dtype=np.int64)
-        indptr = np.asarray(csr_pdf["indptr"].iloc[0], dtype=np.int64)
-        srcs = np.asarray(csr_pdf["srcs"].iloc[0], dtype=np.int64)
-        m_src = msg_pdf["src"].to_numpy(dtype=np.int64)
-        m_val = msg_pdf["val"].to_numpy(dtype=np.float64)
-        order = np.argsort(m_src, kind="stable")
-        m_src, m_val = m_src[order], m_val[order]
-        vals = m_val[np.searchsorted(m_src, srcs)]
-        if weighted:
-            vals = vals * np.asarray(csr_pdf["weights"].iloc[0], dtype=np.float64)
-        sums = np.add.reduceat(vals, indptr[:-1])
-        return pd.DataFrame({"id": dsts, "gathered": sums})
-
-    return csr.groupBy("block").cogroup(msgs.groupBy("block")).applyInPandas(
-        gather, schema="id long, gathered double"
+    packed = (
+        msgs.groupBy("block")
+        .agg(F.sort_array(F.collect_list(F.struct("src", "val"))).alias("sv"))
+        .select("block", F.col("sv.src").alias("msrc"), F.col("sv.val").alias("mval"))
     )
+    joined = csr.join(packed, "block")
+
+    def gather(batches):
+        for pdf in batches:
+            outs_id, outs_g = [], []
+            for i in range(len(pdf)):
+                indptr = np.asarray(pdf["indptr"].iloc[i], dtype=np.int64)
+                srcs = np.asarray(pdf["srcs"].iloc[i], dtype=np.int64)
+                m_src = np.asarray(pdf["msrc"].iloc[i], dtype=np.int64)
+                m_val = np.asarray(pdf["mval"].iloc[i], dtype=np.float64)
+                vals = m_val[np.searchsorted(m_src, srcs)]
+                if weighted:
+                    vals = vals * np.asarray(pdf["weights"].iloc[i], dtype=np.float64)
+                outs_id.append(np.asarray(pdf["dsts"].iloc[i], dtype=np.int64))
+                outs_g.append(np.add.reduceat(vals, indptr[:-1]))
+            if outs_id:
+                yield pd.DataFrame(
+                    {"id": np.concatenate(outs_id), "gathered": np.concatenate(outs_g)}
+                )
+
+    return joined.mapInPandas(gather, schema="id long, gathered double")
 
 
 def save_csr_blocks(csr: DataFrame, path: str) -> None:

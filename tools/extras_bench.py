@@ -183,6 +183,49 @@ def bench_sf1_ab(spark, iters=10):
     }))
 
 
+def bench_hub_ab(spark, n_hubs=2_000, n_verts=100_000, n_edges=5_000_000, iters=10):
+    """Join-vs-SpMV where the SpMV layout should shine: few sources with
+    huge out-degree. The join plan's per-superstep shuffle carries one
+    (dst, contrib) row PER EDGE (~n_edges); the SpMV route table dedups a
+    hub's state to <= num_blocks copies, so its message shuffle carries
+    ~n_hubs x blocks rows — three orders of magnitude less here. This is
+    the 'hub state replicates once per block' advantage named in the
+    north star; the A/B checks whether it survives the Arrow exchange."""
+    from plato_spark.algos.pagerank import pagerank
+
+    e = (
+        spark.range(n_edges)
+        .select(
+            (F.col("id") % n_hubs).alias("src"),
+            F.pmod(F.xxhash64("id"), F.lit(n_verts)).alias("dst"),
+        )
+        .where(F.col("src") != F.col("dst"))
+        .distinct()
+        .persist()
+    )
+    n_e = e.count()
+    out = {}
+    for impl in ("join", "spmv"):
+        t0 = time.time()
+        pr = pagerank(e, damping=0.85, eps=0.0, max_iters=iters, impl=impl)
+        chk = pr.agg(F.sum("rank")).collect()[0][0]
+        sec = time.time() - t0
+        out[impl] = {
+            "sec": round(sec, 2),
+            "supersteps_per_sec": round(iters / sec, 4),
+            "edges_per_sec": round(n_e * iters / sec, 1),
+            "rank_checksum": round(float(chk), 4),
+        }
+    print(json.dumps({
+        "extra": "hub_skew_pagerank_plan_ab",
+        "n_hub_sources": n_hubs,
+        "n_vertices": n_verts,
+        "directed_edges": n_e,
+        "supersteps": iters,
+        "plans": out,
+    }))
+
+
 def main():
     which = sys.argv[1] if len(sys.argv) > 1 else "all"
     sf_dir = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.1"
@@ -202,6 +245,8 @@ def main():
         bench_ann_recall(spark, sf_dir)
     if which == "sf1":
         bench_sf1_ab(spark)
+    if which == "hub":
+        bench_hub_ab(spark)
 
 
 if __name__ == "__main__":
