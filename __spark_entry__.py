@@ -1489,6 +1489,56 @@ def q_events_windowed(spark, sf_dir):
     )
 
 
+KATZ_ITERS = 8
+
+
+def q_katz(spark, sf_dir):
+    """Katz centrality, fixed 8 iterations on the symmetrized
+    co-occurrence graph (beyond-reference link analysis; unrolled-SQL
+    oracle, same discipline as pagerank). alpha = 1/512: an exact binary
+    fraction (the multiplication is float-exact on both engines) chosen
+    so alpha * max_degree < 1 at gate scale — scores stay O(1) and the
+    6dp rounding sits far above cross-engine summation ulp drift (at
+    alpha=0.1 scores reached ~4e8, where ulp-level sum-order differences
+    crossed rounding boundaries)."""
+    from plato_spark.algos.katz import katz
+
+    return katz(_sym(spark, sf_dir), alpha=1.0 / 512, beta=1.0,
+                iterations=KATZ_ITERS)
+
+
+def q_assortativity(spark, sf_dir):
+    """Newman degree assortativity of the co-occurrence graph (1 row)."""
+    from plato_spark.graph.edges import degree_assortativity
+
+    return degree_assortativity(part_cooccurrence_edges(spark, sf_dir))
+
+
+def q_repetition_ratio(spark, sf_dir):
+    """Type-token redundancy per document (boilerplate/spam signal)."""
+    from plato_spark.functions.text import repetition_ratio
+
+    docs = load_table(spark, sf_dir, "documents")
+    return repetition_ratio(docs)
+
+
+def _sql_katz(iters: int, alpha: float = 0.1, beta: float = 1.0) -> str:
+    ctes = [f"x0 AS MATERIALIZED (SELECT id, CAST({beta} AS DOUBLE) AS x FROM verts)"]
+    for k in range(iters):
+        ctes.append(
+            f"""x{k + 1} AS MATERIALIZED (
+  SELECT v.id, {alpha} * COALESCE(s.g, 0.0) + {beta} AS x
+  FROM verts v LEFT JOIN (
+    SELECT e.dst AS id, sum(x.x) AS g
+    FROM edges e JOIN x{k} x ON e.src = x.id
+    GROUP BY e.dst) s ON v.id = s.id)"""
+        )
+    return (
+        SQL_GRAPH_PREFIX + ", " + ",\n".join(ctes)
+        + f"\nSELECT id, round(x, 6) AS katz FROM x{iters}"
+    )
+
+
 def q_spread_behaviour(spark, sf_dir):
     """spread.cc list mode (example/spread.cc:718-760): per relation
     vertex, aggregate its neighbors' behaviour rows by behaviour id —
@@ -1716,6 +1766,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_features": q_media_features,
         # -- new in r3 --
         "spread_behaviour": q_spread_behaviour,
+        "katz": q_katz,
+        "assortativity": q_assortativity,
+        "repetition_ratio": q_repetition_ratio,
         # -- r1+r2 driver-green rows --
         "co_occurrence_edges": q_edges,
         "degrees": q_degrees,
@@ -1983,6 +2036,23 @@ WHERE l.lab = (SELECT lab FROM maj)""",
                         ELSE NULL END AS sample_rate,
                    CAST(CASE WHEN doc_id % 5 = 4 THEN 16 ELSE 8 END AS INT) AS bit_depth
             FROM documents""",
+        "katz": _sql_katz(KATZ_ITERS, alpha=1.0 / 512),
+        "assortativity": SQL_GRAPH_PREFIX + """
+            SELECT round(corr(CAST(d1.deg AS DOUBLE), CAST(d2.deg AS DOUBLE)), 6)
+                   AS assortativity
+            FROM edges e JOIN deg d1 ON e.src = d1.id
+                         JOIN deg d2 ON e.dst = d2.id""",
+        "repetition_ratio": f"""
+            WITH t AS (SELECT doc_id,
+                              regexp_extract_all(text, '{TOKEN_RE_SQL}') AS toks
+                       FROM documents)
+            SELECT doc_id,
+                   CAST(length(toks) AS BIGINT) AS n_tokens,
+                   CASE WHEN length(toks) > 0
+                        THEN round(1.0 - length(list_distinct(toks))
+                                   / length(toks), 6)
+                        ELSE 0.0 END AS repetition
+            FROM t""",
         "spread_behaviour": SQL_GRAPH_PREFIX + """
             SELECT e.src AS uin, ev.event_type AS behaviour_id,
                    CAST(count(*) AS BIGINT) AS cnt,

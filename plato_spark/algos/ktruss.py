@@ -90,7 +90,10 @@ def ktruss(
         except Exception:
             pass
 
+    import time
+
     for it in range(max_iters):
+        t0 = time.time()
         peeled = state.where(F.col("support") < need).select("src", "dst")
         n_peel = peeled.count()
         if metrics is not None:
@@ -150,5 +153,6 @@ def ktruss(
         )
         if metrics is not None:
             metrics[-1]["dead_triangles"] = tri.count()
+            metrics[-1]["sec"] = round(time.time() - t0, 3)
 
     return state.select("src", "dst")

@@ -165,3 +165,22 @@ def lang_id_ngram(df: DataFrame, text_col: str = "text", id_col: str = "doc_id")
         return pd.Series(best)
 
     return df.select(F.col(id_col), _score(F.col(text_col)).alias("lang_pred"))
+
+
+def repetition_ratio(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """(doc_id, n_tokens, repetition: double 6dp) — 1 - distinct/total
+    tokens (type-token redundancy), the cheap repetition signal used to
+    drop boilerplate/spam from LLM training corpora. Zero tokens -> 0.0.
+    All JVM built-ins (regexp_extract_all + array_distinct), exactly
+    mirrorable in SQL."""
+    toks = F.regexp_extract_all(F.col(text_col), F.lit(TOKEN_RE), F.lit(0))
+    n = F.size(toks)
+    rep = F.when(
+        n > 0,
+        F.round(1.0 - F.size(F.array_distinct(toks)) / n, 6),
+    ).otherwise(F.lit(0.0))
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        n.cast("long").alias("n_tokens"),
+        rep.alias("repetition"),
+    )

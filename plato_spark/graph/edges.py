@@ -176,3 +176,45 @@ def graph_stats(edges: DataFrame) -> dict:
         "max_id": row["max_id"],
         "vertices": n_vertices,
     }
+
+
+def degree_assortativity(canon: DataFrame) -> DataFrame:
+    """1-row (assortativity: double 6dp) — Pearson correlation of the
+    endpoint UNDIRECTED degrees over the symmetrized edge list (Newman's
+    degree assortativity; each undirected edge contributes both
+    orientations, making the measure symmetric).
+
+    Beyond the reference menu (plato's cgm stats stop at degree counts);
+    a one-aggregation query: degrees (one groupBy) + two co-partitioned
+    joins + corr, fully JVM-side and exactly mirrorable in SQL.
+    """
+    sym = symmetrize(canon.select("src", "dst"))
+    deg = sym.groupBy(F.col("src").alias("id")).agg(
+        F.count("*").cast("double").alias("deg")
+    )
+    ds = deg.select(F.col("id").alias("src"), F.col("deg").alias("dsrc"))
+    dd = deg.select(F.col("id").alias("dst"), F.col("deg").alias("ddst"))
+    # Pearson from sufficient statistics rather than F.corr: ANSI mode
+    # makes corr() raise DIVIDE_BY_ZERO on zero-variance inputs (e.g. a
+    # clique, all degrees equal) where NULL is the correct answer.
+    m = (
+        sym.join(ds, "src")
+        .join(dd, "dst")
+        .agg(
+            F.count("*").cast("double").alias("n"),
+            F.sum("dsrc").alias("sx"),
+            F.sum("ddst").alias("sy"),
+            F.sum(F.col("dsrc") * F.col("ddst")).alias("sxy"),
+            F.sum(F.col("dsrc") * F.col("dsrc")).alias("sxx"),
+            F.sum(F.col("ddst") * F.col("ddst")).alias("syy"),
+        )
+    )
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    vx = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    vy = F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")
+    return m.select(
+        F.when(
+            (vx > 0) & (vy > 0),
+            F.round(num / (F.sqrt(vx) * F.sqrt(vy)), 6),
+        ).alias("assortativity")
+    )

@@ -209,3 +209,58 @@ def test_sssp_unweighted_is_bfs(spark):
     df = edges_df(spark, chain)
     got = {r["id"]: r["dist"] for r in sssp(df, root=0).collect()}
     assert got == {i: float(i) for i in range(21)}
+
+
+def test_katz_matches_numpy(spark):
+    """Katz vs dense numpy recurrence on a small directed graph."""
+    import numpy as np
+
+    from plato_spark.algos.katz import katz
+
+    edges = [(0, 1), (1, 2), (2, 0), (0, 2), (3, 2)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    alpha, beta, iters = 0.125, 1.0, 6
+    got = {r["id"]: r["katz"] for r in
+           katz(df, alpha=alpha, beta=beta, iterations=iters).collect()}
+
+    ids = sorted({v for e in edges for v in e})
+    ix = {v: i for i, v in enumerate(ids)}
+    a_mat = np.zeros((len(ids), len(ids)))
+    for s, d in edges:
+        a_mat[ix[s], ix[d]] = 1.0
+    x = np.full(len(ids), beta)
+    for _ in range(iters):
+        x = alpha * (a_mat.T @ x) + beta
+    for v in ids:
+        assert abs(got[v] - round(float(x[ix[v]]), 6)) <= 1e-6, v
+
+
+def test_degree_assortativity_signs(spark):
+    """A star is maximally disassortative (-1); a clique's correlation is
+    undefined (zero variance -> NULL)."""
+    from plato_spark.graph.edges import degree_assortativity
+
+    star = spark.createDataFrame([(0, i) for i in range(1, 6)],
+                                 "src long, dst long")
+    a = degree_assortativity(star).collect()[0]["assortativity"]
+    assert abs(a - (-1.0)) < 1e-9
+
+    from itertools import combinations
+    clique = spark.createDataFrame(list(combinations(range(4), 2)),
+                                   "src long, dst long")
+    c = degree_assortativity(clique).collect()[0]["assortativity"]
+    assert c is None  # all degrees equal -> zero variance
+
+
+def test_repetition_ratio(spark):
+    from plato_spark.functions.text import repetition_ratio
+
+    df = spark.createDataFrame(
+        [(0, "spam spam spam spam"), (1, "all tokens here differ"), (2, "")],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: (r["n_tokens"], r["repetition"])
+           for r in repetition_ratio(df).collect()}
+    assert got[0] == (4, 0.75)
+    assert got[1] == (4, 0.0)
+    assert got[2] == (0, 0.0)

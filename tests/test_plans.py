@@ -137,3 +137,39 @@ def test_ivf_assignment_broadcasts_centroids(spark):
     )
     p = plan_of(ivf_ann(emb, k=3, n_clusters=4, lloyd_iters=1))
     assert "BroadcastNestedLoopJoin" in p or "BroadcastExchange" in p, p
+
+
+def test_hits_no_driver_actions_per_iteration_and_no_sort(spark):
+    """r3 HITS contract: L1 normalization rides in-plan (broadcast 1-row
+    agg) — the loop must issue ZERO driver collect/first actions (the old
+    shape paid 2 scalar collects per iteration) — and the readout must
+    not force a global sort exchange."""
+    import pyspark.sql.dataframe as dfmod
+
+    from plato_spark.algos.hits import hits
+
+    edges = spark.createDataFrame(
+        [(0, 3), (0, 4), (1, 3), (1, 4), (2, 3), (4, 5), (3, 0)],
+        "src long, dst long",
+    )
+    calls = {"n": 0}
+    orig_collect, orig_first = dfmod.DataFrame.collect, dfmod.DataFrame.first
+
+    def counting_collect(self):
+        calls["n"] += 1
+        return orig_collect(self)
+
+    def counting_first(self):
+        calls["n"] += 1
+        return orig_first(self)
+
+    dfmod.DataFrame.collect = counting_collect
+    dfmod.DataFrame.first = counting_first
+    try:
+        out = hits(edges, iterations=5)
+    finally:
+        dfmod.DataFrame.collect = orig_collect
+        dfmod.DataFrame.first = orig_first
+    assert calls["n"] == 0, f"hits() ran {calls['n']} driver scalar actions"
+    p = plan_of(out)
+    assert "Sort [" not in p  # no global orderBy at readout

@@ -226,6 +226,69 @@ def bench_hub_ab(spark, n_hubs=2_000, n_verts=100_000, n_edges=5_000_000, iters=
     }))
 
 
+def bench_ktruss(spark, sf_dir, k=5):
+    """Evidence for the incremental peel: per-round wall time must track
+    the peeled set (round-2+ cost ∝ peeled-edge triangles), not the total
+    edge count — the r2 implementation re-ran the full mutual pass every
+    round (~9x the work at sf0.1)."""
+    import time as _t
+
+    from plato_spark.algos.ktruss import ktruss
+    from plato_spark.sources.tables import part_cooccurrence_edges
+
+    canon = part_cooccurrence_edges(spark, sf_dir).persist()
+    n_edges = canon.count()
+    metrics = []
+    t0 = _t.time()
+    out = ktruss(canon, k=k, metrics=metrics)
+    n_out = out.count()
+    print(json.dumps({
+        "extra": "ktruss_incremental_rounds",
+        "sf_dir": sf_dir,
+        "k": k,
+        "edges_in": n_edges,
+        "edges_out": n_out,
+        "total_sec": round(_t.time() - t0, 2),
+        "rounds": metrics,
+    }))
+
+
+def bench_stream_writes(spark, n_components=2_000, batches=5):
+    """Evidence for the partition-pruned incremental-WCC state: steady-
+    state batches that merge a handful of components must touch a
+    handful of buckets (write volume ∝ touched set, not O(V))."""
+    import shutil as _sh
+    import tempfile
+
+    from plato_spark.streaming.incremental import merge_edge_batch
+
+    sd = tempfile.mkdtemp(prefix="wcc_state_")
+    try:
+        # seed: n_components 3-vertex components
+        seed = [(3 * i, 3 * i + 1) for i in range(n_components)] + [
+            (3 * i + 1, 3 * i + 2) for i in range(n_components)
+        ]
+        st0 = merge_edge_batch(
+            spark.createDataFrame(seed, "src long, dst long"), sd
+        )
+        per_batch = []
+        for b in range(batches):
+            # each batch merges exactly 2 neighboring components
+            e = [(3 * (2 * b), 3 * (2 * b + 1))]
+            st = merge_edge_batch(
+                spark.createDataFrame(e, "src long, dst long"), sd
+            )
+            per_batch.append(st)
+        print(json.dumps({
+            "extra": "incremental_wcc_bucket_writes",
+            "n_components_seeded": n_components,
+            "seed_batch": st0,
+            "steady_state_batches": per_batch,
+        }))
+    finally:
+        _sh.rmtree(sd, ignore_errors=True)
+
+
 def main():
     which = sys.argv[1] if len(sys.argv) > 1 else "all"
     sf_dir = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.1"
@@ -247,6 +310,10 @@ def main():
         bench_sf1_ab(spark)
     if which == "hub":
         bench_hub_ab(spark)
+    if which == "ktruss":
+        bench_ktruss(spark, sf_dir)
+    if which == "stream":
+        bench_stream_writes(spark)
 
 
 if __name__ == "__main__":
