@@ -1539,6 +1539,51 @@ def _sql_katz(iters: int, alpha: float = 0.1, beta: float = 1.0) -> str:
     )
 
 
+def q_redact_pii(spark, sf_dir):
+    """PII scrub (emails/URLs/IPv4 -> typed tokens + counts). The corpus
+    text is synthetic and PII-free, so the query plants deterministic PII
+    per doc_id (mirrored verbatim in the oracle) — the redaction regexes
+    then do real work that a single byte of drift would expose."""
+    from plato_spark.functions.text import redact_pii
+
+    docs = load_table(spark, sf_dir, "documents")
+    planted = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(F.col("doc_id") % 3 == 0,
+                   F.concat(F.lit(" mail u"), F.col("doc_id"),
+                            F.lit("@example.com now")))
+            .when(F.col("doc_id") % 3 == 1,
+                  F.concat(F.lit(" ref https://example.org/p/"),
+                           F.col("doc_id"), F.lit(" end")))
+            .otherwise(F.concat(F.lit(" host 10.0."),
+                                F.col("doc_id") % 256, F.lit(".7 up"))),
+        ).alias("text"),
+    )
+    return redact_pii(planted)
+
+
+def q_domain_counts(spark, sf_dir):
+    """URL host frequency across the corpus (source-mix analysis) over
+    deterministically planted URLs (see q_redact_pii)."""
+    from plato_spark.functions.text import domain_counts
+
+    docs = load_table(spark, sf_dir, "documents")
+    planted = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" see http://site"), F.col("doc_id") % 5,
+            F.lit(".example.com/x/"), F.col("doc_id"),
+            F.when(F.col("doc_id") % 2 == 0,
+                   F.concat(F.lit(" and https://mirror.example.net/"),
+                            F.col("doc_id"))).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    return domain_counts(planted)
+
+
 def q_spread_behaviour(spark, sf_dir):
     """spread.cc list mode (example/spread.cc:718-760): per relation
     vertex, aggregate its neighbors' behaviour rows by behaviour id —
@@ -1769,6 +1814,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "katz": q_katz,
         "assortativity": q_assortativity,
         "repetition_ratio": q_repetition_ratio,
+        "redact_pii": q_redact_pii,
+        "domain_counts": q_domain_counts,
         # -- r1+r2 driver-green rows --
         "co_occurrence_edges": q_edges,
         "degrees": q_degrees,
@@ -2037,6 +2084,55 @@ WHERE l.lab = (SELECT lab FROM maj)""",
                    CAST(CASE WHEN doc_id % 5 = 4 THEN 16 ELSE 8 END AS INT) AS bit_depth
             FROM documents""",
         "katz": _sql_katz(KATZ_ITERS, alpha=1.0 / 512),
+        "redact_pii": r"""
+            WITH planted AS (
+              SELECT doc_id,
+                     text || CASE
+                       WHEN doc_id % 3 = 0 THEN ' mail u' || doc_id || '@example.com now'
+                       WHEN doc_id % 3 = 1 THEN ' ref https://example.org/p/' || doc_id || ' end'
+                       ELSE ' host 10.0.' || (doc_id % 256) || '.7 up' END AS text
+              FROM documents),
+            s1 AS (
+              SELECT doc_id, text,
+                     CAST(length(regexp_extract_all(text,
+                       '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT)
+                       AS n_emails,
+                     CAST(length(regexp_extract_all(text,
+                       'https?://[A-Za-z0-9./_%+~#-]+')) AS BIGINT) AS n_urls,
+                     regexp_replace(regexp_replace(text,
+                       '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+                       'https?://[A-Za-z0-9./_%+~#-]+', '<URL>', 'g') AS c2
+              FROM planted)
+            SELECT doc_id, n_emails, n_urls,
+                   CAST(length(regexp_extract_all(c2,
+                     '[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}')) AS BIGINT)
+                     AS n_ips,
+                   regexp_replace(c2,
+                     '[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}', '<IP>', 'g')
+                     AS clean
+            FROM s1""",
+        "domain_counts": """
+            WITH planted AS (
+              SELECT doc_id,
+                     text || ' see http://site' || (doc_id % 5)
+                          || '.example.com/x/' || doc_id
+                          || CASE WHEN doc_id % 2 = 0
+                             THEN ' and https://mirror.example.net/' || doc_id
+                             ELSE '' END AS text
+              FROM documents),
+            u AS (
+              SELECT doc_id,
+                     unnest(regexp_extract_all(text,
+                       'https?://[A-Za-z0-9./_%+~#-]+')) AS url
+              FROM planted),
+            d AS (
+              SELECT doc_id,
+                     regexp_extract(url, 'https?://([A-Za-z0-9.-]+)', 1) AS domain
+              FROM u WHERE regexp_extract(url, 'https?://([A-Za-z0-9.-]+)', 1) != '')
+            SELECT domain,
+                   CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+                   CAST(count(*) AS BIGINT) AS n_urls
+            FROM d GROUP BY domain""",
         "assortativity": SQL_GRAPH_PREFIX + """
             SELECT round(corr(CAST(d1.deg AS DOUBLE), CAST(d2.deg AS DOUBLE)), 6)
                    AS assortativity

@@ -184,3 +184,51 @@ def repetition_ratio(df: DataFrame, text_col: str = "text", id_col: str = "doc_i
         n.cast("long").alias("n_tokens"),
         rep.alias("repetition"),
     )
+
+
+# PII / URL patterns kept deliberately simple and dialect-portable (the
+# same pattern string must compile identically under Java regex and
+# DuckDB RE2 so the oracle can mirror the op exactly)
+EMAIL_RE = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+URL_RE = "https?://[A-Za-z0-9./_%+~#-]+"
+IPV4_RE = "[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}"
+
+
+def redact_pii(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """(doc_id, n_emails, n_urls, n_ips, clean) — count and redact the
+    three cheap PII classes a training-data pipeline scrubs first.
+    Replacement tokens are <EMAIL>/<URL>/<IP>; counts are pre-redaction.
+    URLs are redacted before IPs so an IP inside a URL counts once.
+    All JVM regex built-ins, one projection, no shuffle."""
+    t = F.col(text_col)
+    n_emails = F.size(F.regexp_extract_all(t, F.lit(EMAIL_RE), F.lit(0)))
+    n_urls = F.size(F.regexp_extract_all(t, F.lit(URL_RE), F.lit(0)))
+    clean1 = F.regexp_replace(t, EMAIL_RE, "<EMAIL>")
+    clean2 = F.regexp_replace(clean1, URL_RE, "<URL>")
+    n_ips = F.size(F.regexp_extract_all(clean2, F.lit(IPV4_RE), F.lit(0)))
+    clean3 = F.regexp_replace(clean2, IPV4_RE, "<IP>")
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        n_emails.cast("long").alias("n_emails"),
+        n_urls.cast("long").alias("n_urls"),
+        n_ips.cast("long").alias("n_ips"),
+        clean3.alias("clean"),
+    )
+
+
+def domain_counts(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """(domain, n_docs, n_urls) — URL host frequency across the corpus
+    (source-mix analysis / domain blocklists). One explode + one
+    map-side-combined groupBy; domain = host of each http(s) URL."""
+    urls = df.select(
+        F.col("doc_id"),
+        F.explode(F.regexp_extract_all(F.col(text_col), F.lit(URL_RE), F.lit(0))).alias("url"),
+    )
+    dom = urls.select(
+        "doc_id",
+        F.regexp_extract("url", "https?://([A-Za-z0-9.-]+)", 1).alias("domain"),
+    ).where(F.col("domain") != "")
+    return dom.groupBy("domain").agg(
+        F.count_distinct("doc_id").cast("long").alias("n_docs"),
+        F.count("*").cast("long").alias("n_urls"),
+    )

@@ -61,3 +61,29 @@ def test_quality_filter_rules(spark):
     df = spark.createDataFrame(rows, "doc_id long, text string")
     got = {r["doc_id"]: r["keep"] for r in quality_filter(df).collect()}
     assert got == {0: True, 1: False, 2: False, 3: False}
+
+
+def test_redact_pii_and_domain_counts(spark):
+    from plato_spark.functions.text import domain_counts, redact_pii
+
+    df = spark.createDataFrame(
+        [(0, "mail a.b+c@foo.org or visit https://x.io/p?q=1 from 10.1.2.3"),
+         (1, "no pii here"),
+         (2, "http://x.io/a http://y.net/b and bob@y.net")],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in redact_pii(df).collect()}
+    assert (got[0]["n_emails"], got[0]["n_urls"], got[0]["n_ips"]) == (1, 1, 1)
+    assert "<EMAIL>" in got[0]["clean"] and "<URL>" in got[0]["clean"]
+    assert "<IP>" in got[0]["clean"]
+    assert "a.b+c@foo.org" not in got[0]["clean"]
+    assert got[1]["clean"] == "no pii here"
+    # url redacted BEFORE ip: an address inside a url counts once
+    df2 = spark.createDataFrame([(9, "go http://10.0.0.1/path now")],
+                                "doc_id long, text string")
+    r9 = redact_pii(df2).collect()[0]
+    assert (r9["n_urls"], r9["n_ips"]) == (1, 0)
+
+    doms = {r["domain"]: (r["n_docs"], r["n_urls"])
+            for r in domain_counts(df).collect()}
+    assert doms["x.io"] == (2, 2) and doms["y.net"] == (1, 1)
