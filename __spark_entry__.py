@@ -201,6 +201,8 @@ WCC_SQL_ITERS = 10  # >= graph diameter at sf<=0.1 (dense co-occurrence graph)
 BFS_SQL_ITERS = 5   # measured BFS eccentricity from min vertex is 2 at sf<=0.1
 KCORE_SQL_ITERS = 40  # h-index fixpoint: 19 iters at sf0.01, 38 at sf0.1
 CLOSENESS_SAMPLES = 4
+VOCAB_TOP_K = 200
+CONTAM_NGRAM = 8
 
 
 def _sql_hanp(iters: int = 3, preference: float = 1.0, hop_att: float = 0.1,
@@ -444,6 +446,60 @@ SELECT mem.id,
                   THEN 1.0 / ((SELECT f FROM fac) * su.s)
                   ELSE 0.0 END, 6) AS closeness
 FROM members mem LEFT JOIN sums su ON mem.id = su.id ORDER BY mem.id"""
+
+def _sql_harmonic(samples: int = CLOSENESS_SAMPLES, radius: int = 5,
+                  wcc_iters: int = 10) -> str:
+    """Mirror of algos/closeness.harmonic_sampled: radius-truncated sampled
+    harmonic centrality, integer L/d weights (L = lcm(1..radius)) so the
+    fold is order-free exact; same deterministic sample policy as
+    closeness (the ``samples`` smallest member ids of the major comp)."""
+    import math as _math
+
+    lcm = _math.lcm(*range(1, radius + 1))
+    ctes = ["l0 AS MATERIALIZED (SELECT id, id AS lab FROM verts)"]
+    for k in range(wcc_iters):
+        ctes.append(
+            f"""l{k + 1} AS MATERIALIZED (
+  SELECT v.id, least(l.lab, COALESCE(m.minlab, l.lab)) AS lab
+  FROM verts v JOIN l{k} l ON v.id = l.id
+  LEFT JOIN (SELECT e.dst AS id, min(l2.lab) AS minlab
+             FROM edges e JOIN l{k} l2 ON e.src = l2.id
+             GROUP BY e.dst) m ON v.id = m.id)"""
+        )
+    ctes.append(
+        f"""major AS MATERIALIZED (
+  SELECT lab FROM (SELECT lab, count(*) AS n FROM l{wcc_iters} GROUP BY lab
+                   ORDER BY n DESC, lab ASC LIMIT 1) x),
+members AS MATERIALIZED (
+  SELECT id FROM l{wcc_iters} WHERE lab = (SELECT lab FROM major)),
+roots AS MATERIALIZED (
+  SELECT id AS root FROM members ORDER BY id LIMIT {samples}),
+fac AS MATERIALIZED (
+  SELECT CAST(count(*) AS DOUBLE)
+         / (SELECT count(*) FROM roots)
+         / (count(*) - 1) AS f
+  FROM members),
+m0 AS MATERIALIZED (SELECT root, root AS id, 0 AS dist FROM roots)"""
+    )
+    for k in range(radius):
+        ctes.append(
+            f"""m{k + 1} AS MATERIALIZED (
+  SELECT root, id, CAST(min(dist) AS INT) AS dist FROM (
+    SELECT root, id, dist FROM m{k}
+    UNION ALL
+    SELECT d.root, e.dst AS id, d.dist + 1 AS dist
+    FROM m{k} d JOIN edges e ON e.src = d.id
+  ) u GROUP BY root, id)"""
+        )
+    return SQL_GRAPH_PREFIX + ", " + ",\n".join(ctes) + f""",
+sums AS (SELECT id, CAST(sum(CASE WHEN dist > 0 THEN {lcm} // dist
+                                  ELSE 0 END) AS BIGINT) AS s
+         FROM m{radius} GROUP BY id)
+SELECT mem.id,
+       round(CAST(COALESCE(su.s, 0) AS DOUBLE)
+             * ((SELECT f FROM fac) / {lcm}), 6) AS harmonic
+FROM members mem LEFT JOIN sums su ON mem.id = su.id ORDER BY mem.id"""
+
 
 TOKEN_RE_SQL = "[A-Za-z0-9_]+"
 
@@ -1584,6 +1640,108 @@ def q_domain_counts(spark, sf_dir):
     return domain_counts(planted)
 
 
+def q_harmonic(spark, sf_dir):
+    """Radius-truncated sampled harmonic centrality (disconnected-robust
+    closeness variant) — same deterministic sample policy as closeness."""
+    from plato_spark.algos.closeness import harmonic_sampled
+
+    return harmonic_sampled(
+        part_cooccurrence_edges(spark, sf_dir),
+        num_samples=CLOSENESS_SAMPLES, radius=5,
+    )
+
+
+def q_scc(spark, sf_dir):
+    """Directed strongly connected components (FW-Min coloring) on a
+    PLANTED-TRUTH digraph derived deterministically from the corpus:
+    documents' doc_ids are dense-ranked (distributed dictionary, no
+    window bottleneck); rank r joins block b = r//4; each block is a
+    directed 4-cycle (r -> r+1, last -> first), and block-DAG cross
+    edges 4b -> 4(b+1) are planted where md5-hash(b) selects b as a
+    source and NOT b+1 (so condensation chains exist but stay short —
+    deep-chain behaviour is exercised by the unit tests).  Ground truth
+    is arithmetic — scc(r) = 4*(r//4), the min member of r's cycle —
+    so the oracle is exact while the engine must genuinely decompose
+    the planted graph (trim + coloring + backward extraction)."""
+    from plato_spark.algos.scc import strongly_connected_components
+    from plato_spark.functions.text import portable_h1
+    from plato_spark.graph.edges import build_dictionary
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select(F.col("doc_id").alias("vkey")).distinct()
+    )
+    n = docs.count()
+    d = build_dictionary(docs, 16)
+    base = d.select(
+        F.col("id").alias("r"),
+        (F.col("id") % 4).alias("pos"),
+        F.floor(F.col("id") / 4).cast("long").alias("blk"),
+    )
+    rr, pos, blk = F.col("r"), F.col("pos"), F.col("blk")
+    succ = base.where((pos < 3) & (rr + 1 < n)).select(
+        rr.alias("src"), (rr + 1).alias("dst")
+    )
+    close = base.where(((pos == 3) | (rr == n - 1)) & (rr > 4 * blk)).select(
+        rr.alias("src"), (4 * blk).alias("dst")
+    )
+
+    def _is_source(b):
+        return portable_h1(F.concat(F.lit("sccx|"), b.cast("string"))) % 3 == 0
+
+    cross = base.where(
+        (pos == 0) & _is_source(blk) & ~_is_source(blk + 1)
+        & (4 * (blk + 1) < n)
+    ).select(rr.alias("src"), (4 * blk + 4).alias("dst"))
+    edges = succ.unionByName(close).unionByName(cross)
+    verts = base.select(rr.alias("id"))
+    return strongly_connected_components(edges, vertices=verts)
+
+
+def q_vocabulary(spark, sf_dir):
+    """Top-200 corpus vocabulary by term frequency (+doc frequency) —
+    the tokenizer/vocab-building step of a training pipeline."""
+    from plato_spark.functions.text import vocabulary_stats
+
+    docs = load_table(spark, sf_dir, "documents")
+    return vocabulary_stats(docs, top_k=VOCAB_TOP_K)
+
+
+def q_contamination(spark, sf_dir):
+    """Benchmark-contamination scan: word-8-gram overlap between the
+    training split and a deterministic held-out eval split
+    (portable_h1('eval|'||doc_id) % 17 == 0 — ~6% of docs). The synthetic
+    corpus rarely collides on 8-grams naturally, so a deterministic
+    11-token "benchmark passage" (7 variants keyed by doc_id % 7) is
+    planted into every eval doc and into train docs with doc_id % 13 == 0
+    — mirrored verbatim in the oracle — giving the scan real leaked
+    passages to find (4 internal 8-grams per planted pair). Returns the
+    contaminated train docs with shared-shingle / eval-doc counts."""
+    from plato_spark.functions.dedup import contamination_check
+    from plato_spark.functions.text import portable_h1
+
+    docs = load_table(spark, sf_dir, "documents")
+    is_eval = (
+        portable_h1(F.concat(F.lit("eval|"), F.col("doc_id").cast("string"))) % 17
+        == 0
+    )
+    passage = F.concat(
+        F.lit(" bench passage alpha beta gamma delta epsilon zeta eta theta v"),
+        (F.col("doc_id") % 7).cast("string"),
+    )
+    planted = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(is_eval | (F.col("doc_id") % 13 == 0), passage)
+            .otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    return contamination_check(
+        planted.where(~is_eval), planted.where(is_eval), n=CONTAM_NGRAM
+    )
+
+
 def q_spread_behaviour(spark, sf_dir):
     """spread.cc list mode (example/spread.cc:718-760): per relation
     vertex, aggregate its neighbors' behaviour rows by behaviour id —
@@ -1816,6 +1974,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repetition_ratio": q_repetition_ratio,
         "redact_pii": q_redact_pii,
         "domain_counts": q_domain_counts,
+        "vocabulary": q_vocabulary,
+        "contamination": q_contamination,
+        "harmonic_sampled": q_harmonic,
+        "scc": q_scc,
         # -- r1+r2 driver-green rows --
         "co_occurrence_edges": q_edges,
         "degrees": q_degrees,
@@ -1910,6 +2072,12 @@ WHERE rn <= 5""",
         "kcore": _sql_kcore(),
         "sssp": _sql_sssp(),
         "closeness_sampled": _sql_closeness(),
+        "harmonic_sampled": _sql_harmonic(),
+        "scc": """
+            WITH dd AS (SELECT DISTINCT doc_id FROM documents),
+            d AS (SELECT CAST(row_number() OVER (ORDER BY doc_id) - 1
+                              AS BIGINT) AS r FROM dd)
+            SELECT r AS id, CAST(4 * (r // 4) AS BIGINT) AS scc FROM d""",
         "triangle_count": SQL_GRAPH_PREFIX
         + """SELECT CAST(count(*) AS BIGINT) AS triangles
              FROM canon a JOIN canon b ON a.dst = b.src
@@ -2084,6 +2252,45 @@ WHERE l.lab = (SELECT lab FROM maj)""",
                    CAST(CASE WHEN doc_id % 5 = 4 THEN 16 ELSE 8 END AS INT) AS bit_depth
             FROM documents""",
         "katz": _sql_katz(KATZ_ITERS, alpha=1.0 / 512),
+        "vocabulary": f"""
+            WITH t AS (SELECT doc_id,
+                              unnest(regexp_extract_all(text, '{TOKEN_RE_SQL}'))
+                                AS token
+                       FROM documents)
+            SELECT token, CAST(count(*) AS BIGINT) AS tf,
+                   CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+            FROM t GROUP BY token
+            ORDER BY tf DESC, token ASC LIMIT {VOCAB_TOP_K}""",
+        "contamination": f"""
+            WITH planted AS MATERIALIZED (
+              SELECT doc_id,
+                     text || CASE WHEN
+                         {H1_SQL.format(s="('eval|' || CAST(doc_id AS VARCHAR))")} % 17 = 0
+                         OR doc_id % 13 = 0
+                       THEN ' bench passage alpha beta gamma delta epsilon'
+                            || ' zeta eta theta v' || CAST(doc_id % 7 AS VARCHAR)
+                       ELSE '' END AS text
+              FROM documents),
+            t AS MATERIALIZED (
+              SELECT doc_id, regexp_extract_all(text, '{TOKEN_RE_SQL}') AS toks
+              FROM planted),
+            sh AS MATERIALIZED (SELECT doc_id,
+              CASE WHEN length(toks) >= {CONTAM_NGRAM} THEN
+                list_distinct([array_to_string(toks[i:i+{CONTAM_NGRAM - 1}], ' ')
+                               for i in range(1, length(toks) - {CONTAM_NGRAM - 2})])
+              ELSE [array_to_string(toks, ' ')] END AS sh FROM t),
+            ex AS MATERIALIZED (SELECT doc_id, unnest(sh) AS s FROM sh),
+            hh AS MATERIALIZED (
+              SELECT DISTINCT doc_id, {H1_SQL.format(s='s')} AS h FROM ex),
+            ev AS MATERIALIZED (
+              SELECT doc_id AS eval_id, h FROM hh
+              WHERE {H1_SQL.format(s="('eval|' || CAST(doc_id AS VARCHAR))")} % 17 = 0),
+            tr AS (
+              SELECT doc_id AS train_id, h FROM hh
+              WHERE {H1_SQL.format(s="('eval|' || CAST(doc_id AS VARCHAR))")} % 17 <> 0)
+            SELECT train_id, CAST(count(DISTINCT h) AS BIGINT) AS n_shared,
+                   CAST(count(DISTINCT eval_id) AS BIGINT) AS n_eval_docs
+            FROM tr JOIN ev USING (h) GROUP BY train_id""",
         "redact_pii": r"""
             WITH planted AS (
               SELECT doc_id,

@@ -1,4 +1,4 @@
-"""Sampled closeness centrality (David et al. scheme).
+"""Sampled closeness + harmonic centrality (David et al. scheme).
 
 Reference: /root/reference/plato/algo/cnc/david.hpp
   - run connected components first; restrict to the MAJOR component
@@ -13,12 +13,22 @@ Reference: /root/reference/plato/algo/cnc/david.hpp
     are deterministic and oracle-checkable (documented divergence; the
     estimator is identical given the same sample set).
 
+Harmonic centrality is the standard disconnected-robust variant (sum of
+1/dist instead of 1/sum-of-dist); it shares the same sampled multi-source
+BFS.  Its per-vertex fold sums the INTEGER weights L/dist (L = lcm(1..R),
+R = the radius cap), so the accumulation is order-free exact integer
+arithmetic and only ONE float division happens at read-out — bit-identical
+across engines, hence SQL-oracle-checkable (the katz lesson: never
+round(6dp) a float that was accumulated in engine-dependent order).
+
 Spark plan: one MULTI-SOURCE level-synchronous BFS — the frontier carries a
 ``root`` column so all samples expand in a single loop (k joins instead of
-k*diameter), then one groupBy(id).sum(dist).
+k*diameter), then one groupBy(id) fold.
 """
 
 from __future__ import annotations
+
+import math
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -31,13 +41,17 @@ from plato_spark.graph.partitioning import (
 )
 
 
-def closeness_sampled(
-    edges: DataFrame,
-    num_samples: int = 10,
-    max_iters: int = 10_000,
-) -> DataFrame:
-    """(id, closeness: double rounded 6dp) for vertices of the major
-    component, over canonical undirected edges (src<dst, unique)."""
+def _sampled_bfs(
+    edges: DataFrame, num_samples: int, max_iters: int
+) -> tuple[DataFrame, float, DataFrame]:
+    """Shared kernel: major-component restriction + deterministic sample
+    policy (the ``num_samples`` smallest member ids) + one multi-source
+    level-synchronous BFS.
+
+    Returns (members, fac, visited) where visited = (root, id, dist) for
+    every vertex within ``max_iters`` hops of a sample root and
+    fac = V_major / (k * (V_major - 1)) — the reference's estimator scale.
+    """
     spark = edges.sparkSession
     comp = connected_components(edges).persist()
     major = (
@@ -83,7 +97,19 @@ def closeness_sampled(
             visited, frontier = (
                 visited.unionByName(nxt).localCheckpoint(eager=True), nxt
             )
+    sym.unpersist()
+    comp.unpersist()
+    return members, fac, visited
 
+
+def closeness_sampled(
+    edges: DataFrame,
+    num_samples: int = 10,
+    max_iters: int = 10_000,
+) -> DataFrame:
+    """(id, closeness: double rounded 6dp) for vertices of the major
+    component, over canonical undirected edges (src<dst, unique)."""
+    members, fac, visited = _sampled_bfs(edges, num_samples, max_iters)
     sums = visited.groupBy("id").agg(F.sum("dist").cast("double").alias("s"))
     return (
         members.join(sums, "id", "left")
@@ -96,5 +122,41 @@ def closeness_sampled(
                 ).otherwise(F.lit(0.0)),
                 6,
             ).alias("closeness"),
+        )
+    )
+
+
+def harmonic_sampled(
+    edges: DataFrame,
+    num_samples: int = 10,
+    radius: int = 5,
+) -> DataFrame:
+    """(id, harmonic: double rounded 6dp) — radius-truncated sampled
+    harmonic centrality over the major component:
+
+        harmonic(v) = fac * sum_{s in samples, 0 < d(s,v) <= radius} 1/d(s,v)
+
+    with the same fac = V/(k*(V-1)) scale as the closeness estimator.
+    The truncation at ``radius`` hops is the standard bounded-radius
+    variant (contributions beyond R hops are <= 1/R and dropped); it also
+    bounds the BFS loop at R supersteps regardless of graph diameter.
+
+    Exactness: the sum is folded as integer weights L/d (L = lcm(1..R),
+    so every term divides L) — order-free integer addition, one float
+    multiply at read-out, bit-identical to the unrolled SQL oracle.
+    """
+    members, fac, visited = _sampled_bfs(edges, num_samples, radius)
+    lcm = math.lcm(*range(1, radius + 1))
+    w = F.when(F.col("dist") > 0, F.lit(lcm) / F.col("dist")).otherwise(F.lit(0))
+    sums = visited.groupBy("id").agg(
+        F.sum(w.cast("long")).cast("long").alias("s")
+    )
+    return (
+        members.join(sums, "id", "left")
+        .select(
+            "id",
+            F.round(
+                F.coalesce("s", F.lit(0)).cast("double") * F.lit(fac / lcm), 6
+            ).alias("harmonic"),
         )
     )

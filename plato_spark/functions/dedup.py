@@ -387,3 +387,53 @@ def simhash_signatures_portable(
     return base.join(voted, "id", "left").select(
         "id", F.coalesce("simhash", F.lit(0)).cast("long").alias("simhash")
     )
+
+
+def contamination_check(
+    train: DataFrame,
+    evalset: DataFrame,
+    n: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(train_id, n_shared, n_eval_docs) — benchmark-contamination scan:
+    for every training document that shares at least one word ``n``-gram
+    with ANY held-out/eval document, the number of distinct shared
+    shingles and the number of distinct eval documents hit.
+
+    The standard decontamination step of a training-data pipeline (drop or
+    flag train docs that textually overlap the eval benchmark). Word
+    8-grams are the common operating point (long enough that collisions
+    are meaningful overlap, short enough to catch partial copies).
+
+    Plan shape: shingle both sides JVM-side (same ``_token_shingles``
+    kernel as the dedup family), hash each shingle to a 56-bit portable
+    long so the equi-join shuffles fixed-width keys instead of strings,
+    then one join + one map-side-combined groupBy(train_id). The eval side
+    is typically a tiny fraction of the corpus — Catalyst/AQE broadcasts
+    it when it fits; at 100 TB with a big eval set it degrades to a plain
+    shuffle hash join on the 8-byte key. Production would use a 128-bit
+    hash for collision headroom; 56-bit is chosen here because the same
+    value is reproducible in the DuckDB oracle (portable_h1), making the
+    whole check value-verifiable.
+    """
+    def _shingle_hashes(df: DataFrame, out_id: str) -> DataFrame:
+        return (
+            df.select(
+                F.col(id_col).alias(out_id),
+                F.explode(_token_shingles(text_col, n)).alias("s"),
+            )
+            .select(out_id, portable_h1(F.col("s")).alias("h"))
+            .distinct()
+        )
+
+    tr = _shingle_hashes(train, "train_id")
+    ev = _shingle_hashes(evalset, "eval_id")
+    return (
+        tr.join(ev, "h")
+        .groupBy("train_id")
+        .agg(
+            F.count_distinct("h").cast("long").alias("n_shared"),
+            F.count_distinct("eval_id").cast("long").alias("n_eval_docs"),
+        )
+    )

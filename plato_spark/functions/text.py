@@ -216,6 +216,43 @@ def redact_pii(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") ->
     )
 
 
+def vocabulary_stats(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    top_k: int = 200,
+) -> DataFrame:
+    """(token, tf, df) — the ``top_k`` corpus tokens by total frequency.
+
+    The vocabulary-building step of a tokenizer/training pipeline: term
+    frequency (total occurrences) and document frequency (distinct docs)
+    per token, keeping the head of the distribution.
+
+    Plan shape: one explode + one map-side-combined groupBy(token), then a
+    global top-k. Spark compiles ``orderBy(...).limit(k)`` to
+    TakeOrderedAndProject — each shuffle partition keeps only its local
+    top-k, so no full sort ever materializes; at 100 TB the reduce side
+    sees num_partitions * k rows, not |vocab|. Tie-break (tf desc, token
+    asc) is a total order because token is the group key, so the selected
+    set is deterministic and oracle-checkable.
+    """
+    toks = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(
+            F.regexp_extract_all(F.col(text_col), F.lit(TOKEN_RE), F.lit(0))
+        ).alias("token"),
+    )
+    return (
+        toks.groupBy("token")
+        .agg(
+            F.count("*").cast("long").alias("tf"),
+            F.count_distinct("id").cast("long").alias("df"),
+        )
+        .orderBy(F.desc("tf"), F.asc("token"))
+        .limit(top_k)
+    )
+
+
 def domain_counts(df: DataFrame, text_col: str = "text") -> DataFrame:
     """(domain, n_docs, n_urls) — URL host frequency across the corpus
     (source-mix analysis / domain blocklists). One explode + one
