@@ -995,6 +995,48 @@ e{i + 1} AS MATERIALIZED (
     )
 
 
+def _sql_trussness(k_max: int = 6, rounds: tuple = (4, 5, 6, 8)) -> str:
+    """Mirror of algos/ktruss.truss_decomposition: phased support-peel,
+    trussness = 2 + number of phases survived (p_k nests in p_{k-1}).
+    ``rounds`` pins the unrolled peel rounds per phase, >= the measured
+    engine fixpoints at sf0.01 ((2,3,4,6); extra rounds are identity)."""
+    ctes = ["e0 AS MATERIALIZED (SELECT src, dst FROM canon)"]
+    i = 0
+    bounds = []
+    for idx, k in enumerate(range(3, k_max + 1)):
+        for _ in range(rounds[idx]):
+            ctes.append(f"""sy{i} AS MATERIALIZED (
+  SELECT src, dst FROM e{i} UNION ALL SELECT dst AS src, src AS dst FROM e{i}),
+su{i} AS MATERIALIZED (
+  SELECT a.src AS u, b.src AS v, count(*) AS c
+  FROM sy{i} a JOIN sy{i} b ON a.dst = b.dst AND a.src < b.src
+  GROUP BY a.src, b.src),
+e{i + 1} AS MATERIALIZED (
+  SELECT e.src, e.dst FROM e{i} e
+  JOIN su{i} s ON e.src = s.u AND e.dst = s.v
+  WHERE s.c >= {k - 2})""")
+            i += 1
+        ctes.append(
+            f"p{k} AS MATERIALIZED (SELECT src, dst FROM e{i})"
+        )
+        bounds.append(k)
+    flags = " + ".join(
+        f"CASE WHEN m{k}.src IS NOT NULL THEN 1 ELSE 0 END" for k in bounds
+    )
+    joins = "\n".join(
+        f"LEFT JOIN p{k} m{k} ON c.src = m{k}.src AND c.dst = m{k}.dst"
+        for k in bounds
+    )
+    return (
+        SQL_GRAPH_PREFIX + ", " + ",\n".join(ctes)
+        + f"""
+SELECT c.src, c.dst, CAST(2 + {flags} AS INT) AS trussness
+FROM canon c
+{joins}
+ORDER BY c.src, c.dst"""
+    )
+
+
 def _sql_hits(iters: int = 5) -> str:
     """Mirror of algos/hits.hits: L1-normalized power iteration, the
     denominators computed as edge-sums exactly like the Spark side."""
@@ -1640,6 +1682,16 @@ def q_domain_counts(spark, sf_dir):
     return domain_counts(planted)
 
 
+def q_trussness(spark, sf_dir):
+    """Per-edge truss number (capped decomposition, k_max=6) — the edge
+    analog of coreness, phased incremental support-peel."""
+    from plato_spark.algos.ktruss import truss_decomposition
+
+    return truss_decomposition(
+        part_cooccurrence_edges(spark, sf_dir), k_max=6
+    )
+
+
 def q_harmonic(spark, sf_dir):
     """Radius-truncated sampled harmonic centrality (disconnected-robust
     closeness variant) — same deterministic sample policy as closeness."""
@@ -1978,6 +2030,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "contamination": q_contamination,
         "harmonic_sampled": q_harmonic,
         "scc": q_scc,
+        "trussness": q_trussness,
         # -- r1+r2 driver-green rows --
         "co_occurrence_edges": q_edges,
         "degrees": q_degrees,
@@ -2051,6 +2104,7 @@ def oracle_sql() -> dict[str, str]:
         "wcc_incremental": _sql_wcc(WCC_SQL_ITERS),
         "hits": _sql_hits(5),
         "ktruss": _sql_ktruss(5),
+        "trussness": _sql_trussness(6),
         "gnn_neighbor_sample": SQL_GRAPH_PREFIX + """
 SELECT src, dst AS nbr, CAST(rn AS BIGINT) AS pos FROM (
   SELECT src, dst,

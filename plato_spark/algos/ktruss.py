@@ -65,11 +65,16 @@ def ktruss(
     """
     if k < 3:
         raise ValueError("k-truss is defined for k >= 3")
-    need = k - 2
+    state, segments = _init_support(canon, hub_cap)
+    state, _ = _peel_phase(state, k - 2, segments, max_iters, metrics)
+    return state.select("src", "dst")
 
+
+def _init_support(canon: DataFrame, hub_cap: int):
+    """One full hub-capped support pass; returns (state[src,dst,support],
+    segment count fixed from the ORIGINAL max degree — degrees only
+    shrink during peeling, so this stays a valid bound)."""
     cur = canon.select("src", "dst").localCheckpoint(eager=True)
-    # segment count fixed from the ORIGINAL max degree (degrees only
-    # shrink during peeling, so this stays a valid bound)
     sym0 = symmetrize(cur)
     max_deg = (
         sym0.groupBy("src").agg(F.count("*").alias("d")).agg(F.max("d")).first()[0]
@@ -77,7 +82,6 @@ def ktruss(
     )
     segments = int((max_deg + hub_cap - 1) // hub_cap) if max_deg else 1
 
-    # one full support pass (hub-capped); support(e) = #triangles through e
     caches: list = []
     state = (
         common_neighbors(cur, as_count=True, hub_cap=hub_cap, caches=caches)
@@ -89,17 +93,33 @@ def ktruss(
             c.unpersist()
         except Exception:
             pass
+    return state, segments
 
+
+def _peel_phase(
+    state: DataFrame,
+    need: int,
+    segments: int,
+    max_iters: int,
+    metrics: list | None = None,
+    collect_peeled: bool = False,
+):
+    """Peel edges with support < ``need`` to the fixpoint, maintaining
+    support by incremental decrement (see module docstring).  Returns
+    (state_after, peeled_edges_df_or_None)."""
     import time
 
+    peeled_parts: list[DataFrame] = []
     for it in range(max_iters):
         t0 = time.time()
         peeled = state.where(F.col("support") < need).select("src", "dst")
         n_peel = peeled.count()
         if metrics is not None:
-            metrics.append({"iter": it, "peeled": n_peel})
+            metrics.append({"iter": it, "need": need, "peeled": n_peel})
         if n_peel == 0:
             break
+        if collect_peeled:
+            peeled_parts.append(peeled.localCheckpoint(eager=True))
 
         alive = state.select("src", "dst")  # round-start edge set (incl. P)
         sym = symmetrize(alive)
@@ -155,4 +175,62 @@ def ktruss(
             metrics[-1]["dead_triangles"] = tri.count()
             metrics[-1]["sec"] = round(time.time() - t0, 3)
 
-    return state.select("src", "dst")
+    if not collect_peeled:
+        return state, None
+    if not peeled_parts:
+        spark = state.sparkSession
+        return state, spark.createDataFrame([], "src long, dst long")
+    out = peeled_parts[0]
+    for p in peeled_parts[1:]:
+        out = out.unionByName(p)
+    return state, out
+
+
+def truss_decomposition(
+    canon: DataFrame,
+    k_max: int = 6,
+    max_iters: int = 100,
+    metrics: list | None = None,
+    hub_cap: int = 100_000,
+) -> DataFrame:
+    """(src, dst, trussness) — the truss number of every edge, capped at
+    ``k_max``: trussness(e) = max k such that e belongs to the k-truss
+    (every edge trivially belongs to the 2-truss, so isolated/triangle-free
+    edges get 2); edges still alive after the ``k_max`` phase are reported
+    as ``k_max`` (i.e. ">= k_max").
+
+    The cap is the 100 TB-scale operating point: the k=3..k_max phases
+    peel the long tail of low-cohesion edges cheaply (support is computed
+    in FULL only once, then maintained by the same incremental decrement
+    as :func:`ktruss` — per-phase cost tracks the peeled set), while an
+    uncapped decomposition would spend its time distinguishing the
+    innermost dense cores, which callers rarely need beyond "very dense".
+
+    Phase invariant: edges peeled while enforcing the k-truss condition
+    (support < k-2 to fixpoint) are in the (k-1)-truss but not the
+    k-truss, so their trussness is exactly k-1.
+    """
+    if k_max < 3:
+        raise ValueError("truss decomposition needs k_max >= 3")
+    state, segments = _init_support(canon, hub_cap)
+    labeled: list[DataFrame] = []
+    for k in range(3, k_max + 1):
+        state, peeled = _peel_phase(
+            state, k - 2, segments, max_iters, metrics, collect_peeled=True
+        )
+        labeled.append(
+            peeled.select(
+                "src", "dst", F.lit(k - 1).cast("int").alias("trussness")
+            )
+        )
+        if state.limit(1).count() == 0:
+            break
+    labeled.append(
+        state.select(
+            "src", "dst", F.lit(k_max).cast("int").alias("trussness")
+        )
+    )
+    out = labeled[0]
+    for p in labeled[1:]:
+        out = out.unionByName(p)
+    return out

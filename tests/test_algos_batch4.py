@@ -194,3 +194,19 @@ def test_contamination_check(spark):
         for r in contamination_check(train, evalset, n=8).collect()
     }
     assert got == {1: (2, 1), 3: (2, 1)}
+
+
+def test_truss_decomposition_known_fixture(spark):
+    from plato_spark.algos.ktruss import truss_decomposition
+
+    # K5 on 1..5 (every edge trussness 5 with k_max=6), a pendant
+    # triangle {5,10,11} (trussness 3), and a tail edge 11-12 (trussness 2)
+    k5 = [(a, b) for a in range(1, 6) for b in range(a + 1, 6)]
+    edges = k5 + [(5, 10), (5, 11), (10, 11), (11, 12)]
+    got = {
+        (r["src"], r["dst"]): r["trussness"]
+        for r in truss_decomposition(edges_df(spark, edges), k_max=6).collect()
+    }
+    want = {e: 5 for e in k5}
+    want.update({(5, 10): 3, (5, 11): 3, (10, 11): 3, (11, 12): 2})
+    assert got == want
