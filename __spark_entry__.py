@@ -34,6 +34,7 @@ from plato_spark.algos.lpa import label_propagation
 from plato_spark.algos.hll_portable import (
     hyperanf_portable,
     nstep_degrees_portable,
+    sql_effective_diameter_oracle,
     sql_hyperanf_oracle,
     sql_nstep_oracle,
 )
@@ -1682,6 +1683,17 @@ def q_domain_counts(spark, sf_dir):
     return domain_counts(planted)
 
 
+def q_effective_diameter(spark, sf_dir):
+    """HyperANF read-outs (Boldi-Rosa-Vigna): interpolated 0.9-effective
+    diameter + average distance from the portable-HLL ANF curve."""
+    from plato_spark.algos.hll_portable import effective_diameter_portable
+
+    sym = _sym(spark, sf_dir)
+    return effective_diameter_portable(
+        sym, steps=HYPERANF_STEPS, q=0.9, direction="in"
+    )
+
+
 def q_trussness(spark, sf_dir):
     """Per-edge truss number (capped decomposition, k_max=6) — the edge
     analog of coreness, phased incremental support-peel."""
@@ -2031,6 +2043,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "harmonic_sampled": q_harmonic,
         "scc": q_scc,
         "trussness": q_trussness,
+        "effective_diameter": q_effective_diameter,
         # -- r1+r2 driver-green rows --
         "co_occurrence_edges": q_edges,
         "degrees": q_degrees,
@@ -2466,6 +2479,9 @@ FROM rr GROUP BY src""",
         ),
         "hyperanf": sql_hyperanf_oracle(
             HYPERANF_STEPS, SQL_GRAPH_PREFIX.rstrip()
+        ),
+        "effective_diameter": sql_effective_diameter_oracle(
+            HYPERANF_STEPS, SQL_GRAPH_PREFIX.rstrip(), q=0.9
         ),
         "random_walks": _sql_random_walks(5),
         "node2vec_walks": _sql_node2vec_walks(4),

@@ -159,18 +159,11 @@ def nstep_degrees_portable(
     )
 
 
-def hyperanf_portable(
-    edges: DataFrame, steps: int = 4, direction: str = "both"
-) -> DataFrame:
-    """ANF curve + average distance, engine-portable.
-
-    Returns rows (step: int, anf: double) for step 0..steps, plus one row
-    (step=-1, anf=average distance) computed from the curve exactly as the
-    reference does (hyperanf.hpp:61-70: avg = sum i*(ANF_i - ANF_{i-1}) /
-    (ANF_last - ANF_0)). Per-vertex estimates are rounded to 4dp and
-    integer-scaled before the global sum, so the curve is deterministic
-    (no float-sum ordering) and oracle-reproducible.
-    """
+def _anf_curve_scaled(
+    edges: DataFrame, steps: int, direction: str
+) -> tuple:
+    """Integer-scaled ANF curve [sc_0..sc_steps] (sum over vertices of
+    round(round(est,4)*10000) — deterministic, no float-sum ordering)."""
     spark, e, state, shuffle_n = _prepared(edges, direction)
     scaled = F.sum(
         F.round(F.round(_estimate("sk"), 4) * 10000.0, 0).cast("long")
@@ -190,6 +183,59 @@ def hyperanf_portable(
             except Exception:
                 pass
             prev = state
+    return spark, curve
+
+
+def effective_diameter_portable(
+    edges: DataFrame, steps: int = 4, q: float = 0.9, direction: str = "both"
+) -> DataFrame:
+    """One row (eff_diameter, avg_distance) — the classic HyperANF
+    read-outs (Boldi-Rosa-Vigna): effective diameter at quantile ``q`` by
+    linear interpolation of the neighbourhood function,
+        ed = (t-1) + (q*ANF_S - ANF_{t-1}) / (ANF_t - ANF_{t-1})
+    at the first t whose ANF reaches q*ANF_S (0 when ANF_0 already does),
+    and the reference's average distance (hyperanf.hpp:61-70).
+
+    All comparisons and the interpolation run in the integer-scaled curve
+    domain (identical doubles both engines), so the result is
+    value-checkable against the DuckDB mirror to 6dp.
+    """
+    spark, curve = _anf_curve_scaled(edges, steps, direction)
+    target = q * float(curve[-1])
+    ed = 0.0
+    for t in range(len(curve)):
+        if float(curve[t]) >= target:
+            if t > 0:
+                ed = (t - 1) + (target - float(curve[t - 1])) / (
+                    float(curve[t]) - float(curve[t - 1])
+                )
+            break
+    den = curve[-1] - curve[0]
+    num = sum(i * (curve[i] - curve[i - 1]) for i in range(1, len(curve)))
+    avg = (float(num) / float(den)) if den > 0 else 0.0
+    # round via F.round (half-up, matching SQL round) — python's round()
+    # is half-to-even and could diverge on exact .5 boundaries
+    return spark.createDataFrame(
+        [(ed, avg)], "eff_diameter double, avg_distance double"
+    ).select(
+        F.round("eff_diameter", 6).alias("eff_diameter"),
+        F.round("avg_distance", 6).alias("avg_distance"),
+    )
+
+
+def hyperanf_portable(
+    edges: DataFrame, steps: int = 4, direction: str = "both"
+) -> DataFrame:
+    """ANF curve + average distance, engine-portable.
+
+    Returns rows (step: int, anf: double) for step 0..steps, plus one row
+    (step=-1, anf=average distance) computed from the curve exactly as the
+    reference does (hyperanf.hpp:61-70: avg = sum i*(ANF_i - ANF_{i-1}) /
+    (ANF_last - ANF_0)). Per-vertex estimates are rounded to 4dp and
+    integer-scaled before the global sum, so the curve is deterministic
+    (no float-sum ordering) and oracle-reproducible.
+    """
+    spark, curve = _anf_curve_scaled(edges, steps, direction)
     den = curve[-1] - curve[0]
     num = sum(i * (curve[i] - curve[i - 1]) for i in range(1, len(curve)))
     avg = (float(num) / float(den)) if den > 0 else 0.0
@@ -286,6 +332,48 @@ def sql_register_ctes(steps: int, edge_cte: str = "edges") -> str:
   ) x GROUP BY x.id, x.idx)"""
         )
     return ",\n".join(parts)
+
+
+def sql_effective_diameter_oracle(
+    steps: int, prefix_sql: str, q: float = 0.9
+) -> str:
+    """Full oracle for effective_diameter_portable: same register/anf CTEs
+    as the hyperanf oracle, then an unrolled CASE picking the first step
+    whose scaled ANF reaches q * ANF_steps, with the identical
+    interpolation arithmetic."""
+    s_expr, est = sql_estimate_exprs()
+    anf_ctes = []
+    for t in range(steps + 1):
+        anf_ctes.append(f"""
+sv{t} AS MATERIALIZED (
+  SELECT id AS u, {s_expr} AS s, {M} - count(*) AS vz FROM s{t} GROUP BY id),
+anf{t} AS MATERIALIZED (
+  SELECT sum(CAST(round(round({est}, 4) * 10000.0, 0) AS BIGINT)) AS sc
+  FROM sv{t})""")
+    sc = [f"(SELECT sc FROM anf{t})" for t in range(steps + 1)]
+    target = f"({q} * CAST({sc[steps]} AS DOUBLE))"
+    branches = [f"WHEN CAST({sc[0]} AS DOUBLE) >= {target} THEN 0.0"]
+    for t in range(1, steps + 1):
+        interp = (
+            f"{t - 1} + ({target} - CAST({sc[t - 1]} AS DOUBLE))"
+            f" / (CAST({sc[t]} AS DOUBLE) - CAST({sc[t - 1]} AS DOUBLE))"
+        )
+        branches.append(
+            f"WHEN CAST({sc[t]} AS DOUBLE) >= {target} THEN {interp}"
+        )
+    ed = "CASE " + " ".join(branches) + " ELSE 0.0 END"
+    num = " + ".join(
+        f"{t} * ({sc[t]} - {sc[t - 1]})" for t in range(1, steps + 1)
+    )
+    den = f"({sc[steps]} - {sc[0]})"
+    avg = (
+        f"CASE WHEN {den} > 0 THEN CAST({num} AS DOUBLE)"
+        f" / CAST({den} AS DOUBLE) ELSE 0.0 END"
+    )
+    return f"""{prefix_sql},
+{sql_rho_cte()},
+{sql_register_ctes(steps)},{','.join(anf_ctes)}
+SELECT round({ed}, 6) AS eff_diameter, round({avg}, 6) AS avg_distance"""
 
 
 def sql_hyperanf_oracle(steps: int, prefix_sql: str) -> str:

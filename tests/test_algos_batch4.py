@@ -210,3 +210,26 @@ def test_truss_decomposition_known_fixture(spark):
     want = {e: 5 for e in k5}
     want.update({(5, 10): 3, (5, 11): 3, (10, 11): 3, (11, 12): 2})
     assert got == want
+
+
+def test_effective_diameter_consistency(spark):
+    from plato_spark.algos.hll_portable import (
+        effective_diameter_portable,
+        hyperanf_portable,
+    )
+
+    # path 0-1-2-3-4 (diameter 4) vs 5-clique (diameter 1)
+    path = edges_df(spark, [(0, 1), (1, 2), (2, 3), (3, 4)])
+    clique = edges_df(
+        spark, [(a, b) for a in range(5) for b in range(a + 1, 5)]
+    )
+    row_p = effective_diameter_portable(path, steps=5).collect()[0]
+    row_c = effective_diameter_portable(clique, steps=3).collect()[0]
+    # clique saturates in one hop; path needs several
+    assert 0.0 < row_c["eff_diameter"] <= 1.0
+    assert row_p["eff_diameter"] > row_c["eff_diameter"]
+    # avg_distance agrees with hyperanf_portable's step=-1 read-out
+    anf_avg = {
+        r["step"]: r["anf"] for r in hyperanf_portable(path, steps=5).collect()
+    }[-1]
+    assert abs(row_p["avg_distance"] - anf_avg) < 1e-6
