@@ -169,6 +169,12 @@ def _peel_phase(
         if metrics is not None:
             metrics[-1]["mode"] = "decrement"
 
+        # materialize the (tiny) peel set once: it feeds four joins below,
+        # and a checkpointed RDD gives each a concrete, reusable input
+        peeled = peeled.localCheckpoint(eager=True)
+        small = 2 * n_peel <= ENDS_BROADCAST_MAX
+        peeled_b = F.broadcast(peeled) if small else peeled
+
         alive = state.select("src", "dst")  # round-start edge set (incl. P)
         sym = symmetrize(alive)
         ends = (
@@ -176,7 +182,7 @@ def _peel_phase(
             .unionByName(peeled.select(F.col("dst").alias("id")))
             .distinct()
         )
-        if 2 * n_peel <= ENDS_BROADCAST_MAX:
+        if small:
             ends = F.broadcast(ends)
         # adjacency ONLY for peeled endpoints, consistently segmented so
         # N(u) ∩ N(v) = ∪_s N_s(u) ∩ N_s(v) distributes across hubs
@@ -186,12 +192,15 @@ def _peel_phase(
         a_u = adj.select(F.col("id").alias("src"), "salt", F.col("nbrs").alias("nu"))
         a_v = adj.select(F.col("id").alias("dst"), "salt", F.col("nbrs").alias("nv"))
         wit = (
-            peeled.join(a_u, "src")
+            peeled_b.join(a_u, "src")
             .join(a_v, ["dst", "salt"])
             .select("src", "dst", F.explode(F.array_intersect("nu", "nv")).alias("w"))
         )
         # distinct dead triangles (a<b<c): dedupes the case where 2-3
-        # edges of one triangle are peeled in the same round
+        # edges of one triangle are peeled in the same round.  Checkpoint
+        # eagerly: tri feeds THREE branches of the damage union — left
+        # lazy, the whole adjacency+intersection pipeline above would be
+        # re-evaluated once per branch (measured 3x round cost at sf0.1).
         tri = wit.select(
             F.least("src", "dst", "w").alias("a"),
             F.expr(
@@ -200,17 +209,20 @@ def _peel_phase(
             F.greatest("src", "dst", "w").alias("c"),
         ).select(
             "a", (F.col("s") - F.col("a") - F.col("c")).alias("b"), "c"
-        ).distinct()
+        ).distinct().localCheckpoint(eager=True)
+        n_tri = tri.count()
         dmg = (
             tri.select(F.col("a").alias("src"), F.col("b").alias("dst"))
             .unionAll(tri.select(F.col("a").alias("src"), F.col("c").alias("dst")))
             .unionAll(tri.select(F.col("b").alias("src"), F.col("c").alias("dst")))
-            .join(peeled, ["src", "dst"], "left_anti")
+            .join(peeled_b, ["src", "dst"], "left_anti")
             .groupBy("src", "dst")
             .agg(F.count("*").cast("long").alias("dead"))
         )
+        if 3 * n_tri <= ENDS_BROADCAST_MAX:
+            dmg = F.broadcast(dmg)
         state = (
-            state.join(peeled, ["src", "dst"], "left_anti")
+            state.join(peeled_b, ["src", "dst"], "left_anti")
             .join(dmg, ["src", "dst"], "left")
             .select(
                 "src",
@@ -220,7 +232,7 @@ def _peel_phase(
             .localCheckpoint(eager=True)
         )
         if metrics is not None:
-            metrics[-1]["dead_triangles"] = tri.count()
+            metrics[-1]["dead_triangles"] = n_tri
             metrics[-1]["sec"] = round(time.time() - t0, 3)
 
     if not collect_peeled:
