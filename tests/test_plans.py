@@ -173,3 +173,35 @@ def test_hits_no_driver_actions_per_iteration_and_no_sort(spark):
     assert calls["n"] == 0, f"hits() ran {calls['n']} driver scalar actions"
     p = plan_of(out)
     assert "Sort [" not in p  # no global orderBy at readout
+
+
+def test_bucketed_join_has_no_exchange(spark, tmp_path):
+    # bucketed-by-src edge tables: a self-join on src (the superstep /
+    # co-located join shape) must read pre-partitioned buckets with NO
+    # shuffle exchange and (sorted buckets) NO sort before the join
+    from plato_spark.sources.sinks import write_bucketed_edges
+
+    edges = spark.range(0, 20_000).select(
+        F.pmod(F.xxhash64("id"), F.lit(500)).alias("src"),
+        F.pmod(F.xxhash64("id", F.lit(7)), F.lit(500)).alias("dst"),
+    )
+    write_bucketed_edges(
+        edges, "bucketed_edges_t", buckets=8, key="src", path=str(tmp_path / "be")
+    )
+    try:
+        # force the shuffle-join path so the assertion is about bucketing,
+        # not about the small side happening to broadcast
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        t = spark.table("bucketed_edges_t")
+        state = spark.table("bucketed_edges_t").groupBy("src").count()
+        joined = t.join(state, "src")
+        p = plan_of(joined)
+        # bucketed scan satisfies the hash requirement on BOTH sides: the
+        # groupBy aggregates in place (single HashAggregate pair, no
+        # partial->exchange->final) and the join is exchange-free
+        assert "Exchange hashpartitioning" not in p, p
+        n = joined.count()
+        assert n > 0
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        spark.sql("DROP TABLE IF EXISTS bucketed_edges_t")
