@@ -996,6 +996,44 @@ e{i + 1} AS MATERIALIZED (
     )
 
 
+def _sql_mis(rounds: int = 8) -> str:
+    """Mirror of algos/mis.maximal_independent_set: unrolled Luby rounds
+    with the unique portable-hash priority (p = (h1(id) % 2^31) * 2^31
+    + id); rounds pinned past the measured fixpoint (4 at sf0.001, 6 at
+    sf0.01) — extra rounds operate on an empty alive set and add no rows.
+    """
+    pri = (
+        "(CAST(('0x' || substr(md5(CAST(id AS VARCHAR)), 1, 14)) AS BIGINT)"
+        " % 2147483648) * 2147483648 + id"
+    )
+    ctes = [
+        f"a0 AS MATERIALIZED (SELECT id, {pri} AS p FROM verts)",
+        "e0 AS MATERIALIZED (SELECT src, dst FROM edges)",
+    ]
+    for k in range(rounds):
+        ctes.append(f"""m{k} AS MATERIALIZED (
+  SELECT a.id FROM a{k} a LEFT JOIN (
+    SELECT e.dst AS id, min(ap.p) AS minp
+    FROM e{k} e JOIN a{k} ap ON e.src = ap.id GROUP BY e.dst) nb
+  ON a.id = nb.id
+  WHERE nb.minp IS NULL OR a.p < nb.minp),
+r{k} AS MATERIALIZED (
+  SELECT id FROM m{k}
+  UNION
+  SELECT e.dst AS id FROM e{k} e JOIN m{k} m ON e.src = m.id),
+a{k + 1} AS MATERIALIZED (
+  SELECT a.id, a.p FROM a{k} a
+  WHERE NOT EXISTS (SELECT 1 FROM r{k} r WHERE r.id = a.id)),
+e{k + 1} AS MATERIALIZED (
+  SELECT e.src, e.dst FROM e{k} e
+  JOIN a{k + 1} x ON e.src = x.id JOIN a{k + 1} y ON e.dst = y.id)""")
+    sel = "\nUNION ALL\n".join(
+        f"SELECT id, CAST({k} AS INTEGER) AS mis_round FROM m{k}"
+        for k in range(rounds)
+    )
+    return SQL_GRAPH_PREFIX + ", " + ",\n".join(ctes) + "\n" + sel + "\nORDER BY id"
+
+
 def _sql_trussness(k_max: int = 6, rounds: tuple = (4, 5, 6, 8)) -> str:
     """Mirror of algos/ktruss.truss_decomposition: phased support-peel,
     trussness = 2 + number of phases survived (p_k nests in p_{k-1}).
@@ -1771,6 +1809,16 @@ def q_vocabulary(spark, sf_dir):
     return vocabulary_stats(docs, top_k=VOCAB_TOP_K)
 
 
+def q_mis(spark, sf_dir):
+    """Deterministic Luby maximal independent set (unique portable-hash
+    priorities; algos/mis) — (id, mis_round) for every MIS member."""
+    from plato_spark.algos.mis import maximal_independent_set
+
+    return maximal_independent_set(
+        symmetrize(part_cooccurrence_edges(spark, sf_dir))
+    )
+
+
 def q_tfidf(spark, sf_dir):
     """Top-3 tf-idf keywords per document (raw-inverse-idf scoring so the
     value is exact integer arithmetic + one IEEE division)."""
@@ -2054,6 +2102,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "trussness": q_trussness,
         "effective_diameter": q_effective_diameter,
         "tfidf_keywords": q_tfidf,
+        "mis": q_mis,
         # -- r1+r2 driver-green rows --
         "co_occurrence_edges": q_edges,
         "degrees": q_degrees,
@@ -2128,6 +2177,7 @@ def oracle_sql() -> dict[str, str]:
         "hits": _sql_hits(5),
         "ktruss": _sql_ktruss(5),
         "trussness": _sql_trussness(6),
+        "mis": _sql_mis(8),
         "gnn_neighbor_sample": SQL_GRAPH_PREFIX + """
 SELECT src, dst AS nbr, CAST(rn AS BIGINT) AS pos FROM (
   SELECT src, dst,

@@ -44,6 +44,7 @@ from plato_spark.algos.triangles import (
     _segmented_undirected_adj,
     common_neighbors,
 )
+from plato_spark.engine.ckpt_blocks import checkpoint_tracked, free_blocks
 from plato_spark.graph.edges import symmetrize
 
 ENDS_BROADCAST_MAX = 1_000_000
@@ -69,9 +70,10 @@ def ktruss(
     """
     if k < 3:
         raise ValueError("k-truss is defined for k >= 3")
-    state, segments = _init_support(canon, hub_cap)
-    state, _ = _peel_phase(
-        state, k - 2, segments, max_iters, metrics, hub_cap=hub_cap
+    state, segments, state_ids = _init_support(canon, hub_cap)
+    state, _, _ = _peel_phase(
+        state, k - 2, segments, max_iters, metrics,
+        hub_cap=hub_cap, state_ids=state_ids,
     )
     return state.select("src", "dst")
 
@@ -79,8 +81,10 @@ def ktruss(
 def _init_support(canon: DataFrame, hub_cap: int):
     """One full hub-capped support pass; returns (state[src,dst,support],
     segment count fixed from the ORIGINAL max degree — degrees only
-    shrink during peeling, so this stays a valid bound)."""
-    cur = canon.select("src", "dst").localCheckpoint(eager=True)
+    shrink during peeling, so this stays a valid bound — and the block
+    ids backing the state checkpoint, for the peel loop to free once
+    superseded)."""
+    cur, cur_ids = checkpoint_tracked(canon.select("src", "dst"))
     sym0 = symmetrize(cur)
     max_deg = (
         sym0.groupBy("src").agg(F.count("*").alias("d")).agg(F.max("d")).first()[0]
@@ -89,17 +93,17 @@ def _init_support(canon: DataFrame, hub_cap: int):
     segments = int((max_deg + hub_cap - 1) // hub_cap) if max_deg else 1
 
     caches: list = []
-    state = (
+    state, state_ids = checkpoint_tracked(
         common_neighbors(cur, as_count=True, hub_cap=hub_cap, caches=caches)
         .select("src", "dst", F.col("common_count").alias("support"))
-        .localCheckpoint(eager=True)
     )
     for c in caches:  # state is materialized; drop the builder's caches
         try:
             c.unpersist()
         except Exception:
             pass
-    return state, segments
+    free_blocks(state.sparkSession, cur_ids)  # cur only fed the init pass
+    return state, segments, state_ids
 
 
 def _peel_phase(
@@ -110,9 +114,17 @@ def _peel_phase(
     metrics: list | None = None,
     collect_peeled: bool = False,
     hub_cap: int = HUB_CAP_DEFAULT,
+    state_ids: set | None = None,
 ):
     """Peel edges with support < ``need`` to the fixpoint.  Returns
-    (state_after, peeled_edges_df_or_None).
+    (state_after, peeled_edges_df_or_None, state_after_block_ids).
+
+    ``state_ids`` are the block-manager ids backing the INCOMING state
+    checkpoint; each round frees the superseded state's (and its temps')
+    blocks once the new state is materialized, so resident blocks stay
+    O(1) across rounds instead of growing with round index (the measured
+    sf0.1 anomaly: late 7-edge rounds cost ~70s under the accumulated
+    block pressure where early 80k-edge rounds cost ~9s).
 
     Support maintenance is HYBRID: small peel batches decrement support
     via dead-triangle enumeration (cost ∝ peeled endpoints' adjacency);
@@ -127,6 +139,8 @@ def _peel_phase(
     """
     import time
 
+    spark = state.sparkSession
+    state_ids = set(state_ids or ())
     peeled_parts: list[DataFrame] = []
     n_alive = state.count()
     for it in range(max_iters):
@@ -147,7 +161,7 @@ def _peel_phase(
                 .select("src", "dst")
             )
             caches: list = []
-            state = (
+            state, new_ids = checkpoint_tracked(
                 common_neighbors(
                     survivors, as_count=True,
                     hub_cap=hub_cap, caches=caches,
@@ -155,13 +169,14 @@ def _peel_phase(
                 .select(
                     "src", "dst", F.col("common_count").alias("support")
                 )
-                .localCheckpoint(eager=True)
             )
             for c in caches:
                 try:
                     c.unpersist()
                 except Exception:
                     pass
+            free_blocks(spark, state_ids)  # old state superseded
+            state_ids = new_ids
             if metrics is not None:
                 metrics[-1]["mode"] = "recompute"
                 metrics[-1]["sec"] = round(time.time() - t0, 3)
@@ -171,7 +186,7 @@ def _peel_phase(
 
         # materialize the (tiny) peel set once: it feeds four joins below,
         # and a checkpointed RDD gives each a concrete, reusable input
-        peeled = peeled.localCheckpoint(eager=True)
+        peeled, peeled_ids = checkpoint_tracked(peeled)
         small = 2 * n_peel <= ENDS_BROADCAST_MAX
         peeled_b = F.broadcast(peeled) if small else peeled
 
@@ -209,7 +224,8 @@ def _peel_phase(
             F.greatest("src", "dst", "w").alias("c"),
         ).select(
             "a", (F.col("s") - F.col("a") - F.col("c")).alias("b"), "c"
-        ).distinct().localCheckpoint(eager=True)
+        ).distinct()
+        tri, tri_ids = checkpoint_tracked(tri)
         n_tri = tri.count()
         dmg = (
             tri.select(F.col("a").alias("src"), F.col("b").alias("dst"))
@@ -221,7 +237,7 @@ def _peel_phase(
         )
         if 3 * n_tri <= ENDS_BROADCAST_MAX:
             dmg = F.broadcast(dmg)
-        state = (
+        state, new_ids = checkpoint_tracked(
             state.join(peeled_b, ["src", "dst"], "left_anti")
             .join(dmg, ["src", "dst"], "left")
             .select(
@@ -229,21 +245,24 @@ def _peel_phase(
                 "dst",
                 (F.col("support") - F.coalesce("dead", F.lit(0))).alias("support"),
             )
-            .localCheckpoint(eager=True)
         )
+        # new state is materialized: the old state, this round's dead-
+        # triangle table, and (unless collected for the caller) the peel
+        # set are all unreachable from here on — free their blocks now
+        free_blocks(spark, state_ids | tri_ids | peeled_ids)
+        state_ids = new_ids
         if metrics is not None:
             metrics[-1]["dead_triangles"] = n_tri
             metrics[-1]["sec"] = round(time.time() - t0, 3)
 
     if not collect_peeled:
-        return state, None
+        return state, None, state_ids
     if not peeled_parts:
-        spark = state.sparkSession
-        return state, spark.createDataFrame([], "src long, dst long")
+        return state, spark.createDataFrame([], "src long, dst long"), state_ids
     out = peeled_parts[0]
     for p in peeled_parts[1:]:
         out = out.unionByName(p)
-    return state, out
+    return state, out, state_ids
 
 
 def truss_decomposition(
@@ -272,12 +291,12 @@ def truss_decomposition(
     """
     if k_max < 3:
         raise ValueError("truss decomposition needs k_max >= 3")
-    state, segments = _init_support(canon, hub_cap)
+    state, segments, state_ids = _init_support(canon, hub_cap)
     labeled: list[DataFrame] = []
     for k in range(3, k_max + 1):
-        state, peeled = _peel_phase(
+        state, peeled, state_ids = _peel_phase(
             state, k - 2, segments, max_iters, metrics,
-            collect_peeled=True, hub_cap=hub_cap,
+            collect_peeled=True, hub_cap=hub_cap, state_ids=state_ids,
         )
         labeled.append(
             peeled.select(

@@ -28,6 +28,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame
 
 from plato_spark.engine.checkpoint import CheckpointManager
+from plato_spark.engine.ckpt_blocks import checkpoint_tracked, free_blocks
 
 StepFn = Callable[[DataFrame, int], tuple[DataFrame, dict]]
 
@@ -55,7 +56,10 @@ class SuperstepDriver:
                 if manifest.get("converged"):
                     return state
                 k = latest + 1
-        prev_cached = None
+        # block ids backing the newest live checkpoint: freed only once a
+        # NEWER checkpoint (or a parquet save) materializes, because any
+        # un-truncated states in between still read from those blocks
+        prev_ids: set[int] = set()
         while k < self.max_iters:
             t0 = time.time()
             new_state, metrics = step_fn(state, k)
@@ -63,16 +67,15 @@ class SuperstepDriver:
                 new_state = self.ckpt.save(
                     k, new_state, {**metrics, "superstep_sec": time.time() - t0}
                 )
+                free_blocks(new_state.sparkSession, prev_ids)
+                prev_ids = set()
             elif k % self.lineage_truncate_every == 0:
-                new_state = new_state.localCheckpoint(eager=True)
+                new_state, new_ids = checkpoint_tracked(new_state)
+                free_blocks(new_state.sparkSession, prev_ids)
+                prev_ids = new_ids
             metrics = {**metrics, "iteration": k, "superstep_sec": time.time() - t0}
             self.history.append(metrics)
-            if prev_cached is not None:
-                try:
-                    prev_cached.unpersist()
-                except Exception:
-                    pass
-            prev_cached, state = state, new_state
+            state = new_state
             k += 1
             if metrics.get("converged"):
                 break
