@@ -330,6 +330,35 @@ c{r + 1} AS MATERIALIZED (
     )
 
 
+def _sql_modularity(sub_rounds: int = 2) -> str:
+    """Weighted modularity of the one-level Louvain partition, folded as
+    EXACT INTEGERS (weights are integral counts): Q = NUM / (4*W^2) with
+    NUM = sum_c (4*W*w_c - d_c^2) — the single IEEE division at read-out
+    is bitwise-identical across engines (same pattern as tfidf/hyperanf).
+    """
+    body = _sql_louvain(sub_rounds)
+    body = body[: body.rindex("\nSELECT id, comm AS community")]
+    return body + f""",
+part AS MATERIALIZED (SELECT id, comm FROM c{sub_rounds}),
+wtot AS MATERIALIZED (SELECT CAST(sum(weight) AS BIGINT) AS w FROM canon),
+intra AS MATERIALIZED (
+  SELECT p1.comm, CAST(sum(c.weight) AS BIGINT) AS wc
+  FROM canon c JOIN part p1 ON c.src = p1.id JOIN part p2 ON c.dst = p2.id
+  WHERE p1.comm = p2.comm GROUP BY p1.comm),
+dtot AS MATERIALIZED (
+  SELECT p.comm, CAST(sum(d.wsum) AS BIGINT) AS dc
+  FROM part p JOIN deg d ON p.id = d.id GROUP BY p.comm),
+num AS MATERIALIZED (
+  SELECT CAST(sum(4 * (SELECT w FROM wtot) * COALESCE(i.wc, 0) - d.dc * d.dc)
+         AS BIGINT) AS n
+  FROM dtot d LEFT JOIN intra i ON d.comm = i.comm)
+SELECT (SELECT CAST(count(*) AS BIGINT) FROM dtot) AS n_communities,
+       (SELECT CAST(COALESCE(sum(wc), 0) AS BIGINT) FROM intra) AS intra_weight,
+       round(CAST((SELECT n FROM num) AS DOUBLE)
+             / CAST(4 * (SELECT w FROM wtot) * (SELECT w FROM wtot) AS DOUBLE),
+             6) AS modularity"""
+
+
 def _sql_bfs(iters: int = BFS_SQL_ITERS) -> str:
     """Unrolled min-dist BFS from the smallest vertex id (sym graph)."""
     ctes = ["d0 AS MATERIALIZED (SELECT id, 0 AS dist FROM verts "
@@ -1809,6 +1838,18 @@ def q_vocabulary(spark, sf_dir):
     return vocabulary_stats(docs, top_k=VOCAB_TOP_K)
 
 
+def q_modularity(spark, sf_dir):
+    """Weighted modularity of the one-level Louvain partition (exact
+    integer fold, single IEEE division at read-out; algos/modularity)."""
+    from plato_spark.algos.modularity import modularity
+
+    canon = part_cooccurrence_edges(spark, sf_dir, weighted=True)
+    labels = louvain(
+        canon, outer_iterations=1, inner_iterations=1, weight="weight"
+    )
+    return modularity(canon, labels, weight="weight")
+
+
 def q_mis(spark, sf_dir):
     """Deterministic Luby maximal independent set (unique portable-hash
     priorities; algos/mis) — (id, mis_round) for every MIS member."""
@@ -2103,6 +2144,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "effective_diameter": q_effective_diameter,
         "tfidf_keywords": q_tfidf,
         "mis": q_mis,
+        "modularity": q_modularity,
         # -- r1+r2 driver-green rows --
         "co_occurrence_edges": q_edges,
         "degrees": q_degrees,
@@ -2178,6 +2220,7 @@ def oracle_sql() -> dict[str, str]:
         "ktruss": _sql_ktruss(5),
         "trussness": _sql_trussness(6),
         "mis": _sql_mis(8),
+        "modularity": _sql_modularity(),
         "gnn_neighbor_sample": SQL_GRAPH_PREFIX + """
 SELECT src, dst AS nbr, CAST(rn AS BIGINT) AS pos FROM (
   SELECT src, dst,
