@@ -1376,6 +1376,21 @@ def q_link_adamic_adar(spark, sf_dir):
     )
 
 
+def q_link_preferential(spark, sf_dir):
+    """Preferential-attachment link score deg(u)*deg(v) per linked pair
+    (exact integer; two degree joins, no neighborhood pass)."""
+    return neighborhood_similarity(
+        part_cooccurrence_edges(spark, sf_dir), method="preferential_attachment"
+    )
+
+
+def q_link_resource_alloc(spark, sf_dir):
+    """Resource-allocation index sum(1/deg(w)) over common neighbors."""
+    return neighborhood_similarity(
+        part_cooccurrence_edges(spark, sf_dir), method="resource_allocation"
+    )
+
+
 def q_clustering_coefficient(spark, sf_dir):
     return clustering_coefficient(part_cooccurrence_edges(spark, sf_dir))
 
@@ -1838,6 +1853,24 @@ def q_vocabulary(spark, sf_dir):
     return vocabulary_stats(docs, top_k=VOCAB_TOP_K)
 
 
+def q_bigram_vocabulary(spark, sf_dir):
+    """Top-200 word bigrams (tf, df) — overlapping windows built JVM-side
+    from the token array (functions/text.ngram_vocabulary)."""
+    from plato_spark.functions.text import ngram_vocabulary
+
+    return ngram_vocabulary(load_table(spark, sf_dir, "documents"), n=2)
+
+
+def q_doc_chunks(spark, sf_dir):
+    """Fixed-token-window training chunks (64-token windows, stride 48)
+    per document (functions/text.chunk_documents)."""
+    from plato_spark.functions.text import chunk_documents
+
+    return chunk_documents(
+        load_table(spark, sf_dir, "documents"), chunk=64, stride=48
+    )
+
+
 def q_modularity(spark, sf_dir):
     """Weighted modularity of the one-level Louvain partition (exact
     integer fold, single IEEE division at read-out; algos/modularity)."""
@@ -2145,6 +2178,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tfidf_keywords": q_tfidf,
         "mis": q_mis,
         "modularity": q_modularity,
+        "link_preferential": q_link_preferential,
+        "link_resource_alloc": q_link_resource_alloc,
+        "bigram_vocabulary": q_bigram_vocabulary,
+        "doc_chunks": q_doc_chunks,
         # -- r1+r2 driver-green rows --
         "co_occurrence_edges": q_edges,
         "degrees": q_degrees,
@@ -2267,6 +2304,18 @@ WHERE rn <= 5""",
         + """SELECT c.src, c.dst, round(COALESCE(t.s, 0.0), 6) AS score
              FROM canon c LEFT JOIN (
                SELECT a.src AS u, b.src AS v, sum(1.0 / ln(d.deg)) AS s
+               FROM edges a JOIN edges b ON a.dst = b.dst AND a.src < b.src
+               JOIN deg d ON d.id = a.dst
+               GROUP BY a.src, b.src) t ON c.src = t.u AND c.dst = t.v""",
+        "link_preferential": SQL_GRAPH_PREFIX
+        + """SELECT c.src, c.dst,
+                    CAST(du.deg * dv.deg AS BIGINT) AS score
+             FROM canon c
+             JOIN deg du ON c.src = du.id JOIN deg dv ON c.dst = dv.id""",
+        "link_resource_alloc": SQL_GRAPH_PREFIX
+        + """SELECT c.src, c.dst, round(COALESCE(t.s, 0.0), 6) AS score
+             FROM canon c LEFT JOIN (
+               SELECT a.src AS u, b.src AS v, sum(1.0 / d.deg) AS s
                FROM edges a JOIN edges b ON a.dst = b.dst AND a.src < b.src
                JOIN deg d ON d.id = a.dst
                GROUP BY a.src, b.src) t ON c.src = t.u AND c.dst = t.v""",
@@ -2431,6 +2480,36 @@ WHERE l.lab = (SELECT lab FROM maj)""",
                    CAST(count(DISTINCT doc_id) AS BIGINT) AS df
             FROM t GROUP BY token
             ORDER BY tf DESC, token ASC LIMIT {VOCAB_TOP_K}""",
+        "bigram_vocabulary": f"""
+            WITH t AS (SELECT doc_id,
+                              regexp_extract_all(text, '{TOKEN_RE_SQL}') AS ts
+                       FROM documents),
+            g AS (SELECT doc_id,
+                         unnest(list_transform(generate_series(1, len(ts) - 1),
+                                i -> ts[i] || ' ' || ts[i + 1])) AS gram
+                  FROM t)
+            SELECT gram, CAST(count(*) AS BIGINT) AS tf,
+                   CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+            FROM g GROUP BY gram
+            ORDER BY tf DESC, gram ASC LIMIT 200""",
+        "doc_chunks": f"""
+            WITH t AS (SELECT doc_id,
+                              regexp_extract_all(text, '{TOKEN_RE_SQL}') AS ts
+                       FROM documents),
+            b AS (SELECT doc_id, ts, len(ts) AS n FROM t WHERE len(ts) > 0),
+            c AS (SELECT doc_id, ts, n,
+                         unnest(generate_series(0,
+                           CAST((greatest(n - 64, 0) + 47) // 48 AS INT)))
+                           AS chunk_idx
+                  FROM b)
+            SELECT doc_id, CAST(chunk_idx AS INTEGER) AS chunk_idx,
+                   CAST(len(list_slice(ts, 1 + chunk_idx * 48,
+                                       chunk_idx * 48 + 64)) AS BIGINT)
+                     AS n_tokens,
+                   array_to_string(list_slice(ts, 1 + chunk_idx * 48,
+                                              chunk_idx * 48 + 64), ' ')
+                     AS chunk
+            FROM c ORDER BY doc_id, chunk_idx""",
         "tfidf_keywords": f"""
             WITH t AS (SELECT doc_id,
                               unnest(regexp_extract_all(text, '{TOKEN_RE_SQL}'))

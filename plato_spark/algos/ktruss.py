@@ -37,6 +37,8 @@ the same discipline as every other iterative loop.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -187,6 +189,7 @@ def _peel_phase(
         # materialize the (tiny) peel set once: it feeds four joins below,
         # and a checkpointed RDD gives each a concrete, reusable input
         peeled, peeled_ids = checkpoint_tracked(peeled)
+        t1 = time.time()
         small = 2 * n_peel <= ENDS_BROADCAST_MAX
         peeled_b = F.broadcast(peeled) if small else peeled
 
@@ -225,8 +228,15 @@ def _peel_phase(
         ).select(
             "a", (F.col("s") - F.col("a") - F.col("c")).alias("b"), "c"
         ).distinct()
+        if metrics is not None and os.environ.get("KTRUSS_PROBE"):
+            tp = time.time()
+            n_pre = tri.count()  # evaluate WITHOUT checkpoint store
+            metrics[-1]["probe_tri_count_sec"] = round(time.time() - tp, 3)
+            metrics[-1]["probe_state_parts"] = state.rdd.getNumPartitions()
+            metrics[-1]["probe_tri_rows"] = n_pre
         tri, tri_ids = checkpoint_tracked(tri)
         n_tri = tri.count()
+        t2 = time.time()
         dmg = (
             tri.select(F.col("a").alias("src"), F.col("b").alias("dst"))
             .unionAll(tri.select(F.col("a").alias("src"), F.col("c").alias("dst")))
@@ -254,6 +264,9 @@ def _peel_phase(
         if metrics is not None:
             metrics[-1]["dead_triangles"] = n_tri
             metrics[-1]["sec"] = round(time.time() - t0, 3)
+            metrics[-1]["sec_peel_ckpt"] = round(t1 - t0, 3)
+            metrics[-1]["sec_tri"] = round(t2 - t1, 3)
+            metrics[-1]["sec_state"] = round(time.time() - t2, 3)
 
     if not collect_peeled:
         return state, None, state_ids

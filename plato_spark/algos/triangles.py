@@ -150,9 +150,13 @@ def neighborhood_similarity(canon: DataFrame, method: str = "jaccard") -> DataFr
 
     method="jaccard":      |N(u) ∩ N(v)| / |N(u) ∪ N(v)|
     method="adamic_adar":  Σ_{w ∈ N(u) ∩ N(v)} 1 / ln(deg(w))
-    Returns (src, dst, score) rounded 6dp; pairs with empty intersection
-    score 0.0. Same plan shape as common_neighbors (one adjacency build,
-    JVM array_intersect); adamic-adar adds one explode + degree join.
+    method="resource_allocation":  Σ_{w ∈ N(u) ∩ N(v)} 1 / deg(w)
+    method="preferential_attachment":  deg(u) * deg(v)  (exact integer —
+        no common-neighbor pass at all, just two degree joins)
+    Returns (src, dst, score) rounded 6dp (PA: exact long); pairs with
+    empty intersection score 0.0. Same plan shape as common_neighbors
+    (one adjacency build, JVM array_intersect); adamic-adar /
+    resource-allocation add one explode + degree join.
     """
     deg = _degrees(canon)
     if method == "jaccard":
@@ -172,13 +176,27 @@ def neighborhood_similarity(canon: DataFrame, method: str = "jaccard") -> DataFr
                 ).alias("score"),
             )
         )
-    if method == "adamic_adar":
+    if method == "preferential_attachment":
+        du = deg.select(F.col("id").alias("src"), F.col("deg").alias("du"))
+        dv = deg.select(F.col("id").alias("dst"), F.col("deg").alias("dv"))
+        return (
+            canon.select("src", "dst")
+            .join(du, "src").join(dv, "dst")
+            .select(
+                "src", "dst",
+                (F.col("du") * F.col("dv")).cast("long").alias("score"),
+            )
+        )
+    if method in ("adamic_adar", "resource_allocation"):
         lists = common_neighbors(canon, as_count=False)
         exploded = lists.select("src", "dst", F.explode("common").alias("w"))
+        contrib = (
+            1.0 / F.log("deg") if method == "adamic_adar" else 1.0 / F.col("deg")
+        )
         scored = (
             exploded.join(deg.select(F.col("id").alias("w"), "deg"), "w")
             .groupBy("src", "dst")
-            .agg(F.sum(1.0 / F.log("deg")).alias("s"))
+            .agg(F.sum(contrib).alias("s"))
         )
         return (
             canon.select("src", "dst")

@@ -40,12 +40,49 @@ def _persistent_ids(sc) -> set[int]:
     return {int(k) for k in sc._jsc.getPersistentRDDs().keys()}
 
 
+def cheap_localCheckpoint(df: DataFrame) -> DataFrame:
+    """``localCheckpoint(eager=True)`` that does NOT compound plan
+    statistics across rounds.
+
+    Spark 4's ``Dataset.checkpoint`` stores the optimized plan's
+    statistics into the returned ``LogicalRDD`` (``originStats``).  Join
+    stats MULTIPLY the children's BigInt ``sizeInBytes``, so in an
+    iterative loop whose round plan joins the previous checkpoint with
+    itself (k-truss: state x peeled, a_u x a_v), the stored size's DIGIT
+    COUNT doubles every round — and the next round's checkpoint burns
+    driver CPU in million-digit Karatsuba multiplications inside
+    ``SizeInBytesOnlyStatsPlanVisitor``.  Measured at sf0.1 truss
+    decomposition: a 7-edge round cost 82s, ~all of it in
+    ``Dataset.localCheckpoint`` stats (jstack: BigInteger.multiply), with
+    every Spark job in the round under 1s.
+
+    Fix: materialize via the normal localCheckpoint (its internal
+    row-copy keeps the data safe), then re-wrap the checkpointed RDD in
+    a fresh stats-less ``LogicalRDD`` (``internalCreateDataFrame``), so
+    downstream plans see the conservative default size instead of the
+    compounded product.  Consequence: Catalyst will never auto-broadcast
+    a checkpointed table — every loop in this repo already broadcasts
+    its known-small sides explicitly.  Falls back to the plain
+    checkpoint if the private constructor moves.
+    """
+    spark = df.sparkSession
+    ck = df.localCheckpoint(eager=True)
+    try:
+        jrdd = ck._jdf.queryExecution().toRdd()
+        newjdf = spark._jsparkSession.internalCreateDataFrame(
+            jrdd, ck._jdf.schema(), False
+        )
+        return DataFrame(newjdf, spark)
+    except Exception:
+        return ck
+
+
 def checkpoint_tracked(df: DataFrame) -> tuple[DataFrame, set[int]]:
-    """``df.localCheckpoint(eager=True)`` + the block-manager RDD ids
-    that back it (to pass to :func:`free_blocks` once superseded)."""
+    """:func:`cheap_localCheckpoint` + the block-manager RDD ids that
+    back it (to pass to :func:`free_blocks` once superseded)."""
     sc = df.sparkSession.sparkContext
     before = _persistent_ids(sc)
-    out = df.localCheckpoint(eager=True)
+    out = cheap_localCheckpoint(df)
     ids = _persistent_ids(sc) - before
     return out, ids
 

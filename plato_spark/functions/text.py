@@ -322,3 +322,91 @@ def domain_counts(df: DataFrame, text_col: str = "text") -> DataFrame:
         F.count_distinct("doc_id").cast("long").alias("n_docs"),
         F.count("*").cast("long").alias("n_urls"),
     )
+
+
+def ngram_vocabulary(
+    df: DataFrame,
+    n: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    top_k: int = 200,
+) -> DataFrame:
+    """(gram, tf, df) — the ``top_k`` word n-grams by total frequency.
+
+    The n-gram LM / tokenizer-merge statistics step of a training
+    pipeline.  Grams are built JVM-side from the token array with
+    ``transform(sequence(...), i -> concat_ws(' ', slice(ts, i, n)))`` —
+    no Python UDF, overlapping windows included (a regexp scan cannot
+    produce overlapping matches).  Same TakeOrderedAndProject top-k plan
+    as :func:`vocabulary_stats` (per-partition top-k, no global sort);
+    (tf desc, gram asc) is a total order, so deterministic.
+    """
+    d = df.select(
+        F.col(id_col).alias("id"),
+        F.regexp_extract_all(F.col(text_col), F.lit(TOKEN_RE), F.lit(0)).alias("ts"),
+    )
+    grams = d.select(
+        "id",
+        F.explode(
+            F.expr(
+                f"CASE WHEN size(ts) >= {n} THEN "
+                f"transform(sequence(1, size(ts) - {n - 1}), "
+                f"i -> concat_ws(' ', slice(ts, i, {n}))) "
+                "ELSE array() END"
+            )
+        ).alias("gram"),
+    )
+    return (
+        grams.groupBy("gram")
+        .agg(
+            F.count("*").cast("long").alias("tf"),
+            F.count_distinct("id").cast("long").alias("df"),
+        )
+        .orderBy(F.desc("tf"), F.asc("gram"))
+        .limit(top_k)
+    )
+
+
+def chunk_documents(
+    df: DataFrame,
+    chunk: int = 64,
+    stride: int = 48,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(doc_id, chunk_idx, n_tokens, chunk) — fixed-token-window splits
+    with overlap: chunk j covers tokens [1 + j*stride, ... + chunk).
+
+    The context-window packing step that turns documents into training
+    sequences.  Chunk count per doc is 1 + ceil(max(n_tok - chunk, 0) /
+    stride) (empty docs produce no chunks), so every token is covered and
+    consecutive chunks overlap by ``chunk - stride`` tokens.  Entirely
+    JVM-side (token array + transform/slice/explode — one narrow stage,
+    no shuffle at all until a downstream op needs one); at 100 TB this is
+    an embarrassingly parallel map over the corpus scan.
+    """
+    if not (0 < stride <= chunk):
+        raise ValueError("need 0 < stride <= chunk")
+    d = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.regexp_extract_all(F.col(text_col), F.lit(TOKEN_RE), F.lit(0)).alias("ts"),
+    ).withColumn("n", F.size("ts"))
+    # j ranges over 0..(n-chunk+stride-1) div stride for n>0
+    parts = d.where(F.col("n") > 0).select(
+        "doc_id",
+        "n",
+        "ts",
+        F.explode(
+            F.expr(
+                f"sequence(0, CAST((greatest(n - {chunk}, 0) + {stride} - 1) "
+                f"DIV {stride} AS INT))"
+            )
+        ).alias("chunk_idx"),
+    )
+    sliced = F.expr(f"slice(ts, 1 + chunk_idx * {stride}, {chunk})")
+    return parts.select(
+        "doc_id",
+        F.col("chunk_idx").cast("int").alias("chunk_idx"),
+        F.size(sliced).cast("long").alias("n_tokens"),
+        F.concat_ws(" ", sliced).alias("chunk"),
+    )

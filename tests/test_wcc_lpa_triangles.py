@@ -140,6 +140,14 @@ def test_neighborhood_similarity_small(spark):
     # common neighbor of (0,1) is 2 with deg 3 -> 1/ln 3
     assert aa[(0, 1)] == round(1 / math.log(3), 6)
     assert aa[(2, 3)] == 0.0
+    ra = {(r["src"], r["dst"]): r["score"]
+          for r in neighborhood_similarity(df, "resource_allocation").collect()}
+    assert ra[(0, 1)] == round(1 / 3, 6)  # 1/deg(2)
+    assert ra[(2, 3)] == 0.0
+    pa = {(r["src"], r["dst"]): r["score"]
+          for r in neighborhood_similarity(df, "preferential_attachment").collect()}
+    # deg: 0->2, 1->2, 2->3, 3->1
+    assert pa == {(0, 1): 4, (0, 2): 6, (1, 2): 6, (2, 3): 3}
 
 
 def test_component_edges_and_major(spark):
