@@ -19,6 +19,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from plato_spark.engine.ckpt_blocks import cheap_localCheckpoint
+
 from plato_spark.graph.edges import symmetrize
 from plato_spark.graph.partitioning import (
     auto_shuffle_partitions,
@@ -74,10 +76,10 @@ def betweenness_sampled(
                 )
                 .where(F.col("__seen").isNull())
                 .select("root", "id", F.lit(level).cast("int").alias("dist"), "sigma")
-                .localCheckpoint(eager=True)
+                .transform(cheap_localCheckpoint)
             )
             visited, frontier = (
-                visited.unionByName(nxt).localCheckpoint(eager=True), nxt
+                visited.unionByName(nxt).transform(cheap_localCheckpoint), nxt
             )
             levels.append(frontier)
 
@@ -106,7 +108,7 @@ def betweenness_sampled(
                     "sigma",
                     (F.col("sigma") * F.coalesce("g", F.lit(0.0))).alias("delta"),
                 )
-                .localCheckpoint(eager=True)
+                .transform(cheap_localCheckpoint)
             )
             acc.append(delta)
 

@@ -15,6 +15,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from plato_spark.engine.ckpt_blocks import cheap_localCheckpoint
+
 from plato_spark.graph.partitioning import (
     auto_shuffle_partitions,
     scoped_shuffle_partitions,
@@ -66,9 +68,9 @@ def bfs(edges: DataFrame, root: int, max_iters: int = 10_000) -> DataFrame:
                 .join(visited.select("id", F.lit(1).alias("__seen")), "id", "left")
                 .where(F.col("__seen").isNull())
                 .select("id", F.lit(level).cast("int").alias("dist"))
-                .localCheckpoint(eager=True)
+                .transform(cheap_localCheckpoint)
             )
-            visited, frontier = visited.unionByName(nxt).localCheckpoint(eager=True), nxt
+            visited, frontier = visited.unionByName(nxt).transform(cheap_localCheckpoint), nxt
     return visited
 
 

@@ -33,6 +33,8 @@ import math
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from plato_spark.engine.ckpt_blocks import cheap_localCheckpoint
+
 from plato_spark.algos.wcc import connected_components
 from plato_spark.graph.edges import symmetrize
 from plato_spark.graph.partitioning import (
@@ -92,10 +94,10 @@ def _sampled_bfs(
                 )
                 .where(F.col("__seen").isNull())
                 .select("root", "id", F.lit(level).cast("int").alias("dist"))
-                .localCheckpoint(eager=True)
+                .transform(cheap_localCheckpoint)
             )
             visited, frontier = (
-                visited.unionByName(nxt).localCheckpoint(eager=True), nxt
+                visited.unionByName(nxt).transform(cheap_localCheckpoint), nxt
             )
     sym.unpersist()
     comp.unpersist()

@@ -24,6 +24,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from plato_spark.engine.ckpt_blocks import cheap_localCheckpoint
+
 from plato_spark.graph.partitioning import (
     auto_shuffle_partitions,
     scoped_shuffle_partitions,
@@ -107,7 +109,7 @@ def hanp(
                     .alias("att"),
                 )
             )
-            new_state = new_state.localCheckpoint(eager=True)
+            new_state = new_state.transform(cheap_localCheckpoint)
             if prev_cached is not None:
                 try:
                     prev_cached.unpersist()

@@ -32,6 +32,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from plato_spark.engine.ckpt_blocks import cheap_localCheckpoint
+
 from plato_spark.graph.partitioning import (
     auto_shuffle_partitions,
     scoped_shuffle_partitions,
@@ -107,7 +109,7 @@ def hits(edges: DataFrame, iterations: int = 5) -> DataFrame:
                     (F.coalesce("h_raw", F.lit(0.0)) / F.col("h_raw_tot")).alias("hub"),
                     "auth",
                 )
-                .localCheckpoint(eager=True)  # the ONE action per iteration
+                .transform(cheap_localCheckpoint)  # the ONE action per iteration
             )
             for c in (a_raw, h_raw, state):
                 try:

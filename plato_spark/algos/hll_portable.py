@@ -32,6 +32,8 @@ import math
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from plato_spark.engine.ckpt_blocks import cheap_localCheckpoint
+
 from plato_spark.functions.text import PORTABLE_H1_SQL, portable_h1
 from plato_spark.graph.edges import symmetrize
 from plato_spark.graph.partitioning import (
@@ -148,7 +150,7 @@ def nstep_degrees_portable(
     with scoped_shuffle_partitions(spark, shuffle_n):
         prev = state
         for _ in range(steps):
-            state = _merge_step(e, state).localCheckpoint(eager=True)
+            state = _merge_step(e, state).transform(cheap_localCheckpoint)
             try:
                 prev.unpersist()
             except Exception:
@@ -176,7 +178,7 @@ def _anf_curve_scaled(
     with scoped_shuffle_partitions(spark, shuffle_n):
         prev = state
         for _ in range(steps):
-            state = _merge_step(e, state).localCheckpoint(eager=True)
+            state = _merge_step(e, state).transform(cheap_localCheckpoint)
             curve.append(anf_scaled(state))
             try:
                 prev.unpersist()

@@ -21,6 +21,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from plato_spark.engine.ckpt_blocks import cheap_localCheckpoint
+
 from plato_spark.graph.partitioning import (
     auto_shuffle_partitions,
     scoped_shuffle_partitions,
@@ -81,7 +83,7 @@ def hyperanf(
                         F.col("nsk").isNull(), F.col("sk")
                     ).otherwise(F.hll_union("sk", "nsk")).alias("sk"),
                 )
-                .localCheckpoint(eager=False)
+                .transform(cheap_localCheckpoint)
             )
             total = anf_total(new_state)
             try:

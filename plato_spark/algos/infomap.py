@@ -29,6 +29,8 @@ import math
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from plato_spark.engine.ckpt_blocks import cheap_localCheckpoint
+
 from plato_spark.algos.pagerank import pagerank
 from plato_spark.graph.edges import symmetrize
 from plato_spark.graph.partitioning import (
@@ -204,7 +206,7 @@ def infomap(
                     .alias("module"),
                     "p",
                 )
-                .localCheckpoint(eager=True)
+                .transform(cheap_localCheckpoint)
             )
             flm.unpersist()
             mstat.unpersist()
@@ -227,7 +229,7 @@ def infomap(
                         "community",
                     )
                     .select("id", F.col("nm").alias("community"))
-                    .localCheckpoint(eager=True)
+                    .transform(cheap_localCheckpoint)
                 )
             if epoch == outer_iterations - 1:
                 break

@@ -23,6 +23,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from plato_spark.engine.ckpt_blocks import cheap_localCheckpoint
+
 from plato_spark.graph.partitioning import (
     auto_shuffle_partitions,
     scoped_shuffle_partitions,
@@ -72,7 +74,7 @@ def katz(
                         + F.lit(float(beta))
                     ).alias("x"),
                 )
-                .localCheckpoint(eager=True)
+                .transform(cheap_localCheckpoint)
             )
             state = new_state
 

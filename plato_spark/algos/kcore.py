@@ -37,6 +37,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from plato_spark.engine.ckpt_blocks import cheap_localCheckpoint
+
 from plato_spark.graph.edges import symmetrize
 from plato_spark.graph.partitioning import (
     auto_shuffle_partitions,
@@ -155,7 +157,7 @@ def kcore(
                 F.least(F.col("core"), F.coalesce("h", F.col("core"))).alias("core"),
                 (F.coalesce("h", F.col("core")) < F.col("core")).alias("chg"),
             )
-            new_state = new_state.localCheckpoint(eager=True)
+            new_state = new_state.transform(cheap_localCheckpoint)
             frontier = new_state.where("chg").select("id")
             # one action for both frontier size and its degree sum (the
             # broadcast gate above); deg is cached so this is a cheap join

@@ -21,6 +21,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from plato_spark.engine.ckpt_blocks import cheap_localCheckpoint
+
 from plato_spark.graph.edges import symmetrize
 from plato_spark.graph.partitioning import (
     auto_shuffle_partitions,
@@ -104,7 +106,7 @@ def _one_level(sym: DataFrame, m: float, inner_iters: int) -> DataFrame:
                 .alias("comm"),
                 "ki",
             )
-            .localCheckpoint(eager=True)
+            .transform(cheap_localCheckpoint)
         )
         sigma.unpersist()
         state = new_state
@@ -258,7 +260,7 @@ def _one_level_density(sym: DataFrame, m: float, inner_iters: int) -> DataFrame:
                 .alias("comm"),
                 "ki", "self_w", "self_e",
             )
-            .localCheckpoint(eager=True)
+            .transform(cheap_localCheckpoint)
         )
         nbr.unpersist()
         cstats.unpersist()

@@ -15,6 +15,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from plato_spark.engine.ckpt_blocks import cheap_localCheckpoint
+
 from plato_spark.graph.partitioning import (
     auto_shuffle_partitions,
     scoped_shuffle_partitions,
@@ -79,7 +81,7 @@ def nstep_degrees(
                     .otherwise(F.hll_union("sk", "nsk"))
                     .alias("sk"),
                 )
-                .localCheckpoint(eager=True)
+                .transform(cheap_localCheckpoint)
             )
             try:
                 prev.unpersist()

@@ -34,6 +34,8 @@ import time
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from plato_spark.engine.ckpt_blocks import cheap_localCheckpoint
+
 from plato_spark.engine.checkpoint import CheckpointManager
 from plato_spark.graph.csr import build_csr_blocks, build_route, spmv_gather
 from plato_spark.graph.partitioning import (
@@ -183,7 +185,7 @@ def _pagerank_loop(spark, state, k, max_iters, last_epoch, damping, eps,
         )
         is_final = last_epoch or (k == max_iters - 1)
         if ckpt is None:
-            new_state = new_state.localCheckpoint(eager=False)
+            new_state = new_state.transform(cheap_localCheckpoint)
         delta = new_state.agg(F.sum("adelta")).collect()[0][0]
         new_state = new_state.drop("adelta")
         if ckpt is not None:
@@ -287,6 +289,6 @@ def personalized_pagerank(
                     (F.lit(1.0 - damping) * F.col("s")
                      + F.lit(damping) * F.coalesce("g", F.lit(0.0))).alias("rank"),
                 )
-                .localCheckpoint(eager=False)
+                .transform(cheap_localCheckpoint)
             )
     return state.select("id", "rank")

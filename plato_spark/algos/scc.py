@@ -45,6 +45,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from plato_spark.engine.ckpt_blocks import cheap_localCheckpoint
 from plato_spark.graph.partitioning import (
     auto_shuffle_partitions,
     scoped_shuffle_partitions,
@@ -79,8 +80,8 @@ def strongly_connected_components(
 
     n_e = e.count()
     shuffle_n = auto_shuffle_partitions(spark, max(n_e, 1))
-    e = e.repartition(shuffle_n, "src").localCheckpoint(eager=True)
-    verts = verts.localCheckpoint(eager=True)
+    e = e.repartition(shuffle_n, "src").transform(cheap_localCheckpoint)
+    verts = verts.transform(cheap_localCheckpoint)
 
     done_parts: list[DataFrame] = []
 
@@ -105,14 +106,14 @@ def strongly_connected_components(
                     break
                 done_parts.append(
                     trimmed.select("id", F.col("id").alias("scc"))
-                    .localCheckpoint(eager=True)
+                    .transform(cheap_localCheckpoint)
                 )
-                verts = core.localCheckpoint(eager=True)
+                verts = core.transform(cheap_localCheckpoint)
                 e = (
                     e.join(verts.withColumnRenamed("id", "src"), "src", "semi")
                     .join(verts.withColumnRenamed("id", "dst"), "dst", "semi")
                     .select("src", "dst")
-                    .localCheckpoint(eager=True)
+                    .transform(cheap_localCheckpoint)
                 )
             if verts.count() == 0:
                 break
@@ -137,7 +138,7 @@ def strongly_connected_components(
                 changed = (
                     joined.where(F.col("newc") < F.col("color"))
                     .select("id", F.col("newc").alias("color"))
-                    .localCheckpoint(eager=True)
+                    .transform(cheap_localCheckpoint)
                 )
                 color = (
                     joined.select(
@@ -145,7 +146,7 @@ def strongly_connected_components(
                         F.when(
                             F.col("newc") < F.col("color"), F.col("newc")
                         ).otherwise(F.col("color")).alias("color"),
-                    ).localCheckpoint(eager=True)
+                    ).transform(cheap_localCheckpoint)
                 )
                 frontier = changed
             else:
@@ -156,7 +157,7 @@ def strongly_connected_components(
 
             # ---- extract: backward closure of each root within its color ----
             roots = color.where(F.col("id") == F.col("color"))
-            reached = roots.select("color", "id").localCheckpoint(eager=True)
+            reached = roots.select("color", "id").transform(cheap_localCheckpoint)
             frontier = reached
             ec = (
                 e.join(
@@ -171,7 +172,7 @@ def strongly_connected_components(
                 )
                 .where(F.col("c_src") == F.col("c_dst"))
                 .select("src", "dst", F.col("c_src").alias("color"))
-                .localCheckpoint(eager=True)
+                .transform(cheap_localCheckpoint)
             )
             while True:
                 if frontier.count() == 0:
@@ -187,25 +188,25 @@ def strongly_connected_components(
                     .select("color", F.col("src").alias("id"))
                     .distinct()
                     .join(reached, ["color", "id"], "anti")
-                    .localCheckpoint(eager=True)
+                    .transform(cheap_localCheckpoint)
                 )
-                reached = reached.unionByName(preds).localCheckpoint(eager=True)
+                reached = reached.unionByName(preds).transform(cheap_localCheckpoint)
                 frontier = preds
 
             done_parts.append(
                 reached.select("id", F.col("color").alias("scc"))
-                .localCheckpoint(eager=True)
+                .transform(cheap_localCheckpoint)
             )
 
             # ---- remove extracted vertices ----
             verts = verts.join(
                 reached.select("id"), "id", "anti"
-            ).localCheckpoint(eager=True)
+            ).transform(cheap_localCheckpoint)
             e = (
                 e.join(verts.withColumnRenamed("id", "src"), "src", "semi")
                 .join(verts.withColumnRenamed("id", "dst"), "dst", "semi")
                 .select("src", "dst")
-                .localCheckpoint(eager=True)
+                .transform(cheap_localCheckpoint)
             )
         else:
             raise RuntimeError(

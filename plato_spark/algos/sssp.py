@@ -18,6 +18,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from plato_spark.engine.ckpt_blocks import cheap_localCheckpoint
+
 from plato_spark.graph.partitioning import (
     auto_shuffle_partitions,
     scoped_shuffle_partitions,
@@ -78,7 +80,7 @@ def sssp(
                     F.col("nd").isNotNull()
                     & (F.col("dist").isNull() | (F.col("nd") < F.col("dist")))
                 ).alias("improved"),
-            ).localCheckpoint(eager=True)
+            ).transform(cheap_localCheckpoint)
             frontier = merged.where("improved").select("id", "dist")
             state = merged.select("id", "dist")
     return state

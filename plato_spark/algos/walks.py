@@ -23,6 +23,8 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+from plato_spark.engine.ckpt_blocks import cheap_localCheckpoint
 from pyspark.sql.functions import pandas_udf
 
 from plato_spark.graph.partitioning import (
@@ -125,7 +127,7 @@ def metapath_walks(
                 .otherwise(F.concat("path", F.array(nxt)))
                 .alias("path"),
                 (F.col("stopped") | nxt.isNull()).alias("stopped"),
-            ).localCheckpoint(eager=True)
+            ).transform(cheap_localCheckpoint)
     e0.unpersist()
     return walkers.select("walk_id", "path")
 
@@ -225,7 +227,7 @@ def _random_walks_segmented(
                 F.when(nxt.isNull(), F.col("path"))
                 .otherwise(F.concat("path", F.array(nxt)))
                 .alias("path"),
-            ).localCheckpoint(eager=True)
+            ).transform(cheap_localCheckpoint)
             walkers.unpersist()
             walkers = new_walkers
     return walkers.select("walk_id", "path")
@@ -424,7 +426,7 @@ def random_walks(
                 F.when(nxt_col.isNull(), F.col("path"))
                 .otherwise(F.concat("path", F.array(nxt_col)))
                 .alias("path"),
-            ).localCheckpoint(eager=True)
+            ).transform(cheap_localCheckpoint)
             walkers.unpersist()
             walkers = new_walkers
     return walkers.select("walk_id", "path")
