@@ -18,6 +18,7 @@ triangles/mutual /root/reference/plato/algo/mutual/mutual.hpp:104-268.
 
 from __future__ import annotations
 
+import math
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
@@ -732,10 +733,11 @@ SELECT query_id, nbr_id, cosine, CAST(rn AS INT) AS "rank" FROM (
   FROM p) t WHERE rn <= {k}"""
 
 
-def _sql_ivf_ann(k: int = 5, n_clusters: int = 8, n_probe: int = 2,
-                 lloyd_iters: int = 2, dim: int = 64) -> str:
-    """Unrolled deterministic IVF (functions/similarity.ivf_ann semantics:
-    seed centroids = smallest ids, Lloyd means rounded 6dp, sims 9dp)."""
+def _sql_kmeans_ctes(n_clusters: int, lloyd_iters: int, dim: int) -> list:
+    """Unrolled deterministic k-means CTE chain over ``v`` (mirror of
+    functions/similarity._kmeans_fit + _kmeans_assign: seed centroids =
+    smallest ids, Lloyd means rounded 6dp, sims 9dp).  Ends with ``idx``
+    = (id, vec, cluster), the final assignment."""
     cos9 = f"round({_cos_sql('v.vec', 'c.cvec')}, 9)"
 
     def assign(name: str, cent: str) -> str:
@@ -760,8 +762,41 @@ mv{r} AS MATERIALIZED (
 c{r + 1} AS MATERIALIZED (
   SELECT c.cluster, COALESCE(m.cvec, c.cvec) AS cvec
   FROM c{r} c LEFT JOIN mv{r} m ON c.cluster = m.cluster)""")
+    ctes.append(assign("idx", f"c{lloyd_iters}"))
+    return ctes
+
+
+def _sql_kmeans(n_clusters: int = 8, lloyd_iters: int = 2,
+                dim: int = 64) -> str:
+    """Mirror of functions/similarity.kmeans_clusters."""
+    ctes = _sql_kmeans_ctes(n_clusters, lloyd_iters, dim)
+    return (
+        EMB_SQL_PREFIX + ", " + ",\n".join(ctes)
+        + "\nSELECT id AS vec_id, CAST(cluster AS INT) AS cluster FROM idx"
+    )
+
+
+def _sql_embedding_project(out_dim: int = 16, dim: int = 64) -> str:
+    """Mirror of functions/similarity.embedding_project — the same
+    hashlib-derived +/-1 plane literals, scale 1/sqrt(out_dim) (a binary
+    fraction for out_dim=16, so the product is exact)."""
+    planes = rademacher_planes(1, out_dim, dim)[0]
+    scale = 1.0 / math.sqrt(out_dim)
+    comps = ", ".join(
+        "round(list_dot_product(vec, ["
+        + ", ".join(str(s) for s in planes[j])
+        + f"]) * {scale!r}, 6)"
+        for j in range(out_dim)
+    )
+    return EMB_SQL_PREFIX + f"SELECT id AS vec_id, [{comps}] AS proj FROM v"
+
+
+def _sql_ivf_ann(k: int = 5, n_clusters: int = 8, n_probe: int = 2,
+                 lloyd_iters: int = 2, dim: int = 64) -> str:
+    """Unrolled deterministic IVF (functions/similarity.ivf_ann semantics)."""
+    cos9 = f"round({_cos_sql('v.vec', 'c.cvec')}, 9)"
     L = lloyd_iters
-    ctes.append(assign("idx", f"c{L}"))
+    ctes = _sql_kmeans_ctes(n_clusters, lloyd_iters, dim)
     ctes.append(f"""pr AS MATERIALIZED (
   SELECT id AS query_id, vec AS q_vec, cluster FROM (
     SELECT v.id, v.vec, c.cluster,
@@ -2122,6 +2157,72 @@ def q_embedding_dedup(spark, sf_dir):
     return embedding_near_dup_clusters(emb, threshold=0.42, candidates=cands)
 
 
+def q_kmeans_clusters(spark, sf_dir):
+    """Deterministic k-means document clustering over the embedding
+    column — the topic-bucketing / corpus-mixing step of a training-data
+    pipeline (and the ivf_ann index build, here graded standalone)."""
+    from plato_spark.functions.similarity import kmeans_clusters
+
+    return kmeans_clusters(
+        _emb_double(spark, sf_dir), n_clusters=8, lloyd_iters=2
+    )
+
+
+def q_embedding_project(spark, sf_dir):
+    """Rademacher random projection 64d -> 16d (deterministic JL sketch;
+    scale 0.25 is exact). The dimensionality-reduction step before
+    clustering / ANN over very wide embedding columns."""
+    from plato_spark.functions.similarity import embedding_project
+
+    return embedding_project(_emb_double(spark, sf_dir), out_dim=16)
+
+
+def q_chunk_dedup(spark, sf_dir):
+    """Paragraph-grain exact dedup: duplicate fixed-token-window chunks
+    across the corpus (boilerplate/mirror detection below document
+    grain), with the token mass dedup would reclaim."""
+    from plato_spark.functions.text import chunk_dedup_stats
+
+    return chunk_dedup_stats(load_table(spark, sf_dir, "documents"))
+
+
+def q_topo_levels(spark, sf_dir):
+    """DAG longest-path levels (topological depth) on a PLANTED-TRUTH
+    dependency DAG derived deterministically from the corpus: doc_ids
+    are dense-ranked; rank r emits a chain edge r -> r+1 iff
+    md5-parity sel(r), and a skip edge r -> r+2 iff sel(r) and sel(r+1)
+    (skips add multi-predecessor joins without changing the longest
+    path).  Ground truth is the run length: level(r) = r - start of r's
+    maximal consecutive-sel run, which the oracle computes with one
+    gaps-and-islands window — while the engine must genuinely relax the
+    planted DAG to a fixpoint (depth = longest run, ~2*log2(n) rounds)."""
+    from plato_spark.algos.dag import dag_levels
+    from plato_spark.functions.text import portable_h1
+    from plato_spark.graph.edges import build_dictionary
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select(F.col("doc_id").alias("vkey")).distinct()
+    )
+    n = docs.count()
+    d = build_dictionary(docs, 16)
+    base = d.select(F.col("id").alias("r"))
+    rr = F.col("r")
+
+    def _sel(c):
+        return portable_h1(F.concat(F.lit("topo|"), c.cast("string"))) % 2 == 0
+
+    step = base.where(_sel(rr) & (rr + 1 < n)).select(
+        rr.alias("src"), (rr + 1).cast("long").alias("dst")
+    )
+    skip = base.where(_sel(rr) & _sel(rr + 1) & (rr + 2 < n)).select(
+        rr.alias("src"), (rr + 2).cast("long").alias("dst")
+    )
+    edges = step.unionByName(skip)
+    verts = base.select(rr.alias("id"))
+    return dag_levels(edges, vertices=verts).select("id", "level")
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
@@ -2142,6 +2243,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # round 3 produces a driver-green row for each; long-proven rows
     # (green in both r1+r2) sit at the tail and rotate back in next round.
     return {
+        # -- new in r3 (this session) --
+        "topo_levels": q_topo_levels,
+        "kmeans_clusters": q_kmeans_clusters,
+        "embedding_project": q_embedding_project,
+        "chunk_dedup": q_chunk_dedup,
         # -- never driver-checked (r2-era queries) --
         "corpus_curation": q_corpus_curation,
         "stratified_sample": q_stratified_sample,
@@ -2238,6 +2344,46 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 def oracle_sql() -> dict[str, str]:
     stop_re = "(?i)\\b(the|a|of|and|to|in|is|for|on|with)\\b"
     return {
+        "topo_levels": """
+            WITH dd AS (SELECT DISTINCT doc_id FROM documents),
+            d AS (SELECT CAST(row_number() OVER (ORDER BY doc_id) - 1
+                              AS BIGINT) AS r FROM dd),
+            s AS (SELECT r,
+                         (r = 0 OR (CAST(('0x' || substr(md5('topo|' ||
+                            CAST(r - 1 AS VARCHAR)), 1, 14)) AS BIGINT)
+                            % 2) != 0) AS brk
+                  FROM d),
+            b AS (SELECT r, CASE WHEN brk THEN r END AS brk_r FROM s)
+            SELECT r AS id,
+                   CAST(r - max(brk_r) OVER (ORDER BY r
+                        ROWS UNBOUNDED PRECEDING) AS BIGINT) AS level
+            FROM b""",
+        "kmeans_clusters": _sql_kmeans(8, 2),
+        "embedding_project": _sql_embedding_project(16),
+        "chunk_dedup": """
+            WITH t AS (SELECT doc_id,
+                              regexp_extract_all(text, '[A-Za-z0-9_]+') AS ts
+                       FROM documents),
+            b AS (SELECT doc_id, ts, len(ts) AS n FROM t WHERE len(ts) > 0),
+            c AS (SELECT doc_id, ts, n,
+                         unnest(generate_series(0,
+                           CAST((greatest(n - 64, 0) + 47) // 48 AS INT)))
+                           AS chunk_idx
+                  FROM b),
+            ch AS (SELECT doc_id,
+                          CAST(len(list_slice(ts, 1 + chunk_idx * 48,
+                                              chunk_idx * 48 + 64)) AS BIGINT)
+                            AS n_tokens,
+                          array_to_string(list_slice(ts, 1 + chunk_idx * 48,
+                                                     chunk_idx * 48 + 64), ' ')
+                            AS chunk
+                   FROM c)
+            SELECT sha256(chunk) AS chunk_sha,
+                   CAST(count(*) AS BIGINT) AS n_copies,
+                   CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+                   min(doc_id) AS min_doc,
+                   CAST(sum(n_tokens) - max(n_tokens) AS BIGINT) AS dup_tokens
+            FROM ch GROUP BY sha256(chunk) HAVING count(*) > 1""",
         "co_occurrence_edges": SQL_GRAPH_PREFIX
         + "SELECT src, dst, weight FROM canon ORDER BY src, dst",
         "degrees": SQL_GRAPH_PREFIX

@@ -21,6 +21,8 @@
 
 from __future__ import annotations
 
+import math
+
 import numpy as np
 import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
@@ -84,34 +86,31 @@ def threshold_neighbors(
     )
 
 
-def ivf_ann(
-    emb: DataFrame,
-    k: int = 10,
-    n_clusters: int = 8,
-    n_probe: int = 2,
-    lloyd_iters: int = 2,
-    id_col: str = "vec_id",
-    vec_col: str = "embedding",
-) -> DataFrame:
-    """Approximate top-k via an IVF coarse quantizer (the 100TB path).
+def _kmeans_assign(vecs: DataFrame, c: DataFrame) -> DataFrame:
+    """(id, vec, cluster) — nearest (highest-cosine) centroid per vector.
+    Centroid tables are tiny (k x dim) so the pass is a broadcast
+    nested-loop join evaluated JVM-side (zip_with/aggregate codegen)."""
+    sim = F.round(cosine_sim_col(F.col("vec"), F.col("cvec")), 9)
+    scored = vecs.crossJoin(F.broadcast(c)).select(
+        "id", "vec", "cluster", sim.alias("sim")
+    )
+    w = Window.partitionBy("id").orderBy(
+        F.col("sim").desc(), F.col("cluster").asc()
+    )
+    return (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .select("id", "vec", "cluster")
+    )
 
-    Index build: deterministic k-means — initial centroids are the vectors
-    of the ``n_clusters`` smallest ids, then ``lloyd_iters`` rounds of
-    (assign to highest-cosine centroid, recompute per-dimension means).
-    Centroid tables are tiny (k x dim) so every assignment pass is a
-    broadcast nested-loop join evaluated JVM-side (zip_with/aggregate
-    codegen, no Python); means are computed with one posexplode +
-    groupBy(cluster, pos) shuffle and rounded to 6dp so the quantizer is
-    bit-reproducible across engines and partitionings.
 
-    Search: each query probes its ``n_probe`` best cells; exact cosine runs
-    only against vectors in probed cells. Returns
-    (query_id, nbr_id, cosine, rank<=k) — approximate (recall<1 vs brute
-    force; cross-cell neighbors are missed by design).
-    """
-    vecs = emb.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))
-
-    # deterministic seed centroids: vectors of the n_clusters smallest ids.
+def _kmeans_fit(vecs: DataFrame, n_clusters: int, lloyd_iters: int) -> DataFrame:
+    """(cluster, cvec) — deterministic k-means: initial centroids are the
+    vectors of the ``n_clusters`` smallest ids, then ``lloyd_iters`` rounds
+    of (assign to highest-cosine centroid, recompute per-dimension means).
+    Means use one posexplode + groupBy(cluster, pos) shuffle and are
+    rounded to 6dp so the quantizer is bit-reproducible across engines
+    and partitionings."""
     # orderBy+limit compiles to TakeOrderedAndProject (distributed top-k);
     # the global row_number window then runs over only n_clusters rows —
     # never over the full vector table (no single-partition bottleneck).
@@ -121,23 +120,8 @@ def ivf_ann(
         (F.row_number().over(w_seed) - 1).alias("cluster"),
         F.col("vec").alias("cvec"),
     )
-
-    def _assign(c: DataFrame) -> DataFrame:
-        sim = F.round(cosine_sim_col(F.col("vec"), F.col("cvec")), 9)
-        scored = vecs.crossJoin(F.broadcast(c)).select(
-            "id", "vec", "cluster", sim.alias("sim")
-        )
-        w = Window.partitionBy("id").orderBy(
-            F.col("sim").desc(), F.col("cluster").asc()
-        )
-        return (
-            scored.withColumn("__rn", F.row_number().over(w))
-            .where(F.col("__rn") == 1)
-            .select("id", "vec", "cluster")
-        )
-
     for _ in range(lloyd_iters):
-        assigned = _assign(cent)
+        assigned = _kmeans_assign(vecs, cent)
         means = (
             assigned.select("cluster", F.posexplode("vec").alias("pos", "v"))
             .groupBy("cluster", "pos")
@@ -152,8 +136,52 @@ def ivf_ann(
             .join(means, "cluster", "left")
             .select("cluster", F.coalesce("cvec", "prev").alias("cvec"))
         )
+    return cent
 
-    index = _assign(cent).select(
+
+def kmeans_clusters(
+    emb: DataFrame,
+    n_clusters: int = 8,
+    lloyd_iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(vec_id, cluster) — deterministic k-means document clustering over
+    the embedding column (the topic-bucketing / corpus-mixing step of a
+    training-data pipeline, and the index build of :func:`ivf_ann`).
+
+    Every pass is a broadcast join against a k x dim centroid table plus
+    one map-side-combined aggregation — no all-pairs work, no Python in
+    the hot path; at 100 TB the cost is ``lloyd_iters`` scans of the
+    vector table."""
+    vecs = emb.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))
+    cent = _kmeans_fit(vecs, n_clusters, lloyd_iters)
+    return _kmeans_assign(vecs, cent).select(
+        F.col("id").alias(id_col), F.col("cluster").cast("int").alias("cluster")
+    )
+
+
+def ivf_ann(
+    emb: DataFrame,
+    k: int = 10,
+    n_clusters: int = 8,
+    n_probe: int = 2,
+    lloyd_iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k via an IVF coarse quantizer (the 100TB path).
+
+    Index build: deterministic k-means (:func:`_kmeans_fit`).  Search:
+    each query probes its ``n_probe`` best cells; exact cosine runs
+    only against vectors in probed cells. Returns
+    (query_id, nbr_id, cosine, rank<=k) — approximate (recall<1 vs brute
+    force; cross-cell neighbors are missed by design).
+    """
+    vecs = emb.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))
+    cent = _kmeans_fit(vecs, n_clusters, lloyd_iters)
+
+    index = _kmeans_assign(vecs, cent).select(
         F.col("cluster"), F.col("id").alias("nbr_id"), F.col("vec").alias("nbr_vec")
     )
 
@@ -242,6 +270,42 @@ def rademacher_planes(num_tables: int, num_planes: int, dim: int) -> list:
             tbl.append(row)
         planes.append(tbl)
     return planes
+
+
+def embedding_project(
+    emb: DataFrame,
+    out_dim: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(vec_id, proj: array<double>) — deterministic Rademacher random
+    projection to ``out_dim`` dimensions (Achlioptas-style sparse JL:
+    ±1 signs carry the same distance-preservation guarantee class as
+    gaussian projections at a fraction of the cost).
+
+    The dimensionality-reduction step before clustering / ANN over very
+    wide embeddings: each output coordinate is a signed sum of the input
+    coordinates scaled by 1/sqrt(out_dim).  Signs come from the same
+    md5-parity family as :func:`rademacher_planes`, so the projection is
+    bit-reproducible across engines; the whole map is JVM codegen
+    (zip_with/aggregate) over one narrow stage — zero shuffle, trivially
+    scan-parallel at 100 TB.  Outputs are rounded to 6dp (both engines
+    compute the same left-to-right fold).  ``out_dim`` should be a power
+    of four-ish so 1/sqrt(out_dim) is a binary fraction (16 -> 0.25) and
+    the scaling is exact."""
+    dim = int(emb.select(F.size(vec_col).alias("d")).first()["d"])
+    planes = rademacher_planes(1, out_dim, dim)[0]
+    scale = 1.0 / math.sqrt(out_dim)
+    vec = F.col(vec_col)
+    comps = []
+    for j in range(out_dim):
+        signs = F.array(*[F.lit(s) for s in planes[j]])
+        dot = F.aggregate(
+            F.zip_with(vec, signs, lambda x, y: x * y),
+            F.lit(0.0), lambda acc, x: acc + x,
+        )
+        comps.append(F.round(dot * F.lit(scale), 6))
+    return emb.select(F.col(id_col), F.array(*comps).alias("proj"))
 
 
 def _portable_bucket_tags(

@@ -410,3 +410,45 @@ def chunk_documents(
         F.size(sliced).cast("long").alias("n_tokens"),
         F.concat_ws(" ", sliced).alias("chunk"),
     )
+
+
+def chunk_dedup_stats(
+    df: DataFrame,
+    chunk: int = 64,
+    stride: int = 48,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Chunk-level (paragraph-grain) exact-duplicate clusters:
+    (chunk_sha, n_copies, n_docs, min_doc, dup_tokens) for every chunk
+    text that occurs more than once in the corpus.
+
+    Finer-grained than document dedup — catches boilerplate paragraphs,
+    licence headers and mirrored passages that whole-document sha256
+    misses because the surrounding text differs.  ``dup_tokens`` is the
+    token mass that chunk-level dedup would remove (copies beyond the
+    first), the number a curation pipeline reports as its savings.
+
+    100 TB shape: chunking is a narrow map over the corpus scan
+    (:func:`chunk_documents`); only fixed-width sha256 digests + counts
+    enter the one aggregation shuffle — chunk text itself is hashed
+    map-side and never shuffled.
+    """
+    ch = chunk_documents(df, chunk=chunk, stride=stride,
+                         text_col=text_col, id_col=id_col)
+    agg = (
+        ch.groupBy(F.sha2(F.col("chunk"), 256).alias("chunk_sha"))
+        .agg(
+            F.count("*").alias("n_copies"),
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.min("doc_id").alias("min_doc"),
+            (F.sum("n_tokens") - F.max("n_tokens")).alias("dup_tokens"),
+        )
+    )
+    return agg.where(F.col("n_copies") > 1).select(
+        "chunk_sha",
+        F.col("n_copies").cast("long").alias("n_copies"),
+        F.col("n_docs").cast("long").alias("n_docs"),
+        "min_doc",
+        F.col("dup_tokens").cast("long").alias("dup_tokens"),
+    )
