@@ -2186,6 +2186,35 @@ def q_chunk_dedup(spark, sf_dir):
     return chunk_dedup_stats(load_table(spark, sf_dir, "documents"))
 
 
+def q_dedup_incremental(spark, sf_dir):
+    """Incremental exact dedup (streaming/dedup_stream.merge_doc_batch):
+    the corpus arrives as three micro-batches folded into a persisted
+    bucketed digest index with per-bucket epoch-tagged exactly-once
+    commits; keeper = min doc_id makes the final index order-independent,
+    so the plain batch GROUP BY sha256 oracle applies verbatim."""
+    import shutil
+    import tempfile
+
+    from plato_spark.streaming.dedup_stream import (
+        merge_doc_batch,
+        read_dedup_state,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").persist()
+    sd = tempfile.mkdtemp(prefix="plato_incdedup_")
+    try:
+        for i in range(3):
+            merge_doc_batch(
+                docs.where(F.pmod(F.xxhash64("doc_id"), F.lit(3)) == i),
+                sd, epoch_id=i,
+            )
+        out = read_dedup_state(spark, sd).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(sd, ignore_errors=True)
+        docs.unpersist()
+    return out
+
+
 def q_topo_levels(spark, sf_dir):
     """DAG longest-path levels (topological depth) on a PLANTED-TRUTH
     dependency DAG derived deterministically from the corpus: doc_ids
@@ -2245,6 +2274,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # -- new in r3 (this session) --
         "topo_levels": q_topo_levels,
+        "dedup_incremental": q_dedup_incremental,
         "kmeans_clusters": q_kmeans_clusters,
         "embedding_project": q_embedding_project,
         "chunk_dedup": q_chunk_dedup,
@@ -2358,6 +2388,11 @@ def oracle_sql() -> dict[str, str]:
                    CAST(r - max(brk_r) OVER (ORDER BY r
                         ROWS UNBOUNDED PRECEDING) AS BIGINT) AS level
             FROM b""",
+        "dedup_incremental": """
+            SELECT sha256(text) AS content_sha,
+                   CAST(min(doc_id) AS BIGINT) AS keeper_doc,
+                   CAST(count(*) AS BIGINT) AS n_copies
+            FROM documents GROUP BY sha256(text)""",
         "kmeans_clusters": _sql_kmeans(8, 2),
         "embedding_project": _sql_embedding_project(16),
         "chunk_dedup": """
