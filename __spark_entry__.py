@@ -207,6 +207,34 @@ VOCAB_TOP_K = 200
 CONTAM_NGRAM = 8
 
 
+def _sql_seeded_lpa(iters: int = 3) -> str:
+    """Mirror of algos/lpa.seeded_label_propagation over the q_seeded_lpa
+    seed planting (every 40th vertex, label = portable-h1 % 4)."""
+    h = H1_SQL.format(s="'seedlab|' || CAST(v.id AS VARCHAR)")
+    ctes = [f"""s0 AS MATERIALIZED (
+  SELECT v.id,
+         CASE WHEN v.id % 40 = 0 THEN {h} % 4 END AS seed,
+         CASE WHEN v.id % 40 = 0 THEN {h} % 4 END AS label
+  FROM verts v)"""]
+    for k in range(iters):
+        ctes.append(f"""s{k + 1} AS MATERIALIZED (
+  SELECT p.id, p.seed, COALESCE(p.seed, w.new_label, p.label) AS label
+  FROM s{k} p
+  LEFT JOIN (
+    SELECT id, label AS new_label FROM (
+      SELECT e.dst AS id, l.label, count(*) AS cnt,
+             row_number() OVER (PARTITION BY e.dst
+                                ORDER BY count(*) DESC, l.label ASC) AS rn
+      FROM edges e JOIN s{k} l ON e.src = l.id AND l.label IS NOT NULL
+      GROUP BY e.dst, l.label) t
+    WHERE rn = 1) w ON p.id = w.id)""")
+    return (
+        SQL_GRAPH_PREFIX + ", " + ",\n".join(ctes)
+        + f"\nSELECT id, CAST(COALESCE(label, -1) AS BIGINT) AS label"
+          f" FROM s{iters}"
+    )
+
+
 def _sql_hanp(iters: int = 3, preference: float = 1.0, hop_att: float = 0.1,
               dis: float = 1e-6) -> str:
     """Unrolled HANP vote (hanp.hpp:118-186, deterministic dis-quantized
@@ -2186,6 +2214,27 @@ def q_chunk_dedup(spark, sf_dir):
     return chunk_dedup_stats(load_table(spark, sf_dir, "documents"))
 
 
+SEEDED_LPA_ITERS = 3
+
+
+def q_seeded_lpa(spark, sf_dir):
+    """Semi-supervised label spreading (algos/lpa.seeded_label_propagation)
+    on the symmetric co-occurrence graph: every 40th vertex is a clamped
+    seed carrying label md5-hash(id) % 4; three deterministic vote rounds
+    spread labels outward (smallest label on ties); unreached -> -1."""
+    from plato_spark.algos.lpa import seeded_label_propagation
+    from plato_spark.functions.text import portable_h1
+
+    sym = _sym(spark, sf_dir)
+    verts = sym.select(F.col("src").alias("id")).distinct()
+    seeds = verts.where(F.col("id") % 40 == 0).select(
+        "id",
+        (portable_h1(F.concat(F.lit("seedlab|"), F.col("id").cast("string")))
+         % 4).alias("label"),
+    )
+    return seeded_label_propagation(sym, seeds, iterations=SEEDED_LPA_ITERS)
+
+
 def q_dedup_incremental(spark, sf_dir):
     """Incremental exact dedup (streaming/dedup_stream.merge_doc_batch):
     the corpus arrives as three micro-batches folded into a persisted
@@ -2275,6 +2324,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- new in r3 (this session) --
         "topo_levels": q_topo_levels,
         "dedup_incremental": q_dedup_incremental,
+        "seeded_lpa": q_seeded_lpa,
         "kmeans_clusters": q_kmeans_clusters,
         "embedding_project": q_embedding_project,
         "chunk_dedup": q_chunk_dedup,
@@ -2388,6 +2438,7 @@ def oracle_sql() -> dict[str, str]:
                    CAST(r - max(brk_r) OVER (ORDER BY r
                         ROWS UNBOUNDED PRECEDING) AS BIGINT) AS level
             FROM b""",
+        "seeded_lpa": _sql_seeded_lpa(SEEDED_LPA_ITERS),
         "dedup_incremental": """
             SELECT sha256(text) AS content_sha,
                    CAST(min(doc_id) AS BIGINT) AS keeper_doc,

@@ -25,6 +25,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from plato_spark.engine.checkpoint import CheckpointManager
+from plato_spark.engine.ckpt_blocks import cheap_localCheckpoint
 from plato_spark.engine.superstep import SuperstepDriver
 from plato_spark.graph.partitioning import (
     auto_shuffle_partitions,
@@ -83,4 +84,79 @@ def label_propagation(
     driver = SuperstepDriver(ckpt=ckpt, max_iters=iterations)
     with scoped_shuffle_partitions(spark, shuffle_n):
         final = driver.run(state0, step)
-    return final.select("id", "label")
+        # sever the result's lineage from the internal edge cache, then
+        # release it — no dead cached tables accumulating across queries
+        final = cheap_localCheckpoint(final.select("id", "label"))
+    e.unpersist()
+    return final
+
+
+def seeded_label_propagation(
+    edges: DataFrame,
+    seeds: DataFrame,
+    iterations: int = 3,
+) -> DataFrame:
+    """Semi-supervised label SPREADING: a small seed set carries fixed
+    labels; every other vertex iteratively adopts the most frequent label
+    among its already-labeled in-neighbors (smallest label on ties, same
+    deterministic vote as :func:`label_propagation`).  Seeds are CLAMPED —
+    they never change — and unlabeled vertices with no labeled neighbor
+    stay unlabeled (returned label -1).
+
+    The node-classification workhorse of an entity/link pipeline
+    (spam/quality/topic propagation from a trusted seed set).  Beyond the
+    reference menu, but built from the same vote kernel as lpa.hpp with
+    one extra clamp column; per superstep it ships only per-(dst,label)
+    partial counts (map-side combined) and labels reach at most
+    ``iterations`` hops from any seed, so cost is bounded by the labeled
+    frontier, not the graph.
+
+    Returns (id: long, label: long; -1 = unreached).
+    """
+    spark = edges.sparkSession
+    e0 = edges.select("src", "dst").persist()
+    n_e = e0.count()
+    shuffle_n = auto_shuffle_partitions(spark, n_e)
+    e = e0.repartition(shuffle_n, "src").persist()
+    e.count()
+    e0.unpersist()
+    verts = (
+        e.select(F.col("src").alias("id"))
+        .unionByName(e.select(F.col("dst").alias("id")))
+        .distinct()
+        .repartition(shuffle_n, "id")
+    )
+
+    state = verts.join(
+        seeds.select("id", F.col("label").alias("seed")), "id", "left"
+    ).select("id", "seed", F.col("seed").alias("label"))
+
+    with scoped_shuffle_partitions(spark, shuffle_n):
+        for _ in range(iterations):
+            votes = (
+                e.join(
+                    state.where(F.col("label").isNotNull())
+                    .select(F.col("id").alias("src"), "label"),
+                    "src",
+                )
+                .groupBy(F.col("dst").alias("id"), "label")
+                .agg(F.count("*").alias("cnt"))
+            )
+            winner = (
+                votes.groupBy("id")
+                .agg(F.max(F.struct(F.col("cnt"),
+                                    (-F.col("label")).alias("neg"))).alias("m"))
+                .select("id", (-F.col("m.neg")).alias("new_label"))
+            )
+            state = (
+                state.join(winner, "id", "left")
+                .select(
+                    "id", "seed",
+                    F.coalesce("seed", "new_label", "label").alias("label"),
+                )
+                .transform(cheap_localCheckpoint)
+            )
+    e.unpersist()
+    return state.select(
+        "id", F.coalesce("label", F.lit(-1)).cast("long").alias("label")
+    )

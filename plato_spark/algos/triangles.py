@@ -80,14 +80,27 @@ def triangle_count(canon: DataFrame, per_vertex: bool = False) -> DataFrame:
     with scoped_shuffle_partitions(spark, auto_shuffle_partitions(spark, n_edges)):
         # materialize inside the scope — shuffle.partitions is read at
         # execution time, so a lazily-returned plan would miss the scope
-        out = _triangle_count(canon, per_vertex).persist()
+        caches: list[DataFrame] = []
+        out = _triangle_count(canon, per_vertex, caches).persist()
         out.count()
+    # the result is materialized above, so the internal adjacency cache
+    # is released here instead of lingering until LRU eviction — a long
+    # session running many queries must not accumulate dead cached tables
+    for c in caches:
+        try:
+            c.unpersist()
+        except Exception:
+            pass
     return out
 
 
-def _triangle_count(canon: DataFrame, per_vertex: bool) -> DataFrame:
+def _triangle_count(
+    canon: DataFrame, per_vertex: bool, caches: list | None = None
+) -> DataFrame:
     oriented = orient_edges(canon)
     adj = _oriented_adj(oriented).persist()
+    if caches is not None:
+        caches.append(adj)
     a_u = adj.select(F.col("id").alias("src"), F.col("nbrs").alias("nbrs_u"))
     a_v = adj.select(F.col("id").alias("dst"), F.col("nbrs").alias("nbrs_v"))
     pairs = (

@@ -24,6 +24,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from plato_spark.engine.checkpoint import CheckpointManager
+from plato_spark.engine.ckpt_blocks import cheap_localCheckpoint
 from plato_spark.engine.superstep import SuperstepDriver
 from plato_spark.graph.edges import symmetrize
 from plato_spark.graph.partitioning import (
@@ -139,7 +140,13 @@ def connected_components(
     driver = SuperstepDriver(ckpt=ckpt, max_iters=max_iters)
     with scoped_shuffle_partitions(spark, shuffle_n):
         final = driver.run(state0, step_jump if impl == "jump" else step)
-    return final.select("id", F.col("label").alias("component"))
+        # sever the result's lineage from the internal edge cache, then
+        # release it — no dead cached tables accumulating across queries
+        final = cheap_localCheckpoint(
+            final.select("id", F.col("label").alias("component"))
+        )
+    sym.unpersist()
+    return final
 
 
 def component_edges(
