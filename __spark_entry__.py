@@ -1126,6 +1126,228 @@ e{k + 1} AS MATERIALIZED (
     return SQL_GRAPH_PREFIX + ", " + ",\n".join(ctes) + "\n" + sel + "\nORDER BY id"
 
 
+def _sql_matching(rounds: int = 8) -> str:
+    """Mirror of algos/matching.maximal_matching: unrolled locally-minimal
+    edge rounds with the unique priority triple (portable_h1('src:dst'),
+    src, dst); struct min/equality order field-lexicographically in both
+    engines.  ``rounds`` is pinned past the measured fixpoint — extra
+    rounds operate on an empty edge set and add no rows.
+    """
+    h = ("CAST(('0x' || substr(md5(CAST(src AS VARCHAR) || ':' || "
+         "CAST(dst AS VARCHAR)), 1, 14)) AS BIGINT)")
+    ctes = [f"l0 AS MATERIALIZED (SELECT src, dst, {h} AS h FROM canon)"]
+    for k in range(rounds):
+        ctes.append(f"""i{k} AS MATERIALIZED (
+  SELECT src AS id, h, src, dst FROM l{k}
+  UNION ALL SELECT dst AS id, h, src, dst FROM l{k}),
+m{k} AS MATERIALIZED (
+  SELECT id, min({{'h': h, 's': src, 'd': dst}}) AS mk
+  FROM i{k} GROUP BY id),
+p{k} AS MATERIALIZED (
+  SELECT l.src, l.dst FROM l{k} l
+  JOIN m{k} a ON l.src = a.id JOIN m{k} b ON l.dst = b.id
+  WHERE {{'h': l.h, 's': l.src, 'd': l.dst}} = a.mk
+    AND {{'h': l.h, 's': l.src, 'd': l.dst}} = b.mk),
+v{k} AS MATERIALIZED (
+  SELECT src AS id FROM p{k} UNION SELECT dst AS id FROM p{k}),
+l{k + 1} AS MATERIALIZED (
+  SELECT l.src, l.dst, l.h FROM l{k} l
+  WHERE NOT EXISTS (SELECT 1 FROM v{k} v WHERE v.id = l.src)
+    AND NOT EXISTS (SELECT 1 FROM v{k} v WHERE v.id = l.dst))""")
+    sel = "\nUNION ALL\n".join(
+        f"SELECT src, dst, CAST({k} AS INTEGER) AS match_round FROM p{k}"
+        for k in range(rounds)
+    )
+    return SQL_GRAPH_PREFIX + ", " + ",\n".join(ctes) + "\n" + sel
+
+
+def _coloring_ctes(rounds: int, max_colors: int, edges_cte: str) -> list:
+    """CTE list for the Jones–Plassmann mirror over ``edges_cte`` (must
+    be symmetric); colored-vertex CTEs are jc0..jc{rounds-1}."""
+    pri = (
+        "(CAST(('0x' || substr(md5(CAST(id AS VARCHAR)), 1, 14)) AS BIGINT)"
+        " % 2147483648) * 2147483648 + id"
+    )
+    ctes = [
+        f"ju0 AS MATERIALIZED (SELECT id, {pri} AS p FROM "
+        f"(SELECT DISTINCT src AS id FROM {edges_cte}) s)",
+        f"je0 AS MATERIALIZED (SELECT src, dst FROM {edges_cte})",
+        "jf0 AS MATERIALIZED (SELECT CAST(NULL AS BIGINT) AS id, "
+        "CAST(NULL AS INTEGER) AS color WHERE 1 = 0)",
+        f"nums AS MATERIALIZED (SELECT CAST(range AS INTEGER) AS n "
+        f"FROM range(0, {max_colors}))",
+    ]
+    for k in range(rounds):
+        ctes.append(f"""jw{k} AS MATERIALIZED (
+  SELECT u.id FROM ju{k} u LEFT JOIN (
+    SELECT e.dst AS id, max(up.p) AS maxp
+    FROM je{k} e JOIN ju{k} up ON e.src = up.id GROUP BY e.dst) m
+  ON u.id = m.id
+  WHERE m.maxp IS NULL OR u.p > m.maxp),
+jc{k} AS MATERIALIZED (
+  SELECT w.id, CAST(min(n.n) AS INTEGER) AS color
+  FROM jw{k} w CROSS JOIN nums n
+  WHERE NOT EXISTS (SELECT 1 FROM jf{k} f
+                    WHERE f.id = w.id AND f.color = n.n)
+  GROUP BY w.id),
+ju{k + 1} AS MATERIALIZED (
+  SELECT u.id, u.p FROM ju{k} u
+  WHERE NOT EXISTS (SELECT 1 FROM jc{k} c WHERE c.id = u.id)),
+jf{k + 1} AS MATERIALIZED (
+  SELECT f.id, f.color FROM jf{k} f
+  WHERE EXISTS (SELECT 1 FROM ju{k + 1} u WHERE u.id = f.id)
+  UNION
+  SELECT e.dst AS id, c.color FROM je{k} e JOIN jc{k} c ON e.src = c.id
+  WHERE EXISTS (SELECT 1 FROM ju{k + 1} u WHERE u.id = e.dst)),
+je{k + 1} AS MATERIALIZED (
+  SELECT e.src, e.dst FROM je{k} e
+  JOIN ju{k + 1} x ON e.src = x.id JOIN ju{k + 1} y ON e.dst = y.id)""")
+    return ctes
+
+
+def _coloring_sel(rounds: int) -> str:
+    return "\nUNION ALL\n".join(
+        f"SELECT id, color, CAST({k} AS INTEGER) AS jp_round FROM jc{k}"
+        for k in range(rounds)
+    )
+
+
+def _sql_coloring_msf(jp_rounds: int = 12, msf_rounds: int = 8,
+                      jumps: int = 6, max_colors: int = 256) -> str:
+    """Mirror of q_coloring: Jones-Plassmann over the SYMMETRIZED Borůvka
+    spanning forest of the co-occurrence graph.  The dense co-occurrence
+    graph itself is a pathological JP fixture (winners per round ~
+    V/(deg+1), so rounds ~ O(V/17) at sf0.01); the forest keeps the
+    operator oracle-checkable at O(log V) rounds.  ``jp_rounds`` pinned
+    past the measured fixpoint (9 at sf0.01)."""
+    ff = ("ff AS MATERIALIZED (" + "\nUNION ALL\n".join(
+        f"SELECT src, dst FROM p{k}" for k in range(msf_rounds)) + ")")
+    fe = ("fe AS MATERIALIZED (SELECT src, dst FROM ff "
+          "UNION ALL SELECT dst AS src, src AS dst FROM ff)")
+    ctes = (_msf_ctes(msf_rounds, jumps) + [ff, fe]
+            + _coloring_ctes(jp_rounds, max_colors, "fe"))
+    return (SQL_GRAPH_PREFIX + ", " + ",\n".join(ctes) + "\n"
+            + _coloring_sel(jp_rounds) + "\nORDER BY id")
+
+
+def _msf_ctes(rounds: int = 8, jumps: int = 6) -> list:
+    """CTE list for the Borůvka mirror (see _sql_msf); picked-edge CTEs
+    are p0..p{rounds-1}."""
+    ctes = [
+        "c0 AS MATERIALIZED (SELECT id, id AS c FROM verts)",
+        "l0 AS MATERIALIZED (SELECT src, dst, weight AS w FROM canon)",
+    ]
+    for k in range(rounds):
+        ctes.append(f"""x{k} AS MATERIALIZED (
+  SELECT l.src, l.dst, l.w, a.c AS cu, b.c AS cv
+  FROM l{k} l JOIN c{k} a ON l.src = a.id JOIN c{k} b ON l.dst = b.id
+  WHERE a.c <> b.c),
+m{k} AS MATERIALIZED (
+  SELECT cc, min(k) AS mk FROM (
+    SELECT cu AS cc, {{'w': w, 's': src, 'd': dst, 'o': cv}} AS k FROM x{k}
+    UNION ALL
+    SELECT cv AS cc, {{'w': w, 's': src, 'd': dst, 'o': cu}} AS k
+    FROM x{k}) i
+  GROUP BY cc),
+p{k} AS MATERIALIZED (
+  SELECT DISTINCT struct_extract(mk, 's') AS src,
+         struct_extract(mk, 'd') AS dst,
+         struct_extract(mk, 'w') AS weight FROM m{k}),
+g{k}_0 AS MATERIALIZED (
+  SELECT a.cc,
+         CASE WHEN b.p = a.cc AND a.cc < a.p THEN a.cc ELSE a.p END AS p
+  FROM (SELECT cc, struct_extract(mk, 'o') AS p FROM m{k}) a
+  JOIN (SELECT cc, struct_extract(mk, 'o') AS p FROM m{k}) b
+  ON a.p = b.cc)""")
+        for t in range(jumps):
+            ctes.append(
+                f"g{k}_{t + 1} AS MATERIALIZED (\n"
+                f"  SELECT a.cc, b.p FROM g{k}_{t} a "
+                f"JOIN g{k}_{t} b ON a.p = b.cc)"
+            )
+        ctes.append(f"""c{k + 1} AS MATERIALIZED (
+  SELECT cm.id, coalesce(g.p, cm.c) AS c
+  FROM c{k} cm LEFT JOIN g{k}_{jumps} g ON cm.c = g.cc),
+l{k + 1} AS MATERIALIZED (SELECT src, dst, w FROM x{k})""")
+    return ctes
+
+
+def _sql_msf(rounds: int = 8, jumps: int = 6) -> str:
+    """Mirror of algos/msf.boruvka_msf: unrolled hook-and-compress
+    rounds under the unique total edge order (weight, src, dst).
+    ``rounds``/``jumps`` are pinned past the measured fixpoints — extra
+    Borůvka rounds see an empty inter-component edge set and extra
+    pointer jumps are idempotent, so both only add empty/unchanged CTEs.
+    """
+    sel = "\nUNION ALL\n".join(
+        f"SELECT src, dst, weight, CAST({k} AS INTEGER) AS msf_round FROM p{k}"
+        for k in range(rounds)
+    )
+    return (
+        SQL_GRAPH_PREFIX + ", "
+        + ",\n".join(_msf_ctes(rounds, jumps)) + "\n" + sel
+    )
+
+
+def _sql_cms(threshold: int = 50, depth: int = 4, width: int = 64) -> str:
+    """Mirror of functions/sketches.cms_heavy_hitters: identical d x w
+    count-min sketch (portable md5 row hashes, salt 'r:token'), identical
+    min-over-probes estimate, same threshold gate."""
+    def h(r):
+        return (f"CAST(('0x' || substr(md5('{r}:' || token), 1, 14)) "
+                f"AS BIGINT) % {width}")
+
+    cells = "\n    UNION ALL ".join(
+        f"SELECT {r} AS r, CAST({h(r)} AS INTEGER) AS b FROM tk"
+        for r in range(depth)
+    )
+    probes = "\n  UNION ALL ".join(
+        f"SELECT c.token, s.cnt FROM cand c JOIN sk s "
+        f"ON s.r = {r} AND s.b = CAST({h(r).replace('token', 'c.token')} "
+        f"AS INTEGER)"
+        for r in range(depth)
+    )
+    return f"""
+WITH tk AS MATERIALIZED (
+  SELECT unnest(regexp_extract_all(text, '{TOKEN_RE_SQL}')) AS token
+  FROM documents),
+sk AS MATERIALIZED (
+  SELECT r, b, CAST(count(*) AS BIGINT) AS cnt FROM (
+    {cells}) c GROUP BY r, b),
+cand AS MATERIALIZED (SELECT DISTINCT token FROM tk),
+probes AS (
+  {probes})
+SELECT token, min(cnt) AS est_count FROM probes
+GROUP BY token HAVING min(cnt) >= {threshold}
+ORDER BY token"""
+
+
+def _sql_butterflies() -> str:
+    """Mirror of algos/butterflies.butterfly_stats over the order x part
+    incidence.  The butterfly count is side-symmetric, so the oracle's
+    fixed part-side pair formulation matches whichever center side the
+    engine's wedge-total heuristic picks.  All-integer arithmetic."""
+    return """
+WITH inc AS MATERIALIZED (
+  SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+ld AS (SELECT o, count(*) AS d FROM inc GROUP BY o),
+rd AS (SELECT p, count(*) AS d FROM inc GROUP BY p),
+pw AS MATERIALIZED (
+  SELECT a.p AS u, b.p AS v, count(*) AS w
+  FROM inc a JOIN inc b ON a.o = b.o AND a.p < b.p GROUP BY a.p, b.p)
+SELECT
+  (SELECT count(*) FROM ld) AS n_left,
+  (SELECT count(*) FROM rd) AS n_right,
+  (SELECT count(*) FROM inc) AS n_edges,
+  (SELECT CAST(coalesce(sum(d * (d - 1) // 2), 0) AS BIGINT) FROM ld)
+    AS wedges_left,
+  (SELECT CAST(coalesce(sum(d * (d - 1) // 2), 0) AS BIGINT) FROM rd)
+    AS wedges_right,
+  (SELECT CAST(coalesce(sum(w * (w - 1) // 2), 0) AS BIGINT) FROM pw)
+    AS butterflies
+"""
+
+
 def _sql_trussness(k_max: int = 6, rounds: tuple = (4, 5, 6, 8)) -> str:
     """Mirror of algos/ktruss.truss_decomposition: phased support-peel,
     trussness = 2 + number of phases survived (p_k nests in p_{k-1}).
@@ -1956,6 +2178,63 @@ def q_mis(spark, sf_dir):
     )
 
 
+def q_matching(spark, sf_dir):
+    """Deterministic maximal matching (locally-minimal hash-priority
+    edges; algos/matching) — (src, dst, match_round) per matched edge."""
+    from plato_spark.algos.matching import maximal_matching
+
+    return maximal_matching(part_cooccurrence_edges(spark, sf_dir))
+
+
+def q_cms_heavy_hitters(spark, sf_dir):
+    """Count-min-sketch heavy hitters over corpus tokens
+    (functions/sketches; d=4 x w=64 portable-hash sketch) —
+    (token, est_count) for tokens whose estimate reaches 50."""
+    from plato_spark.functions.sketches import cms_heavy_hitters
+
+    docs = load_table(spark, sf_dir, "documents")
+    return cms_heavy_hitters(docs, threshold=50, depth=4, width=64)
+
+
+def q_msf(spark, sf_dir):
+    """Borůvka minimum spanning forest under the unique total order
+    (weight, src, dst) (algos/msf) — (src, dst, weight, msf_round)."""
+    from plato_spark.algos.msf import boruvka_msf
+
+    return boruvka_msf(part_cooccurrence_edges(spark, sf_dir, weighted=True))
+
+
+def q_coloring(spark, sf_dir):
+    """Deterministic Jones–Plassmann greedy coloring (unique hash
+    priorities; algos/coloring) over the Borůvka spanning forest of the
+    co-occurrence graph — (id, color, jp_round) per vertex.
+
+    The forest (not the raw graph) is the fixture because JP's round
+    count is the longest decreasing-priority path: on the dense
+    co-occurrence cliques winners per round are ~V/(deg+1) (~17/round at
+    sf0.01 → ~120 rounds), while the sparse forest converges in O(log V)
+    (measured 9 rounds at sf0.01) — the regime the operator targets.
+    """
+    from plato_spark.algos.coloring import jones_plassmann_coloring
+    from plato_spark.algos.msf import boruvka_msf
+
+    forest = boruvka_msf(part_cooccurrence_edges(spark, sf_dir, weighted=True))
+    return jones_plassmann_coloring(symmetrize(forest.select("src", "dst")))
+
+
+def q_butterflies(spark, sf_dir):
+    """Exact bipartite butterfly statistics over the order x part
+    incidence (algos/butterflies) — one row of int64 motif counts."""
+    from plato_spark.algos.butterflies import butterfly_stats
+
+    inc = (
+        load_table(spark, sf_dir, "lineitem")
+        .select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p"))
+        .distinct()
+    )
+    return butterfly_stats(inc, left="o", right="p")
+
+
 def q_tfidf(spark, sf_dir):
     """Top-3 tf-idf keywords per document (raw-inverse-idf scoring so the
     value is exact integer arithmetic + one IEEE division)."""
@@ -2321,6 +2600,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # round 3 produces a driver-green row for each; long-proven rows
     # (green in both r1+r2) sit at the tail and rotate back in next round.
     return {
+        # -- new in r3 (late session) --
+        "maximal_matching": q_matching,
+        "butterflies": q_butterflies,
+        "graph_coloring": q_coloring,
+        "min_spanning_forest": q_msf,
+        "cms_heavy_hitters": q_cms_heavy_hitters,
         # -- new in r3 (this session) --
         "topo_levels": q_topo_levels,
         "dedup_incremental": q_dedup_incremental,
@@ -2489,6 +2774,11 @@ def oracle_sql() -> dict[str, str]:
         "ktruss": _sql_ktruss(5),
         "trussness": _sql_trussness(6),
         "mis": _sql_mis(8),
+        "maximal_matching": _sql_matching(12),
+        "butterflies": _sql_butterflies(),
+        "graph_coloring": _sql_coloring_msf(12, 8, 6),
+        "min_spanning_forest": _sql_msf(8, 6),
+        "cms_heavy_hitters": _sql_cms(50, 4, 64),
         "modularity": _sql_modularity(),
         "gnn_neighbor_sample": SQL_GRAPH_PREFIX + """
 SELECT src, dst AS nbr, CAST(rn AS BIGINT) AS pos FROM (

@@ -1,0 +1,111 @@
+"""Maximal matching — deterministic parallel greedy (locally-minimal edges).
+
+The edge-side sibling of Luby MIS (algos/mis.py): per round every alive
+edge whose priority is strictly minimal among ALL edges sharing either
+endpoint joins the matching; matched endpoints (and their incident
+edges) leave the alive set.  This is the classic O(log E)-round parallel
+greedy matching (Israeli & Itai 1986) in the reference's peel-loop shape
+(cf. /root/reference/plato/algo/kcore/kcore.hpp's iterate-to-fixpoint
+over a shrinking set).
+
+Edge priorities are DETERMINISTIC and totally ordered, so the fixpoint
+is unique and SQL-oracle-checkable: an edge's key is the lexicographic
+triple
+
+    (portable_h1('src:dst'), src, dst)
+
+— pseudorandom in the 56-bit hash (engine-portable md5 family), made
+unique by the canonical endpoint pair.  Both Spark and ANSI SQL order
+structs field-lexicographically, so min(struct(h, src, dst)) agrees
+across engines bit-for-bit.
+
+Per-round cost tracks the RESIDUAL edge set (matched stars removed each
+round), not the original graph; lineage is truncated per round with
+tracked checkpoints and superseded state freed eagerly
+(engine/ckpt_blocks), the same discipline as mis/ktruss.  A round is one
+shuffle (incidence groupBy) + one semi-join — no windows, no driver-side
+data beyond the O(1) convergence counter.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from plato_spark.engine.ckpt_blocks import checkpoint_tracked, free_blocks
+from plato_spark.functions.text import portable_h1
+
+__all__ = ["maximal_matching"]
+
+
+def _keyed(edges: DataFrame) -> DataFrame:
+    """Attach the unique priority triple to canonical (src<dst) edges."""
+    return edges.select(
+        "src",
+        "dst",
+        F.struct(
+            portable_h1(
+                F.concat_ws(":", F.col("src").cast("string"),
+                            F.col("dst").cast("string"))
+            ).alias("h"),
+            F.col("src").alias("s"),
+            F.col("dst").alias("d"),
+        ).alias("k"),
+    )
+
+
+def maximal_matching(
+    edges_canon: DataFrame, max_iters: int = 64, metrics: list | None = None
+) -> DataFrame:
+    """(src, dst, match_round) — the unique hash-priority maximal matching
+    of the canonical edge table ``edges_canon`` (src < dst, deduped).
+    ``match_round`` is the 0-based round at which the edge was picked.
+    """
+    spark = edges_canon.sparkSession
+    live, live_ids = checkpoint_tracked(_keyed(edges_canon))
+    parts: list[DataFrame] = []
+    part_ids: set[int] = set()  # picked-edge blocks; freed after final union
+    for rnd in range(max_iters):
+        n_live = live.count()
+        if metrics is not None:
+            metrics.append({"round": rnd, "alive_edges": n_live})
+        if n_live == 0:
+            break
+        # min incident key per vertex (each edge votes at both endpoints)
+        inc = live.select(F.col("src").alias("id"), "k").unionByName(
+            live.select(F.col("dst").alias("id"), "k")
+        )
+        mv = inc.groupBy("id").agg(F.min("k").alias("mk"))
+        picked = (
+            live.join(mv.select(F.col("id").alias("src"),
+                                F.col("mk").alias("mks")), "src")
+            .join(mv.select(F.col("id").alias("dst"),
+                            F.col("mk").alias("mkd")), "dst")
+            .where((F.col("k") == F.col("mks")) & (F.col("k") == F.col("mkd")))
+            .select("src", "dst")
+        )
+        picked, picked_ids = checkpoint_tracked(picked)
+        parts.append(picked.select(
+            "src", "dst", F.lit(rnd).cast("int").alias("match_round")
+        ))
+        matched = picked.select(F.col("src").alias("id")).unionByName(
+            picked.select(F.col("dst").alias("id"))
+        ).distinct()
+        nxt = (
+            live.join(matched.withColumnRenamed("id", "src"), "src", "left_anti")
+            .join(matched.withColumnRenamed("id", "dst"), "dst", "left_anti")
+            .select("src", "dst", "k")
+        )
+        nxt, nxt_ids = checkpoint_tracked(nxt)
+        free_blocks(spark, live_ids)
+        live, live_ids = nxt, nxt_ids
+        part_ids |= set(picked_ids)
+    free_blocks(spark, live_ids)
+    if not parts:
+        return spark.createDataFrame([], "src long, dst long, match_round int")
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    out, _ = checkpoint_tracked(out)
+    free_blocks(spark, part_ids)
+    return out

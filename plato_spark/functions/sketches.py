@@ -1,0 +1,114 @@
+"""Count-min sketch over corpus tokens — sketch build + heavy hitters.
+
+Cormode & Muthukrishnan 2005 ("An Improved Data Stream Summary: The
+Count-Min Sketch and its Applications").  Complements the engine's
+HyperLogLog family (algos/hll_portable.py — distinct counting) with the
+other workhorse streaming sketch: frequency estimation, overestimating
+by at most eps*N with probability 1-delta (d rows of w counters:
+eps = e/w, delta = e^-d).
+
+Everything is DETERMINISTIC and engine-portable:
+
+  * row hashes come from the portable md5 family
+    (functions/text.portable_h1): h_r(tok) = h1(str(r) || ':' || tok)
+    mod w — independent-enough rows via the salt, identical in ANSI SQL;
+  * the sketch build shuffles ONLY the d*w counter cells (d=4, w=512 →
+    2048 rows), never the token stream: the groupBy(r, b) is map-side
+    combined, so each task emits at most d*w partial cells no matter how
+    many tokens it saw.  That is the whole point at 100 TB — the full
+    token groupBy that exact counting needs is replaced by a
+    constant-size aggregation;
+  * heavy-hitter probing broadcasts the 2048-cell sketch and evaluates
+    the d probes JVM-side per candidate token.
+
+Tokens follow the corpus-wide TOKEN_RE definition (functions/text.py),
+the same tokens as vocabulary/tf-idf, so estimates line up with the
+exact vocabulary query for audit.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from plato_spark.functions.text import TOKEN_RE, portable_h1
+
+__all__ = ["cms_sketch", "cms_heavy_hitters"]
+
+
+def _bucket(tok_col, r: int, width: int):
+    return F.pmod(
+        portable_h1(F.concat_ws(":", F.lit(str(r)), tok_col)), F.lit(width)
+    ).cast("int")
+
+
+def cms_sketch(
+    docs: DataFrame, depth: int = 4, width: int = 512, text_col: str = "text"
+) -> DataFrame:
+    """(r, b, cnt) — the d x w count-min sketch of the corpus token
+    stream.  One pass; the shuffle carries at most depth*width cells per
+    map task (map-side combine), never the tokens."""
+    toks = docs.select(
+        F.explode(
+            F.regexp_extract_all(F.col(text_col), F.lit(TOKEN_RE), F.lit(0))
+        ).alias("token")
+    )
+    cells = toks.select(
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(r).cast("int").alias("r"),
+                    _bucket(F.col("token"), r, width).alias("b"),
+                )
+                for r in range(depth)
+            ])
+        ).alias("c")
+    ).select("c.r", "c.b")
+    return cells.groupBy("r", "b").agg(F.count("*").cast("long").alias("cnt"))
+
+
+def cms_heavy_hitters(
+    docs: DataFrame,
+    threshold: int,
+    depth: int = 4,
+    width: int = 512,
+    text_col: str = "text",
+) -> DataFrame:
+    """(token, est_count) for every distinct token whose count-min
+    ESTIMATE (min over the d probed cells) reaches ``threshold``.
+
+    The estimate never undercounts, so recall of true heavy hitters is
+    perfect; collisions can only promote a few extra tokens (bounded by
+    the sketch error eps*N).  Candidates here are the corpus's distinct
+    tokens; in a streaming deployment the candidate set is the arriving
+    keys and the broadcast sketch answers point queries without any
+    token-keyed shuffle.
+    """
+    sketch = cms_sketch(docs, depth=depth, width=width, text_col=text_col)
+    cand = (
+        docs.select(
+            F.explode(
+                F.regexp_extract_all(
+                    F.col(text_col), F.lit(TOKEN_RE), F.lit(0)
+                )
+            ).alias("token")
+        )
+        .distinct()
+    )
+    probes = [
+        cand.join(
+            F.broadcast(
+                sketch.where(F.col("r") == r).select("b", "cnt")
+            ),
+            _bucket(F.col("token"), r, width) == F.col("b"),
+        ).select("token", "cnt")
+        for r in range(depth)
+    ]
+    allp = reduce(lambda a, b: a.unionByName(b), probes)
+    return (
+        allp.groupBy("token")
+        .agg(F.min("cnt").alias("est_count"))
+        .where(F.col("est_count") >= threshold)
+    )

@@ -1,0 +1,80 @@
+"""Count-min sketch — exact mirror + overestimate property."""
+
+import hashlib
+import re
+
+from plato_spark.functions.sketches import cms_heavy_hitters, cms_sketch
+
+TOKEN_RE = re.compile(r"[A-Za-z0-9_]+")
+
+
+def _h(r, tok, width):
+    return int(
+        hashlib.md5(f"{r}:{tok}".encode()).hexdigest()[:14], 16
+    ) % width
+
+
+def _py_cms(texts, depth, width):
+    sketch = {}
+    for t in texts:
+        for tok in TOKEN_RE.findall(t):
+            for r in range(depth):
+                k = (r, _h(r, tok, width))
+                sketch[k] = sketch.get(k, 0) + 1
+    return sketch
+
+
+def _py_est(texts, depth, width):
+    sketch = _py_cms(texts, depth, width)
+    toks = {t for x in texts for t in TOKEN_RE.findall(x)}
+    return {
+        tok: min(sketch[(r, _h(r, tok, width))] for r in range(depth))
+        for tok in toks
+    }
+
+
+TEXTS = [
+    "apple banana apple cherry",
+    "banana apple date egg fig",
+    "apple apple banana grape",
+    "zebra " * 10,
+]
+
+
+def _docs(spark, texts=TEXTS):
+    return spark.createDataFrame([(i, t) for i, t in enumerate(texts)],
+                                 "doc_id long, text string")
+
+
+def test_cms_sketch_mirrors_python(spark):
+    got = {
+        (r["r"], r["b"]): r["cnt"]
+        for r in cms_sketch(_docs(spark), depth=3, width=8).collect()
+    }
+    assert got == _py_cms(TEXTS, 3, 8)
+
+
+def test_cms_estimates_and_threshold(spark):
+    est = _py_est(TEXTS, 3, 8)
+    got = {
+        r["token"]: r["est_count"]
+        for r in cms_heavy_hitters(_docs(spark), threshold=4,
+                                   depth=3, width=8).collect()
+    }
+    assert got == {t: e for t, e in est.items() if e >= 4}
+
+
+def test_cms_never_undercounts(spark):
+    exact = {}
+    for t in TEXTS:
+        for tok in TOKEN_RE.findall(t):
+            exact[tok] = exact.get(tok, 0) + 1
+    # tiny width forces collisions; estimates must still dominate
+    got = {
+        r["token"]: r["est_count"]
+        for r in cms_heavy_hitters(_docs(spark), threshold=1,
+                                   depth=2, width=4).collect()
+    }
+    assert set(got) == set(exact)
+    for tok, e in got.items():
+        assert e >= exact[tok]
