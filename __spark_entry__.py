@@ -1289,6 +1289,74 @@ def _sql_msf(rounds: int = 8, jumps: int = 6) -> str:
     )
 
 
+def _sql_pq_ann(m: int = 4, k_c: int = 16, iters: int = 2,
+                dim: int = 64, k: int = 5) -> str:
+    """Mirror of functions/pq.pq_ann: per-subspace L2 k-means (seeds =
+    smallest ids, means 6dp), nearest-codeword assignment by 9dp-rounded
+    squared L2 (polarization identity over the same dot products as the
+    cosine family), integer-nanodistance ADC sums (order-independent),
+    rank (nano ASC, nbr ASC)."""
+    def sd9(x, y):
+        return (f"round(list_dot_product({x}, {x}) "
+                f"+ list_dot_product({y}, {y}) "
+                f"- 2 * list_dot_product({x}, {y}), 9)")
+
+    ds = dim // m
+    ctes = []
+    pair_sels = []
+    for s in range(m):
+        lo, hi = s * ds + 1, (s + 1) * ds
+        ctes.append(f"vs{s} AS MATERIALIZED "
+                    f"(SELECT id, vec[{lo}:{hi}] AS vec FROM v)")
+        ctes.append(f"""s{s}c0 AS MATERIALIZED (
+  SELECT row_number() OVER (ORDER BY id) - 1 AS cluster, vec AS cvec
+  FROM vs{s} ORDER BY id LIMIT {k_c})""")
+
+        def assign(name, cent):
+            return f"""{name} AS MATERIALIZED (
+  SELECT id, vec, cluster FROM (
+    SELECT t.id, t.vec, c.cluster,
+           row_number() OVER (PARTITION BY t.id
+                              ORDER BY {sd9('t.vec', 'c.cvec')} ASC,
+                                       c.cluster ASC) AS rn
+    FROM vs{s} t CROSS JOIN {cent} c) z WHERE rn = 1)"""
+
+        for r in range(iters):
+            ctes.append(assign(f"s{s}a{r}", f"s{s}c{r}"))
+            ctes.append(f"""s{s}m{r} AS MATERIALIZED (
+  SELECT cluster, pos, round(avg(vec[pos]), 6) AS mm
+  FROM s{s}a{r} CROSS JOIN (SELECT unnest(range(1, {ds + 1})) AS pos) p
+  GROUP BY cluster, pos),
+s{s}v{r} AS MATERIALIZED (
+  SELECT cluster, list(mm ORDER BY pos) AS cvec FROM s{s}m{r}
+  GROUP BY cluster),
+s{s}c{r + 1} AS MATERIALIZED (
+  SELECT c.cluster, COALESCE(mv.cvec, c.cvec) AS cvec
+  FROM s{s}c{r} c LEFT JOIN s{s}v{r} mv ON c.cluster = mv.cluster)""")
+        ctes.append(assign(f"s{s}x", f"s{s}c{iters}"))
+        ctes.append(f"""s{s}dt AS MATERIALIZED (
+  SELECT q.id AS qid, c.cluster,
+         CAST(round({sd9('q.vec', 'c.cvec')} * 1e9, 0) AS BIGINT) AS nano
+  FROM vs{s} q CROSS JOIN s{s}c{iters} c)""")
+        pair_sels.append(
+            f"SELECT dt.qid, x.id AS nbr_id, dt.nano "
+            f"FROM s{s}dt dt JOIN s{s}x x ON dt.cluster = x.cluster"
+        )
+    ctes.append("pairs AS MATERIALIZED (\n  "
+                + "\n  UNION ALL ".join(pair_sels) + ")")
+    ctes.append("""adc AS MATERIALIZED (
+  SELECT qid AS query_id, nbr_id, CAST(sum(nano) AS BIGINT) AS nano
+  FROM pairs WHERE qid != nbr_id GROUP BY qid, nbr_id)""")
+    return EMB_SQL_PREFIX + ", " + ",\n".join(ctes) + f"""
+SELECT query_id, nbr_id, round(nano / 1e9, 6) AS adc,
+       CAST(rn AS INT) AS "rank"
+FROM (SELECT query_id, nbr_id, nano,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY nano ASC, nbr_id ASC) AS rn
+      FROM adc) t
+WHERE rn <= {k}"""
+
+
 def _sql_cms(threshold: int = 50, depth: int = 4, width: int = 64) -> str:
     """Mirror of functions/sketches.cms_heavy_hitters: identical d x w
     count-min sketch (portable md5 row hashes, salt 'r:token'), identical
@@ -2186,6 +2254,42 @@ def q_matching(spark, sf_dir):
     return maximal_matching(part_cooccurrence_edges(spark, sf_dir))
 
 
+def q_pq_ann(spark, sf_dir):
+    """Product-quantization ANN (functions/pq): m=4 x 16-dim subspaces,
+    16 codewords each, integer-nano ADC top-5 per vector."""
+    from plato_spark.functions.pq import pq_ann
+
+    return pq_ann(load_table(spark, sf_dir, "embeddings"),
+                  m=4, k_c=16, lloyd_iters=2, k=5)
+
+
+def q_copurchase(spark, sf_dir):
+    """Item-to-item collaborative filtering: top-5 cosine co-purchase
+    recommendations per part over the customer x part incidence
+    (functions/recommend; basket cap 256)."""
+    from plato_spark.functions.recommend import co_purchase_topk
+
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    inc = orders.join(
+        li, orders["o_orderkey"] == li["l_orderkey"]
+    ).select(
+        F.col("o_custkey").alias("user"), F.col("l_partkey").alias("item")
+    )
+    out = co_purchase_topk(inc, k=5, max_basket=256)
+    return out.withColumn("score", F.round("score", 6))
+
+
+def q_knn_graph(spark, sf_dir):
+    """kNN sparsification of the weighted co-occurrence graph: each
+    vertex keeps its 10 strongest edges (weight DESC, dst ASC)
+    (functions/recommend.knn_graph)."""
+    from plato_spark.functions.recommend import knn_graph
+
+    return knn_graph(part_cooccurrence_edges(spark, sf_dir, weighted=True),
+                     k=10)
+
+
 def q_cms_heavy_hitters(spark, sf_dir):
     """Count-min-sketch heavy hitters over corpus tokens
     (functions/sketches; d=4 x w=64 portable-hash sketch) —
@@ -2606,6 +2710,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_coloring": q_coloring,
         "min_spanning_forest": q_msf,
         "cms_heavy_hitters": q_cms_heavy_hitters,
+        "copurchase_topk": q_copurchase,
+        "knn_graph": q_knn_graph,
+        "pq_ann": q_pq_ann,
         # -- new in r3 (this session) --
         "topo_levels": q_topo_levels,
         "dedup_incremental": q_dedup_incremental,
@@ -2779,6 +2886,37 @@ def oracle_sql() -> dict[str, str]:
         "graph_coloring": _sql_coloring_msf(12, 8, 6),
         "min_spanning_forest": _sql_msf(8, 6),
         "cms_heavy_hitters": _sql_cms(50, 4, 64),
+        "copurchase_topk": """
+WITH inc AS MATERIALIZED (
+  SELECT DISTINCT o.o_custkey AS u, l.l_partkey AS i
+  FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey),
+ok AS (SELECT u FROM inc GROUP BY u HAVING count(*) <= 256),
+inc2 AS MATERIALIZED (SELECT i.u, i.i FROM inc i JOIN ok ON i.u = ok.u),
+deg AS MATERIALIZED (
+  SELECT i, CAST(count(*) AS BIGINT) AS d FROM inc2 GROUP BY i),
+co AS MATERIALIZED (
+  SELECT a.i AS x, b.i AS y, CAST(count(*) AS BIGINT) AS co
+  FROM inc2 a JOIN inc2 b ON a.u = b.u AND a.i < b.i GROUP BY a.i, b.i),
+bo AS (SELECT x, y, co FROM co
+       UNION ALL SELECT y AS x, x AS y, co FROM co),
+s AS (SELECT bo.x AS item, bo.y AS rec, bo.co / sqrt(dx.d * dy.d) AS score
+      FROM bo JOIN deg dx ON bo.x = dx.i JOIN deg dy ON bo.y = dy.i),
+r AS (SELECT item, rec, score,
+             CAST(row_number() OVER (
+               PARTITION BY item ORDER BY score DESC, rec ASC)
+             AS INTEGER) AS rank
+      FROM s)
+SELECT item, rec, round(score, 6) AS score, rank FROM r WHERE rank <= 5
+ORDER BY item, rank""",
+        "pq_ann": _sql_pq_ann(4, 16, 2, 64, 5),
+        "knn_graph": SQL_GRAPH_PREFIX + """
+SELECT src, dst, weight, rank FROM (
+  SELECT src, dst, weight,
+         CAST(row_number() OVER (
+           PARTITION BY src ORDER BY weight DESC, dst ASC)
+         AS INTEGER) AS rank
+  FROM edges) r
+WHERE rank <= 10 ORDER BY src, rank""",
         "modularity": _sql_modularity(),
         "gnn_neighbor_sample": SQL_GRAPH_PREFIX + """
 SELECT src, dst AS nbr, CAST(rn AS BIGINT) AS pos FROM (

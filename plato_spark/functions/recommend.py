@@ -1,0 +1,115 @@
+"""Item-item co-occurrence recommendation + top-k graph sparsification.
+
+The classic "customers who bought X also bought Y" batch job (Linden et
+al. 2003, "Amazon.com Recommendations: Item-to-Item Collaborative
+Filtering") — the workload shape of the reference's spread/mutual
+examples (/root/reference/example/spread.cc: relation graph x behaviour
+payload; mutual.cc: common-neighbor machinery) applied to a user x item
+incidence:
+
+    cosine(u, v) = |U(u) ∩ U(v)| / sqrt(|U(u)| * |U(v)|)
+
+computed exactly from co-occurrence pair counts (one wedge self-join on
+the user key + map-side-combined groupBy — the same single-shuffle shape
+as the corpus extractor), then top-k per item under the deterministic
+total order (score DESC, neighbor ASC), so results are unique and
+SQL-oracle-checkable (cosine is one IEEE sqrt + divide, bit-identical
+across engines).
+
+Scale notes (100 TB):
+
+  * power users are quadratic poison AND statistical noise — a basket
+    cap (default 256, the corpus extractor's clique-guard precedent,
+    corpus/extract.py) drops users above it BEFORE the self-join, making
+    per-user wedge work O(cap^2); the cap is part of the contract and
+    mirrored by the oracle;
+  * the top-k window partitions by item — partition-local sort bounded
+    by the item's candidate count, no global sort exchange;
+  * `topk_per_key` is also exposed as a graph sparsifier (keep each
+    vertex's k strongest edges), the standard kNN-graph preprocessing
+    for LPA/Louvain on dense similarity graphs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+__all__ = ["topk_per_key", "co_purchase_topk", "knn_graph"]
+
+
+def topk_per_key(
+    df: DataFrame, key: str, order_exprs: list, k: int, rank_col: str = "rank"
+) -> DataFrame:
+    """Top-``k`` rows per ``key`` under the given deterministic order
+    (pass a TOTAL order — include a unique tie-break column).  The sort
+    is partition-local per key (no global exchange)."""
+    w = Window.partitionBy(key).orderBy(*order_exprs)
+    return (
+        df.withColumn(rank_col, F.row_number().over(w))
+        .where(F.col(rank_col) <= k)
+    )
+
+
+def co_purchase_topk(
+    inc: DataFrame,
+    user: str = "user",
+    item: str = "item",
+    k: int = 5,
+    max_basket: int = 256,
+) -> DataFrame:
+    """(item, rec, score, rank) — for every item, the ``k`` most
+    cosine-similar items by co-purchase, ties broken by neighbor id.
+
+    ``inc`` is a (user, item) incidence table (deduped internally).
+    Users with more than ``max_basket`` distinct items are dropped
+    entirely (quadratic guard; see module docstring).
+    """
+    inc = inc.select(F.col(user).alias("u"), F.col(item).alias("i")).distinct()
+    ok_users = (
+        inc.groupBy("u").agg(F.count("*").alias("basket"))
+        .where(F.col("basket") <= max_basket)
+        .select("u")
+    )
+    inc = inc.join(ok_users, "u", "left_semi")
+    deg = inc.groupBy("i").agg(F.count("*").cast("long").alias("d"))
+    a = inc.select("u", F.col("i").alias("x"))
+    b = inc.select("u", F.col("i").alias("y"))
+    co = (
+        a.join(b, "u")
+        .where(F.col("x") < F.col("y"))
+        .groupBy("x", "y")
+        .agg(F.count("*").cast("long").alias("co"))
+    )
+    both = co.unionByName(
+        co.select(F.col("y").alias("x"), F.col("x").alias("y"), "co")
+    )
+    scored = (
+        both.join(deg.select(F.col("i").alias("x"), F.col("d").alias("dx")), "x")
+        .join(deg.select(F.col("i").alias("y"), F.col("d").alias("dy")), "y")
+        .select(
+            F.col("x").alias("item"),
+            F.col("y").alias("rec"),
+            (F.col("co") / F.sqrt(F.col("dx") * F.col("dy"))).alias("score"),
+        )
+    )
+    return topk_per_key(
+        scored, "item", [F.col("score").desc(), F.col("rec").asc()], k
+    )
+
+
+def knn_graph(
+    edges_canon_weighted: DataFrame, k: int = 10
+) -> DataFrame:
+    """(src, dst, weight, rank) — keep each vertex's ``k`` strongest
+    incident edges (weight DESC, neighbor ASC).  Input is canonical
+    (src < dst); both directions are ranked, so an edge survives in the
+    direction(s) where it makes the cut — union-of-kNN semantics."""
+    sym = edges_canon_weighted.select("src", "dst", "weight").unionByName(
+        edges_canon_weighted.select(
+            F.col("dst").alias("src"), F.col("src").alias("dst"), "weight"
+        )
+    )
+    return topk_per_key(
+        sym, "src", [F.col("weight").desc(), F.col("dst").asc()], k
+    )
