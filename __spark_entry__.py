@@ -2254,6 +2254,67 @@ def q_matching(spark, sf_dir):
     return maximal_matching(part_cooccurrence_edges(spark, sf_dir))
 
 
+def q_price_quantiles(spark, sf_dir):
+    """Histogram-interpolated quantiles (p50/p90/p99) of
+    l_extendedprice — 256 fixed-width bins, no sort
+    (functions/quantiles)."""
+    from plato_spark.functions.quantiles import histogram_quantiles
+
+    return histogram_quantiles(
+        load_table(spark, sf_dir, "lineitem"), "l_extendedprice",
+        quantiles=(0.5, 0.9, 0.99), nbins=256,
+    )
+
+
+def q_funnel(spark, sf_dir):
+    """view -> click -> purchase funnel over the event stream: users
+    reaching each step in strict timestamp order (functions/events)."""
+    from plato_spark.functions.events import funnel_counts
+
+    return funnel_counts(
+        load_table(spark, sf_dir, "events"), ["view", "click", "purchase"]
+    )
+
+
+def q_cms_incremental(spark, sf_dir):
+    """Streaming count-min sketch (streaming/cms_stream): the corpus
+    arrives as three micro-batches folded cell-wise into a persisted
+    versioned sketch with epoch-tagged exactly-once commits; cell
+    addition is a commutative monoid, so the folded sketch — and hence
+    the heavy-hitter read-out — equals the batch CMS verbatim (same
+    oracle as cms_heavy_hitters)."""
+    import shutil
+    import tempfile
+
+    from plato_spark.functions.sketches import cms_probe
+    from plato_spark.functions.text import TOKEN_RE
+    from plato_spark.streaming.cms_stream import (
+        merge_cms_batch,
+        read_cms_state,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").persist()
+    sd = tempfile.mkdtemp(prefix="plato_inccms_")
+    try:
+        for i in range(3):
+            merge_cms_batch(
+                docs.where(F.pmod(F.xxhash64("doc_id"), F.lit(3)) == i),
+                sd, epoch_id=i, depth=4, width=64,
+            )
+        cand = docs.select(
+            F.explode(
+                F.regexp_extract_all(F.col("text"), F.lit(TOKEN_RE), F.lit(0))
+            ).alias("token")
+        ).distinct()
+        out = cms_probe(
+            read_cms_state(spark, sd), cand, threshold=50, depth=4, width=64
+        ).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(sd, ignore_errors=True)
+        docs.unpersist()
+    return out
+
+
 def q_pq_ann(spark, sf_dir):
     """Product-quantization ANN (functions/pq): m=4 x 16-dim subspaces,
     16 codewords each, integer-nano ADC top-5 per vector."""
@@ -2713,6 +2774,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "copurchase_topk": q_copurchase,
         "knn_graph": q_knn_graph,
         "pq_ann": q_pq_ann,
+        "cms_incremental": q_cms_incremental,
+        "price_quantiles": q_price_quantiles,
+        "event_funnel": q_funnel,
         # -- new in r3 (this session) --
         "topo_levels": q_topo_levels,
         "dedup_incremental": q_dedup_incremental,
@@ -2909,6 +2973,60 @@ r AS (SELECT item, rec, score,
 SELECT item, rec, round(score, 6) AS score, rank FROM r WHERE rank <= 5
 ORDER BY item, rank""",
         "pq_ann": _sql_pq_ann(4, 16, 2, 64, 5),
+        # streaming CMS folds to exactly the batch sketch (cell monoid)
+        "cms_incremental": _sql_cms(50, 4, 64),
+        "price_quantiles": """
+WITH s AS MATERIALIZED (
+  SELECT min(CAST(l_extendedprice AS DOUBLE)) AS lo,
+         max(CAST(l_extendedprice AS DOUBLE)) AS hi,
+         CAST(count(*) AS BIGINT) AS n
+  FROM lineitem),
+p AS MATERIALIZED (
+  SELECT lo, hi, n, (hi - lo) / 256 AS w,
+         CASE WHEN (hi - lo) / 256 = 0 THEN 1.0
+              ELSE (hi - lo) / 256 END AS ws
+  FROM s),
+hist AS MATERIALIZED (
+  SELECT least(CAST(floor((CAST(l.l_extendedprice AS DOUBLE) - p.lo) / p.ws)
+               AS INTEGER), 255) AS bin,
+         CAST(count(*) AS BIGINT) AS cnt
+  FROM lineitem l, p GROUP BY 1),
+cum AS MATERIALIZED (
+  SELECT bin, cnt,
+         sum(cnt) OVER (ORDER BY bin
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS cum
+  FROM hist),
+qs AS (SELECT CAST(unnest([0.5, 0.9, 0.99]) AS DOUBLE) AS q),
+ranks AS (
+  SELECT q, CAST(greatest(ceil(q * (SELECT CAST(n AS DOUBLE) FROM p)), 1)
+            AS BIGINT) AS r
+  FROM qs),
+pick AS (
+  SELECT q, r, bin, cnt, cum FROM (
+    SELECT ranks.q, ranks.r, cum.bin, cum.cnt, cum.cum,
+           row_number() OVER (PARTITION BY ranks.q ORDER BY cum.bin) AS rn
+    FROM ranks JOIN cum ON cum.cum >= ranks.r) t
+  WHERE rn = 1)
+SELECT q, round(p.lo + p.w * (bin + CAST(r - (cum - cnt) AS DOUBLE) / cnt), 6)
+         AS value
+FROM pick, p ORDER BY q""",
+        "event_funnel": """
+WITH u1 AS MATERIALIZED (
+  SELECT user_id AS u, min(ts) AS a FROM events
+  WHERE event_type = 'view' GROUP BY user_id),
+u2 AS MATERIALIZED (
+  SELECT e.user_id AS u, min(e.ts) AS a FROM events e
+  JOIN u1 ON e.user_id = u1.u
+  WHERE e.event_type = 'click' AND e.ts > u1.a GROUP BY e.user_id),
+u3 AS MATERIALIZED (
+  SELECT e.user_id AS u, min(e.ts) AS a FROM events e
+  JOIN u2 ON e.user_id = u2.u
+  WHERE e.event_type = 'purchase' AND e.ts > u2.a GROUP BY e.user_id)
+SELECT CAST(1 AS INTEGER) AS step, 'view' AS event_type,
+       (SELECT CAST(count(*) AS BIGINT) FROM u1) AS users
+UNION ALL SELECT 2, 'click', (SELECT count(*) FROM u2)
+UNION ALL SELECT 3, 'purchase', (SELECT count(*) FROM u3)""",
         "knn_graph": SQL_GRAPH_PREFIX + """
 SELECT src, dst, weight, rank FROM (
   SELECT src, dst, weight,

@@ -1,0 +1,49 @@
+"""Event-stream funnel analysis — ordered multi-step conversion counts.
+
+The product-analytics staple: of the users who did step 1, how many
+later did step 2, and later still step 3?  "Later" is strict timestamp
+order (each step's anchor is the user's EARLIEST qualifying event after
+the previous step's anchor), which makes the funnel deterministic
+regardless of event arrival order and exactly expressible in SQL —
+no sessionization windows, no per-user sorting.
+
+Shape: one min-aggregation per step over a user-keyed semi-join chain.
+Each step's input shrinks to the users still in the funnel, so at
+100 TB the cost is |steps| hash aggregations keyed by user, each with
+map-side combine; no window functions, no per-user event arrays.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["funnel_counts"]
+
+
+def funnel_counts(
+    events: DataFrame,
+    steps: list,
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """(step, event_type, users) — users reaching each funnel step in
+    strict timestamp order.  ``steps`` is the ordered event-type list."""
+    spark = events.sparkSession
+    ev = events.select(
+        F.col(user_col).alias("u"), F.col(type_col).alias("t"),
+        F.col(ts_col).alias("ts"),
+    )
+    anchors = None  # (u, a): the user's anchor time after the last step
+    rows = []
+    for i, step in enumerate(steps):
+        cand = ev.where(F.col("t") == step)
+        if anchors is not None:
+            cand = cand.join(anchors, "u").where(F.col("ts") > F.col("a"))
+        anchors = cand.groupBy("u").agg(F.min("ts").alias("a"))
+        cnt = anchors.count()
+        rows.append((i + 1, step, cnt))
+    return spark.createDataFrame(
+        rows, "step int, event_type string, users long"
+    )

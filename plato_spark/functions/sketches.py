@@ -35,7 +35,7 @@ from pyspark.sql import functions as F
 
 from plato_spark.functions.text import TOKEN_RE, portable_h1
 
-__all__ = ["cms_sketch", "cms_heavy_hitters"]
+__all__ = ["cms_sketch", "cms_heavy_hitters", "cms_probe"]
 
 
 def _bucket(tok_col, r: int, width: int):
@@ -97,6 +97,19 @@ def cms_heavy_hitters(
         )
         .distinct()
     )
+    return cms_probe(sketch, cand, threshold, depth, width)
+
+
+def cms_probe(
+    sketch: DataFrame,
+    cand: DataFrame,
+    threshold: int,
+    depth: int = 4,
+    width: int = 512,
+) -> DataFrame:
+    """(token, est_count) — point-query a (pre-built or streamed) sketch
+    for every candidate token; keep estimates >= ``threshold``.  The
+    sketch broadcasts (d x w rows); candidates never shuffle."""
     probes = [
         cand.join(
             F.broadcast(

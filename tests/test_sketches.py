@@ -78,3 +78,62 @@ def test_cms_never_undercounts(spark):
     assert set(got) == set(exact)
     for tok, e in got.items():
         assert e >= exact[tok]
+
+
+# ---- streaming incremental CMS ----
+
+import os
+import shutil
+import tempfile
+
+from pyspark.sql import functions as F
+
+from plato_spark.streaming.cms_stream import (
+    merge_cms_batch,
+    read_cms_state,
+)
+
+
+def test_cms_stream_equals_batch(spark):
+    from plato_spark.functions.sketches import cms_sketch
+
+    docs = _docs(spark)
+    sd = tempfile.mkdtemp(prefix="cms_test_")
+    try:
+        for i in range(3):
+            merge_cms_batch(
+                docs.where(F.pmod(F.col("doc_id"), F.lit(3)) == i),
+                sd, epoch_id=i, depth=3, width=8,
+            )
+        folded = {(r["r"], r["b"]): r["cnt"]
+                  for r in read_cms_state(spark, sd).collect()}
+        batch = {(r["r"], r["b"]): r["cnt"]
+                 for r in cms_sketch(docs, depth=3, width=8).collect()}
+        assert folded == batch
+    finally:
+        shutil.rmtree(sd, ignore_errors=True)
+
+
+def test_cms_stream_replay_skipped_and_rollback_reapplies(spark):
+    docs = _docs(spark)
+    sd = tempfile.mkdtemp(prefix="cms_test_")
+    try:
+        b0 = docs.where(F.col("doc_id") == 0)
+        assert merge_cms_batch(b0, sd, epoch_id=0, depth=2, width=8)["applied"]
+        snap = {(r["r"], r["b"]): r["cnt"]
+                for r in read_cms_state(spark, sd).collect()}
+        # replaying the same epoch must be a no-op (counts not idempotent)
+        assert not merge_cms_batch(b0, sd, epoch_id=0,
+                                   depth=2, width=8)["applied"]
+        assert snap == {(r["r"], r["b"]): r["cnt"]
+                        for r in read_cms_state(spark, sd).collect()}
+        # crash simulation: roll the committed version back, then the
+        # replay must apply (exactly the missed fold, applied once)
+        vdirs = [d for d in os.listdir(sd) if d.startswith("v")]
+        for d in vdirs:
+            shutil.rmtree(os.path.join(sd, d))
+        assert merge_cms_batch(b0, sd, epoch_id=0, depth=2, width=8)["applied"]
+        assert snap == {(r["r"], r["b"]): r["cnt"]
+                        for r in read_cms_state(spark, sd).collect()}
+    finally:
+        shutil.rmtree(sd, ignore_errors=True)
