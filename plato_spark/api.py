@@ -224,3 +224,34 @@ class LinkGraph:
         from plato_spark.algos.neighbor_sample import neighbor_sample
 
         return neighbor_sample(self.edges.select("src", "dst"), k=k, **kw)
+
+    def maximal_independent_set(self, **kw) -> DataFrame:
+        from plato_spark.algos.mis import maximal_independent_set
+
+        return maximal_independent_set(self.sym.select("src", "dst"), **kw)
+
+    def maximal_matching(self, **kw) -> DataFrame:
+        from plato_spark.algos.matching import maximal_matching
+
+        return maximal_matching(self.edges.select("src", "dst"), **kw)
+
+    def minimum_spanning_forest(self, **kw) -> DataFrame:
+        from plato_spark.algos.msf import boruvka_msf
+
+        cols = self.edges.columns
+        e = (self.edges if "weight" in cols
+             else self.edges.select("src", "dst", F.lit(1.0).alias("weight")))
+        return boruvka_msf(e.select("src", "dst", "weight"), **kw)
+
+    def coloring(self, **kw) -> DataFrame:
+        from plato_spark.algos.coloring import jones_plassmann_coloring
+
+        return jones_plassmann_coloring(self.sym.select("src", "dst"), **kw)
+
+    def knn_sparsify(self, k: int = 10) -> DataFrame:
+        from plato_spark.functions.recommend import knn_graph
+
+        cols = self.edges.columns
+        e = (self.edges if "weight" in cols
+             else self.edges.select("src", "dst", F.lit(1.0).alias("weight")))
+        return knn_graph(e.select("src", "dst", "weight"), k=k)
