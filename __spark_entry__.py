@@ -1126,15 +1126,19 @@ e{k + 1} AS MATERIALIZED (
     return SQL_GRAPH_PREFIX + ", " + ",\n".join(ctes) + "\n" + sel + "\nORDER BY id"
 
 
-def _sql_matching(rounds: int = 8) -> str:
+def _sql_matching(rounds: int = 8, weighted: bool = False) -> str:
     """Mirror of algos/matching.maximal_matching: unrolled locally-minimal
     edge rounds with the unique priority triple (portable_h1('src:dst'),
-    src, dst); struct min/equality order field-lexicographically in both
-    engines.  ``rounds`` is pinned past the measured fixpoint — extra
-    rounds operate on an empty edge set and add no rows.
+    src, dst) — or (-weight, src, dst) for the locally-heaviest greedy
+    weighted variant; struct min/equality order field-lexicographically
+    in both engines.  ``rounds`` is pinned past the measured fixpoint —
+    extra rounds operate on an empty edge set and add no rows.
     """
-    h = ("CAST(('0x' || substr(md5(CAST(src AS VARCHAR) || ':' || "
-         "CAST(dst AS VARCHAR)), 1, 14)) AS BIGINT)")
+    h = (
+        "- weight" if weighted else
+        "CAST(('0x' || substr(md5(CAST(src AS VARCHAR) || ':' || "
+        "CAST(dst AS VARCHAR)), 1, 14)) AS BIGINT)"
+    )
     ctes = [f"l0 AS MATERIALIZED (SELECT src, dst, {h} AS h FROM canon)"]
     for k in range(rounds):
         ctes.append(f"""i{k} AS MATERIALIZED (
@@ -1355,6 +1359,127 @@ FROM (SELECT query_id, nbr_id, nano,
                                 ORDER BY nano ASC, nbr_id ASC) AS rn
       FROM adc) t
 WHERE rn <= {k}"""
+
+
+def _sql_salsa(iters: int = 5) -> str:
+    """Mirror of algos/salsa.salsa over the order x part incidence:
+    degree-normalized spread + in-plan L1 totals, exactly the HITS
+    oracle's shape with the bipartite degree division added."""
+    ctes = ["""binc AS MATERIALIZED (
+  SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+bld AS MATERIALIZED (SELECT o, count(*) AS dl FROM binc GROUP BY o),
+brd AS MATERIALIZED (SELECT p, count(*) AS dr FROM binc GROUP BY p),
+be AS MATERIALIZED (
+  SELECT i.o, i.p, bld.dl, brd.dr FROM binc i
+  JOIN bld ON i.o = bld.o JOIN brd ON i.p = brd.p),
+sh0 AS MATERIALIZED (SELECT o, CAST(1.0 AS DOUBLE) AS hub FROM bld)"""]
+    for k in range(1, iters + 1):
+        ctes.append(f"""sar{k} AS MATERIALIZED (
+  SELECT e.p, sum(h.hub / e.dl) AS s
+  FROM be e JOIN sh{k - 1} h ON e.o = h.o GROUP BY e.p),
+saa{k} AS MATERIALIZED (
+  SELECT p, s / (SELECT sum(s) FROM sar{k}) AS auth FROM sar{k}),
+shr{k} AS MATERIALIZED (
+  SELECT e.o, sum(a.auth / e.dr) AS s
+  FROM be e JOIN saa{k} a ON e.p = a.p GROUP BY e.o),
+sh{k} AS MATERIALIZED (
+  SELECT o, s / (SELECT sum(s) FROM shr{k}) AS hub FROM shr{k})""")
+    return "WITH " + ",\n".join(ctes) + f"""
+SELECT o AS id, 'hub' AS kind, round(hub, 6) AS score FROM sh{iters}
+UNION ALL
+SELECT p AS id, 'authority' AS kind, round(auth, 6) AS score FROM saa{iters}
+"""
+
+
+def _sql_densest(rounds: int = 12) -> str:
+    """Mirror of algos/densest.densest_subgraph: unrolled
+    2(1+1/8)-average-degree peel rounds, exact integer density compare
+    (cross-multiplication, earliest round wins ties), winning snapshot
+    selected by an unrolled best-round filter.  ``rounds`` pinned past
+    the measured fixpoint (empty rounds contribute m=0 rows that the
+    stats filter drops)."""
+    ctes = ["dl0 AS MATERIALIZED (SELECT src, dst FROM canon)"]
+    for k in range(rounds):
+        ctes.append(f"""dst{k} AS MATERIALIZED (
+  SELECT CAST(count(*) AS BIGINT) AS m FROM dl{k}),
+ddg{k} AS MATERIALIZED (
+  SELECT id, CAST(count(*) AS BIGINT) AS d FROM (
+    SELECT src AS id FROM dl{k}
+    UNION ALL SELECT dst AS id FROM dl{k}) s GROUP BY id),
+dsn{k} AS MATERIALIZED (
+  SELECT CAST(count(*) AS BIGINT) AS n FROM ddg{k}),
+dkp{k} AS MATERIALIZED (
+  SELECT id FROM ddg{k}
+  WHERE d * 4 * (SELECT n FROM dsn{k}) > 18 * (SELECT m FROM dst{k})),
+dl{k + 1} AS MATERIALIZED (
+  SELECT l.src, l.dst FROM dl{k} l
+  JOIN dkp{k} a ON l.src = a.id JOIN dkp{k} b ON l.dst = b.id)""")
+    stats = "\nUNION ALL ".join(
+        f"SELECT {k} AS r, (SELECT m FROM dst{k}) AS m, "
+        f"(SELECT n FROM dsn{k}) AS n"
+        for k in range(rounds)
+    )
+    ctes.append(f"dstats AS MATERIALIZED (SELECT * FROM ({stats}) x "
+                f"WHERE m > 0)")
+    ctes.append("""dbest AS MATERIALIZED (
+  SELECT r, m, n FROM dstats s
+  WHERE NOT EXISTS (
+    SELECT 1 FROM dstats s2
+    WHERE s2.m * s.n > s.m * s2.n
+       OR (s2.m * s.n = s.m * s2.n AND s2.r < s.r)))""")
+    sel = "\nUNION ALL\n".join(
+        f"SELECT g.id, CAST(b.r AS INTEGER) AS peel_round, "
+        f"b.m AS density_num, b.n AS density_den "
+        f"FROM dbest b JOIN ddg{k} g ON b.r = {k}"
+        for k in range(rounds)
+    )
+    return SQL_GRAPH_PREFIX + ", " + ",\n".join(ctes) + "\n" + sel
+
+
+def _sql_hll_groups() -> str:
+    """Mirror of functions/sketches.hll_group_cardinality over
+    events(event_type, user_id) — same register derivation as the
+    oracle-validated hyperanf family (hll_portable.sql_rho_cte)."""
+    from plato_spark.algos.hll_portable import (
+        M,
+        RHO_MAX,
+        sql_estimate_exprs,
+    )
+    from plato_spark.functions.text import PORTABLE_H1_SQL
+
+    h = PORTABLE_H1_SQL.format(s="CAST(user_id AS VARCHAR)")
+    s_expr, est = sql_estimate_exprs()
+    return f"""
+WITH eh AS MATERIALIZED (SELECT event_type, {h} AS h FROM events),
+er AS MATERIALIZED (
+  SELECT event_type, CAST(h % {M} AS INT) AS idx,
+         CASE WHEN (h >> 6) = 0 THEN {RHO_MAX}
+              ELSE {RHO_MAX} - length(bin(h >> 6)) END AS rho
+  FROM eh),
+regs AS MATERIALIZED (
+  SELECT event_type, idx, max(rho) AS mr FROM er GROUP BY event_type, idx),
+sv AS (SELECT event_type, {s_expr} AS s, {M} - count(*) AS vz
+       FROM regs GROUP BY event_type)
+SELECT event_type, round({est}, 4) AS est_distinct FROM sv
+ORDER BY event_type"""
+
+
+def _sql_motif_census() -> str:
+    """Mirror of algos/motifs.motif_census on the co-occurrence graph:
+    one codegree aggregation, exact integer divisions applied last."""
+    return SQL_GRAPH_PREFIX + """, cd AS MATERIALIZED (
+  SELECT a.dst AS u, b.dst AS v, CAST(count(*) AS BIGINT) AS w
+  FROM edges a JOIN edges b ON a.src = b.src AND a.dst < b.dst
+  GROUP BY a.dst, b.dst)
+SELECT
+  (SELECT CAST(count(*) AS BIGINT) FROM verts) AS n_vertices,
+  (SELECT CAST(count(*) AS BIGINT) FROM canon) AS n_edges,
+  (SELECT CAST(coalesce(sum(deg * (deg - 1) // 2), 0) AS BIGINT) FROM deg)
+    AS wedges,
+  (SELECT CAST(coalesce(sum(cd.w), 0) // 3 AS BIGINT)
+   FROM cd JOIN canon c ON cd.u = c.src AND cd.v = c.dst) AS triangles,
+  (SELECT CAST(coalesce(sum(w * (w - 1) // 2), 0) // 2 AS BIGINT) FROM cd)
+    AS four_cycles"""
 
 
 def _sql_cms(threshold: int = 50, depth: int = 4, width: int = 64) -> str:
@@ -2254,6 +2379,81 @@ def q_matching(spark, sf_dir):
     return maximal_matching(part_cooccurrence_edges(spark, sf_dir))
 
 
+def q_butterfly_vertices(spark, sf_dir):
+    """Per-part butterfly participation over the order x part incidence
+    (algos/butterflies.butterfly_per_vertex) — (id, butterflies)."""
+    from plato_spark.algos.butterflies import butterfly_per_vertex
+
+    inc = (
+        load_table(spark, sf_dir, "lineitem")
+        .select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p"))
+        .distinct()
+    )
+    return butterfly_per_vertex(inc, left="o", right="p", side="right")
+
+
+def q_rich_club(spark, sf_dir):
+    """Rich-club coefficients of the co-occurrence graph at k in
+    {4,8,16,32} (algos/motifs.rich_club) — exact counts + one rounded
+    division per k."""
+    from plato_spark.algos.motifs import rich_club
+
+    return rich_club(part_cooccurrence_edges(spark, sf_dir))
+
+
+def q_densest(spark, sf_dir):
+    """(2+eps)-approximate densest subgraph via logarithmic-round
+    average-degree peeling (Bahmani et al. PVLDB'12; algos/densest) —
+    winning snapshot's vertices + exact rational density."""
+    from plato_spark.algos.densest import densest_subgraph
+
+    return densest_subgraph(part_cooccurrence_edges(spark, sf_dir))
+
+
+def q_weighted_matching(spark, sf_dir):
+    """Locally-heaviest greedy weighted matching (Preis 1999 shape,
+    1/2-approximation; algos/matching with weight-first priority)."""
+    from plato_spark.algos.matching import maximal_matching
+
+    return maximal_matching(
+        part_cooccurrence_edges(spark, sf_dir, weighted=True),
+        weight_col="weight",
+    )
+
+
+def q_hll_user_cardinality(spark, sf_dir):
+    """Per-event-type distinct-user estimates via the portable
+    64-register HLL (functions/sketches.hll_group_cardinality) — the
+    GROUP BY COUNT(DISTINCT) replacement whose shuffle carries at most
+    |groups| x 64 register rows."""
+    from plato_spark.functions.sketches import hll_group_cardinality
+
+    return hll_group_cardinality(
+        load_table(spark, sf_dir, "events"), "event_type", "user_id"
+    )
+
+
+def q_salsa(spark, sf_dir):
+    """SALSA hub/authority scores over the order x part incidence
+    (algos/salsa; 5 L1-normalized degree-stochastic iterations)."""
+    from plato_spark.algos.salsa import salsa
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p")
+    )
+    return salsa(li, iters=5, left="o", right="p")
+
+
+def q_motif_census(spark, sf_dir):
+    """Exact motif census of the co-occurrence graph (algos/motifs):
+    one row (n_vertices, n_edges, wedges, triangles, four_cycles);
+    `triangles` cross-checks the independent orientation-based
+    triangle_count query."""
+    from plato_spark.algos.motifs import motif_census
+
+    return motif_census(part_cooccurrence_edges(spark, sf_dir))
+
+
 def q_price_quantiles(spark, sf_dir):
     """Histogram-interpolated quantiles (p50/p90/p99) of
     l_extendedprice — 256 fixed-width bins, no sort
@@ -2764,6 +2964,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # (never driver-proven, or rotated out after r1) are listed first so
     # round 3 produces a driver-green row for each; long-proven rows
     # (green in both r1+r2) sit at the tail and rotate back in next round.
+    # r3-late: 19 more queries joined the head — never-driver-proven rows
+    # now exceed one 50-row snapshot, so the overflow (tail of the
+    # "new in r3" block) rotates to the front in round 4; every row was
+    # value-matched through the gate replica at sf0.001 AND sf0.01
+    # regardless (tools/validate_oracles.py).
     return {
         # -- new in r3 (late session) --
         "maximal_matching": q_matching,
@@ -2777,6 +2982,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cms_incremental": q_cms_incremental,
         "price_quantiles": q_price_quantiles,
         "event_funnel": q_funnel,
+        "salsa": q_salsa,
+        "motif_census": q_motif_census,
+        "weighted_matching": q_weighted_matching,
+        "hll_user_cardinality": q_hll_user_cardinality,
+        "densest_subgraph": q_densest,
+        "butterfly_vertices": q_butterfly_vertices,
+        "rich_club": q_rich_club,
         # -- new in r3 (this session) --
         "topo_levels": q_topo_levels,
         "dedup_incremental": q_dedup_incremental,
@@ -2975,6 +3187,40 @@ ORDER BY item, rank""",
         "pq_ann": _sql_pq_ann(4, 16, 2, 64, 5),
         # streaming CMS folds to exactly the batch sketch (cell monoid)
         "cms_incremental": _sql_cms(50, 4, 64),
+        "salsa": _sql_salsa(5),
+        "motif_census": _sql_motif_census(),
+        # heaviest-first greedy: equal-weight chains resolve sequentially
+        # via the (src,dst) tie-break — measured fixpoint 31 rounds at
+        # sf0.01 (residual decays 116k->4.6k in 5 rounds, then ~10%/round)
+        "weighted_matching": _sql_matching(32, weighted=True),
+        "hll_user_cardinality": _sql_hll_groups(),
+        "densest_subgraph": _sql_densest(12),
+        "butterfly_vertices": """
+WITH inc AS MATERIALIZED (
+  SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+pw AS MATERIALIZED (
+  SELECT a.p AS u, b.p AS v, CAST(count(*) AS BIGINT) AS w
+  FROM inc a JOIN inc b ON a.o = b.o AND a.p < b.p
+  GROUP BY a.p, b.p HAVING count(*) >= 2),
+per AS (SELECT u AS id, w * (w - 1) // 2 AS b FROM pw
+        UNION ALL SELECT v AS id, w * (w - 1) // 2 AS b FROM pw)
+SELECT id, CAST(sum(b) AS BIGINT) AS butterflies FROM per GROUP BY id
+ORDER BY id""",
+        "rich_club": SQL_GRAPH_PREFIX + """
+SELECT CAST(k AS INTEGER) AS k,
+       (SELECT CAST(count(*) AS BIGINT) FROM deg WHERE deg > k) AS n_rich,
+       (SELECT CAST(count(*) AS BIGINT) FROM canon c
+        JOIN deg a ON c.src = a.id JOIN deg b ON c.dst = b.id
+        WHERE a.deg > k AND b.deg > k) AS e_rich,
+       CASE WHEN (SELECT count(*) FROM deg WHERE deg > k) >= 2
+            THEN round(
+              2.0 * (SELECT count(*) FROM canon c
+                     JOIN deg a ON c.src = a.id JOIN deg b ON c.dst = b.id
+                     WHERE a.deg > k AND b.deg > k)
+              / ((SELECT count(*) FROM deg WHERE deg > k)
+                 * ((SELECT count(*) FROM deg WHERE deg > k) - 1)), 6)
+            ELSE 0.0 END AS phi
+FROM (SELECT unnest([4, 8, 16, 32]) AS k) ks ORDER BY k""",
         "price_quantiles": """
 WITH s AS MATERIALIZED (
   SELECT min(CAST(l_extendedprice AS DOUBLE)) AS lo,

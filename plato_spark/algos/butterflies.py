@@ -93,3 +93,36 @@ def butterfly_stats(inc: DataFrame, left: str = "left", right: str = "right") ->
         "n_left long, n_right long, n_edges long, "
         "wedges_left long, wedges_right long, butterflies long",
     )
+
+
+def butterfly_per_vertex(
+    inc: DataFrame, left: str = "left", right: str = "right",
+    side: str = "right",
+) -> DataFrame:
+    """(id, butterflies) — per-vertex butterfly participation on the
+    chosen side (how many 2x2 bicliques each vertex corners), the
+    vertex-local cohesion measure behind bipartite clustering
+    coefficients.  b(u) = sum over partners v of C(w(u,v), 2) where w is
+    the pair support; vertices in no butterfly are omitted.  One wedge
+    join + two map-side-combined aggregations; exact int64."""
+    a, b = ("r", "r") if side == "right" else ("l", "l")
+    c = "l" if side == "right" else "r"
+    inc = inc.select(F.col(left).alias("l"), F.col(right).alias("r"))
+    x = inc.select(F.col(c).alias("c"), F.col(a).alias("u"))
+    y = inc.select(F.col(c).alias("c"), F.col(b).alias("v"))
+    pair_w = (
+        x.join(y, "c")
+        .where(F.col("u") < F.col("v"))
+        .groupBy("u", "v")
+        .agg(F.count("*").alias("w"))
+        .where(F.col("w") >= 2)
+    )
+    per = pair_w.select(
+        F.col("u").alias("id"), F.expr("w * (w - 1) div 2").alias("b")
+    ).unionByName(
+        pair_w.select(F.col("v").alias("id"),
+                      F.expr("w * (w - 1) div 2").alias("b"))
+    )
+    return per.groupBy("id").agg(
+        F.sum("b").cast("long").alias("butterflies")
+    )

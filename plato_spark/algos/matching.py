@@ -38,16 +38,26 @@ from plato_spark.functions.text import portable_h1
 __all__ = ["maximal_matching"]
 
 
-def _keyed(edges: DataFrame) -> DataFrame:
-    """Attach the unique priority triple to canonical (src<dst) edges."""
+def _keyed(edges: DataFrame, weight_col: str | None = None) -> DataFrame:
+    """Attach the unique priority triple to canonical (src<dst) edges.
+
+    Default: pseudorandom hash first (uniform greedy).  With
+    ``weight_col``: negated weight first (heaviest edge wins — the
+    classic 1/2-approximate greedy weighted matching), ties by (src,
+    dst)."""
+    first = (
+        (-F.col(weight_col)).alias("h")
+        if weight_col is not None
+        else portable_h1(
+            F.concat_ws(":", F.col("src").cast("string"),
+                        F.col("dst").cast("string"))
+        ).alias("h")
+    )
     return edges.select(
         "src",
         "dst",
         F.struct(
-            portable_h1(
-                F.concat_ws(":", F.col("src").cast("string"),
-                            F.col("dst").cast("string"))
-            ).alias("h"),
+            first,
             F.col("src").alias("s"),
             F.col("dst").alias("d"),
         ).alias("k"),
@@ -55,14 +65,23 @@ def _keyed(edges: DataFrame) -> DataFrame:
 
 
 def maximal_matching(
-    edges_canon: DataFrame, max_iters: int = 64, metrics: list | None = None
+    edges_canon: DataFrame,
+    max_iters: int = 64,
+    metrics: list | None = None,
+    weight_col: str | None = None,
 ) -> DataFrame:
     """(src, dst, match_round) — the unique hash-priority maximal matching
     of the canonical edge table ``edges_canon`` (src < dst, deduped).
     ``match_round`` is the 0-based round at which the edge was picked.
+
+    With ``weight_col`` the priority is (heaviest weight, src, dst) —
+    the distributed locally-heaviest-edge greedy (Preis 1999), which
+    matches the sequential heaviest-first greedy exactly (unique total
+    order) and carries its 1/2-approximation guarantee for maximum
+    weight matching.
     """
     spark = edges_canon.sparkSession
-    live, live_ids = checkpoint_tracked(_keyed(edges_canon))
+    live, live_ids = checkpoint_tracked(_keyed(edges_canon, weight_col))
     parts: list[DataFrame] = []
     part_ids: set[int] = set()  # picked-edge blocks; freed after final union
     for rnd in range(max_iters):

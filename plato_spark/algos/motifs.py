@@ -1,0 +1,124 @@
+"""Unipartite motif census — vertices, edges, wedges, triangles, 4-cycles.
+
+The subgraph-count summary behind graphlet features and null-model
+tests, extending the reference's triangle machinery
+(/root/reference/example/mutual.cc, plato/algo/triangle) with the next
+motif up: 4-cycles.  Everything derives from ONE codegree aggregation
+(the wedge self-join through the common neighbor, the same shape as
+butterflies/co-occurrence extraction):
+
+    W(u, v) = |N(u) ∩ N(v)|   for unordered pairs u < v with W >= 1
+
+  * wedges      = sum_v C(deg(v), 2)                     (degrees only)
+  * triangles   = sum over ADJACENT pairs of W(u, v) / 3  (each triangle
+                  is seen by its 3 edges)
+  * four_cycles = sum over ALL pairs of C(W(u, v), 2) / 2 (each 4-cycle
+                  is seen by its 2 diagonal pairs; chords are allowed —
+                  these are C4 subgraph counts)
+
+All arithmetic is exact int64 (sums are divisible by 3 resp. 2 BEFORE
+the division, which is applied last), so the census is bit-identical to
+the SQL mirror — and `triangles` cross-checks the independent
+orientation/intersection triangle_count query.
+
+Scale: the codegree join is sum_w deg(w)^2 wedge rows flowing into a
+map-side-combined groupBy — hub centers are split by AQE's skew join
+like the butterfly/extraction paths; at 100 TB the orientation-based
+triangle path (algos/triangles) bounds work better for triangles alone,
+but the census needs W(u, v) anyway for the 4-cycle term.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["motif_census"]
+
+
+def motif_census(edges_canon: DataFrame) -> DataFrame:
+    """One-row census over the canonical (src < dst, unique) edge table:
+    (n_vertices, n_edges, wedges, triangles, four_cycles)."""
+    spark = edges_canon.sparkSession
+    canon = edges_canon.select("src", "dst")
+    sym = canon.unionByName(
+        canon.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    deg = sym.groupBy("src").agg(F.count("*").alias("d"))
+    n_vertices = deg.count()
+    n_edges = canon.count()
+    wedges = deg.agg(
+        F.coalesce(F.sum(F.expr("d * (d - 1) div 2")), F.lit(0))
+        .cast("long").alias("w")
+    ).collect()[0]["w"]
+
+    a = sym.select(F.col("src").alias("c"), F.col("dst").alias("u"))
+    b = sym.select(F.col("src").alias("c"), F.col("dst").alias("v"))
+    codeg = (
+        a.join(b, "c")
+        .where(F.col("u") < F.col("v"))
+        .groupBy("u", "v")
+        .agg(F.count("*").alias("w"))
+    ).persist()
+    tri3 = (
+        codeg.join(
+            canon.select(F.col("src").alias("u"), F.col("dst").alias("v")),
+            ["u", "v"],
+        )
+        .agg(F.coalesce(F.sum("w"), F.lit(0)).cast("long").alias("s"))
+        .collect()[0]["s"]
+    )
+    cyc2 = codeg.agg(
+        F.coalesce(F.sum(F.expr("w * (w - 1) div 2")), F.lit(0))
+        .cast("long").alias("s")
+    ).collect()[0]["s"]
+    codeg.unpersist()
+    assert tri3 % 3 == 0 and cyc2 % 2 == 0
+    return spark.createDataFrame(
+        [(n_vertices, n_edges, wedges, tri3 // 3, cyc2 // 2)],
+        "n_vertices long, n_edges long, wedges long, "
+        "triangles long, four_cycles long",
+    )
+
+
+def rich_club(edges_canon: DataFrame, ks: tuple = (4, 8, 16, 32)) -> DataFrame:
+    """(k, n_rich, e_rich, phi) — rich-club coefficients: among vertices
+    with degree > k, what fraction of the possible edges exist?
+    (Colizza et al. 2006, "Detecting rich-club ordering in complex
+    networks".)  phi(k) = 2 * e_rich / (n_rich * (n_rich - 1)), exact
+    counts + one rounded division per k; n_rich < 2 reports phi = 0.
+
+    Cost: one degree aggregation + |ks| semi-joins over the canonical
+    edge table — the degree table is reused, nothing quadratic."""
+    spark = edges_canon.sparkSession
+    canon = edges_canon.select("src", "dst")
+    sym = canon.unionByName(
+        canon.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    deg = sym.groupBy("src").agg(F.count("*").alias("d")).persist()
+    rows = []
+    for k in ks:
+        rich = deg.where(F.col("d") > k).select("src")
+        n = rich.count()
+        e = (
+            canon.join(rich, "src", "left_semi")
+            .join(rich.withColumnRenamed("src", "dst"), "dst", "left_semi")
+            .count()
+        )
+        rows.append((k, n, e))
+    deg.unpersist()
+    # phi via Spark's HALF_UP round (matches ANSI SQL; python's round
+    # is banker's and could differ at an exact half-ulp boundary)
+    return spark.createDataFrame(
+        rows, "k int, n_rich long, e_rich long"
+    ).select(
+        "k", "n_rich", "e_rich",
+        F.when(
+            F.col("n_rich") >= 2,
+            F.round(
+                F.lit(2.0) * F.col("e_rich")
+                / (F.col("n_rich") * (F.col("n_rich") - 1)),
+                6,
+            ),
+        ).otherwise(F.lit(0.0)).alias("phi"),
+    )

@@ -125,3 +125,53 @@ def cms_probe(
         .agg(F.min("cnt").alias("est_count"))
         .where(F.col("est_count") >= threshold)
     )
+
+
+def hll_group_cardinality(
+    df: DataFrame, group_col: str, id_col: str
+) -> DataFrame:
+    """(group, est_distinct) — per-group distinct-count estimate via the
+    engine-portable 64-register HyperLogLog (algos/hll_portable: same
+    register derivation the hyperanf family is oracle-checked on).
+
+    The cardinality-side sibling of the count-min sketch above: the
+    shuffle carries at most |groups| * M register rows per map task
+    (groupBy(group, idx) with map-side combine and max-merge — a
+    commutative monoid, so it also folds incrementally), never the ids;
+    the estimate is an integer fold + one float division per group, so
+    it is bit-reproducible in SQL.  Duplicated (group, id) rows are
+    harmless (max-merge), no pre-distinct needed.
+    """
+    from plato_spark.algos.hll_portable import (
+        ALPHA_NUM,
+        LC,
+        LINEAR_BOUND,
+        M,
+        POW,
+        _idx_rho,
+    )
+
+    idx, rho = _idx_rho(F.col(id_col))
+    regs = (
+        df.select(F.col(group_col).alias("g"), idx.alias("idx"),
+                  rho.alias("rho"))
+        .groupBy("g", "idx")
+        .agg(F.max("rho").alias("mr"))
+    )
+    pow_arr = F.array(*[F.lit(p) for p in POW])
+    sv = regs.groupBy("g").agg(
+        (
+            F.sum(F.element_at(pow_arr, F.col("mr") + 1))
+            + (F.lit(M) - F.count("*")) * F.lit(POW[0])
+        ).cast("long").alias("s"),
+        (F.lit(M) - F.count("*")).cast("int").alias("vz"),
+    )
+    lc_arr = F.array(*[F.lit(x) for x in LC])
+    raw = F.lit(ALPHA_NUM) / F.col("s").cast("double")
+    est = F.when(
+        (raw <= F.lit(LINEAR_BOUND)) & (F.col("vz") > 0),
+        F.element_at(lc_arr, F.col("vz")),
+    ).otherwise(raw)
+    return sv.select(
+        F.col("g").alias(group_col), F.round(est, 4).alias("est_distinct")
+    )

@@ -199,3 +199,97 @@ def test_coloring_random(spark):
     rng = random.Random(5)
     edges = list({tuple(sorted(rng.sample(range(24), 2))) for _ in range(70)})
     _check_coloring(spark, edges)
+
+
+# ---- weighted (locally-heaviest) matching ----
+
+def _py_weighted_matching(edges_w):
+    """Sequential heaviest-first greedy under (-w, src, dst) order —
+    must equal the parallel locally-heaviest rounds exactly."""
+    out = {}
+    used = set()
+    for w, s, d in sorted(
+        ((-w, s, d) for s, d, w in edges_w)
+    ):
+        if s not in used and d not in used:
+            used.update((s, d))
+            out[(s, d)] = None
+    return set(out)
+
+
+def test_weighted_matching_greedy_equivalence(spark):
+    from plato_spark.algos.matching import maximal_matching
+
+    edges_w = [(1, 2, 5.0), (2, 3, 7.0), (3, 4, 6.0), (4, 5, 7.0),
+               (1, 5, 1.0), (2, 5, 7.0)]
+    df = edges_df(spark, [(s, d) for s, d, _ in edges_w],
+                  weights=[w for _, _, w in edges_w])
+    got = {(r["src"], r["dst"])
+           for r in maximal_matching(df, weight_col="weight").collect()}
+    assert got == _py_weighted_matching(edges_w)
+    # heaviest-first on ties: (2,3) beats (2,5) and (4,5) by src/dst order
+    assert (2, 3) in got
+
+
+def test_weighted_matching_random(spark):
+    import random
+    from plato_spark.algos.matching import maximal_matching
+
+    rng = random.Random(31)
+    seen = set()
+    edges_w = []
+    for _ in range(60):
+        s, d = sorted(rng.sample(range(20), 2))
+        if (s, d) not in seen:
+            seen.add((s, d))
+            edges_w.append((s, d, float(rng.randrange(1, 5))))
+    df = edges_df(spark, [(s, d) for s, d, _ in edges_w],
+                  weights=[w for _, _, w in edges_w])
+    got = {(r["src"], r["dst"])
+           for r in maximal_matching(df, weight_col="weight").collect()}
+    assert got == _py_weighted_matching(edges_w)
+
+
+# ---- per-vertex butterflies ----
+
+def _py_bpv(inc, side="right"):
+    inc = set(inc)
+    nb = {}
+    for o, p in inc:
+        key, other = (p, o) if side == "right" else (o, p)
+        nb.setdefault(key, set()).add(other)
+    out = {}
+    ks = sorted(nb)
+    for i, u in enumerate(ks):
+        tot = 0
+        for v in ks[i + 1:]:
+            w = len(nb[u] & nb[v])
+            c = w * (w - 1) // 2
+            if c:
+                out[u] = out.get(u, 0) + c
+                out[v] = out.get(v, 0) + c
+    return out
+
+
+def test_butterfly_per_vertex_k23(spark):
+    from plato_spark.algos.butterflies import butterfly_per_vertex
+
+    # K2,3: parts {10,20,30} each corner C(2,2)=1 butterfly per pair
+    inc = [(o, p) for o in (1, 2) for p in (10, 20, 30)]
+    df = spark.createDataFrame(inc, "left long, right long")
+    got = {r["id"]: r["butterflies"]
+           for r in butterfly_per_vertex(df).collect()}
+    assert got == _py_bpv(inc) == {10: 2, 20: 2, 30: 2}
+
+
+def test_butterfly_per_vertex_random(spark):
+    import random
+    from plato_spark.algos.butterflies import butterfly_per_vertex
+
+    rng = random.Random(19)
+    inc = list({(rng.randrange(10), 100 + rng.randrange(8))
+                for _ in range(45)})
+    df = spark.createDataFrame(inc, "left long, right long")
+    got = {r["id"]: r["butterflies"]
+           for r in butterfly_per_vertex(df).collect()}
+    assert got == _py_bpv(inc)

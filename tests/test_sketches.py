@@ -137,3 +137,23 @@ def test_cms_stream_replay_skipped_and_rollback_reapplies(spark):
                         for r in read_cms_state(spark, sd).collect()}
     finally:
         shutil.rmtree(sd, ignore_errors=True)
+
+
+# ---- per-group HLL cardinality ----
+
+def test_hll_group_cardinality(spark):
+    from plato_spark.functions.sketches import hll_group_cardinality
+
+    rows = [("a", i) for i in range(40)] + [("b", i) for i in range(5)] \
+        + [("a", i) for i in range(10)]  # duplicates must not inflate
+    df = spark.createDataFrame(rows, "g string, uid long")
+    got = {r["g"]: r["est_distinct"]
+           for r in hll_group_cardinality(df, "g", "uid").collect()}
+    assert set(got) == {"a", "b"}
+    # M=64 linear-counting regime: small sets estimate tightly
+    assert abs(got["a"] - 40) / 40 < 0.3
+    assert abs(got["b"] - 5) / 5 < 0.3
+    # determinism: duplicates folded by max-merge
+    again = {r["g"]: r["est_distinct"]
+             for r in hll_group_cardinality(df, "g", "uid").collect()}
+    assert got == again
