@@ -1436,6 +1436,40 @@ dl{k + 1} AS MATERIALIZED (
     return SQL_GRAPH_PREFIX + ", " + ",\n".join(ctes) + "\n" + sel
 
 
+def _sql_percolation(thresholds: tuple = (1, 2, 3, 5), iters: int = 16) -> str:
+    """Mirror of algos/percolation.percolation_sweep: one unrolled
+    hash-min WCC chain per weight threshold over the shrinking edge set;
+    ``iters`` pinned past the LARGEST per-threshold fixpoint (sparser
+    graphs have larger diameter; extra hash-min rounds are idempotent).
+    """
+    ctes = []
+    rows = []
+    for t in thresholds:
+        ctes.append(f"""pe{t} AS MATERIALIZED (
+  SELECT src, dst FROM canon WHERE weight >= {t}),
+ps{t} AS MATERIALIZED (
+  SELECT src, dst FROM pe{t}
+  UNION ALL SELECT dst AS src, src AS dst FROM pe{t}),
+pv{t} AS MATERIALIZED (SELECT DISTINCT src AS id FROM ps{t}),
+pl{t}_0 AS MATERIALIZED (SELECT id, id AS lab FROM pv{t})""")
+        for k in range(iters):
+            ctes.append(f"""pl{t}_{k + 1} AS MATERIALIZED (
+  SELECT v.id, least(l.lab, COALESCE(m.minlab, l.lab)) AS lab
+  FROM pv{t} v JOIN pl{t}_{k} l ON v.id = l.id
+  LEFT JOIN (SELECT e.dst AS id, min(l2.lab) AS minlab
+             FROM ps{t} e JOIN pl{t}_{k} l2 ON e.src = l2.id
+             GROUP BY e.dst) m ON v.id = m.id)""")
+        rows.append(f"""SELECT CAST({t} AS INTEGER) AS threshold,
+  (SELECT CAST(count(*) AS BIGINT) FROM pv{t}) AS n_vertices,
+  (SELECT CAST(count(*) AS BIGINT) FROM pe{t}) AS n_edges,
+  (SELECT CAST(count(DISTINCT lab) AS BIGINT) FROM pl{t}_{iters})
+    AS n_components,
+  (SELECT CAST(COALESCE(max(c), 0) AS BIGINT) FROM (
+     SELECT count(*) AS c FROM pl{t}_{iters} GROUP BY lab) z) AS largest""")
+    return (SQL_GRAPH_PREFIX + ", " + ",\n".join(ctes) + "\n"
+            + "\nUNION ALL\n".join(rows))
+
+
 def _sql_hll_groups() -> str:
     """Mirror of functions/sketches.hll_group_cardinality over
     events(event_type, user_id) — same register derivation as the
@@ -2379,6 +2413,34 @@ def q_matching(spark, sf_dir):
     return maximal_matching(part_cooccurrence_edges(spark, sf_dir))
 
 
+def q_co_activity(spark, sf_dir):
+    """Temporal co-activity graph from the event stream: users linked
+    per shared (event_type, hour) bucket, 256-user bucket guard
+    (functions/events.co_activity_edges)."""
+    from plato_spark.functions.events import co_activity_edges
+
+    return co_activity_edges(load_table(spark, sf_dir, "events"))
+
+
+def q_percolation(spark, sf_dir):
+    """Weight-threshold percolation sweep of the co-occurrence graph
+    (algos/percolation): component structure at weight >= {1,2,3,5}."""
+    from plato_spark.algos.percolation import percolation_sweep
+
+    return percolation_sweep(
+        part_cooccurrence_edges(spark, sf_dir, weighted=True), (1, 2, 3, 5)
+    )
+
+
+def q_oov(spark, sf_dir):
+    """Tokenizer-coverage check: train/eval split by portable doc-id
+    hash, eval-half OOV token mass vs the train vocabulary
+    (functions/text.oov_stats)."""
+    from plato_spark.functions.text import oov_stats
+
+    return oov_stats(load_table(spark, sf_dir, "documents"))
+
+
 def q_butterfly_vertices(spark, sf_dir):
     """Per-part butterfly participation over the order x part incidence
     (algos/butterflies.butterfly_per_vertex) — (id, butterflies)."""
@@ -2989,6 +3051,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "densest_subgraph": q_densest,
         "butterfly_vertices": q_butterfly_vertices,
         "rich_club": q_rich_club,
+        "co_activity_edges": q_co_activity,
+        "percolation": q_percolation,
+        "oov_stats": q_oov,
         # -- new in r3 (this session) --
         "topo_levels": q_topo_levels,
         "dedup_incremental": q_dedup_incremental,
@@ -3195,6 +3260,37 @@ ORDER BY item, rank""",
         "weighted_matching": _sql_matching(32, weighted=True),
         "hll_user_cardinality": _sql_hll_groups(),
         "densest_subgraph": _sql_densest(12),
+        "co_activity_edges": """
+WITH ue AS MATERIALIZED (
+  SELECT DISTINCT user_id AS u, event_type AS t,
+         date_trunc('hour', ts) AS h
+  FROM events),
+ok AS (SELECT t, h FROM ue GROUP BY t, h HAVING count(*) <= 256),
+u2 AS MATERIALIZED (
+  SELECT ue.u, ue.t, ue.h FROM ue
+  JOIN ok ON ue.t = ok.t AND ue.h = ok.h)
+SELECT a.u AS src, b.u AS dst, CAST(count(*) AS BIGINT) AS weight
+FROM u2 a JOIN u2 b ON a.t = b.t AND a.h = b.h AND a.u < b.u
+GROUP BY a.u, b.u ORDER BY src, dst""",
+        "percolation": _sql_percolation((1, 2, 3, 5), 16),
+        "oov_stats": f"""
+WITH tk AS MATERIALIZED (
+  SELECT CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 14))
+         AS BIGINT) % 2 AS half,
+         unnest(regexp_extract_all(text, '{TOKEN_RE_SQL}')) AS token
+  FROM documents),
+tv AS MATERIALIZED (SELECT DISTINCT token FROM tk WHERE half = 0),
+ev AS MATERIALIZED (SELECT token FROM tk WHERE half = 1),
+st AS (SELECT
+  (SELECT CAST(count(*) AS BIGINT) FROM tv) AS n_train_vocab,
+  (SELECT CAST(count(*) AS BIGINT) FROM ev) AS n_eval_tokens,
+  (SELECT CAST(count(*) AS BIGINT) FROM ev
+   WHERE token NOT IN (SELECT token FROM tv)) AS n_oov)
+SELECT n_train_vocab, n_eval_tokens, n_oov,
+       CASE WHEN n_eval_tokens > 0
+            THEN round(CAST(n_oov AS DOUBLE) / n_eval_tokens, 6)
+            ELSE 0.0 END AS oov_rate
+FROM st""",
         "butterfly_vertices": """
 WITH inc AS MATERIALIZED (
   SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),

@@ -47,3 +47,44 @@ def funnel_counts(
     return spark.createDataFrame(
         rows, "step int, event_type string, users long"
     )
+
+
+def co_activity_edges(
+    events: DataFrame,
+    window: str = "hour",
+    max_bucket: int = 256,
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """(src, dst, weight) — the temporal co-activity graph: two users are
+    linked once per (event_type, time-bucket) they both acted in, weight
+    = number of shared activity buckets.  The events->graph construction
+    step (events as commits, users as files — the same co-occurrence
+    extraction shape as the corpus pipeline, corpus/extract.py, with
+    date_trunc as the grouping key).
+
+    Buckets with more than ``max_bucket`` distinct users are dropped
+    BEFORE the pair self-join (the extractor's clique-guard precedent):
+    a viral bucket is quadratic poison and links everyone to everyone —
+    no signal.  Canonical output (src < dst, exact int64 weights).
+    """
+    ue = events.select(
+        F.col(user_col).alias("u"),
+        F.col(type_col).alias("t"),
+        F.date_trunc(window, F.col(ts_col)).alias("h"),
+    ).distinct()
+    ok = (
+        ue.groupBy("t", "h").agg(F.count("*").alias("n"))
+        .where(F.col("n") <= max_bucket)
+        .select("t", "h")
+    )
+    ue = ue.join(ok, ["t", "h"], "left_semi")
+    a = ue.select("t", "h", F.col("u").alias("src"))
+    b = ue.select("t", "h", F.col("u").alias("dst"))
+    return (
+        a.join(b, ["t", "h"])
+        .where(F.col("src") < F.col("dst"))
+        .groupBy("src", "dst")
+        .agg(F.count("*").cast("long").alias("weight"))
+    )

@@ -452,3 +452,37 @@ def chunk_dedup_stats(
         "min_doc",
         F.col("dup_tokens").cast("long").alias("dup_tokens"),
     )
+
+
+def oov_stats(df, id_col: str = "doc_id", text_col: str = "text"):
+    """One row (n_train_vocab, n_eval_tokens, n_oov, oov_rate) — split
+    the corpus into train/eval halves by the portable doc-id hash
+    (functions/sampling discipline), build the train vocabulary, and
+    measure the eval half's out-of-vocabulary token mass.  The
+    tokenizer-coverage check run before freezing a vocab/BPE on a
+    training corpus; exact integer counts + one rounded division."""
+    half = F.pmod(portable_h1(F.col(id_col).cast("string")), F.lit(2))
+    toks = df.select(
+        half.alias("half"),
+        F.explode(
+            F.regexp_extract_all(F.col(text_col), F.lit(TOKEN_RE), F.lit(0))
+        ).alias("token"),
+    )
+    train_vocab = toks.where(F.col("half") == 0).select("token").distinct()
+    train_vocab = train_vocab.persist()
+    evals = toks.where(F.col("half") == 1)
+    n_vocab = train_vocab.count()
+    n_eval = evals.count()
+    n_oov = evals.join(train_vocab, "token", "left_anti").count()
+    spark = df.sparkSession
+    train_vocab.unpersist()
+    out = spark.createDataFrame(
+        [(n_vocab, n_eval, n_oov)],
+        "n_train_vocab long, n_eval_tokens long, n_oov long",
+    )
+    return out.select(
+        "*",
+        F.when(F.col("n_eval_tokens") > 0,
+               F.round(F.col("n_oov") / F.col("n_eval_tokens"), 6))
+        .otherwise(F.lit(0.0)).alias("oov_rate"),
+    )

@@ -205,3 +205,59 @@ def test_bucketed_join_has_no_exchange(spark, tmp_path):
     finally:
         spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
         spark.sql("DROP TABLE IF EXISTS bucketed_edges_t")
+
+
+def test_cms_sketch_partial_aggregation(spark):
+    # the CMS build must map-side combine (partial_count) so each task
+    # emits at most d*w cells — the whole point of the sketch at scale
+    from plato_spark.functions.sketches import cms_sketch
+
+    docs = spark.createDataFrame(
+        [(i, "alpha beta gamma") for i in range(64)],
+        "doc_id long, text string",
+    ).repartition(8)
+    p = plan_of(cms_sketch(docs, depth=2, width=16))
+    assert "partial_count" in p or "partial, count" in p.replace("(", " "), p
+    # exactly ONE exchange: the 2x16-cell aggregation shuffle
+    assert p.count("Exchange") == 1, p
+
+
+def test_knn_graph_no_global_sort(spark):
+    # per-vertex top-k must window-partition by src, never globally sort
+    from plato_spark.functions.recommend import knn_graph
+
+    e = spark.createDataFrame(
+        [(1, 2, 3.0), (1, 3, 2.0), (2, 3, 1.0)],
+        "src long, dst long, weight double",
+    )
+    p = plan_of(knn_graph(e, k=2))
+    # a window sort is partition-local: its Sort node is non-global
+    assert "Sort [src" in p or "partitionBy" not in p  # window present
+    assert "Exchange rangepartitioning" not in p, p
+
+
+def test_copurchase_no_cartesian(spark):
+    from plato_spark.functions.recommend import co_purchase_topk
+
+    inc = spark.createDataFrame(
+        [(1, 10), (1, 20), (2, 10)], "user long, item long"
+    )
+    p = plan_of(co_purchase_topk(inc, k=2))
+    assert "CartesianProduct" not in p, p
+
+
+def test_pq_assign_broadcasts_codebooks(spark):
+    # the per-subspace assignment must broadcast the k_c x d_sub codebook
+    from plato_spark.functions.pq import _assign_sub
+
+    vecs = spark.createDataFrame(
+        [(i, [float(i), 0.0]) for i in range(32)],
+        "id long, vec array<double>",
+    )
+    cent = spark.createDataFrame(
+        [(0, [0.0, 0.0]), (1, [9.0, 0.0])],
+        "cluster int, cvec array<double>",
+    )
+    p = plan_of(_assign_sub(vecs, cent))
+    assert "BroadcastNestedLoopJoin" in p or "BroadcastExchange" in p, p
+    assert "CartesianProduct" not in p, p

@@ -89,3 +89,79 @@ def test_funnel_earliest_anchor(spark):
            for r in funnel_counts(_ev(spark, rows),
                                   ["view", "click", "purchase"]).collect()}
     assert got == {1: 1, 2: 1, 3: 1}
+
+
+# ---- temporal co-activity graph ----
+
+def test_co_activity_edges(spark):
+    from plato_spark.functions.events import co_activity_edges
+
+    rows = [
+        (1, "view", 10), (2, "view", 15), (3, "view", 3 * 3600),  # hour 0 vs 3
+        (1, "click", 30), (2, "click", 40),
+        (1, "view", 20),                                       # dup bucket
+    ]
+    df = spark.createDataFrame(
+        [(u, t, f"2026-01-01 {s // 3600:02d}:{(s % 3600) // 60:02d}:00")
+         for u, t, s in rows],
+        "user_id long, event_type string, ts string",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    got = {(r["src"], r["dst"]): r["weight"]
+           for r in co_activity_edges(df).collect()}
+    # users 1,2 share (view, hour0) and (click, hour0); user 3 is alone
+    assert got == {(1, 2): 2}
+
+
+def test_co_activity_bucket_guard(spark):
+    from plato_spark.functions.events import co_activity_edges
+
+    df = spark.createDataFrame(
+        [(u, "view", "2026-01-01 00:00:00") for u in range(10)],
+        "user_id long, event_type string, ts string",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    assert co_activity_edges(df, max_bucket=5).count() == 0
+    assert co_activity_edges(df, max_bucket=10).count() == 45
+
+
+# ---- percolation sweep ----
+
+def test_percolation_sweep(spark):
+    from tests.conftest import edges_df
+    from plato_spark.algos.percolation import percolation_sweep
+
+    # triangle of weight-3 edges bridged to a pair by a weight-1 edge
+    edges = [(1, 2), (2, 3), (1, 3), (3, 4), (4, 5)]
+    weights = [3.0, 3.0, 3.0, 1.0, 2.0]
+    rows = {r["threshold"]: r for r in percolation_sweep(
+        edges_df(spark, edges, weights), (1, 2, 3, 4)).collect()}
+    assert rows[1]["n_components"] == 1 and rows[1]["largest"] == 5
+    assert rows[2]["n_components"] == 2  # bridge gone: {1,2,3} and {4,5}
+    assert rows[2]["largest"] == 3
+    assert rows[3]["n_components"] == 1 and rows[3]["n_vertices"] == 3
+    assert rows[4] and rows[4]["n_edges"] == 0 and rows[4]["largest"] == 0
+
+
+# ---- OOV coverage ----
+
+def test_oov_stats(spark):
+    import hashlib
+    from plato_spark.functions.text import oov_stats
+
+    docs = [(i, ["apple banana", "banana cherry date"][i % 2])
+            for i in range(8)]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = oov_stats(df).collect()[0].asDict()
+
+    def half(i):
+        return int(hashlib.md5(str(i).encode()).hexdigest()[:14], 16) % 2
+
+    train_tokens, eval_tokens = set(), []
+    for i, t in docs:
+        for tok in t.split():
+            (train_tokens.add(tok) if half(i) == 0
+             else eval_tokens.append(tok))
+    n_oov = sum(1 for t in eval_tokens if t not in train_tokens)
+    assert got["n_train_vocab"] == len(train_tokens)
+    assert got["n_eval_tokens"] == len(eval_tokens)
+    assert got["n_oov"] == n_oov
+    assert got["oov_rate"] == round(n_oov / len(eval_tokens), 6)
