@@ -2413,6 +2413,16 @@ def q_matching(spark, sf_dir):
     return maximal_matching(part_cooccurrence_edges(spark, sf_dir))
 
 
+def q_containment(spark, sf_dir):
+    """Asymmetric shingle containment >= 0.8 (directed subset-duplication
+    pairs; functions/dedup.containment_pairs, exact all-pairs baseline)."""
+    from plato_spark.functions.dedup import containment_pairs
+
+    return containment_pairs(
+        load_table(spark, sf_dir, "documents"), threshold=0.8, n=3
+    )
+
+
 def q_co_activity(spark, sf_dir):
     """Temporal co-activity graph from the event stream: users linked
     per shared (event_type, hour) bucket, 256-user bucket guard
@@ -3051,6 +3061,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "densest_subgraph": q_densest,
         "butterfly_vertices": q_butterfly_vertices,
         "rich_club": q_rich_club,
+        "containment_dups": q_containment,
         "co_activity_edges": q_co_activity,
         "percolation": q_percolation,
         "oov_stats": q_oov,
@@ -3260,6 +3271,22 @@ ORDER BY item, rank""",
         "weighted_matching": _sql_matching(32, weighted=True),
         "hll_user_cardinality": _sql_hll_groups(),
         "densest_subgraph": _sql_densest(12),
+        "containment_dups": f"""
+            WITH t AS (SELECT doc_id,
+                              regexp_extract_all(text, '{TOKEN_RE_SQL}') AS toks
+                       FROM documents),
+            sh AS (SELECT doc_id,
+                     CASE WHEN length(toks) >= 3 THEN
+                       list_distinct([array_to_string(toks[i:i+2], ' ')
+                                      for i in range(1, length(toks) - 1)])
+                     ELSE [array_to_string(toks, ' ')] END AS sh
+                   FROM t)
+            SELECT a.doc_id AS contained, b.doc_id AS container,
+                   round(length(list_intersect(a.sh, b.sh))
+                         / greatest(length(a.sh), 1), 6) AS containment
+            FROM sh a JOIN sh b ON a.doc_id != b.doc_id
+            WHERE round(length(list_intersect(a.sh, b.sh))
+                        / greatest(length(a.sh), 1), 6) >= 0.8""",
         "co_activity_edges": """
 WITH ue AS MATERIALIZED (
   SELECT DISTINCT user_id AS u, event_type AS t,

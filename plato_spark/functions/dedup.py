@@ -437,3 +437,50 @@ def contamination_check(
             F.count_distinct("eval_id").cast("long").alias("n_eval_docs"),
         )
     )
+
+
+def containment_pairs(
+    df: DataFrame,
+    threshold: float = 0.8,
+    n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    candidates: DataFrame | None = None,
+) -> DataFrame:
+    """Asymmetric shingle containment — (contained, container, containment)
+    for DIRECTED pairs where |S(a) ∩ S(b)| / |S(a)| >= threshold, a != b.
+
+    Broder's containment measure (1997, "On the resemblance and
+    containment of documents"): symmetric Jaccard misses subset
+    duplication — a short document quoted wholesale inside a long one
+    scores low Jaccard but containment ~1.  This is the quote/boilerplate
+    leg of the dedup family, same shingle machinery and the same
+    LSH-candidate feeding contract as ngram_jaccard_pairs (without
+    ``candidates`` it is the exact all-pairs baseline, oracle mode only;
+    note banded minhash-LSH recalls high-JACCARD pairs — asymmetric
+    containment with a small |S(a)| can evade it, so at scale feed
+    candidates from a shingle-prefix index or accept Jaccard-gated
+    recall).
+    """
+    sh = df.select(
+        F.col(id_col).alias("id"), _token_shingles(text_col, n).alias("sh")
+    )
+    left = sh.select(F.col("id").alias("a"), F.col("sh").alias("sha_"))
+    right = sh.select(F.col("id").alias("b"), F.col("sh").alias("shb_"))
+    if candidates is not None:
+        both = candidates.unionByName(
+            candidates.select(F.col("b").alias("a"), F.col("a").alias("b"))
+        )
+        pairs = both.join(left, "a").join(right, "b")
+    else:
+        pairs = left.crossJoin(right).where(F.col("a") != F.col("b"))
+    inter = F.size(F.array_intersect("sha_", "shb_"))
+    cont = F.round(inter / F.greatest(F.size("sha_"), F.lit(1)), 6)
+    return (
+        pairs.select(
+            F.col("a").alias("contained"),
+            F.col("b").alias("container"),
+            cont.alias("containment"),
+        )
+        .where(F.col("containment") >= threshold)
+    )

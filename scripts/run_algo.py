@@ -10,7 +10,8 @@ equivalent of that CLI surface):
         scripts/run_algo.py --algo wcc --sf 0.1 --output /out/components
 
 Algorithms: pagerank (see run_pagerank.py for the full-option variant),
-wcc, wcc-jump, lpa, triangles, kcore, bfs, hanp, louvain, clustering.
+wcc, wcc-jump, lpa, triangles, kcore, bfs, hanp, louvain, clustering,
+mis, matching, msf, coloring, densest, knn-sparsify.
 Local sandbox: python scripts/run_algo.py --algo wcc --sf 0.01
 """
 
@@ -31,7 +32,9 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--algo", required=True,
                     choices=["pagerank", "wcc", "wcc-jump", "lpa", "triangles",
-                             "kcore", "bfs", "hanp", "louvain", "clustering"])
+                             "kcore", "bfs", "hanp", "louvain", "clustering",
+                             "mis", "matching", "msf", "coloring",
+                             "densest", "knn-sparsify"])
     ap.add_argument("--sf", type=float, default=0.01)
     ap.add_argument("--iterations", type=int, default=None)
     ap.add_argument("--checkpoint", default=None)
@@ -89,6 +92,19 @@ def main() -> None:
         result = g.louvain(**kw)
     elif args.algo == "clustering":
         result = g.clustering_coefficient(decode=args.decode)
+    elif args.algo == "mis":
+        result = g.maximal_independent_set()
+    elif args.algo == "matching":
+        result = g.maximal_matching()
+    elif args.algo == "msf":
+        result = g.minimum_spanning_forest()
+    elif args.algo == "coloring":
+        result = g.coloring()
+    elif args.algo == "densest":
+        from plato_spark.algos.densest import densest_subgraph
+        result = densest_subgraph(g.edges.select("src", "dst"))
+    elif args.algo == "knn-sparsify":
+        result = g.knn_sparsify(k=10)
 
     if args.output:
         write_result(result, args.output)

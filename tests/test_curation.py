@@ -48,3 +48,38 @@ def test_curation_sampled_out_and_deterministic(spark):
         _corpus(spark), fractions={"en": 0.0, "de": 1.0}
     ).collect()
     assert sorted(map(tuple, out1)) == sorted(map(tuple, out2))
+
+
+def test_containment_pairs(spark):
+    from plato_spark.functions.dedup import containment_pairs
+
+    base = "alpha beta gamma delta epsilon zeta eta theta"
+    docs = spark.createDataFrame(
+        [
+            (1, base),                                   # short doc
+            (2, base + " iota kappa " + "x y z " * 20),  # contains doc 1
+            (3, "totally different words entirely here"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {(r["contained"], r["container"]): r["containment"]
+            for r in containment_pairs(docs, threshold=0.8, n=3).collect()}
+    # 1 is fully inside 2 -> containment 1.0; the reverse is far below
+    assert rows[(1, 2)] == 1.0
+    assert (2, 1) not in rows and (3, 1) not in rows and (1, 3) not in rows
+
+
+def test_containment_candidate_feeding(spark):
+    from plato_spark.functions.dedup import containment_pairs
+
+    base = "alpha beta gamma delta epsilon zeta eta theta"
+    docs = spark.createDataFrame(
+        [(1, base), (2, base + " iota kappa"), (4, base + " mu nu")],
+        "doc_id long, text string",
+    )
+    cand = spark.createDataFrame([(1, 2)], "a long, b long")
+    rows = {(r["contained"], r["container"])
+            for r in containment_pairs(docs, threshold=0.5, n=3,
+                                       candidates=cand).collect()}
+    # only the candidate pair (both directions) is scored; 4 never appears
+    assert rows and all(4 not in p for p in rows)
