@@ -2413,6 +2413,38 @@ def q_matching(spark, sf_dir):
     return maximal_matching(part_cooccurrence_edges(spark, sf_dir))
 
 
+def q_negative_sampling(spark, sf_dir):
+    """Deterministic negative-edge sampling for link-prediction / GNN
+    training: up to 5 portable-hash non-neighbors per vertex
+    (functions/sampling.negative_edge_sampling)."""
+    from plato_spark.functions.sampling import negative_edge_sampling
+
+    return negative_edge_sampling(_sym(spark, sf_dir), k=5, attempts=16)
+
+
+def q_revenue_rollup(spark, sf_dir):
+    """TPC-H-Q5-shape star rollup: discounted revenue per region/nation
+    with broadcast dimensions and exact integer-cents accumulation
+    (functions/relational.revenue_rollup)."""
+    from plato_spark.functions.relational import revenue_rollup
+
+    return revenue_rollup(
+        load_table(spark, sf_dir, "orders"),
+        load_table(spark, sf_dir, "lineitem"),
+        load_table(spark, sf_dir, "customer"),
+        load_table(spark, sf_dir, "nation"),
+        load_table(spark, sf_dir, "region"),
+    )
+
+
+def q_value_outliers(spark, sf_dir):
+    """Per-event-type z-score outlier counts from sufficient statistics
+    (functions/relational.value_outliers; 6dp-rounded mean/std cutoff)."""
+    from plato_spark.functions.relational import value_outliers
+
+    return value_outliers(load_table(spark, sf_dir, "events"), z=3.0)
+
+
 def q_containment(spark, sf_dir):
     """Asymmetric shingle containment >= 0.8 (directed subset-duplication
     pairs; functions/dedup.containment_pairs, exact all-pairs baseline)."""
@@ -3061,6 +3093,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "densest_subgraph": q_densest,
         "butterfly_vertices": q_butterfly_vertices,
         "rich_club": q_rich_club,
+        "revenue_rollup": q_revenue_rollup,
+        "value_outliers": q_value_outliers,
+        "negative_sampling": q_negative_sampling,
         "containment_dups": q_containment,
         "co_activity_edges": q_co_activity,
         "percolation": q_percolation,
@@ -3271,6 +3306,56 @@ ORDER BY item, rank""",
         "weighted_matching": _sql_matching(32, weighted=True),
         "hll_user_cardinality": _sql_hll_groups(),
         "densest_subgraph": _sql_densest(12),
+        "negative_sampling": SQL_GRAPH_PREFIX + """,
+na AS (SELECT CAST(range AS INTEGER) AS attempt FROM range(0, 16)),
+nc AS MATERIALIZED (
+  SELECT v.id, na.attempt,
+         CAST(('0x' || substr(md5('neg:' || CAST(v.id AS VARCHAR) || ':'
+               || CAST(na.attempt AS VARCHAR)), 1, 14)) AS BIGINT)
+         % ((SELECT max(id) FROM verts) + 1) AS neg
+  FROM verts v CROSS JOIN na),
+nok AS MATERIALIZED (
+  SELECT id, attempt, neg FROM nc
+  WHERE neg != id
+    AND EXISTS (SELECT 1 FROM verts w WHERE w.id = nc.neg)
+    AND NOT EXISTS (SELECT 1 FROM edges e
+                    WHERE e.src = nc.id AND e.dst = nc.neg))
+SELECT id, neg, attempt FROM (
+  SELECT id, neg, attempt,
+         row_number() OVER (PARTITION BY id ORDER BY attempt) AS rn
+  FROM nok) t
+WHERE rn <= 5 ORDER BY id, attempt""",
+        "revenue_rollup": """
+WITH li AS MATERIALIZED (
+  SELECT l_orderkey,
+         CAST(round(l_extendedprice * 100, 0) AS BIGINT)
+         * CAST(round((1 - l_discount) * 10000, 0) AS BIGINT) AS rev_u
+  FROM lineitem)
+SELECT r.r_name AS region, n.n_name AS nation,
+       CAST(count(DISTINCT o.o_orderkey) AS BIGINT) AS n_orders,
+       round(CAST(sum(li.rev_u) AS DOUBLE) / 1e6, 2) AS revenue
+FROM li JOIN orders o ON li.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+GROUP BY r.r_name, n.n_name ORDER BY region, nation""",
+        "value_outliers": """
+WITH g AS MATERIALIZED (
+  SELECT event_type, CAST(count(value) AS BIGINT) AS n,
+         sum(value) AS s, sum(value * value) AS ss
+  FROM events GROUP BY event_type),
+st AS MATERIALIZED (
+  SELECT event_type, n, round(s / n, 6) AS mean,
+         round(sqrt(greatest(ss / n - (s / n) * (s / n), 0)), 6) AS std
+  FROM g),
+o AS (SELECT e.event_type, CAST(count(*) AS BIGINT) AS n_outliers
+      FROM events e JOIN st ON e.event_type = st.event_type
+      WHERE st.std > 0 AND abs(e.value - st.mean) > 3.0 * st.std
+      GROUP BY e.event_type)
+SELECT st.event_type, st.n, st.mean, st.std,
+       COALESCE(o.n_outliers, 0) AS n_outliers
+FROM st LEFT JOIN o ON st.event_type = o.event_type
+ORDER BY st.event_type""",
         "containment_dups": f"""
             WITH t AS (SELECT doc_id,
                               regexp_extract_all(text, '{TOKEN_RE_SQL}') AS toks

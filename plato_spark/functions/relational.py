@@ -1,0 +1,107 @@
+"""Relational analytics over the star schema — the OLAP leg.
+
+The engine's graph/pipeline operators all consume tables that start as
+relational scans; this module carries the representative star-join
+rollup (SURVEY §2.5's relational-operator coverage) expressed the way
+the 100 TB plan wants it: fact tables scan with pushed filters and
+pruned columns, DIMENSION tables broadcast (region/nation/customer are
+thousands of rows against billions of lineitems), aggregation is
+map-side combined, and money math is done in exact integer CENTS —
+sum-of-doubles reassociation never touches the result, so the rollup is
+bit-identical to its SQL mirror at any partitioning.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["revenue_rollup", "value_outliers"]
+
+
+def _cents(col):
+    # exact: prices have <= 2 decimals; round once to kill any parquet
+    # double representation dust, then hold as int64 cents
+    return F.round(col * 100, 0).cast("long")
+
+
+def revenue_rollup(
+    orders: DataFrame,
+    lineitem: DataFrame,
+    customer: DataFrame,
+    nation: DataFrame,
+    region: DataFrame,
+) -> DataFrame:
+    """(region, nation, n_orders, revenue) — discounted revenue
+    sum(extendedprice * (1 - discount)) per customer nation, the
+    TPC-H Q5 join shape.  Revenue is accumulated as integer
+    cents*10^4 (discounts have <= 4 decimals) and divided back once at
+    read-out; dimensions broadcast."""
+    rev = _cents(F.col("l_extendedprice")) * F.round(
+        (F.lit(1.0) - F.col("l_discount")) * 10000, 0
+    ).cast("long")
+    li = lineitem.select("l_orderkey", rev.alias("rev_u"))
+    o = orders.select("o_orderkey", "o_custkey")
+    c = customer.select("c_custkey", "c_nationkey")
+    n = nation.select("n_nationkey", "n_name", "n_regionkey")
+    r = region.select("r_regionkey", "r_name")
+    j = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
+    )
+    return (
+        j.groupBy(F.col("r_name").alias("region"),
+                  F.col("n_name").alias("nation"))
+        .agg(
+            F.countDistinct("o_orderkey").cast("long").alias("n_orders"),
+            F.sum("rev_u").cast("long").alias("rev_u"),
+        )
+        .select(
+            "region", "nation", "n_orders",
+            F.round(F.col("rev_u") / F.lit(1e6), 2).alias("revenue"),
+        )
+    )
+
+
+def value_outliers(
+    events: DataFrame,
+    z: float = 3.0,
+    type_col: str = "event_type",
+    value_col: str = "value",
+) -> DataFrame:
+    """(event_type, n, mean, std, n_outliers) — per-group z-score
+    outlier counts, the numeric data-quality gate of an ingest pipeline.
+
+    mean/std come from sufficient statistics (one map-side-combined
+    aggregation — the assortativity discipline) and are ROUNDED 6dp
+    BEFORE the |v - mean| > z * std comparison, so the cutoff is
+    engine-portable; population std (n denominator), zero variance
+    reports 0 outliers."""
+    g = events.groupBy(F.col(type_col).alias("event_type")).agg(
+        F.count(value_col).alias("n"),
+        F.sum(value_col).alias("s"),
+        F.sum(F.col(value_col) * F.col(value_col)).alias("ss"),
+    )
+    mean = F.round(F.col("s") / F.col("n"), 6)
+    m = F.col("s") / F.col("n")
+    var = F.col("ss") / F.col("n") - m * m  # explicit multiply: pow() is
+    # not guaranteed bit-equal to x*x across libms
+    std = F.round(F.sqrt(F.greatest(var, F.lit(0.0))), 6)
+    stats = g.select("event_type", F.col("n").cast("long").alias("n"),
+                     mean.alias("mean"), std.alias("std"))
+    out = (
+        events.select(F.col(type_col).alias("event_type"),
+                      F.col(value_col).alias("v"))
+        .join(F.broadcast(stats), "event_type")
+        .where((F.col("std") > 0)
+               & (F.abs(F.col("v") - F.col("mean"))
+                  > F.lit(z) * F.col("std")))
+        .groupBy("event_type")
+        .agg(F.count("*").cast("long").alias("n_outliers"))
+    )
+    return stats.join(out, "event_type", "left").select(
+        "event_type", "n", "mean", "std",
+        F.coalesce("n_outliers", F.lit(0)).cast("long").alias("n_outliers"),
+    )

@@ -84,3 +84,53 @@ def hash_split(
     for bound, name in reversed(conds):
         expr = F.when(gate < F.lit(bound), F.lit(name)).otherwise(expr)
     return df.withColumn("split", expr)
+
+
+def negative_edge_sampling(
+    edges_sym: DataFrame, k: int = 5, attempts: int = 16
+) -> DataFrame:
+    """(id, neg, attempt) — up to ``k`` deterministic NON-neighbors per
+    vertex, the negative-sampling step that pairs with
+    algos/neighbor_sample to feed link-prediction / GNN training (one
+    positive fan-out, one negative fan-out, both reproducible).
+
+    Candidate i for vertex u is h1('neg:u:i') mod (max_id + 1) — the
+    portable md5 family, so the exact sample is SQL-oracle-checkable;
+    candidates are kept in attempt order when they (a) differ from u,
+    (b) are real vertices (arbitrary id spaces — no dense-rank
+    assumption), and (c) are NOT current neighbors.  Constant fan-out
+    ``attempts`` per vertex, one anti-join against the edge table, a
+    per-vertex window over <= attempts rows — no RNG state, no shuffle
+    beyond the joins, identical under re-runs and speculation.
+    """
+    verts = edges_sym.select(F.col("src").alias("id")).distinct()
+    max_id = verts.agg(F.max("id").alias("m")).collect()[0]["m"]
+    cand = verts.select(
+        "id",
+        F.explode(
+            F.sequence(F.lit(0), F.lit(attempts - 1))
+        ).alias("attempt"),
+    ).select(
+        "id", "attempt",
+        F.pmod(
+            portable_h1(
+                F.concat_ws(":", F.lit("neg"), F.col("id").cast("string"),
+                            F.col("attempt").cast("string"))
+            ),
+            F.lit(int(max_id) + 1),
+        ).alias("neg"),
+    ).where(F.col("neg") != F.col("id"))
+    cand = cand.join(
+        verts.withColumnRenamed("id", "neg"), "neg", "left_semi"
+    ).join(
+        edges_sym.select(F.col("src").alias("id"), F.col("dst").alias("neg")),
+        ["id", "neg"], "left_anti",
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("id").orderBy("attempt")
+    return (
+        cand.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= k)
+        .select("id", "neg", "attempt")
+    )

@@ -165,3 +165,37 @@ def test_oov_stats(spark):
     assert got["n_eval_tokens"] == len(eval_tokens)
     assert got["n_oov"] == n_oov
     assert got["oov_rate"] == round(n_oov / len(eval_tokens), 6)
+
+
+# ---- relational rollup + outliers ----
+
+def test_revenue_rollup_exact(spark):
+    from plato_spark.functions.relational import revenue_rollup
+
+    orders = spark.createDataFrame(
+        [(1, 10), (2, 11)], "o_orderkey long, o_custkey long")
+    li = spark.createDataFrame(
+        [(1, 100.0, 0.1), (1, 50.0, 0.0), (2, 200.0, 0.25)],
+        "l_orderkey long, l_extendedprice double, l_discount double")
+    cust = spark.createDataFrame(
+        [(10, 0), (11, 1)], "c_custkey long, c_nationkey long")
+    nation = spark.createDataFrame(
+        [(0, "A", 0), (1, "B", 0)],
+        "n_nationkey long, n_name string, n_regionkey long")
+    region = spark.createDataFrame([(0, "R")],
+                                   "r_regionkey long, r_name string")
+    got = {(r["region"], r["nation"]): (r["n_orders"], r["revenue"])
+           for r in revenue_rollup(orders, li, cust, nation, region).collect()}
+    assert got == {("R", "A"): (1, 140.0), ("R", "B"): (1, 150.0)}
+
+
+def test_value_outliers(spark):
+    from plato_spark.functions.relational import value_outliers
+
+    rows = [("a", float(v)) for v in [10] * 50 + [11] * 50 + [1000]] \
+        + [("b", 5.0)] * 10
+    df = spark.createDataFrame(rows, "event_type string, value double")
+    got = {r["event_type"]: r for r in value_outliers(df, z=3.0).collect()}
+    assert got["a"]["n_outliers"] == 1      # the 1000 spike
+    assert got["b"]["n_outliers"] == 0      # zero variance -> no outliers
+    assert got["b"]["std"] == 0.0

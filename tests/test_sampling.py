@@ -87,3 +87,41 @@ def test_redact_pii_and_domain_counts(spark):
     doms = {r["domain"]: (r["n_docs"], r["n_urls"])
             for r in domain_counts(df).collect()}
     assert doms["x.io"] == (2, 2) and doms["y.net"] == (1, 1)
+
+
+# ---- negative edge sampling ----
+
+def test_negative_sampling_properties(spark):
+    from tests.conftest import edges_df
+    from plato_spark.functions.sampling import negative_edge_sampling
+    from plato_spark.graph.edges import symmetrize
+
+    edges = [(1, 2), (2, 3), (3, 4), (1, 4), (4, 7)]
+    sym = symmetrize(edges_df(spark, edges))
+    rows = negative_edge_sampling(sym, k=3, attempts=32).collect()
+    adj = {}
+    verts = {1, 2, 3, 4, 7}
+    for a, b in edges:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    per = {}
+    for r in rows:
+        assert r["neg"] in verts, "sampled a non-vertex"
+        assert r["neg"] != r["id"], "self-sample"
+        assert r["neg"] not in adj[r["id"]], "sampled a real neighbor"
+        per.setdefault(r["id"], []).append(r["attempt"])
+    for v, ats in per.items():
+        assert len(ats) <= 3
+        assert ats == sorted(ats)
+
+
+def test_negative_sampling_deterministic(spark):
+    from tests.conftest import edges_df
+    from plato_spark.functions.sampling import negative_edge_sampling
+    from plato_spark.graph.edges import symmetrize
+
+    sym = symmetrize(edges_df(spark, [(i, i + 1) for i in range(12)]))
+    a = sorted(map(tuple, negative_edge_sampling(sym, k=2).collect()))
+    b = sorted(map(tuple, negative_edge_sampling(
+        sym.repartition(7), k=2).collect()))
+    assert a == b  # partitioning-independent
