@@ -2413,6 +2413,17 @@ def q_matching(spark, sf_dir):
     return maximal_matching(part_cooccurrence_edges(spark, sf_dir))
 
 
+def q_linkpred_eval(spark, sf_dir):
+    """End-to-end link-prediction eval: portable-hash 20% edge holdout,
+    common-neighbor top-10 ranking on the train graph, hits@10 against
+    the held-out edges (functions/linkpred)."""
+    from plato_spark.functions.linkpred import link_prediction_eval
+
+    return link_prediction_eval(
+        part_cooccurrence_edges(spark, sf_dir), k=10, holdout_mod=5
+    )
+
+
 def q_negative_sampling(spark, sf_dir):
     """Deterministic negative-edge sampling for link-prediction / GNN
     training: up to 5 portable-hash non-neighbors per vertex
@@ -3096,6 +3107,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "revenue_rollup": q_revenue_rollup,
         "value_outliers": q_value_outliers,
         "negative_sampling": q_negative_sampling,
+        "linkpred_eval": q_linkpred_eval,
         "containment_dups": q_containment,
         "co_activity_edges": q_co_activity,
         "percolation": q_percolation,
@@ -3306,6 +3318,44 @@ ORDER BY item, rank""",
         "weighted_matching": _sql_matching(32, weighted=True),
         "hll_user_cardinality": _sql_hll_groups(),
         "densest_subgraph": _sql_densest(12),
+        "linkpred_eval": SQL_GRAPH_PREFIX + """,
+lpe AS MATERIALIZED (
+  SELECT src, dst,
+         CAST(('0x' || substr(md5('lp:' || CAST(src AS VARCHAR) || ':'
+               || CAST(dst AS VARCHAR)), 1, 14)) AS BIGINT) % 5 = 0
+           AS held
+  FROM canon),
+lpt AS MATERIALIZED (SELECT src, dst FROM lpe WHERE NOT held),
+lph AS MATERIALIZED (SELECT src, dst FROM lpe WHERE held),
+lps AS MATERIALIZED (
+  SELECT src, dst FROM lpt
+  UNION ALL SELECT dst AS src, src AS dst FROM lpt),
+lpc AS MATERIALIZED (
+  SELECT a.dst AS u, b.dst AS v, CAST(count(*) AS BIGINT) AS cn
+  FROM lps a JOIN lps b ON a.src = b.src AND a.dst != b.dst
+  GROUP BY a.dst, b.dst),
+lpc2 AS MATERIALIZED (
+  SELECT c.u, c.v, c.cn FROM lpc c
+  WHERE NOT EXISTS (SELECT 1 FROM lps s
+                    WHERE s.src = c.u AND s.dst = c.v)),
+lpk AS MATERIALIZED (
+  SELECT u, v FROM (
+    SELECT u, v, row_number() OVER (
+      PARTITION BY u ORDER BY cn DESC, v ASC) AS rn
+    FROM lpc2) t WHERE rn <= 10),
+lphit AS MATERIALIZED (
+  SELECT h.src, h.dst FROM lph h
+  WHERE EXISTS (SELECT 1 FROM lpk k WHERE k.u = h.src AND k.v = h.dst)
+     OR EXISTS (SELECT 1 FROM lpk k WHERE k.u = h.dst AND k.v = h.src))
+SELECT
+  (SELECT CAST(count(*) AS BIGINT) FROM lpt) AS n_train,
+  (SELECT CAST(count(*) AS BIGINT) FROM lph) AS n_test,
+  CAST(10 AS INTEGER) AS k,
+  (SELECT CAST(count(*) AS BIGINT) FROM lphit) AS n_hits,
+  CASE WHEN (SELECT count(*) FROM lph) > 0
+       THEN round(CAST((SELECT count(*) FROM lphit) AS DOUBLE)
+                  / (SELECT count(*) FROM lph), 6)
+       ELSE 0.0 END AS hits_at_k""",
         "negative_sampling": SQL_GRAPH_PREFIX + """,
 na AS (SELECT CAST(range AS INTEGER) AS attempt FROM range(0, 16)),
 nc AS MATERIALIZED (

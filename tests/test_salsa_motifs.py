@@ -186,3 +186,40 @@ def test_rich_club(spark):
     assert rows[6]["n_rich"] == 5
     # k=32: nobody
     assert rows[32]["n_rich"] == 0 and rows[32]["phi"] == 0.0
+
+
+# ---- link-prediction eval harness ----
+
+def test_linkpred_eval(spark):
+    import hashlib
+    from plato_spark.functions.linkpred import link_prediction_eval
+
+    # two overlapping triangles + a pendant: dense enough that held-out
+    # edges are recoverable via common neighbors
+    edges = [(1, 2), (2, 3), (1, 3), (3, 4), (2, 4), (4, 5)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = link_prediction_eval(df, k=3, holdout_mod=3).collect()[0].asDict()
+
+    def held(s, d):
+        return int(hashlib.md5(f"lp:{s}:{d}".encode()).hexdigest()[:14],
+                   16) % 3 == 0
+
+    test = [(s, d) for s, d in edges if held(s, d)]
+    train = [(s, d) for s, d in edges if not held(s, d)]
+    assert got["n_train"] == len(train) and got["n_test"] == len(test)
+    assert 0 <= got["n_hits"] <= got["n_test"]
+    assert got["hits_at_k"] == (round(got["n_hits"] / got["n_test"], 6)
+                                if test else 0.0)
+
+
+def test_linkpred_perfect_recovery(spark):
+    from plato_spark.functions.linkpred import link_prediction_eval
+
+    # complete graph K6: every held-out edge still has 4 common
+    # neighbors in train (removing <= a few edges), so hits@k=5 is 1.0
+    edges = [(a, b) for a in range(6) for b in range(a + 1, 6)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = link_prediction_eval(df, k=5, holdout_mod=4).collect()[0].asDict()
+    assert got["n_test"] > 0
+    assert got["n_hits"] == got["n_test"]
+    assert got["hits_at_k"] == 1.0
