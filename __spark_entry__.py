@@ -2413,6 +2413,40 @@ def q_matching(spark, sf_dir):
     return maximal_matching(part_cooccurrence_edges(spark, sf_dir))
 
 
+def q_source_health(spark, sf_dir):
+    """Per-source corpus health rollup: doc counts, token mass, mean
+    length, language mix entropy-free proxy (distinct langs), and
+    exact-duplicate rate — the pre-mixing dashboard of a curation
+    pipeline.  One aggregation over per-doc JVM expressions + one
+    sha-digest dup join; exact integers + rounded divisions."""
+    from plato_spark.functions.text import token_count_col
+
+    docs = load_table(spark, sf_dir, "documents")
+    per = docs.select(
+        "source",
+        token_count_col(F.col("text")).alias("n_tok"),
+        F.length("text").cast("long").alias("n_chars"),
+        F.col("lang"),
+        F.sha2(F.col("text"), 256).alias("sha"),
+    )
+    dup = (
+        per.groupBy("source", "sha").agg(F.count("*").alias("c"))
+        .groupBy("source")
+        .agg((F.sum("c") - F.count("*")).cast("long").alias("n_dups"))
+    )
+    agg = per.groupBy("source").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("n_tok").cast("long").alias("n_tokens"),
+        F.round(F.avg("n_chars"), 2).alias("mean_chars"),
+        F.countDistinct("lang").cast("long").alias("n_langs"),
+    )
+    return agg.join(dup, "source").select(
+        "source", "n_docs", "n_tokens", "mean_chars", "n_langs",
+        "n_dups",
+        F.round(F.col("n_dups") / F.col("n_docs"), 6).alias("dup_rate"),
+    )
+
+
 def q_linkpred_eval(spark, sf_dir):
     """End-to-end link-prediction eval: portable-hash 20% edge holdout,
     common-neighbor top-10 ranking on the train graph, hits@10 against
@@ -3108,6 +3142,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "value_outliers": q_value_outliers,
         "negative_sampling": q_negative_sampling,
         "linkpred_eval": q_linkpred_eval,
+        "source_health": q_source_health,
         "containment_dups": q_containment,
         "co_activity_edges": q_co_activity,
         "percolation": q_percolation,
@@ -3318,6 +3353,27 @@ ORDER BY item, rank""",
         "weighted_matching": _sql_matching(32, weighted=True),
         "hll_user_cardinality": _sql_hll_groups(),
         "densest_subgraph": _sql_densest(12),
+        "source_health": f"""
+WITH per AS MATERIALIZED (
+  SELECT source,
+         CAST(length(regexp_extract_all(text, '{TOKEN_RE_SQL}')) AS BIGINT)
+           AS n_tok,
+         CAST(length(text) AS BIGINT) AS n_chars,
+         lang, sha256(text) AS sha
+  FROM documents),
+dup AS (SELECT source,
+               CAST(sum(c) - count(*) AS BIGINT) AS n_dups
+        FROM (SELECT source, sha, count(*) AS c FROM per
+              GROUP BY source, sha) z
+        GROUP BY source),
+agg AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+               round(avg(n_chars), 2) AS mean_chars,
+               CAST(count(DISTINCT lang) AS BIGINT) AS n_langs
+        FROM per GROUP BY source)
+SELECT a.source, a.n_docs, a.n_tokens, a.mean_chars, a.n_langs,
+       d.n_dups, round(CAST(d.n_dups AS DOUBLE) / a.n_docs, 6) AS dup_rate
+FROM agg a JOIN dup d ON a.source = d.source ORDER BY a.source""",
         "linkpred_eval": SQL_GRAPH_PREFIX + """,
 lpe AS MATERIALIZED (
   SELECT src, dst,
