@@ -506,6 +506,53 @@ SELECT mem.id,
                   ELSE 0.0 END, 6) AS closeness
 FROM members mem LEFT JOIN sums su ON mem.id = su.id ORDER BY mem.id"""
 
+
+def _sql_closeness_exact(num_roots: int = 64, bfs_iters: int = 6,
+                         wcc_iters: int = 10) -> str:
+    """Mirror of algos/closeness.closeness_exact (Bavelas per-root exact):
+    (V-1)/sum-of-distances per root over a FULL BFS; roots = the
+    ``num_roots`` smallest major-component ids; ``bfs_iters`` pinned past
+    the measured root eccentricity (extra rounds are fixpoint no-ops)."""
+    ctes = ["l0 AS MATERIALIZED (SELECT id, id AS lab FROM verts)"]
+    for k in range(wcc_iters):
+        ctes.append(
+            f"""l{k + 1} AS MATERIALIZED (
+  SELECT v.id, least(l.lab, COALESCE(m.minlab, l.lab)) AS lab
+  FROM verts v JOIN l{k} l ON v.id = l.id
+  LEFT JOIN (SELECT e.dst AS id, min(l2.lab) AS minlab
+             FROM edges e JOIN l{k} l2 ON e.src = l2.id
+             GROUP BY e.dst) m ON v.id = m.id)"""
+        )
+    ctes.append(
+        f"""major AS MATERIALIZED (
+  SELECT lab FROM (SELECT lab, count(*) AS n FROM l{wcc_iters} GROUP BY lab
+                   ORDER BY n DESC, lab ASC LIMIT 1) x),
+members AS MATERIALIZED (
+  SELECT id FROM l{wcc_iters} WHERE lab = (SELECT lab FROM major)),
+roots AS MATERIALIZED (
+  SELECT id AS root FROM members ORDER BY id LIMIT {num_roots}),
+m0 AS MATERIALIZED (SELECT root, root AS id, 0 AS dist FROM roots)"""
+    )
+    for k in range(bfs_iters):
+        ctes.append(
+            f"""m{k + 1} AS MATERIALIZED (
+  SELECT root, id, CAST(min(dist) AS INT) AS dist FROM (
+    SELECT root, id, dist FROM m{k}
+    UNION ALL
+    SELECT d.root, e.dst AS id, d.dist + 1 AS dist
+    FROM m{k} d JOIN edges e ON e.src = d.id
+  ) u GROUP BY root, id)"""
+        )
+    return SQL_GRAPH_PREFIX + ", " + ",\n".join(ctes) + f""",
+sums AS (SELECT root, CAST(sum(dist) AS BIGINT) AS s
+         FROM m{bfs_iters} GROUP BY root)
+SELECT root AS id,
+       round(CASE WHEN s > 0
+                  THEN CAST((SELECT count(*) FROM verts) - 1 AS DOUBLE)
+                       / CAST(s AS DOUBLE)
+                  ELSE 0.0 END, 6) AS closeness
+FROM sums ORDER BY id"""
+
 def _sql_harmonic(samples: int = CLOSENESS_SAMPLES, radius: int = 5,
                   wcc_iters: int = 10) -> str:
     """Mirror of algos/closeness.harmonic_sampled: radius-truncated sampled
@@ -816,7 +863,14 @@ def _sql_embedding_project(out_dim: int = 16, dim: int = 64) -> str:
         + f"]) * {scale!r}, 6)"
         for j in range(out_dim)
     )
-    return EMB_SQL_PREFIX + f"SELECT id AS vec_id, [{comps}] AS proj FROM v"
+    # zipped unnests (DuckDB unnests in SELECT run in lockstep) emit one
+    # (vec_id, dim, value) row per coordinate — the driver-gate-safe
+    # shape (its pandas canonicalizer cannot hash array cells)
+    return EMB_SQL_PREFIX + f"""
+SELECT id AS vec_id,
+       CAST(unnest(generate_series(0, {out_dim - 1})) AS INT) AS dim,
+       CAST(unnest([{comps}]) AS DOUBLE) AS value
+FROM v"""
 
 
 def _sql_ivf_ann(k: int = 5, n_clusters: int = 8, n_probe: int = 2,
@@ -1128,34 +1182,44 @@ e{k + 1} AS MATERIALIZED (
 
 def _sql_matching(rounds: int = 8, weighted: bool = False) -> str:
     """Mirror of algos/matching.maximal_matching: unrolled locally-minimal
-    edge rounds with the unique priority triple (portable_h1('src:dst'),
-    src, dst) — or (-weight, src, dst) for the locally-heaviest greedy
-    weighted variant; struct min/equality order field-lexicographically
-    in both engines.  ``rounds`` is pinned past the measured fixpoint —
-    extra rounds operate on an empty edge set and add no rows.
+    edge rounds with the unique priority key (portable_h1('src:dst'),
+    src, dst) — or (-weight, hash, src, dst) for the locally-heaviest
+    greedy weighted variant (the hash splits equal-weight tie chains);
+    struct min/equality order field-positionally in both engines.
+    ``rounds`` is pinned past the measured fixpoint — extra rounds
+    operate on an empty edge set and add no rows.
     """
-    h = (
-        "- weight" if weighted else
-        "CAST(('0x' || substr(md5(CAST(src AS VARCHAR) || ':' || "
-        "CAST(dst AS VARCHAR)), 1, 14)) AS BIGINT)"
-    )
-    ctes = [f"l0 AS MATERIALIZED (SELECT src, dst, {h} AS h FROM canon)"]
+    md5h = ("CAST(('0x' || substr(md5(CAST(src AS VARCHAR) || ':' || "
+            "CAST(dst AS VARCHAR)), 1, 14)) AS BIGINT)")
+    if weighted:
+        # (-weight, hash, src, dst): the hash between weight and
+        # endpoints splits equal-weight tie chains (see algos/matching)
+        l0_cols = f"- weight AS h, {md5h} AS t"
+        key = "{{'h': {p}h, 't': {p}t, 's': {p}src, 'd': {p}dst}}"
+        icols = "h, t, src, dst"
+    else:
+        l0_cols = f"{md5h} AS h"
+        key = "{{'h': {p}h, 's': {p}src, 'd': {p}dst}}"
+        icols = "h, src, dst"
+    kb, kl = key.format(p=""), key.format(p="l.")
+    ctes = [f"l0 AS MATERIALIZED (SELECT src, dst, {l0_cols} FROM canon)"]
     for k in range(rounds):
         ctes.append(f"""i{k} AS MATERIALIZED (
-  SELECT src AS id, h, src, dst FROM l{k}
-  UNION ALL SELECT dst AS id, h, src, dst FROM l{k}),
+  SELECT src AS id, {icols} FROM l{k}
+  UNION ALL SELECT dst AS id, {icols} FROM l{k}),
 m{k} AS MATERIALIZED (
-  SELECT id, min({{'h': h, 's': src, 'd': dst}}) AS mk
+  SELECT id, min({kb}) AS mk
   FROM i{k} GROUP BY id),
 p{k} AS MATERIALIZED (
   SELECT l.src, l.dst FROM l{k} l
   JOIN m{k} a ON l.src = a.id JOIN m{k} b ON l.dst = b.id
-  WHERE {{'h': l.h, 's': l.src, 'd': l.dst}} = a.mk
-    AND {{'h': l.h, 's': l.src, 'd': l.dst}} = b.mk),
+  WHERE {kl} = a.mk
+    AND {kl} = b.mk),
 v{k} AS MATERIALIZED (
   SELECT src AS id FROM p{k} UNION SELECT dst AS id FROM p{k}),
 l{k + 1} AS MATERIALIZED (
-  SELECT l.src, l.dst, l.h FROM l{k} l
+  SELECT l.src, l.dst, {", ".join("l." + c for c in icols.split(", ")[:-2])}
+  FROM l{k} l
   WHERE NOT EXISTS (SELECT 1 FROM v{k} v WHERE v.id = l.src)
     AND NOT EXISTS (SELECT 1 FROM v{k} v WHERE v.id = l.dst))""")
     sel = "\nUNION ALL\n".join(
@@ -2298,6 +2362,18 @@ def q_trussness(spark, sf_dir):
     )
 
 
+def q_closeness_exact(spark, sf_dir):
+    """Exact Bavelas closeness (reference bavelas.hpp:55-66, a per-root
+    API the reference ships no all-vertices driver for) over a pinned
+    64-root set — closes the last cnc sub-variant; see the O(V*E) scale
+    fence in algos/closeness.closeness_exact."""
+    from plato_spark.algos.closeness import closeness_exact
+
+    return closeness_exact(
+        part_cooccurrence_edges(spark, sf_dir), num_roots=64
+    )
+
+
 def q_harmonic(spark, sf_dir):
     """Radius-truncated sampled harmonic centrality (disconnected-robust
     closeness variant) — same deterministic sample policy as closeness."""
@@ -2363,6 +2439,30 @@ def q_vocabulary(spark, sf_dir):
 
     docs = load_table(spark, sf_dir, "documents")
     return vocabulary_stats(docs, top_k=VOCAB_TOP_K)
+
+
+def q_lm_quality(spark, sf_dir):
+    """Unigram-LM document quality scoring (the perplexity-filter signal
+    in exact arithmetic — see functions/text.unigram_commonness)."""
+    from plato_spark.functions.text import unigram_commonness
+
+    return unigram_commonness(load_table(spark, sf_dir, "documents"))
+
+
+def q_pmi_collocations(spark, sf_dir):
+    """Top-50 adjacent-token collocations by PMI lift (multiword
+    expression mining; raw-ratio ranking, no ln — the tfidf lesson)."""
+    from plato_spark.functions.text import pmi_collocations
+
+    return pmi_collocations(load_table(spark, sf_dir, "documents"))
+
+
+def q_boilerplate_lines(spark, sf_dir):
+    """Line-level boilerplate shared by >=3 docs (C4/RefinedWeb-style
+    chrome stripping) — only sha digests shuffle."""
+    from plato_spark.functions.text import boilerplate_lines
+
+    return boilerplate_lines(load_table(spark, sf_dir, "documents"))
 
 
 def q_bigram_vocabulary(spark, sf_dir):
@@ -2992,10 +3092,19 @@ def q_kmeans_clusters(spark, sf_dir):
 def q_embedding_project(spark, sf_dir):
     """Rademacher random projection 64d -> 16d (deterministic JL sketch;
     scale 0.25 is exact). The dimensionality-reduction step before
-    clustering / ANN over very wide embedding columns."""
+    clustering / ANN over very wide embedding columns.
+
+    Gate shape: the library returns (vec_id, proj: array<double>), but
+    the driver's pandas canonicalizer cannot sort/hash list cells (the
+    one red row of round 3) — so this wrapper posexplodes the projection
+    to one (vec_id, dim, value) row per coordinate.  dim=64 is passed so
+    the plan stays action-free until the driver collects."""
     from plato_spark.functions.similarity import embedding_project
 
-    return embedding_project(_emb_double(spark, sf_dir), out_dim=16)
+    proj = embedding_project(_emb_double(spark, sf_dir), out_dim=16, dim=64)
+    return proj.select(
+        "vec_id", F.posexplode("proj").alias("dim", "value")
+    ).select("vec_id", F.col("dim").cast("int").alias("dim"), "value")
 
 
 def q_chunk_dedup(spark, sf_dir):
@@ -3109,73 +3218,17 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Registry order matters: the driver's correctness gate snapshots the
-    # FIRST 50 entries per round.  Rows absent from CORRECTNESS_r02.json
-    # (never driver-proven, or rotated out after r1) are listed first so
-    # round 3 produces a driver-green row for each; long-proven rows
-    # (green in both r1+r2) sit at the tail and rotate back in next round.
-    # r3-late: 19 more queries joined the head — never-driver-proven rows
-    # now exceed one 50-row snapshot, so the overflow (tail of the
-    # "new in r3" block) rotates to the front in round 4; every row was
-    # value-matched through the gate replica at sf0.001 AND sf0.01
-    # regardless (tools/validate_oracles.py).
+    # FIRST 50 entries per round.  Round-4 rotation: the 18 rows no
+    # driver round ever proved lead, then this round's changed/new
+    # queries, then the oldest (r1+r2-era) proofs; freshly r3-proven
+    # rows sit at the tail.  Every row is value-matched through the
+    # gate replica at sf0.001 AND sf0.01 (tools/validate_oracles.py)
+    # regardless of rotation position.
     return {
-        # -- new in r3 (late session) --
-        "maximal_matching": q_matching,
-        "butterflies": q_butterflies,
-        "graph_coloring": q_coloring,
-        "min_spanning_forest": q_msf,
-        "cms_heavy_hitters": q_cms_heavy_hitters,
-        "copurchase_topk": q_copurchase,
-        "knn_graph": q_knn_graph,
-        "pq_ann": q_pq_ann,
-        "cms_incremental": q_cms_incremental,
-        "price_quantiles": q_price_quantiles,
-        "event_funnel": q_funnel,
-        "salsa": q_salsa,
-        "motif_census": q_motif_census,
-        "weighted_matching": q_weighted_matching,
-        "hll_user_cardinality": q_hll_user_cardinality,
-        "densest_subgraph": q_densest,
-        "butterfly_vertices": q_butterfly_vertices,
-        "rich_club": q_rich_club,
-        "revenue_rollup": q_revenue_rollup,
-        "value_outliers": q_value_outliers,
-        "negative_sampling": q_negative_sampling,
-        "linkpred_eval": q_linkpred_eval,
-        "source_health": q_source_health,
-        "containment_dups": q_containment,
-        "co_activity_edges": q_co_activity,
-        "percolation": q_percolation,
-        "oov_stats": q_oov,
-        # -- new in r3 (this session) --
-        "topo_levels": q_topo_levels,
-        "dedup_incremental": q_dedup_incremental,
-        "seeded_lpa": q_seeded_lpa,
-        "kmeans_clusters": q_kmeans_clusters,
-        "embedding_project": q_embedding_project,
-        "chunk_dedup": q_chunk_dedup,
-        # -- never driver-checked (r2-era queries) --
-        "corpus_curation": q_corpus_curation,
-        "stratified_sample": q_stratified_sample,
-        "hash_split": q_hash_split,
-        "simhash": q_simhash,
-        "simhash_dups": q_simhash_dups,
-        "doc_fingerprint": q_doc_fingerprint,
-        # no SQL oracle (randomized-hyperplane buckets; approximate):
-        "lsh_ann": q_lsh_ann,
-        # -- green in r1 but rotated out of the r2 snapshot --
-        "ann_topk": q_ann_topk,
-        "ivf_ann": q_ivf_ann,
-        "embedding_dedup": q_embedding_dedup,
-        "lang_distribution": q_lang_distribution,
-        "lang_id": q_lang_id,
-        "minhash_lsh_candidates": q_minhash_candidates,
-        "ngram_jaccard_dups": q_ngram_jaccard,
-        "similarity_threshold": q_similarity_threshold,
-        # -- newly oracle-checkable in r3 (was no_oracle) --
-        "media_features": q_media_features,
-        # -- new in r3 --
-        "spread_behaviour": q_spread_behaviour,
+        # -- r4 head block 1 (18): never driver-proven by any round
+        # (VERDICT r3 item 1: the gate snapshots the first 50 rows;
+        # these rotate to the front so CORRECTNESS_r04 finally proves
+        # them — all were value-matched via the gate replica in r3) --
         "katz": q_katz,
         "assortativity": q_assortativity,
         "repetition_ratio": q_repetition_ratio,
@@ -3194,10 +3247,29 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "link_resource_alloc": q_link_resource_alloc,
         "bigram_vocabulary": q_bigram_vocabulary,
         "doc_chunks": q_doc_chunks,
-        # -- r1+r2 driver-green rows --
-        "co_occurrence_edges": q_edges,
-        "degrees": q_degrees,
-        "graph_stats": q_graph_stats,
+        # -- r4 head block 2 (9): code or output shape changed this
+        # round (embedding_project reshaped to (vec_id, dim, value);
+        # closeness_exact new; weighted_matching hash tie-break;
+        # infomap action fold; cms left-join probe; quantiles null
+        # filter; containment distinct; salsa iters guard) --
+        "embedding_project": q_embedding_project,
+        "closeness_exact": q_closeness_exact,
+        "weighted_matching": q_weighted_matching,
+        "infomap": q_infomap,
+        "cms_heavy_hitters": q_cms_heavy_hitters,
+        "cms_incremental": q_cms_incremental,
+        "price_quantiles": q_price_quantiles,
+        "containment_dups": q_containment,
+        "salsa": q_salsa,
+        # -- r4 head block 2b (3): new pipeline operators this round --
+        "lm_quality": q_lm_quality,
+        "pmi_collocations": q_pmi_collocations,
+        "boilerplate_lines": q_boilerplate_lines,
+        # -- r4 head block 3 (20 in top-50): oldest driver proofs
+        # (r1+r2 era) rotate back in to refresh the headline algorithms
+        # (random_walks/component_stats/dedup_exact fall just past the
+        # 50-row snapshot; both have r1+r2 proofs) --
+        # rotate back in to refresh the headline algorithms --
         "pagerank": q_pagerank,
         "pagerank_spmv": q_pagerank_spmv,
         "pagerank_weighted": q_pagerank_weighted,
@@ -3206,40 +3278,87 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "wcc_jump": q_wcc_jump,
         "wcc_incremental": q_wcc_incremental,
         "hits": q_hits,
-        "gnn_neighbor_sample": q_gnn_neighbor_sample,
-        "ktruss": q_ktruss,
         "lpa": q_lpa,
         "triangle_count": q_triangle_count,
         "clustering_coefficient": q_clustering_coefficient,
+        "bfs": q_bfs,
+        "kcore": q_kcore,
+        "sssp": q_sssp,
+        "ktruss": q_ktruss,
+        "hanp": q_hanp,
+        "hyperanf": q_hyperanf,
+        "louvain": q_louvain,
+        "betweenness_sampled": q_betweenness,
+        "nstep_degrees": q_nstep_degrees,
+        "random_walks": q_random_walks,
+        "component_stats": q_component_stats,
+        "dedup_exact": q_dedup_exact,
+        # -- tail: driver-proven in r3 (or r1/r2 rows awaiting their
+        # next rotation); all remain replica-checked every session --
+        "maximal_matching": q_matching,
+        "butterflies": q_butterflies,
+        "graph_coloring": q_coloring,
+        "min_spanning_forest": q_msf,
+        "copurchase_topk": q_copurchase,
+        "knn_graph": q_knn_graph,
+        "pq_ann": q_pq_ann,
+        "event_funnel": q_funnel,
+        "motif_census": q_motif_census,
+        "hll_user_cardinality": q_hll_user_cardinality,
+        "densest_subgraph": q_densest,
+        "butterfly_vertices": q_butterfly_vertices,
+        "rich_club": q_rich_club,
+        "revenue_rollup": q_revenue_rollup,
+        "value_outliers": q_value_outliers,
+        "negative_sampling": q_negative_sampling,
+        "linkpred_eval": q_linkpred_eval,
+        "source_health": q_source_health,
+        "co_activity_edges": q_co_activity,
+        "percolation": q_percolation,
+        "oov_stats": q_oov,
+        "topo_levels": q_topo_levels,
+        "dedup_incremental": q_dedup_incremental,
+        "seeded_lpa": q_seeded_lpa,
+        "kmeans_clusters": q_kmeans_clusters,
+        "chunk_dedup": q_chunk_dedup,
+        "corpus_curation": q_corpus_curation,
+        "stratified_sample": q_stratified_sample,
+        "hash_split": q_hash_split,
+        "simhash": q_simhash,
+        "simhash_dups": q_simhash_dups,
+        "doc_fingerprint": q_doc_fingerprint,
+        "lsh_ann": q_lsh_ann,
+        "ann_topk": q_ann_topk,
+        "ivf_ann": q_ivf_ann,
+        "embedding_dedup": q_embedding_dedup,
+        "lang_distribution": q_lang_distribution,
+        "lang_id": q_lang_id,
+        "minhash_lsh_candidates": q_minhash_candidates,
+        "ngram_jaccard_dups": q_ngram_jaccard,
+        "similarity_threshold": q_similarity_threshold,
+        "media_features": q_media_features,
+        "spread_behaviour": q_spread_behaviour,
+        "co_occurrence_edges": q_edges,
+        "degrees": q_degrees,
+        "graph_stats": q_graph_stats,
+        "gnn_neighbor_sample": q_gnn_neighbor_sample,
         "degree_histogram": q_degree_histogram,
         "common_neighbors": q_common_neighbors,
         "common_neighbor_lists": q_common_neighbor_lists,
         "link_jaccard": q_link_jaccard,
         "link_adamic_adar": q_link_adamic_adar,
         "common_neighbor_payload": q_common_neighbor_payload,
-        "bfs": q_bfs,
         "tree_stat": q_tree_stat,
-        "kcore": q_kcore,
-        "sssp": q_sssp,
         "closeness_sampled": q_closeness,
-        "hanp": q_hanp,
-        "hyperanf": q_hyperanf,
-        "louvain": q_louvain,
         "louvain_multi": q_louvain_multi,
         "louvain_density": q_louvain_density,
-        "betweenness_sampled": q_betweenness,
-        "nstep_degrees": q_nstep_degrees,
         "nstep_exact": q_nstep_exact,
-        "random_walks": q_random_walks,
         "node2vec_walks": q_node2vec_walks,
         "metapath_walks": q_metapath_walks,
-        "infomap": q_infomap,
-        "component_stats": q_component_stats,
         "component_edges": q_component_edges,
         "major_component_edges": q_major_component_edges,
         "events_windowed": q_events_windowed,
         "events_sessions": q_events_sessions,
-        "dedup_exact": q_dedup_exact,
         "dedup_clusters": q_dedup_clusters,
         "token_count": q_token_count,
         "text_quality": q_text_quality,
@@ -3347,10 +3466,11 @@ ORDER BY item, rank""",
         "cms_incremental": _sql_cms(50, 4, 64),
         "salsa": _sql_salsa(5),
         "motif_census": _sql_motif_census(),
-        # heaviest-first greedy: equal-weight chains resolve sequentially
-        # via the (src,dst) tie-break — measured fixpoint 31 rounds at
-        # sf0.01 (residual decays 116k->4.6k in 5 rounds, then ~10%/round)
-        "weighted_matching": _sql_matching(32, weighted=True),
+        # heaviest-first greedy with the r4 hash tie-break inside equal
+        # weights: chains split probabilistically — measured fixpoint 11
+        # rounds at sf0.01 (residual 116k->31k->10k->3.7k->1.2k->487->
+        # 205->48->16->5->0; was 31 rounds under the (src,dst) tie-break)
+        "weighted_matching": _sql_matching(12, weighted=True),
         "hll_user_cardinality": _sql_hll_groups(),
         "densest_subgraph": _sql_densest(12),
         "source_health": f"""
@@ -3618,6 +3738,10 @@ WHERE rn <= 5""",
         "sssp": _sql_sssp(),
         "closeness_sampled": _sql_closeness(),
         "harmonic_sampled": _sql_harmonic(),
+        # exact Bavelas: full BFS — bfs_iters pinned past the measured
+        # 64-root eccentricity (2 at sf0.001, 3 at sf0.01; extra rounds
+        # are fixpoint no-ops on the min-dist merge)
+        "closeness_exact": _sql_closeness_exact(64, bfs_iters=6),
         "scc": """
             WITH dd AS (SELECT DISTINCT doc_id FROM documents),
             d AS (SELECT CAST(row_number() OVER (ORDER BY doc_id) - 1
@@ -3818,6 +3942,59 @@ WHERE l.lab = (SELECT lab FROM maj)""",
                    CAST(count(DISTINCT doc_id) AS BIGINT) AS df
             FROM t GROUP BY token
             ORDER BY tf DESC, token ASC LIMIT {VOCAB_TOP_K}""",
+        "lm_quality": f"""
+            WITH t AS MATERIALIZED (
+              SELECT doc_id,
+                     unnest(regexp_extract_all(text, '{TOKEN_RE_SQL}'))
+                       AS token
+              FROM documents),
+            v AS MATERIALIZED (
+              SELECT token, CAST(count(*) AS BIGINT) AS cnt
+              FROM t GROUP BY token)
+            SELECT doc_id,
+                   CAST(count(*) AS BIGINT) AS n_tokens,
+                   round(CAST(sum(cnt) AS DOUBLE) / count(*), 6) AS mean_tf,
+                   round(CAST(sum(CASE WHEN cnt < 3 THEN 1 ELSE 0 END)
+                              AS DOUBLE) / count(*), 6) AS rare_ratio
+            FROM t JOIN v USING (token) GROUP BY doc_id""",
+        "pmi_collocations": f"""
+            WITH ts AS MATERIALIZED (
+              SELECT regexp_extract_all(text, '{TOKEN_RE_SQL}') AS l
+              FROM documents),
+            pairs AS MATERIALIZED (
+              SELECT u.p.w1 AS w1, u.p.w2 AS w2 FROM ts,
+              unnest([{{'w1': x[1], 'w2': x[2]}}
+                      for x in list_zip(l[1:len(l)-1], l[2:len(l)])]) AS u(p)
+              WHERE len(l) >= 2),
+            uni AS MATERIALIZED (
+              SELECT unnest(l) AS token FROM ts),
+            uc AS MATERIALIZED (
+              SELECT token, CAST(count(*) AS BIGINT) AS cnt
+              FROM uni GROUP BY token),
+            pc AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS pair_n
+                   FROM pairs GROUP BY w1, w2 HAVING count(*) >= 5),
+            np AS (SELECT CAST(count(*) AS BIGINT) AS n FROM pairs),
+            s AS (SELECT pc.w1, pc.w2, pc.pair_n,
+                         round(CAST(pc.pair_n * (SELECT n FROM np) AS DOUBLE)
+                               / CAST(a.cnt * b.cnt AS DOUBLE), 6) AS lift
+                  FROM pc JOIN uc a ON pc.w1 = a.token
+                          JOIN uc b ON pc.w2 = b.token)
+            SELECT w1, w2, pair_n, lift,
+                   CAST(row_number() OVER (
+                     ORDER BY lift DESC, w1 ASC, w2 ASC) AS INT) AS "rank"
+            FROM s ORDER BY lift DESC, w1 ASC, w2 ASC LIMIT 50""",
+        "boilerplate_lines": """
+            WITH ln AS (SELECT doc_id,
+                               trim(unnest(string_split(text, chr(10))))
+                                 AS line
+                        FROM documents),
+            f AS (SELECT doc_id, line FROM ln WHERE length(line) >= 16)
+            SELECT sha256(line) AS line_sha,
+                   CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+                   CAST(count(*) AS BIGINT) AS n_occurrences,
+                   CAST(max(length(line)) AS INT) AS line_len
+            FROM f GROUP BY sha256(line)
+            HAVING count(DISTINCT doc_id) >= 3""",
         "bigram_vocabulary": f"""
             WITH t AS (SELECT doc_id,
                               regexp_extract_all(text, '{TOKEN_RE_SQL}') AS ts

@@ -128,6 +128,60 @@ def closeness_sampled(
     )
 
 
+def closeness_exact(
+    edges: DataFrame,
+    num_roots: int = 64,
+    max_iters: int = 10_000,
+) -> DataFrame:
+    """(id, closeness) — EXACT Bavelas closeness for a pinned root set.
+
+    Reference: /root/reference/plato/algo/cnc/bavelas.hpp:55-66 —
+    ``compute(root)`` is a PER-ROOT query: one full (untruncated) BFS
+    from ``root``, then
+
+        closeness(root) = (V - 1) / sum_v dist(root, v)
+
+    with V the TOTAL graph vertex count (bavelas.hpp:64 uses
+    ``graph_info_.vertices_``, not the reachable count) and 0 when the
+    distance sum is 0.  The reference ships no all-vertices driver for
+    it (example/cnc_simple.cc runs only sampled David) — it is an API
+    you call for the roots you care about.  We mirror that shape: the
+    deterministic root set is the ``num_roots`` smallest vertex ids of
+    the major component (the same pinned-sample policy as
+    closeness_sampled), each BFS exact to the component's eccentricity.
+
+    Exactness: the distance sum is an order-free integer fold; the ONE
+    float division (V-1)/sum happens at read-out, so the value is
+    bit-identical to the SQL oracle.
+
+    Scale fence: per-root cost is one full BFS sweep — O(E * diameter)
+    work and O(V) state per root, all roots riding ONE multi-source
+    level-synchronous loop (k joins total, not k*diameter).  Exact
+    all-vertices closeness is O(V*E) and deliberately NOT offered as a
+    single call; at 100 TB you run this for the handful of roots you
+    actually need (or the sampled David estimator for a global field).
+    """
+    spark = edges.sparkSession
+    v_total = (
+        symmetrize(edges.select("src", "dst"))
+        .select(F.col("src").alias("id")).distinct().count()
+    )
+    members, _fac, visited = _sampled_bfs(edges, num_roots, max_iters)
+    sums = visited.groupBy("root").agg(
+        F.sum("dist").cast("long").alias("s")
+    )
+    return sums.select(
+        F.col("root").alias("id"),
+        F.round(
+            F.when(
+                F.col("s") > 0,
+                F.lit(float(v_total - 1)) / F.col("s").cast("double"),
+            ).otherwise(F.lit(0.0)),
+            6,
+        ).alias("closeness"),
+    )
+
+
 def harmonic_sampled(
     edges: DataFrame,
     num_samples: int = 10,

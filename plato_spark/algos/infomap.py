@@ -61,12 +61,16 @@ def _map_equation(flows: DataFrame, p: DataFrame, labels: DataFrame) -> float:
     stats = p_m.join(q_m, "module", "left").select(
         F.coalesce("q", F.lit(0.0)).alias("q"), "pm"
     )
+    # single driver action: the module-stat aggregates and the vertex
+    # p-term fold through one 1-row cross join
     row = stats.agg(
         F.sum("q").alias("Q"),
         F.sum(_plogp(F.col("q"))).alias("plogp_q"),
         F.sum(_plogp(F.col("q") + F.col("pm"))).alias("plogp_qp"),
+    ).crossJoin(
+        p.agg(F.sum(_plogp(F.col("p"))).alias("p_term"))
     ).collect()[0]
-    p_term = p.agg(F.sum(_plogp(F.col("p")))).collect()[0][0] or 0.0
+    p_term = row["p_term"] or 0.0
     Q = row["Q"] or 0.0
     plogp_Q = Q * math.log2(Q) if Q > 0 else 0.0
     return plogp_Q - 2.0 * (row["plogp_q"] or 0.0) + (row["plogp_qp"] or 0.0) - p_term

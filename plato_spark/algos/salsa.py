@@ -41,6 +41,9 @@ def salsa(
     (kind='hub') and authority scores for ``right`` vertices
     (kind='authority') after ``iters`` L1-normalized iterations over the
     DISTINCT bipartite incidence; scores rounded 6dp."""
+    if iters < 1:
+        raise ValueError("salsa requires iters >= 1 (no degree-"
+                         "proportional zeroth iterate is defined)")
     inc = inc.select(F.col(left).alias("o"), F.col(right).alias("p")).distinct()
     ldeg = inc.groupBy("o").agg(F.count("*").alias("dl"))
     rdeg = inc.groupBy("p").agg(F.count("*").alias("dr"))

@@ -468,9 +468,11 @@ def containment_pairs(
     left = sh.select(F.col("id").alias("a"), F.col("sh").alias("sha_"))
     right = sh.select(F.col("id").alias("b"), F.col("sh").alias("shb_"))
     if candidates is not None:
+        # distinct: callers may pass candidates already carrying both
+        # orientations — without it each directed pair emits twice
         both = candidates.unionByName(
             candidates.select(F.col("b").alias("a"), F.col("a").alias("b"))
-        )
+        ).distinct()
         pairs = both.join(left, "a").join(right, "b")
     else:
         pairs = left.crossJoin(right).where(F.col("a") != F.col("b"))

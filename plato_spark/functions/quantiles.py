@@ -38,10 +38,16 @@ def histogram_quantiles(
     """
     spark = df.sparkSession
     x = F.col(col).cast("double")
+    # nulls must not reach the histogram: count(x) already excludes them,
+    # so a null bin would inflate the cumulative walk against n — and
+    # null sorts FIRST in Spark's window ordering, skewing every quantile
+    df = df.where(x.isNotNull())
     s = df.agg(
         F.min(x).alias("lo"), F.max(x).alias("hi"),
         F.count(x).alias("n"),
     ).collect()[0]
+    if s["n"] == 0:
+        return spark.createDataFrame([], "q double, value double")
     lo, hi, n = float(s["lo"]), float(s["hi"]), int(s["n"])
     w = (hi - lo) / nbins
     w_safe = w if w != 0.0 else 1.0

@@ -277,6 +277,7 @@ def embedding_project(
     out_dim: int = 16,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    dim: int | None = None,
 ) -> DataFrame:
     """(vec_id, proj: array<double>) — deterministic Rademacher random
     projection to ``out_dim`` dimensions (Achlioptas-style sparse JL:
@@ -292,8 +293,11 @@ def embedding_project(
     scan-parallel at 100 TB.  Outputs are rounded to 6dp (both engines
     compute the same left-to-right fold).  ``out_dim`` should be a power
     of four-ish so 1/sqrt(out_dim) is a binary fraction (16 -> 0.25) and
-    the scaling is exact."""
-    dim = int(emb.select(F.size(vec_col).alias("d")).first()["d"])
+    the scaling is exact.  Pass ``dim`` (input width) when known — the
+    schema's array type carries no length, so omitting it costs one
+    ``first()`` action just to read the width."""
+    if dim is None:
+        dim = int(emb.select(F.size(vec_col).alias("d")).first()["d"])
     planes = rademacher_planes(1, out_dim, dim)[0]
     scale = 1.0 / math.sqrt(out_dim)
     vec = F.col(vec_col)

@@ -109,14 +109,20 @@ def cms_probe(
 ) -> DataFrame:
     """(token, est_count) — point-query a (pre-built or streamed) sketch
     for every candidate token; keep estimates >= ``threshold``.  The
-    sketch broadcasts (d x w rows); candidates never shuffle."""
+    sketch broadcasts (d x w rows); candidates never shuffle.
+
+    The sketch is SPARSE (cms_sketch only materializes observed cells),
+    so each probe is a LEFT join with absent cells counting as 0 — an
+    external candidate hitting an empty cell must get estimate 0, not
+    the min over only its colliding cells."""
     probes = [
         cand.join(
             F.broadcast(
                 sketch.where(F.col("r") == r).select("b", "cnt")
             ),
             _bucket(F.col("token"), r, width) == F.col("b"),
-        ).select("token", "cnt")
+            "left",
+        ).select("token", F.coalesce("cnt", F.lit(0)).alias("cnt"))
         for r in range(depth)
     ]
     allp = reduce(lambda a, b: a.unionByName(b), probes)

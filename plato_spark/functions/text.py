@@ -486,3 +486,182 @@ def oov_stats(df, id_col: str = "doc_id", text_col: str = "text"):
                F.round(F.col("n_oov") / F.col("n_eval_tokens"), 6))
         .otherwise(F.lit(0.0)).alias("oov_rate"),
     )
+
+
+def unigram_commonness(
+    df: DataFrame,
+    rare_threshold: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(doc_id, n_tokens, mean_tf, rare_ratio) — unigram-LM document
+    quality scoring against the corpus's own token distribution.
+
+    The classic LM-perplexity filter (score each document by a language
+    model trained on the corpus and drop the tails) needs log-probability
+    sums — float folds whose accumulation order differs between engines,
+    and ln() itself differs between libm implementations (the tfidf
+    lesson above).  This operator keeps the ranking signal but stays in
+    exact arithmetic:
+
+      * ``mean_tf``    = (sum of corpus-wide counts of the doc's tokens)
+                         / n_tokens — the arithmetic-mean unigram
+                         frequency, a monotone commonness score (the
+                         log-domain geometric mean is what perplexity
+                         uses; the arithmetic mean ranks gibberish and
+                         boilerplate the same direction).  Integer sum,
+                         ONE division at read-out.
+      * ``rare_ratio`` = share of the doc's tokens whose corpus count is
+                         < ``rare_threshold`` — the OOV-ish tail mass
+                         that perplexity filters key on.
+
+    Plan shape: one explode -> groupBy(token) vocab count (map-side
+    combined, vocab-sized result) -> join back (vocab is small relative
+    to the token stream; Catalyst broadcasts it under the threshold, and
+    at 100 TB it degrades to a shuffle join on token — still one
+    shuffle) -> groupBy(doc).  No floats until the final two divisions.
+    """
+    toks = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(
+            F.regexp_extract_all(F.col(text_col), F.lit(TOKEN_RE), F.lit(0))
+        ).alias("token"),
+    )
+    vocab = toks.groupBy("token").agg(F.count("*").cast("long").alias("cnt"))
+    per_doc = (
+        toks.join(vocab, "token")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_tokens"),
+            F.sum("cnt").cast("long").alias("tf_sum"),
+            F.sum(
+                F.when(F.col("cnt") < rare_threshold, 1).otherwise(0)
+            ).cast("long").alias("n_rare"),
+        )
+    )
+    return per_doc.select(
+        "doc_id",
+        "n_tokens",
+        F.round(F.col("tf_sum").cast("double") / F.col("n_tokens"), 6)
+        .alias("mean_tf"),
+        F.round(F.col("n_rare").cast("double") / F.col("n_tokens"), 6)
+        .alias("rare_ratio"),
+    )
+
+
+def pmi_collocations(
+    df: DataFrame,
+    top_k: int = 50,
+    min_count: int = 5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(w1, w2, pair_n, lift, rank) — the ``top_k`` adjacent-token
+    collocations by PMI lift (multiword-expression mining for tokenizer
+    vocab construction / dedup shingle design).
+
+    PMI(a,b) = log( N * c(a,b) / (c(a) * c(b)) ); log is monotone, so
+    ranking by the RAW LIFT ratio N*c(ab)/(c(a)*c(b)) induces the same
+    order while staying a single IEEE division of exact integers —
+    bit-identical across engines (same trick as tfidf_keywords' raw
+    idf).  Pairs below ``min_count`` are dropped first (the standard PMI
+    rare-pair correction: a 1-occurrence pair of two rare tokens
+    otherwise tops the list).
+
+    Plan shape: one explode into adjacent pairs (JVM transform over the
+    token array — no Python), one map-side-combined groupBy(pair), one
+    vocab groupBy, two joins against the (small) unigram table, then a
+    global top-k compiled to TakeOrderedAndProject (per-partition local
+    top-k; the reduce side sees partitions*k rows).  Tie-break (lift
+    desc, w1, w2) is a total order.
+    """
+    toks = df.select(
+        F.regexp_extract_all(F.col(text_col), F.lit(TOKEN_RE), F.lit(0))
+        .alias("ts")
+    )
+    pairs = toks.select(
+        F.explode(
+            F.when(
+                F.size("ts") >= 2,
+                F.transform(
+                    F.slice("ts", 1, F.size("ts") - 1),
+                    lambda x, i: F.struct(
+                        x.alias("w1"), F.element_at("ts", i + 2).alias("w2")
+                    ),
+                ),
+            ).otherwise(F.array()),
+        ).alias("p")
+    ).select("p.w1", "p.w2")
+    uni = df.select(
+        F.explode(
+            F.regexp_extract_all(F.col(text_col), F.lit(TOKEN_RE), F.lit(0))
+        ).alias("token")
+    ).groupBy("token").agg(F.count("*").cast("long").alias("cnt"))
+    pair_n = (
+        pairs.groupBy("w1", "w2")
+        .agg(F.count("*").cast("long").alias("pair_n"))
+        .where(F.col("pair_n") >= min_count)
+    )
+    n_pairs = pairs.count()
+    scored = (
+        pair_n.join(uni.select(F.col("token").alias("w1"),
+                               F.col("cnt").alias("c1")), "w1")
+        .join(uni.select(F.col("token").alias("w2"),
+                         F.col("cnt").alias("c2")), "w2")
+        .select(
+            "w1", "w2", "pair_n",
+            F.round(
+                (F.col("pair_n") * F.lit(n_pairs)).cast("double")
+                / (F.col("c1") * F.col("c2")).cast("double"),
+                6,
+            ).alias("lift"),
+        )
+    )
+    ranked = scored.orderBy(
+        F.desc("lift"), F.asc("w1"), F.asc("w2")
+    ).limit(top_k)
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.desc("lift"), F.asc("w1"), F.asc("w2"))
+    return ranked.withColumn("rank", F.row_number().over(w).cast("int"))
+
+
+def boilerplate_lines(
+    df: DataFrame,
+    min_docs: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(line_sha, n_docs, n_occurrences, line_len) — non-trivial text
+    lines shared by >= ``min_docs`` distinct documents: headers, footers,
+    license banners, navigation chrome — the line-level boilerplate a
+    curation pipeline strips before training (the paragraph-dedup leg of
+    C4/RefinedWeb-style cleaning, at line granularity).
+
+    Exact and scale-safe: lines split JVM-side, trimmed, length-filtered
+    (>= 16 chars: drops blank/brace-only lines), then ONE
+    map-side-combined groupBy over sha256 digests — like exact dedup,
+    only 64-byte hashes shuffle, never the line text.  ``line_len`` is
+    max(length) per sha (constant per sha by collision-freeness) so the
+    report carries size without shipping content.
+    """
+    lines = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(F.split(F.col(text_col), "\n")).alias("raw"),
+    ).select(
+        "doc_id", F.trim(F.col("raw")).alias("line")
+    ).where(F.length("line") >= 16)
+    return (
+        lines.select(
+            "doc_id",
+            F.sha2(F.col("line"), 256).alias("line_sha"),
+            F.length("line").alias("line_len"),
+        )
+        .groupBy("line_sha")
+        .agg(
+            F.count_distinct("doc_id").cast("long").alias("n_docs"),
+            F.count("*").cast("long").alias("n_occurrences"),
+            F.max("line_len").cast("int").alias("line_len"),
+        )
+        .where(F.col("n_docs") >= min_docs)
+    )

@@ -264,3 +264,33 @@ def test_repetition_ratio(spark):
     assert got[0] == (4, 0.75)
     assert got[1] == (4, 0.0)
     assert got[2] == (0, 0.0)
+
+
+def test_closeness_exact_bavelas(spark):
+    """Exact per-root Bavelas (bavelas.hpp:55-66): (V-1)/sum-dist over a
+    FULL BFS, V the total graph vertex count, roots the num_roots
+    smallest major-component ids."""
+    from plato_spark.algos.closeness import closeness_exact
+
+    edges = random_graph(n=30, m=80, seed=53)
+    # add a disconnected pair so V_total > V_major (bavelas uses V_total)
+    edges = edges + [(100, 101)]
+    df = edges_df(spark, edges)
+    got = df_to_dict(closeness_exact(df, num_roots=6), val="closeness")
+    from oracles import wcc_oracle
+
+    comp = wcc_oracle(edges)
+    v_total = len(comp)
+    counts = defaultdict(int)
+    for v, c in comp.items():
+        counts[c] += 1
+    major = max(counts.items(), key=lambda kv: (kv[1], -kv[0]))[0]
+    members = sorted(v for v, c in comp.items() if c == major)
+    roots = members[: min(6, len(members))]
+    sym = edges + [(b, a) for a, b in edges]
+    assert set(got) == set(roots)
+    for r in roots:
+        d = bfs_oracle(sym, r)
+        s = sum(d.values())
+        want = (v_total - 1) / s if s > 0 else 0.0
+        assert math.isclose(got[r], round(want, 6), abs_tol=2e-6), (r, got[r], want)

@@ -83,3 +83,19 @@ def test_containment_candidate_feeding(spark):
                                        candidates=cand).collect()}
     # only the candidate pair (both directions) is scored; 4 never appears
     assert rows and all(4 not in p for p in rows)
+
+
+def test_containment_candidates_both_orientations_no_dups(spark):
+    # candidates already carrying both orientations must not double rows
+    from plato_spark.functions.dedup import containment_pairs
+
+    base = "alpha beta gamma delta epsilon zeta eta theta"
+    docs = spark.createDataFrame(
+        [(1, base), (2, base + " iota kappa")], "doc_id long, text string"
+    )
+    cand = spark.createDataFrame([(1, 2), (2, 1)], "a long, b long")
+    rows = [(r["contained"], r["container"])
+            for r in containment_pairs(docs, threshold=0.5, n=3,
+                                       candidates=cand).collect()]
+    assert len(rows) == len(set(rows))
+    assert (1, 2) in rows

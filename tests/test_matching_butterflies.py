@@ -204,12 +204,18 @@ def test_coloring_random(spark):
 # ---- weighted (locally-heaviest) matching ----
 
 def _py_weighted_matching(edges_w):
-    """Sequential heaviest-first greedy under (-w, src, dst) order —
-    must equal the parallel locally-heaviest rounds exactly."""
+    """Sequential heaviest-first greedy under (-w, h(src:dst), src, dst)
+    order (the r4 chain-splitting hash tiebreak) — must equal the
+    parallel locally-heaviest rounds exactly."""
+    import hashlib
+
+    def h(s, d):
+        return int(hashlib.md5(f"{s}:{d}".encode()).hexdigest()[:14], 16)
+
     out = {}
     used = set()
-    for w, s, d in sorted(
-        ((-w, s, d) for s, d, w in edges_w)
+    for w, t, s, d in sorted(
+        ((-w, h(s, d), s, d) for s, d, w in edges_w)
     ):
         if s not in used and d not in used:
             used.update((s, d))
@@ -227,7 +233,8 @@ def test_weighted_matching_greedy_equivalence(spark):
     got = {(r["src"], r["dst"])
            for r in maximal_matching(df, weight_col="weight").collect()}
     assert got == _py_weighted_matching(edges_w)
-    # heaviest-first on ties: (2,3) beats (2,5) and (4,5) by src/dst order
+    # heaviest-first on ties: (2,3) beats (2,5) and (4,5) — its md5
+    # tiebreak hash is the smallest of the three weight-7 edges
     assert (2, 3) in got
 
 

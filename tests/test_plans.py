@@ -264,3 +264,42 @@ def test_pq_assign_broadcasts_codebooks(spark):
     p = plan_of(_assign_sub(vecs, cent))
     assert "BroadcastNestedLoopJoin" in p or "BroadcastExchange" in p, p
     assert "CartesianProduct" not in p, p
+
+
+def test_infomap_no_driver_actions_per_move_round(spark):
+    """r4 infomap contract (the HITS discipline): the inner move loop's
+    q_tot normalization rides in-plan as a broadcast 1-row agg, so the
+    driver action count must NOT grow with inner_iterations — every
+    remaining action (embedded-pagerank deltas, epoch counts, flow
+    materialization) is loop-invariant per epoch."""
+    import pyspark.sql.dataframe as dfmod
+
+    from plato_spark.algos.infomap import infomap
+
+    edges = spark.createDataFrame(
+        [(0, 1), (0, 2), (1, 2), (3, 4), (3, 5), (4, 5), (2, 3)],
+        "src long, dst long",
+    )
+    orig = {n: getattr(dfmod.DataFrame, n) for n in ("collect", "first", "count")}
+
+    def counted(name):
+        def f(self, *a, **kw):
+            calls["n"] += 1
+            return orig[name](self, *a, **kw)
+        return f
+
+    counts = {}
+    try:
+        for inner in (2, 5):
+            calls = {"n": 0}
+            for n in orig:
+                setattr(dfmod.DataFrame, n, counted(n))
+            infomap(edges, outer_iterations=1, inner_iterations=inner,
+                    pr_iters=3).count()
+            counts[inner] = calls["n"]
+    finally:
+        for n, f in orig.items():
+            setattr(dfmod.DataFrame, n, f)
+    assert counts[2] == counts[5], (
+        f"driver actions grew with inner rounds: {counts}"
+    )

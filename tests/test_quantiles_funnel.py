@@ -199,3 +199,21 @@ def test_value_outliers(spark):
     assert got["a"]["n_outliers"] == 1      # the 1000 spike
     assert got["b"]["n_outliers"] == 0      # zero variance -> no outliers
     assert got["b"]["std"] == 0.0
+
+
+def test_quantiles_ignore_nulls(spark):
+    # nulls must not form a phantom bin: result equals the non-null input
+    vals = list(range(1, 51))
+    df = spark.createDataFrame(
+        [(float(v),) for v in vals] + [(None,)] * 25, "x double"
+    )
+    got = {r["q"]: r["value"]
+           for r in histogram_quantiles(df, "x", (0.5, 0.9), 16).collect()}
+    assert got == _py_hist_quantiles([float(v) for v in vals], (0.5, 0.9), 16)
+
+
+def test_quantiles_all_null_empty(spark):
+    df = spark.createDataFrame([(None,), (None,)], "x double")
+    assert histogram_quantiles(df, "x", (0.5,), 8).collect() == []
+    empty = spark.createDataFrame([], "x double")
+    assert histogram_quantiles(empty, "x", (0.5,), 8).collect() == []

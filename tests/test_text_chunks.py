@@ -56,3 +56,77 @@ def test_chunking_empty_and_small_docs(spark):
     rows = chunk_documents(d, chunk=64, stride=48).collect()
     assert len(rows) == 1
     assert rows[0].doc_id == 2 and rows[0].n_tokens == 2
+
+
+# ---- r4 additions: unigram_commonness / pmi_collocations / boilerplate ----
+
+def test_unigram_commonness_mirror(spark):
+    from plato_spark.functions.text import unigram_commonness
+
+    docs = spark.createDataFrame(
+        [(1, "aa aa bb"), (2, "aa cc"), (3, "dd")],
+        "doc_id long, text string",
+    )
+    # corpus counts: aa=3, bb=1, cc=1, dd=1
+    got = {r["doc_id"]: (r["n_tokens"], r["mean_tf"], r["rare_ratio"])
+           for r in unigram_commonness(docs, rare_threshold=2).collect()}
+    assert got[1] == (3, round((3 + 3 + 1) / 3, 6), round(1 / 3, 6))
+    assert got[2] == (2, round((3 + 1) / 2, 6), round(1 / 2, 6))
+    assert got[3] == (1, 1.0, 1.0)
+
+
+def test_pmi_collocations_mirror(spark):
+    from plato_spark.functions.text import pmi_collocations
+
+    # "x y" always adjacent (lift high); "a b" co-occur but a is common
+    docs = spark.createDataFrame(
+        [(i, "x y a b a c a d") for i in range(3)],
+        "doc_id long, text string",
+    )
+    rows = pmi_collocations(docs, top_k=10, min_count=3).collect()
+    got = {(r["w1"], r["w2"]): (r["pair_n"], r["lift"], r["rank"]) for r in rows}
+    # totals: 3 docs x 7 adjacent pairs = 21; counts: x=3,y=3,a=9,b=3,c=3,d=3
+    n = 21
+    assert got[("x", "y")][0] == 3
+    assert got[("x", "y")][1] == round(3 * n / (3 * 3), 6)
+    assert got[("a", "b")][1] == round(3 * n / (9 * 3), 6)
+    # ranks follow (lift desc, w1, w2) total order, starting at 1
+    ranks = sorted(r["rank"] for r in rows)
+    assert ranks == list(range(1, len(rows) + 1))
+    assert got[("x", "y")][2] < got[("a", "b")][2]
+
+
+def test_pmi_min_count_drops_rare_pairs(spark):
+    from plato_spark.functions.text import pmi_collocations
+
+    docs = spark.createDataFrame(
+        [(1, "p q"), (2, "x y x y x y")], "doc_id long, text string"
+    )
+    got = {(r["w1"], r["w2"]) for r in
+           pmi_collocations(docs, top_k=10, min_count=2).collect()}
+    assert ("p", "q") not in got        # pair_n=1 < min_count
+    assert ("x", "y") in got
+
+
+def test_boilerplate_lines_banner_detection(spark):
+    from plato_spark.functions.text import boilerplate_lines
+
+    banner = "Copyright (c) 2026 Example Corp. All rights reserved."
+    docs = spark.createDataFrame(
+        [
+            (1, banner + "\nunique body one\nshort\n" + banner),
+            (2, banner + "\nunique body two goes here"),
+            (3, "unique body three stands alone\n" + banner),
+            (4, "nothing shared in doc four at all"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = boilerplate_lines(docs, min_docs=3).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    import hashlib
+    assert r["line_sha"] == hashlib.sha256(banner.encode()).hexdigest()
+    assert r["n_docs"] == 3 and r["n_occurrences"] == 4
+    assert r["line_len"] == len(banner)
+    # min_docs=4 excludes it; 'short' never passes the length filter
+    assert boilerplate_lines(docs, min_docs=4).collect() == []

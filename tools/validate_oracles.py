@@ -39,6 +39,27 @@ def normalize(rows, cols):
 def main():
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     only = set(sys.argv[2:])
+    # snapshot-freshness header: tie every replica log to the exact code
+    # state it ran against (VERDICT r3 item 7)
+    import subprocess
+    try:
+        sha = subprocess.run(
+            ["git", "rev-parse", "--short", "HEAD"],
+            cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            capture_output=True, text=True, timeout=10,
+        ).stdout.strip() or "unknown"
+        dirty = subprocess.run(
+            ["git", "status", "--porcelain"],
+            cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            capture_output=True, text=True, timeout=10,
+        ).stdout.strip()
+    except Exception:
+        sha, dirty = "unknown", ""
+    n_reg = len(entrymod.queries())
+    print(f"# validate_oracles @ git {sha}{'+dirty' if dirty else ''} | "
+          f"registry {n_reg} queries | sf_dir {sf_dir} | "
+          f"selected {len(only) or 'ALL'} | "
+          f"{time.strftime('%Y-%m-%dT%H:%M:%S')}")
     spark = get_spark(master="local[8]", shuffle_partitions=16)
     con = duckdb.connect()
     for t in TABLES:
