@@ -507,6 +507,53 @@ SELECT mem.id,
 FROM members mem LEFT JOIN sums su ON mem.id = su.id ORDER BY mem.id"""
 
 
+def _sql_eigenvector(iters: int = 5) -> str:
+    """Mirror of algos/eigenvector.eigenvector_centrality: L1-normalized
+    power iteration over the undirected (both-direction) edge set."""
+    ctes = ["x0 AS MATERIALIZED (SELECT id, CAST(1.0 AS DOUBLE) AS x "
+            "FROM verts)"]
+    for k in range(1, iters + 1):
+        ctes.append(f"""g{k} AS MATERIALIZED (
+  SELECT e.dst AS id, sum(x.x) AS s
+  FROM edges e JOIN x{k - 1} x ON e.src = x.id GROUP BY e.dst),
+x{k} AS MATERIALIZED (
+  SELECT v.id, COALESCE(g.s, 0) / (SELECT sum(s) FROM g{k}) AS x
+  FROM verts v LEFT JOIN g{k} g ON v.id = g.id)""")
+    return (SQL_GRAPH_PREFIX + ", " + ",\n".join(ctes)
+            + f"\nSELECT id, round(x, 6) AS score FROM x{iters} ORDER BY id")
+
+
+def _sql_pseudo_diameter(bfs_iters: int = 8) -> str:
+    """Mirror of algos/bfs.pseudo_diameter: double-sweep BFS from the
+    smallest vertex id; ``bfs_iters`` pinned past the measured
+    eccentricity (extra rounds are min-dist fixpoint no-ops)."""
+    ctes = ["""st AS MATERIALIZED (SELECT min(id) AS r FROM verts),
+b0 AS MATERIALIZED (SELECT (SELECT r FROM st) AS id, 0 AS dist)"""]
+    for k in range(bfs_iters):
+        ctes.append(f"""b{k + 1} AS MATERIALIZED (
+  SELECT id, CAST(min(dist) AS INT) AS dist FROM (
+    SELECT id, dist FROM b{k}
+    UNION ALL
+    SELECT e.dst AS id, d.dist + 1 AS dist
+    FROM b{k} d JOIN edges e ON e.src = d.id
+  ) u GROUP BY id)""")
+    ctes.append(f"""fr AS MATERIALIZED (
+  SELECT id, dist FROM b{bfs_iters} ORDER BY dist DESC, id ASC LIMIT 1),
+c0 AS MATERIALIZED (SELECT (SELECT id FROM fr) AS id, 0 AS dist)""")
+    for k in range(bfs_iters):
+        ctes.append(f"""c{k + 1} AS MATERIALIZED (
+  SELECT id, CAST(min(dist) AS INT) AS dist FROM (
+    SELECT id, dist FROM c{k}
+    UNION ALL
+    SELECT e.dst AS id, d.dist + 1 AS dist
+    FROM c{k} d JOIN edges e ON e.src = d.id
+  ) u GROUP BY id)""")
+    return SQL_GRAPH_PREFIX + ", " + ",\n".join(ctes) + f"""
+SELECT (SELECT r FROM st) AS start_id,
+       (SELECT id FROM fr) AS far_id,
+       CAST((SELECT max(dist) FROM c{bfs_iters}) AS INT) AS diameter_lb"""
+
+
 def _sql_closeness_exact(num_roots: int = 64, bfs_iters: int = 6,
                          wcc_iters: int = 10) -> str:
     """Mirror of algos/closeness.closeness_exact (Bavelas per-root exact):
@@ -2362,6 +2409,25 @@ def q_trussness(spark, sf_dir):
     )
 
 
+def q_eigenvector(spark, sf_dir):
+    """Eigenvector centrality — 5 L1-normalized power steps (the
+    undamped member of the spectral family beside pagerank/katz/hits;
+    in-plan normalization, zero per-iteration driver actions)."""
+    from plato_spark.algos.eigenvector import eigenvector_centrality
+
+    return eigenvector_centrality(
+        part_cooccurrence_edges(spark, sf_dir), iterations=5
+    )
+
+
+def q_pseudo_diameter(spark, sf_dir):
+    """Double-sweep BFS diameter lower bound (exact-integer companion of
+    the HyperANF effective-diameter estimate)."""
+    from plato_spark.algos.bfs import pseudo_diameter
+
+    return pseudo_diameter(part_cooccurrence_edges(spark, sf_dir))
+
+
 def q_closeness_exact(spark, sf_dir):
     """Exact Bavelas closeness (reference bavelas.hpp:55-66, a per-root
     API the reference ships no all-vertices driver for) over a pinned
@@ -2459,10 +2525,29 @@ def q_pmi_collocations(spark, sf_dir):
 
 def q_boilerplate_lines(spark, sf_dir):
     """Line-level boilerplate shared by >=3 docs (C4/RefinedWeb-style
-    chrome stripping) — only sha digests shuffle."""
+    chrome stripping) — only sha digests shuffle.  NOTE: a true negative
+    on this corpus (synthetic docs carry no newlines, all 500 texts
+    distinct) — both engines compute the full pipeline and agree on the
+    empty result; semantics are pinned by the banner-detection pytest."""
     from plato_spark.functions.text import boilerplate_lines
 
     return boilerplate_lines(load_table(spark, sf_dir, "documents"))
+
+
+def q_source_overlap(spark, sf_dir):
+    """Cross-source 8-gram shingle contamination matrix (which sources
+    are textually entangled before blend mixing)."""
+    from plato_spark.functions.dedup import source_shingle_overlap
+
+    return source_shingle_overlap(load_table(spark, sf_dir, "documents"))
+
+
+def q_doclen_histogram(spark, sf_dir):
+    """Log2-bucketed document token-length distribution (integer bit
+    length, not libm log2 — the no-ln discipline)."""
+    from plato_spark.functions.text import doclen_histogram
+
+    return doclen_histogram(load_table(spark, sf_dir, "documents"))
 
 
 def q_bigram_vocabulary(spark, sf_dir):
@@ -3261,10 +3346,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "price_quantiles": q_price_quantiles,
         "containment_dups": q_containment,
         "salsa": q_salsa,
-        # -- r4 head block 2b (3): new pipeline operators this round --
+        # -- r4 head block 2b (7): new operators this round --
         "lm_quality": q_lm_quality,
         "pmi_collocations": q_pmi_collocations,
         "boilerplate_lines": q_boilerplate_lines,
+        "source_overlap": q_source_overlap,
+        "doclen_histogram": q_doclen_histogram,
+        "eigenvector": q_eigenvector,
+        "pseudo_diameter": q_pseudo_diameter,
         # -- r4 head block 3 (20 in top-50): oldest driver proofs
         # (r1+r2 era) rotate back in to refresh the headline algorithms
         # (random_walks/component_stats/dedup_exact fall just past the
@@ -3742,6 +3831,8 @@ WHERE rn <= 5""",
         # 64-root eccentricity (2 at sf0.001, 3 at sf0.01; extra rounds
         # are fixpoint no-ops on the min-dist merge)
         "closeness_exact": _sql_closeness_exact(64, bfs_iters=6),
+        "eigenvector": _sql_eigenvector(5),
+        "pseudo_diameter": _sql_pseudo_diameter(8),
         "scc": """
             WITH dd AS (SELECT DISTINCT doc_id FROM documents),
             d AS (SELECT CAST(row_number() OVER (ORDER BY doc_id) - 1
@@ -3995,6 +4086,43 @@ WHERE l.lab = (SELECT lab FROM maj)""",
                    CAST(max(length(line)) AS INT) AS line_len
             FROM f GROUP BY sha256(line)
             HAVING count(DISTINCT doc_id) >= 3""",
+        "source_overlap": f"""
+            WITH t AS MATERIALIZED (
+              SELECT source, regexp_extract_all(text, '{TOKEN_RE_SQL}')
+                       AS toks
+              FROM documents),
+            sh AS MATERIALIZED (SELECT source,
+              CASE WHEN length(toks) >= 8 THEN
+                list_distinct([array_to_string(toks[i:i+7], ' ')
+                               for i in range(1, length(toks) - 6)])
+              ELSE [array_to_string(toks, ' ')] END AS sh FROM t),
+            ex AS (SELECT source, unnest(sh) AS s FROM sh),
+            hh AS MATERIALIZED (
+              SELECT DISTINCT source AS s_, {H1_SQL.format(s='s')} AS h
+              FROM ex),
+            sizes AS MATERIALIZED (
+              SELECT s_, CAST(count(*) AS BIGINT) AS n FROM hh GROUP BY s_),
+            p AS (SELECT a.s_ AS source_a, b.s_ AS source_b,
+                         CAST(count(*) AS BIGINT) AS shared
+                  FROM hh a JOIN hh b ON a.h = b.h AND a.s_ < b.s_
+                  GROUP BY a.s_, b.s_)
+            SELECT source_a, source_b, shared, x.n AS n_a, y.n AS n_b,
+                   round(CAST(shared AS DOUBLE)
+                         / CAST(least(x.n, y.n) AS DOUBLE), 6) AS containment
+            FROM p JOIN sizes x ON p.source_a = x.s_
+                   JOIN sizes y ON p.source_b = y.s_""",
+        "doclen_histogram": f"""
+            WITH d AS (SELECT CAST(length(regexp_extract_all(text,
+                                '{TOKEN_RE_SQL}')) AS BIGINT) AS n
+                       FROM documents),
+            b AS (SELECT CAST(CASE WHEN n > 0 THEN length(bin(n))
+                              ELSE 0 END AS INT) AS bucket, n FROM d)
+            SELECT bucket,
+                   CAST(CASE WHEN bucket > 0 THEN 1 << (bucket - 1)
+                        ELSE 0 END AS BIGINT) AS lo_tokens,
+                   CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(sum(n) AS BIGINT) AS total_tokens
+            FROM b GROUP BY bucket""",
         "bigram_vocabulary": f"""
             WITH t AS (SELECT doc_id,
                               regexp_extract_all(text, '{TOKEN_RE_SQL}') AS ts

@@ -84,3 +84,39 @@ def tree_stat(edges: DataFrame, root: int) -> DataFrame:
     ).drop("__one").crossJoin(
         levels.groupBy("dist").count().agg(F.max("count").cast("long").alias("width"))
     )
+
+
+def pseudo_diameter(edges: DataFrame, max_iters: int = 10_000) -> DataFrame:
+    """One row (start_id, far_id, diameter_lb) — the classic double-sweep
+    BFS diameter lower bound (Magnien/Latapy/Habib 2009) over the
+    undirected graph: BFS from a deterministic start (the smallest vertex
+    id), hop to the farthest vertex found (tie: smallest id), BFS again;
+    the second eccentricity is a lower bound on the true diameter that is
+    exact on trees and empirically tight on real graphs.
+
+    The cheap deterministic companion to the HyperANF effective-diameter
+    estimate (algos/hyperanf): two BFS sweeps instead of a sketch per
+    vertex, an exact integer instead of a quantile of an estimator.
+    Cost: 2 * O(E * diameter) — two frontier loops, each superstep one
+    join + one anti-join, same kernel discipline as bfs().
+    """
+    spark = edges.sparkSession
+    sym = edges.select("src", "dst").unionByName(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).distinct()
+    start = int(
+        sym.agg(F.min("src").alias("m")).collect()[0]["m"]
+    )
+    d1 = bfs(sym, start, max_iters)
+    far = d1.agg(
+        F.max(F.struct(F.col("dist"), (-F.col("id")).alias("nid"))).alias("t")
+    ).select(
+        F.col("t.dist").alias("ecc1"), (-F.col("t.nid")).alias("far")
+    ).collect()[0]
+    far_id = int(far["far"])
+    d2 = bfs(sym, far_id, max_iters)
+    lb = d2.agg(F.max("dist").alias("m")).collect()[0]["m"]
+    return spark.createDataFrame(
+        [(start, far_id, int(lb))],
+        "start_id long, far_id long, diameter_lb int",
+    )

@@ -486,3 +486,64 @@ def containment_pairs(
         )
         .where(F.col("containment") >= threshold)
     )
+
+
+def source_shingle_overlap(
+    df: DataFrame,
+    n: int = 8,
+    text_col: str = "text",
+    source_col: str = "source",
+) -> DataFrame:
+    """(source_a, source_b, shared, n_a, n_b, containment) — the
+    cross-source contamination MATRIX: for every source pair, the number
+    of distinct word ``n``-gram shingles they share and the containment
+    ratio shared/min(|A|,|B|).
+
+    The corpus-curation sibling of contamination_check (train-vs-eval):
+    before mixing sources into a training blend you want to know which
+    pairs are textually entangled (mirrors, scrapes of each other,
+    shared boilerplate) so the mixing weights don't double-count.
+
+    Plan shape: shingle JVM-side, hash to the portable 56-bit long, ONE
+    distinct per (source, h) — the per-source shingle SET — then a
+    self-equi-join on the 8-byte hash and a groupBy over at most
+    |sources|^2 pairs.  The join's fan-out per hash is bounded by the
+    source count (each h appears at most once per source after the
+    distinct), so the shuffle is |distinct shingles| x small, never
+    quadratic in documents.  Exact integers + one rounded division.
+    """
+    sh = (
+        df.select(
+            F.col(source_col).alias("s_"),
+            F.explode(_token_shingles(text_col, n)).alias("g"),
+        )
+        .select("s_", portable_h1(F.col("g")).alias("h"))
+        .distinct()
+    )
+    sh = sh.persist()
+    sizes = sh.groupBy("s_").agg(F.count("*").cast("long").alias("n"))
+    a = sh.select(F.col("s_").alias("source_a"), "h")
+    b = sh.select(F.col("s_").alias("source_b"), "h")
+    pairs = (
+        a.join(b, "h")
+        .where(F.col("source_a") < F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(F.count("*").cast("long").alias("shared"))
+    )
+    out = (
+        pairs.join(sizes.select(F.col("s_").alias("source_a"),
+                                F.col("n").alias("n_a")), "source_a")
+        .join(sizes.select(F.col("s_").alias("source_b"),
+                           F.col("n").alias("n_b")), "source_b")
+        .select(
+            "source_a", "source_b", "shared", "n_a", "n_b",
+            F.round(
+                F.col("shared").cast("double")
+                / F.least("n_a", "n_b").cast("double"),
+                6,
+            ).alias("containment"),
+        )
+    )
+    out = out.localCheckpoint(eager=True)
+    sh.unpersist()
+    return out

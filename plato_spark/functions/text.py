@@ -665,3 +665,40 @@ def boilerplate_lines(
         )
         .where(F.col("n_docs") >= min_docs)
     )
+
+
+def doclen_histogram(
+    df: DataFrame,
+    text_col: str = "text",
+) -> DataFrame:
+    """(bucket, lo_tokens, n_docs, total_tokens) — log2-bucketed document
+    token-length distribution (the length histogram every curation
+    dashboard opens with: truncation policy, packing efficiency, and
+    short-doc filters all read off it).
+
+    Bucket = bit length of the token count (floor(log2(n))+1, bucket 0 =
+    empty docs) — computed as length(bin(n)), a pure INTEGER derivation
+    both engines share bit-for-bit, because floor(log2(x)) through libm
+    doubles can mis-round at exact powers of two (the no-ln discipline).
+    ``lo_tokens`` = the bucket's inclusive lower bound 2^(bucket-1).
+    One projection + one map-side-combined groupBy over <= 64 buckets.
+    """
+    n = token_count_col(F.col(text_col))
+    b = F.when(n > 0, F.length(F.bin(n))).otherwise(F.lit(0)).cast("int")
+    return (
+        df.select(b.alias("bucket"), n.alias("n_tokens"))
+        .groupBy("bucket")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("total_tokens"),
+        )
+        .select(
+            "bucket",
+            # shiftleft with a COLUMN shift count needs the SQL form
+            # (the python F.shiftleft only takes a literal int numBits)
+            F.when(F.col("bucket") > 0,
+                   F.expr("shiftleft(CAST(1 AS BIGINT), bucket - 1)"))
+            .otherwise(F.lit(0)).cast("long").alias("lo_tokens"),
+            "n_docs", "total_tokens",
+        )
+    )

@@ -294,3 +294,51 @@ def test_closeness_exact_bavelas(spark):
         s = sum(d.values())
         want = (v_total - 1) / s if s > 0 else 0.0
         assert math.isclose(got[r], round(want, 6), abs_tol=2e-6), (r, got[r], want)
+
+
+def test_eigenvector_centrality_numpy_mirror(spark):
+    import numpy as np
+    from plato_spark.algos.eigenvector import eigenvector_centrality
+
+    edges = random_graph(n=20, m=50, seed=11)
+    got = df_to_dict(eigenvector_centrality(edges_df(spark, edges), 4),
+                     val="score")
+    ids = sorted({v for e in edges for v in e})
+    idx = {v: i for i, v in enumerate(ids)}
+    A = np.zeros((len(ids), len(ids)))
+    for a, b in edges:
+        A[idx[a], idx[b]] = 1.0
+        A[idx[b], idx[a]] = 1.0
+    x = np.ones(len(ids))
+    for _ in range(4):
+        x = A @ x
+        x = x / x.sum()
+    for v in ids:
+        assert math.isclose(got[v], round(float(x[idx[v]]), 6),
+                            abs_tol=2e-6), v
+    # star graph: center dominates
+    star = [(0, i) for i in range(1, 6)]
+    g2 = df_to_dict(eigenvector_centrality(edges_df(spark, star), 3),
+                    val="score")
+    assert g2[0] > max(g2[i] for i in range(1, 6))
+
+
+def test_eigenvector_rejects_zero_iters(spark):
+    import pytest
+    from plato_spark.algos.eigenvector import eigenvector_centrality
+
+    with pytest.raises(ValueError):
+        eigenvector_centrality(edges_df(spark, [(1, 2)]), 0)
+
+
+def test_pseudo_diameter_path_and_cycle(spark):
+    from plato_spark.algos.bfs import pseudo_diameter
+
+    # path 0-1-2-3-4: double sweep from 0 finds the true diameter 4
+    path = [(i, i + 1) for i in range(4)]
+    r = pseudo_diameter(edges_df(spark, path)).collect()[0]
+    assert (r["start_id"], r["far_id"], r["diameter_lb"]) == (0, 4, 4)
+    # 6-cycle: ecc(0)=3, farthest is vertex 3, second sweep also 3
+    cyc = [(i, (i + 1) % 6) for i in range(6)]
+    r = pseudo_diameter(edges_df(spark, cyc)).collect()[0]
+    assert (r["start_id"], r["far_id"], r["diameter_lb"]) == (0, 3, 3)

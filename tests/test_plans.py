@@ -303,3 +303,65 @@ def test_infomap_no_driver_actions_per_move_round(spark):
     assert counts[2] == counts[5], (
         f"driver actions grew with inner rounds: {counts}"
     )
+
+
+def test_eigenvector_no_driver_actions_in_loop(spark):
+    """Eigenvector centrality follows the HITS contract: the L1 total
+    rides in-plan (broadcast 1-row agg) — zero collect/first inside the
+    power loop (localCheckpoint materialization is not a driver
+    action)."""
+    import pyspark.sql.dataframe as dfmod
+
+    from plato_spark.algos.eigenvector import eigenvector_centrality
+
+    edges = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 3), (0, 3), (1, 3)], "src long, dst long"
+    )
+    calls = {"n": 0}
+    orig_collect, orig_first = dfmod.DataFrame.collect, dfmod.DataFrame.first
+
+    def cc(self):
+        calls["n"] += 1
+        return orig_collect(self)
+
+    def cf(self):
+        calls["n"] += 1
+        return orig_first(self)
+
+    dfmod.DataFrame.collect, dfmod.DataFrame.first = cc, cf
+    try:
+        out = eigenvector_centrality(edges, iterations=4)
+    finally:
+        dfmod.DataFrame.collect = orig_collect
+        dfmod.DataFrame.first = orig_first
+    assert calls["n"] == 0, calls
+    assert "Sort [" not in plan_of(out)
+
+
+def test_source_overlap_no_cartesian_and_partial_agg(spark):
+    """The cross-source matrix must equi-join on the shingle hash —
+    never a cartesian/nested-loop over sources — and the per-source
+    distinct must partial-aggregate map-side."""
+    from plato_spark.functions.dedup import source_shingle_overlap
+
+    docs = spark.createDataFrame(
+        [(i, f"tok{i} common words shared across sources here now {i}",
+          f"s{i % 3}") for i in range(12)],
+        "doc_id long, text string, source string",
+    )
+    p = plan_of(source_shingle_overlap(docs, n=3))
+    assert "CartesianProduct" not in p
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+
+
+def test_pmi_topk_is_take_ordered(spark):
+    """The global top-k must compile to TakeOrderedAndProject (local
+    per-partition top-k), never a full global sort of the pair table."""
+    from plato_spark.functions.text import pmi_collocations
+
+    docs = spark.createDataFrame(
+        [(i, "a b c d e f g h " * 4) for i in range(6)],
+        "doc_id long, text string",
+    )
+    p = plan_of(pmi_collocations(docs, top_k=10, min_count=2))
+    assert "TakeOrderedAndProject" in p, p

@@ -130,3 +130,43 @@ def test_boilerplate_lines_banner_detection(spark):
     assert r["line_len"] == len(banner)
     # min_docs=4 excludes it; 'short' never passes the length filter
     assert boilerplate_lines(docs, min_docs=4).collect() == []
+
+
+def test_source_overlap_matrix(spark):
+    from plato_spark.functions.dedup import source_shingle_overlap
+
+    shared = "alpha beta gamma delta epsilon zeta eta theta"  # one 8-gram
+    docs = spark.createDataFrame(
+        [
+            (1, shared + " unique one two three four five six seven", "a"),
+            (2, shared + " other nine ten eleven twelve thir fort fif", "b"),
+            (3, "wholly different text with no overlap at all here", "c"),
+        ],
+        "doc_id long, text string, source string",
+    )
+    rows = {(r["source_a"], r["source_b"]):
+            (r["shared"], r["n_a"], r["n_b"], r["containment"])
+            for r in source_shingle_overlap(docs, n=8).collect()}
+    # 16 tokens -> 9 shingles per doc; only the one fully inside the
+    # shared prefix is common (all later shingles cross into the
+    # differing suffixes)
+    got = rows[("a", "b")]
+    assert got[0] == 1 and got[1] == 9 and got[2] == 9
+    assert got[3] == round(1 / 9, 6)
+    assert ("a", "c") not in rows and ("b", "c") not in rows
+
+
+def test_doclen_histogram_buckets(spark):
+    from plato_spark.functions.text import doclen_histogram
+
+    docs = spark.createDataFrame(
+        [(1, ""), (2, "one"), (3, "a b"), (4, "a b c"),
+         (5, "a b c d e f g h")],
+        "doc_id long, text string",
+    )
+    got = {r["bucket"]: (r["lo_tokens"], r["n_docs"], r["total_tokens"])
+           for r in doclen_histogram(docs).collect()}
+    assert got[0] == (0, 1, 0)       # empty doc
+    assert got[1] == (1, 1, 1)       # 1 token
+    assert got[2] == (2, 2, 5)       # 2 and 3 tokens
+    assert got[4] == (8, 1, 8)       # 8 tokens -> bucket 4 (bin length)
