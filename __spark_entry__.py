@@ -2451,19 +2451,18 @@ def q_harmonic(spark, sf_dir):
     )
 
 
-def q_scc(spark, sf_dir):
-    """Directed strongly connected components (FW-Min coloring) on a
-    PLANTED-TRUTH digraph derived deterministically from the corpus:
-    documents' doc_ids are dense-ranked (distributed dictionary, no
-    window bottleneck); rank r joins block b = r//4; each block is a
-    directed 4-cycle (r -> r+1, last -> first), and block-DAG cross
-    edges 4b -> 4(b+1) are planted where md5-hash(b) selects b as a
-    source and NOT b+1 (so condensation chains exist but stay short —
+def _planted_digraph(spark, sf_dir):
+    """(edges, verts) — the PLANTED-TRUTH digraph shared by q_scc and
+    q_scc_condensation: documents' doc_ids are dense-ranked (distributed
+    dictionary, no window bottleneck); rank r joins block b = r//4; each
+    block is a directed 4-cycle (r -> r+1, last -> first), and block-DAG
+    cross edges 4b -> 4(b+1) are planted where md5-hash(b) selects b as
+    a source and NOT b+1 (so condensation chains exist but stay short —
     deep-chain behaviour is exercised by the unit tests).  Ground truth
-    is arithmetic — scc(r) = 4*(r//4), the min member of r's cycle —
-    so the oracle is exact while the engine must genuinely decompose
-    the planted graph (trim + coloring + backward extraction)."""
-    from plato_spark.algos.scc import strongly_connected_components
+    is arithmetic — scc(r) = 4*(r//4), the min member of r's cycle, and
+    the condensation's edges are exactly the planted cross edges — so
+    both oracles are exact while the engine genuinely decomposes the
+    graph."""
     from plato_spark.functions.text import portable_h1
     from plato_spark.graph.edges import build_dictionary
 
@@ -2495,7 +2494,97 @@ def q_scc(spark, sf_dir):
     ).select(rr.alias("src"), (4 * blk + 4).alias("dst"))
     edges = succ.unionByName(close).unionByName(cross)
     verts = base.select(rr.alias("id"))
+    return edges, verts
+
+
+def q_scc(spark, sf_dir):
+    """Directed strongly connected components (FW-Min coloring) on the
+    planted-truth digraph (_planted_digraph): the engine runs the full
+    trim + coloring + backward-extraction decomposition while the oracle
+    is arithmetic (scc(r) = 4*(r//4))."""
+    from plato_spark.algos.scc import strongly_connected_components
+
+    edges, verts = _planted_digraph(spark, sf_dir)
     return strongly_connected_components(edges, vertices=verts)
+
+
+def q_scc_condensation(spark, sf_dir):
+    """Condensation DAG of the planted digraph (algos/scc
+    condensation_edges): full SCC decomposition, then contract each
+    component to its label and keep the distinct inter-component edges.
+    Ground truth is arithmetic — the condensation's edges are exactly
+    the planted cross edges (4b -> 4b+4 where md5-hash selects b as a
+    source and not b+1) — while the engine must actually decompose the
+    graph and relabel both edge endpoints."""
+    from plato_spark.algos.scc import condensation_edges
+
+    edges, _verts = _planted_digraph(spark, sf_dir)
+    return condensation_edges(edges)
+
+
+def q_shingle_novelty(spark, sf_dir):
+    """Per-document novel-shingle fraction vs all lower-id documents
+    (functions/dedup.shingle_novelty) — the incremental-crawl "what does
+    this snapshot add" curation signal.  Exact integers + one rounded
+    division; only (id, hash) pairs and per-hash minima shuffle."""
+    from plato_spark.functions.dedup import shingle_novelty
+
+    return shingle_novelty(load_table(spark, sf_dir, "documents"))
+
+
+def q_winnow_fingerprints(spark, sf_dir):
+    """Robust-winnowing fingerprint selection (MOSS kernel, functions/
+    text.winnow_fingerprints): token 5-gram hashes, window w=4, min hash
+    per window with rightmost tie-break — (id, pos, fp) rows, all-JVM
+    higher-order functions, zero shuffle before the final distinct."""
+    from plato_spark.functions.text import winnow_fingerprints
+
+    return winnow_fingerprints(load_table(spark, sf_dir, "documents"))
+
+
+def q_reference_graph(spark, sf_dir):
+    """Content-reference edge extraction (corpus/extract
+    content_reference_edges — the north star's path-link idea when links
+    live IN the content): deterministic 'see:doc<t>' mentions are
+    planted per document (two targets via the portable md5 hash mod n,
+    the planted-truth idiom of q_scc), extracted back with a
+    capture-group regexp scan, resolved against the document table
+    (semi-join) and deduped.  PLANTED-TRUTH: both engines compute the
+    same mentions, but the engine must extract, cast, resolve and dedup
+    them through the real kernel."""
+    from plato_spark.corpus.extract import content_reference_edges
+    from plato_spark.functions.text import portable_h1
+
+    docs = load_table(spark, sf_dir, "documents")
+    n = docs.select("doc_id").distinct().count()
+
+    def _target(j):
+        return F.pmod(
+            portable_h1(
+                F.concat(
+                    F.lit("ref|"),
+                    F.col("doc_id").cast("string"),
+                    F.lit(f"|{j}"),
+                )
+            ),
+            F.lit(n),
+        ).cast("string")
+
+    planted = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" see:doc"), _target(0),
+            F.lit(" see:doc"), _target(1),
+        ).alias("text"),
+    )
+    refs = content_reference_edges(planted, r"see:doc([0-9]+)")
+    resolved = (
+        refs.select("src", F.col("ref").cast("long").alias("dst"))
+        .where(F.col("src") != F.col("dst"))
+        .join(docs.select(F.col("doc_id").alias("dst")).distinct(), "dst", "semi")
+    )
+    return resolved.select("src", "dst").distinct()
 
 
 def q_vocabulary(spark, sf_dir):
@@ -3310,6 +3399,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # gate replica at sf0.001 AND sf0.01 (tools/validate_oracles.py)
     # regardless of rotation position.
     return {
+        # -- r4 head block 0: brand-new this session --
+        "scc_condensation": q_scc_condensation,
+        "shingle_novelty": q_shingle_novelty,
+        "winnow_fingerprints": q_winnow_fingerprints,
+        "reference_graph": q_reference_graph,
         # -- r4 head block 1 (18): never driver-proven by any round
         # (VERDICT r3 item 1: the gate snapshots the first 50 rows;
         # these rotate to the front so CORRECTNESS_r04 finally proves
@@ -3458,6 +3552,86 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 def oracle_sql() -> dict[str, str]:
     stop_re = "(?i)\\b(the|a|of|and|to|in|is|for|on|with)\\b"
     return {
+        "scc_condensation": f"""
+            WITH dd AS (SELECT DISTINCT doc_id FROM documents),
+            d AS (SELECT CAST(row_number() OVER (ORDER BY doc_id) - 1
+                              AS BIGINT) AS r FROM dd),
+            nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM d),
+            blk AS (SELECT DISTINCT (r // 4) AS b FROM d)
+            SELECT CAST(4 * b AS BIGINT) AS src_scc,
+                   CAST(4 * b + 4 AS BIGINT) AS dst_scc
+            FROM blk, nn
+            WHERE ({H1_SQL.format(s="('sccx|' || CAST(b AS VARCHAR))")} % 3 = 0)
+              AND NOT ({H1_SQL.format(s="('sccx|' || CAST(b + 1 AS VARCHAR))")} % 3 = 0)
+              AND 4 * (b + 1) < n""",
+        "shingle_novelty": f"""
+            WITH t AS (SELECT doc_id, regexp_extract_all(text,
+                                '{TOKEN_RE_SQL}') AS toks FROM documents),
+            sh AS MATERIALIZED (SELECT doc_id,
+              CASE WHEN length(toks) >= 8 THEN
+                list_distinct([array_to_string(toks[i:i+7], ' ')
+                               for i in range(1, length(toks) - 6)])
+              ELSE [array_to_string(toks, ' ')] END AS sh FROM t),
+            ex AS (SELECT doc_id, unnest(sh) AS s FROM sh),
+            hh AS MATERIALIZED (
+              SELECT DISTINCT doc_id AS id, {H1_SQL.format(s='s')} AS h
+              FROM ex),
+            f AS MATERIALIZED (
+              SELECT h, min(id) AS first_id FROM hh GROUP BY h)
+            SELECT id, CAST(count(*) AS BIGINT) AS n_shingles,
+                   CAST(sum(CASE WHEN id = first_id THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_novel,
+                   round(CAST(sum(CASE WHEN id = first_id THEN 1 ELSE 0
+                                  END) AS DOUBLE)
+                         / CAST(count(*) AS DOUBLE), 6) AS novelty
+            FROM hh JOIN f USING (h) GROUP BY id""",
+        "winnow_fingerprints": f"""
+            WITH t AS (SELECT doc_id, regexp_extract_all(text,
+                                '{TOKEN_RE_SQL}') AS toks FROM documents),
+            g AS MATERIALIZED (SELECT doc_id,
+              [{H1_SQL.format(s="array_to_string(toks[i:i+4], '')")}
+               for i in range(1, greatest(length(toks) - 4, 1) + 1)] AS hs
+              FROM t),
+            e AS MATERIALIZED (
+              SELECT doc_id, unnest(hs) AS h,
+                     CAST(generate_subscripts(hs, 1) AS BIGINT) AS pos
+              FROM g),
+            mm AS (SELECT doc_id, CAST(max(pos) AS BIGINT) AS m
+                   FROM e GROUP BY doc_id),
+            st AS (SELECT doc_id,
+                          unnest(range(1, greatest(m - 3, 1) + 1)) AS s
+                   FROM mm),
+            wmin AS (SELECT st.doc_id, st.s, min(e.h) AS fp
+                     FROM st JOIN e ON e.doc_id = st.doc_id
+                                   AND e.pos BETWEEN st.s AND st.s + 3
+                     GROUP BY st.doc_id, st.s),
+            sel AS (SELECT w.doc_id, w.s, CAST(max(e.pos) AS BIGINT) AS pos,
+                           w.fp
+                    FROM wmin w JOIN e ON e.doc_id = w.doc_id
+                                      AND e.h = w.fp
+                                      AND e.pos BETWEEN w.s AND w.s + 3
+                    GROUP BY w.doc_id, w.s, w.fp)
+            SELECT DISTINCT doc_id AS id, pos, fp FROM sel""",
+        "reference_graph": f"""
+            WITH nn AS (SELECT CAST(count(DISTINCT doc_id) AS BIGINT) AS n
+                        FROM documents),
+            p AS (SELECT doc_id,
+                    text || ' see:doc' ||
+                    CAST({H1_SQL.format(
+                        s="('ref|' || CAST(doc_id AS VARCHAR) || '|0')")}
+                         % n AS VARCHAR) ||
+                    ' see:doc' ||
+                    CAST({H1_SQL.format(
+                        s="('ref|' || CAST(doc_id AS VARCHAR) || '|1')")}
+                         % n AS VARCHAR) AS text2
+                  FROM documents, nn),
+            r AS (SELECT doc_id AS src,
+                         CAST(unnest(regexp_extract_all(text2,
+                              'see:doc([0-9]+)', 1)) AS BIGINT) AS dst
+                  FROM p)
+            SELECT DISTINCT src, dst FROM r
+            WHERE src != dst
+              AND dst IN (SELECT doc_id FROM documents)""",
         "topo_levels": """
             WITH dd AS (SELECT DISTINCT doc_id FROM documents),
             d AS (SELECT CAST(row_number() OVER (ORDER BY doc_id) - 1

@@ -219,3 +219,37 @@ def strongly_connected_components(
     for p in done_parts[1:]:
         out = out.unionByName(p)
     return out.select("id", F.col("scc").cast("long").alias("scc"))
+
+
+def condensation_edges(
+    edges: DataFrame,
+    labels: DataFrame | None = None,
+    max_rounds: int = 100,
+) -> DataFrame:
+    """(src_scc, dst_scc) — the distinct directed edges of the
+    condensation DAG: contract every strongly connected component to its
+    label (min member id) and keep inter-component edges only.
+
+    Mirrors the standard post-pass on plato's SCC output (the reference
+    emits per-vertex labels, /root/reference/plato/algo/scc — downstream
+    DAG analytics contract on them); the condensation is what turns a
+    cyclic digraph into the DAG that topo-level / longest-path operators
+    need.
+
+    Plan shape: two key-partitioned equi-joins (label lookup per
+    endpoint) + one distinct that map-side combines |E| rows down to the
+    condensation's edge count.  ``labels`` may be passed pre-computed to
+    reuse an SCC run; otherwise one is computed here.
+    """
+    if labels is None:
+        labels = strongly_connected_components(edges, max_rounds=max_rounds)
+    e = edges.select("src", "dst").distinct()
+    ls = labels.select(F.col("id").alias("src"), F.col("scc").alias("src_scc"))
+    ld = labels.select(F.col("id").alias("dst"), F.col("scc").alias("dst_scc"))
+    return (
+        e.join(ls, "src")
+        .join(ld, "dst")
+        .where(F.col("src_scc") != F.col("dst_scc"))
+        .select("src_scc", "dst_scc")
+        .distinct()
+    )

@@ -254,3 +254,31 @@ def extract_graph(corpus: DataFrame, impl: str = "arrow") -> tuple[DataFrame, Da
     pl = path_link_edges(stamped.select("repo", "path"))
     edges = cc.unionByName(pl)
     return edges, stamped
+
+
+def content_reference_edges(
+    df: DataFrame,
+    pattern: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    group: int = 1,
+) -> DataFrame:
+    """(src, ref) — content-reference extraction: every capture-group
+    match of ``pattern`` inside ``text_col`` becomes a directed reference
+    edge from the containing row.  The generic kernel behind the north
+    star's "path-link extraction" when links live IN the content (import
+    statements, include paths, wiki-style mentions) rather than in the
+    path hierarchy (path_link_edges above covers that case).
+
+    Plan shape: one JVM ``regexp_extract_all`` scan (whole-stage codegen,
+    no Python) + explode — embarrassingly parallel, no shuffle; callers
+    resolve ``ref`` against a vertex table (equi-join) and dedup.  At
+    100TB this is the same scan-side shape as co_commit's group-agg
+    input: the regex never leaves the scan stage.
+    """
+    refs = F.regexp_extract_all(
+        F.col(text_col), F.lit(pattern), F.lit(group)
+    )
+    return df.select(
+        F.col(id_col).alias("src"), F.explode(refs).alias("ref")
+    )

@@ -547,3 +547,60 @@ def source_shingle_overlap(
     out = out.localCheckpoint(eager=True)
     sh.unpersist()
     return out
+
+
+def shingle_novelty(
+    df: DataFrame,
+    n: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(id, n_shingles, n_novel, novelty) — per document, how many of its
+    distinct word ``n``-gram shingles appear in NO lower-id document, and
+    the novel fraction.
+
+    The incremental-crawl curation signal (FineWeb/Dolma-style "what does
+    this snapshot add on top of what we already have"): documents are
+    ordered by id (ingest order); a shingle is *novel* for the earliest
+    document that contains it.  A doc whose novelty ~ 0 is pure re-crawl
+    and can be dropped before any expensive downstream stage.
+
+    Plan shape: shingles built JVM-side (same ``_token_shingles`` kernel
+    as the contamination family, <n-token docs fall back to one whole-doc
+    shingle), hashed to the portable 56-bit long, ONE distinct over
+    (id, h) — then a min-aggregation per h (map-side combined: only one
+    (h, min_id) row per distinct shingle shuffles) and a rebroadcastless
+    equi-join back on h.  No stage is quadratic; the join fan-out per h
+    equals the shingle's doc frequency, which is exactly the data the
+    operator measures.  Exact integers + one rounded division.
+    """
+    sh = (
+        df.select(
+            F.col(id_col).alias("id"),
+            F.explode(_token_shingles(text_col, n)).alias("g"),
+        )
+        .select("id", portable_h1(F.col("g")).alias("h"))
+        .distinct()
+    )
+    sh = sh.persist()
+    first = sh.groupBy("h").agg(F.min("id").alias("first_id"))
+    per = (
+        sh.join(first, "h")
+        .groupBy("id")
+        .agg(
+            F.count("*").cast("long").alias("n_shingles"),
+            F.sum(
+                F.when(F.col("id") == F.col("first_id"), 1).otherwise(0)
+            ).cast("long").alias("n_novel"),
+        )
+    )
+    out = per.select(
+        "id", "n_shingles", "n_novel",
+        F.round(
+            F.col("n_novel").cast("double") / F.col("n_shingles").cast("double"),
+            6,
+        ).alias("novelty"),
+    )
+    out = out.localCheckpoint(eager=True)
+    sh.unpersist()
+    return out

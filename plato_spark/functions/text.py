@@ -702,3 +702,57 @@ def doclen_histogram(
             "n_docs", "total_tokens",
         )
     )
+
+
+def winnow_fingerprints(
+    df: DataFrame,
+    k: int = 5,
+    w: int = 4,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(id, pos, fp) — robust-winnowing fingerprint selection (Schleimer,
+    Wilkerson & Aiken, SIGMOD'03 — the MOSS kernel): hash every token
+    ``k``-gram, slide a window of ``w`` consecutive gram hashes, and in
+    each window select the MINIMUM hash, breaking ties by the RIGHTMOST
+    position; the distinct selected (position, hash) pairs are the
+    document's fingerprints.
+
+    Guarantee: any token-level match of length >= w + k - 1 between two
+    documents shares at least one fingerprint, while only ~2/(w+1) of all
+    gram hashes are retained — the density/recall trade-off that makes
+    winnowed copy-detection indexes fit in memory at corpus scale.
+
+    Plan shape: everything is JVM higher-order functions over the token
+    array (transform/slice/array_min/array_position — whole-stage
+    codegen, zero Python, zero shuffle until the final per-doc
+    distinct, which map-side combines).  Documents shorter than k
+    tokens hash the whole token array as one gram; documents with fewer
+    than w grams use a single clamped window (both mirrored verbatim by
+    the DuckDB oracle).  Positions are 1-based gram indices.
+    """
+    toks = F.regexp_extract_all(F.col(text_col), F.lit(TOKEN_RE), F.lit(0))
+    m = F.size(toks)
+    grams = F.transform(
+        F.sequence(F.lit(1), F.greatest(m - F.lit(k - 1), F.lit(1))),
+        lambda i: portable_h1(F.concat_ws("", F.slice(toks, i, k))),
+    )
+    g = F.col("grams")
+    n_win = F.greatest(F.size(g) - F.lit(w - 1), F.lit(1))
+    win = lambda s: F.slice(g, s, w)  # noqa: E731 — clamped at the tail
+    # rightmost argmin: first occurrence in the REVERSED window
+    sel = F.transform(
+        F.sequence(F.lit(1), n_win),
+        lambda s: F.struct(
+            (s + F.size(win(s))
+             - F.array_position(F.reverse(win(s)), F.array_min(win(s))))
+            .cast("long").alias("pos"),
+            F.array_min(win(s)).alias("fp"),
+        ),
+    )
+    return (
+        df.select(F.col(id_col).alias("id"), grams.alias("grams"))
+        .select("id", F.explode(sel).alias("s"))
+        .select("id", F.col("s.pos").alias("pos"), F.col("s.fp").alias("fp"))
+        .distinct()
+    )
