@@ -2587,6 +2587,43 @@ def q_reference_graph(spark, sf_dir):
     return resolved.select("src", "dst").distinct()
 
 
+def q_transitivity(spark, sf_dir):
+    """Global clustering coefficient 3T/W (algos/triangles.transitivity)
+    — one oriented triangle pass + one degree fold, exact integers +
+    one rounded division."""
+    from plato_spark.algos.triangles import transitivity
+
+    return transitivity(part_cooccurrence_edges(spark, sf_dir))
+
+
+def q_avg_neighbor_degree(spark, sf_dir):
+    """Per-vertex average neighbor degree knn(v) (graph/edges
+    avg_neighbor_degree) — the vertex-level degree-mixing profile whose
+    scalar summary is the assortativity query."""
+    from plato_spark.graph.edges import avg_neighbor_degree
+
+    return avg_neighbor_degree(part_cooccurrence_edges(spark, sf_dir))
+
+
+def q_hapax_stats(spark, sf_dir):
+    """Per-source hapax-legomenon / type-token vocabulary profile
+    (functions/text.hapax_stats) — the Heaps-law health check before
+    tokenizer training."""
+    from plato_spark.functions.text import hapax_stats
+
+    return hapax_stats(load_table(spark, sf_dir, "documents"))
+
+
+def q_partition_cut(spark, sf_dir):
+    """Edge-cut audit of explicit mod vs contiguous-range vertex
+    placement at 32 blocks (graph/partitioning.partition_cut_audit) —
+    measures the superstep network cost the north rule's partitioning
+    choices trade on."""
+    from plato_spark.graph.partitioning import partition_cut_audit
+
+    return partition_cut_audit(part_cooccurrence_edges(spark, sf_dir), 32)
+
+
 def q_vocabulary(spark, sf_dir):
     """Top-200 corpus vocabulary by term frequency (+doc frequency) —
     the tokenizer/vocab-building step of a training pipeline."""
@@ -3404,6 +3441,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "shingle_novelty": q_shingle_novelty,
         "winnow_fingerprints": q_winnow_fingerprints,
         "reference_graph": q_reference_graph,
+        "transitivity": q_transitivity,
+        "avg_neighbor_degree": q_avg_neighbor_degree,
+        "hapax_stats": q_hapax_stats,
+        "partition_cut": q_partition_cut,
         # -- r4 head block 1 (18): never driver-proven by any round
         # (VERDICT r3 item 1: the gate snapshots the first 50 rows;
         # these rotate to the front so CORRECTNESS_r04 finally proves
@@ -3632,6 +3673,57 @@ def oracle_sql() -> dict[str, str]:
             SELECT DISTINCT src, dst FROM r
             WHERE src != dst
               AND dst IN (SELECT doc_id FROM documents)""",
+        "transitivity": SQL_GRAPH_PREFIX
+        + """, tri AS (SELECT CAST(count(*) AS BIGINT) AS t
+                FROM canon a JOIN canon b ON a.dst = b.src
+                JOIN canon c ON c.src = a.src AND c.dst = b.dst),
+            wd AS (SELECT CAST(sum(deg * (deg - 1)) // 2 AS BIGINT) AS w
+                   FROM deg)
+            SELECT t AS n_triangles, w AS n_wedges,
+                   CASE WHEN w > 0
+                        THEN round(3.0 * t / CAST(w AS DOUBLE), 6)
+                        ELSE 0.0 END AS transitivity
+            FROM tri, wd""",
+        "avg_neighbor_degree": SQL_GRAPH_PREFIX
+        + """SELECT e.src AS id, d0.deg,
+                    round(CAST(sum(dn.deg) AS DOUBLE)
+                          / CAST(d0.deg AS DOUBLE), 6) AS avg_nbr_deg
+             FROM edges e JOIN deg dn ON e.dst = dn.id
+             JOIN deg d0 ON e.src = d0.id
+             GROUP BY e.src, d0.deg""",
+        "hapax_stats": f"""
+            WITH t AS (SELECT source, unnest(regexp_extract_all(text,
+                                '{TOKEN_RE_SQL}')) AS tok FROM documents),
+            c AS MATERIALIZED (
+              SELECT source, tok, CAST(count(*) AS BIGINT) AS cnt
+              FROM t GROUP BY source, tok)
+            SELECT source, CAST(sum(cnt) AS BIGINT) AS n_tokens,
+                   CAST(count(*) AS BIGINT) AS n_types,
+                   CAST(sum(CASE WHEN cnt = 1 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_hapax,
+                   round(CAST(count(*) AS DOUBLE)
+                         / CAST(sum(cnt) AS DOUBLE), 6) AS type_token_ratio,
+                   round(CAST(sum(CASE WHEN cnt = 1 THEN 1 ELSE 0 END)
+                              AS DOUBLE)
+                         / CAST(count(*) AS DOUBLE), 6) AS hapax_ratio
+            FROM c GROUP BY source""",
+        "partition_cut": SQL_GRAPH_PREFIX
+        + """, mxx AS (SELECT CAST(max(id) AS BIGINT) AS mx FROM verts),
+            ww AS (SELECT (mx // 32) + 1 AS w FROM mxx),
+            s AS (
+              SELECT 'mod' AS strategy,
+                     CASE WHEN c.src % 32 = c.dst % 32
+                          THEN 1 ELSE 0 END AS i
+              FROM canon c
+              UNION ALL
+              SELECT 'range',
+                     CASE WHEN c.src // w = c.dst // w THEN 1 ELSE 0 END
+              FROM canon c, ww)
+            SELECT strategy, CAST(sum(i) AS BIGINT) AS n_internal,
+                   CAST(count(*) - sum(i) AS BIGINT) AS n_cut,
+                   round(CAST(count(*) - sum(i) AS DOUBLE)
+                         / CAST(count(*) AS DOUBLE), 6) AS cut_ratio
+            FROM s GROUP BY strategy""",
         "topo_levels": """
             WITH dd AS (SELECT DISTINCT doc_id FROM documents),
             d AS (SELECT CAST(row_number() OVER (ORDER BY doc_id) - 1

@@ -354,3 +354,33 @@ def common_neighbors(
         "src", "dst",
         F.coalesce("common", F.array().cast("array<long>")).alias("common"),
     )
+
+
+def transitivity(canon: DataFrame) -> DataFrame:
+    """1-row (n_triangles, n_wedges, transitivity) — the GLOBAL
+    clustering coefficient 3*T/W (Newman): T = triangle count, W = number
+    of wedges (paths of length 2) = sum over v of C(deg(v), 2).
+
+    The scalar companion of ``clustering_coefficient`` (which is
+    per-vertex): same ingredients (one oriented triangle pass + one
+    degree aggregation), folded to two scalars and one rounded division
+    — the 1-row crossJoin is a broadcast of a single row, the same
+    pattern as graph_stats.  Exact integers until the final division.
+    """
+    tri = triangle_count(canon).select(
+        F.col("triangles").cast("long").alias("n_triangles")
+    )
+    wedges = _degrees(canon).agg(
+        F.expr("sum(deg * (deg - 1)) div 2").cast("long").alias("n_wedges")
+    )
+    return tri.crossJoin(wedges).select(
+        "n_triangles",
+        "n_wedges",
+        F.when(
+            F.col("n_wedges") > 0,
+            F.round(
+                3.0 * F.col("n_triangles") / F.col("n_wedges").cast("double"),
+                6,
+            ),
+        ).otherwise(F.lit(0.0)).alias("transitivity"),
+    )

@@ -756,3 +756,49 @@ def winnow_fingerprints(
         .select("id", F.col("s.pos").alias("pos"), F.col("s.fp").alias("fp"))
         .distinct()
     )
+
+
+def hapax_stats(
+    df: DataFrame,
+    text_col: str = "text",
+    group_col: str = "source",
+) -> DataFrame:
+    """(source, n_tokens, n_types, n_hapax, type_token_ratio,
+    hapax_ratio) — per-source vocabulary-growth profile: total token
+    mass, distinct types, hapax legomena (types occurring exactly once)
+    and the derived ratios.
+
+    The Heaps/Zipf health check run before tokenizer training: a source
+    whose hapax_ratio collapses is template spam (tiny effective
+    vocabulary); one whose type_token_ratio ~ 1 is id-like noise.  Plan:
+    one explode + one (group, token) count (map-side combined) + one
+    per-group fold — exact integers, two rounded divisions at read-out.
+    """
+    toks = F.explode(
+        F.regexp_extract_all(F.col(text_col), F.lit(TOKEN_RE), F.lit(0))
+    )
+    c = (
+        df.select(F.col(group_col).alias("source"), toks.alias("tok"))
+        .groupBy("source", "tok")
+        .agg(F.count("*").cast("long").alias("cnt"))
+    )
+    return (
+        c.groupBy("source")
+        .agg(
+            F.sum("cnt").cast("long").alias("n_tokens"),
+            F.count("*").cast("long").alias("n_types"),
+            F.sum(F.when(F.col("cnt") == 1, 1).otherwise(0))
+            .cast("long").alias("n_hapax"),
+        )
+        .select(
+            "source", "n_tokens", "n_types", "n_hapax",
+            F.round(
+                F.col("n_types").cast("double")
+                / F.col("n_tokens").cast("double"), 6
+            ).alias("type_token_ratio"),
+            F.round(
+                F.col("n_hapax").cast("double")
+                / F.col("n_types").cast("double"), 6
+            ).alias("hapax_ratio"),
+        )
+    )

@@ -218,3 +218,35 @@ def degree_assortativity(canon: DataFrame) -> DataFrame:
             F.round(num / (F.sqrt(vx) * F.sqrt(vy)), 6),
         ).alias("assortativity")
     )
+
+
+def avg_neighbor_degree(canon: DataFrame) -> DataFrame:
+    """(id, deg, avg_nbr_deg) — per-vertex average UNDIRECTED degree of
+    its neighbors (Pastor-Satorras' knn(v)); the vertex-level view of
+    the same degree-mixing structure degree_assortativity folds to one
+    scalar.  Hub-adjacent vertices score high; a decreasing knn(k) curve
+    is the disassortative signature typical of co-occurrence graphs.
+
+    Plan: one degree aggregation + one co-partitioned equi-join of the
+    symmetrized edges against it + one groupBy(src) — integer sums, a
+    single rounded division at read-out.  At 100x, the join shuffles on
+    the same key as the degree agg, so AQE reuses the partitioning.
+    """
+    sym = symmetrize(canon.select("src", "dst"))
+    deg = sym.groupBy(F.col("src").alias("id")).agg(
+        F.count("*").cast("long").alias("deg")
+    )
+    dn = deg.select(F.col("id").alias("dst"), F.col("deg").alias("nbr_deg"))
+    return (
+        sym.join(dn, "dst")
+        .groupBy(F.col("src").alias("id"))
+        .agg(F.sum("nbr_deg").cast("long").alias("s"))
+        .join(deg, "id")
+        .select(
+            "id",
+            "deg",
+            F.round(
+                F.col("s").cast("double") / F.col("deg").cast("double"), 6
+            ).alias("avg_nbr_deg"),
+        )
+    )

@@ -136,3 +136,66 @@ def block_of(boundaries: list[int], vid: int) -> int:
     """Driver-side block lookup (mirror of block_of_expr)."""
     k = bisect.bisect_right(boundaries, vid) - 1
     return max(0, min(k, len(boundaries) - 2))
+
+
+def partition_cut_audit(canon: DataFrame, num_partitions: int = 32) -> DataFrame:
+    """(strategy, n_internal, n_cut, cut_ratio) — edge-cut quality of
+    two EXPLICIT vertex-placement strategies at ``num_partitions``:
+
+    - ``mod``:   vertex -> id % P (plato's hash_by_source_t, hash.hpp:33-121)
+    - ``range``: vertex -> id // ceil((max_id+1)/P), contiguous blocks
+                 (the unweighted skeleton of sequence_balanced_by_*_t)
+
+    An edge is *internal* when both endpoints land in the same block; the
+    cut ratio is the fraction of edges that will cross the network every
+    superstep under that placement — THE quantity the north rule's
+    "partitioning/shuffle handled explicitly" trades on.  Range placement
+    wins when vertex ids carry locality (files of one repo encoded
+    adjacently by the dictionary); mod placement wins on balance.  The
+    audit makes the trade-off measurable per graph instead of guessed.
+
+    Plan: one max-id scalar broadcast (1-row crossJoin, the graph_stats
+    pattern) + one scan with pure integer arithmetic per strategy + one
+    2-group aggregation.  No shuffle beyond the final 2-row agg.  NOTE:
+    deliberately id-arithmetic (portable, oracle-checkable) — Spark's
+    internal HashPartitioning (murmur3) places differently; this audits
+    the explicit placements the engine controls (bucketed sinks, range
+    dictionaries), not Catalyst's exchange hashing.
+    """
+    e = canon.select("src", "dst")
+    mx = e.agg(
+        F.greatest(F.max("src"), F.max("dst")).cast("long").alias("mx")
+    )
+    width = (F.floor(F.col("mx") / num_partitions) + 1).cast("long")
+    tagged = e.crossJoin(mx).select(
+        "src", "dst", width.alias("w")
+    )
+    strategies = [
+        ("mod", (F.col("src") % num_partitions) == (F.col("dst") % num_partitions)),
+        ("range", F.floor(F.col("src") / F.col("w"))
+                  == F.floor(F.col("dst") / F.col("w"))),
+    ]
+    parts = [
+        tagged.select(
+            F.lit(name).alias("strategy"),
+            F.when(cond, 1).otherwise(0).alias("internal"),
+        )
+        for name, cond in strategies
+    ]
+    u = parts[0]
+    for p in parts[1:]:
+        u = u.unionByName(p)
+    return (
+        u.groupBy("strategy")
+        .agg(
+            F.sum("internal").cast("long").alias("n_internal"),
+            F.sum(1 - F.col("internal")).cast("long").alias("n_cut"),
+        )
+        .select(
+            "strategy", "n_internal", "n_cut",
+            F.round(
+                F.col("n_cut").cast("double")
+                / (F.col("n_internal") + F.col("n_cut")).cast("double"), 6
+            ).alias("cut_ratio"),
+        )
+    )
