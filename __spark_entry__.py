@@ -438,6 +438,41 @@ def _sql_sssp(iters: int = 8) -> str:
     )
 
 
+def _sql_sinkhorn(iters: int) -> str:
+    """Unrolled Sinkhorn-Knopp row/col normalizations on the
+    (source, lang) doc-count matrix toward probability marginals
+    (1/|rows| per row, 1/|cols| per col); mirrors functions/sampling
+    sinkhorn_mixing_weights (cnt * u * v, left-assoc, 6dp round)."""
+    ctes = [
+        """m AS MATERIALIZED (
+  SELECT source AS r, lang AS c, CAST(count(*) AS BIGINT) AS cnt
+  FROM documents GROUP BY source, lang)""",
+        """tr AS MATERIALIZED (
+  SELECT 1.0 / CAST(count(DISTINCT r) AS DOUBLE) AS row_t FROM m)""",
+        """tc AS MATERIALIZED (
+  SELECT 1.0 / CAST(count(DISTINCT c) AS DOUBLE) AS col_t FROM m)""",
+        "v0 AS MATERIALIZED (SELECT DISTINCT c, CAST(1.0 AS DOUBLE) AS v FROM m)",
+    ]
+    for k in range(iters):
+        ctes.append(
+            f"""u{k + 1} AS MATERIALIZED (
+  SELECT r, row_t / sum(cnt * v) AS u
+  FROM m JOIN v{k} USING (c) CROSS JOIN tr GROUP BY r, row_t)"""
+        )
+        ctes.append(
+            f"""v{k + 1} AS MATERIALIZED (
+  SELECT c, col_t / sum(cnt * u) AS v
+  FROM m JOIN u{k + 1} USING (r) CROSS JOIN tc GROUP BY c, col_t)"""
+        )
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f"""
+SELECT m.r AS source, m.c AS lang, m.cnt AS n_docs,
+       round(m.cnt * u.u * v.v, 6) AS weight
+FROM m JOIN u{iters} u USING (r) JOIN v{iters} v USING (c)"""
+    )
+
+
 def _sql_kcore(iters: int = KCORE_SQL_ITERS) -> str:
     """Unrolled Montresor h-index iteration (kcore.hpp:191-232)."""
     ctes = ["c0 AS MATERIALIZED (SELECT id, CAST(deg AS BIGINT) AS core FROM deg)"]
@@ -2624,6 +2659,40 @@ def q_partition_cut(spark, sf_dir):
     return partition_cut_audit(part_cooccurrence_edges(spark, sf_dir), 32)
 
 
+def q_inter_event_gaps(spark, sf_dir):
+    """Per-user inter-arrival profile in exact integer microseconds
+    (functions/events.inter_event_gaps) — the empirical basis for the
+    sessionization break and watermark delay."""
+    from plato_spark.functions.events import inter_event_gaps
+
+    return inter_event_gaps(load_table(spark, sf_dir, "events"))
+
+
+def q_degree_gini(spark, sf_dir):
+    """Gini coefficient of the degree distribution (graph/edges
+    degree_gini) — the scalar skew audit behind hub/salting policy;
+    rank-weighted sum folded over the degree HISTOGRAM so the only
+    window runs over distinct degree values."""
+    from plato_spark.graph.edges import degree_gini
+
+    return degree_gini(part_cooccurrence_edges(spark, sf_dir))
+
+
+SINKHORN_ITERS = 5
+
+
+def q_sinkhorn_mixing(spark, sf_dir):
+    """Sinkhorn-Knopp scaling of the (source x lang) doc-count matrix
+    toward all-ones marginals (functions/sampling
+    sinkhorn_mixing_weights) — the training-blend balancing step;
+    5 pinned alternating normalizations, unrolled-SQL oracle."""
+    from plato_spark.functions.sampling import sinkhorn_mixing_weights
+
+    return sinkhorn_mixing_weights(
+        load_table(spark, sf_dir, "documents"), iterations=SINKHORN_ITERS
+    )
+
+
 def q_vocabulary(spark, sf_dir):
     """Top-200 corpus vocabulary by term frequency (+doc frequency) —
     the tokenizer/vocab-building step of a training pipeline."""
@@ -3445,6 +3514,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "avg_neighbor_degree": q_avg_neighbor_degree,
         "hapax_stats": q_hapax_stats,
         "partition_cut": q_partition_cut,
+        "inter_event_gaps": q_inter_event_gaps,
+        "degree_gini": q_degree_gini,
+        "sinkhorn_mixing": q_sinkhorn_mixing,
         # -- r4 head block 1 (18): never driver-proven by any round
         # (VERDICT r3 item 1: the gate snapshots the first 50 rows;
         # these rotate to the front so CORRECTNESS_r04 finally proves
@@ -3673,6 +3745,39 @@ def oracle_sql() -> dict[str, str]:
             SELECT DISTINCT src, dst FROM r
             WHERE src != dst
               AND dst IN (SELECT doc_id FROM documents)""",
+        "inter_event_gaps": """
+            WITH x AS (SELECT user_id,
+                 date_diff('microsecond',
+                           lag(ts) OVER (PARTITION BY user_id
+                                         ORDER BY ts, event_id),
+                           ts) AS gap
+               FROM events)
+            SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+                   CAST(count(gap) AS BIGINT) AS n_gaps,
+                   CAST(min(gap) AS BIGINT) AS min_gap_us,
+                   CAST(max(gap) AS BIGINT) AS max_gap_us,
+                   CAST(CAST(sum(gap) AS BIGINT) // count(gap)
+                        AS BIGINT) AS avg_gap_us
+            FROM x GROUP BY user_id""",
+        "degree_gini": SQL_GRAPH_PREFIX
+        + """, hist AS (SELECT deg AS d, CAST(count(*) AS BIGINT) AS c
+                        FROM deg GROUP BY deg),
+            h2 AS (SELECT d, c,
+                     CAST(COALESCE(sum(c) OVER (ORDER BY d
+                          ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND 1 PRECEDING), 0) AS BIGINT) AS o
+                   FROM hist),
+            a AS (SELECT CAST(sum(c) AS BIGINT) AS n,
+                         CAST(sum(d * c) AS BIGINT) AS t,
+                         CAST(sum(d * (c * o + (c * (c + 1)) // 2))
+                              AS BIGINT) AS s
+                  FROM h2)
+            SELECT n AS n_vertices, t AS total_degree,
+                   round((2.0 * s) / (CAST(n AS DOUBLE) * CAST(t AS DOUBLE))
+                         - CAST(n + 1 AS DOUBLE) / CAST(n AS DOUBLE),
+                         6) AS gini
+            FROM a""",
+        "sinkhorn_mixing": _sql_sinkhorn(SINKHORN_ITERS),
         "transitivity": SQL_GRAPH_PREFIX
         + """, tri AS (SELECT CAST(count(*) AS BIGINT) AS t
                 FROM canon a JOIN canon b ON a.dst = b.src

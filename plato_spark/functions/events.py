@@ -88,3 +88,43 @@ def co_activity_edges(
         .groupBy("src", "dst")
         .agg(F.count("*").cast("long").alias("weight"))
     )
+
+
+def inter_event_gaps(events: DataFrame) -> DataFrame:
+    """(user_id, n_events, n_gaps, min_gap_us, max_gap_us, avg_gap_us) —
+    per-user inter-arrival-time profile in exact integer MICROSECONDS
+    (event-time order; timestamps carry sub-second precision, so
+    seconds-truncating diffs would lie).  The empirical input for
+    choosing a sessionization break (the 30-minute threshold
+    events_sessions hard-codes) and a watermark delay: pick the knee of
+    this distribution instead of folklore.
+
+    Plan: one per-user window lag (partitioned by the aggregation key —
+    no global sort) + one groupBy; integer microsecond differences, the
+    mean is an exact integer floor division (no float ties).  Single-event users report 0
+    gaps and NULL gap stats (no fabricated zeros).
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # parquet timestamps load as TIMESTAMP_NTZ, which unix_micros
+    # rejects; the cast reinterprets in the session zone (pinned UTC by
+    # plato_spark.session) and any fixed offset cancels in the
+    # difference anyway
+    ts_us = F.unix_micros(F.col("ts").cast("timestamp"))
+    lag_us = F.unix_micros(F.lag(F.col("ts")).over(w).cast("timestamp"))
+    gap = (ts_us - lag_us).cast("long")
+    g = events.select("user_id", "ts", "event_id").withColumn("gap", gap)
+    return (
+        g.groupBy("user_id")
+        .agg(
+            F.count("*").cast("long").alias("n_events"),
+            F.count("gap").cast("long").alias("n_gaps"),
+            F.min("gap").cast("long").alias("min_gap_us"),
+            F.max("gap").cast("long").alias("max_gap_us"),
+            # exact integer floor mean: at ~1e9 us magnitudes a 6dp
+            # double round sits below the float spacing and tie-breaks
+            # differently per engine — keep the whole row integer
+            F.expr("sum(gap) div count(gap)").cast("long").alias("avg_gap_us"),
+        )
+    )

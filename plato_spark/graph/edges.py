@@ -250,3 +250,48 @@ def avg_neighbor_degree(canon: DataFrame) -> DataFrame:
             ).alias("avg_nbr_deg"),
         )
     )
+
+
+def degree_gini(canon: DataFrame) -> DataFrame:
+    """1-row (n_vertices, total_degree, gini) — Gini coefficient of the
+    UNDIRECTED degree distribution: the scalar skew audit that predicts
+    whether hub-handling (salting, broadcast frontiers, AQE skew joins)
+    will matter on this graph.  gini = (2*sum_i i*d_i)/(n*sum d) -
+    (n+1)/n over ascending-sorted degrees.
+
+    Plan: the rank-weighted sum folds over the DEGREE HISTOGRAM, not the
+    vertex list — a degree class with count c starting at cumulative
+    offset o contributes d*(c*o + c*(c+1)/2), all integers — so the only
+    window runs over |distinct degree values| rows (hundreds at any
+    scale; the degree agg itself is the one real shuffle).  Two IEEE
+    divisions at read-out, identical on both engines.
+    """
+    sym = symmetrize(canon.select("src", "dst"))
+    deg = sym.groupBy(F.col("src").alias("id")).agg(
+        F.count("*").cast("long").alias("deg")
+    )
+    hist = deg.groupBy("deg").agg(F.count("*").cast("long").alias("c"))
+    from pyspark.sql import Window
+
+    w = Window.orderBy("deg").rowsBetween(Window.unboundedPreceding, -1)
+    hist = hist.withColumn(
+        "offset", F.coalesce(F.sum("c").over(w), F.lit(0)).cast("long")
+    )
+    agg = hist.agg(
+        F.sum("c").cast("long").alias("n_vertices"),
+        F.sum(F.col("deg") * F.col("c")).cast("long").alias("total_degree"),
+        F.sum(
+            F.col("deg")
+            * (F.col("c") * F.col("offset")
+               + F.expr("c * (c + 1) div 2"))
+        ).cast("long").alias("s"),
+    )
+    n, t, s = F.col("n_vertices"), F.col("total_degree"), F.col("s")
+    return agg.select(
+        "n_vertices", "total_degree",
+        F.round(
+            (2.0 * s.cast("double")) / (n.cast("double") * t.cast("double"))
+            - (n + 1).cast("double") / n.cast("double"),
+            6,
+        ).alias("gini"),
+    )
