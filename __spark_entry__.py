@@ -2693,6 +2693,26 @@ def q_sinkhorn_mixing(spark, sf_dir):
     )
 
 
+def q_four_cliques(spark, sf_dir):
+    """Exact K4 count (algos/triangles.four_clique_count) — the
+    denser-motif leg past triangles and motif_census's 4-cycles."""
+    from plato_spark.algos.triangles import four_clique_count
+
+    return four_clique_count(part_cooccurrence_edges(spark, sf_dir))
+
+
+def q_cochange_lift(spark, sf_dir):
+    """Top-50 item pairs by association-rule lift over order baskets
+    (functions/recommend.association_lift) — the co-change-prediction
+    signal for the code corpus, market-basket lift for curation."""
+    from plato_spark.functions.recommend import association_lift
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("basket"), F.col("l_partkey").alias("item")
+    )
+    return association_lift(li, k=50, min_support=2)
+
+
 def q_vocabulary(spark, sf_dir):
     """Top-200 corpus vocabulary by term frequency (+doc frequency) —
     the tokenizer/vocab-building step of a training pipeline."""
@@ -3517,6 +3537,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "inter_event_gaps": q_inter_event_gaps,
         "degree_gini": q_degree_gini,
         "sinkhorn_mixing": q_sinkhorn_mixing,
+        "four_cliques": q_four_cliques,
+        "cochange_lift": q_cochange_lift,
         # -- r4 head block 1 (18): never driver-proven by any round
         # (VERDICT r3 item 1: the gate snapshots the first 50 rows;
         # these rotate to the front so CORRECTNESS_r04 finally proves
@@ -3778,6 +3800,35 @@ def oracle_sql() -> dict[str, str]:
                          6) AS gini
             FROM a""",
         "sinkhorn_mixing": _sql_sinkhorn(SINKHORN_ITERS),
+        "four_cliques": SQL_GRAPH_PREFIX
+        + """SELECT CAST(count(*) AS BIGINT) AS four_cliques
+             FROM canon ab
+             JOIN canon ac ON ac.src = ab.src AND ac.dst > ab.dst
+             JOIN canon bc ON bc.src = ab.dst AND bc.dst = ac.dst
+             JOIN canon cd ON cd.src = ac.dst
+             JOIN canon bd ON bd.src = ab.dst AND bd.dst = cd.dst
+             JOIN canon ad ON ad.src = ab.src AND ad.dst = cd.dst""",
+        "cochange_lift": """
+            WITH inc AS MATERIALIZED (
+              SELECT DISTINCT l_orderkey AS b, l_partkey AS i FROM lineitem),
+            ok AS (SELECT b FROM inc GROUP BY b HAVING count(*) <= 256),
+            inc2 AS MATERIALIZED (
+              SELECT inc.b, inc.i FROM inc JOIN ok USING (b)),
+            nb AS (SELECT CAST(count(DISTINCT b) AS BIGINT) AS n_baskets
+                   FROM inc2),
+            cnt AS MATERIALIZED (
+              SELECT i, CAST(count(*) AS BIGINT) AS c FROM inc2 GROUP BY i),
+            p AS (SELECT a.i AS src, d.i AS dst,
+                         CAST(count(*) AS BIGINT) AS support
+                  FROM inc2 a JOIN inc2 d ON a.b = d.b AND a.i < d.i
+                  GROUP BY a.i, d.i HAVING count(*) >= 2)
+            SELECT src, dst, support,
+                   round(CAST(support * n_baskets AS DOUBLE)
+                         / CAST(ca.c * cb.c AS DOUBLE), 6) AS lift
+            FROM p JOIN cnt ca ON p.src = ca.i
+                   JOIN cnt cb ON p.dst = cb.i
+                   CROSS JOIN nb
+            ORDER BY lift DESC, src ASC, dst ASC LIMIT 50""",
         "transitivity": SQL_GRAPH_PREFIX
         + """, tri AS (SELECT CAST(count(*) AS BIGINT) AS t
                 FROM canon a JOIN canon b ON a.dst = b.src

@@ -384,3 +384,33 @@ def transitivity(canon: DataFrame) -> DataFrame:
             ),
         ).otherwise(F.lit(0.0)).alias("transitivity"),
     )
+
+
+def four_clique_count(canon: DataFrame) -> DataFrame:
+    """1-row (four_cliques) — exact K4 count: each 4-clique appears
+    exactly once as a<b<c<d with all six canonical (id-ordered) edges
+    present, so the count is one triangle enumeration + three further
+    equi-joins against the edge table.
+
+    The denser-motif companion of motif_census's 4-cycles and wedges
+    (k-clique density is the classic community-strength signal one step
+    past triangles).  NOTE: id-order orientation keeps the oracle an
+    exact SQL mirror; production at 100x would orient by (degree, id)
+    like triangle_count to bound the join fan-out on hubs — same count,
+    different intermediate sizes (documented trade-off, the SpMV
+    lesson: measure before swapping).
+    """
+    e = canon.select("src", "dst").distinct()
+    ab = e.select(F.col("src").alias("a"), F.col("dst").alias("b"))
+    ac = e.select(F.col("src").alias("a"), F.col("dst").alias("c"))
+    bc = e.select(F.col("src").alias("b"), F.col("dst").alias("c"))
+    tri = (
+        ab.join(ac, "a")
+        .where(F.col("c") > F.col("b"))
+        .join(bc, ["b", "c"])
+    )
+    ad = e.select(F.col("src").alias("a"), F.col("dst").alias("d"))
+    bd = e.select(F.col("src").alias("b"), F.col("dst").alias("d"))
+    cd = e.select(F.col("src").alias("c"), F.col("dst").alias("d"))
+    k4 = tri.join(cd, "c").join(bd, ["b", "d"]).join(ad, ["a", "d"])
+    return k4.agg(F.count("*").cast("long").alias("four_cliques"))

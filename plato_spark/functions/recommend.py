@@ -113,3 +113,66 @@ def knn_graph(
     return topk_per_key(
         sym, "src", [F.col("weight").desc(), F.col("dst").asc()], k
     )
+
+
+def association_lift(
+    inc: DataFrame,
+    basket: str = "basket",
+    item: str = "item",
+    k: int = 50,
+    min_support: int = 2,
+    max_basket: int = 256,
+) -> DataFrame:
+    """(src, dst, support, lift) — the ``k`` item pairs with the highest
+    association-rule LIFT over a (basket, item) incidence table:
+    lift(a,b) = P(ab) / (P(a)P(b)) = support * N / (c(a) * c(b)).
+
+    The market-basket sibling of co_purchase_topk's cosine: lift > 1
+    flags pairs that co-occur beyond independence — for the code corpus
+    this is co-change prediction (files that change together beyond what
+    their individual churn explains), for curation it is topic
+    entanglement between containers.  Same quadratic guard as
+    co_purchase_topk (baskets over ``max_basket`` items are dropped
+    whole); pairs below ``min_support`` are pruned before any division.
+
+    Exact integer numerators/denominators (support*N and c(a)*c(b) both
+    fit long at any realistic scale), ONE rounded division, and a global
+    TakeOrdered top-k under the total order (lift desc, src, dst) — no
+    global sort materializes.
+    """
+    inc = inc.select(F.col(basket).alias("b"), F.col(item).alias("i")).distinct()
+    ok = (
+        inc.groupBy("b").agg(F.count("*").alias("n"))
+        .where(F.col("n") <= max_basket)
+        .select("b")
+    )
+    inc = inc.join(ok, "b", "left_semi")
+    nb = inc.select("b").distinct().agg(
+        F.count("*").cast("long").alias("n_baskets")
+    )
+    cnt = inc.groupBy("i").agg(F.count("*").cast("long").alias("c"))
+    a = inc.select("b", F.col("i").alias("src"))
+    d = inc.select("b", F.col("i").alias("dst"))
+    pairs = (
+        a.join(d, "b")
+        .where(F.col("src") < F.col("dst"))
+        .groupBy("src", "dst")
+        .agg(F.count("*").cast("long").alias("support"))
+        .where(F.col("support") >= min_support)
+    )
+    scored = (
+        pairs.join(cnt.select(F.col("i").alias("src"), F.col("c").alias("ca")), "src")
+        .join(cnt.select(F.col("i").alias("dst"), F.col("c").alias("cb")), "dst")
+        .crossJoin(nb)
+        .select(
+            "src", "dst", "support",
+            F.round(
+                (F.col("support") * F.col("n_baskets")).cast("double")
+                / (F.col("ca") * F.col("cb")).cast("double"),
+                6,
+            ).alias("lift"),
+        )
+    )
+    return scored.orderBy(
+        F.col("lift").desc(), F.col("src").asc(), F.col("dst").asc()
+    ).limit(k)
