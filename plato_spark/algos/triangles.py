@@ -414,3 +414,23 @@ def four_clique_count(canon: DataFrame) -> DataFrame:
     cd = e.select(F.col("src").alias("c"), F.col("dst").alias("d"))
     k4 = tri.join(cd, "c").join(bd, ["b", "d"]).join(ad, ["a", "d"])
     return k4.agg(F.count("*").cast("long").alias("four_cliques"))
+
+
+def local_bridges(canon: DataFrame) -> DataFrame:
+    """(src, dst) — Granovetter LOCAL BRIDGES: edges whose endpoints
+    share no common neighbor (span > 2), i.e. the only 2-hop-free
+    shortcuts in the graph.  Removing one lengthens its endpoints'
+    distance to >= 3 — these are the weak-tie conduits information
+    crosses communities on, and the edges a partitioner must not
+    replicate away.
+
+    Pure composition: common_neighbors already computes the per-linked-
+    pair intersection size (hub-capped, one adjacency build); a local
+    bridge is exactly a linked pair with common_count == 0.  Exact
+    integer filter, no new shuffle shape.
+    """
+    return (
+        common_neighbors(canon, as_count=True)
+        .where(F.col("common_count") == 0)
+        .select("src", "dst")
+    )

@@ -604,3 +604,53 @@ def shingle_novelty(
     out = out.localCheckpoint(eager=True)
     sh.unpersist()
     return out
+
+
+def edit_distance_pairs(
+    df: DataFrame,
+    threshold: float = 0.3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    candidates: DataFrame | None = None,
+    hash_impl: str = "portable",
+) -> DataFrame:
+    """(a, b, edit_sim) — candidate near-dup pairs VERIFIED by character
+    edit similarity 1 - lev(a,b)/max(|a|,|b|), kept when >= threshold.
+
+    The character-level verifier beside the token-level Jaccard and
+    containment checks: shingle measures miss single-character template
+    edits (version bumps, id substitutions) that Levenshtein counts
+    exactly — the right final gate before dropping a near-dup at
+    curation time.  Candidates default to the MinHash-LSH feed (the
+    same candidate-feeding contract as containment_pairs — NEVER
+    all-pairs); lev runs only on the collided pairs, JVM-side
+    (F.levenshtein, O(|a|*|b|) per pair — at 100x, cap or chunk
+    documents beyond ~10k chars before this gate; the sf corpora are
+    <600 chars).
+
+    Portability: Spark's levenshtein counts CHARACTERS while DuckDB's
+    counts BYTES — identical on ASCII corpora (the test corpus is
+    verified all-ASCII); for multi-byte text the oracle would need a
+    byte-cast mirror.  Exact integer distance, one rounded division.
+    """
+    if candidates is None:
+        candidates = minhash_lsh_candidates(
+            df, text_col=text_col, id_col=id_col, hash_impl=hash_impl
+        )
+    t = df.select(F.col(id_col).alias("id"), F.col(text_col).alias("txt"))
+    j = (
+        candidates.join(
+            t.select(F.col("id").alias("a"), F.col("txt").alias("ta")), "a"
+        )
+        .join(t.select(F.col("id").alias("b"), F.col("txt").alias("tb")), "b")
+    )
+    sim = F.round(
+        1.0
+        - F.levenshtein("ta", "tb").cast("double")
+        / F.greatest(F.length("ta"), F.length("tb"), F.lit(1)),
+        6,
+    )
+    return (
+        j.select("a", "b", sim.alias("edit_sim"))
+        .where(F.col("edit_sim") >= threshold)
+    )

@@ -128,3 +128,45 @@ def inter_event_gaps(events: DataFrame) -> DataFrame:
             F.expr("sum(gap) div count(gap)").cast("long").alias("avg_gap_us"),
         )
     )
+
+
+def event_transitions(
+    events: DataFrame,
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """(src_type, dst_type, n, prob) — the first-order Markov transition
+    matrix of event types along each user's timeline: n counts
+    consecutive (type -> next type) steps, prob row-normalizes per
+    src_type.  The behavioural-model input behind funnel design and
+    next-event prediction baselines (and, for the code corpus, the
+    commit-kind transition profile per author).
+
+    Plan: ONE per-user window lead (partitioned by user — no global
+    sort) + one groupBy; the row-normalizing sum runs over src_type,
+    whose cardinality is the distinct event-type count (tiny), so the
+    second window is effectively free.  Exact integer counts, a single
+    rounded division.  Ordering is pinned by (ts, event_id) so equal
+    timestamps cannot flip transitions between engines.
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("u").orderBy("ts", "eid")
+    ev = events.select(
+        F.col(user_col).alias("u"), F.col(type_col).alias("t"),
+        F.col(ts_col).alias("ts"), F.col(id_col).alias("eid"),
+    )
+    steps = (
+        ev.withColumn("nt", F.lead("t").over(w))
+        .where(F.col("nt").isNotNull())
+        .groupBy(F.col("t").alias("src_type"), F.col("nt").alias("dst_type"))
+        .agg(F.count("*").cast("long").alias("n"))
+    )
+    row = Window.partitionBy("src_type")
+    return steps.select(
+        "src_type", "dst_type", "n",
+        F.round(F.col("n").cast("double") / F.sum("n").over(row), 6)
+        .alias("prob"),
+    )
