@@ -2784,6 +2784,45 @@ def q_edit_distance_dups(spark, sf_dir):
     )
 
 
+def q_lang_mixing(spark, sf_dir):
+    """Cross-language citation mixing matrix (algos/mixing
+    .attribute_mixing_matrix) over the planted citation digraph — per
+    (src_lang, dst_lang) directed edge counts, the entanglement
+    dashboard behind per-language corpus splits (a split is only clean
+    if the off-diagonal mass is small)."""
+    from plato_spark.algos.mixing import attribute_mixing_matrix
+
+    edges = q_reference_graph(spark, sf_dir)
+    labels = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    return attribute_mixing_matrix(edges, labels).select(
+        F.col("src_label").alias("src_lang"),
+        F.col("dst_label").alias("dst_lang"),
+        "edges",
+    )
+
+
+def q_attr_assortativity(spark, sf_dir):
+    """Newman categorical assortativity by language (algos/mixing
+    .attribute_assortativity) over the planted citation digraph — the
+    scalar 'do same-language docs cite each other' audit beside the
+    degree-assortativity scalar.  Exact integer folds, one rounded
+    division (NULL when undefined)."""
+    from plato_spark.algos.mixing import attribute_assortativity
+
+    edges = q_reference_graph(spark, sf_dir)
+    labels = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    return attribute_assortativity(edges, labels)
+
+
+def q_retention_cohorts(spark, sf_dir):
+    """Day-N retention matrix (functions/events.retention_cohorts):
+    users from each first-event cohort still active k days later —
+    exact integer counts, cohort emitted as yyyy-MM-dd text."""
+    from plato_spark.functions.events import retention_cohorts
+
+    return retention_cohorts(load_table(spark, sf_dir, "events"))
+
+
 def q_vocabulary(spark, sf_dir):
     """Top-200 corpus vocabulary by term frequency (+doc frequency) —
     the tokenizer/vocab-building step of a training pipeline."""
@@ -3597,6 +3636,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # regardless of rotation position.
     return {
         # -- r4 head block 0: brand-new this session --
+        "lang_mixing": q_lang_mixing,
+        "attr_assortativity": q_attr_assortativity,
+        "retention_cohorts": q_retention_cohorts,
         "scc_condensation": q_scc_condensation,
         "shingle_novelty": q_shingle_novelty,
         "winnow_fingerprints": q_winnow_fingerprints,
@@ -3823,6 +3865,50 @@ def oracle_sql() -> dict[str, str]:
                     GROUP BY w.doc_id, w.s, w.fp)
             SELECT DISTINCT doc_id AS id, pos, fp FROM sel""",
         "reference_graph": _sql_reference_graph(),
+        "lang_mixing": f"""
+            WITH g AS MATERIALIZED ({_sql_reference_graph()})
+            SELECT x.lang AS src_lang, y.lang AS dst_lang,
+                   CAST(count(*) AS BIGINT) AS edges
+            FROM g JOIN documents x ON g.src = x.doc_id
+                   JOIN documents y ON g.dst = y.doc_id
+            GROUP BY 1, 2""",
+        "attr_assortativity": f"""
+            WITH g AS MATERIALIZED ({_sql_reference_graph()}),
+            e AS (SELECT x.lang AS sl, y.lang AS dl
+                  FROM g JOIN documents x ON g.src = x.doc_id
+                         JOIN documents y ON g.dst = y.doc_id),
+            mm AS (SELECT sl, dl, CAST(count(*) AS BIGINT) AS c
+                   FROM e GROUP BY 1, 2),
+            r AS (SELECT sl AS l, CAST(sum(c) AS BIGINT) AS rs
+                  FROM mm GROUP BY 1),
+            c2 AS (SELECT dl AS l, CAST(sum(c) AS BIGINT) AS cs
+                   FROM mm GROUP BY 1),
+            s AS (SELECT CAST(COALESCE(sum(rs * cs), 0) AS BIGINT) AS sum_rc
+                  FROM r JOIN c2 USING (l)),
+            t AS (SELECT CAST(COALESCE(sum(c), 0) AS BIGINT) AS m_edges,
+                         CAST(COALESCE(sum(CASE WHEN sl = dl THEN c
+                                                ELSE 0 END), 0) AS BIGINT)
+                           AS same_label
+                  FROM mm)
+            SELECT m_edges, same_label, sum_rc,
+                   CASE WHEN m_edges * m_edges - sum_rc != 0
+                        THEN round(CAST(m_edges * same_label - sum_rc
+                                        AS DOUBLE)
+                                   / (m_edges * m_edges - sum_rc), 6)
+                        ELSE NULL END AS assortativity
+            FROM t, s""",
+        "retention_cohorts": """
+            WITH days AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day
+                          FROM events),
+            f AS (SELECT user_id, min(day) AS cohort
+                  FROM days GROUP BY user_id)
+            SELECT strftime(f.cohort, '%Y-%m-%d') AS cohort,
+                   CAST(date_diff('day', f.cohort, d.day) AS BIGINT)
+                     AS day_offset,
+                   CAST(count(*) AS BIGINT) AS users
+            FROM days d JOIN f ON d.user_id = f.user_id
+            WHERE date_diff('day', f.cohort, d.day) <= 14
+            GROUP BY 1, 2""",
         "dyad_census": f"""
             WITH g AS MATERIALIZED ({_sql_reference_graph()}),
             m AS (SELECT CAST(count(*) AS BIGINT) AS m2

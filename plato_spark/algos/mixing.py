@@ -1,0 +1,101 @@
+"""Categorical attribute mixing over a directed edge table.
+
+Newman's mixing-matrix statistics (Mixing patterns in networks, PRE 67,
+2003): given edges (src, dst) and a per-vertex categorical label, count
+how often each (src_label, dst_label) pair occurs and fold the matrix to
+the scalar assortativity coefficient
+
+    r = (sum_i e_ii - sum_i a_i * b_i) / (1 - sum_i a_i * b_i)
+
+where e_ij is the FRACTION of edges from label i to label j and a/b are
+its row/column marginals.  This is the attribute sibling of the degree
+assortativity already in ``plato_spark.graph.edges.degree_assortativity``
+and uses the same vertex-payload join idiom as the reference's
+payload-carrying modes (``/root/reference/plato/algo/cnc/mutual.hpp``:
+per-edge joins against vertex state) — re-expressed as two key-partitioned
+equi-joins plus a tiny groupBy.
+
+Exact-arithmetic form used here (all BIGINT until one final division):
+with M = |edges|, trace = number of same-label edges, and
+S = sum_i rowsum_i * colsum_i,
+
+    r = (M * trace - S) / (M^2 - S)
+
+which is Newman's formula with every term multiplied by M^2 — so both
+engines fold integers and disagree on nothing before the single rounded
+IEEE division.  When M^2 == S the coefficient is undefined (all
+endpoints share one label); we return NULL there rather than invent a
+convention.
+
+Scale: the label join is a standard per-vertex equi-join (shuffles on the
+vertex key, co-partitioned with every other per-vertex stage); the mixing
+matrix itself has |labels|^2 rows, so everything after the first groupBy
+is driver-trivial.  Nothing here collects per-vertex data.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def attribute_mixing_matrix(edges: DataFrame, labels: DataFrame) -> DataFrame:
+    """Per (src_label, dst_label) directed edge counts.
+
+    ``edges``: (src, dst).  ``labels``: (id, label).  Edges whose
+    endpoint is missing from ``labels`` are dropped (inner join), the
+    same convention the payload modes use for absent vertex state.
+    """
+    lab = labels.toDF("id", "label")
+    src_l = lab.select(F.col("id").alias("src"), F.col("label").alias("src_label"))
+    dst_l = lab.select(F.col("id").alias("dst"), F.col("label").alias("dst_label"))
+    return (
+        edges.join(src_l, "src")
+        .join(dst_l, "dst")
+        .groupBy("src_label", "dst_label")
+        .agg(F.count(F.lit(1)).cast("long").alias("edges"))
+    )
+
+
+def attribute_assortativity(edges: DataFrame, labels: DataFrame) -> DataFrame:
+    """1-row Newman categorical assortativity: (m_edges, same_label,
+    sum_rc, assortativity) with the exact-integer folding documented in
+    the module docstring."""
+    m = attribute_mixing_matrix(edges, labels)
+    rows = m.groupBy(F.col("src_label").alias("label")).agg(
+        F.sum("edges").cast("long").alias("r")
+    )
+    cols = m.groupBy(F.col("dst_label").alias("label")).agg(
+        F.sum("edges").cast("long").alias("c")
+    )
+    # a label absent from one side contributes rowsum * 0 — inner join
+    # drops exactly those zero terms.
+    s = rows.join(cols, "label").agg(
+        F.coalesce(F.sum(F.col("r") * F.col("c")), F.lit(0)).cast("long").alias("sum_rc")
+    )
+    tot = m.agg(
+        F.coalesce(F.sum("edges"), F.lit(0)).cast("long").alias("m_edges"),
+        F.coalesce(
+            F.sum(F.when(F.col("src_label") == F.col("dst_label"), F.col("edges")).otherwise(F.lit(0))),
+            F.lit(0),
+        )
+        .cast("long")
+        .alias("same_label"),
+    )
+    # two 1-row frames -> broadcast cross join (the engine's usual
+    # scalar-combine idiom, cf. algos/modularity.py)
+    out = tot.crossJoin(F.broadcast(s))
+    denom = F.col("m_edges") * F.col("m_edges") - F.col("sum_rc")
+    return out.select(
+        "m_edges",
+        "same_label",
+        "sum_rc",
+        F.when(
+            denom != 0,
+            F.round(
+                (F.col("m_edges") * F.col("same_label") - F.col("sum_rc")).cast("double")
+                / denom.cast("double"),
+                6,
+            ),
+        ).alias("assortativity"),
+    )

@@ -170,3 +170,41 @@ def event_transitions(
         F.round(F.col("n").cast("double") / F.sum("n").over(row), 6)
         .alias("prob"),
     )
+
+
+def retention_cohorts(events: DataFrame, max_offset: int = 14) -> DataFrame:
+    """(cohort, day_offset, users) — classic day-N retention matrix.
+
+    Cohort = the calendar day of a user's FIRST event; the row
+    (cohort c, offset k) counts users from cohort c active on day c+k
+    (offset 0 is the cohort size itself).  The standard growth/quality
+    dashboard behind any user-event stream, and the template for
+    "documents first crawled on day X still re-crawled on day X+k".
+
+    Exact integers end-to-end.  Plan: one distinct over (user, day)
+    (map-side combined), a groupBy-min per user, and a join back on
+    user_id — both shuffles key on user_id, so AQE coalesces them into
+    co-partitioned stages; the output is at most |days| * max_offset
+    rows.  No window over the global timeline, no per-user arrays.
+    Cohort is emitted as 'yyyy-MM-dd' text so downstream hashing is
+    engine-portable (DATE objects round-trip differently per driver).
+    """
+    days = events.select(
+        "user_id", F.to_date(F.col("ts").cast("timestamp")).alias("day")
+    ).distinct()
+    firsts = days.groupBy("user_id").agg(F.min("day").alias("cohort"))
+    j = days.join(firsts, "user_id").withColumn(
+        "day_offset", F.datediff("day", "cohort").cast("long")
+    )
+    return (
+        j.where(F.col("day_offset") <= max_offset)
+        .groupBy("cohort", "day_offset")
+        # (user, day) is distinct by construction, so count(*) IS the
+        # distinct-user count — no second expensive distinct
+        .agg(F.count(F.lit(1)).cast("long").alias("users"))
+        .select(
+            F.date_format("cohort", "yyyy-MM-dd").alias("cohort"),
+            "day_offset",
+            "users",
+        )
+    )

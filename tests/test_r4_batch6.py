@@ -1,0 +1,125 @@
+"""Round-4 batch 6: categorical attribute mixing / assortativity,
+day-N retention cohorts."""
+
+from datetime import datetime
+
+from plato_spark.algos.mixing import (
+    attribute_assortativity,
+    attribute_mixing_matrix,
+)
+from plato_spark.functions.events import retention_cohorts
+
+
+def _labels(spark, pairs):
+    return spark.createDataFrame(
+        [(int(i), s) for i, s in pairs], "id long, label string"
+    )
+
+
+def _edges(spark, edges):
+    return spark.createDataFrame(
+        [(int(a), int(b)) for a, b in edges], "src long, dst long"
+    )
+
+
+AB = [(0, "A"), (1, "A"), (2, "B"), (3, "B")]
+
+
+def test_mixing_matrix_counts(spark):
+    m = attribute_mixing_matrix(
+        _edges(spark, [(0, 1), (0, 2), (2, 3), (3, 0), (3, 0)]),
+        _labels(spark, AB),
+    )
+    got = {(r.src_label, r.dst_label): r.edges for r in m.collect()}
+    # duplicate directed edge counts twice: this is edge-frequency
+    # mixing, dedup upstream if multiplicity is unwanted
+    assert got == {("A", "A"): 1, ("A", "B"): 1, ("B", "B"): 1, ("B", "A"): 2}
+
+
+def test_mixing_matrix_drops_unlabeled_endpoints(spark):
+    m = attribute_mixing_matrix(
+        _edges(spark, [(0, 1), (0, 9), (9, 1)]), _labels(spark, AB)
+    )
+    got = {(r.src_label, r.dst_label): r.edges for r in m.collect()}
+    assert got == {("A", "A"): 1}
+
+
+def test_assortativity_neutral_square(spark):
+    # one edge in every (label, label) cell -> M=4, trace=2, S=8 -> r=0
+    r = attribute_assortativity(
+        _edges(spark, [(0, 1), (0, 2), (2, 3), (3, 0)]), _labels(spark, AB)
+    ).collect()[0]
+    assert (r.m_edges, r.same_label, r.sum_rc) == (4, 2, 8)
+    assert r.assortativity == 0.0
+
+
+def test_assortativity_perfect(spark):
+    # only within-label edges, two label classes -> r = 1
+    r = attribute_assortativity(
+        _edges(spark, [(0, 1), (1, 0), (2, 3)]), _labels(spark, AB)
+    ).collect()[0]
+    assert (r.m_edges, r.same_label, r.sum_rc) == (3, 3, 5)
+    assert r.assortativity == 1.0
+
+
+def test_assortativity_perfectly_disassortative(spark):
+    # A<->B only, symmetric marginals -> r = -1
+    r = attribute_assortativity(
+        _edges(spark, [(0, 2), (2, 0)]), _labels(spark, AB)
+    ).collect()[0]
+    assert r.assortativity == -1.0
+
+
+def test_assortativity_single_label_is_null(spark):
+    # every endpoint shares one label -> M^2 == S -> undefined -> NULL
+    r = attribute_assortativity(
+        _edges(spark, [(0, 1), (1, 0)]),
+        _labels(spark, [(0, "A"), (1, "A")]),
+    ).collect()[0]
+    assert (r.m_edges, r.same_label, r.sum_rc) == (2, 2, 4)
+    assert r.assortativity is None
+
+
+def test_assortativity_empty_edges(spark):
+    r = attribute_assortativity(
+        _edges(spark, []), _labels(spark, AB)
+    ).collect()[0]
+    assert (r.m_edges, r.same_label, r.sum_rc) == (0, 0, 0)
+    assert r.assortativity is None
+
+
+def _ev(spark, rows):
+    return spark.createDataFrame(
+        [(int(u), datetime(2024, 1, d, h)) for u, d, h in rows],
+        "user_id long, ts timestamp",
+    )
+
+
+def test_retention_matrix(spark):
+    ev = _ev(
+        spark,
+        [
+            (1, 1, 9), (1, 2, 9), (1, 4, 9),   # u1: cohort Jan1, +0/+1/+3
+            (2, 2, 9), (2, 2, 17),             # u2: cohort Jan2, same-day dup
+            (3, 1, 9), (3, 4, 9),              # u3: cohort Jan1, +0/+3
+        ],
+    )
+    got = {(r.cohort, r.day_offset): r.users for r in retention_cohorts(ev).collect()}
+    assert got == {
+        ("2024-01-01", 0): 2,
+        ("2024-01-01", 1): 1,
+        ("2024-01-01", 3): 2,
+        ("2024-01-02", 0): 1,
+    }
+
+
+def test_retention_max_offset_clamp(spark):
+    ev = _ev(spark, [(1, 1, 9), (1, 20, 9)])
+    got = retention_cohorts(ev, max_offset=14).collect()
+    assert {(r.cohort, r.day_offset, r.users) for r in got} == {
+        ("2024-01-01", 0, 1)
+    }
+    wide = retention_cohorts(ev, max_offset=30).collect()
+    assert ("2024-01-01", 19, 1) in {
+        (r.cohort, r.day_offset, r.users) for r in wide
+    }
