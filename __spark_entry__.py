@@ -2784,6 +2784,47 @@ def q_edit_distance_dups(spark, sf_dir):
     )
 
 
+def q_bowtie(spark, sf_dir):
+    """Broder bow-tie decomposition (algos/bowtie) — CORE / IN / OUT /
+    TENDRIL / DISCONNECTED vertex census of a planted variable-degree
+    citation digraph.  The q_reference_graph wiring gives every doc
+    out-degree exactly 2, which makes OUT/TENDRIL/DISCONNECTED
+    structurally empty (every forward path re-enters the giant SCC) —
+    so this fixture draws out-degree k = md5-hash('deg|id') % 3 in
+    {0, 1, 2} per doc, which populates all five categories (59/75/111/
+    162/93 at the shared 500-doc table).  PLANTED-TRUTH wiring; the
+    engine still runs the real SCC + reachability + WCC kernels."""
+    from plato_spark.algos.bowtie import bowtie_decomposition
+    from plato_spark.functions.text import portable_h1
+
+    docs = load_table(spark, sf_dir, "documents")
+    n = docs.select("doc_id").distinct().count()
+    sid = F.col("doc_id").cast("string")
+    k = F.pmod(portable_h1(F.concat(F.lit("deg|"), sid)), F.lit(3))
+
+    def _target(j):
+        return F.pmod(
+            portable_h1(F.concat(F.lit("ref|"), sid, F.lit(f"|{j}"))),
+            F.lit(n),
+        ).cast("long")
+
+    base = docs.select(
+        F.col("doc_id").alias("src"),
+        k.alias("k"),
+        _target(0).alias("t0"),
+        _target(1).alias("t1"),
+    )
+    edges = (
+        base.where(F.col("k") >= 1).select("src", F.col("t0").alias("dst"))
+        .unionByName(
+            base.where(F.col("k") >= 2).select("src", F.col("t1").alias("dst"))
+        )
+        .where(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+    return bowtie_decomposition(edges, docs.select(F.col("doc_id").alias("id")))
+
+
 def q_lang_mixing(spark, sf_dir):
     """Cross-language citation mixing matrix (algos/mixing
     .attribute_mixing_matrix) over the planted citation digraph — per
@@ -3636,6 +3677,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # regardless of rotation position.
     return {
         # -- r4 head block 0: brand-new this session --
+        "bowtie": q_bowtie,
         "lang_mixing": q_lang_mixing,
         "attr_assortativity": q_attr_assortativity,
         "retention_cohorts": q_retention_cohorts,
@@ -3865,6 +3907,58 @@ def oracle_sql() -> dict[str, str]:
                     GROUP BY w.doc_id, w.s, w.fp)
             SELECT DISTINCT doc_id AS id, pos, fp FROM sel""",
         "reference_graph": _sql_reference_graph(),
+        "bowtie": f"""
+            WITH RECURSIVE nn AS (
+              SELECT CAST(count(DISTINCT doc_id) AS BIGINT) AS n
+              FROM documents),
+            d AS (SELECT doc_id,
+                    {H1_SQL.format(
+                        s="('deg|' || CAST(doc_id AS VARCHAR))")} % 3 AS k
+                  FROM documents),
+            g AS MATERIALIZED (
+              SELECT DISTINCT doc_id AS src,
+                     CAST({H1_SQL.format(
+                        s="('ref|' || CAST(doc_id AS VARCHAR) || '|' "
+                          "|| CAST(j AS VARCHAR))")} % n AS BIGINT) AS dst
+              FROM d, nn, (VALUES (0), (1)) AS js(j)
+              WHERE j < k
+                AND doc_id != {H1_SQL.format(
+                        s="('ref|' || CAST(doc_id AS VARCHAR) || '|' "
+                          "|| CAST(j AS VARCHAR))")} % n),
+            r(u, v) AS (
+              SELECT src, dst FROM g
+              UNION
+              SELECT r.u, g.dst FROM r JOIN g ON r.v = g.src),
+            verts AS (SELECT DISTINCT doc_id AS id FROM documents),
+            mut AS (SELECT r1.u AS x, min(r1.v) AS m
+                    FROM r r1 JOIN r r2 ON r1.u = r2.v AND r1.v = r2.u
+                    GROUP BY r1.u),
+            lab AS (SELECT v.id, least(v.id, coalesce(mut.m, v.id)) AS label
+                    FROM verts v LEFT JOIN mut ON v.id = mut.x),
+            core AS (SELECT label FROM lab GROUP BY label
+                     ORDER BY count(*) DESC, label LIMIT 1),
+            rep AS (SELECT label AS rid FROM core),
+            fwd AS (SELECT DISTINCT v AS id FROM r, rep WHERE u = rid),
+            bwd AS (SELECT DISTINCT u AS id FROM r, rep WHERE v = rid),
+            und AS (SELECT src AS a, dst AS b FROM g
+                    UNION SELECT dst, src FROM g),
+            w(id) AS (SELECT rid FROM rep
+                      UNION
+                      SELECT und.b FROM w JOIN und ON w.id = und.a),
+            cls AS (SELECT v.id,
+                      CASE WHEN l.label = (SELECT label FROM core)
+                             THEN 'CORE'
+                           WHEN v.id IN (SELECT id FROM bwd) THEN 'IN'
+                           WHEN v.id IN (SELECT id FROM fwd) THEN 'OUT'
+                           WHEN v.id IN (SELECT id FROM w) THEN 'TENDRIL'
+                           ELSE 'DISCONNECTED' END AS component
+                    FROM verts v JOIN lab l ON v.id = l.id)
+            SELECT cat.component, CAST(coalesce(n, 0) AS BIGINT) AS n
+            FROM (VALUES ('CORE'), ('IN'), ('OUT'), ('TENDRIL'),
+                         ('DISCONNECTED')) AS cat(component)
+            LEFT JOIN (SELECT component, count(*) AS n
+                       FROM cls GROUP BY component) c
+                   ON cat.component = c.component""",
         "lang_mixing": f"""
             WITH g AS MATERIALIZED ({_sql_reference_graph()})
             SELECT x.lang AS src_lang, y.lang AS dst_lang,

@@ -123,3 +123,48 @@ def test_retention_max_offset_clamp(spark):
     assert ("2024-01-01", 19, 1) in {
         (r.cohort, r.day_offset, r.users) for r in wide
     }
+
+
+# ---- bow-tie decomposition ----
+
+from plato_spark.algos.bowtie import bowtie_decomposition  # noqa: E402
+
+
+def _bt(spark, edges, universe):
+    e = _edges(spark, edges)
+    v = spark.createDataFrame([(int(i),) for i in universe], "id long")
+    return {r.component: r.n for r in bowtie_decomposition(e, v).collect()}
+
+
+def test_bowtie_classic(spark):
+    # 3-cycle core; 10 feeds it (IN); 20 drains it (OUT); 30 hangs off
+    # IN (tendril); 40 is a tube IN->OUT (folded into TENDRIL); 50-51
+    # and isolated 60 are DISCONNECTED
+    got = _bt(
+        spark,
+        [(0, 1), (1, 2), (2, 0), (10, 0), (2, 20),
+         (10, 30), (10, 40), (40, 20), (50, 51)],
+        [0, 1, 2, 10, 20, 30, 40, 50, 51, 60],
+    )
+    assert got == {"CORE": 3, "IN": 1, "OUT": 1, "TENDRIL": 2,
+                   "DISCONNECTED": 3}
+
+
+def test_bowtie_chain_through_core(spark):
+    got = _bt(spark, [(5, 0), (0, 1), (1, 0), (1, 7)], [0, 1, 5, 7, 9])
+    assert got == {"CORE": 2, "IN": 1, "OUT": 1, "TENDRIL": 0,
+                   "DISCONNECTED": 1}
+
+
+def test_bowtie_tiebreak_smallest_scc_label(spark):
+    # two 2-cycles tie at size 2 -> the one whose min member is
+    # smallest becomes CORE; the other is not weakly connected to it
+    got = _bt(spark, [(0, 1), (1, 0), (2, 3), (3, 2)], [0, 1, 2, 3])
+    assert got == {"CORE": 2, "IN": 0, "OUT": 0, "TENDRIL": 0,
+                   "DISCONNECTED": 2}
+
+
+def test_bowtie_empty_edges(spark):
+    got = _bt(spark, [], [0, 1, 2])
+    assert got == {"CORE": 0, "IN": 0, "OUT": 0, "TENDRIL": 0,
+                   "DISCONNECTED": 3}
