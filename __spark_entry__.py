@@ -2784,6 +2784,55 @@ def q_edit_distance_dups(spark, sf_dir):
     )
 
 
+def q_strength_disparity(spark, sf_dir):
+    """Per-vertex edge-weight concentration Y(v) (graph/edges
+    .strength_disparity) on the weighted co-occurrence graph — the
+    weight-aware sibling of the degree audits, deciding whether a hub
+    needs whole-vertex salting or just its one heavy edge isolated."""
+    from plato_spark.graph.edges import strength_disparity
+
+    return strength_disparity(
+        part_cooccurrence_edges(spark, sf_dir, weighted=True)
+    )
+
+
+def q_edge_smoothness(spark, sf_dir):
+    """Dirichlet energy of doc length over the planted citation digraph
+    (graph/edges.attribute_dirichlet) — 'do linked documents look
+    alike?', the smoothness precondition for neighborhood aggregation
+    (GNN feeds, label spreading) carrying any signal.  Exact BIGINT
+    folds, one rounded division."""
+    from plato_spark.graph.edges import attribute_dirichlet
+
+    edges = q_reference_graph(spark, sf_dir)
+    attrs = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    return attribute_dirichlet(edges, attrs)
+
+
+def q_hub_churn(spark, sf_dir):
+    """Top-100 hub stability between the two day-parity halves of the
+    event stream (graph/edges.hub_rank_churn over two co-activity
+    snapshot graphs): Spearman-footrule rank drift + top-list
+    entry/exit counts — the audit that decides whether yesterday's
+    hub-capped partitioning is still valid today."""
+    from plato_spark.functions.events import co_activity_edges
+    from plato_spark.graph.edges import hub_rank_churn
+
+    ev = load_table(spark, sf_dir, "events")
+    half = F.pmod(
+        F.datediff(
+            F.to_date(F.col("ts").cast("timestamp")),
+            F.to_date(F.lit("1970-01-01")),
+        ),
+        F.lit(2),
+    )
+    a = ev.where(half == 0)
+    b = ev.where(half == 1)
+    return hub_rank_churn(
+        co_activity_edges(a), co_activity_edges(b), k=100
+    )
+
+
 def q_bowtie(spark, sf_dir):
     """Broder bow-tie decomposition (algos/bowtie) — CORE / IN / OUT /
     TENDRIL / DISCONNECTED vertex census of a planted variable-degree
@@ -3677,6 +3726,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # regardless of rotation position.
     return {
         # -- r4 head block 0: brand-new this session --
+        "strength_disparity": q_strength_disparity,
+        "edge_smoothness": q_edge_smoothness,
+        "hub_churn": q_hub_churn,
         "bowtie": q_bowtie,
         "lang_mixing": q_lang_mixing,
         "attr_assortativity": q_attr_assortativity,
@@ -3907,6 +3959,73 @@ def oracle_sql() -> dict[str, str]:
                     GROUP BY w.doc_id, w.s, w.fp)
             SELECT DISTINCT doc_id AS id, pos, fp FROM sel""",
         "reference_graph": _sql_reference_graph(),
+        "strength_disparity": SQL_GRAPH_PREFIX
+        + """
+            SELECT id, deg, strength,
+                   round(CAST(sq AS DOUBLE)
+                         / CAST(strength * strength AS DOUBLE), 6)
+                     AS disparity
+            FROM (SELECT src AS id, CAST(count(*) AS BIGINT) AS deg,
+                         CAST(sum(CAST(weight AS BIGINT)) AS BIGINT)
+                           AS strength,
+                         CAST(sum(CAST(weight AS BIGINT)
+                                  * CAST(weight AS BIGINT)) AS BIGINT) AS sq
+                  FROM edges GROUP BY src)""",
+        "edge_smoothness": f"""
+            WITH g AS MATERIALIZED ({_sql_reference_graph()}),
+            d AS (SELECT CAST(x.n_chars - y.n_chars AS BIGINT) AS diff
+                  FROM g JOIN documents x ON g.src = x.doc_id
+                         JOIN documents y ON g.dst = y.doc_id),
+            a AS (SELECT CAST(count(*) AS BIGINT) AS m_edges,
+                         CAST(COALESCE(sum(diff * diff), 0) AS BIGINT)
+                           AS energy,
+                         CAST(COALESCE(sum(abs(diff)), 0) AS BIGINT)
+                           AS sum_abs_diff
+                  FROM d)
+            SELECT m_edges, energy, sum_abs_diff,
+                   CASE WHEN m_edges > 0
+                        THEN round(CAST(energy AS DOUBLE) / m_edges, 6)
+                        ELSE NULL END AS avg_sq_diff
+            FROM a""",
+        "hub_churn": """
+            WITH ue AS MATERIALIZED (
+              SELECT DISTINCT user_id AS u, event_type AS t,
+                     date_trunc('hour', ts) AS h,
+                     date_diff('day', DATE '1970-01-01', CAST(ts AS DATE))
+                       % 2 AS p
+              FROM events),
+            ok AS (SELECT p, t, h FROM ue GROUP BY p, t, h
+                   HAVING count(*) <= 256),
+            u2 AS MATERIALIZED (
+              SELECT ue.p, ue.u, ue.t, ue.h FROM ue
+              JOIN ok ON ue.p = ok.p AND ue.t = ok.t AND ue.h = ok.h),
+            pairs AS MATERIALIZED (
+              SELECT DISTINCT a.p, a.u AS src, b.u AS dst
+              FROM u2 a JOIN u2 b
+                ON a.p = b.p AND a.t = b.t AND a.h = b.h AND a.u < b.u),
+            deg AS (SELECT p, id, CAST(count(*) AS BIGINT) AS deg
+                    FROM (SELECT p, src AS id FROM pairs
+                          UNION ALL SELECT p, dst FROM pairs)
+                    GROUP BY p, id),
+            t0 AS (SELECT id, row_number() OVER (ORDER BY deg DESC, id)
+                            AS r
+                   FROM deg WHERE p = 0 ORDER BY deg DESC, id LIMIT 100),
+            t1 AS (SELECT id, row_number() OVER (ORDER BY deg DESC, id)
+                            AS r
+                   FROM deg WHERE p = 1 ORDER BY deg DESC, id LIMIT 100),
+            c AS (SELECT CAST(count(*) AS BIGINT) AS n_common,
+                         CAST(COALESCE(sum(abs(t0.r - t1.r)), 0) AS BIGINT)
+                           AS footrule
+                  FROM t0 JOIN t1 USING (id)),
+            en AS (SELECT CAST(count(*) AS BIGINT) AS entered FROM t1
+                   WHERE id NOT IN (SELECT id FROM t0)),
+            ex AS (SELECT CAST(count(*) AS BIGINT) AS exited FROM t0
+                   WHERE id NOT IN (SELECT id FROM t1))
+            SELECT n_common, entered, exited, footrule,
+                   CASE WHEN n_common > 0
+                        THEN round(CAST(footrule AS DOUBLE) / n_common, 6)
+                        ELSE NULL END AS avg_rank_shift
+            FROM c, en, ex""",
         "bowtie": f"""
             WITH RECURSIVE nn AS (
               SELECT CAST(count(DISTINCT doc_id) AS BIGINT) AS n

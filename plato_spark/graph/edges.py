@@ -295,3 +295,142 @@ def degree_gini(canon: DataFrame) -> DataFrame:
             6,
         ).alias("gini"),
     )
+
+
+def strength_disparity(weighted_canon: DataFrame) -> DataFrame:
+    """(id, deg, strength, disparity) — per-vertex edge-weight
+    concentration Y(v) = sum_e w_e^2 / (sum_e w_e)^2 (Barthelemy et al.
+    2005).  Y ~ 1/deg means weight spreads evenly over a hub's edges;
+    Y -> 1 means one edge carries everything — the per-vertex signal
+    behind choosing weight-aware salting over plain degree capping
+    (graph/salting.py treats all edges alike; a hub with Y near 1 only
+    needs its one heavy edge isolated).
+
+    Input: canonical undirected weighted edges (src < dst, weight =
+    integer multiplicity as double, cf. sources/tables
+    .part_cooccurrence_edges(weighted=True)).  Both directions count,
+    so each endpoint sees the full incident weight.  Exact integer
+    folds (weights are counts); one rounded IEEE division per vertex.
+    Plan: one symmetrize + one map-side-combined groupBy on the vertex
+    key — no joins, no windows.
+    """
+    sym = symmetrize(weighted_canon.select("src", "dst", "weight"))
+    w = F.col("weight").cast("long")
+    per = sym.groupBy(F.col("src").alias("id")).agg(
+        F.count(F.lit(1)).cast("long").alias("deg"),
+        F.sum(w).cast("long").alias("strength"),
+        F.sum(w * w).cast("long").alias("sq"),
+    )
+    return per.select(
+        "id",
+        "deg",
+        "strength",
+        F.round(
+            F.col("sq").cast("double")
+            / (F.col("strength") * F.col("strength")).cast("double"),
+            6,
+        ).alias("disparity"),
+    )
+
+
+def attribute_dirichlet(
+    edges: DataFrame, attrs: DataFrame
+) -> DataFrame:
+    """1-row Dirichlet energy of an integer vertex attribute over a
+    directed edge table: (m_edges, energy, sum_abs_diff, avg_sq_diff)
+    with energy = sum_(u,v) (x_u - x_v)^2 — the graph-smoothness audit
+    ("do linked documents look alike?") that decides whether
+    neighborhood aggregation (GNN feeds, label propagation) carries
+    signal on this graph at all.  ``attrs``: (id, x) with x integral.
+
+    Exact BIGINT folds; the single IEEE division (avg_sq_diff) is
+    rounded at read-out.  Plan: two key-partitioned attribute joins +
+    one 1-row aggregation, the same vertex-payload shape as
+    algos/mixing.
+    """
+    a = attrs.toDF("id", "x")
+    sx = a.select(F.col("id").alias("src"), F.col("x").alias("sx"))
+    dx = a.select(F.col("id").alias("dst"), F.col("x").alias("dx"))
+    d = (
+        edges.join(sx, "src")
+        .join(dx, "dst")
+        .select((F.col("sx") - F.col("dx")).cast("long").alias("diff"))
+    )
+    agg = d.agg(
+        F.count(F.lit(1)).cast("long").alias("m_edges"),
+        F.coalesce(F.sum(F.col("diff") * F.col("diff")), F.lit(0))
+        .cast("long")
+        .alias("energy"),
+        F.coalesce(F.sum(F.abs(F.col("diff"))), F.lit(0))
+        .cast("long")
+        .alias("sum_abs_diff"),
+    )
+    return agg.select(
+        "m_edges",
+        "energy",
+        "sum_abs_diff",
+        F.when(
+            F.col("m_edges") > 0,
+            F.round(F.col("energy").cast("double") / F.col("m_edges"), 6),
+        ).alias("avg_sq_diff"),
+    )
+
+
+def hub_rank_churn(
+    edges_a: DataFrame, edges_b: DataFrame, k: int = 100
+) -> DataFrame:
+    """1 row: (n_common, entered, exited, footrule, avg_rank_shift) —
+    stability of the top-``k`` degree hubs between two snapshots of a
+    graph (two crawl rounds, two time halves of an activity stream).
+    Spearman's footrule sum |rank_a - rank_b| over hubs present in both
+    top lists is exact-integer; entered/exited count list membership
+    churn.  The drift audit that decides whether yesterday's hub-capped
+    partitioning (graph/salting.py) is still valid today.
+
+    Rank = row_number under the total order (deg DESC, id ASC), so both
+    engines agree on every tie.  Plan: per side one degree aggregation
+    + a global TakeOrdered top-k (orderBy.limit — no full sort, cf. the
+    vocabulary query's plan assertion); the window that materializes
+    rank numbers runs on the k-row result only.  Exact BIGINTs; the
+    single division is rounded at read-out.
+    """
+    from pyspark.sql import Window
+
+    def hubs(e: DataFrame) -> DataFrame:
+        deg = (
+            symmetrize(e.select("src", "dst"))
+            .groupBy(F.col("src").alias("id"))
+            .agg(F.count(F.lit(1)).cast("long").alias("deg"))
+        )
+        top = deg.orderBy(F.desc("deg"), F.asc("id")).limit(k)
+        w = Window.orderBy(F.desc("deg"), F.asc("id"))
+        return top.select(
+            "id", F.row_number().over(w).cast("long").alias("r")
+        )
+
+    ha = hubs(edges_a).withColumnRenamed("r", "ra")
+    hb = hubs(edges_b).withColumnRenamed("r", "rb")
+    common = ha.join(hb, "id")
+    stats = common.agg(
+        F.count(F.lit(1)).cast("long").alias("n_common"),
+        F.coalesce(F.sum(F.abs(F.col("ra") - F.col("rb"))), F.lit(0))
+        .cast("long")
+        .alias("footrule"),
+    )
+    entered = hb.join(ha, "id", "anti").agg(
+        F.count(F.lit(1)).cast("long").alias("entered")
+    )
+    exited = ha.join(hb, "id", "anti").agg(
+        F.count(F.lit(1)).cast("long").alias("exited")
+    )
+    out = stats.crossJoin(F.broadcast(entered)).crossJoin(F.broadcast(exited))
+    return out.select(
+        "n_common",
+        "entered",
+        "exited",
+        "footrule",
+        F.when(
+            F.col("n_common") > 0,
+            F.round(F.col("footrule").cast("double") / F.col("n_common"), 6),
+        ).alias("avg_rank_shift"),
+    )

@@ -168,3 +168,76 @@ def test_bowtie_empty_edges(spark):
     got = _bt(spark, [], [0, 1, 2])
     assert got == {"CORE": 0, "IN": 0, "OUT": 0, "TENDRIL": 0,
                    "DISCONNECTED": 3}
+
+
+# ---- strength disparity / attribute Dirichlet / hub churn ----
+
+from plato_spark.graph.edges import (  # noqa: E402
+    attribute_dirichlet,
+    hub_rank_churn,
+    strength_disparity,
+)
+
+
+def _wedges(spark, rows):
+    return spark.createDataFrame(
+        [(int(a), int(b), float(w)) for a, b, w in rows],
+        "src long, dst long, weight double",
+    )
+
+
+def test_strength_disparity_star(spark):
+    out = strength_disparity(_wedges(spark, [(0, 1, 3), (0, 2, 1)]))
+    got = {r.id: (r.deg, r.strength, r.disparity) for r in out.collect()}
+    assert got == {
+        0: (2, 4, 0.625),   # (9+1)/16
+        1: (1, 3, 1.0),
+        2: (1, 1, 1.0),
+    }
+
+
+def test_strength_disparity_uniform_is_inverse_degree(spark):
+    out = strength_disparity(
+        _wedges(spark, [(0, 1, 2), (0, 2, 2), (0, 3, 2), (0, 4, 2)])
+    )
+    got = {r.id: r.disparity for r in out.collect()}
+    assert got[0] == 0.25  # Y = 1/deg when weight is uniform
+
+
+def test_attribute_dirichlet(spark):
+    attrs = spark.createDataFrame(
+        [(0, 10), (1, 13), (2, 13)], "id long, x long"
+    )
+    r = attribute_dirichlet(
+        _edges(spark, [(0, 1), (1, 2)]), attrs
+    ).collect()[0]
+    assert (r.m_edges, r.energy, r.sum_abs_diff, r.avg_sq_diff) == (2, 9, 3, 4.5)
+
+
+def test_attribute_dirichlet_drops_unattributed_and_empty(spark):
+    attrs = spark.createDataFrame([(0, 10), (1, 11)], "id long, x long")
+    r = attribute_dirichlet(
+        _edges(spark, [(0, 1), (0, 9)]), attrs
+    ).collect()[0]
+    assert (r.m_edges, r.energy) == (1, 1)
+    r0 = attribute_dirichlet(_edges(spark, []), attrs).collect()[0]
+    assert (r0.m_edges, r0.energy, r0.sum_abs_diff) == (0, 0, 0)
+    assert r0.avg_sq_diff is None
+
+
+def test_hub_rank_churn(spark):
+    a = _edges(spark, [(0, 1), (0, 2), (0, 3), (4, 5)])
+    b = _edges(spark, [(3, 4), (3, 5), (1, 2)])
+    r = hub_rank_churn(a, b, k=3).collect()[0]
+    # A top3: 0(r1) 1(r2) 2(r3); B top3: 3(r1) 1(r2) 2(r3)
+    assert (r.n_common, r.entered, r.exited, r.footrule) == (2, 1, 1, 0)
+    assert r.avg_rank_shift == 0.0
+
+
+def test_hub_rank_churn_rank_shift(spark):
+    a = _edges(spark, [(0, 1), (0, 2), (0, 3), (1, 2)])   # deg 0:3 1:2 2:2 3:1
+    b = _edges(spark, [(1, 2), (1, 3), (1, 4), (0, 2)])   # deg 1:3 2:2 0:1 3:1 4:1
+    r = hub_rank_churn(a, b, k=2).collect()[0]
+    # A top2: 0(r1) 1(r2); B top2: 1(r1) 2(r2)
+    assert (r.n_common, r.entered, r.exited, r.footrule) == (1, 1, 1, 1)
+    assert r.avg_rank_shift == 1.0
