@@ -2784,6 +2784,36 @@ def q_edit_distance_dups(spark, sf_dir):
     )
 
 
+def q_co_citation(spark, sf_dir):
+    """Co-citation pairs (algos/citations.co_citation — Small 1973):
+    docs cited together by a common third doc, over the planted
+    citation digraph.  The 'related work' similarity signal that
+    accrues as the corpus grows."""
+    from plato_spark.algos.citations import co_citation
+
+    return co_citation(q_reference_graph(spark, sf_dir))
+
+
+def q_biblio_coupling(spark, sf_dir):
+    """Bibliographic coupling pairs (algos/citations
+    .bibliographic_coupling — Kessler 1963): docs citing the same
+    targets, over the planted citation digraph.  Computable at crawl
+    time from a doc's own out-links, unlike co-citation."""
+    from plato_spark.algos.citations import bibliographic_coupling
+
+    return bibliographic_coupling(q_reference_graph(spark, sf_dir))
+
+
+def q_degree_clustering(spark, sf_dir):
+    """Degree-dependent clustering curve c(k) (algos/triangles
+    .degree_clustering_curve) on the co-occurrence graph — the
+    hierarchical-modularity probe (Ravasz-Barabási), ratio-of-sums per
+    degree class so both engines stay in exact BIGINTs."""
+    from plato_spark.algos.triangles import degree_clustering_curve
+
+    return degree_clustering_curve(part_cooccurrence_edges(spark, sf_dir))
+
+
 def q_strength_disparity(spark, sf_dir):
     """Per-vertex edge-weight concentration Y(v) (graph/edges
     .strength_disparity) on the weighted co-occurrence graph — the
@@ -3726,6 +3756,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # regardless of rotation position.
     return {
         # -- r4 head block 0: brand-new this session --
+        "co_citation": q_co_citation,
+        "biblio_coupling": q_biblio_coupling,
+        "degree_clustering": q_degree_clustering,
         "strength_disparity": q_strength_disparity,
         "edge_smoothness": q_edge_smoothness,
         "hub_churn": q_hub_churn,
@@ -3959,6 +3992,44 @@ def oracle_sql() -> dict[str, str]:
                     GROUP BY w.doc_id, w.s, w.fp)
             SELECT DISTINCT doc_id AS id, pos, fp FROM sel""",
         "reference_graph": _sql_reference_graph(),
+        "co_citation": f"""
+            WITH g AS MATERIALIZED ({_sql_reference_graph()}),
+            kv AS (SELECT DISTINCT src AS k, dst AS v FROM g),
+            ok AS (SELECT k FROM kv GROUP BY k HAVING count(*) <= 256),
+            k2 AS MATERIALIZED (
+              SELECT kv.k, kv.v FROM kv JOIN ok ON kv.k = ok.k)
+            SELECT a.v AS a, b.v AS b, CAST(count(*) AS BIGINT) AS weight
+            FROM k2 a JOIN k2 b ON a.k = b.k AND a.v < b.v
+            GROUP BY 1, 2""",
+        "biblio_coupling": f"""
+            WITH g AS MATERIALIZED ({_sql_reference_graph()}),
+            kv AS (SELECT DISTINCT dst AS k, src AS v FROM g),
+            ok AS (SELECT k FROM kv GROUP BY k HAVING count(*) <= 256),
+            k2 AS MATERIALIZED (
+              SELECT kv.k, kv.v FROM kv JOIN ok ON kv.k = ok.k)
+            SELECT a.v AS a, b.v AS b, CAST(count(*) AS BIGINT) AS weight
+            FROM k2 a JOIN k2 b ON a.k = b.k AND a.v < b.v
+            GROUP BY 1, 2""",
+        "degree_clustering": SQL_GRAPH_PREFIX
+        + """, tri AS MATERIALIZED (
+  SELECT a.src AS x, a.dst AS y, b.dst AS z
+  FROM canon a JOIN canon b ON a.dst = b.src
+  JOIN canon c ON c.src = a.src AND c.dst = b.dst),
+corners AS (SELECT x AS id FROM tri UNION ALL
+            SELECT y AS id FROM tri UNION ALL
+            SELECT z AS id FROM tri),
+tv AS (SELECT id, CAST(count(*) AS BIGINT) AS t FROM corners GROUP BY id),
+pv AS (SELECT d.id, d.deg, COALESCE(tv.t, 0) AS t
+       FROM deg d LEFT JOIN tv ON d.id = tv.id),
+cls AS (SELECT deg, CAST(count(*) AS BIGINT) AS n_vertices,
+               CAST(sum(2 * t) AS BIGINT) AS closed,
+               CAST(sum(deg * (deg - 1)) AS BIGINT) AS possible
+        FROM pv GROUP BY deg)
+SELECT CAST(deg AS BIGINT) AS deg, n_vertices, closed, possible,
+       CASE WHEN possible > 0
+            THEN round(CAST(closed AS DOUBLE) / possible, 6)
+            ELSE 0.0 END AS cc
+FROM cls""",
         "strength_disparity": SQL_GRAPH_PREFIX
         + """
             SELECT id, deg, strength,

@@ -434,3 +434,39 @@ def local_bridges(canon: DataFrame) -> DataFrame:
         .where(F.col("common_count") == 0)
         .select("src", "dst")
     )
+
+
+def degree_clustering_curve(canon: DataFrame) -> DataFrame:
+    """(deg, n_vertices, closed, possible, cc) — degree-dependent
+    clustering curve c(k), the hierarchical-modularity probe (Ravasz &
+    Barabási 2003: c(k) ~ k^-1 signals hierarchy; flat c(k) signals a
+    homogeneous graph).  Decides whether hub neighborhoods are dense
+    (triangle counting stays cheap under degree-ordering) or sprawling.
+
+    Per degree class: closed = sum_v 2*tri(v), possible =
+    sum_v deg(deg-1), cc = closed/possible.  This is the RATIO-OF-SUMS
+    aggregation, not the mean of per-vertex coefficients — per-vertex
+    ratios are IEEE floats whose per-class mean depends on accumulation
+    order; ratio-of-sums keeps both engines in exact BIGINTs until one
+    rounded division per class.  Plan: the oriented triangle pass +
+    one co-partitioned degree join + a groupBy on the (tiny) degree
+    key space.
+    """
+    tri = triangle_count(canon, per_vertex=True)
+    deg = _degrees(canon)
+    j = tri.join(deg, "id")
+    per = j.groupBy("deg").agg(
+        F.count(F.lit(1)).cast("long").alias("n_vertices"),
+        F.sum(2 * F.col("triangles")).cast("long").alias("closed"),
+        F.sum(F.col("deg") * (F.col("deg") - 1)).cast("long").alias("possible"),
+    )
+    return per.select(
+        F.col("deg").cast("long").alias("deg"),
+        "n_vertices",
+        "closed",
+        "possible",
+        F.when(
+            F.col("possible") > 0,
+            F.round(F.col("closed").cast("double") / F.col("possible"), 6),
+        ).otherwise(F.lit(0.0)).alias("cc"),
+    )

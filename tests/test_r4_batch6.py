@@ -241,3 +241,47 @@ def test_hub_rank_churn_rank_shift(spark):
     # A top2: 0(r1) 1(r2); B top2: 1(r1) 2(r2)
     assert (r.n_common, r.entered, r.exited, r.footrule) == (1, 1, 1, 1)
     assert r.avg_rank_shift == 1.0
+
+
+# ---- co-citation / bibliographic coupling / c(k) curve ----
+
+from plato_spark.algos.citations import (  # noqa: E402
+    bibliographic_coupling,
+    co_citation,
+)
+from plato_spark.algos.triangles import degree_clustering_curve  # noqa: E402
+
+
+def test_co_citation_counts(spark):
+    e = _edges(spark, [(10, 1), (10, 2), (10, 3), (20, 1), (20, 2)])
+    got = {(r.a, r.b): r.weight for r in co_citation(e).collect()}
+    assert got == {(1, 2): 2, (1, 3): 1, (2, 3): 1}
+
+
+def test_co_citation_fanout_guard(spark):
+    e = _edges(spark, [(10, 1), (10, 2), (10, 3), (20, 1), (20, 2)])
+    got = {(r.a, r.b): r.weight
+           for r in co_citation(e, max_fanout=2).collect()}
+    assert got == {(1, 2): 1}  # source 10 (fan-out 3) pruned
+
+
+def test_biblio_coupling_counts_and_dedup(spark):
+    # duplicate edge (10,1) must count once (distinct kv)
+    e = _edges(spark, [(10, 1), (10, 1), (10, 2), (20, 1), (20, 2)])
+    got = {(r.a, r.b): r.weight
+           for r in bibliographic_coupling(e).collect()}
+    assert got == {(10, 20): 2}
+
+
+def test_degree_clustering_curve(spark):
+    # triangle 0-1-2 plus pendant 2-3
+    out = degree_clustering_curve(
+        _edges(spark, [(0, 1), (0, 2), (1, 2), (2, 3)])
+    )
+    got = {r.deg: (r.n_vertices, r.closed, r.possible, r.cc)
+           for r in out.collect()}
+    assert got == {
+        1: (1, 0, 0, 0.0),
+        2: (2, 4, 4, 1.0),
+        3: (1, 2, 6, 0.333333),
+    }
