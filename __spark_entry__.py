@@ -111,11 +111,22 @@ deg AS MATERIALIZED (SELECT src AS id, CAST(count(*) AS BIGINT) AS deg,
 """
 
 
-def _sql_pagerank(iters: int, damping: float = 0.85, weighted: bool = False) -> str:
+def _sql_pagerank(
+    iters: int,
+    damping: float = 0.85,
+    weighted: bool = False,
+    prefix: str | None = None,
+) -> str:
     """Unrolled power iteration, plato pagerank.hpp:100-146 semantics.
 
     On the symmetrized graph every vertex has out-degree >= 1, so the
     dangling branch is inert; COALESCE keeps the general form anyway.
+    ``prefix`` overrides the graph CTE block (must define edges / verts
+    / deg with the same column contract as SQL_GRAPH_PREFIX) — used by
+    pagerank_citation to run the identical unrolled iteration on the
+    DIRECTED planted citation digraph, where dangling vertices are real
+    (lost-mass convention on both engines: a vertex with no out-edges
+    contributes nothing, its rank mass decays).
     """
     div = "d.wsum" if weighted else "d.deg"
     contrib = "r.rank / " + div + (" * e.weight" if weighted else "")
@@ -130,9 +141,28 @@ def _sql_pagerank(iters: int, damping: float = 0.85, weighted: bool = False) -> 
     GROUP BY e.dst) s ON v.id = s.id)"""
         )
     return (
-        SQL_GRAPH_PREFIX + ", " + ",\n".join(ctes)
+        (prefix if prefix is not None else SQL_GRAPH_PREFIX)
+        + ", " + ",\n".join(ctes)
         + f"\nSELECT id, round(rank, 6) AS rank FROM r{iters} ORDER BY id"
     )
+
+
+def _sql_citation_prefix() -> str:
+    """edges/verts/deg CTE block (SQL_GRAPH_PREFIX column contract) for
+    the DIRECTED planted citation digraph: deg = out-degree, verts
+    includes dangling (dst-only) vertices."""
+    return f"""
+WITH cg AS MATERIALIZED ({_sql_reference_graph()}),
+edges AS MATERIALIZED (
+  SELECT src, dst, CAST(1.0 AS DOUBLE) AS weight FROM cg),
+verts AS MATERIALIZED (
+  SELECT DISTINCT src AS id FROM edges
+  UNION SELECT DISTINCT dst FROM edges),
+deg AS MATERIALIZED (
+  SELECT src AS id, CAST(count(*) AS BIGINT) AS deg,
+         CAST(sum(weight) AS DOUBLE) AS wsum
+  FROM edges GROUP BY src)
+"""
 
 
 def _sql_ppr(iters: int = 10, damping: float = 0.85, n_sources: int = 4) -> str:
@@ -2784,6 +2814,34 @@ def q_edit_distance_dups(spark, sf_dir):
     )
 
 
+def q_style_divergence(spark, sf_dir):
+    """Per-source total-variation style divergence from the corpus
+    unigram distribution (functions/text.source_style_divergence) —
+    the STYLE sibling of the Sinkhorn VOLUME balancer.  Exact BIGINT
+    cross-multiplied fold over the top-200 vocab + residual bucket,
+    one rounded division per source (TV needs no ln — the cross-libm
+    lesson)."""
+    from plato_spark.functions.text import source_style_divergence
+
+    return source_style_divergence(load_table(spark, sf_dir, "documents"))
+
+
+PRC_ITERS = 12
+
+
+def q_pagerank_citation(spark, sf_dir):
+    """Directed PageRank on the planted citation digraph — same kernel
+    (algos/pagerank, join impl) and damping as q_pagerank, but on a
+    graph where dangling vertices are REAL (docs nobody planted an
+    out-link for): exercises the lost-mass branch the symmetrized
+    co-occurrence graph keeps inert (plato pagerank.hpp:100-146 —
+    rank of a vertex with no out-edges decays, no redistribution).
+    Fixed 12 supersteps, eps=0, identical on both engines."""
+    edges = q_reference_graph(spark, sf_dir)
+    r = pagerank(edges, eps=0.0, max_iters=PRC_ITERS, impl="join")
+    return r.select("id", F.round("rank", 6).alias("rank"))
+
+
 def q_co_citation(spark, sf_dir):
     """Co-citation pairs (algos/citations.co_citation — Small 1973):
     docs cited together by a common third doc, over the planted
@@ -3756,6 +3814,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # regardless of rotation position.
     return {
         # -- r4 head block 0: brand-new this session --
+        "style_divergence": q_style_divergence,
+        "pagerank_citation": q_pagerank_citation,
         "co_citation": q_co_citation,
         "biblio_coupling": q_biblio_coupling,
         "degree_clustering": q_degree_clustering,
@@ -3992,6 +4052,44 @@ def oracle_sql() -> dict[str, str]:
                     GROUP BY w.doc_id, w.s, w.fp)
             SELECT DISTINCT doc_id AS id, pos, fp FROM sel""",
         "reference_graph": _sql_reference_graph(),
+        "style_divergence": f"""
+            WITH t AS MATERIALIZED (
+              SELECT source,
+                     unnest(regexp_extract_all(text, '{TOKEN_RE_SQL}'))
+                       AS token
+              FROM documents),
+            gc AS MATERIALIZED (
+              SELECT token, CAST(count(*) AS BIGINT) AS gc
+              FROM t GROUP BY token),
+            vocab AS MATERIALIZED (
+              SELECT token, gc FROM gc
+              ORDER BY gc DESC, token ASC LIMIT 200),
+            sc AS MATERIALIZED (
+              SELECT source, token, CAST(count(*) AS BIGINT) AS sc
+              FROM t GROUP BY source, token),
+            st AS (SELECT source, CAST(sum(sc) AS BIGINT) AS ns
+                   FROM sc GROUP BY source),
+            gt AS (SELECT CAST(sum(gc) AS BIGINT) AS n FROM gc),
+            cells AS (
+              SELECT st.source, st.ns, v.gc,
+                     CAST(COALESCE(sc.sc, 0) AS BIGINT) AS sc
+              FROM st CROSS JOIN vocab v
+              LEFT JOIN sc ON sc.source = st.source AND sc.token = v.token),
+            agg AS (
+              SELECT source, ns, n,
+                     CAST(sum(abs(sc * n - gc * ns)) AS BIGINT) AS head_num,
+                     CAST(sum(sc) AS BIGINT) AS head_sc,
+                     CAST(sum(gc) AS BIGINT) AS head_gc
+              FROM cells, gt GROUP BY source, ns, n)
+            SELECT source, ns AS n_tokens,
+                   round(CAST(head_num
+                              + abs((ns - head_sc) * n - (n - head_gc) * ns)
+                              AS DOUBLE)
+                         / (2.0 * ns * n), 6) AS tv
+            FROM agg""",
+        "pagerank_citation": _sql_pagerank(
+            PRC_ITERS, prefix=_sql_citation_prefix()
+        ),
         "co_citation": f"""
             WITH g AS MATERIALIZED ({_sql_reference_graph()}),
             kv AS (SELECT DISTINCT src AS k, dst AS v FROM g),

@@ -802,3 +802,89 @@ def hapax_stats(
             ).alias("hapax_ratio"),
         )
     )
+
+
+def source_style_divergence(
+    df: DataFrame,
+    source_col: str = "source",
+    text_col: str = "text",
+    top_k: int = 200,
+) -> DataFrame:
+    """(source, n_tokens, tv) — total-variation distance between each
+    source's unigram distribution and the whole-corpus distribution,
+    over the global top-``top_k`` vocabulary plus one residual bucket
+    (so both sides are true probability distributions).  The
+    domain-mixing audit run before blending sources: TV near 0 means
+    the source reads like the corpus, TV near 1 means it is stylistic
+    foreign matter (cf. the Sinkhorn blend weights, which balance
+    VOLUME — this measures STYLE).
+
+    TV chosen over KL precisely because it needs no ln(): with
+    N = corpus tokens, N_s = source tokens, C_i / c_si the term counts,
+
+        tv_s = ( sum_i |c_si*N - C_i*N_s| + |rest_s*N - rest*N_s| )
+               / (2 * N_s * N)
+
+    is exact BIGINT until one rounded division per source.  Overflow
+    bound: N_s*N must stay below 2^63 (~9e18) — safe to ~3e9 total
+    tokens; beyond that switch the per-term fold to doubles (the
+    denominators dwarf rounding there).  Vocabulary selection is the
+    TakeOrdered total order (tf DESC, token ASC) of vocabulary_stats.
+
+    Plan: one explode + two map-side-combined groupBys, a broadcast of
+    the 200-row vocab crossed with the |sources|-row totals (so absent
+    terms contribute |0 - C_i*N_s| instead of silently vanishing), one
+    left join.  Nothing larger than |sources| * top_k rows after the
+    token aggregations.
+    """
+    toks = df.select(
+        F.col(source_col).alias("source"),
+        F.explode(
+            F.regexp_extract_all(F.col(text_col), F.lit(TOKEN_RE), F.lit(0))
+        ).alias("token"),
+    )
+    gcounts = toks.groupBy("token").agg(F.count(F.lit(1)).cast("long").alias("gc"))
+    vocab = gcounts.orderBy(F.desc("gc"), F.asc("token")).limit(top_k)
+    scounts = toks.groupBy("source", "token").agg(
+        F.count(F.lit(1)).cast("long").alias("sc")
+    )
+    stotals = scounts.groupBy("source").agg(
+        F.sum("sc").cast("long").alias("ns")
+    )
+    gtotal = gcounts.agg(F.sum("gc").cast("long").alias("n"))
+
+    # every (source, vocab-term) cell, zero-filled
+    cells = (
+        stotals.crossJoin(F.broadcast(vocab))
+        .join(scounts, ["source", "token"], "left")
+        .select(
+            "source",
+            "ns",
+            "gc",
+            F.coalesce(F.col("sc"), F.lit(0)).cast("long").alias("sc"),
+        )
+    )
+    per_source = cells.crossJoin(F.broadcast(gtotal)).groupBy(
+        "source", "ns", "n"
+    ).agg(
+        F.sum(F.abs(F.col("sc") * F.col("n") - F.col("gc") * F.col("ns")))
+        .cast("long")
+        .alias("head_num"),
+        F.sum("sc").cast("long").alias("head_sc"),
+        F.sum("gc").cast("long").alias("head_gc"),
+    )
+    return per_source.select(
+        "source",
+        F.col("ns").alias("n_tokens"),
+        F.round(
+            (
+                F.col("head_num")
+                + F.abs(
+                    (F.col("ns") - F.col("head_sc")) * F.col("n")
+                    - (F.col("n") - F.col("head_gc")) * F.col("ns")
+                )
+            ).cast("double")
+            / (2.0 * F.col("ns").cast("double") * F.col("n").cast("double")),
+            6,
+        ).alias("tv"),
+    )

@@ -285,3 +285,54 @@ def test_degree_clustering_curve(spark):
         2: (2, 4, 4, 1.0),
         3: (1, 2, 6, 0.333333),
     }
+
+
+# ---- directed pagerank dangling semantics / style divergence ----
+
+from plato_spark.algos.pagerank import pagerank  # noqa: E402
+from plato_spark.functions.text import source_style_divergence  # noqa: E402
+
+
+def test_pagerank_directed_dangling(spark):
+    # 0 -> 1: vertex 0 has no in-links (rank pins at 1-d), vertex 1 is
+    # dangling (its mass decays, nothing redistributes — lost-mass
+    # convention). After 2 fixed supersteps from r0=1:
+    #   r(0) = 0.15;  r(1) = 0.15 + 0.85 * 0.15 = 0.2775
+    r = pagerank(
+        _edges(spark, [(0, 1)]), eps=0.0, max_iters=2, impl="join"
+    )
+    got = {x.id: round(x.rank, 6) for x in r.collect()}
+    assert got == {0: 0.15, 1: 0.2775}
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(
+        [(i, t, s) for i, (s, t) in enumerate(rows)],
+        "doc_id long, text string, source string",
+    )
+
+
+def test_style_divergence_exact(spark):
+    docs = _docs(spark, [("A", "x x y"), ("B", "y z")])
+    got = {r.source: (r.n_tokens, r.tv)
+           for r in source_style_divergence(docs).collect()}
+    # corpus: x2 y2 z1 (N=5); A: x2 y1 (ns=3); B: y1 z1 (ns=2)
+    assert got["A"] == (3, round(4 / 15, 6))
+    assert got["B"] == (2, 0.4)
+
+
+def test_style_divergence_residual_bucket(spark):
+    # top_k=1 pushes y and z into the residual; totals must still be
+    # true distributions (tie x/y at gc=2 -> token asc picks x)
+    docs = _docs(spark, [("A", "x x y"), ("B", "y z")])
+    got = {r.source: r.tv
+           for r in source_style_divergence(docs, top_k=1).collect()}
+    assert got["A"] == round(4 / 15, 6)
+    assert got["B"] == 0.4
+
+
+def test_style_divergence_identical_source_is_zero(spark):
+    docs = _docs(spark, [("A", "x y z"), ("B", "x y z")])
+    got = {r.source: r.tv
+           for r in source_style_divergence(docs).collect()}
+    assert got == {"A": 0.0, "B": 0.0}
