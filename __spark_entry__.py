@@ -2814,6 +2814,24 @@ def q_edit_distance_dups(spark, sf_dir):
     )
 
 
+def q_triad_census(spark, sf_dir):
+    """Full 16-class Holland-Leinhardt triad census (algos/triads) over
+    the planted citation digraph with the whole document table as the
+    vertex universe — the complete directed-structure fingerprint whose
+    2-vertex prefix is q_dyad_census.  Engine: analytic decomposition
+    (wedge enumeration for >=2-edge triples, per-dyad arithmetic for
+    1-edge triples, complement for 003); oracle: independent FULL
+    brute force over all C(500,3) ~ 20.7M triples — two genuinely
+    different methods agreeing exactly."""
+    from plato_spark.algos.triads import triad_census
+
+    edges = q_reference_graph(spark, sf_dir)
+    verts = load_table(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("id")
+    )
+    return triad_census(edges, verts)
+
+
 def q_style_divergence(spark, sf_dir):
     """Per-source total-variation style divergence from the corpus
     unigram distribution (functions/text.source_style_divergence) —
@@ -3814,6 +3832,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # regardless of rotation position.
     return {
         # -- r4 head block 0: brand-new this session --
+        "triad_census": q_triad_census,
         "style_divergence": q_style_divergence,
         "pagerank_citation": q_pagerank_citation,
         "co_citation": q_co_citation,
@@ -4052,6 +4071,69 @@ def oracle_sql() -> dict[str, str]:
                     GROUP BY w.doc_id, w.s, w.fp)
             SELECT DISTINCT doc_id AS id, pos, fp FROM sel""",
         "reference_graph": _sql_reference_graph(),
+        "triad_census": f"""
+            WITH g AS MATERIALIZED ({_sql_reference_graph()}),
+            dy AS MATERIALIZED (
+              SELECT least(src, dst) AS a, greatest(src, dst) AS b,
+                     CAST(max(CASE WHEN src < dst THEN 1 ELSE 0 END)
+                          AS TINYINT) AS f,
+                     CAST(max(CASE WHEN src > dst THEN 1 ELSE 0 END)
+                          AS TINYINT) AS r
+              FROM g GROUP BY 1, 2),
+            v AS MATERIALIZED (SELECT DISTINCT doc_id AS id FROM documents),
+            tri AS (SELECT v1.id AS p, v2.id AS q, v3.id AS s
+                    FROM v v1 JOIN v v2 ON v1.id < v2.id
+                              JOIN v v3 ON v2.id < v3.id),
+            tt AS (SELECT
+                     COALESCE(d1.f, 0) AS f1, COALESCE(d1.r, 0) AS b1,
+                     COALESCE(d2.f, 0) AS f2, COALESCE(d2.r, 0) AS b2,
+                     COALESCE(d3.f, 0) AS f3, COALESCE(d3.r, 0) AS b3
+                   FROM tri
+                   LEFT JOIN dy d1 ON d1.a = tri.p AND d1.b = tri.q
+                   LEFT JOIN dy d2 ON d2.a = tri.p AND d2.b = tri.s
+                   LEFT JOIN dy d3 ON d3.a = tri.q AND d3.b = tri.s),
+            inv AS (SELECT
+               f1*b1 + f2*b2 + f3*b3 AS m,
+               (f1+b1-2*f1*b1) + (f2+b2-2*f2*b2) + (f3+b3-2*f3*b3) AS a,
+               (f1-f1*b1)+(f2-f2*b2) AS op, (b1-f1*b1)+(b2-f2*b2) AS ip,
+               (b1-f1*b1)+(f3-f3*b3) AS oq, (f1-f1*b1)+(b3-f3*b3) AS iq,
+               (b2-f2*b2)+(b3-f3*b3) AS os, (f2-f2*b2)+(f3-f3*b3) AS is_,
+               f1*b1 AS m1, f2*b2 AS m2
+              FROM tt),
+            cls AS (SELECT CASE
+               WHEN m = 0 AND a = 0 THEN '003'
+               WHEN m = 0 AND a = 1 THEN '012'
+               WHEN m = 1 AND a = 0 THEN '102'
+               WHEN m = 0 AND a = 2 THEN
+                 CASE WHEN greatest(op, oq, os) = 2 THEN '021D'
+                      WHEN greatest(ip, iq, is_) = 2 THEN '021U'
+                      ELSE '021C' END
+               WHEN m = 1 AND a = 1 THEN
+                 CASE WHEN (CASE WHEN m1 = 1 THEN os WHEN m2 = 1 THEN oq
+                                 ELSE op END) = 1
+                      THEN '111D' ELSE '111U' END
+               WHEN m = 0 AND a = 3 THEN
+                 CASE WHEN op = 1 AND ip = 1 AND oq = 1 AND iq = 1
+                           AND os = 1 AND is_ = 1
+                      THEN '030C' ELSE '030T' END
+               WHEN m = 1 AND a = 2 THEN
+                 CASE WHEN (CASE WHEN m1 = 1 THEN os WHEN m2 = 1 THEN oq
+                                 ELSE op END) = 2 THEN '120D'
+                      WHEN (CASE WHEN m1 = 1 THEN is_ WHEN m2 = 1 THEN iq
+                                 ELSE ip END) = 2 THEN '120U'
+                      ELSE '120C' END
+               WHEN m = 2 AND a = 0 THEN '201'
+               WHEN m = 2 AND a = 1 THEN '210'
+               ELSE '300' END AS triad
+              FROM inv)
+            SELECT t.triad, CAST(COALESCE(c.n, 0) AS BIGINT) AS n
+            FROM (VALUES ('003'),('012'),('102'),('021D'),('021U'),
+                         ('021C'),('111D'),('111U'),('030T'),('030C'),
+                         ('201'),('120D'),('120U'),('120C'),('210'),
+                         ('300')) AS t(triad)
+            LEFT JOIN (SELECT triad, CAST(count(*) AS BIGINT) AS n
+                       FROM cls GROUP BY 1) c
+                   ON t.triad = c.triad""",
         "style_divergence": f"""
             WITH t AS MATERIALIZED (
               SELECT source,
