@@ -2814,6 +2814,32 @@ def q_edit_distance_dups(spark, sf_dir):
     )
 
 
+def q_snm_candidates(spark, sf_dir):
+    """Sorted-neighborhood near-dup candidates (functions/dedup
+    .snm_candidates, Hernández-Stolfo 1995): window-8 pairs along the
+    normalized 24-char-prefix sort order — the third blocking family
+    beside MinHash-LSH and SimHash, catching prefix-anchored template
+    dups hash blocking scatters.  Distributed rank via the vid-encoder
+    range-sort idiom; the sliding window is two offset bucketings whose
+    equi-joins are provably exact."""
+    from plato_spark.functions.dedup import snm_candidates
+
+    return snm_candidates(load_table(spark, sf_dir, "documents"))
+
+
+def q_label_consistency(spark, sf_dir):
+    """Per-doc neighborhood label agreement (algos/mixing
+    .label_consistency) over the citation support graph — the
+    weak-supervision QA pass flagging docs whose lang tag disagrees
+    with their citation neighborhood; the per-vertex form of
+    attr_assortativity."""
+    from plato_spark.algos.mixing import label_consistency
+
+    edges = q_reference_graph(spark, sf_dir)
+    labels = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    return label_consistency(edges, labels)
+
+
 def q_triad_census(spark, sf_dir):
     """Full 16-class Holland-Leinhardt triad census (algos/triads) over
     the planted citation digraph with the whole document table as the
@@ -3832,6 +3858,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # regardless of rotation position.
     return {
         # -- r4 head block 0: brand-new this session --
+        "snm_candidates": q_snm_candidates,
+        "label_consistency": q_label_consistency,
         "triad_census": q_triad_census,
         "style_divergence": q_style_divergence,
         "pagerank_citation": q_pagerank_citation,
@@ -4071,6 +4099,34 @@ def oracle_sql() -> dict[str, str]:
                     GROUP BY w.doc_id, w.s, w.fp)
             SELECT DISTINCT doc_id AS id, pos, fp FROM sel""",
         "reference_graph": _sql_reference_graph(),
+        "snm_candidates": """
+            WITH k AS (SELECT doc_id,
+                         substr(lower(regexp_replace(text,
+                                '[^A-Za-z0-9]', '', 'g')), 1, 24) AS key
+                       FROM documents),
+            r AS (SELECT doc_id,
+                         row_number() OVER (ORDER BY key, doc_id) AS rk
+                  FROM k)
+            SELECT least(a.doc_id, b.doc_id) AS a,
+                   greatest(a.doc_id, b.doc_id) AS b
+            FROM r a JOIN r b ON b.rk > a.rk AND b.rk - a.rk <= 7""",
+        "label_consistency": f"""
+            WITH g AS MATERIALIZED ({_sql_reference_graph()}),
+            sup AS (SELECT DISTINCT least(src, dst) AS a,
+                           greatest(src, dst) AS b
+                    FROM g WHERE src != dst),
+            sym AS (SELECT a AS u, b AS v FROM sup
+                    UNION ALL SELECT b, a FROM sup),
+            j AS (SELECT sym.u, du.lang AS own, dv.lang AS nl
+                  FROM sym JOIN documents du ON sym.u = du.doc_id
+                           JOIN documents dv ON sym.v = dv.doc_id)
+            SELECT u AS id, own AS label,
+                   CAST(count(*) AS BIGINT) AS nbr_total,
+                   CAST(sum(CASE WHEN own = nl THEN 1 ELSE 0 END)
+                        AS BIGINT) AS nbr_same,
+                   round(CAST(sum(CASE WHEN own = nl THEN 1 ELSE 0 END)
+                              AS DOUBLE) / count(*), 6) AS consistency
+            FROM j GROUP BY u, own""",
         "triad_census": f"""
             WITH g AS MATERIALIZED ({_sql_reference_graph()}),
             dy AS MATERIALIZED (

@@ -99,3 +99,53 @@ def attribute_assortativity(edges: DataFrame, labels: DataFrame) -> DataFrame:
             ),
         ).alias("assortativity"),
     )
+
+
+def label_consistency(edges: DataFrame, labels: DataFrame) -> DataFrame:
+    """(id, label, nbr_total, nbr_same, consistency) — per-vertex
+    neighborhood label agreement over the UNDIRECTED support of a
+    directed edge table: of a vertex's labeled neighbors, what fraction
+    share its label?  The weak-supervision QA pass: a doc whose
+    citation neighborhood disagrees with its own lang tag is a likely
+    mislabel (or genuinely cross-lingual) — triage before the label is
+    trusted for training splits.  Also the per-vertex form of the
+    attribute_assortativity scalar above.
+
+    Exact integer counts + one rounded division per vertex.  Plan: one
+    distinct on canonical support pairs, symmetrize, two vertex-payload
+    label joins, one groupBy on the vertex key.  Vertices with zero
+    labeled neighbors are absent (no fabricated denominators).
+    """
+    support = (
+        edges.where(F.col("src") != F.col("dst"))
+        .select(
+            F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
+        )
+        .distinct()
+    )
+    sym = support.select(F.col("a").alias("u"), F.col("b").alias("v")).unionByName(
+        support.select(F.col("b").alias("u"), F.col("a").alias("v"))
+    )
+    lab = labels.toDF("id", "label")
+    own = lab.select(F.col("id").alias("u"), F.col("label").alias("own"))
+    nbr = lab.select(F.col("id").alias("v"), F.col("label").alias("nl"))
+    per = (
+        sym.join(own, "u")
+        .join(nbr, "v")
+        .groupBy(F.col("u").alias("id"), F.col("own").alias("label"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("nbr_total"),
+            F.sum(F.when(F.col("own") == F.col("nl"), 1).otherwise(0))
+            .cast("long")
+            .alias("nbr_same"),
+        )
+    )
+    return per.select(
+        "id",
+        "label",
+        "nbr_total",
+        "nbr_same",
+        F.round(
+            F.col("nbr_same").cast("double") / F.col("nbr_total"), 6
+        ).alias("consistency"),
+    )

@@ -654,3 +654,63 @@ def edit_distance_pairs(
         j.select("a", "b", sim.alias("edit_sim"))
         .where(F.col("edit_sim") >= threshold)
     )
+
+
+def snm_candidates(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    window: int = 8,
+    key_chars: int = 24,
+) -> DataFrame:
+    """(a, b) — sorted-neighborhood candidate pairs (Hernández &
+    Stolfo 1995): sort the corpus by a normalized prefix key and pair
+    every two records within ``window`` positions of each other.  The
+    third blocking family beside MinHash-LSH (content shingles) and
+    SimHash (bit sketches): SNM catches prefix-anchored near-dups —
+    boilerplate headers, templated titles — that hash blocking scatters.
+
+    Distributed sort without a single-partition window: the global rank
+    comes from graph/edges.build_dictionary (range-partition + in-
+    partition sort + one offsets job, the vid-encoder idiom).  The
+    sliding window is then TWO offset bucketings of width 2(w-1): any
+    pair at rank distance <= w-1 shares a bucket in at least one of
+    them (if a 2d-boundary m·2d separates the ranks, both land in
+    offset-bucket m), so the equi-join per bucketing + a rank-distance
+    filter is EXACT — no cross-partition boundary cases, no skew beyond
+    2(w-1)-row buckets.  Output canonical (a < b by id), deduped.
+    """
+    assert window >= 2
+    d = window - 1
+    from plato_spark.graph.edges import build_dictionary
+    from plato_spark.graph.partitioning import auto_shuffle_partitions
+
+    key = F.substring(
+        F.lower(F.regexp_replace(F.col(text_col), "[^A-Za-z0-9]", "")),
+        1,
+        key_chars,
+    )
+    verts = df.select(
+        F.struct(key.alias("k"), F.col(id_col).alias("did")).alias("vkey")
+    ).distinct()
+    n_part = auto_shuffle_partitions(df.sparkSession, df.count())
+    ranked = build_dictionary(verts, n_part).select(
+        F.col("id").alias("rk"), F.col("vkey.did").alias("doc")
+    )
+
+    def bucket_pairs(expr):
+        b = ranked.withColumn("bk", F.floor(expr))
+        lhs = b.select("bk", F.col("rk").alias("r1"), F.col("doc").alias("d1"))
+        rhs = b.select("bk", F.col("rk").alias("r2"), F.col("doc").alias("d2"))
+        return (
+            lhs.join(rhs, "bk")
+            .where((F.col("r2") > F.col("r1")) & (F.col("r2") - F.col("r1") <= d))
+            .select("d1", "d2")
+        )
+
+    cands = bucket_pairs(F.col("rk") / F.lit(2 * d)).unionByName(
+        bucket_pairs((F.col("rk") + d) / F.lit(2 * d))
+    )
+    return cands.select(
+        F.least("d1", "d2").alias("a"), F.greatest("d1", "d2").alias("b")
+    ).distinct()

@@ -336,3 +336,54 @@ def test_style_divergence_identical_source_is_zero(spark):
     got = {r.source: r.tv
            for r in source_style_divergence(docs).collect()}
     assert got == {"A": 0.0, "B": 0.0}
+
+
+# ---- SNM candidates / label consistency ----
+
+from plato_spark.algos.mixing import label_consistency  # noqa: E402
+from plato_spark.functions.dedup import snm_candidates  # noqa: E402
+
+
+def test_snm_window_pairs_exact(spark):
+    # keys sort as doc order; window=3 -> pairs at rank distance <= 2,
+    # including pairs straddling the 2d=4 bucket boundary (3,4), (3,5)
+    docs = spark.createDataFrame(
+        [(i, f"a{i} filler") for i in range(6)], "doc_id long, text string"
+    )
+    got = {(r.a, r.b) for r in snm_candidates(docs, window=3).collect()}
+    exp = {(i, j) for i in range(6) for j in range(6)
+           if i < j and j - i <= 2}
+    assert got == exp
+
+
+def test_snm_key_normalization(spark):
+    # punctuation/case-stripped keys collide -> adjacent in sort order
+    docs = spark.createDataFrame(
+        [(0, "The  Quick!! brown"), (5, "the quick BROWN"), (9, "zzz")],
+        "doc_id long, text string",
+    )
+    got = {(r.a, r.b) for r in snm_candidates(docs, window=2).collect()}
+    assert (0, 5) in got and (0, 9) not in got
+
+
+def test_label_consistency_path(spark):
+    e = _edges(spark, [(0, 1), (2, 1), (1, 0)])  # reverse edge dedups
+    labels = spark.createDataFrame(
+        [(0, "A"), (1, "A"), (2, "B")], "id long, label string"
+    )
+    got = {r.id: (r.label, r.nbr_total, r.nbr_same, r.consistency)
+           for r in label_consistency(e, labels).collect()}
+    assert got == {
+        0: ("A", 1, 1, 1.0),
+        1: ("A", 2, 1, 0.5),
+        2: ("B", 1, 0, 0.0),
+    }
+
+
+def test_label_consistency_unlabeled_neighbors_excluded(spark):
+    e = _edges(spark, [(0, 1), (0, 9)])  # 9 unlabeled
+    labels = spark.createDataFrame(
+        [(0, "A"), (1, "A")], "id long, label string"
+    )
+    got = {r.id: r.nbr_total for r in label_consistency(e, labels).collect()}
+    assert got == {0: 1, 1: 1}  # 9 absent, and 9 not a denominator for 0
