@@ -2814,6 +2814,26 @@ def q_edit_distance_dups(spark, sf_dir):
     )
 
 
+def q_directed_assortativity(spark, sf_dir):
+    """The four directed degree-degree correlations out-in/out-out/
+    in-in/in-out (graph/edges.directed_degree_assortativity, Foster et
+    al. PNAS 2010) over the planted citation digraph — the directed
+    refinement of the undirected assortativity scalar."""
+    from plato_spark.graph.edges import directed_degree_assortativity
+
+    return directed_degree_assortativity(q_reference_graph(spark, sf_dir))
+
+
+def q_markov_eval(spark, sf_dir):
+    """Top-1 next-event prediction accuracy of the first-order Markov
+    model across the day-parity split (functions/events.markov_eval) —
+    train transitions on half 0, argmax-predict, score on half 1; the
+    generalization check behind event_transitions."""
+    from plato_spark.functions.events import markov_eval
+
+    return markov_eval(load_table(spark, sf_dir, "events"))
+
+
 def q_snm_candidates(spark, sf_dir):
     """Sorted-neighborhood near-dup candidates (functions/dedup
     .snm_candidates, Hernández-Stolfo 1995): window-8 pairs along the
@@ -3858,6 +3878,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # regardless of rotation position.
     return {
         # -- r4 head block 0: brand-new this session --
+        "directed_assortativity": q_directed_assortativity,
+        "markov_eval": q_markov_eval,
         "snm_candidates": q_snm_candidates,
         "label_consistency": q_label_consistency,
         "triad_census": q_triad_census,
@@ -4099,6 +4121,93 @@ def oracle_sql() -> dict[str, str]:
                     GROUP BY w.doc_id, w.s, w.fp)
             SELECT DISTINCT doc_id AS id, pos, fp FROM sel""",
         "reference_graph": _sql_reference_graph(),
+        "directed_assortativity": f"""
+            WITH g AS MATERIALIZED ({_sql_reference_graph()}),
+            e AS MATERIALIZED (
+              SELECT DISTINCT src, dst FROM g WHERE src != dst),
+            od AS (SELECT src AS id, CAST(count(*) AS DOUBLE) AS od
+                   FROM e GROUP BY src),
+            ig AS (SELECT dst AS id, CAST(count(*) AS DOUBLE) AS ig
+                   FROM e GROUP BY dst),
+            vv AS MATERIALIZED (
+              SELECT v.id, COALESCE(od.od, 0) AS od, COALESCE(ig.ig, 0) AS ig
+              FROM (SELECT src AS id FROM e UNION SELECT dst FROM e) v
+              LEFT JOIN od ON v.id = od.id LEFT JOIN ig ON v.id = ig.id),
+            j AS (SELECT s.od AS xo, s.ig AS xi, d.od AS yo, d.ig AS yi
+                  FROM e JOIN vv s ON e.src = s.id JOIN vv d ON e.dst = d.id),
+            a AS (SELECT CAST(count(*) AS DOUBLE) AS n,
+                   sum(xo) AS sxo, sum(xi) AS sxi,
+                   sum(yo) AS syo, sum(yi) AS syi,
+                   sum(xo*xo) AS sxo2, sum(xi*xi) AS sxi2,
+                   sum(yo*yo) AS syo2, sum(yi*yi) AS syi2,
+                   sum(xo*yo) AS sxoyo, sum(xo*yi) AS sxoyi,
+                   sum(xi*yo) AS sxiyo, sum(xi*yi) AS sxiyi
+                  FROM j)
+            SELECT 'out-in' AS mode,
+                   CASE WHEN n*sxo2 - sxo*sxo > 0 AND n*syi2 - syi*syi > 0
+                        THEN round((n*sxoyi - sxo*syi)
+                             / (sqrt(n*sxo2 - sxo*sxo)
+                                * sqrt(n*syi2 - syi*syi)), 6)
+                   END AS assortativity FROM a
+            UNION ALL
+            SELECT 'out-out',
+                   CASE WHEN n*sxo2 - sxo*sxo > 0 AND n*syo2 - syo*syo > 0
+                        THEN round((n*sxoyo - sxo*syo)
+                             / (sqrt(n*sxo2 - sxo*sxo)
+                                * sqrt(n*syo2 - syo*syo)), 6)
+                   END FROM a
+            UNION ALL
+            SELECT 'in-in',
+                   CASE WHEN n*sxi2 - sxi*sxi > 0 AND n*syi2 - syi*syi > 0
+                        THEN round((n*sxiyi - sxi*syi)
+                             / (sqrt(n*sxi2 - sxi*sxi)
+                                * sqrt(n*syi2 - syi*syi)), 6)
+                   END FROM a
+            UNION ALL
+            SELECT 'in-out',
+                   CASE WHEN n*sxi2 - sxi*sxi > 0 AND n*syo2 - syo*syo > 0
+                        THEN round((n*sxiyo - sxi*syo)
+                             / (sqrt(n*sxi2 - sxi*sxi)
+                                * sqrt(n*syo2 - syo*syo)), 6)
+                   END FROM a""",
+        "markov_eval": """
+            WITH t0 AS MATERIALIZED (
+              SELECT t AS s, nt AS d, CAST(count(*) AS BIGINT) AS n
+              FROM (SELECT event_type AS t,
+                           lead(event_type) OVER (
+                             PARTITION BY user_id ORDER BY ts, event_id)
+                             AS nt
+                    FROM events
+                    WHERE date_diff('day', DATE '1970-01-01',
+                                    CAST(ts AS DATE)) % 2 = 0) x
+              WHERE nt IS NOT NULL GROUP BY 1, 2),
+            t1 AS MATERIALIZED (
+              SELECT t AS s, nt AS d, CAST(count(*) AS BIGINT) AS n
+              FROM (SELECT event_type AS t,
+                           lead(event_type) OVER (
+                             PARTITION BY user_id ORDER BY ts, event_id)
+                             AS nt
+                    FROM events
+                    WHERE date_diff('day', DATE '1970-01-01',
+                                    CAST(ts AS DATE)) % 2 = 1) x
+              WHERE nt IS NOT NULL GROUP BY 1, 2),
+            pred AS (SELECT s, d AS pred FROM (
+                       SELECT s, d, row_number() OVER (
+                         PARTITION BY s ORDER BY n DESC, d) AS rk
+                       FROM t0) z WHERE rk = 1),
+            ntr AS (SELECT CAST(COALESCE(sum(n), 0) AS BIGINT) AS n_train
+                    FROM t0),
+            sc AS (SELECT
+                     CAST(COALESCE(sum(t1.n), 0) AS BIGINT) AS n_eval,
+                     CAST(COALESCE(sum(CASE WHEN t1.d = pred.pred
+                                            THEN t1.n ELSE 0 END), 0)
+                          AS BIGINT) AS correct
+                   FROM t1 LEFT JOIN pred ON t1.s = pred.s)
+            SELECT n_train, n_eval, correct,
+                   CASE WHEN n_eval > 0
+                        THEN round(CAST(correct AS DOUBLE) / n_eval, 6)
+                   END AS accuracy
+            FROM ntr, sc""",
         "snm_candidates": """
             WITH k AS (SELECT doc_id,
                          substr(lower(regexp_replace(text,

@@ -208,3 +208,79 @@ def retention_cohorts(events: DataFrame, max_offset: int = 14) -> DataFrame:
             "users",
         )
     )
+
+
+def markov_eval(
+    events: DataFrame,
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """1 row (n_train, n_eval, correct, accuracy) — does yesterday's
+    first-order Markov model predict tomorrow?  Train the transition
+    matrix on the day-parity-0 half of the stream, predict the next
+    event type as the argmax transition (ties: count DESC, type ASC —
+    a total order), evaluate top-1 accuracy on the parity-1 half.
+    The honest generalization check behind using event_transitions for
+    prefetching/UI prediction; same split idiom as hub_rank_churn.
+
+    Eval transitions whose source type never occurred in training count
+    as incorrect (they are real misses, not excludable).  Exact integer
+    counts, one rounded division.  Plan: two per-user window passes
+    (one per half), a groupBy on the tiny type-pair space, one
+    |types|-row argmax window, one broadcast join.
+    """
+    from pyspark.sql import Window
+
+    half = F.pmod(
+        F.datediff(
+            F.to_date(F.col(ts_col).cast("timestamp")),
+            F.to_date(F.lit("1970-01-01")),
+        ),
+        F.lit(2),
+    )
+
+    def transitions(df):
+        w = Window.partitionBy("u").orderBy("ts", "eid")
+        ev = df.select(
+            F.col(user_col).alias("u"), F.col(type_col).alias("t"),
+            F.col(ts_col).alias("ts"), F.col(id_col).alias("eid"),
+        )
+        return (
+            ev.withColumn("nt", F.lead("t").over(w))
+            .where(F.col("nt").isNotNull())
+            .groupBy(F.col("t").alias("s"), F.col("nt").alias("d"))
+            .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        )
+
+    train = transitions(events.where(half == 0))
+    evald = transitions(events.where(half == 1))
+
+    rw = Window.partitionBy("s").orderBy(F.desc("n"), F.asc("d"))
+    pred = (
+        train.withColumn("rk", F.row_number().over(rw))
+        .where(F.col("rk") == 1)
+        .select("s", F.col("d").alias("pred"))
+    )
+    n_train = train.agg(
+        F.coalesce(F.sum("n"), F.lit(0)).cast("long").alias("n_train")
+    )
+    scored = evald.join(F.broadcast(pred), "s", "left").agg(
+        F.coalesce(F.sum("n"), F.lit(0)).cast("long").alias("n_eval"),
+        F.coalesce(
+            F.sum(F.when(F.col("d") == F.col("pred"), F.col("n")).otherwise(0)),
+            F.lit(0),
+        )
+        .cast("long")
+        .alias("correct"),
+    )
+    return n_train.crossJoin(F.broadcast(scored)).select(
+        "n_train",
+        "n_eval",
+        "correct",
+        F.when(
+            F.col("n_eval") > 0,
+            F.round(F.col("correct").cast("double") / F.col("n_eval"), 6),
+        ).alias("accuracy"),
+    )

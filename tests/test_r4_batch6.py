@@ -387,3 +387,80 @@ def test_label_consistency_unlabeled_neighbors_excluded(spark):
     )
     got = {r.id: r.nbr_total for r in label_consistency(e, labels).collect()}
     assert got == {0: 1, 1: 1}  # 9 absent, and 9 not a denominator for 0
+
+
+# ---- directed assortativity / markov eval ----
+
+from plato_spark.functions.events import markov_eval  # noqa: E402
+from plato_spark.graph.edges import directed_degree_assortativity  # noqa: E402
+
+
+def test_directed_assortativity_perfect_chain_structure(spark):
+    # two disjoint chains of different lengths make out-in correlation
+    # computable by hand via a numpy mirror
+    import numpy as np
+
+    arcs = [(0, 1), (1, 2), (2, 3), (10, 11), (11, 12), (20, 0)]
+    got = {r.mode: r.assortativity
+           for r in directed_degree_assortativity(
+               _edges(spark, arcs)).collect()}
+    od, idg = {}, {}
+    for u, v in arcs:
+        od[u] = od.get(u, 0) + 1
+        idg[v] = idg.get(v, 0) + 1
+    pairs = {
+        "out-in": [(od.get(u, 0), idg.get(v, 0)) for u, v in arcs],
+        "out-out": [(od.get(u, 0), od.get(v, 0)) for u, v in arcs],
+        "in-in": [(idg.get(u, 0), idg.get(v, 0)) for u, v in arcs],
+        "in-out": [(idg.get(u, 0), od.get(v, 0)) for u, v in arcs],
+    }
+    for mode, xy in pairs.items():
+        x = np.array([a for a, _ in xy], dtype=float)
+        y = np.array([b for _, b in xy], dtype=float)
+        if x.std() == 0 or y.std() == 0:
+            assert got[mode] is None, mode
+        else:
+            exp = round(float(np.corrcoef(x, y)[0, 1]), 6)
+            assert abs(got[mode] - exp) < 2e-6, (mode, got[mode], exp)
+
+
+def test_directed_assortativity_zero_variance_is_null(spark):
+    # a directed 3-cycle: every out/in degree is 1 -> all modes NULL
+    got = {r.mode: r.assortativity
+           for r in directed_degree_assortativity(
+               _edges(spark, [(0, 1), (1, 2), (2, 0)])).collect()}
+    assert got == {"out-in": None, "out-out": None,
+                   "in-in": None, "in-out": None}
+
+
+def _mev(spark, rows):
+    # rows: (user, day, hour, type)
+    return spark.createDataFrame(
+        [(i, int(u), datetime(2024, 1, d, h), t)
+         for i, (u, d, h, t) in enumerate(rows)],
+        "event_id long, user_id long, ts timestamp, event_type string",
+    )
+
+
+def test_markov_eval_accuracy(spark):
+    # epoch day of 2024-01-01 is 19723 (odd) -> Jan1 = parity 1 (eval),
+    # Jan2 = parity 0 (train). train (Jan2): u1 a->b, b->a, a->b;
+    # u2 a->c => n_train=4, pred(a)=b (2 beats 1), pred(b)=a.
+    # eval (Jan1): a->b (hit), a->c (miss)
+    ev = _mev(spark, [
+        (1, 2, 9, "a"), (1, 2, 10, "b"), (1, 2, 11, "a"), (1, 2, 12, "b"),
+        (2, 2, 9, "a"), (2, 2, 10, "c"),
+        (3, 1, 9, "a"), (3, 1, 10, "b"),
+        (4, 1, 9, "a"), (4, 1, 10, "c"),
+    ])
+    r = markov_eval(ev).collect()[0]
+    assert (r.n_train, r.n_eval, r.correct, r.accuracy) == (4, 2, 1, 0.5)
+
+
+def test_markov_eval_unseen_source_counts_as_miss(spark):
+    ev = _mev(spark, [
+        (1, 2, 9, "a"), (1, 2, 10, "b"),   # train: a->b
+        (2, 1, 9, "z"), (2, 1, 10, "b"),   # eval: z->? unseen -> miss
+    ])
+    r = markov_eval(ev).collect()[0]
+    assert (r.n_train, r.n_eval, r.correct, r.accuracy) == (1, 1, 0, 0.0)
