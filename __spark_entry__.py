@@ -2814,6 +2814,75 @@ def q_edit_distance_dups(spark, sf_dir):
     )
 
 
+HUB_SWEEP_KS = (0, 50, 100, 200)
+HUB_SWEEP_SQL_ITERS = 24  # max measured fixpoint 15 (k=100); margin 9
+
+
+def q_hub_removal(spark, sf_dir):
+    """Targeted-attack tolerance curve (algos/percolation
+    .hub_removal_sweep, Albert-Jeong-Barabási): delete the top-k degree
+    hubs of the citation support graph and watch the giant component
+    degrade (k=100 first fragments it: 6 components; k=200 shatters it:
+    44 components, largest 32 of 230).  The vertex-removal twin of the
+    weight-threshold percolation sweep; one hash-min WCC per k."""
+    from plato_spark.algos.percolation import hub_removal_sweep
+    from plato_spark.graph.edges import canonicalize_undirected
+
+    support = canonicalize_undirected(q_reference_graph(spark, sf_dir))
+    return hub_removal_sweep(support, ks=HUB_SWEEP_KS)
+
+
+def _sql_hub_removal(ks: tuple, iters: int) -> str:
+    """Mirror of q_hub_removal: per k, prune the TakeOrdered top-k
+    degree hubs (deg DESC, id ASC total order) from the citation
+    support graph, then one unrolled hash-min WCC chain; ``iters``
+    pinned past the largest per-k fixpoint (measured 15 at k=100 —
+    hub removal GROWS the diameter before the graph shatters)."""
+    ctes = [f"""hg AS MATERIALIZED ({_sql_reference_graph()}),
+hcanon AS MATERIALIZED (
+  SELECT DISTINCT least(src, dst) AS src, greatest(src, dst) AS dst
+  FROM hg WHERE src != dst),
+hdeg AS MATERIALIZED (
+  SELECT id, CAST(count(*) AS BIGINT) AS deg FROM (
+    SELECT src AS id FROM hcanon UNION ALL SELECT dst FROM hcanon) z
+  GROUP BY id)"""]
+    rows = []
+    for k in ks:
+        prune = (
+            f"""WHERE src NOT IN (SELECT id FROM hh{k})
+    AND dst NOT IN (SELECT id FROM hh{k})"""
+            if k
+            else ""
+        )
+        if k:
+            ctes.append(
+                f"""hh{k} AS MATERIALIZED (
+  SELECT id FROM hdeg ORDER BY deg DESC, id LIMIT {k})"""
+            )
+        ctes.append(f"""he{k} AS MATERIALIZED (
+  SELECT src, dst FROM hcanon {prune}),
+hs{k} AS MATERIALIZED (
+  SELECT src, dst FROM he{k}
+  UNION ALL SELECT dst AS src, src AS dst FROM he{k}),
+hv{k} AS MATERIALIZED (SELECT DISTINCT src AS id FROM hs{k}),
+hl{k}_0 AS MATERIALIZED (SELECT id, id AS lab FROM hv{k})""")
+        for r in range(iters):
+            ctes.append(f"""hl{k}_{r + 1} AS MATERIALIZED (
+  SELECT v.id, least(l.lab, COALESCE(m.minlab, l.lab)) AS lab
+  FROM hv{k} v JOIN hl{k}_{r} l ON v.id = l.id
+  LEFT JOIN (SELECT e.dst AS id, min(l2.lab) AS minlab
+             FROM hs{k} e JOIN hl{k}_{r} l2 ON e.src = l2.id
+             GROUP BY e.dst) m ON v.id = m.id)""")
+        rows.append(f"""SELECT CAST({k} AS INTEGER) AS removed,
+  (SELECT CAST(count(*) AS BIGINT) FROM hv{k}) AS n_vertices,
+  (SELECT CAST(count(*) AS BIGINT) FROM he{k}) AS n_edges,
+  (SELECT CAST(count(DISTINCT lab) AS BIGINT) FROM hl{k}_{iters})
+    AS n_components,
+  (SELECT CAST(COALESCE(max(c), 0) AS BIGINT) FROM (
+     SELECT count(*) AS c FROM hl{k}_{iters} GROUP BY lab) z) AS largest""")
+    return "WITH " + ",\n".join(ctes) + "\n" + "\nUNION ALL\n".join(rows)
+
+
 def q_directed_assortativity(spark, sf_dir):
     """The four directed degree-degree correlations out-in/out-out/
     in-in/in-out (graph/edges.directed_degree_assortativity, Foster et
@@ -3878,6 +3947,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # regardless of rotation position.
     return {
         # -- r4 head block 0: brand-new this session --
+        "hub_removal": q_hub_removal,
         "directed_assortativity": q_directed_assortativity,
         "markov_eval": q_markov_eval,
         "snm_candidates": q_snm_candidates,
@@ -4121,6 +4191,7 @@ def oracle_sql() -> dict[str, str]:
                     GROUP BY w.doc_id, w.s, w.fp)
             SELECT DISTINCT doc_id AS id, pos, fp FROM sel""",
         "reference_graph": _sql_reference_graph(),
+        "hub_removal": _sql_hub_removal(HUB_SWEEP_KS, HUB_SWEEP_SQL_ITERS),
         "directed_assortativity": f"""
             WITH g AS MATERIALIZED ({_sql_reference_graph()}),
             e AS MATERIALIZED (

@@ -60,3 +60,65 @@ def percolation_sweep(
         "threshold int, n_vertices long, n_edges long, "
         "n_components long, largest long",
     )
+
+
+def hub_removal_sweep(
+    edges_canon: DataFrame, ks: tuple = (0, 10, 50, 200)
+) -> DataFrame:
+    """(removed, n_vertices, n_edges, n_components, largest) — the
+    Albert-Jeong-Barabási targeted-attack tolerance curve: delete the
+    top-k degree hubs and watch the giant component degrade.  The
+    infrastructure-planning twin of the weight-threshold sweep above
+    (percolation removes weak EDGES; this removes strong VERTICES):
+    a graph whose giant component survives hub removal can be
+    partitioned hub-agnostically, one that shatters cannot.
+
+    Hub set per k = TakeOrdered top-k under the (deg DESC, id ASC)
+    total order on the symmetrized degree table — deterministic, so the
+    sweep is SQL-oracle-checkable.  One hash-min WCC per k over the
+    SHRINKING edge set; remaining isolated vertices (degree>0 before
+    removal, all neighbors removed) drop out of the WCC vertex set, so
+    n_vertices counts only vertices with a surviving edge — the same
+    accounting as percolation_sweep.  Scale note (as above): hub
+    removal can GROW the diameter; the oracle's pinned round count is
+    measured past the largest per-k fixpoint.
+    """
+    spark = edges_canon.sparkSession
+    canon = edges_canon.select("src", "dst").persist()
+    deg = (
+        symmetrize(canon)
+        .groupBy(F.col("src").alias("id"))
+        .agg(F.count(F.lit(1)).cast("long").alias("deg"))
+        .persist()
+    )
+    deg.count()
+    rows = []
+    for k in ks:
+        if k == 0:
+            sub = canon
+        else:
+            hubs = deg.orderBy(F.desc("deg"), F.asc("id")).limit(int(k))
+            hub_ids = F.broadcast(hubs.select("id"))
+            sub = canon.join(
+                hub_ids.withColumnRenamed("id", "src"), "src", "anti"
+            ).join(hub_ids.withColumnRenamed("id", "dst"), "dst", "anti")
+        m = sub.count()
+        if m == 0:
+            rows.append((int(k), 0, 0, 0, 0))
+            continue
+        labels = connected_components(symmetrize(sub))
+        sizes = labels.groupBy("component").agg(F.count(F.lit(1)).alias("sz"))
+        agg = sizes.agg(
+            F.count(F.lit(1)).alias("nc"),
+            F.sum("sz").alias("nv"),
+            F.max("sz").alias("mx"),
+        ).collect()[0]
+        rows.append((int(k), int(agg["nv"]), int(m),
+                     int(agg["nc"]), int(agg["mx"])))
+    canon.unpersist()
+    deg.unpersist()
+    return spark.createDataFrame(
+        rows,
+        "removed int, n_vertices long, n_edges long, "
+        "n_components long, largest long",
+    )

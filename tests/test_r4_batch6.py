@@ -464,3 +464,36 @@ def test_markov_eval_unseen_source_counts_as_miss(spark):
     ])
     r = markov_eval(ev).collect()[0]
     assert (r.n_train, r.n_eval, r.correct, r.accuracy) == (1, 1, 0, 0.0)
+
+
+# ---- hub-removal robustness sweep ----
+
+from plato_spark.algos.percolation import hub_removal_sweep  # noqa: E402
+
+
+def test_hub_removal_star_shatters(spark):
+    # star: removing the single hub isolates every leaf (no edges left)
+    e = _edges(spark, [(0, i) for i in range(1, 6)])
+    got = {r.removed: (r.n_vertices, r.n_edges, r.n_components, r.largest)
+           for r in hub_removal_sweep(e, ks=(0, 1)).collect()}
+    assert got[0] == (6, 5, 1, 6)
+    assert got[1] == (0, 0, 0, 0)
+
+
+def test_hub_removal_bridge_hub_splits(spark):
+    # two triangles joined through vertex 2; tie-broken hub set
+    # (deg DESC, id ASC) removes 2 first -> two components survive
+    e = _edges(spark, [(0, 1), (0, 2), (1, 2), (2, 3), (2, 4), (3, 4)])
+    got = {r.removed: (r.n_components, r.largest)
+           for r in hub_removal_sweep(e, ks=(0, 1)).collect()}
+    assert got[0] == (1, 5)
+    assert got[1] == (2, 2)
+
+
+def test_hub_removal_tiebreak_by_id(spark):
+    # all degrees equal on a 4-cycle: k=1 must remove vertex 0 (id asc),
+    # leaving a path 1-2-3 (one component of 3)
+    e = _edges(spark, [(0, 1), (1, 2), (2, 3), (0, 3)])
+    got = {r.removed: (r.n_vertices, r.n_components, r.largest)
+           for r in hub_removal_sweep(e, ks=(1,)).collect()}
+    assert got[1] == (3, 1, 3)
