@@ -2832,13 +2832,9 @@ def q_hub_removal(spark, sf_dir):
     return hub_removal_sweep(support, ks=HUB_SWEEP_KS)
 
 
-def _sql_hub_removal(ks: tuple, iters: int) -> str:
-    """Mirror of q_hub_removal: per k, prune the TakeOrdered top-k
-    degree hubs (deg DESC, id ASC total order) from the citation
-    support graph, then one unrolled hash-min WCC chain; ``iters``
-    pinned past the largest per-k fixpoint (measured 15 at k=100 —
-    hub removal GROWS the diameter before the graph shatters)."""
-    ctes = [f"""hg AS MATERIALIZED ({_sql_reference_graph()}),
+def _sql_hub_prefix_ctes() -> list:
+    """hg/hcanon/hdeg CTEs: the citation support graph + degrees."""
+    return [f"""hg AS MATERIALIZED ({_sql_reference_graph()}),
 hcanon AS MATERIALIZED (
   SELECT DISTINCT least(src, dst) AS src, greatest(src, dst) AS dst
   FROM hg WHERE src != dst),
@@ -2846,33 +2842,50 @@ hdeg AS MATERIALIZED (
   SELECT id, CAST(count(*) AS BIGINT) AS deg FROM (
     SELECT src AS id FROM hcanon UNION ALL SELECT dst FROM hcanon) z
   GROUP BY id)"""]
-    rows = []
-    for k in ks:
-        prune = (
-            f"""WHERE src NOT IN (SELECT id FROM hh{k})
+
+
+def _sql_hub_wcc_ctes(k: int, iters: int) -> list:
+    """Per-k CTEs: prune top-k hubs, symmetrize, unrolled hash-min WCC
+    (final labels in hl{k}_{iters})."""
+    ctes = []
+    prune = (
+        f"""WHERE src NOT IN (SELECT id FROM hh{k})
     AND dst NOT IN (SELECT id FROM hh{k})"""
-            if k
-            else ""
-        )
-        if k:
-            ctes.append(
-                f"""hh{k} AS MATERIALIZED (
+        if k
+        else ""
+    )
+    if k:
+        ctes.append(
+            f"""hh{k} AS MATERIALIZED (
   SELECT id FROM hdeg ORDER BY deg DESC, id LIMIT {k})"""
-            )
-        ctes.append(f"""he{k} AS MATERIALIZED (
+        )
+    ctes.append(f"""he{k} AS MATERIALIZED (
   SELECT src, dst FROM hcanon {prune}),
 hs{k} AS MATERIALIZED (
   SELECT src, dst FROM he{k}
   UNION ALL SELECT dst AS src, src AS dst FROM he{k}),
 hv{k} AS MATERIALIZED (SELECT DISTINCT src AS id FROM hs{k}),
 hl{k}_0 AS MATERIALIZED (SELECT id, id AS lab FROM hv{k})""")
-        for r in range(iters):
-            ctes.append(f"""hl{k}_{r + 1} AS MATERIALIZED (
+    for r in range(iters):
+        ctes.append(f"""hl{k}_{r + 1} AS MATERIALIZED (
   SELECT v.id, least(l.lab, COALESCE(m.minlab, l.lab)) AS lab
   FROM hv{k} v JOIN hl{k}_{r} l ON v.id = l.id
   LEFT JOIN (SELECT e.dst AS id, min(l2.lab) AS minlab
              FROM hs{k} e JOIN hl{k}_{r} l2 ON e.src = l2.id
              GROUP BY e.dst) m ON v.id = m.id)""")
+    return ctes
+
+
+def _sql_hub_removal(ks: tuple, iters: int) -> str:
+    """Mirror of q_hub_removal: per k, prune the TakeOrdered top-k
+    degree hubs (deg DESC, id ASC total order) from the citation
+    support graph, then one unrolled hash-min WCC chain; ``iters``
+    pinned past the largest per-k fixpoint (measured 15 at k=100 —
+    hub removal GROWS the diameter before the graph shatters)."""
+    ctes = _sql_hub_prefix_ctes()
+    rows = []
+    for k in ks:
+        ctes.extend(_sql_hub_wcc_ctes(k, iters))
         rows.append(f"""SELECT CAST({k} AS INTEGER) AS removed,
   (SELECT CAST(count(*) AS BIGINT) FROM hv{k}) AS n_vertices,
   (SELECT CAST(count(*) AS BIGINT) FROM he{k}) AS n_edges,
@@ -2881,6 +2894,72 @@ hl{k}_0 AS MATERIALIZED (SELECT id, id AS lab FROM hv{k})""")
   (SELECT CAST(COALESCE(max(c), 0) AS BIGINT) FROM (
      SELECT count(*) AS c FROM hl{k}_{iters} GROUP BY lab) z) AS largest""")
     return "WITH " + ",\n".join(ctes) + "\n" + "\nUNION ALL\n".join(rows)
+
+
+def q_component_stability(spark, sf_dir):
+    """Rand / adjusted-Rand agreement (algos/partition_metrics) between
+    the citation support graph's WCC partition and the partition after
+    removing the top-100 hubs — quantifies what q_hub_removal shows
+    structurally: how much does hub removal reshuffle co-membership?
+    Restricted to vertices present in both partitions; exact binomial
+    pair-count folds (shiftright halving, no double division)."""
+    from plato_spark.algos.partition_metrics import partition_rand_index
+    from plato_spark.algos.wcc import connected_components
+    from plato_spark.graph.edges import canonicalize_undirected, symmetrize
+
+    support = canonicalize_undirected(q_reference_graph(spark, sf_dir)).persist()
+    labels_a = connected_components(symmetrize(support))
+    deg = (
+        symmetrize(support)
+        .groupBy(F.col("src").alias("id"))
+        .agg(F.count(F.lit(1)).cast("long").alias("deg"))
+    )
+    hubs = F.broadcast(deg.orderBy(F.desc("deg"), F.asc("id")).limit(100).select("id"))
+    sub = support.join(
+        hubs.withColumnRenamed("id", "src"), "src", "anti"
+    ).join(hubs.withColumnRenamed("id", "dst"), "dst", "anti")
+    labels_b = connected_components(symmetrize(sub))
+    out = partition_rand_index(labels_a, labels_b)
+    support.unpersist()
+    return out
+
+
+def _sql_component_stability(iters: int) -> str:
+    """Mirror of q_component_stability: the k=0 and k=100 unrolled
+    hash-min chains of _sql_hub_wcc_ctes joined on the common vertex
+    set, then the exact contingency arithmetic of
+    algos/partition_metrics (binomials via integer // 2)."""
+    ctes = _sql_hub_prefix_ctes()
+    ctes.extend(_sql_hub_wcc_ctes(0, iters))
+    ctes.extend(_sql_hub_wcc_ctes(100, iters))
+    return (
+        "WITH " + ",\n".join(ctes) + f""",
+j AS MATERIALIZED (
+  SELECT a.id, a.lab AS la, b.lab AS lb
+  FROM hl0_{iters} a JOIN hl100_{iters} b ON a.id = b.id),
+cells AS (SELECT la, lb, CAST(count(*) AS BIGINT) AS nij
+          FROM j GROUP BY 1, 2),
+snij AS (SELECT CAST(COALESCE(sum(nij * (nij - 1) // 2), 0) AS BIGINT) AS s
+         FROM cells),
+sa AS (SELECT CAST(COALESCE(sum(ai * (ai - 1) // 2), 0) AS BIGINT) AS s,
+              CAST(count(*) AS BIGINT) AS ca
+       FROM (SELECT la, CAST(count(*) AS BIGINT) AS ai FROM j GROUP BY la) z),
+sb AS (SELECT CAST(COALESCE(sum(bj * (bj - 1) // 2), 0) AS BIGINT) AS s,
+              CAST(count(*) AS BIGINT) AS cb
+       FROM (SELECT lb, CAST(count(*) AS BIGINT) AS bj FROM j GROUP BY lb) z),
+nn AS (SELECT CAST(count(*) AS BIGINT) AS n,
+              CAST(count(*) * (count(*) - 1) // 2 AS BIGINT) AS c2
+       FROM j)
+SELECT nn.n AS n_common, sa.ca AS clusters_a, sb.cb AS clusters_b,
+       CASE WHEN nn.c2 > 0
+            THEN round(CAST(nn.c2 - sa.s - sb.s + 2 * snij.s AS DOUBLE)
+                       / nn.c2, 6) END AS rand,
+       CASE WHEN nn.c2 * (sa.s + sb.s) - 2 * sa.s * sb.s != 0
+            THEN round(CAST(2 * (nn.c2 * snij.s - sa.s * sb.s) AS DOUBLE)
+                       / (nn.c2 * (sa.s + sb.s) - 2 * sa.s * sb.s), 6)
+       END AS ari
+FROM nn, snij, sa, sb"""
+    )
 
 
 def q_directed_assortativity(spark, sf_dir):
@@ -3948,6 +4027,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # -- r4 head block 0: brand-new this session --
         "hub_removal": q_hub_removal,
+        "component_stability": q_component_stability,
         "directed_assortativity": q_directed_assortativity,
         "markov_eval": q_markov_eval,
         "snm_candidates": q_snm_candidates,
@@ -4192,6 +4272,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT DISTINCT doc_id AS id, pos, fp FROM sel""",
         "reference_graph": _sql_reference_graph(),
         "hub_removal": _sql_hub_removal(HUB_SWEEP_KS, HUB_SWEEP_SQL_ITERS),
+        "component_stability": _sql_component_stability(HUB_SWEEP_SQL_ITERS),
         "directed_assortativity": f"""
             WITH g AS MATERIALIZED ({_sql_reference_graph()}),
             e AS MATERIALIZED (

@@ -497,3 +497,47 @@ def test_hub_removal_tiebreak_by_id(spark):
     got = {r.removed: (r.n_vertices, r.n_components, r.largest)
            for r in hub_removal_sweep(e, ks=(1,)).collect()}
     assert got[1] == (3, 1, 3)
+
+
+# ---- Rand / adjusted Rand partition agreement ----
+
+from plato_spark.algos.partition_metrics import partition_rand_index  # noqa: E402
+
+
+def _labels_df(spark, d):
+    return spark.createDataFrame(
+        [(int(k), int(v)) for k, v in d.items()], "id long, label long"
+    )
+
+
+def test_rand_index_identical_partitions(spark):
+    a = _labels_df(spark, {0: 1, 1: 1, 2: 2, 3: 2})
+    r = partition_rand_index(a, a).collect()[0]
+    assert (r.n_common, r.clusters_a, r.clusters_b) == (4, 2, 2)
+    assert r.rand == 1.0 and r.ari == 1.0
+
+
+def test_rand_index_textbook_fixture(spark):
+    # sklearn ARI doc example: [0,0,1,1] vs [0,0,1,2]
+    a = _labels_df(spark, {0: 0, 1: 0, 2: 1, 3: 1})
+    b = _labels_df(spark, {0: 0, 1: 0, 2: 1, 3: 2})
+    r = partition_rand_index(a, b).collect()[0]
+    # contingency: {0,1}x{0}: 2; {2}:1; {3}:1 -> sum_nij = 1
+    # sum_a = 2, sum_b = 1, C = 6 -> rand = (6-2-1+2)/6 = 5/6
+    # ari = 2*(6*1 - 2)/(6*3 - 2*2) = 8/14
+    assert r.rand == round(5 / 6, 6)
+    assert r.ari == round(8 / 14, 6)
+
+
+def test_rand_index_restricted_to_common_ids(spark):
+    a = _labels_df(spark, {0: 1, 1: 1, 2: 2, 9: 7})
+    b = _labels_df(spark, {0: 5, 1: 5, 2: 6})
+    r = partition_rand_index(a, b).collect()[0]
+    assert r.n_common == 3 and r.rand == 1.0
+
+
+def test_rand_index_degenerate_single_cluster_ari_null(spark):
+    a = _labels_df(spark, {0: 1, 1: 1})
+    r = partition_rand_index(a, a).collect()[0]
+    # one pair, both agree: rand defined, ari denominator 0 -> NULL
+    assert r.rand == 1.0 and r.ari is None
