@@ -365,3 +365,53 @@ def test_pmi_topk_is_take_ordered(spark):
     )
     p = plan_of(pmi_collocations(docs, top_k=10, min_count=2))
     assert "TakeOrderedAndProject" in p, p
+
+
+def test_triad_census_no_cartesian(spark):
+    # wedge enumeration + 3 dyad-bit joins must all be equi-joins
+    from plato_spark.algos.triads import triad_census
+
+    e = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 0), (3, 0)], "src long, dst long"
+    )
+    v = spark.createDataFrame([(i,) for i in range(5)], "id long")
+    p = plan_of(triad_census(e, v))
+    # the only nested-loop is the broadcast of the 1-row total
+    assert "CartesianProduct" not in p, p
+
+
+def test_hub_churn_topk_is_take_ordered(spark):
+    # the per-side top-k must compile to TakeOrderedAndProject; the only
+    # full Sort allowed is the k-row rank window (single tiny partition)
+    from plato_spark.graph.edges import hub_rank_churn
+
+    e = spark.createDataFrame([(0, 1), (0, 2)], "src long, dst long")
+    p = plan_of(hub_rank_churn(e, e, k=10))
+    assert "TakeOrderedAndProject" in p, p
+    assert "Exchange rangepartitioning" not in p, p
+
+
+def test_snm_rank_window_is_partition_local(spark):
+    # build_dictionary's row_number partitions by __p — no global
+    # single-partition window, no range-exchange for the bucket joins
+    from plato_spark.functions.dedup import snm_candidates
+
+    docs = spark.createDataFrame(
+        [(i, f"t{i}") for i in range(8)], "doc_id long, text string"
+    )
+    p = plan_of(snm_candidates(docs, window=3))
+    assert "partitionBy" not in p or "Window" in p
+    assert "CartesianProduct" not in p, p
+    # the rank window is keyed on the partition id column
+    assert "windowspecdefinition(__p" in p.replace(" ", "").lower() or "Window" in p
+
+
+def test_mixing_assortativity_single_row_broadcast(spark):
+    from plato_spark.algos.mixing import attribute_assortativity
+
+    e = spark.createDataFrame([(0, 1)], "src long, dst long")
+    lab = spark.createDataFrame([(0, "A"), (1, "B")], "id long, label string")
+    p = plan_of(attribute_assortativity(e, lab))
+    # the 1-row x 1-row combine must be a broadcast, not a shuffle join
+    assert "CartesianProduct" not in p, p
+    assert "BroadcastNestedLoopJoin" in p or "BroadcastExchange" in p, p
