@@ -2896,6 +2896,42 @@ def _sql_hub_removal(ks: tuple, iters: int) -> str:
     return "WITH " + ",\n".join(ctes) + "\n" + "\nUNION ALL\n".join(rows)
 
 
+def q_degree_incremental(spark, sf_dir):
+    """Incrementally-maintained vertex degrees (streaming/degree_stream):
+    the canonical edge table arrives as four micro-batches folded into
+    bucket-pruned, epoch-tagged exactly-once state; the read-out must
+    equal the batch degree count verbatim (addition monoid).  The live
+    control surface for hub salting / push-pull policy on a growing
+    crawl."""
+    import shutil
+    import tempfile
+
+    from plato_spark.streaming.degree_stream import (
+        merge_degree_batch,
+        read_degree_state,
+    )
+
+    canon = part_cooccurrence_edges(spark, sf_dir).persist()
+    sd = tempfile.mkdtemp(prefix="plato_incdeg_")
+    try:
+        for i in range(4):
+            # nbuckets=8 at gate scale: a dense fixture batch touches
+            # every bucket, so bucket count is pure write overhead here;
+            # production crawls touch few of many buckets (the pruning
+            # case measured in streaming/incremental.py)
+            merge_degree_batch(
+                canon.where(F.pmod(F.col("src") + F.col("dst"), F.lit(4)) == i),
+                sd,
+                epoch_id=i,
+                nbuckets=8,
+            )
+        out = read_degree_state(spark, sd).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(sd, ignore_errors=True)
+    canon.unpersist()
+    return out
+
+
 def q_component_stability(spark, sf_dir):
     """Rand / adjusted-Rand agreement (algos/partition_metrics) between
     the citation support graph's WCC partition and the partition after
@@ -4028,6 +4064,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- r4 head block 0: brand-new this session --
         "hub_removal": q_hub_removal,
         "component_stability": q_component_stability,
+        "degree_incremental": q_degree_incremental,
         "directed_assortativity": q_directed_assortativity,
         "markov_eval": q_markov_eval,
         "snm_candidates": q_snm_candidates,
@@ -4273,6 +4310,8 @@ def oracle_sql() -> dict[str, str]:
         "reference_graph": _sql_reference_graph(),
         "hub_removal": _sql_hub_removal(HUB_SWEEP_KS, HUB_SWEEP_SQL_ITERS),
         "component_stability": _sql_component_stability(HUB_SWEEP_SQL_ITERS),
+        "degree_incremental": SQL_GRAPH_PREFIX
+        + "SELECT id, deg FROM deg",
         "directed_assortativity": f"""
             WITH g AS MATERIALIZED ({_sql_reference_graph()}),
             e AS MATERIALIZED (

@@ -541,3 +541,63 @@ def test_rand_index_degenerate_single_cluster_ari_null(spark):
     r = partition_rand_index(a, a).collect()[0]
     # one pair, both agree: rand defined, ari denominator 0 -> NULL
     assert r.rand == 1.0 and r.ari is None
+
+
+# ---- incremental streaming degrees ----
+
+import shutil  # noqa: E402
+import tempfile  # noqa: E402
+
+from plato_spark.streaming.degree_stream import (  # noqa: E402
+    merge_degree_batch,
+    read_degree_state,
+)
+
+
+def test_degree_stream_equals_batch(spark):
+    sd = tempfile.mkdtemp(prefix="degtest_")
+    try:
+        b1 = _edges(spark, [(0, 1), (0, 2)])
+        b2 = _edges(spark, [(0, 3), (1, 2)])
+        merge_degree_batch(b1, sd, epoch_id=0, nbuckets=4)
+        merge_degree_batch(b2, sd, epoch_id=1, nbuckets=4)
+        got = {r.id: r.deg for r in read_degree_state(spark, sd).collect()}
+        assert got == {0: 3, 1: 2, 2: 2, 3: 1}
+    finally:
+        shutil.rmtree(sd, ignore_errors=True)
+
+
+def test_degree_stream_replay_is_skipped(spark):
+    sd = tempfile.mkdtemp(prefix="degtest_")
+    try:
+        b = _edges(spark, [(0, 1)])
+        r1 = merge_degree_batch(b, sd, epoch_id=0, nbuckets=4)
+        r2 = merge_degree_batch(b, sd, epoch_id=0, nbuckets=4)  # replay
+        assert r1["touched"] and not r2["touched"]
+        assert set(r2["skipped"]) == set(r1["touched"])
+        got = {r.id: r.deg for r in read_degree_state(spark, sd).collect()}
+        assert got == {0: 1, 1: 1}  # counted once, not twice
+    finally:
+        shutil.rmtree(sd, ignore_errors=True)
+
+
+def test_degree_stream_rollback_one_bucket_reapplies_exactly(spark):
+    import os
+
+    sd = tempfile.mkdtemp(prefix="degtest_")
+    try:
+        merge_degree_batch(_edges(spark, [(0, 1)]), sd, epoch_id=0, nbuckets=4)
+        merge_degree_batch(_edges(spark, [(0, 4), (1, 5)]), sd,
+                           epoch_id=1, nbuckets=4)
+        # simulate a crash: roll bucket b0000 (ids 0 and 4) back to v0
+        b0 = os.path.join(sd, "b0000")
+        vs = sorted(int(d[1:]) for d in os.listdir(b0) if d.startswith("v"))
+        shutil.rmtree(os.path.join(b0, f"v{vs[-1]}"))
+        # replaying epoch 1 must re-apply ONLY the rolled-back bucket
+        r = merge_degree_batch(_edges(spark, [(0, 4), (1, 5)]), sd,
+                               epoch_id=1, nbuckets=4)
+        assert r["touched"] == [0] and 1 in r["skipped"]
+        got = {r2.id: r2.deg for r2 in read_degree_state(spark, sd).collect()}
+        assert got == {0: 2, 1: 2, 4: 1, 5: 1}
+    finally:
+        shutil.rmtree(sd, ignore_errors=True)
