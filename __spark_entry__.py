@@ -2932,6 +2932,37 @@ def q_degree_incremental(spark, sf_dir):
     return out
 
 
+def q_triangle_incremental(spark, sf_dir):
+    """Incrementally-maintained exact triangle count
+    (streaming/triangle_stream): the canonical edge table arrives as
+    four micro-batches; each batch counts only the triangles its new
+    edges close against history (id-ordered union enumeration with
+    is_new flags), and the running total telescopes to the one-shot
+    batch triangle count — the oracle verbatim."""
+    import shutil
+    import tempfile
+
+    from plato_spark.streaming.triangle_stream import (
+        merge_triangle_batch,
+        read_triangle_state,
+    )
+
+    canon = part_cooccurrence_edges(spark, sf_dir).persist()
+    sd = tempfile.mkdtemp(prefix="plato_inctri_")
+    try:
+        for i in range(4):
+            merge_triangle_batch(
+                canon.where(F.pmod(F.col("src") + F.col("dst"), F.lit(4)) == i),
+                sd,
+                epoch_id=i,
+            )
+        out = read_triangle_state(spark, sd).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(sd, ignore_errors=True)
+    canon.unpersist()
+    return out
+
+
 def q_component_stability(spark, sf_dir):
     """Rand / adjusted-Rand agreement (algos/partition_metrics) between
     the citation support graph's WCC partition and the partition after
@@ -4065,6 +4096,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hub_removal": q_hub_removal,
         "component_stability": q_component_stability,
         "degree_incremental": q_degree_incremental,
+        "triangle_incremental": q_triangle_incremental,
         "directed_assortativity": q_directed_assortativity,
         "markov_eval": q_markov_eval,
         "snm_candidates": q_snm_candidates,
@@ -4312,6 +4344,13 @@ def oracle_sql() -> dict[str, str]:
         "component_stability": _sql_component_stability(HUB_SWEEP_SQL_ITERS),
         "degree_incremental": SQL_GRAPH_PREFIX
         + "SELECT id, deg FROM deg",
+        "triangle_incremental": SQL_GRAPH_PREFIX
+        + """SELECT
+              (SELECT CAST(count(*) AS BIGINT)
+               FROM canon a JOIN canon b ON a.dst = b.src
+               JOIN canon c ON c.src = a.src AND c.dst = b.dst) AS triangles,
+              (SELECT CAST(count(*) AS BIGINT) FROM canon) AS edges,
+              CAST(3 AS BIGINT) AS epoch""",
         "directed_assortativity": f"""
             WITH g AS MATERIALIZED ({_sql_reference_graph()}),
             e AS MATERIALIZED (

@@ -601,3 +601,43 @@ def test_degree_stream_rollback_one_bucket_reapplies_exactly(spark):
         assert got == {0: 2, 1: 2, 4: 1, 5: 1}
     finally:
         shutil.rmtree(sd, ignore_errors=True)
+
+
+# ---- incremental streaming triangles ----
+
+from plato_spark.streaming.triangle_stream import (  # noqa: E402
+    merge_triangle_batch,
+    read_triangle_state,
+)
+
+
+def test_triangle_stream_telescopes(spark):
+    sd = tempfile.mkdtemp(prefix="tritest_")
+    try:
+        # batch 0: a path (no triangles); batch 1 closes one triangle
+        # and adds a pendant; batch 2 closes two more via vertex 3
+        r0 = merge_triangle_batch(_edges(spark, [(0, 1), (1, 2)]), sd, 0)
+        r1 = merge_triangle_batch(_edges(spark, [(0, 2), (2, 9)]), sd, 1)
+        r2 = merge_triangle_batch(
+            _edges(spark, [(0, 3), (1, 3), (2, 3)]), sd, 2)
+        assert (r0["new_triangles"], r1["new_triangles"],
+                r2["new_triangles"]) == (0, 1, 3)
+        row = read_triangle_state(spark, sd).collect()[0]
+        assert (row.triangles, row.edges, row.epoch) == (4, 7, 2)
+    finally:
+        shutil.rmtree(sd, ignore_errors=True)
+
+
+def test_triangle_stream_replay_and_duplicate_edges(spark):
+    sd = tempfile.mkdtemp(prefix="tritest_")
+    try:
+        merge_triangle_batch(_edges(spark, [(0, 1), (1, 2), (0, 2)]), sd, 0)
+        # replayed epoch: skipped wholesale
+        r = merge_triangle_batch(_edges(spark, [(0, 1), (1, 2), (0, 2)]), sd, 0)
+        assert not r["applied"]
+        # a later batch resending known edges (reversed too) adds nothing
+        r2 = merge_triangle_batch(_edges(spark, [(1, 0), (2, 1)]), sd, 1)
+        assert r2["applied"] and r2["new_edges"] == 0 and r2["new_triangles"] == 0
+        assert read_triangle_state(spark, sd).collect()[0].triangles == 1
+    finally:
+        shutil.rmtree(sd, ignore_errors=True)
