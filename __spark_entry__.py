@@ -2932,6 +2932,17 @@ def q_degree_incremental(spark, sf_dir):
     return out
 
 
+def q_cdc_chunks(spark, sf_dir):
+    """Content-defined chunking dedup (functions/dedup.cdc_chunk_stats):
+    rolling-hash chunk boundaries (h % 64 == 0 over 8-char windows)
+    that RESYNCHRONIZE after edits — the content-store dedup strategy
+    beside the fixed-window chunk_dedup.  All JVM higher-order
+    functions; exact integer reclaim accounting."""
+    from plato_spark.functions.dedup import cdc_chunk_stats
+
+    return cdc_chunk_stats(load_table(spark, sf_dir, "documents"))
+
+
 def q_triangle_incremental(spark, sf_dir):
     """Incrementally-maintained exact triangle count
     (streaming/triangle_stream): the canonical edge table arrives as
@@ -4097,6 +4108,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "component_stability": q_component_stability,
         "degree_incremental": q_degree_incremental,
         "triangle_incremental": q_triangle_incremental,
+        "cdc_chunks": q_cdc_chunks,
         "directed_assortativity": q_directed_assortativity,
         "markov_eval": q_markov_eval,
         "snm_candidates": q_snm_candidates,
@@ -4344,6 +4356,39 @@ def oracle_sql() -> dict[str, str]:
         "component_stability": _sql_component_stability(HUB_SWEEP_SQL_ITERS),
         "degree_incremental": SQL_GRAPH_PREFIX
         + "SELECT id, deg FROM deg",
+        "cdc_chunks": f"""
+            WITH base AS (SELECT doc_id, text, length(text) AS ln,
+                            greatest(length(text) - 7, 1) AS npos
+                          FROM documents),
+            pos AS (SELECT doc_id, text, ln,
+                           unnest(range(1, npos + 1)) AS i
+                    FROM base),
+            cuts AS (SELECT doc_id, i FROM pos
+                     WHERE i >= 2
+                       AND {H1_SQL.format(
+                           s="substr(text, CAST(i AS INT), 8)")} % 64 = 0),
+            starts AS (SELECT doc_id, CAST(1 AS BIGINT) AS s FROM base
+                       UNION ALL SELECT doc_id, CAST(i AS BIGINT) FROM cuts),
+            ord AS (SELECT st.doc_id, st.s,
+                           lead(st.s) OVER (PARTITION BY st.doc_id
+                                            ORDER BY st.s) AS nxt,
+                           b.ln, b.text
+                    FROM starts st JOIN base b ON st.doc_id = b.doc_id),
+            ch AS (SELECT md5(substr(text, CAST(s AS INT),
+                              CAST(COALESCE(nxt, ln + 1) - s AS INT)))
+                            AS dig,
+                          COALESCE(nxt, ln + 1) - s AS clen
+                   FROM ord),
+            g AS (SELECT dig, CAST(count(*) AS BIGINT) AS cnt,
+                         CAST(max(clen) AS BIGINT) AS clen
+                  FROM ch GROUP BY dig)
+            SELECT CAST(COALESCE(sum(cnt), 0) AS BIGINT) AS n_chunks,
+                   CAST(count(*) AS BIGINT) AS distinct_chunks,
+                   CAST(COALESCE(sum(cnt - 1), 0) AS BIGINT)
+                     AS dup_occurrences,
+                   CAST(COALESCE(sum((cnt - 1) * clen), 0) AS BIGINT)
+                     AS reclaimable_chars
+            FROM g""",
         "triangle_incremental": SQL_GRAPH_PREFIX
         + """SELECT
               (SELECT CAST(count(*) AS BIGINT)

@@ -714,3 +714,58 @@ def snm_candidates(
     return cands.select(
         F.least("d1", "d2").alias("a"), F.greatest("d1", "d2").alias("b")
     ).distinct()
+
+
+def cdc_chunk_stats(
+    df: DataFrame,
+    k: int = 8,
+    mod: int = 64,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """1 row (n_chunks, distinct_chunks, dup_occurrences,
+    reclaimable_chars) — content-defined chunking dedup (the
+    LBFS/FastCDC family): cut a document wherever the rolling hash of
+    the ``k``-char window starting there satisfies h % ``mod`` == 0,
+    then dedup the variable-length chunks by digest.  Unlike the
+    fixed-token windows of chunk_dedup, CDC boundaries RESYNCHRONIZE
+    after an insertion — a one-line edit changes O(1) chunks, not every
+    window downstream — which is why content stores dedup this way.
+
+    Expected chunk length ~``mod`` chars.  Everything per-document is
+    JVM higher-order functions (sequence/filter/zip_with/substr — zero
+    Python, zero shuffle before the digest groupBy, which map-side
+    combines 16-byte md5 keys).  Documents shorter than ``k`` chars are
+    one whole chunk; position 1 always starts a chunk.  Exact integer
+    accounting: reclaimable = sum over digests of (count-1) * length.
+    """
+    t = F.col(text_col)
+    ln = F.length(t)
+    npos = F.greatest(ln - F.lit(k - 1), F.lit(1))
+    cuts = F.filter(
+        F.sequence(F.lit(1), npos),
+        lambda i: (i >= 2)
+        & (F.pmod(portable_h1(t.substr(i, F.lit(k))), F.lit(mod)) == 0),
+    )
+    starts = F.concat(F.array(F.lit(1)), cuts)
+    ends = F.concat(
+        F.slice(starts, 2, F.size(starts) - 1), F.array(ln + 1)
+    )
+    chunks = F.zip_with(starts, ends, lambda s, e: t.substr(s, e - s))
+    per = df.select(
+        F.col(id_col).alias("id"), F.explode(chunks).alias("chunk")
+    ).select(F.md5("chunk").alias("dig"), F.length("chunk").alias("clen"))
+    groups = per.groupBy("dig").agg(
+        F.count(F.lit(1)).cast("long").alias("cnt"),
+        F.max("clen").cast("long").alias("clen"),
+    )
+    return groups.agg(
+        F.coalesce(F.sum("cnt"), F.lit(0)).cast("long").alias("n_chunks"),
+        F.count(F.lit(1)).cast("long").alias("distinct_chunks"),
+        F.coalesce(F.sum(F.col("cnt") - 1), F.lit(0))
+        .cast("long")
+        .alias("dup_occurrences"),
+        F.coalesce(F.sum((F.col("cnt") - 1) * F.col("clen")), F.lit(0))
+        .cast("long")
+        .alias("reclaimable_chars"),
+    )

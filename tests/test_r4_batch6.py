@@ -641,3 +641,54 @@ def test_triangle_stream_replay_and_duplicate_edges(spark):
         assert read_triangle_state(spark, sd).collect()[0].triangles == 1
     finally:
         shutil.rmtree(sd, ignore_errors=True)
+
+
+# ---- content-defined chunking ----
+
+from plato_spark.functions.dedup import cdc_chunk_stats  # noqa: E402
+
+
+def _cdc_docs(spark, texts):
+    return spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+
+
+def test_cdc_identical_docs_fully_reclaimable(spark):
+    t = "x" * 200  # whatever the cuts are, both docs chunk identically
+    r = cdc_chunk_stats(_cdc_docs(spark, [t, t])).collect()[0]
+    assert r.n_chunks == 2 * r.distinct_chunks
+    assert r.dup_occurrences == r.distinct_chunks
+    assert r.reclaimable_chars == 200
+
+
+def test_cdc_resynchronizes_after_prefix_edit(spark):
+    import hashlib
+
+    base = "".join(
+        hashlib.md5(f"w{i}".encode()).hexdigest()[:4] for i in range(120)
+    )
+    edited = "ZZZZZ" + base
+    r = cdc_chunk_stats(_cdc_docs(spark, [base, edited])).collect()[0]
+    # CDC boundaries depend only on local content: after the first cut
+    # downstream of the edit, every later chunk matches -> most of the
+    # 480 shared chars are reclaimed (fixed windows would reclaim 0)
+    assert r.reclaimable_chars > 240, r
+    assert r.dup_occurrences > 0
+
+
+def test_cdc_short_and_empty_docs_single_chunk(spark):
+    r = cdc_chunk_stats(_cdc_docs(spark, ["abc", ""])).collect()[0]
+    assert r.n_chunks == 2 and r.distinct_chunks == 2
+    assert r.dup_occurrences == 0 and r.reclaimable_chars == 0
+
+
+def test_cdc_unique_content_has_no_dups(spark):
+    import hashlib
+
+    text = "".join(
+        hashlib.md5(f"u{i}".encode()).hexdigest() for i in range(40)
+    )
+    r = cdc_chunk_stats(_cdc_docs(spark, [text])).collect()[0]
+    assert r.n_chunks == r.distinct_chunks > 1
+    assert r.dup_occurrences == 0 and r.reclaimable_chars == 0
