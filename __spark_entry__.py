@@ -2932,6 +2932,45 @@ def q_degree_incremental(spark, sf_dir):
     return out
 
 
+SP_COUNT_SQL_LEVELS = 8  # co-occurrence BFS depth 3-4 measured; margin
+
+
+def q_sp_counts(spark, sf_dir):
+    """BFS shortest-path counts from the smallest vertex
+    (algos/bfs.bfs_path_counts — Brandes' sigma standalone): (id, dist,
+    sigma) with exact BIGINT path counts; sigma=1 flags routing
+    bottlenecks, large sigma flags redundant connectivity."""
+    from plato_spark.algos.bfs import bfs_path_counts
+
+    sym = _sym(spark, sf_dir)
+    root = sym.agg(F.min("src")).collect()[0][0]
+    out = bfs_path_counts(sym, int(root))
+    return out.select("id", F.col("dist").cast("long").alias("dist"), "sigma")
+
+
+def _sql_sp_counts(levels: int) -> str:
+    """Mirror of q_sp_counts: unrolled level-synchronous frontier with
+    summed sigma; levels pinned past the measured BFS depth (extra
+    levels produce empty frontiers — idempotent)."""
+    ctes = ["""spv0 AS MATERIALIZED (
+  SELECT min(id) AS id, CAST(1 AS BIGINT) AS sigma FROM verts),
+spvis0 AS MATERIALIZED (SELECT id, 0 AS dist, sigma FROM spv0)"""]
+    for k in range(levels):
+        ctes.append(f"""spf{k + 1} AS MATERIALIZED (
+  SELECT e.dst AS id, CAST(sum(f.sigma) AS BIGINT) AS sigma
+  FROM edges e JOIN sp{"v" if k == 0 else "f"}{k} f ON e.src = f.id
+  WHERE e.dst NOT IN (SELECT id FROM spvis{k})
+  GROUP BY e.dst),
+spvis{k + 1} AS MATERIALIZED (
+  SELECT id, dist, sigma FROM spvis{k}
+  UNION ALL SELECT id, {k + 1} AS dist, sigma FROM spf{k + 1})""")
+    return (
+        SQL_GRAPH_PREFIX + ", " + ",\n".join(ctes)
+        + f"""
+SELECT id, CAST(dist AS BIGINT) AS dist, sigma FROM spvis{levels}"""
+    )
+
+
 def q_cdc_chunks(spark, sf_dir):
     """Content-defined chunking dedup (functions/dedup.cdc_chunk_stats):
     rolling-hash chunk boundaries (h % 64 == 0 over 8-char windows)
@@ -4109,6 +4148,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "degree_incremental": q_degree_incremental,
         "triangle_incremental": q_triangle_incremental,
         "cdc_chunks": q_cdc_chunks,
+        "sp_counts": q_sp_counts,
         "directed_assortativity": q_directed_assortativity,
         "markov_eval": q_markov_eval,
         "snm_candidates": q_snm_candidates,
@@ -4356,6 +4396,7 @@ def oracle_sql() -> dict[str, str]:
         "component_stability": _sql_component_stability(HUB_SWEEP_SQL_ITERS),
         "degree_incremental": SQL_GRAPH_PREFIX
         + "SELECT id, deg FROM deg",
+        "sp_counts": _sql_sp_counts(SP_COUNT_SQL_LEVELS),
         "cdc_chunks": f"""
             WITH base AS (SELECT doc_id, text, length(text) AS ln,
                             greatest(length(text) - 7, 1) AS npos

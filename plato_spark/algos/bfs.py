@@ -120,3 +120,59 @@ def pseudo_diameter(edges: DataFrame, max_iters: int = 10_000) -> DataFrame:
         [(start, far_id, int(lb))],
         "start_id long, far_id long, diameter_lb int",
     )
+
+
+def bfs_path_counts(
+    edges: DataFrame, root: int, max_iters: int = 10_000
+) -> DataFrame:
+    """(id, dist, sigma) — BFS levels PLUS the exact number of distinct
+    shortest paths from ``root`` (Brandes' sigma, exposed standalone:
+    betweenness consumes it internally, but sigma is a first-class
+    signal on its own — a vertex reached by one shortest path is a
+    routing bottleneck; one reached by thousands is redundantly
+    connected).  Level-synchronous: the frontier carries sigma and the
+    next level's sigma is the SUM over frontier predecessors (exact
+    BIGINT — path counts through a level multiply only by edge fan-in,
+    so int64 holds to ~1e18 paths; beyond that the count is a
+    log-domain question, not a BIGINT one).  Same loop shape, plan
+    truncation and broadcast policy as bfs() above.
+    """
+    spark = edges.sparkSession
+    e0 = edges.select("src", "dst").persist()
+    n_e = e0.count()
+    shuffle_n = auto_shuffle_partitions(spark, n_e)
+    e = e0.repartition(shuffle_n, "src").persist()
+    e.count()
+    e0.unpersist()
+    n_vertices = (
+        e.select(F.col("src").alias("id"))
+        .unionByName(e.select(F.col("dst").alias("id")))
+        .distinct()
+        .count()
+    )
+    visited = spark.createDataFrame(
+        [(int(root), 0, 1)], "id long, dist int, sigma long"
+    )
+    frontier = visited.select("id", "sigma")
+    with scoped_shuffle_partitions(spark, shuffle_n):
+        level = 0
+        while level < max_iters:
+            level += 1
+            n_front = frontier.count()
+            if n_front == 0:
+                break
+            f = frontier.select(F.col("id").alias("src"), "sigma")
+            if n_front < PUSH_THRESHOLD * n_vertices:
+                f = F.broadcast(f)
+            nxt = (
+                e.join(f, "src")
+                .groupBy(F.col("dst").alias("id"))
+                .agg(F.sum("sigma").cast("long").alias("sigma"))
+                .join(visited.select("id", F.lit(1).alias("__seen")), "id", "left")
+                .where(F.col("__seen").isNull())
+                .select("id", F.lit(level).cast("int").alias("dist"), "sigma")
+                .transform(cheap_localCheckpoint)
+            )
+            visited = visited.unionByName(nxt).transform(cheap_localCheckpoint)
+            frontier = nxt.select("id", "sigma")
+    return visited

@@ -692,3 +692,38 @@ def test_cdc_unique_content_has_no_dups(spark):
     r = cdc_chunk_stats(_cdc_docs(spark, [text])).collect()[0]
     assert r.n_chunks == r.distinct_chunks > 1
     assert r.dup_occurrences == 0 and r.reclaimable_chars == 0
+
+
+# ---- BFS shortest-path counting ----
+
+from plato_spark.algos.bfs import bfs_path_counts  # noqa: E402
+
+
+def _sym_edges(spark, pairs):
+    both = [(a, b) for a, b in pairs] + [(b, a) for a, b in pairs]
+    return spark.createDataFrame(both, "src long, dst long")
+
+
+def test_sigma_diamond(spark):
+    # 0-1, 0-2, 1-3, 2-3: two shortest paths reach 3
+    got = {r.id: (r.dist, r.sigma) for r in bfs_path_counts(
+        _sym_edges(spark, [(0, 1), (0, 2), (1, 3), (2, 3)]), 0).collect()}
+    assert got == {0: (0, 1), 1: (1, 1), 2: (1, 1), 3: (2, 2)}
+
+
+def test_sigma_multiplies_through_levels(spark):
+    # two diamonds in series: sigma(5) = 2 * 2 = 4
+    e = [(0, 1), (0, 2), (1, 3), (2, 3), (3, 4), (3, 5)]
+    e += [(4, 6), (5, 6)]
+    got = {r.id: (r.dist, r.sigma)
+           for r in bfs_path_counts(_sym_edges(spark, e), 0).collect()}
+    assert got[3] == (2, 2)
+    assert got[6] == (4, 4)
+
+
+def test_sigma_unreached_absent_and_shortcut_wins(spark):
+    # 0-1-2 plus direct 0-2: dist(2)=1 with sigma 1 (the shortcut);
+    # 9-8 is a separate component, absent from the result
+    got = {r.id: (r.dist, r.sigma) for r in bfs_path_counts(
+        _sym_edges(spark, [(0, 1), (1, 2), (0, 2), (8, 9)]), 0).collect()}
+    assert got == {0: (0, 1), 1: (1, 1), 2: (1, 1)}
