@@ -2971,6 +2971,23 @@ SELECT id, CAST(dist AS BIGINT) AS dist, sigma FROM spvis{levels}"""
     )
 
 
+def q_bloom_prune(spark, sf_dir):
+    """Bloom-filter join-pruning audit (functions/sketches
+    .bloom_probe_stats): portable md5 double-hashing filter over a
+    third of the customer keys, probed by every ordering customer —
+    exact realized false-positive count instead of the formula.
+    m=2048/d=4 sized so the sf0.01 probe shows real false positives."""
+    from plato_spark.functions.sketches import bloom_probe_stats
+
+    cust = load_table(spark, sf_dir, "customer").where(
+        F.col("c_custkey") % 3 == 0
+    )
+    orders = load_table(spark, sf_dir, "orders")
+    return bloom_probe_stats(
+        cust, orders, "c_custkey", "o_custkey", m=2048, d=4
+    )
+
+
 def q_cdc_chunks(spark, sf_dir):
     """Content-defined chunking dedup (functions/dedup.cdc_chunk_stats):
     rolling-hash chunk boundaries (h % 64 == 0 over 8-char windows)
@@ -4149,6 +4166,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "triangle_incremental": q_triangle_incremental,
         "cdc_chunks": q_cdc_chunks,
         "sp_counts": q_sp_counts,
+        "bloom_prune": q_bloom_prune,
         "directed_assortativity": q_directed_assortativity,
         "markov_eval": q_markov_eval,
         "snm_candidates": q_snm_candidates,
@@ -4329,6 +4347,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
+    from plato_spark.functions.text import PORTABLE_H1_SQL, PORTABLE_H2_SQL
+
     stop_re = "(?i)\\b(the|a|of|and|to|in|is|for|on|with)\\b"
     return {
         "scc_condensation": f"""
@@ -4397,6 +4417,41 @@ def oracle_sql() -> dict[str, str]:
         "degree_incremental": SQL_GRAPH_PREFIX
         + "SELECT id, deg FROM deg",
         "sp_counts": _sql_sp_counts(SP_COUNT_SQL_LEVELS),
+        "bloom_prune": f"""
+            WITH bk AS MATERIALIZED (
+              SELECT DISTINCT CAST(c_custkey AS BIGINT) AS k
+              FROM customer WHERE c_custkey % 3 = 0),
+            pk AS MATERIALIZED (
+              SELECT DISTINCT CAST(o_custkey AS BIGINT) AS k FROM orders),
+            bbits AS MATERIALIZED (
+              SELECT DISTINCT
+                ({PORTABLE_H1_SQL.format(
+                    s="('bloom|' || CAST(k AS VARCHAR))")}
+                 + i * {PORTABLE_H2_SQL.format(
+                    s="('bloom|' || CAST(k AS VARCHAR))")}) % 2048 AS bit
+              FROM bk, (VALUES (0), (1), (2), (3)) AS js(i)),
+            pbits AS MATERIALIZED (
+              SELECT DISTINCT k,
+                ({PORTABLE_H1_SQL.format(
+                    s="('bloom|' || CAST(k AS VARCHAR))")}
+                 + i * {PORTABLE_H2_SQL.format(
+                    s="('bloom|' || CAST(k AS VARCHAR))")}) % 2048 AS bit
+              FROM pk, (VALUES (0), (1), (2), (3)) AS js(i)),
+            need AS (SELECT k, count(*) AS need FROM pbits GROUP BY k),
+            have AS (SELECT p.k, count(*) AS have
+                     FROM pbits p JOIN bbits b ON p.bit = b.bit GROUP BY p.k),
+            pass_ AS (SELECT need.k FROM need JOIN have ON need.k = have.k
+                      WHERE need.need = have.have),
+            s AS (SELECT
+               (SELECT CAST(count(*) AS BIGINT) FROM bk) AS build_keys,
+               (SELECT CAST(count(*) AS BIGINT) FROM pk) AS probe_keys,
+               (SELECT CAST(count(*) AS BIGINT) FROM pk
+                WHERE k IN (SELECT k FROM bk)) AS true_matches,
+               (SELECT CAST(count(*) AS BIGINT) FROM pass_) AS bloom_pass)
+            SELECT build_keys, probe_keys, true_matches, bloom_pass,
+                   CAST(bloom_pass - true_matches AS BIGINT)
+                     AS false_positives
+            FROM s""",
         "cdc_chunks": f"""
             WITH base AS (SELECT doc_id, text, length(text) AS ln,
                             greatest(length(text) - 7, 1) AS npos

@@ -33,7 +33,7 @@ from functools import reduce
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from plato_spark.functions.text import TOKEN_RE, portable_h1
+from plato_spark.functions.text import TOKEN_RE, portable_h1, portable_h2
 
 __all__ = ["cms_sketch", "cms_heavy_hitters", "cms_probe"]
 
@@ -180,4 +180,100 @@ def hll_group_cardinality(
     ).otherwise(raw)
     return sv.select(
         F.col("g").alias(group_col), F.round(est, 4).alias("est_distinct")
+    )
+
+
+def bloom_bits(
+    df: DataFrame, key_col: str, m: int = 4096, d: int = 4
+) -> DataFrame:
+    """(bit) — the distinct set bits of a portable Bloom filter over the
+    build side's keys: positions (h1 + i*h2) % m for i in 0..d-1, the
+    engine's md5-derived double-hashing family (Kirsch-Mitzenmacher),
+    bit-reproducible in DuckDB.  The filter materializes as at most
+    ``m`` BIGINT rows — broadcastable at any build-side cardinality.
+    """
+    k = F.concat(F.lit("bloom|"), F.col(key_col).cast("string"))
+    h1, h2 = portable_h1(k), portable_h2(k)
+    bits = F.transform(
+        F.sequence(F.lit(0), F.lit(d - 1)),
+        lambda i: F.pmod(h1 + i * h2, F.lit(m)),
+    )
+    return (
+        df.select(F.explode(bits).alias("bit")).distinct()
+    )
+
+
+def bloom_probe_stats(
+    build: DataFrame,
+    probe: DataFrame,
+    build_key: str,
+    probe_key: str,
+    m: int = 4096,
+    d: int = 4,
+) -> DataFrame:
+    """1 row (build_keys, probe_keys, true_matches, bloom_pass,
+    false_positives) — the join-pruning audit behind Bloom-filtered
+    joins (Spark's own runtime row-group pruning does this implicitly;
+    this measures it explicitly): how many probe keys pass the filter,
+    and how many of those are false positives the downstream join must
+    still reject.  A probe key passes iff ALL d of its bit positions
+    are set — counted as an equi-join on the bit table + a per-key
+    count == d gate, exact integers end-to-end.
+
+    Scale: the filter is <= m rows (broadcast); the probe side shuffles
+    once on the bit key and once on its own key — no all-pairs
+    anything.  The false-positive RATE follows (1 - e^(-dn/m))^d; this
+    operator measures the realized count exactly instead of trusting
+    the formula.
+    """
+    b_keys = build.select(F.col(build_key).cast("long").alias("k")).distinct()
+    p_keys = probe.select(F.col(probe_key).cast("long").alias("k")).distinct()
+    bits = bloom_bits(b_keys, "k", m=m, d=d)
+
+    kk = F.concat(F.lit("bloom|"), F.col("k").cast("string"))
+    h1, h2 = portable_h1(kk), portable_h2(kk)
+    probe_bits = p_keys.select(
+        "k",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(d - 1)),
+                lambda i: F.pmod(h1 + i * h2, F.lit(m)),
+            )
+        ).alias("bit"),
+    )
+    # distinct per (k, bit): double hashing can collide within one key,
+    # so require #distinct set positions == #distinct positions, not d
+    pb = probe_bits.distinct()
+    need = pb.groupBy("k").agg(F.count(F.lit(1)).alias("need"))
+    have = (
+        pb.join(F.broadcast(bits), "bit")
+        .groupBy("k")
+        .agg(F.count(F.lit(1)).alias("have"))
+    )
+    passed = (
+        need.join(have, "k")
+        .where(F.col("need") == F.col("have"))
+        .select("k")
+    )
+    true_m = p_keys.join(b_keys, "k", "semi")
+    stats = (
+        b_keys.agg(F.count(F.lit(1)).cast("long").alias("build_keys"))
+        .crossJoin(
+            F.broadcast(p_keys.agg(F.count(F.lit(1)).cast("long").alias("probe_keys")))
+        )
+        .crossJoin(
+            F.broadcast(true_m.agg(F.count(F.lit(1)).cast("long").alias("true_matches")))
+        )
+        .crossJoin(
+            F.broadcast(passed.agg(F.count(F.lit(1)).cast("long").alias("bloom_pass")))
+        )
+    )
+    return stats.select(
+        "build_keys",
+        "probe_keys",
+        "true_matches",
+        "bloom_pass",
+        (F.col("bloom_pass") - F.col("true_matches"))
+        .cast("long")
+        .alias("false_positives"),
     )

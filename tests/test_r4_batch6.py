@@ -727,3 +727,57 @@ def test_sigma_unreached_absent_and_shortcut_wins(spark):
     got = {r.id: (r.dist, r.sigma) for r in bfs_path_counts(
         _sym_edges(spark, [(0, 1), (1, 2), (0, 2), (8, 9)]), 0).collect()}
     assert got == {0: (0, 1), 1: (1, 1), 2: (1, 1)}
+
+
+# ---- bloom filter join pruning ----
+
+from plato_spark.functions.sketches import bloom_probe_stats  # noqa: E402
+
+
+def _keys(spark, name, vals):
+    return spark.createDataFrame([(int(v),) for v in vals], f"{name} long")
+
+
+def test_bloom_no_false_negatives_and_exact_counts(spark):
+    build = _keys(spark, "bk", [1, 2, 3])
+    probe = _keys(spark, "pk", range(1, 9))
+    r = bloom_probe_stats(build, probe, "bk", "pk", m=65536, d=4).collect()[0]
+    assert (r.build_keys, r.probe_keys, r.true_matches) == (3, 8, 3)
+    # every build key must pass (no false negatives); at m=65536 the
+    # 5 non-members essentially never collide on all 4 bits
+    assert r.bloom_pass >= 3
+    assert r.false_positives == r.bloom_pass - 3
+
+
+def test_bloom_matches_python_mirror(spark):
+    # exact pass-set equality against a python mirror of the portable
+    # md5 double-hashing family at a deliberately collision-prone m
+    import hashlib
+
+    def h1h2(k):
+        hx = hashlib.md5(f"bloom|{k}".encode()).hexdigest()
+        return int(hx[0:14], 16), int(hx[17:30], 16)
+
+    m, d = 16, 4
+    bvals, pvals = [1, 2, 7], list(range(1, 21))
+
+    def bits_of(k):
+        a, b = h1h2(k)
+        return {(a + i * b) % m for i in range(d)}
+
+    filt = set().union(*(bits_of(k) for k in bvals))
+    expected_pass = {k for k in pvals if bits_of(k) <= filt}
+    r = bloom_probe_stats(
+        _keys(spark, "bk", bvals), _keys(spark, "pk", pvals),
+        "bk", "pk", m=m, d=d,
+    ).collect()[0]
+    assert r.bloom_pass == len(expected_pass)
+    assert r.false_positives == len(expected_pass - set(bvals))
+    assert set(bvals) <= expected_pass  # no false negatives by mirror too
+
+
+def test_bloom_empty_build_passes_nothing(spark):
+    build = _keys(spark, "bk", [])
+    probe = _keys(spark, "pk", [1, 2])
+    r = bloom_probe_stats(build, probe, "bk", "pk").collect()[0]
+    assert (r.true_matches, r.bloom_pass, r.false_positives) == (0, 0, 0)
