@@ -4137,6 +4137,58 @@ def q_topo_levels(spark, sf_dir):
     return dag_levels(edges, vertices=verts).select("id", "level")
 
 
+def q_sequence_packing(spark, sf_dir):
+    """Concat-then-chunk packing manifest (functions/packing
+    .sequence_packing): documents laid out in deterministic portable-
+    hash order, the token stream cut every 512 tokens; per-doc chunk
+    ranges as exact BIGINTs.  The prefix sum is DISTRIBUTED (32
+    hash-range buckets, bucket-partitioned window) — the only single-
+    partition window in the plan is over the 32-row bucket-offset
+    table, never the corpus."""
+    from plato_spark.functions.packing import sequence_packing
+
+    return sequence_packing(load_table(spark, sf_dir, "documents"), budget=512)
+
+
+def q_mixture_weights(spark, sf_dir):
+    """Temperature-sampling mixture weights per source, alpha=0.5
+    (functions/packing.mixture_weights) — exact-integer isqrt weights,
+    one rounded division per ratio; one map-side-combined agg plus a
+    broadcast 1-row total."""
+    from plato_spark.functions.packing import mixture_weights
+
+    return mixture_weights(load_table(spark, sf_dir, "documents"))
+
+
+def q_snapshot_diff(spark, sf_dir):
+    """Dataset snapshot diff (functions/packing.snapshot_diff): v2 is
+    synthesized deterministically from the documents table (hash mod
+    10: 0 -> removed, 1 -> text edited, 2 -> cloned under a new id);
+    the diff joins (id, md5 digest) pairs only — bodies never
+    shuffle."""
+    from plato_spark.functions.packing import snapshot_diff
+
+    docs = load_table(spark, sf_dir, "documents")
+    from plato_spark.functions.text import portable_h1
+
+    m = F.pmod(
+        portable_h1(F.concat(F.lit("diffv2|"), F.col("doc_id").cast("string"))),
+        F.lit(10),
+    )
+    base = docs.withColumn("m", m)
+    v2 = base.where(F.col("m") != 0).select(
+        "doc_id",
+        F.when(F.col("m") == 1, F.concat(F.col("text"), F.lit(" [v2]")))
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    added = base.where(F.col("m") == 2).select(
+        (F.col("doc_id") + F.lit(10_000_000)).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" [new]")).alias("text"),
+    )
+    return snapshot_diff(docs, v2.unionByName(added))
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
@@ -4343,6 +4395,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_count": q_token_count,
         "text_quality": q_text_quality,
         "quality_filter": q_quality_filter,
+        # -- r4 continuation: training-feed assembly --
+        "sequence_packing": q_sequence_packing,
+        "mixture_weights": q_mixture_weights,
+        "snapshot_diff": q_snapshot_diff,
     }
 
 
@@ -5968,6 +6024,69 @@ JOIN (SELECT d.doc_id AS id, CAST(COALESCE(s.simhash, 0) AS BIGINT) AS simhash
   ON x.id < y.id
 WHERE bit_count(xor(x.simhash, y.simhash)) <= 3""",
         ),
+        "sequence_packing": f"""
+            WITH t AS (SELECT doc_id,
+                         CAST(length(regexp_extract_all(text, '{TOKEN_RE_SQL}'))
+                              AS BIGINT) AS n_tokens
+                       FROM documents),
+            k AS (SELECT doc_id, n_tokens,
+                    {H1_SQL.format(s="('pack|' || CAST(doc_id AS VARCHAR))")}
+                      AS key
+                  FROM t WHERE n_tokens > 0),
+            c AS (SELECT doc_id, n_tokens,
+                    sum(n_tokens) OVER (
+                      ORDER BY (key // 2251799813685248), key, doc_id
+                      ROWS UNBOUNDED PRECEDING) AS cum
+                  FROM k)
+            SELECT doc_id, n_tokens,
+                   CAST(cum - n_tokens AS BIGINT) AS start_off,
+                   CAST((cum - n_tokens) // 512 AS BIGINT) AS first_chunk,
+                   CAST((cum - 1) // 512 AS BIGINT) AS last_chunk,
+                   CAST((cum - 1) // 512 - (cum - n_tokens) // 512 + 1
+                        AS BIGINT) AS n_chunks
+            FROM c""",
+        "mixture_weights": f"""
+            WITH t AS (SELECT source,
+                         CAST(length(regexp_extract_all(text, '{TOKEN_RE_SQL}'))
+                              AS BIGINT) AS tk
+                       FROM documents),
+            per AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+                           CAST(sum(tk) AS BIGINT) AS n_tokens
+                    FROM t GROUP BY source),
+            f0 AS (SELECT *, CAST(floor(sqrt(CAST(n_tokens AS DOUBLE)))
+                                  AS BIGINT) AS f FROM per),
+            f1 AS (SELECT *, CASE WHEN (f+1)*(f+1) <= n_tokens
+                                  THEN f+1 ELSE f END AS g FROM f0),
+            iw AS (SELECT source, n_docs, n_tokens,
+                          CASE WHEN g*g > n_tokens THEN g-1 ELSE g END AS w
+                   FROM f1),
+            tot AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS tt,
+                           CAST(sum(w) AS BIGINT) AS tw FROM iw)
+            SELECT source, n_docs, n_tokens,
+                   round(CAST(n_tokens AS DOUBLE) / tt, 6) AS natural_share,
+                   round(CAST(w AS DOUBLE) / tw, 6) AS temp_share,
+                   round(CAST(w * tt AS DOUBLE) / (tw * n_tokens), 6) AS boost
+            FROM iw, tot""",
+        "snapshot_diff": f"""
+            WITH m AS (SELECT doc_id, text,
+                    ({H1_SQL.format(s="('diffv2|' || CAST(doc_id AS VARCHAR))")})
+                      % 10 AS m
+                       FROM documents),
+            v2 AS (SELECT doc_id,
+                          CASE WHEN m = 1 THEN text || ' [v2]' ELSE text END
+                            AS text
+                   FROM m WHERE m != 0
+                   UNION ALL
+                   SELECT doc_id + 10000000, text || ' [new]'
+                   FROM m WHERE m = 2),
+            a AS (SELECT doc_id AS id, md5(text) AS ho FROM documents),
+            b AS (SELECT doc_id AS id, md5(text) AS hn FROM v2)
+            SELECT COALESCE(a.id, b.id) AS id,
+                   CASE WHEN a.id IS NULL THEN 'added'
+                        WHEN b.id IS NULL THEN 'removed'
+                        WHEN ho = hn THEN 'unchanged'
+                        ELSE 'changed' END AS status
+            FROM a FULL OUTER JOIN b ON a.id = b.id""",
         "doc_fingerprint": _sql_doc_fingerprint(),
         "similarity_threshold": """
             SELECT a.vec_id AS query_id,

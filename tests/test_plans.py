@@ -415,3 +415,22 @@ def test_mixing_assortativity_single_row_broadcast(spark):
     # the 1-row x 1-row combine must be a broadcast, not a shuffle join
     assert "CartesianProduct" not in p, p
     assert "BroadcastNestedLoopJoin" in p or "BroadcastExchange" in p, p
+
+
+def test_sequence_packing_prefix_sum_is_distributed(spark):
+    # the per-document running sum must be a bucket-partitioned window;
+    # the only single-partition window is over the 32-row bucket-offset
+    # aggregate.  A naive Window.orderBy(key) with no partition key
+    # would serialize the whole corpus through one task at 100 TB.
+    from plato_spark.functions.packing import sequence_packing
+
+    docs = spark.createDataFrame(
+        [(i, f"tok{i} tok tok") for i in range(64)], "doc_id long, text string"
+    )
+    p = plan_of(sequence_packing(docs, budget=8))
+    norm = p.replace(" ", "").lower()
+    # the big window is keyed on the bucket column
+    assert "windowspecdefinition(bucket" in norm, p
+    # the bucket-offset table joins back as a broadcast, not a shuffle
+    assert "BroadcastExchange" in p, p
+    assert "CartesianProduct" not in p, p
