@@ -186,7 +186,10 @@ pr0 AS MATERIALIZED (SELECT id, CAST(s AS DOUBLE) AS rank FROM pb)"""]
     )
 
 
-def _sql_wcc(iters: int = 10) -> str:
+def _sql_wcc_chain_ctes(iters: int) -> list:
+    """Unrolled hash-min label chain l0..l{iters} — shared by the wcc
+    and wcc_trace oracles (full relabel per round; equals the engine's
+    frontier-restricted loop round for round, see algos/wcc.wcc_trace)."""
     ctes = ["l0 AS MATERIALIZED (SELECT id, id AS lab FROM verts)"]
     for k in range(iters):
         ctes.append(
@@ -197,9 +200,39 @@ def _sql_wcc(iters: int = 10) -> str:
              FROM edges e JOIN l{k} l2 ON e.src = l2.id
              GROUP BY e.dst) m ON v.id = m.id)"""
         )
+    return ctes
+
+
+def _sql_wcc(iters: int = 10) -> str:
     return (
-        SQL_GRAPH_PREFIX + ", " + ",\n".join(ctes)
+        SQL_GRAPH_PREFIX + ", " + ",\n".join(_sql_wcc_chain_ctes(iters))
         + f"\nSELECT id, lab AS component FROM l{iters} ORDER BY id"
+    )
+
+
+def _sql_wcc_trace(iters: int = 10) -> str:
+    """Mirror of algos/wcc.wcc_trace: per-round (frontier, changed)
+    counts off the full relabel chain — changed_k = |{l_k < l_{k-1}}|,
+    frontier_k = changed_{k-1} (all of verts at round 1).  Rounds past
+    the fixpoint are (0, 0) on both engines, so the pinned count is
+    idempotent."""
+
+    def _chg(k: int) -> str:
+        return (f"(SELECT CAST(count(*) AS BIGINT) FROM l{k} a "
+                f"JOIN l{k - 1} b ON a.id = b.id WHERE a.lab < b.lab)")
+
+    rows = [
+        "SELECT CAST(1 AS BIGINT) AS round, "
+        "(SELECT CAST(count(*) AS BIGINT) FROM verts) AS frontier, "
+        + _chg(1) + " AS changed"
+    ]
+    for k in range(2, iters + 1):
+        rows.append(
+            f"SELECT CAST({k} AS BIGINT), {_chg(k - 1)}, {_chg(k)}"
+        )
+    return (
+        SQL_GRAPH_PREFIX + ", " + ",\n".join(_sql_wcc_chain_ctes(iters))
+        + "\n" + "\nUNION ALL\n".join(rows) + "\nORDER BY round"
     )
 
 
@@ -4189,6 +4222,32 @@ def q_snapshot_diff(spark, sf_dir):
     return snapshot_diff(docs, v2.unionByName(added))
 
 
+def q_wcc_trace(spark, sf_dir):
+    """Per-superstep WCC convergence trace (algos/wcc.wcc_trace): the
+    north rule's iteration metrics — messages-sent bound (frontier) and
+    delta (changed count) per round — as a first-class oracle-checkable
+    table instead of log lines.  Exact integers; pinned at
+    WCC_SQL_ITERS rounds (>= measured diameter), trailing rows (0, 0)."""
+    from plato_spark.algos.wcc import wcc_trace
+
+    return wcc_trace(part_cooccurrence_edges(spark, sf_dir), rounds=WCC_SQL_ITERS)
+
+
+def q_lang_conductance(spark, sf_dir):
+    """Per-language conductance over the planted citation digraph
+    (algos/mixing.attribute_conductance): cut / min-volume per lang
+    class — the normalized cut-quality audit beside lang_mixing's raw
+    off-diagonal counts and attr_assortativity's global scalar.  Exact
+    BIGINT cut/volume folds, one rounded division per class."""
+    from plato_spark.algos.mixing import attribute_conductance
+
+    edges = q_reference_graph(spark, sf_dir)
+    labels = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    return attribute_conductance(edges, labels).select(
+        F.col("label").alias("lang"), "cut_edges", "volume", "conductance"
+    )
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
@@ -4399,6 +4458,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sequence_packing": q_sequence_packing,
         "mixture_weights": q_mixture_weights,
         "snapshot_diff": q_snapshot_diff,
+        # -- r4 continuation: superstep telemetry + attribute cuts --
+        "wcc_trace": q_wcc_trace,
+        "lang_conductance": q_lang_conductance,
     }
 
 
@@ -6096,4 +6158,35 @@ WHERE bit_count(xor(x.simhash, y.simhash)) <= 3""",
                      THEN 1 ELSE 0 END) AS BIGINT) AS n_similar
             FROM embeddings a JOIN embeddings b ON a.vec_id != b.vec_id
             GROUP BY a.vec_id""",
+        "wcc_trace": _sql_wcc_trace(WCC_SQL_ITERS),
+        "lang_conductance": f"""
+            WITH cg AS MATERIALIZED ({_sql_reference_graph()}),
+            lab AS MATERIALIZED (
+              SELECT doc_id AS id, lang AS label FROM documents),
+            canon AS MATERIALIZED (
+              SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+              FROM cg WHERE src != dst),
+            e AS MATERIALIZED (
+              SELECT c.a, c.b, x.label AS la, y.label AS lb
+              FROM canon c JOIN lab x ON c.a = x.id
+                           JOIN lab y ON c.b = y.id),
+            vol AS (
+              SELECT label, CAST(count(*) AS BIGINT) AS volume FROM (
+                SELECT la AS label FROM e
+                UNION ALL SELECT lb FROM e) t GROUP BY label),
+            cut AS (
+              SELECT label, CAST(count(*) AS BIGINT) AS cut_edges FROM (
+                SELECT la AS label FROM e WHERE la != lb
+                UNION ALL SELECT lb FROM e WHERE la != lb) t GROUP BY label),
+            tot AS (SELECT 2 * CAST(count(*) AS BIGINT) AS tot_vol FROM e)
+            SELECT v.label AS lang,
+                   COALESCE(c.cut_edges, 0) AS cut_edges,
+                   v.volume,
+                   CASE WHEN least(v.volume, t.tot_vol - v.volume) > 0
+                        THEN round(CAST(COALESCE(c.cut_edges, 0) AS DOUBLE)
+                             / CAST(least(v.volume, t.tot_vol - v.volume)
+                                    AS DOUBLE), 6)
+                   END AS conductance
+            FROM vol v LEFT JOIN cut c ON v.label = c.label, tot t
+            ORDER BY lang""",
     }

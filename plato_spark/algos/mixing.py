@@ -149,3 +149,68 @@ def label_consistency(edges: DataFrame, labels: DataFrame) -> DataFrame:
             F.col("nbr_same").cast("double") / F.col("nbr_total"), 6
         ).alias("consistency"),
     )
+
+
+def attribute_conductance(edges: DataFrame, labels: DataFrame) -> DataFrame:
+    """(label, cut_edges, volume, conductance) — per-class conductance
+    phi(S) = cut(S) / min(vol(S), vol(V\\S)) over the symmetrized simple
+    graph, one row per label class present among labeled-edge endpoints.
+
+    The cut-quality audit beside the mixing matrix and the assortativity
+    scalar: the mixing matrix counts the off-diagonal mass, conductance
+    normalizes it by class volume, so a small class fully fenced in by
+    cross edges (phi near 1) is visible even when the global off-diagonal
+    fraction is tiny.  This is the same functional Spark's partition
+    planner would want minimized per shuffle key — here measured on an
+    ATTRIBUTE partition (e.g. language) to decide whether a per-class
+    corpus split leaks neighborhood context.
+
+    Conventions (mirrored verbatim in the oracle): edges are canonicalized
+    to undirected distinct (least, greatest) pairs with self-loops
+    dropped; an edge with an unlabeled endpoint is excluded from cut AND
+    volume (the inner-join convention of attribute_mixing_matrix);
+    vol(S) = sum of degrees of S's vertices over the KEPT edge set;
+    conductance is the one rounded IEEE division over exact BIGINT folds,
+    NULL when the complement volume is 0 (single-class graph) — cut and
+    volume stay exact either way.
+
+    Plan: one distinct, two key-partitioned label joins, one exploded
+    groupBy per side (label-cardinality-sized outputs), a 1-row total
+    broadcast-crossed — no shuffle larger than the edge canonicalization.
+    """
+    lab = labels.toDF("id", "label")
+    canon = (
+        edges.select(
+            F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
+        )
+        .where(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    la = lab.select(F.col("id").alias("a"), F.col("label").alias("la"))
+    lb = lab.select(F.col("id").alias("b"), F.col("label").alias("lb"))
+    e = canon.join(la, "a").join(lb, "b")
+    vol = (
+        e.select(F.col("la").alias("label"))
+        .unionAll(e.select(F.col("lb").alias("label")))
+        .groupBy("label")
+        .agg(F.count(F.lit(1)).cast("long").alias("volume"))
+    )
+    mixed = e.where(F.col("la") != F.col("lb"))
+    cut = (
+        mixed.select(F.col("la").alias("label"))
+        .unionAll(mixed.select(F.col("lb").alias("label")))
+        .groupBy("label")
+        .agg(F.count(F.lit(1)).cast("long").alias("cut_edges"))
+    )
+    tot = e.agg((F.count(F.lit(1)) * 2).cast("long").alias("tot_vol"))
+    out = vol.join(cut, "label", "left").crossJoin(F.broadcast(tot))
+    cut_c = F.coalesce(F.col("cut_edges"), F.lit(0)).cast("long")
+    den = F.least(F.col("volume"), F.col("tot_vol") - F.col("volume"))
+    return out.select(
+        "label",
+        cut_c.alias("cut_edges"),
+        "volume",
+        F.when(den > 0, F.round(cut_c.cast("double") / den.cast("double"), 6)).alias(
+            "conductance"
+        ),
+    )

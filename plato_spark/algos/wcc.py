@@ -187,3 +187,73 @@ def major_component(components: DataFrame) -> int:
         .collect()[0]
     )
     return row["component"]
+
+
+def wcc_trace(edges: DataFrame, rounds: int = 10) -> DataFrame:
+    """(round, frontier, changed) — per-superstep convergence trace of the
+    hash-min loop, the iteration metrics (messages sent / delta) the
+    reference logs per epoch (connected_component.hpp:174-245 prints the
+    active count each round; plato's watch-dog uses it to size the next
+    exchange) exposed as a first-class, oracle-checkable table.
+
+    frontier = vertices entering the round in the changed set (== the
+    messages-sent upper bound the push/pull policy keys on); changed =
+    vertices whose label strictly decreased during the round.  Exactly
+    ``rounds`` rows are returned; after the fixpoint both columns are 0,
+    so a pinned round count past the measured diameter is idempotent.
+
+    Frontier-restricted messaging produces the SAME per-round label
+    sequence as the full relabel chain (labels are monotone and every
+    newly adopted label is offered exactly once, the round after
+    adoption), so `changed` at round k equals the full chain's
+    |{v : l_k(v) < l_{k-1}(v)}| — what the unrolled SQL oracle counts.
+    """
+    spark = edges.sparkSession
+    sym0 = symmetrize(edges.select("src", "dst")).persist()
+    n_sym = sym0.count()
+    shuffle_n = auto_shuffle_partitions(spark, n_sym)
+    sym = sym0.repartition(shuffle_n, "src").persist()
+    sym.count()
+    sym0.unpersist()
+
+    verts = (
+        sym.select(F.col("src").alias("id")).distinct()
+        .repartition(shuffle_n, "id")
+    )
+    n_vertices = verts.count()
+    state = verts.select(
+        "id", F.col("id").alias("label"), F.lit(True).alias("changed")
+    )
+    trace: list[tuple[int, int, int]] = []
+    frontier_n = n_vertices
+    for k in range(1, rounds + 1):
+        if frontier_n == 0:
+            trace.append((k, 0, 0))
+            continue
+        frontier = state.where("changed").select(
+            F.col("id").alias("src"), F.col("label").alias("msg")
+        )
+        if frontier_n < PUSH_THRESHOLD * n_vertices:
+            frontier = F.broadcast(frontier)
+        cands = (
+            sym.join(frontier, "src")
+            .groupBy(F.col("dst").alias("id"))
+            .agg(F.min("msg").alias("cand"))
+        )
+        state = (
+            state.join(cands, "id", "left")
+            .select(
+                "id",
+                F.least(F.col("label"), F.coalesce("cand", F.col("label"))).alias("label"),
+                (F.coalesce("cand", F.col("label")) < F.col("label")).alias("changed"),
+            )
+        )
+        state = cheap_localCheckpoint(state)
+        changed_n = state.where("changed").count()
+        trace.append((k, frontier_n, changed_n))
+        frontier_n = changed_n
+    sym.unpersist()
+    return spark.createDataFrame(
+        [(int(r), int(f), int(c)) for r, f, c in trace],
+        "round BIGINT, frontier BIGINT, changed BIGINT",
+    )
