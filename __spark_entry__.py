@@ -165,9 +165,12 @@ deg AS MATERIALIZED (
 """
 
 
-def _sql_ppr(iters: int = 10, damping: float = 0.85, n_sources: int = 4) -> str:
-    """Unrolled personalized PageRank (algos/pagerank.personalized_pagerank):
-    teleport mass restricted to the n_sources smallest vertices, r0 = s."""
+def _sql_ppr_ctes(iters: int = 10, damping: float = 0.85,
+                  n_sources: int = 4) -> list:
+    """Unrolled personalized-PageRank CTE chain srcs/pb/pr0..pr{iters}
+    (algos/pagerank.personalized_pagerank): teleport mass restricted to
+    the n_sources smallest vertices, r0 = s.  Shared by the ppr and
+    ppr_sweep oracles."""
     ctes = [f"""srcs AS MATERIALIZED (SELECT id FROM verts ORDER BY id LIMIT {n_sources}),
 pb AS MATERIALIZED (
   SELECT v.id, CASE WHEN s.id IS NOT NULL THEN 1.0 ELSE 0.0 END AS s
@@ -180,9 +183,63 @@ pr0 AS MATERIALIZED (SELECT id, CAST(s AS DOUBLE) AS rank FROM pb)"""]
     SELECT e.dst AS id, sum(r.rank / d.deg) AS g
     FROM edges e JOIN pr{k} r ON e.src = r.id JOIN deg d ON e.src = d.id
     GROUP BY e.dst) g ON b.id = g.id)""")
+    return ctes
+
+
+def _sql_ppr(iters: int = 10, damping: float = 0.85, n_sources: int = 4) -> str:
     return (
-        SQL_GRAPH_PREFIX + ", " + ",\n".join(ctes)
+        SQL_GRAPH_PREFIX + ", "
+        + ",\n".join(_sql_ppr_ctes(iters, damping, n_sources))
         + f"\nSELECT id, round(rank, 6) AS rank FROM pr{iters} ORDER BY id"
+    )
+
+
+def _sql_ppr_sweep(iters: int = 10, k: int = 32) -> str:
+    """Mirror of algos/local_cluster.ppr_sweep_cut over the co-occurrence
+    graph: Andersen-Chung-Lang sweep of the single-seed PPR vector.
+    Sweep key = round(rank, 6) / deg — the 6dp round FIRST makes the key
+    one IEEE division of cross-engine-identical inputs (the raw rank
+    doubles differ at ~1e-16 between engines; the registered ppr gate
+    proves the rounded values agree), so the sweep ORDER is
+    deterministic.  cut/vol prefix accounting is exact BIGINT: an edge
+    with endpoint sweep-ranks lo <= hi is cut for prefixes lo <= j < hi,
+    internal for j >= hi, so cut(j) = cum(lo<=j) - cum(hi<=j)."""
+    inf = k + 1
+    return (
+        SQL_GRAPH_PREFIX + ", "
+        + ",\n".join(_sql_ppr_ctes(iters, n_sources=1))
+        + f""",
+swp AS MATERIALIZED (
+  SELECT p.id, round(p.rank, 6) / d.deg AS skey, d.deg
+  FROM pr{iters} p JOIN deg d ON p.id = d.id),
+topk AS MATERIALIZED (
+  SELECT id, deg, row_number() OVER (ORDER BY skey DESC, id ASC) AS rnk
+  FROM swp ORDER BY skey DESC, id ASC LIMIT {k}),
+er AS MATERIALIZED (
+  SELECT least(COALESCE(x.rnk, {inf}), COALESCE(y.rnk, {inf})) AS lo,
+         greatest(COALESCE(x.rnk, {inf}), COALESCE(y.rnk, {inf})) AS hi
+  FROM canon c LEFT JOIN topk x ON c.src = x.id
+               LEFT JOIN topk y ON c.dst = y.id),
+cl AS (SELECT lo AS rnk, CAST(count(*) AS BIGINT) AS nlo
+       FROM er WHERE lo <= {k} GROUP BY lo),
+ch AS (SELECT hi AS rnk, CAST(count(*) AS BIGINT) AS nhi
+       FROM er WHERE hi <= {k} GROUP BY hi),
+tot AS (SELECT 2 * CAST(count(*) AS BIGINT) AS tot_vol FROM canon),
+sw AS (
+  SELECT t.rnk, t.id,
+         sum(COALESCE(l.nlo, 0)) OVER (ORDER BY t.rnk)
+           - sum(COALESCE(h.nhi, 0)) OVER (ORDER BY t.rnk) AS cut_edges,
+         sum(t.deg) OVER (ORDER BY t.rnk) AS volume
+  FROM topk t LEFT JOIN cl l ON t.rnk = l.rnk
+              LEFT JOIN ch h ON t.rnk = h.rnk)
+SELECT CAST(s.rnk AS BIGINT) AS sweep_rank, s.id,
+       CAST(s.cut_edges AS BIGINT) AS cut_edges,
+       CAST(s.volume AS BIGINT) AS volume,
+       CASE WHEN least(s.volume, t.tot_vol - s.volume) > 0
+            THEN round(CAST(s.cut_edges AS DOUBLE)
+                 / CAST(least(s.volume, t.tot_vol - s.volume) AS DOUBLE), 6)
+       END AS conductance
+FROM sw s, tot t ORDER BY sweep_rank"""
     )
 
 
@@ -4233,6 +4290,21 @@ def q_wcc_trace(spark, sf_dir):
     return wcc_trace(part_cooccurrence_edges(spark, sf_dir), rounds=WCC_SQL_ITERS)
 
 
+def q_ppr_sweep(spark, sf_dir):
+    """Andersen-Chung-Lang local-clustering sweep
+    (algos/local_cluster.ppr_sweep_cut): single-seed personalized
+    PageRank (seed = smallest vertex, PPR_ITERS pinned supersteps)
+    ordered by round(rank,6)/deg, with exact BIGINT prefix cut/volume
+    and one rounded conductance division per sweep row — 'the community
+    around THIS repo' without touching global labels."""
+    from plato_spark.algos.local_cluster import ppr_sweep_cut
+
+    sym = _sym(spark, sf_dir)
+    seed = int(sym.agg(F.min("src")).collect()[0][0])
+    r = personalized_pagerank(sym, sources=[seed], iterations=PPR_ITERS)
+    return ppr_sweep_cut(part_cooccurrence_edges(spark, sf_dir), r, k=32)
+
+
 def q_lang_conductance(spark, sf_dir):
     """Per-language conductance over the planted citation digraph
     (algos/mixing.attribute_conductance): cut / min-volume per lang
@@ -4461,6 +4533,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- r4 continuation: superstep telemetry + attribute cuts --
         "wcc_trace": q_wcc_trace,
         "lang_conductance": q_lang_conductance,
+        "ppr_sweep": q_ppr_sweep,
     }
 
 
@@ -6159,6 +6232,7 @@ WHERE bit_count(xor(x.simhash, y.simhash)) <= 3""",
             FROM embeddings a JOIN embeddings b ON a.vec_id != b.vec_id
             GROUP BY a.vec_id""",
         "wcc_trace": _sql_wcc_trace(WCC_SQL_ITERS),
+        "ppr_sweep": _sql_ppr_sweep(PPR_ITERS, k=32),
         "lang_conductance": f"""
             WITH cg AS MATERIALIZED ({_sql_reference_graph()}),
             lab AS MATERIALIZED (

@@ -434,3 +434,21 @@ def test_sequence_packing_prefix_sum_is_distributed(spark):
     # the bucket-offset table joins back as a broadcast, not a shuffle
     assert "BroadcastExchange" in p, p
     assert "CartesianProduct" not in p, p
+
+
+def test_ppr_sweep_topk_broadcast_no_cartesian(spark):
+    # the sweep's global top-k must compile to TakeOrderedAndProject
+    # (never a range-exchange full sort); the k-row rank tables must
+    # join the edge scan as broadcasts; no cartesian anywhere
+    from plato_spark.algos.local_cluster import ppr_sweep_cut
+
+    e = spark.createDataFrame(
+        [(i, (i + 1) % 12) for i in range(12)], "src long, dst long"
+    )
+    ppr = spark.createDataFrame(
+        [(i, 1.0 / (i + 1)) for i in range(12)], "id long, rank double"
+    )
+    p = plan_of(ppr_sweep_cut(e, ppr, k=4))
+    assert "TakeOrderedAndProject" in p, p
+    assert "BroadcastExchange" in p, p
+    assert "CartesianProduct" not in p, p
