@@ -390,9 +390,11 @@ h{k + 1} AS MATERIALIZED (
     )
 
 
-def _sql_betweenness(samples: int = 4, levels: int = 5) -> str:
-    """Unrolled multi-source Brandes with the engine's smallest-id sample
-    policy (algos/betweenness.py)."""
+def _sql_brandes_ctes(samples: int = 4, levels: int = 5) -> list:
+    """Unrolled multi-source Brandes forward (fr/vis with sigma) +
+    backward (d{k} deltas) CTE chain with the engine's smallest-id
+    sample policy — shared by the vertex (betweenness_sampled) and edge
+    (edge_betweenness) oracles."""
     ctes = [
         f"""roots AS MATERIALIZED (SELECT id AS root FROM verts ORDER BY id LIMIT {samples}),
 fr0 AS MATERIALIZED (SELECT root, root AS id, CAST(1.0 AS DOUBLE) AS sigma FROM roots),
@@ -425,14 +427,53 @@ vis{k + 1} AS MATERIALIZED (
   LEFT JOIN d{k + 1} n ON n.root = l.root AND n.id = e.dst
   GROUP BY l.root, l.id, l.sigma)"""
         )
+    return ctes
+
+
+def _sql_betweenness(samples: int = 4, levels: int = 5) -> str:
+    """Unrolled multi-source Brandes with the engine's smallest-id sample
+    policy (algos/betweenness.py)."""
+    K = levels
     union = " UNION ALL ".join(
         f"SELECT root, id, delta FROM d{k}" for k in range(K + 1)
     )
-    return SQL_GRAPH_PREFIX + ", " + ",\n".join(ctes) + f""",
+    return (
+        SQL_GRAPH_PREFIX + ", "
+        + ",\n".join(_sql_brandes_ctes(samples, levels))
+        + f""",
 alld AS ({union}),
 bc AS (SELECT id, sum(delta) AS b FROM alld WHERE id != root GROUP BY id)
 SELECT v.id, round(COALESCE(bc.b, 0.0), 6) AS betweenness
 FROM verts v LEFT JOIN bc ON v.id = bc.id ORDER BY v.id"""
+    )
+
+
+def _sql_edge_betweenness(samples: int = 4, levels: int = 5) -> str:
+    """Mirror of algos/betweenness.edge_betweenness_sampled: the d{k}
+    summand re-keyed to the DAG edge — term(u->w) = sigma_u * (1 +
+    delta_w) / sigma_w for u at dist k, w at dist k+1 — canonicalized
+    least/greatest and summed over roots and levels; canon edges on no
+    sampled DAG score 0.0."""
+    K = levels
+    terms = " UNION ALL ".join(
+        f"""SELECT least(e.src, e.dst) AS a, greatest(e.src, e.dst) AS b,
+           l.sigma * (1.0 + n.delta) / n.sigma AS term
+    FROM edges e
+    JOIN (SELECT root, id, sigma FROM vis{K} WHERE dist = {k}) l
+      ON e.src = l.id
+    JOIN d{k + 1} n ON n.root = l.root AND n.id = e.dst"""
+        for k in range(K)
+    )
+    return (
+        SQL_GRAPH_PREFIX + ", "
+        + ",\n".join(_sql_brandes_ctes(samples, levels))
+        + f""",
+allt AS ({terms}),
+es AS (SELECT a, b, sum(term) AS t FROM allt GROUP BY a, b)
+SELECT c.src, c.dst, round(COALESCE(es.t, 0.0), 6) AS edge_betweenness
+FROM canon c LEFT JOIN es ON c.src = es.a AND c.dst = es.b
+ORDER BY c.src, c.dst"""
+    )
 
 
 def _sql_louvain(sub_rounds: int = 2) -> str:
@@ -4290,6 +4331,20 @@ def q_wcc_trace(spark, sf_dir):
     return wcc_trace(part_cooccurrence_edges(spark, sf_dir), rounds=WCC_SQL_ITERS)
 
 
+def q_edge_betweenness(spark, sf_dir):
+    """Girvan-Newman edge betweenness, sampled Brandes estimator
+    (algos/betweenness.edge_betweenness_sampled) — the dependency
+    accumulation re-keyed to DAG edges; high scores mark the
+    inter-community bridges whose traffic a vertex-cut placement pays
+    per superstep.  Same pinned 4-smallest-root policy as
+    betweenness_sampled."""
+    from plato_spark.algos.betweenness import edge_betweenness_sampled
+
+    return edge_betweenness_sampled(
+        part_cooccurrence_edges(spark, sf_dir), num_samples=4
+    )
+
+
 def q_ppr_sweep(spark, sf_dir):
     """Andersen-Chung-Lang local-clustering sweep
     (algos/local_cluster.ppr_sweep_cut): single-seed personalized
@@ -4534,6 +4589,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "wcc_trace": q_wcc_trace,
         "lang_conductance": q_lang_conductance,
         "ppr_sweep": q_ppr_sweep,
+        "edge_betweenness": q_edge_betweenness,
     }
 
 
@@ -6233,6 +6289,7 @@ WHERE bit_count(xor(x.simhash, y.simhash)) <= 3""",
             GROUP BY a.vec_id""",
         "wcc_trace": _sql_wcc_trace(WCC_SQL_ITERS),
         "ppr_sweep": _sql_ppr_sweep(PPR_ITERS, k=32),
+        "edge_betweenness": _sql_edge_betweenness(),
         "lang_conductance": f"""
             WITH cg AS MATERIALIZED ({_sql_reference_graph()}),
             lab AS MATERIALIZED (

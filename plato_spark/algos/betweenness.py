@@ -28,12 +28,13 @@ from plato_spark.graph.partitioning import (
 )
 
 
-def betweenness_sampled(
-    edges: DataFrame,
-    num_samples: int = 10,
-    max_iters: int = 10_000,
-) -> DataFrame:
-    """(id, betweenness: double, 6dp) over canonical undirected edges."""
+def _forward_levels(edges: DataFrame, num_samples: int, max_iters: int):
+    """Shared Brandes forward phase: multi-source BFS shortest-path DAG.
+
+    Returns (sym, verts, shuffle_n, levels) where ``levels[k]`` is the
+    (root, id, dist, sigma) frontier at distance k — consumed by the
+    vertex backward sweep (betweenness_sampled) and the edge one
+    (edge_betweenness_sampled)."""
     spark = edges.sparkSession
     sym0 = symmetrize(edges.select("src", "dst")).persist()
     n_sym = sym0.count()
@@ -82,7 +83,18 @@ def betweenness_sampled(
                 visited.unionByName(nxt).transform(cheap_localCheckpoint), nxt
             )
             levels.append(frontier)
+    return sym, verts, shuffle_n, levels
 
+
+def betweenness_sampled(
+    edges: DataFrame,
+    num_samples: int = 10,
+    max_iters: int = 10_000,
+) -> DataFrame:
+    """(id, betweenness: double, 6dp) over canonical undirected edges."""
+    spark = edges.sparkSession
+    sym, verts, shuffle_n, levels = _forward_levels(edges, num_samples, max_iters)
+    with scoped_shuffle_partitions(spark, shuffle_n):
         # ---- backward: delta per level ------------------------------------
         # delta(u) = sum over DAG-successors w: sigma_u/sigma_w * (1+delta_w)
         delta = levels[-1].select(
@@ -127,5 +139,95 @@ def betweenness_sampled(
             )
             .persist()
         )
+        out.count()
+    return out
+
+
+def edge_betweenness_sampled(
+    edges: DataFrame,
+    num_samples: int = 10,
+    max_iters: int = 10_000,
+) -> DataFrame:
+    """(src, dst, edge_betweenness: double, 6dp) per canonical undirected
+    edge — the Girvan–Newman edge centrality, same sampled-root Brandes
+    estimator as betweenness_sampled but accumulating the dependency on
+    the DAG EDGE instead of its tail vertex:
+
+        c({u, w}) += sigma_u / sigma_w * (1 + delta_w)
+
+    for every shortest-path-DAG edge u->w (dist_w = dist_u + 1) of every
+    sampled root (bader.hpp:48-140's summand, re-keyed).  High scores
+    mark inter-community bridges — the edges whose removal fragments the
+    graph, and exactly the cross-partition traffic a vertex-cut placement
+    pays for every superstep.  An edge on no sampled DAG scores 0.0 (all
+    canonical edges are emitted).
+
+    Per root an undirected edge is a DAG edge in at most one orientation,
+    so summing directed terms after least/greatest canonicalization is
+    the textbook undirected definition.  Floats follow the betweenness
+    discipline: few terms per edge (samples x 1), rounded to 6dp.
+    """
+    spark = edges.sparkSession
+    sym, verts, shuffle_n, levels = _forward_levels(edges, num_samples, max_iters)
+    canon = (
+        edges.select(
+            F.least("src", "dst").alias("src"), F.greatest("src", "dst").alias("dst")
+        )
+        .where(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+    with scoped_shuffle_partitions(spark, shuffle_n):
+        delta = levels[-1].select(
+            "root", "id", "sigma", F.lit(0.0).alias("delta")
+        ) if levels else None
+        edge_terms = None
+        for lvl in range(len(levels) - 2, -1, -1):
+            succ = delta.select(
+                "root", F.col("id").alias("dst"),
+                ((F.lit(1.0) + F.col("delta")) / F.col("sigma")).alias("contrib"),
+            )
+            cur = levels[lvl].select("root", "id", "sigma")
+            # DAG edges at this level: graph edge src->dst with src at
+            # dist lvl (the cur join) and dst at dist lvl+1 (the succ join)
+            dag = sym.join(succ, "dst").join(
+                cur.select("root", F.col("id").alias("src"),
+                           F.col("sigma").alias("sig_u")),
+                ["root", "src"],
+            )
+            terms = dag.select(
+                F.least("src", "dst").alias("src"),
+                F.greatest("src", "dst").alias("dst"),
+                (F.col("sig_u") * F.col("contrib")).alias("term"),
+            )
+            edge_terms = (
+                terms if edge_terms is None
+                else edge_terms.unionByName(terms).transform(cheap_localCheckpoint)
+            )
+            gathered = (
+                sym.join(succ, "dst")
+                .groupBy("root", F.col("src").alias("id"))
+                .agg(F.sum("contrib").alias("g"))
+            )
+            delta = (
+                cur.join(gathered, ["root", "id"], "left")
+                .select(
+                    "root", "id", "sigma",
+                    (F.col("sigma") * F.coalesce("g", F.lit(0.0))).alias("delta"),
+                )
+                .transform(cheap_localCheckpoint)
+            )
+        scores = (
+            edge_terms.groupBy("src", "dst").agg(F.sum("term").alias("t"))
+            if edge_terms is not None else None
+        )
+        out = canon
+        if scores is not None:
+            out = canon.join(scores, ["src", "dst"], "left")
+        else:
+            out = canon.select("src", "dst", F.lit(None).cast("double").alias("t"))
+        out = out.select(
+            "src", "dst",
+            F.round(F.coalesce("t", F.lit(0.0)), 6).alias("edge_betweenness"),
+        ).persist()
         out.count()
     return out

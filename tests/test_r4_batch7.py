@@ -121,3 +121,48 @@ def test_conductance_isolated_class_small_side_denominator(spark):
     )
     got = {r.label: (r.cut_edges, r.volume, r.conductance) for r in out.collect()}
     assert got == {"A": (3, 3, 1.0), "B": (3, 3, 1.0)}
+
+
+# ------------------------------------------------ edge_betweenness_sampled
+
+
+def test_edge_betweenness_path_all_roots(spark):
+    from plato_spark.algos.betweenness import edge_betweenness_sampled
+
+    # path 0-1-2-3 with all 4 vertices as roots: undirected pair-count
+    # formula — c({i,i+1}) = 2 * (i+1) * (n-1-i) for full Brandes.
+    out = edge_betweenness_sampled(
+        _edges(spark, [(0, 1), (1, 2), (2, 3)]), num_samples=4
+    )
+    got = {(r.src, r.dst): r.edge_betweenness for r in out.collect()}
+    assert got == {(0, 1): 6.0, (1, 2): 8.0, (2, 3): 6.0}
+
+
+def test_edge_betweenness_diamond_split_paths(spark):
+    from plato_spark.algos.betweenness import edge_betweenness_sampled
+
+    # diamond 0-1-3, 0-2-3: two shortest 0..3 paths, each side edge gets
+    # half the 0<->3 dependency.  Full 4-root Brandes by hand:
+    # sigma/delta symmetric — each of the 4 edges scores identically.
+    out = edge_betweenness_sampled(
+        _edges(spark, [(0, 1), (0, 2), (1, 3), (2, 3)]), num_samples=4
+    )
+    got = {(r.src, r.dst): r.edge_betweenness for r in out.collect()}
+    assert set(got) == {(0, 1), (0, 2), (1, 3), (2, 3)}
+    vals = set(got.values())
+    assert len(vals) == 1  # full symmetry
+    # each root contributes: its 2 incident DAG edges carry 1 + 0.5 = 1.5
+    # and the opposite 2 edges carry 0.5 each -> per-edge total over the
+    # 4 roots = 2*1.5 + 2*0.5 = 4.0
+    assert vals == {4.0}
+
+
+def test_edge_betweenness_bridge_dominates(spark):
+    from plato_spark.algos.betweenness import edge_betweenness_sampled
+
+    # two triangles + bridge: the bridge edge must strictly dominate
+    out = edge_betweenness_sampled(_edges(spark, TWO_TRIANGLES), num_samples=6)
+    got = {(r.src, r.dst): r.edge_betweenness for r in out.collect()}
+    bridge = got[(2, 3)]
+    assert all(bridge > v for k, v in got.items() if k != (2, 3))
+    assert len(got) == 7
