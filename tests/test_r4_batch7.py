@@ -166,3 +166,50 @@ def test_edge_betweenness_bridge_dominates(spark):
     bridge = got[(2, 3)]
     assert all(bridge > v for k, v in got.items() if k != (2, 3))
     assert len(got) == 7
+
+
+# --------------------------------------------------------- onion_layers
+
+
+def test_onion_triangle_pendant(spark):
+    from plato_spark.algos.kcore import onion_layers
+
+    out = onion_layers(_edges(spark, [(0, 1), (1, 2), (0, 2), (0, 3)]))
+    got = {r.id: (r.layer, r.core) for r in out.collect()}
+    # round 1: min deg 1 -> pendant 3 removed at k=1;
+    # round 2: all remaining have deg 2 -> triangle removed at k=2
+    assert got == {3: (1, 1), 0: (2, 2), 1: (2, 2), 2: (2, 2)}
+
+
+def test_onion_star_center_outlasts_leaves(spark):
+    from plato_spark.algos.kcore import onion_layers
+
+    out = onion_layers(_edges(spark, [(0, 1), (0, 2), (0, 3)]))
+    got = {r.id: (r.layer, r.core) for r in out.collect()}
+    # leaves peel first at k=1; the center drops to degree 0 and peels
+    # the NEXT round, still core 1 but one layer deeper
+    assert got == {1: (1, 1), 2: (1, 1), 3: (1, 1), 0: (2, 1)}
+
+
+def test_onion_core_equals_kcore(spark):
+    from plato_spark.algos.kcore import kcore, onion_layers
+
+    n = 24
+    edges = sorted({((5 * i + 2) % n, (9 * i + 7) % n) for i in range(50)})
+    edges = [(a, b) for a, b in edges if a != b]
+    canon = sorted({(min(a, b), max(a, b)) for a, b in edges})
+    e = _edges(spark, canon)
+    peel = {r.id: r.core for r in onion_layers(e).collect()}
+    hidx = {r.id: r.coreness for r in kcore(e).collect()}
+    assert peel == hidx
+
+
+def test_onion_chain_peels_outside_in(spark):
+    from plato_spark.algos.kcore import onion_layers
+
+    # path 0-1-2-3-4: both endpoints peel each round, meeting in the middle
+    out = onion_layers(_edges(spark, [(0, 1), (1, 2), (2, 3), (3, 4)]))
+    got = {r.id: (r.layer, r.core) for r in out.collect()}
+    assert got == {
+        0: (1, 1), 4: (1, 1), 1: (2, 1), 3: (2, 1), 2: (3, 1),
+    }
