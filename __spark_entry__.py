@@ -4424,6 +4424,36 @@ def q_lang_conductance(spark, sf_dir):
     )
 
 
+def q_asof_attribution(spark, sf_dir):
+    """Backward as-of join (last-touch attribution): each purchase event
+    matched to the user's latest view/click at or before it
+    (functions/events.asof_attribution — tagged union + one running
+    window, never a per-row inequality subquery; oracle is DuckDB's
+    LATERAL top-1, a genuinely different plan)."""
+    from plato_spark.functions.events import asof_attribution
+
+    return asof_attribution(load_table(spark, sf_dir, "events"))
+
+
+def q_interval_counts(spark, sf_dir):
+    """Banded range join: per error event, the same user's view/click
+    count in the strictly-preceding 10 minutes
+    (functions/events.interval_counts — time-bucket equi-join with a
+    2-bucket probe explode; oracle is the naive inequality join)."""
+    from plato_spark.functions.events import interval_counts
+
+    return interval_counts(load_table(spark, sf_dir, "events"), window_s=600)
+
+
+def q_pricing_summary(spark, sf_dir):
+    """TPC-H-Q1-shape pricing summary over lineitem: exact integer-cents
+    folds at scales 1e2/1e4/1e6, one rounded IEEE division per average
+    (functions/relational.pricing_summary)."""
+    from plato_spark.functions.relational import pricing_summary
+
+    return pricing_summary(load_table(spark, sf_dir, "lineitem"))
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
@@ -4447,6 +4477,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # regardless of rotation position.
     return {
         # -- r4 head block 0: brand-new this session --
+        "asof_attribution": q_asof_attribution,
+        "interval_counts": q_interval_counts,
+        "pricing_summary": q_pricing_summary,
         "hub_removal": q_hub_removal,
         "component_stability": q_component_stability,
         "degree_incremental": q_degree_incremental,
@@ -4648,6 +4681,57 @@ def oracle_sql() -> dict[str, str]:
 
     stop_re = "(?i)\\b(the|a|of|and|to|in|is|for|on|with)\\b"
     return {
+        "asof_attribution": """
+WITH l AS (SELECT event_id AS conversion_id, user_id, ts
+           FROM events WHERE event_type = 'purchase'),
+r AS (SELECT event_id, user_id, ts
+      FROM events WHERE event_type IN ('view', 'click'))
+SELECT l.conversion_id, l.user_id,
+       m.event_id AS touch_id,
+       CASE WHEN m.event_id IS NOT NULL
+            THEN epoch_us(l.ts) - epoch_us(m.ts) END AS gap_us
+FROM l LEFT JOIN LATERAL (
+  SELECT r.event_id, r.ts FROM r
+  WHERE r.user_id = l.user_id AND r.ts <= l.ts
+  ORDER BY r.ts DESC, r.event_id DESC LIMIT 1) m ON true
+ORDER BY conversion_id""",
+        "interval_counts": """
+WITH l AS (SELECT event_id, user_id, epoch_us(ts) AS lts
+           FROM events WHERE event_type = 'error'),
+r AS (SELECT user_id, epoch_us(ts) AS rts
+      FROM events WHERE event_type IN ('view', 'click'))
+SELECT l.event_id, l.user_id,
+       CAST(count(r.rts) AS BIGINT) AS n_touches
+FROM l LEFT JOIN r
+  ON l.user_id = r.user_id
+ AND r.rts < l.lts AND r.rts >= l.lts - 600000000
+GROUP BY l.event_id, l.user_id ORDER BY l.event_id""",
+        "pricing_summary": """
+WITH b AS (
+  SELECT l_returnflag, l_linestatus,
+         CAST(l_quantity AS BIGINT) AS qty,
+         CAST(round(l_extendedprice * 100, 0) AS BIGINT) AS pc,
+         CAST(round(l_discount * 100, 0) AS BIGINT) AS dc,
+         CAST(round(l_tax * 100, 0) AS BIGINT) AS tc
+  FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'),
+g AS (
+  SELECT l_returnflag, l_linestatus,
+         CAST(sum(qty) AS BIGINT) AS sum_qty,
+         CAST(sum(pc) AS BIGINT) AS base_c,
+         CAST(sum(pc * (100 - dc)) AS BIGINT) AS dp_u,
+         CAST(sum(pc * (100 - dc) * (100 + tc)) AS BIGINT) AS ch_u,
+         CAST(sum(dc) AS BIGINT) AS dcs,
+         CAST(count(*) AS BIGINT) AS n
+  FROM b GROUP BY l_returnflag, l_linestatus)
+SELECT l_returnflag, l_linestatus, sum_qty,
+       round(CAST(base_c AS DOUBLE) / 100.0, 2) AS sum_base,
+       round(CAST(dp_u AS DOUBLE) / 1e4, 2) AS sum_disc_price,
+       round(CAST(ch_u AS DOUBLE) / 1e6, 2) AS sum_charge,
+       round(CAST(sum_qty AS DOUBLE) / n, 6) AS avg_qty,
+       round(CAST(base_c AS DOUBLE) / (100.0 * n), 6) AS avg_price,
+       round(CAST(dcs AS DOUBLE) / (100.0 * n), 6) AS avg_disc,
+       n
+FROM g ORDER BY l_returnflag, l_linestatus""",
         "scc_condensation": f"""
             WITH dd AS (SELECT DISTINCT doc_id FROM documents),
             d AS (SELECT CAST(row_number() OVER (ORDER BY doc_id) - 1

@@ -18,7 +18,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["funnel_counts"]
+__all__ = ["funnel_counts", "asof_attribution", "interval_counts"]
 
 
 def funnel_counts(
@@ -283,4 +283,143 @@ def markov_eval(
             F.col("n_eval") > 0,
             F.round(F.col("correct").cast("double") / F.col("n_eval"), 6),
         ).alias("accuracy"),
+    )
+
+
+def asof_attribution(
+    events: DataFrame,
+    conversion_type: str = "purchase",
+    touch_types: tuple = ("view", "click"),
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """(conversion_id, user_id, touch_id, gap_us) — backward as-of join:
+    each conversion event matched to the user's LATEST touch event at or
+    before the conversion timestamp (last-touch attribution), NULL when
+    no prior touch exists.
+
+    The scale-safe as-of plan is a tagged UNION + one running window —
+    never a per-row inequality subquery: both sides shuffle ONCE on the
+    user key, sort within the partition by (ts, side, id), and a running
+    ``last(touch, ignorenulls)`` carries the most recent touch forward
+    into each conversion row.  At 100 TB that is one exchange + one sort
+    — the same cost as a single repartition — vs. the quadratic blow-up
+    of a naive range join.  Per-user data volumes bound the sort run;
+    event streams are user-sharded by construction, so no single key
+    carries more than a user's history.
+
+    Total order within equal timestamps: touches sort BEFORE conversions
+    (at-or-before semantics include an equal-ts touch) and among equal-ts
+    touches the largest ``event_id`` wins — both engines replay the same
+    deterministic tie-break, so the match is engine-portable.  gap_us is
+    exact integer microseconds (the inter_event_gaps lesson: no float
+    time arithmetic).
+    """
+    from pyspark.sql import Window
+
+    us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    base = events.select(
+        F.col(user_col).alias("u"),
+        F.col(type_col).alias("t"),
+        us.alias("ts_us"),
+        F.col(id_col).alias("eid"),
+    )
+    touches = base.where(F.col("t").isin(list(touch_types))).select(
+        "u", "ts_us", F.lit(0).alias("side"), "eid"
+    )
+    convs = base.where(F.col("t") == conversion_type).select(
+        "u", "ts_us", F.lit(1).alias("side"), "eid"
+    )
+    w = (
+        Window.partitionBy("u")
+        .orderBy("ts_us", "side", "eid")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    tagged = touches.unionByName(convs)
+    carried = tagged.select(
+        "u", "ts_us", "side", "eid",
+        F.last(F.when(F.col("side") == 0, F.col("eid")), ignorenulls=True)
+        .over(w).alias("touch_id"),
+        F.last(F.when(F.col("side") == 0, F.col("ts_us")), ignorenulls=True)
+        .over(w).alias("touch_us"),
+    )
+    return (
+        carried.where(F.col("side") == 1)
+        .select(
+            F.col("eid").alias("conversion_id"),
+            F.col("u").alias("user_id"),
+            F.col("touch_id").cast("long").alias("touch_id"),
+            (F.col("ts_us") - F.col("touch_us")).cast("long").alias("gap_us"),
+        )
+    )
+
+
+def interval_counts(
+    events: DataFrame,
+    probe_type: str = "error",
+    touch_types: tuple = ("view", "click"),
+    window_s: int = 600,
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """(event_id, user_id, n_touches) — banded range join: for each
+    probe event, how many touch events the same user produced in the
+    strictly-preceding ``window_s``-second interval [ts - W, ts).
+
+    The inequality predicate alone would force a per-user cross product
+    (Catalyst plans non-equi joins as nested loops).  Banding converts it
+    to an EQUI-join: both sides bucket time into W-wide bins, a touch
+    lives in exactly one bin, and a probe's half-open window spans at
+    most two — so the probe side explodes to 2 rows and joins on
+    (user, bucket).  The exact filter then runs on the ~|window| rows a
+    bucket pair co-locates, never on the full per-user history.  At
+    100 TB: one shuffle keyed by (user, bucket) with bounded fan-out —
+    the standard interval-join banding every stream processor uses.
+
+    Exact integer microsecond arithmetic end-to-end; probes with no
+    preceding touch report 0 rather than vanishing.
+    """
+    wus = int(window_s) * 1_000_000
+    us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    base = events.select(
+        F.col(user_col).alias("u"),
+        F.col(type_col).alias("t"),
+        us.alias("ts_us"),
+        F.col(id_col).alias("eid"),
+    )
+    probes = base.where(F.col("t") == probe_type).select("u", "ts_us", "eid")
+    touches = base.where(F.col("t").isin(list(touch_types))).select(
+        "u",
+        F.col("ts_us").alias("r_us"),
+        F.floor(F.col("ts_us") / wus).alias("bucket"),
+    )
+    probed = probes.withColumn(
+        "bucket",
+        F.explode(
+            F.array(
+                F.floor(F.col("ts_us") / wus),
+                F.floor(F.col("ts_us") / wus) - 1,
+            )
+        ),
+    )
+    hits = (
+        probed.join(touches, ["u", "bucket"])
+        .where(
+            (F.col("r_us") < F.col("ts_us"))
+            & (F.col("r_us") >= F.col("ts_us") - wus)
+        )
+        .groupBy("eid")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_touches"))
+    )
+    return (
+        probes.join(hits, "eid", "left")
+        .select(
+            F.col("eid").alias("event_id"),
+            F.col("u").alias("user_id"),
+            F.coalesce("n_touches", F.lit(0)).cast("long").alias("n_touches"),
+        )
     )

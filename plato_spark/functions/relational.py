@@ -16,7 +16,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["revenue_rollup", "value_outliers"]
+__all__ = ["revenue_rollup", "value_outliers", "pricing_summary"]
 
 
 def _cents(col):
@@ -104,4 +104,61 @@ def value_outliers(
     return stats.join(out, "event_type", "left").select(
         "event_type", "n", "mean", "std",
         F.coalesce("n_outliers", F.lit(0)).cast("long").alias("n_outliers"),
+    )
+
+
+def pricing_summary(lineitem: DataFrame, cutoff: str = "1998-09-02") -> DataFrame:
+    """(l_returnflag, l_linestatus, sum_qty, sum_base, sum_disc_price,
+    sum_charge, avg_qty, avg_price, avg_disc, n) — the TPC-H-Q1-shape
+    pricing summary: one filtered scan, one map-side-combined
+    aggregation, no joins.
+
+    All money folds are exact integers so double reassociation never
+    touches the result: quantities are integral (cast to long), prices
+    hold 2 decimals (cents), discount/tax hold 2 decimals (scale 100) —
+    disc_price folds at scale 1e4, charge at scale 1e6.  int64 bounds:
+    charge units are ~1e11 per row, so a single (flag, status) group
+    overflows past ~9e7 rows; at 100 TB fold charge in DECIMAL(38,0) or
+    split the fold into (cents x disc) and a second tax multiply —
+    documented seam, same trade as style_divergence's double-fold
+    fallback.  The averages are one IEEE division each over
+    cross-engine-identical integer inputs, rounded 6dp at read-out.
+
+    The shipdate filter pushes to the parquet scan (PushedFilters), and
+    ReadSchema carries only the 7 referenced columns.
+    """
+    c_price = _cents(F.col("l_extendedprice"))
+    r_disc = F.round(F.col("l_discount") * 100, 0).cast("long")
+    r_tax = F.round(F.col("l_tax") * 100, 0).cast("long")
+    g = (
+        lineitem.where(
+            F.col("l_shipdate") <= F.lit(cutoff).cast("timestamp")
+        )
+        .select(
+            "l_returnflag", "l_linestatus",
+            F.col("l_quantity").cast("long").alias("qty"),
+            c_price.alias("pc"),
+            (c_price * (100 - r_disc)).alias("dp_u"),
+            (c_price * (100 - r_disc) * (100 + r_tax)).alias("ch_u"),
+            r_disc.alias("dc"),
+        )
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum("qty").cast("long").alias("sum_qty"),
+            F.sum("pc").cast("long").alias("base_c"),
+            F.sum("dp_u").cast("long").alias("dp_u"),
+            F.sum("ch_u").cast("long").alias("ch_u"),
+            F.sum("dc").cast("long").alias("dc"),
+            F.count(F.lit(1)).cast("long").alias("n"),
+        )
+    )
+    return g.select(
+        "l_returnflag", "l_linestatus", "sum_qty",
+        F.round(F.col("base_c") / F.lit(100.0), 2).alias("sum_base"),
+        F.round(F.col("dp_u") / F.lit(1e4), 2).alias("sum_disc_price"),
+        F.round(F.col("ch_u") / F.lit(1e6), 2).alias("sum_charge"),
+        F.round(F.col("sum_qty").cast("double") / F.col("n"), 6).alias("avg_qty"),
+        F.round(F.col("base_c") / (F.lit(100.0) * F.col("n")), 6).alias("avg_price"),
+        F.round(F.col("dc") / (F.lit(100.0) * F.col("n")), 6).alias("avg_disc"),
+        "n",
     )

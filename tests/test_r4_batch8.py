@@ -1,0 +1,152 @@
+"""Round-4 batch 8: as-of attribution join, banded interval join,
+TPC-H-Q1-shape pricing summary."""
+
+from datetime import datetime
+
+from plato_spark.functions.events import asof_attribution, interval_counts
+from plato_spark.functions.relational import pricing_summary
+
+
+def _events(spark, rows):
+    # rows: (event_id, user_id, event_type, ts_seconds_offset)
+    base = datetime(2024, 1, 1)
+    data = [
+        (int(e), int(u), t, datetime.fromtimestamp(base.timestamp() + s))
+        for e, u, t, s in rows
+    ]
+    return spark.createDataFrame(
+        data, "event_id long, user_id long, event_type string, ts timestamp"
+    )
+
+
+# ---------------------------------------------------------- asof_attribution
+
+
+def test_asof_picks_latest_at_or_before(spark):
+    ev = _events(spark, [
+        (1, 7, "view", 10),
+        (2, 7, "click", 20),
+        (3, 7, "purchase", 30),   # matches click@20
+        (4, 7, "view", 40),
+        (5, 7, "purchase", 40),   # equal-ts touch counts (at-or-before)
+        (6, 9, "purchase", 5),    # user 9 has no touch -> NULL
+    ])
+    got = {r.conversion_id: (r.touch_id, r.gap_us)
+           for r in asof_attribution(ev).collect()}
+    assert got == {
+        3: (2, 10_000_000),
+        5: (4, 0),
+        6: (None, None),
+    }
+
+
+def test_asof_equal_ts_touch_tie_breaks_by_largest_id(spark):
+    ev = _events(spark, [
+        (1, 7, "view", 10),
+        (2, 7, "click", 10),   # same ts as event 1 -> larger id wins
+        (3, 7, "purchase", 11),
+    ])
+    got = asof_attribution(ev).collect()
+    assert len(got) == 1 and got[0].touch_id == 2
+
+
+def test_asof_touch_after_conversion_ignored(spark):
+    ev = _events(spark, [
+        (1, 7, "purchase", 10),
+        (2, 7, "view", 11),
+    ])
+    got = asof_attribution(ev).collect()
+    assert got[0].touch_id is None and got[0].gap_us is None
+
+
+# ----------------------------------------------------------- interval_counts
+
+
+def test_interval_window_boundaries(spark):
+    # window [lts - 600s, lts): touch exactly 600s before IS counted,
+    # touch at the probe instant is NOT
+    ev = _events(spark, [
+        (1, 7, "view", 0),      # exactly lts - W -> in
+        (2, 7, "click", 300),   # in
+        (3, 7, "view", 600),    # == lts -> out
+        (4, 7, "error", 600),
+        (5, 8, "error", 50),    # user 8: no touches -> 0
+    ])
+    got = {r.event_id: r.n_touches
+           for r in interval_counts(ev, window_s=600).collect()}
+    assert got == {4: 2, 5: 0}
+
+
+def test_interval_bucket_boundary_pairs_counted_once(spark):
+    # probe near the start of its bucket: the matching touch lives in
+    # the PREVIOUS bucket — the 2-bucket probe explode must find it,
+    # and a same-bucket touch must not be double-counted
+    ev = _events(spark, [
+        (1, 7, "view", 590),     # bucket 0, probe bucket 1 -> prev probe
+        (2, 7, "click", 610),    # bucket 1, same bucket as probe
+        (3, 7, "error", 650),
+    ])
+    got = {r.event_id: r.n_touches
+           for r in interval_counts(ev, window_s=600).collect()}
+    assert got == {3: 2}
+
+
+def test_interval_other_users_excluded(spark):
+    ev = _events(spark, [
+        (1, 8, "view", 100),
+        (2, 7, "error", 150),
+    ])
+    got = interval_counts(ev, window_s=600).collect()
+    assert got[0].n_touches == 0
+
+
+# ----------------------------------------------------------- pricing_summary
+
+
+def _lineitem(spark, rows):
+    # (flag, status, qty, price, disc, tax, shipdate)
+    data = [
+        (f, s, float(q), float(p), float(d), float(t), datetime(1997, 1, 1))
+        for f, s, q, p, d, t in rows
+    ]
+    return spark.createDataFrame(
+        data,
+        "l_returnflag string, l_linestatus string, l_quantity double, "
+        "l_extendedprice double, l_discount double, l_tax double, "
+        "l_shipdate timestamp",
+    )
+
+
+def test_pricing_summary_hand_computed(spark):
+    li = _lineitem(spark, [
+        ("A", "F", 10, 100.00, 0.05, 0.10),
+        ("A", "F", 20, 200.00, 0.10, 0.00),
+    ])
+    r = pricing_summary(li).collect()
+    assert len(r) == 1
+    row = r[0]
+    assert row.sum_qty == 30 and row.n == 2
+    assert row.sum_base == 300.0
+    # disc prices: 95 + 180 = 275
+    assert row.sum_disc_price == 275.0
+    # charges: 95*1.10 + 180*1.00 = 104.5 + 180 = 284.5
+    assert row.sum_charge == 284.5
+    assert row.avg_qty == 15.0
+    assert row.avg_price == 150.0
+    assert abs(row.avg_disc - 0.075) < 1e-12
+
+
+def test_pricing_summary_cutoff_filters(spark):
+    base = datetime(1997, 1, 1)
+    late = datetime(1999, 1, 1)
+    li = spark.createDataFrame(
+        [
+            ("N", "O", 5.0, 50.0, 0.0, 0.0, base),
+            ("N", "O", 7.0, 70.0, 0.0, 0.0, late),  # past cutoff -> dropped
+        ],
+        "l_returnflag string, l_linestatus string, l_quantity double, "
+        "l_extendedprice double, l_discount double, l_tax double, "
+        "l_shipdate timestamp",
+    )
+    r = pricing_summary(li).collect()
+    assert len(r) == 1 and r[0].sum_qty == 5 and r[0].n == 1
