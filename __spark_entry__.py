@@ -128,9 +128,21 @@ def _sql_pagerank(
     (lost-mass convention on both engines: a vertex with no out-edges
     contributes nothing, its rank mass decays).
     """
+    return (
+        (prefix if prefix is not None else SQL_GRAPH_PREFIX)
+        + ", " + ",\n".join(_sql_pagerank_ctes(iters, damping, weighted))
+        + f"\nSELECT id, round(rank, 6) AS rank FROM r{iters} ORDER BY id"
+    )
+
+
+def _sql_pagerank_ctes(iters: int, damping: float = 0.85,
+                       weighted: bool = False) -> list:
+    """Unrolled power-iteration CTE chain r0..r{iters} over the
+    edges/verts/deg contract — shared by the pagerank-family oracles and
+    the pagerank_trace oracle (which reads EVERY intermediate round)."""
     div = "d.wsum" if weighted else "d.deg"
     contrib = "r.rank / " + div + (" * e.weight" if weighted else "")
-    ctes = [f"r0 AS MATERIALIZED (SELECT id, CAST(1.0 AS DOUBLE) AS rank FROM verts)"]
+    ctes = ["r0 AS MATERIALIZED (SELECT id, CAST(1.0 AS DOUBLE) AS rank FROM verts)"]
     for k in range(iters):
         ctes.append(
             f"""r{k + 1} AS MATERIALIZED (
@@ -140,10 +152,31 @@ def _sql_pagerank(
     FROM edges e JOIN r{k} r ON e.src = r.id JOIN deg d ON e.src = d.id
     GROUP BY e.dst) s ON v.id = s.id)"""
         )
+    return ctes
+
+
+def _sql_pagerank_trace(iters: int, damping: float = 0.85) -> str:
+    """Mirror of algos/pagerank.pagerank_trace: per-round (changed,
+    max_delta) computed from the 6dp-pre-rounded rank chain — changed is
+    an exact integer, max_delta an order-independent max of identical
+    IEEE subtractions, so no accumulation-order-sensitive L1 sum ever
+    crosses the engine boundary."""
+    rounds = ",\n".join(
+        f"""t{k} AS (
+  SELECT CAST({k} AS BIGINT) AS round,
+         CAST(sum(CASE WHEN round(n.rank, 6) <> round(o.rank, 6)
+                       THEN 1 ELSE 0 END) AS BIGINT) AS changed,
+         round(max(round(abs(round(n.rank, 6) - round(o.rank, 6)), 6)),
+               6) AS max_delta
+  FROM r{k} n JOIN r{k - 1} o ON n.id = o.id)"""
+        for k in range(1, iters + 1)
+    )
+    union = "\nUNION ALL ".join(f"SELECT * FROM t{k}" for k in range(1, iters + 1))
     return (
-        (prefix if prefix is not None else SQL_GRAPH_PREFIX)
-        + ", " + ",\n".join(ctes)
-        + f"\nSELECT id, round(rank, 6) AS rank FROM r{iters} ORDER BY id"
+        SQL_GRAPH_PREFIX + ", "
+        + ",\n".join(_sql_pagerank_ctes(iters, damping))
+        + ",\n" + rounds
+        + f"\n{union} ORDER BY round"
     )
 
 
@@ -4445,6 +4478,16 @@ def q_interval_counts(spark, sf_dir):
     return interval_counts(load_table(spark, sf_dir, "events"), window_s=600)
 
 
+def q_pagerank_trace(spark, sf_dir):
+    """Per-superstep PageRank convergence trace
+    (algos/pagerank.pagerank_trace): changed-count + max-delta per round
+    from the 6dp-pre-rounded rank vectors — the float-fixpoint sibling
+    of wcc_trace, PR_ITERS pinned rounds."""
+    from plato_spark.algos.pagerank import pagerank_trace
+
+    return pagerank_trace(_sym(spark, sf_dir), rounds=PR_ITERS)
+
+
 def q_pricing_summary(spark, sf_dir):
     """TPC-H-Q1-shape pricing summary over lineitem: exact integer-cents
     folds at scales 1e2/1e4/1e6, one rounded IEEE division per average
@@ -4480,6 +4523,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_attribution": q_asof_attribution,
         "interval_counts": q_interval_counts,
         "pricing_summary": q_pricing_summary,
+        "pagerank_trace": q_pagerank_trace,
         "hub_removal": q_hub_removal,
         "component_stability": q_component_stability,
         "degree_incremental": q_degree_incremental,
@@ -5509,6 +5553,7 @@ FROM cls""",
                     (SELECT CAST(max(id) AS BIGINT) FROM verts) AS max_id,
                     (SELECT CAST(count(*) AS BIGINT) FROM canon) AS n_edges""",
         "pagerank": _sql_pagerank(PR_ITERS),
+        "pagerank_trace": _sql_pagerank_trace(PR_ITERS),
         "pagerank_spmv": _sql_pagerank(PR_ITERS),
         "pagerank_weighted": _sql_pagerank(PRW_ITERS, weighted=True),
         "personalized_pagerank": _sql_ppr(PPR_ITERS, n_sources=PPR_SOURCES),

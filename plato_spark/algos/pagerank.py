@@ -292,3 +292,92 @@ def personalized_pagerank(
                 .transform(cheap_localCheckpoint)
             )
     return state.select("id", "rank")
+
+
+def pagerank_trace(edges: DataFrame, damping: float = 0.85,
+                   rounds: int = 10) -> DataFrame:
+    """(round, changed, max_delta) — per-superstep convergence trace of
+    the power iteration: the epoch metrics plato prints per round
+    (pagerank.hpp:100-146 logs the L1 delta each epoch; the watch-dog
+    sizes the next exchange off it) promoted to a first-class,
+    oracle-checkable table — the wcc_trace sibling for the float
+    fixpoint family.
+
+    Cross-engine float discipline: both metrics derive from the
+    6dp-PRE-ROUNDED rank vectors (the registered pagerank gate proves
+    round(rank, 6) agrees between engines at every pinned superstep
+    count), so ``changed`` = |{v : round(r_k) != round(r_{k-1})}| is an
+    exact integer and ``max_delta`` = max_v round(|round(r_k) -
+    round(r_{k-1})|, 6) is a max — order-independent — over
+    cross-engine-identical IEEE subtractions.  A raw L1 SUM of deltas
+    would be accumulation-order-sensitive and is deliberately NOT
+    emitted (the value_outliers / degree_gini lesson).
+
+    One shuffle join + one map-side-combined aggregation per superstep
+    plus ONE scalar action collecting both metrics; per-round state is
+    stats-less-localCheckpointed (the ktruss re-peel plan shape), so
+    the plan never compounds across rounds.  Exactly ``rounds`` rows;
+    after numeric convergence trailing rows report (0, 0.0).
+    """
+    spark = edges.sparkSession
+    e0 = edges.select("src", "dst").persist()
+    n_edges = e0.count()
+    shuffle_n = auto_shuffle_partitions(spark, n_edges)
+    e = e0.repartition(shuffle_n, "src").persist()
+    e.count()
+    e0.unpersist()
+
+    deg = e.groupBy(F.col("src").alias("id")).agg(
+        F.count(F.lit(1)).cast("long").alias("deg")
+    )
+    verts = (
+        e.select(F.col("src").alias("id"))
+        .unionByName(e.select(F.col("dst").alias("id")))
+        .distinct()
+        .repartition(shuffle_n, "id")
+        .persist()
+    )
+    verts.count()
+
+    state = verts.select("id", F.lit(1.0).alias("rank"))
+    state = cheap_localCheckpoint(state)
+    trace: list[tuple[int, int, float]] = []
+    for k in range(1, rounds + 1):
+        contribs = (
+            state.join(deg, "id")
+            .select(F.col("id").alias("src"),
+                    (F.col("rank") / F.col("deg")).alias("contrib"))
+        )
+        g = (
+            e.join(contribs, "src")
+            .groupBy(F.col("dst").alias("id"))
+            .agg(F.sum("contrib").alias("g"))
+        )
+        new_state = (
+            verts.join(g, "id", "left")
+            .select(
+                "id",
+                (F.lit(1.0 - damping)
+                 + F.lit(damping) * F.coalesce("g", F.lit(0.0))).alias("rank"),
+            )
+        )
+        new_state = cheap_localCheckpoint(new_state)
+        r_old = F.round(F.col("o.rank"), 6)
+        r_new = F.round(F.col("n.rank"), 6)
+        m = (
+            state.alias("o").join(new_state.alias("n"), "id")
+            .agg(
+                F.sum(F.when(r_new != r_old, 1).otherwise(0))
+                .cast("long").alias("changed"),
+                F.round(F.max(F.round(F.abs(r_new - r_old), 6)), 6)
+                .alias("max_delta"),
+            )
+            .collect()[0]
+        )
+        trace.append((k, int(m["changed"]), float(m["max_delta"])))
+        state = new_state
+    e.unpersist()
+    verts.unpersist()
+    return spark.createDataFrame(
+        trace, "round BIGINT, changed BIGINT, max_delta DOUBLE"
+    )

@@ -150,3 +150,55 @@ def test_pricing_summary_cutoff_filters(spark):
     )
     r = pricing_summary(li).collect()
     assert len(r) == 1 and r[0].sum_qty == 5 and r[0].n == 1
+
+
+# ------------------------------------------------------------ pagerank_trace
+
+
+def test_pagerank_trace_regular_graph_fixed_point(spark):
+    # symmetrized 3-cycle: every vertex deg 2, contrib sums to 1.0 each
+    # round -> rank stays exactly 1.0; trace must be all-zero rows
+    from plato_spark.algos.pagerank import pagerank_trace
+
+    e = _sym_edges(spark, [(0, 1), (1, 2), (2, 0)])
+    t = pagerank_trace(e, rounds=4).collect()
+    assert [(r.round, r.changed, r.max_delta) for r in t] == [
+        (1, 0, 0.0), (2, 0, 0.0), (3, 0, 0.0), (4, 0, 0.0),
+    ]
+
+
+def test_pagerank_trace_star_matches_python_mirror(spark):
+    from plato_spark.algos.pagerank import pagerank_trace
+
+    edges = [(0, 1), (0, 2), (0, 3)]
+    e = _sym_edges(spark, edges)
+    # python mirror of the rounded chain
+    adj = {0: [1, 2, 3], 1: [0], 2: [0], 3: [0]}
+    rank = {v: 1.0 for v in adj}
+    expect = []
+    for k in range(1, 6):
+        new = {
+            v: 0.15 + 0.85 * sum(rank[u] / len(adj[u]) for u in adj[v])
+            for v in adj
+        }
+        ro = {v: round(rank[v], 6) for v in adj}
+        rn = {v: round(new[v], 6) for v in adj}
+        changed = sum(1 for v in adj if ro[v] != rn[v])
+        max_delta = round(max(round(abs(rn[v] - ro[v]), 6) for v in adj), 6)
+        expect.append((k, changed, max_delta))
+        rank = new
+    got = [(r.round, r.changed, r.max_delta)
+           for r in pagerank_trace(e, rounds=5).collect()]
+    # the mirror's RAW chain differs from Spark's by summation-order ULPs,
+    # so a 6dp boundary can flip in the mirror (the engine pair is safe:
+    # both derive deltas from identical pre-rounded inputs, proven by the
+    # gate at two SFs) — integers exact, float within one 6dp step
+    assert [(r, c) for r, c, _ in got] == [(r, c) for r, c, _ in expect]
+    for (_, _, g), (_, _, x) in zip(got, expect):
+        assert abs(g - x) <= 2e-6
+
+
+def _sym_edges(spark, edges):
+    rows = [(int(a), int(b)) for a, b in edges]
+    rows += [(b, a) for a, b in rows]
+    return spark.createDataFrame(rows, "src long, dst long")
