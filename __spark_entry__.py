@@ -4478,6 +4478,53 @@ def q_interval_counts(spark, sf_dir):
     return interval_counts(load_table(spark, sf_dir, "events"), window_s=600)
 
 
+BPE_MERGES = 8
+
+
+def q_bpe_merges(spark, sf_dir):
+    """First BPE_MERGES BPE merge rules learned over the corpus
+    (functions/bpe.bpe_merges): Zipf-collapsed distinct-word loop,
+    JVM-only pair counting + positional merge, TakeOrdered-1 per round
+    under the (count DESC, a, b) total order; self-pairs excluded so
+    the merge is a branch-free positional map on both engines."""
+    from plato_spark.functions.bpe import bpe_merges
+
+    return bpe_merges(load_table(spark, sf_dir, "documents"), merges=BPE_MERGES)
+
+
+def _sql_bpe_merges(merges: int) -> str:
+    """Mirror of functions/bpe.bpe_merges: unrolled per-round CTE chain
+    (pair counts -> top-1 -> positional merge via list comprehension)."""
+    ctes = [f"""toks AS MATERIALIZED (
+  SELECT unnest(regexp_extract_all(text, '{TOKEN_RE_SQL}')) AS w FROM documents),
+v AS MATERIALIZED (SELECT w, CAST(count(*) AS BIGINT) AS freq FROM toks GROUP BY w),
+w0 AS MATERIALIZED (
+  SELECT freq, list_append([w[i] for i in range(1, length(w)+1)], '</w>') AS s FROM v)"""]
+    for k in range(1, merges + 1):
+        ctes.append(f"""p{k} AS MATERIALIZED (
+  SELECT s[i] AS a, s[i+1] AS b, freq
+  FROM w{k - 1}, UNNEST(range(1, length(s))) AS r(i)),
+t{k} AS MATERIALIZED (
+  SELECT a, b, CAST(sum(freq) AS BIGINT) AS n
+  FROM p{k} WHERE a <> b GROUP BY a, b
+  ORDER BY n DESC, a, b LIMIT 1),
+w{k} AS MATERIALIZED (
+  SELECT freq,
+    list_filter([CASE WHEN i < length(s) AND s[i] = t.a AND s[i+1] = t.b
+                      THEN t.a || t.b
+                      WHEN i > 1 AND s[i] = t.b AND s[i-1] = t.a THEN NULL
+                      ELSE s[i] END
+                 for i in range(1, length(s)+1)],
+                x -> x IS NOT NULL) AS s
+  FROM w{k - 1}, t{k} t)""")
+    union = "\nUNION ALL ".join(
+        f"SELECT CAST({k} AS BIGINT) AS round, a AS sym_a, b AS sym_b,"
+        f" n AS pair_count FROM t{k}"
+        for k in range(1, merges + 1)
+    )
+    return "WITH " + ",\n".join(ctes) + "\n" + union + " ORDER BY round"
+
+
 def q_pagerank_trace(spark, sf_dir):
     """Per-superstep PageRank convergence trace
     (algos/pagerank.pagerank_trace): changed-count + max-delta per round
@@ -4524,6 +4571,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "interval_counts": q_interval_counts,
         "pricing_summary": q_pricing_summary,
         "pagerank_trace": q_pagerank_trace,
+        "bpe_merges": q_bpe_merges,
         "hub_removal": q_hub_removal,
         "component_stability": q_component_stability,
         "degree_incremental": q_degree_incremental,
@@ -5554,6 +5602,7 @@ FROM cls""",
                     (SELECT CAST(count(*) AS BIGINT) FROM canon) AS n_edges""",
         "pagerank": _sql_pagerank(PR_ITERS),
         "pagerank_trace": _sql_pagerank_trace(PR_ITERS),
+        "bpe_merges": _sql_bpe_merges(BPE_MERGES),
         "pagerank_spmv": _sql_pagerank(PR_ITERS),
         "pagerank_weighted": _sql_pagerank(PRW_ITERS, weighted=True),
         "personalized_pagerank": _sql_ppr(PPR_ITERS, n_sources=PPR_SOURCES),

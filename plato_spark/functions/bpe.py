@@ -1,0 +1,136 @@
+"""BPE merge learning — the tokenizer-training kernel of an LLM data
+pipeline (Sennrich et al. 2016, "Neural Machine Translation of Rare
+Words with Subword Units").
+
+The classic formulation never iterates over the corpus: it iterates over
+the DISTINCT-WORD table weighted by word frequency.  Zipf makes that the
+whole trick at 100 TB — a trillion-token corpus has a sub-billion word
+vocabulary, so one corpus-sized explode + groupBy up front collapses the
+iterative loop's working set by 3-4 orders of magnitude.  Each merge
+round is then:
+
+  - pair counting: one JVM higher-order ``transform`` building adjacent
+    symbol pairs per word (no shuffle), one explode, one
+    map-side-combined groupBy, and a TakeOrderedAndProject top-1 —
+    the reduce side sees one row per partition, not |pairs|;
+  - merge apply: a pure JVM ``transform`` + ``filter`` over the symbol
+    arrays — zero shuffle, zero Python;
+  - per-round state is stats-less-localCheckpointed so ten rounds never
+    compound the plan.
+
+Determinism / engine-portability contract:
+
+  - the winning pair is totally ordered by (count DESC, sym_a ASC,
+    sym_b ASC); symbols are ASCII ([A-Za-z0-9_] tokens plus the </w>
+    end-of-word marker), so string comparison is byte order on both
+    engines;
+  - self-pairs (a == b) are EXCLUDED from merge candidates.  That is
+    the one deliberate simplification vs. textbook BPE: with a != b,
+    occurrences of a pair can never overlap ("aaa" is the only overlap
+    shape), so the merge is expressible as a branch-free positional map
+    — keep s[i] unless it closes a pair, replace s[i] when it opens one
+    — identical in Spark ``transform`` and an unrolled DuckDB list
+    comprehension, with no data-dependent left-to-right scan.  Textbook
+    greedy-leftmost handling of self-pairs needs sequential state per
+    word; the restriction is documented, not hidden.
+
+Production note: real tokenizers learn 10k-100k merges; one driver
+round-trip per merge would not fly.  The standard parallel-BPE
+refinement — merge the top-M pairwise-DISJOINT pairs per round, which
+this plan supports by widening the top-1 to a top-M with a
+symbol-disjointness filter — cuts rounds to O(vocab_size / M).  The
+top-1 form here is the oracle-checkable core loop.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from plato_spark.engine.ckpt_blocks import cheap_localCheckpoint
+from plato_spark.functions.text import TOKEN_RE
+
+__all__ = ["bpe_merges"]
+
+END_MARK = "</w>"
+
+
+def bpe_merges(
+    df: DataFrame,
+    merges: int = 8,
+    text_col: str = "text",
+) -> DataFrame:
+    """(round, sym_a, sym_b, pair_count) — the first ``merges`` BPE merge
+    rules learned over the corpus, in order.
+
+    pair_count is the occurrence-weighted count (sum over words of
+    in-word occurrences times word frequency) at the moment the pair won
+    — exactly the number textbook BPE maximizes.  If the corpus runs out
+    of non-self pairs early, fewer than ``merges`` rows return.
+    """
+    spark = df.sparkSession
+    vocab = (
+        df.select(
+            F.explode(
+                F.regexp_extract_all(F.col(text_col), F.lit(TOKEN_RE), F.lit(0))
+            ).alias("w")
+        )
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).cast("long").alias("freq"))
+    )
+    syms = vocab.select(
+        "freq",
+        F.concat(
+            F.transform(
+                F.sequence(F.lit(1), F.length("w")),
+                lambda i: F.col("w").substr(i, F.lit(1)),
+            ),
+            F.array(F.lit(END_MARK)),
+        ).alias("s"),
+    )
+    syms = cheap_localCheckpoint(syms)
+
+    rows: list[tuple[int, str, str, int]] = []
+    for r in range(1, merges + 1):
+        pairs = syms.select(
+            "freq",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.size("s") - 1),
+                    lambda i: F.struct(
+                        F.get("s", i - 1).alias("a"), F.get("s", i).alias("b")
+                    ),
+                )
+            ).alias("p"),
+        ).select("freq", "p.a", "p.b")
+        top = (
+            pairs.where(F.col("a") != F.col("b"))
+            .groupBy("a", "b")
+            .agg(F.sum("freq").cast("long").alias("n"))
+            .orderBy(F.desc("n"), F.asc("a"), F.asc("b"))
+            .limit(1)
+            .collect()
+        )
+        if not top:
+            break
+        a, b, n = top[0]["a"], top[0]["b"], int(top[0]["n"])
+        rows.append((r, a, b, n))
+        ab = a + b
+        merged = F.filter(
+            F.transform(
+                "s",
+                lambda x, i: F.when(
+                    (x == F.lit(a)) & (F.get("s", i + 1) == F.lit(b)), F.lit(ab)
+                )
+                .when(
+                    (x == F.lit(b)) & (F.get("s", i - 1) == F.lit(a)),
+                    F.lit(None).cast("string"),
+                )
+                .otherwise(x),
+            ),
+            lambda x: x.isNotNull(),
+        )
+        syms = cheap_localCheckpoint(syms.select("freq", merged.alias("s")))
+    return spark.createDataFrame(
+        rows, "round BIGINT, sym_a STRING, sym_b STRING, pair_count BIGINT"
+    )
