@@ -4478,6 +4478,55 @@ def q_interval_counts(spark, sf_dir):
     return interval_counts(load_table(spark, sf_dir, "events"), window_s=600)
 
 
+SIMRANK_K = 32
+SIMRANK_ITERS = 5
+
+
+def q_simrank(spark, sf_dir):
+    """SimRank structural similarity among the SIMRANK_K highest-degree
+    vertices over their induced subgraph (algos/simrank.simrank_topk):
+    the seeded production shape of the inherently-quadratic pair
+    iteration, SIMRANK_ITERS pinned rounds, 6dp read-out round."""
+    from plato_spark.algos.simrank import simrank_topk
+
+    return simrank_topk(_sym(spark, sf_dir), k=SIMRANK_K,
+                        iters=SIMRANK_ITERS)
+
+
+def _sql_simrank(k: int, iters: int, c: float = 0.8) -> str:
+    """Mirror of algos/simrank.simrank_topk over the co-occurrence
+    graph: unrolled pair-state chain s0..s{iters}."""
+    ctes = [f"""topk AS MATERIALIZED (
+  SELECT id FROM deg ORDER BY deg DESC, id ASC LIMIT {k}),
+esub AS MATERIALIZED (
+  SELECT e.src, e.dst FROM edges e
+  JOIN topk x ON e.src = x.id JOIN topk y ON e.dst = y.id),
+dsub AS MATERIALIZED (
+  SELECT src AS id, CAST(count(*) AS BIGINT) AS deg FROM esub GROUP BY src),
+prs AS MATERIALIZED (
+  SELECT x.id AS a, y.id AS b,
+         COALESCE(da.deg, 0) AS da, COALESCE(db.deg, 0) AS db
+  FROM topk x CROSS JOIN topk y
+  LEFT JOIN dsub da ON x.id = da.id LEFT JOIN dsub db ON y.id = db.id),
+s0 AS MATERIALIZED (
+  SELECT a, b, CASE WHEN a = b THEN 1.0 ELSE 0.0 END AS s FROM prs)"""]
+    for i in range(iters):
+        ctes.append(f"""s{i + 1} AS MATERIALIZED (
+  SELECT p.a, p.b,
+         CASE WHEN p.a = p.b THEN 1.0
+              WHEN p.da > 0 AND p.db > 0
+              THEN {c} * COALESCE(g.g, 0.0) / (p.da * p.db)
+              ELSE 0.0 END AS s
+  FROM prs p LEFT JOIN (
+    SELECT ea.src AS a, eb.src AS b, sum(s.s) AS g
+    FROM esub ea JOIN s{i} s ON ea.dst = s.a JOIN esub eb ON eb.dst = s.b
+    GROUP BY ea.src, eb.src) g ON p.a = g.a AND p.b = g.b)""")
+    return (
+        SQL_GRAPH_PREFIX + ", " + ",\n".join(ctes)
+        + f"\nSELECT a, b, round(s, 6) AS sim FROM s{iters} ORDER BY a, b"
+    )
+
+
 BPE_MERGES = 8
 
 
@@ -4572,6 +4621,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pricing_summary": q_pricing_summary,
         "pagerank_trace": q_pagerank_trace,
         "bpe_merges": q_bpe_merges,
+        "simrank": q_simrank,
         "hub_removal": q_hub_removal,
         "component_stability": q_component_stability,
         "degree_incremental": q_degree_incremental,
@@ -5603,6 +5653,7 @@ FROM cls""",
         "pagerank": _sql_pagerank(PR_ITERS),
         "pagerank_trace": _sql_pagerank_trace(PR_ITERS),
         "bpe_merges": _sql_bpe_merges(BPE_MERGES),
+        "simrank": _sql_simrank(SIMRANK_K, SIMRANK_ITERS),
         "pagerank_spmv": _sql_pagerank(PR_ITERS),
         "pagerank_weighted": _sql_pagerank(PRW_ITERS, weighted=True),
         "personalized_pagerank": _sql_ppr(PPR_ITERS, n_sources=PPR_SOURCES),
