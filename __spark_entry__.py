@@ -4478,6 +4478,40 @@ def q_interval_counts(spark, sf_dir):
     return interval_counts(load_table(spark, sf_dir, "events"), window_s=600)
 
 
+def q_lsh_incremental(spark, sf_dir):
+    """Incremental MinHash-LSH near-dup index
+    (streaming/lsh_stream.merge_lsh_batch): the corpus arrives as three
+    micro-batches folded into a persisted band-bucket membership index
+    (idempotent distinct-union per bucket, epoch-tagged commits); the
+    final state's self-join equals batch minhash_lsh_candidates over
+    the union VERBATIM (telescoping invariant), so the unchanged batch
+    oracle applies."""
+    import shutil
+    import tempfile
+
+    from plato_spark.streaming.lsh_stream import (
+        merge_lsh_batch,
+        read_lsh_state,
+        state_candidates,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").persist()
+    sd = tempfile.mkdtemp(prefix="plato_inclsh_")
+    try:
+        for i in range(3):
+            merge_lsh_batch(
+                docs.where(F.pmod(F.xxhash64("doc_id"), F.lit(3)) == i),
+                sd, epoch_id=i, hash_impl="portable",
+            )
+        out = state_candidates(read_lsh_state(spark, sd)).localCheckpoint(
+            eager=True
+        )
+    finally:
+        shutil.rmtree(sd, ignore_errors=True)
+        docs.unpersist()
+    return out
+
+
 SIMRANK_K = 32
 SIMRANK_ITERS = 5
 
@@ -4622,6 +4656,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pagerank_trace": q_pagerank_trace,
         "bpe_merges": q_bpe_merges,
         "simrank": q_simrank,
+        "lsh_incremental": q_lsh_incremental,
         "hub_removal": q_hub_removal,
         "component_stability": q_component_stability,
         "degree_incremental": q_degree_incremental,
@@ -5654,6 +5689,7 @@ FROM cls""",
         "pagerank_trace": _sql_pagerank_trace(PR_ITERS),
         "bpe_merges": _sql_bpe_merges(BPE_MERGES),
         "simrank": _sql_simrank(SIMRANK_K, SIMRANK_ITERS),
+        "lsh_incremental": _sql_minhash_candidates(),
         "pagerank_spmv": _sql_pagerank(PR_ITERS),
         "pagerank_weighted": _sql_pagerank(PRW_ITERS, weighted=True),
         "personalized_pagerank": _sql_ppr(PPR_ITERS, n_sources=PPR_SOURCES),

@@ -133,6 +133,42 @@ def minhash_signatures(
     )
 
 
+def banded_rows(
+    sigs: DataFrame,
+    num_hashes: int,
+    bands: int,
+    hash_impl: str = "xxhash64",
+) -> DataFrame:
+    """(id, band, bucket) — one LSH band-bucket membership row per doc
+    per band, from a (id, sig: array<bigint>) signature table.  Shared
+    by the batch candidate join and the streaming index
+    (streaming/lsh_stream): the bucket key is the raw comma-joined band
+    slots for hash_impl='portable' (joins equal iff slots equal — no
+    engine-specific hash in the key) or an xxhash64 of it for the
+    narrower fast-path shuffle key."""
+    rows_per_band = num_hashes // bands
+
+    def _bucket(b):
+        slot_str = F.concat_ws(
+            ",",
+            F.transform(
+                F.slice("sig", b * rows_per_band + 1, rows_per_band),
+                lambda v: v.cast("string"),
+            ),
+        )
+        return slot_str if hash_impl == "portable" else F.xxhash64(slot_str).cast("string")
+
+    return sigs.select(
+        "id",
+        F.explode(
+            F.array(*[
+                F.struct(F.lit(b).alias("band"), _bucket(b).alias("bucket"))
+                for b in range(bands)
+            ])
+        ).alias("bb"),
+    ).select("id", "bb.band", "bb.bucket")
+
+
 def minhash_lsh_candidates(
     df: DataFrame,
     num_hashes: int = 64,
@@ -151,30 +187,8 @@ def minhash_lsh_candidates(
     hash_impl="portable" makes both the signatures and the bucket key
     engine-portable (oracle-checkable); "xxhash64" is the fast default.
     """
-    rows_per_band = num_hashes // bands
     sigs = minhash_signatures(df, num_hashes, n, text_col, id_col, hash_impl)
-
-    def _bucket(b):
-        slot_str = F.concat_ws(
-            ",",
-            F.transform(
-                F.slice("sig", b * rows_per_band + 1, rows_per_band),
-                lambda v: v.cast("string"),
-            ),
-        )
-        # portable: the raw slot string joins equal iff slots equal — no
-        # engine-specific hash in the key; xxhash64: narrower shuffle key
-        return slot_str if hash_impl == "portable" else F.xxhash64(slot_str).cast("string")
-
-    banded = sigs.select(
-        "id",
-        F.explode(
-            F.array(*[
-                F.struct(F.lit(b).alias("band"), _bucket(b).alias("bucket"))
-                for b in range(bands)
-            ])
-        ).alias("bb"),
-    ).select("id", "bb.band", "bb.bucket")
+    banded = banded_rows(sigs, num_hashes, bands, hash_impl)
     lhs = banded.select("band", "bucket", F.col("id").alias("a"))
     rhs = banded.select("band", "bucket", F.col("id").alias("b"))
     return (
