@@ -4512,6 +4512,64 @@ def q_lsh_incremental(spark, sf_dir):
     return out
 
 
+HIT_ROUNDS = 10
+HIT_SEEDS = 4
+
+
+def q_hitting_time(spark, sf_dir):
+    """Sarkar-Moore truncated hitting time to the HIT_SEEDS smallest
+    vertices (algos/hitting.truncated_hitting_time): HIT_ROUNDS pinned
+    Jacobi supersteps, 6dp read-out — the random-walk proximity
+    complement of personalized PageRank."""
+    from plato_spark.algos.hitting import truncated_hitting_time
+
+    sym = _sym(spark, sf_dir)
+    seeds = [
+        r["id"]
+        for r in sym.select(F.col("src").alias("id")).distinct()
+        .orderBy("id").limit(HIT_SEEDS).collect()
+    ]
+    return truncated_hitting_time(sym, seeds, rounds=HIT_ROUNDS)
+
+
+def _sql_hitting(iters: int, n_seeds: int) -> str:
+    """Mirror of algos/hitting.truncated_hitting_time over the
+    co-occurrence graph: unrolled Jacobi chain h0..h{iters}."""
+    ctes = [f"""srcs AS MATERIALIZED (SELECT id FROM verts ORDER BY id LIMIT {n_seeds}),
+hb AS MATERIALIZED (
+  SELECT v.id, d.deg,
+         CASE WHEN s.id IS NOT NULL THEN 1 ELSE 0 END AS is_seed
+  FROM verts v JOIN deg d ON v.id = d.id LEFT JOIN srcs s ON v.id = s.id),
+h0 AS MATERIALIZED (SELECT id, CAST(0.0 AS DOUBLE) AS h FROM verts)"""]
+    for k in range(iters):
+        ctes.append(f"""h{k + 1} AS MATERIALIZED (
+  SELECT b.id,
+         CASE WHEN b.is_seed = 1 THEN 0.0
+              ELSE 1.0 + COALESCE(g.g, 0.0) / b.deg END AS h
+  FROM hb b LEFT JOIN (
+    SELECT e.dst AS id, sum(h.h) AS g
+    FROM edges e JOIN h{k} h ON e.src = h.id GROUP BY e.dst) g
+    ON b.id = g.id)""")
+    return (
+        SQL_GRAPH_PREFIX + ", " + ",\n".join(ctes)
+        + f"\nSELECT id, round(h, 6) AS hit FROM h{iters} ORDER BY id"
+    )
+
+
+def q_shipping_priority(spark, sf_dir):
+    """TPC-H-Q3-shape top-10 unshipped-revenue orders for the BUILDING
+    segment (functions/relational.shipping_priority): broadcast
+    segment-filtered customers, exact integer revenue folds,
+    TakeOrderedAndProject under a total order."""
+    from plato_spark.functions.relational import shipping_priority
+
+    return shipping_priority(
+        load_table(spark, sf_dir, "orders"),
+        load_table(spark, sf_dir, "lineitem"),
+        load_table(spark, sf_dir, "customer"),
+    )
+
+
 SIMRANK_K = 32
 SIMRANK_ITERS = 5
 
@@ -4657,6 +4715,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_merges": q_bpe_merges,
         "simrank": q_simrank,
         "lsh_incremental": q_lsh_incremental,
+        "hitting_time": q_hitting_time,
+        "shipping_priority": q_shipping_priority,
         "hub_removal": q_hub_removal,
         "component_stability": q_component_stability,
         "degree_incremental": q_degree_incremental,
@@ -5690,6 +5750,25 @@ FROM cls""",
         "bpe_merges": _sql_bpe_merges(BPE_MERGES),
         "simrank": _sql_simrank(SIMRANK_K, SIMRANK_ITERS),
         "lsh_incremental": _sql_minhash_candidates(),
+        "hitting_time": _sql_hitting(HIT_ROUNDS, HIT_SEEDS),
+        "shipping_priority": """
+WITH li AS MATERIALIZED (
+  SELECT l_orderkey,
+         CAST(round(l_extendedprice * 100, 0) AS BIGINT)
+         * CAST(round((1 - l_discount) * 100, 0) AS BIGINT) AS rev_u
+  FROM lineitem WHERE l_shipdate > TIMESTAMP '1996-01-01'),
+g AS MATERIALIZED (
+  SELECT li.l_orderkey, strftime(o.o_orderdate, '%Y-%m-%d') AS o_orderdate,
+         o.o_orderpriority, CAST(sum(li.rev_u) AS BIGINT) AS rev_u
+  FROM li JOIN orders o ON li.l_orderkey = o.o_orderkey
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  WHERE o.o_orderdate < TIMESTAMP '1996-01-01'
+    AND c.c_mktsegment = 'BUILDING'
+  GROUP BY li.l_orderkey, strftime(o.o_orderdate, '%Y-%m-%d'),
+           o.o_orderpriority)
+SELECT l_orderkey, o_orderdate, o_orderpriority,
+       round(CAST(rev_u AS DOUBLE) / 1e4, 2) AS revenue
+FROM g ORDER BY rev_u DESC, o_orderdate ASC, l_orderkey ASC LIMIT 10""",
         "pagerank_spmv": _sql_pagerank(PR_ITERS),
         "pagerank_weighted": _sql_pagerank(PRW_ITERS, weighted=True),
         "personalized_pagerank": _sql_ppr(PPR_ITERS, n_sources=PPR_SOURCES),

@@ -162,3 +162,54 @@ def pricing_summary(lineitem: DataFrame, cutoff: str = "1998-09-02") -> DataFram
         F.round(F.col("dc") / (F.lit(100.0) * F.col("n")), 6).alias("avg_disc"),
         "n",
     )
+
+
+def shipping_priority(
+    orders: DataFrame,
+    lineitem: DataFrame,
+    customer: DataFrame,
+    segment: str = "BUILDING",
+    cutoff: str = "1996-01-01",
+    k: int = 10,
+) -> DataFrame:
+    """(l_orderkey, o_orderdate, o_orderpriority, revenue) — the TPC-H-Q3
+    shape: top-``k`` unshipped-revenue orders for one market segment
+    (ordered before the cutoff, shipped after it).
+
+    Plan: both date filters push to the parquet scans, the segment-
+    filtered customer list broadcasts (a fraction of an already-small
+    dimension), revenue folds as exact integer cents x 1e2 discount
+    units, and the top-k compiles to TakeOrderedAndProject under the
+    TOTAL order (revenue DESC, o_orderdate ASC, l_orderkey ASC) — each
+    partition ships k rows, never a global sort.  o_orderdate is
+    emitted as a yyyy-MM-dd string (the retention_cohorts portability
+    lesson)."""
+    rev = _cents(F.col("l_extendedprice")) * F.round(
+        (F.lit(1.0) - F.col("l_discount")) * 100, 0
+    ).cast("long")
+    cut = F.lit(cutoff).cast("timestamp")
+    li = lineitem.where(F.col("l_shipdate") > cut).select(
+        "l_orderkey", rev.alias("rev_u")
+    )
+    o = orders.where(F.col("o_orderdate") < cut).select(
+        "o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority"
+    )
+    c = customer.where(F.col("c_mktsegment") == segment).select("c_custkey")
+    g = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy(
+            "l_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_orderdate"),
+            "o_orderpriority",
+        )
+        .agg(F.sum("rev_u").cast("long").alias("rev_u"))
+    )
+    return (
+        g.orderBy(F.desc("rev_u"), F.asc("o_orderdate"), F.asc("l_orderkey"))
+        .limit(k)
+        .select(
+            "l_orderkey", "o_orderdate", "o_orderpriority",
+            F.round(F.col("rev_u") / F.lit(1e4), 2).alias("revenue"),
+        )
+    )

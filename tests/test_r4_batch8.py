@@ -202,3 +202,85 @@ def _sym_edges(spark, edges):
     rows = [(int(a), int(b)) for a, b in edges]
     rows += [(b, a) for a, b in rows]
     return spark.createDataFrame(rows, "src long, dst long")
+
+
+# -------------------------------------------------------- hitting / shipping
+
+
+def test_hitting_time_path_hand_values(spark):
+    # path 0-1-2, seed {0}: h(0)=0; mirror the Jacobi chain by hand
+    from plato_spark.algos.hitting import truncated_hitting_time
+
+    e = _sym_edges(spark, [(0, 1), (1, 2)])
+    got = {r.id: r.hit for r in
+           truncated_hitting_time(e, seeds=[0], rounds=3).collect()}
+    # h1: h(1)=1+ (h0(0)+h0(2))/2 = 1, h(2)=1+h0(1)=1
+    # h2: h(1)=1+(0+1)/2=1.5, h(2)=1+1=2
+    # h3: h(1)=1+(0+2)/2=2.0, h(2)=1+1.5=2.5
+    assert got == {0: 0.0, 1: 2.0, 2: 2.5}
+
+
+def test_hitting_time_unreachable_caps_at_rounds(spark):
+    from plato_spark.algos.hitting import truncated_hitting_time
+
+    # two components: seed in one; the other reports exactly T
+    e = _sym_edges(spark, [(0, 1), (5, 6)])
+    got = {r.id: r.hit for r in
+           truncated_hitting_time(e, seeds=[0], rounds=7).collect()}
+    assert got[5] == 7.0 and got[6] == 7.0
+    assert got[0] == 0.0 and got[1] == 1.0
+
+
+def test_hitting_time_mirror_on_seeded_graph(spark):
+    from plato_spark.algos.hitting import truncated_hitting_time
+
+    n = 15
+    edges = sorted({(min((3 * i + 1) % n, (7 * i + 2) % n),
+                     max((3 * i + 1) % n, (7 * i + 2) % n))
+                    for i in range(25)})
+    edges = [(a, b) for a, b in edges if a != b]
+    adj = {}
+    for a, b in edges:
+        adj.setdefault(a, []).append(b)
+        adj.setdefault(b, []).append(a)
+    seeds = {0, 1}
+    h = {v: 0.0 for v in adj}
+    for _ in range(6):
+        h = {v: 0.0 if v in seeds
+             else 1.0 + sum(h[u] for u in adj[v]) / len(adj[v])
+             for v in adj}
+    got = {r.id: r.hit for r in truncated_hitting_time(
+        _sym_edges(spark, edges), seeds=[0, 1], rounds=6).collect()}
+    for v in adj:
+        assert abs(got[v] - round(h[v], 6)) <= 2e-6
+
+
+def test_shipping_priority_hand_fixture(spark):
+    from datetime import datetime
+
+    from plato_spark.functions.relational import shipping_priority
+
+    orders = spark.createDataFrame(
+        [(1, 10, datetime(1995, 6, 1), "1-URGENT"),
+         (2, 20, datetime(1995, 7, 1), "5-LOW"),
+         (3, 10, datetime(1996, 2, 1), "2-HIGH")],   # ordered after cutoff
+        "o_orderkey long, o_custkey long, o_orderdate timestamp, "
+        "o_orderpriority string",
+    )
+    li = spark.createDataFrame(
+        [(1, 100.0, 0.0, datetime(1996, 3, 1)),
+         (1, 50.0, 0.5, datetime(1996, 3, 2)),
+         (2, 999.0, 0.0, datetime(1995, 1, 1)),      # shipped before cutoff
+         (3, 500.0, 0.0, datetime(1996, 6, 1))],
+        "l_orderkey long, l_extendedprice double, l_discount double, "
+        "l_shipdate timestamp",
+    )
+    cust = spark.createDataFrame(
+        [(10, "BUILDING"), (20, "BUILDING")],
+        "c_custkey long, c_mktsegment string",
+    )
+    got = shipping_priority(orders, li, cust).collect()
+    assert len(got) == 1
+    r = got[0]
+    assert r.l_orderkey == 1 and r.o_orderdate == "1995-06-01"
+    assert r.revenue == 125.0  # 100 + 50*0.5
