@@ -452,3 +452,103 @@ def test_ppr_sweep_topk_broadcast_no_cartesian(spark):
     assert "TakeOrderedAndProject" in p, p
     assert "BroadcastExchange" in p, p
     assert "CartesianProduct" not in p, p
+
+
+def test_asof_join_single_user_shuffle_no_inequality_join(spark):
+    # the as-of plan must be tagged-union + ONE user-keyed window —
+    # never a nested-loop/range join, and the window must be keyed on
+    # the user column (not a single global partition)
+    from datetime import datetime
+
+    from plato_spark.functions.events import asof_attribution
+
+    ev = spark.createDataFrame(
+        [(i, i % 3, "view" if i % 2 else "purchase",
+          datetime(2024, 1, 1, 0, 0, i)) for i in range(12)],
+        "event_id long, user_id long, event_type string, ts timestamp",
+    )
+    p = plan_of(asof_attribution(ev))
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p, p
+    norm = p.replace(" ", "").lower()
+    assert "windowspecdefinition(u" in norm, p
+
+
+def test_interval_join_is_equi_join_not_nested_loop(spark):
+    # banding must turn the range predicate into an equi hash join
+    from datetime import datetime
+
+    from plato_spark.functions.events import interval_counts
+
+    ev = spark.createDataFrame(
+        [(i, i % 3, "view" if i % 2 else "error",
+          datetime(2024, 1, 1, 0, 0, i)) for i in range(12)],
+        "event_id long, user_id long, event_type string, ts timestamp",
+    )
+    p = plan_of(interval_counts(ev))
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p, p
+
+
+def test_pricing_summary_pushes_filter_and_prunes_columns(spark):
+    from plato_spark.functions.relational import pricing_summary
+
+    li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+    p = plan_of(pricing_summary(li))
+    # shipdate filter reaches the scan; partial aggregation present
+    assert "PushedFilters" in p and "l_shipdate" in p.split("PushedFilters", 1)[1][:300], p
+    assert "partial" in p.lower(), p
+    # column pruning: join keys we never use must not be read
+    tail = p.split("ReadSchema", 1)[1][:400]
+    assert "l_partkey" not in tail and "l_suppkey" not in tail, p
+
+
+def test_shipping_priority_takeordered_and_broadcast_dims(spark):
+    from plato_spark.functions.relational import shipping_priority
+
+    o = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+    li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+    c = spark.read.parquet("/root/testdata/sf0.001/customer.parquet")
+    p = plan_of(shipping_priority(o, li, c))
+    assert "TakeOrderedAndProject" in p, p
+    assert "BroadcastExchange" in p, p
+    assert "CartesianProduct" not in p, p
+
+
+def test_bpe_merge_apply_has_no_shuffle_and_no_python(spark):
+    # one BPE round = pair-count aggregation (one exchange) + top-1;
+    # the merge APPLY itself must add no exchange and no Python eval
+    from plato_spark.functions.bpe import bpe_merges  # noqa: F401 (import path)
+    from pyspark.sql import functions as FF
+
+    docs = spark.createDataFrame(
+        [(0, "low lower lowest")], "doc_id long, text string"
+    )
+    vocab = docs.select(
+        FF.explode(FF.split("text", " ")).alias("w")
+    ).groupBy("w").agg(FF.count(FF.lit(1)).alias("freq"))
+    syms = vocab.select(
+        "freq",
+        FF.concat(
+            FF.transform(FF.sequence(FF.lit(1), FF.length("w")),
+                         lambda i: FF.col("w").substr(i, FF.lit(1))),
+            FF.array(FF.lit("</w>")),
+        ).alias("s"),
+    ).localCheckpoint(eager=True)
+    merged = syms.select(
+        "freq",
+        FF.filter(
+            FF.transform(
+                "s",
+                lambda x, i: FF.when(
+                    (x == FF.lit("l")) & (FF.get("s", i + 1) == FF.lit("o")),
+                    FF.lit("lo"),
+                ).when(
+                    (x == FF.lit("o")) & (FF.get("s", i - 1) == FF.lit("l")),
+                    FF.lit(None).cast("string"),
+                ).otherwise(x),
+            ),
+            lambda x: x.isNotNull(),
+        ).alias("s"),
+    )
+    p = plan_of(merged)
+    assert "Exchange" not in p, p
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p, p
