@@ -4512,6 +4512,95 @@ def q_lsh_incremental(spark, sf_dir):
     return out
 
 
+DIFF_ALPHA = 0.5
+DIFF_ROUNDS = 8
+
+
+def q_attr_diffusion(spark, sf_dir):
+    """Doc-length feature diffusion over the symmetrized citation graph
+    (algos/diffusion.attribute_diffusion): K-round (1-a)x0 + a*mean
+    neighbor smoothing — the regression sibling of label spreading and
+    the closed form of an untrained mean-aggregation GCN."""
+    from plato_spark.algos.diffusion import attribute_diffusion
+
+    cg = q_reference_graph(spark, sf_dir).select("src", "dst")
+    sym = cg.unionByName(
+        cg.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).distinct()
+    attrs = load_table(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("id"), F.col("n_chars").alias("x0")
+    )
+    return attribute_diffusion(sym, attrs, alpha=DIFF_ALPHA,
+                               rounds=DIFF_ROUNDS)
+
+
+def _sql_attr_diffusion(iters: int, alpha: float) -> str:
+    """Mirror of q_attr_diffusion: unrolled diffusion chain over the
+    symmetrized planted citation graph with n_chars as x0."""
+    ctes = [f"""cg AS MATERIALIZED ({_sql_reference_graph()}),
+se AS MATERIALIZED (
+  SELECT src, dst FROM cg UNION SELECT dst AS src, src AS dst FROM cg),
+dv AS MATERIALIZED (
+  SELECT DISTINCT src AS id FROM se UNION SELECT DISTINCT dst FROM se),
+db AS MATERIALIZED (
+  SELECT v.id, CAST(d.n_chars AS DOUBLE) AS x0,
+         CAST(g.deg AS BIGINT) AS deg
+  FROM dv v JOIN documents d ON v.id = d.doc_id
+  JOIN (SELECT src AS id, count(*) AS deg FROM se GROUP BY src) g
+    ON v.id = g.id),
+x0 AS MATERIALIZED (SELECT id, x0 AS x FROM db)"""]
+    for k in range(iters):
+        ctes.append(f"""x{k + 1} AS MATERIALIZED (
+  SELECT b.id,
+         {1.0 - alpha} * b.x0
+         + {alpha} * COALESCE(g.g, 0.0) / b.deg AS x
+  FROM db b LEFT JOIN (
+    SELECT e.dst AS id, sum(x.x) AS g
+    FROM se e JOIN x{k} x ON e.src = x.id GROUP BY e.dst) g
+    ON b.id = g.id)""")
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f"\nSELECT id, round(x, 6) AS x FROM x{iters} ORDER BY id"
+    )
+
+
+def q_rrf_fusion(spark, sf_dir):
+    """Reciprocal-rank fusion of the exact-cosine and IVF neighbor lists
+    (functions/similarity.rrf_fusion): rank-only channel combination,
+    fused top-5 per query under the raw-score total order."""
+    from plato_spark.functions.similarity import (
+        brute_force_topk,
+        ivf_ann,
+        rrf_fusion,
+    )
+
+    emb = _emb_double(spark, sf_dir)
+    return rrf_fusion(
+        [brute_force_topk(emb, k=5),
+         ivf_ann(emb, k=5, n_clusters=8, n_probe=2, lloyd_iters=2)],
+        k=5,
+    )
+
+
+def _sql_rrf_fusion(k: int = 5, c: int = 60) -> str:
+    """Mirror of q_rrf_fusion: both ranked lists as nested-WITH CTEs,
+    1/(c+rank) terms, raw-score fused ordering."""
+    return f"""
+WITH bf AS MATERIALIZED ({_sql_ann_topk(k)}),
+iv AS MATERIALIZED ({_sql_ivf_ann(k)}),
+u AS (SELECT query_id, nbr_id, 1.0 / ({c} + "rank") AS t FROM bf
+      UNION ALL
+      SELECT query_id, nbr_id, 1.0 / ({c} + "rank") AS t FROM iv),
+sc AS (SELECT query_id, nbr_id, sum(t) AS score
+       FROM u GROUP BY query_id, nbr_id)
+SELECT query_id, nbr_id, round(score, 6) AS rrf, CAST(rn AS INT) AS "rank"
+FROM (SELECT query_id, nbr_id, score,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY score DESC, nbr_id ASC) AS rn
+      FROM sc) t
+WHERE rn <= {k} ORDER BY query_id, "rank" """
+
+
 HIT_ROUNDS = 10
 HIT_SEEDS = 4
 
@@ -4716,6 +4805,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simrank": q_simrank,
         "lsh_incremental": q_lsh_incremental,
         "hitting_time": q_hitting_time,
+        "attr_diffusion": q_attr_diffusion,
+        "rrf_fusion": q_rrf_fusion,
         "shipping_priority": q_shipping_priority,
         "hub_removal": q_hub_removal,
         "component_stability": q_component_stability,
@@ -5751,6 +5842,8 @@ FROM cls""",
         "simrank": _sql_simrank(SIMRANK_K, SIMRANK_ITERS),
         "lsh_incremental": _sql_minhash_candidates(),
         "hitting_time": _sql_hitting(HIT_ROUNDS, HIT_SEEDS),
+        "attr_diffusion": _sql_attr_diffusion(DIFF_ROUNDS, DIFF_ALPHA),
+        "rrf_fusion": _sql_rrf_fusion(5),
         "shipping_priority": """
 WITH li AS MATERIALIZED (
   SELECT l_orderkey,

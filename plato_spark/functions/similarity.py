@@ -447,3 +447,38 @@ def lsh_bucketed_neighbors(
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("nbr_id").asc())
     return cand.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
+
+
+def rrf_fusion(lists, k: int = 5, c: int = 60) -> DataFrame:
+    """(query_id, nbr_id, rrf, rank) — reciprocal-rank fusion of ranked
+    neighbor lists (Cormack et al., SIGIR'09): score = sum over lists of
+    1 / (c + rank), fused top-``k`` per query.
+
+    The standard way to combine heterogeneous retrieval channels (exact
+    cosine, IVF, hyperplane-LSH, lexical BM25) without calibrating their
+    score scales — only ranks enter.  Engine-portable by construction:
+    each term is one IEEE division of exact integers, a per-(query, nbr)
+    score sums at most |lists| such terms (addition of two doubles is
+    commutative-exact, so even the shuffle's accumulation order cannot
+    matter for <= 2 lists), and the fused ordering is the raw-score
+    total order (score DESC, nbr_id ASC).  Plan: one union + one
+    map-side-combined groupBy + a per-query window over <= |lists|*k
+    rows — no vector math re-runs."""
+    u = None
+    for df in lists:
+        t = df.select(
+            "query_id", "nbr_id",
+            (F.lit(1.0) / (F.lit(c) + F.col("rank"))).alias("t"),
+        )
+        u = t if u is None else u.unionByName(t)
+    sc = u.groupBy("query_id", "nbr_id").agg(F.sum("t").alias("score"))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("nbr_id").asc()
+    )
+    return (
+        sc.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "nbr_id",
+                F.round("score", 6).alias("rrf"),
+                F.col("rank").cast("int").alias("rank"))
+    )

@@ -1,0 +1,102 @@
+"""Round-4 batch 9: attribute diffusion, reciprocal-rank fusion."""
+
+from plato_spark.algos.diffusion import attribute_diffusion
+from plato_spark.functions.similarity import rrf_fusion
+
+
+def _sym(spark, edges):
+    rows = sorted({(int(a), int(b)) for a, b in edges}
+                  | {(int(b), int(a)) for a, b in edges})
+    return spark.createDataFrame(rows, "src long, dst long")
+
+
+def _attrs(spark, pairs):
+    return spark.createDataFrame(
+        [(int(i), float(x)) for i, x in pairs], "id long, x0 double"
+    )
+
+
+def test_diffusion_uniform_is_fixed_point(spark):
+    # constant attribute: mean of neighbors == x0, so x stays exactly x0
+    e = _sym(spark, [(0, 1), (1, 2), (2, 0)])
+    a = _attrs(spark, [(0, 7.0), (1, 7.0), (2, 7.0)])
+    got = {r.id: r.x for r in attribute_diffusion(e, a, rounds=5).collect()}
+    assert got == {0: 7.0, 1: 7.0, 2: 7.0}
+
+
+def test_diffusion_hand_stepped_path(spark):
+    # path 0-1-2, x0 = [0, 0, 12], alpha=0.5
+    e = _sym(spark, [(0, 1), (1, 2)])
+    a = _attrs(spark, [(0, 0.0), (1, 0.0), (2, 12.0)])
+    got = {r.id: r.x
+           for r in attribute_diffusion(e, a, alpha=0.5, rounds=2).collect()}
+    # r1: x(0)=.5*0+.5*0=0; x(1)=.5*0+.5*(0+12)/2=3; x(2)=.5*12+.5*0=6
+    # r2: x(0)=.5*3=1.5; x(1)=.5*(0+6)/2=1.5; x(2)=6+.5*3/1 -> .5*12+.5*3=7.5
+    assert got == {0: 1.5, 1: 1.5, 2: 7.5}
+
+
+def test_diffusion_python_mirror(spark):
+    n = 10
+    edges = sorted({(min((3 * i + 1) % n, (7 * i + 2) % n),
+                     max((3 * i + 1) % n, (7 * i + 2) % n))
+                    for i in range(18)})
+    edges = [(a, b) for a, b in edges if a != b]
+    adj = {}
+    for a, b in edges:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    x0 = {v: float(v * v) for v in adj}
+    x = dict(x0)
+    for _ in range(6):
+        x = {v: 0.5 * x0[v] + 0.5 * sum(x[u] for u in adj[v]) / len(adj[v])
+             for v in adj}
+    got = {r.id: r.x for r in attribute_diffusion(
+        _sym(spark, edges), _attrs(spark, list(x0.items())),
+        alpha=0.5, rounds=6).collect()}
+    for v in adj:
+        assert abs(got[v] - round(x[v], 6)) <= 2e-6
+
+
+def test_diffusion_unattributed_endpoints_dropped(spark):
+    # vertex 2 has no attribute: absent from output, and its edge to 1
+    # is excluded from 1's mean (numerator AND denominator)
+    e = _sym(spark, [(0, 1), (1, 2)])
+    a = _attrs(spark, [(0, 4.0), (1, 0.0)])
+    got = {r.id: r.x
+           for r in attribute_diffusion(e, a, alpha=0.5, rounds=1).collect()}
+    assert set(got) == {0, 1}
+    assert got[1] == 2.0  # 0.5*0 + 0.5*(4/1): deg(1)=1 after restriction
+
+
+def _ranked(spark, rows):
+    return spark.createDataFrame(
+        rows, "query_id long, nbr_id long, cosine double, rank int"
+    )
+
+
+def test_rrf_hand_computed(spark):
+    la = _ranked(spark, [(1, 10, 0.9, 1), (1, 11, 0.8, 2)])
+    lb = _ranked(spark, [(1, 11, 0.7, 1), (1, 12, 0.6, 2)])
+    got = {r.nbr_id: (r.rrf, r.rank)
+           for r in rrf_fusion([la, lb], k=3).collect()}
+    # 11: 1/62 + 1/61; 10: 1/61; 12: 1/62
+    assert got[11][1] == 1 and got[10][1] == 2 and got[12][1] == 3
+    assert abs(got[11][0] - round(1 / 62 + 1 / 61, 6)) <= 1e-9
+    assert abs(got[10][0] - round(1 / 61, 6)) <= 1e-9
+
+
+def test_rrf_tie_breaks_by_nbr_id(spark):
+    # symmetric ranks -> equal scores; order must fall back to nbr_id
+    la = _ranked(spark, [(1, 20, 0.9, 1), (1, 10, 0.8, 2)])
+    lb = _ranked(spark, [(1, 10, 0.9, 1), (1, 20, 0.8, 2)])
+    got = [(r.nbr_id, r.rank) for r in
+           rrf_fusion([la, lb], k=2).orderBy("rank").collect()]
+    assert got == [(10, 1), (20, 2)]
+
+
+def test_rrf_respects_k_per_query(spark):
+    la = _ranked(spark, [(1, i, 0.9, i) for i in range(1, 8)]
+                 + [(2, 50, 0.9, 1)])
+    got = rrf_fusion([la], k=3).collect()
+    assert sum(1 for r in got if r.query_id == 1) == 3
+    assert sum(1 for r in got if r.query_id == 2) == 1
