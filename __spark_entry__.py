@@ -4512,6 +4512,48 @@ def q_lsh_incremental(spark, sf_dir):
     return out
 
 
+FUNNEL_WINDOW_S = 86400
+
+
+def q_windowed_funnel(spark, sf_dir):
+    """view -> click -> purchase funnel with a 1-day conversion window
+    per step (functions/events.funnel_counts window_s): the constraint
+    every product funnel ships with, exact integer-microsecond bounds."""
+    from plato_spark.functions.events import funnel_counts
+
+    return funnel_counts(
+        load_table(spark, sf_dir, "events"),
+        ["view", "click", "purchase"],
+        window_s=FUNNEL_WINDOW_S,
+    )
+
+
+def q_postings(spark, sf_dir):
+    """Positional inverted-index postings for the top-20 corpus tokens
+    (functions/text.inverted_postings): TakeOrdered vocabulary head +
+    broadcast semi-join back against the token stream."""
+    from plato_spark.functions.text import inverted_postings
+
+    return inverted_postings(load_table(spark, sf_dir, "documents"),
+                             top_k=20)
+
+
+def q_lang_confusion(spark, sf_dir):
+    """Language-ID confusion matrix: the n-gram classifier's prediction
+    (functions/text.lang_id_ngram — already oracle-checked per doc)
+    cross-tabulated against the planted lang label; exact counts."""
+    from plato_spark.functions.text import lang_id_ngram
+
+    docs = load_table(spark, sf_dir, "documents")
+    pred = lang_id_ngram(docs)
+    return (
+        docs.select("doc_id", "lang")
+        .join(pred, "doc_id")
+        .groupBy("lang", "lang_pred")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+
+
 DIFF_ALPHA = 0.5
 DIFF_ROUNDS = 8
 
@@ -4806,6 +4848,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lsh_incremental": q_lsh_incremental,
         "hitting_time": q_hitting_time,
         "attr_diffusion": q_attr_diffusion,
+        "windowed_funnel": q_windowed_funnel,
+        "postings": q_postings,
+        "lang_confusion": q_lang_confusion,
         "rrf_fusion": q_rrf_fusion,
         "shipping_priority": q_shipping_priority,
         "hub_removal": q_hub_removal,
@@ -5843,6 +5888,43 @@ FROM cls""",
         "lsh_incremental": _sql_minhash_candidates(),
         "hitting_time": _sql_hitting(HIT_ROUNDS, HIT_SEEDS),
         "attr_diffusion": _sql_attr_diffusion(DIFF_ROUNDS, DIFF_ALPHA),
+        "windowed_funnel": """
+WITH u1 AS MATERIALIZED (
+  SELECT user_id AS u, min(ts) AS a FROM events
+  WHERE event_type = 'view' GROUP BY user_id),
+u2 AS MATERIALIZED (
+  SELECT e.user_id AS u, min(e.ts) AS a FROM events e
+  JOIN u1 ON e.user_id = u1.u
+  WHERE e.event_type = 'click' AND e.ts > u1.a
+    AND epoch_us(e.ts) <= epoch_us(u1.a) + 86400000000 GROUP BY e.user_id),
+u3 AS MATERIALIZED (
+  SELECT e.user_id AS u, min(e.ts) AS a FROM events e
+  JOIN u2 ON e.user_id = u2.u
+  WHERE e.event_type = 'purchase' AND e.ts > u2.a
+    AND epoch_us(e.ts) <= epoch_us(u2.a) + 86400000000 GROUP BY e.user_id)
+SELECT CAST(1 AS INTEGER) AS step, 'view' AS event_type,
+       (SELECT CAST(count(*) AS BIGINT) FROM u1) AS users
+UNION ALL SELECT 2, 'click', (SELECT count(*) FROM u2)
+UNION ALL SELECT 3, 'purchase', (SELECT count(*) FROM u3)""",
+        "postings": f"""
+WITH tk AS MATERIALIZED (
+  SELECT doc_id, regexp_extract_all(text, '{TOKEN_RE_SQL}') AS toks
+  FROM documents),
+pos AS MATERIALIZED (
+  SELECT doc_id, u.p.t AS token, u.p.i AS pos
+  FROM tk, UNNEST([{{'t': toks[i], 'i': i}}
+                   for i in range(1, length(toks) + 1)]) AS u(p)),
+top AS MATERIALIZED (
+  SELECT token FROM pos GROUP BY token
+  ORDER BY count(*) DESC, token ASC LIMIT 20)
+SELECT p.token, p.doc_id, CAST(p.pos AS BIGINT) AS pos
+FROM pos p JOIN top t ON p.token = t.token
+ORDER BY p.token, p.doc_id, pos""",
+        "lang_confusion": f"""
+WITH pred AS MATERIALIZED ({_sql_lang_id()})
+SELECT d.lang, p.lang_pred, CAST(count(*) AS BIGINT) AS n
+FROM documents d JOIN pred p ON d.doc_id = p.doc_id
+GROUP BY d.lang, p.lang_pred ORDER BY d.lang, p.lang_pred""",
         "rrf_fusion": _sql_rrf_fusion(5),
         "shipping_priority": """
 WITH li AS MATERIALIZED (

@@ -27,9 +27,16 @@ def funnel_counts(
     user_col: str = "user_id",
     type_col: str = "event_type",
     ts_col: str = "ts",
+    window_s: int | None = None,
 ) -> DataFrame:
     """(step, event_type, users) — users reaching each funnel step in
-    strict timestamp order.  ``steps`` is the ordered event-type list."""
+    strict timestamp order.  ``steps`` is the ordered event-type list.
+
+    ``window_s`` (optional) adds the conversion-window constraint every
+    product funnel actually ships with: each step must occur within
+    ``window_s`` seconds AFTER the previous step's anchor (half-open
+    (a, a + W]); the comparison runs in exact integer microseconds (the
+    inter_event_gaps lesson — no float time arithmetic)."""
     spark = events.sparkSession
     ev = events.select(
         F.col(user_col).alias("u"), F.col(type_col).alias("t"),
@@ -41,6 +48,12 @@ def funnel_counts(
         cand = ev.where(F.col("t") == step)
         if anchors is not None:
             cand = cand.join(anchors, "u").where(F.col("ts") > F.col("a"))
+            if window_s is not None:
+                cand = cand.where(
+                    F.unix_micros(F.col("ts").cast("timestamp"))
+                    <= F.unix_micros(F.col("a").cast("timestamp"))
+                    + int(window_s) * 1_000_000
+                )
         anchors = cand.groupBy("u").agg(F.min("ts").alias("a"))
         cnt = anchors.count()
         rows.append((i + 1, step, cnt))

@@ -888,3 +888,39 @@ def source_style_divergence(
             6,
         ).alias("tv"),
     )
+
+
+def inverted_postings(
+    df: DataFrame,
+    top_k: int = 20,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(token, doc_id, pos) — positional inverted-index postings for the
+    ``top_k`` corpus tokens by total frequency: the search-index build
+    step of a retrieval pipeline, exploded to rows (never a positions
+    ARRAY — the embedding_project canonicalizer lesson).
+
+    Plan: one posexplode (JVM regexp tokenization), one
+    map-side-combined groupBy for the vocabulary head, a
+    TakeOrderedAndProject top-k under the (tf DESC, token ASC) total
+    order, and a broadcast semi-join of that k-row head back against
+    the token stream — the postings shuffle carries only the selected
+    tokens' occurrences.  ``pos`` is the 1-based token index within the
+    document's token sequence."""
+    toks = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(
+            F.regexp_extract_all(F.col(text_col), F.lit(TOKEN_RE), F.lit(0))
+        ).alias("pos0", "token"),
+    )
+    top = (
+        toks.groupBy("token")
+        .agg(F.count(F.lit(1)).cast("long").alias("tf"))
+        .orderBy(F.desc("tf"), F.asc("token"))
+        .limit(top_k)
+        .select("token")
+    )
+    return toks.join(F.broadcast(top), "token").select(
+        "token", "doc_id", (F.col("pos0") + 1).cast("long").alias("pos")
+    )

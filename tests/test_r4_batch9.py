@@ -100,3 +100,58 @@ def test_rrf_respects_k_per_query(spark):
     got = rrf_fusion([la], k=3).collect()
     assert sum(1 for r in got if r.query_id == 1) == 3
     assert sum(1 for r in got if r.query_id == 2) == 1
+
+
+# ------------------------------------------- windowed funnel / postings / cm
+
+
+def test_windowed_funnel_drops_late_conversions(spark):
+    from datetime import datetime
+
+    from plato_spark.functions.events import funnel_counts
+
+    base = datetime(2024, 1, 1)
+
+    def _ts(s):
+        return datetime.fromtimestamp(base.timestamp() + s)
+
+    ev = spark.createDataFrame(
+        [(1, "view", _ts(0)), (1, "click", _ts(100)),      # in window
+         (2, "view", _ts(0)), (2, "click", _ts(5000)),     # too late
+         (3, "view", _ts(0)), (3, "click", _ts(600))],     # boundary: == W
+        "user_id long, event_type string, ts timestamp",
+    )
+    got = {r.step: r.users for r in funnel_counts(
+        ev, ["view", "click"], window_s=600).collect()}
+    # half-open (a, a+W]: user 3 at exactly a+600s counts, user 2 does not
+    assert got == {1: 3, 2: 2}
+    # unbounded form keeps user 2
+    got_u = {r.step: r.users
+             for r in funnel_counts(ev, ["view", "click"]).collect()}
+    assert got_u == {1: 3, 2: 3}
+
+
+def test_inverted_postings_positions_and_topk(spark):
+    from plato_spark.functions.text import inverted_postings
+
+    docs = spark.createDataFrame(
+        [(1, "alpha beta alpha gamma"), (2, "beta beta delta")],
+        "doc_id long, text string",
+    )
+    got = sorted((r.token, r.doc_id, r.pos)
+                 for r in inverted_postings(docs, top_k=2).collect())
+    # tf: beta=3, alpha=2, gamma=1, delta=1 -> top-2 = {alpha, beta}
+    assert got == [
+        ("alpha", 1, 1), ("alpha", 1, 3),
+        ("beta", 1, 2), ("beta", 2, 1), ("beta", 2, 2),
+    ]
+
+
+def test_inverted_postings_topk_tie_by_token(spark):
+    from plato_spark.functions.text import inverted_postings
+
+    docs = spark.createDataFrame(
+        [(1, "zz aa")], "doc_id long, text string",
+    )
+    got = {r.token for r in inverted_postings(docs, top_k=1).collect()}
+    assert got == {"aa"}   # equal tf -> lexicographic
