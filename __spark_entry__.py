@@ -4512,6 +4512,52 @@ def q_lsh_incremental(spark, sf_dir):
     return out
 
 
+SPECTRAL_ROUNDS = 20
+
+
+def q_spectral_coord(spark, sf_dir):
+    """Fiedler-coordinate estimate via deflated power iteration on
+    sigma*I - L (algos/spectral.spectral_coordinate): SPECTRAL_ROUNDS
+    pinned rounds, mean-centering deflation, order-independent max-abs
+    normalization — the spectral-bisection sweep order."""
+    from plato_spark.algos.spectral import spectral_coordinate
+
+    return spectral_coordinate(_sym(spark, sf_dir), rounds=SPECTRAL_ROUNDS)
+
+
+def _sql_spectral(iters: int) -> str:
+    """Mirror of algos/spectral.spectral_coordinate over the
+    co-occurrence graph: unrolled gather/center/normalize chain."""
+    ctes = ["""sg AS MATERIALIZED (
+  SELECT CAST(2 * max(deg) + 1 AS DOUBLE) AS sigma FROM deg),
+y0 AS MATERIALIZED (SELECT id, CAST(id AS DOUBLE) AS y FROM deg),
+mu0 AS (SELECT sum(y) / count(y) AS mu FROM y0),
+c0 AS MATERIALIZED (SELECT id, y - m.mu AS c FROM y0, mu0 m),
+mm0 AS (SELECT max(abs(c)) AS m FROM c0),
+x0 AS MATERIALIZED (
+  SELECT id, CASE WHEN m.m > 0 THEN c / m.m ELSE c END AS x
+  FROM c0, mm0 m)"""]
+    for k in range(iters):
+        ctes.append(f"""g{k + 1} AS MATERIALIZED (
+  SELECT e.dst AS id, sum(x.x) AS g
+  FROM edges e JOIN x{k} x ON e.src = x.id GROUP BY e.dst),
+y{k + 1} AS MATERIALIZED (
+  SELECT d.id, (s.sigma - d.deg) * x.x + COALESCE(g.g, 0.0) AS y
+  FROM deg d JOIN x{k} x ON d.id = x.id
+  LEFT JOIN g{k + 1} g ON d.id = g.id, sg s),
+mu{k + 1} AS (SELECT sum(y) / count(y) AS mu FROM y{k + 1}),
+c{k + 1} AS MATERIALIZED (
+  SELECT id, y - m.mu AS c FROM y{k + 1}, mu{k + 1} m),
+mm{k + 1} AS (SELECT max(abs(c)) AS m FROM c{k + 1}),
+x{k + 1} AS MATERIALIZED (
+  SELECT id, CASE WHEN m.m > 0 THEN c / m.m ELSE c END AS x
+  FROM c{k + 1}, mm{k + 1} m)""")
+    return (
+        SQL_GRAPH_PREFIX + ", " + ",\n".join(ctes)
+        + f"\nSELECT id, round(x, 6) AS f FROM x{iters} ORDER BY id"
+    )
+
+
 FUNNEL_WINDOW_S = 86400
 
 
@@ -4848,6 +4894,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lsh_incremental": q_lsh_incremental,
         "hitting_time": q_hitting_time,
         "attr_diffusion": q_attr_diffusion,
+        "spectral_coord": q_spectral_coord,
         "windowed_funnel": q_windowed_funnel,
         "postings": q_postings,
         "lang_confusion": q_lang_confusion,
@@ -5888,6 +5935,7 @@ FROM cls""",
         "lsh_incremental": _sql_minhash_candidates(),
         "hitting_time": _sql_hitting(HIT_ROUNDS, HIT_SEEDS),
         "attr_diffusion": _sql_attr_diffusion(DIFF_ROUNDS, DIFF_ALPHA),
+        "spectral_coord": _sql_spectral(SPECTRAL_ROUNDS),
         "windowed_funnel": """
 WITH u1 AS MATERIALIZED (
   SELECT user_id AS u, min(ts) AS a FROM events
