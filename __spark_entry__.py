@@ -4512,6 +4512,34 @@ def q_lsh_incremental(spark, sf_dir):
     return out
 
 
+def q_bpe_compression(spark, sf_dir):
+    """Corpus compression curve of the first BPE_MERGES BPE merges
+    (functions/bpe.bpe_compression): occurrence-weighted symbol count
+    per round, round 0 = character baseline."""
+    from plato_spark.functions.bpe import bpe_compression
+
+    return bpe_compression(load_table(spark, sf_dir, "documents"),
+                           merges=BPE_MERGES)
+
+
+def _sql_bpe_compression(merges: int) -> str:
+    """Mirror of functions/bpe.bpe_compression: the bpe_merges CTE chain
+    plus one symbol-count aggregate per w{k}."""
+    base = _sql_bpe_merges(merges)
+    # keep the CTE chain, swap the merge-table read-out for counts
+    head = base.split("\nSELECT CAST(", 1)[0]
+    counts = ",\n".join(
+        f"n{k} AS (SELECT CAST(sum(freq * length(s)) AS BIGINT)"
+        f" AS total_symbols FROM w{k})"
+        for k in range(0, merges + 1)
+    )
+    union = "\nUNION ALL ".join(
+        f"SELECT CAST({k} AS BIGINT) AS round, total_symbols FROM n{k}"
+        for k in range(0, merges + 1)
+    )
+    return head + ",\n" + counts + "\n" + union + " ORDER BY round"
+
+
 SPECTRAL_ROUNDS = 20
 
 
@@ -4895,6 +4923,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hitting_time": q_hitting_time,
         "attr_diffusion": q_attr_diffusion,
         "spectral_coord": q_spectral_coord,
+        "bpe_compression": q_bpe_compression,
         "windowed_funnel": q_windowed_funnel,
         "postings": q_postings,
         "lang_confusion": q_lang_confusion,
@@ -5936,6 +5965,7 @@ FROM cls""",
         "hitting_time": _sql_hitting(HIT_ROUNDS, HIT_SEEDS),
         "attr_diffusion": _sql_attr_diffusion(DIFF_ROUNDS, DIFF_ALPHA),
         "spectral_coord": _sql_spectral(SPECTRAL_ROUNDS),
+        "bpe_compression": _sql_bpe_compression(BPE_MERGES),
         "windowed_funnel": """
 WITH u1 AS MATERIALIZED (
   SELECT user_id AS u, min(ts) AS a FROM events

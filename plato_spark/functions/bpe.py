@@ -50,7 +50,7 @@ from pyspark.sql import functions as F
 from plato_spark.engine.ckpt_blocks import cheap_localCheckpoint
 from plato_spark.functions.text import TOKEN_RE
 
-__all__ = ["bpe_merges"]
+__all__ = ["bpe_merges", "bpe_compression"]
 
 END_MARK = "</w>"
 
@@ -69,6 +69,48 @@ def bpe_merges(
     of non-self pairs early, fewer than ``merges`` rows return.
     """
     spark = df.sparkSession
+    syms = _init_syms(df, text_col)
+    rows: list[tuple[int, str, str, int]] = []
+    for r in range(1, merges + 1):
+        top = _top_pair(syms)
+        if top is None:
+            break
+        a, b, n = top
+        rows.append((r, a, b, n))
+        syms = _apply_merge(syms, a, b)
+    return spark.createDataFrame(
+        rows, "round BIGINT, sym_a STRING, sym_b STRING, pair_count BIGINT"
+    )
+
+
+def bpe_compression(
+    df: DataFrame,
+    merges: int = 8,
+    text_col: str = "text",
+) -> DataFrame:
+    """(round, total_symbols) — the corpus compression curve as BPE
+    merges apply: total occurrence-weighted symbol count (sum over words
+    of freq * |symbols|, end-of-word markers included) after each of the
+    first ``merges`` merges, with round 0 = the pre-merge character
+    baseline.  The yardstick a tokenizer-training run is judged by —
+    every merge removes exactly its pair_count symbols, so the curve is
+    the cumulative-sum complement of bpe_merges' counts (asserted in
+    tests).  Same loop, plus one map-side-combined scalar aggregate per
+    round."""
+    spark = df.sparkSession
+    syms = _init_syms(df, text_col)
+    rows = [(0, _total_symbols(syms))]
+    for r in range(1, merges + 1):
+        top = _top_pair(syms)
+        if top is None:
+            break
+        a, b, _ = top
+        syms = _apply_merge(syms, a, b)
+        rows.append((r, _total_symbols(syms)))
+    return spark.createDataFrame(rows, "round BIGINT, total_symbols BIGINT")
+
+
+def _init_syms(df: DataFrame, text_col: str) -> DataFrame:
     vocab = (
         df.select(
             F.explode(
@@ -88,49 +130,56 @@ def bpe_merges(
             F.array(F.lit(END_MARK)),
         ).alias("s"),
     )
-    syms = cheap_localCheckpoint(syms)
+    return cheap_localCheckpoint(syms)
 
-    rows: list[tuple[int, str, str, int]] = []
-    for r in range(1, merges + 1):
-        pairs = syms.select(
-            "freq",
-            F.explode(
-                F.transform(
-                    F.sequence(F.lit(1), F.size("s") - 1),
-                    lambda i: F.struct(
-                        F.get("s", i - 1).alias("a"), F.get("s", i).alias("b")
-                    ),
-                )
-            ).alias("p"),
-        ).select("freq", "p.a", "p.b")
-        top = (
-            pairs.where(F.col("a") != F.col("b"))
-            .groupBy("a", "b")
-            .agg(F.sum("freq").cast("long").alias("n"))
-            .orderBy(F.desc("n"), F.asc("a"), F.asc("b"))
-            .limit(1)
-            .collect()
-        )
-        if not top:
-            break
-        a, b, n = top[0]["a"], top[0]["b"], int(top[0]["n"])
-        rows.append((r, a, b, n))
-        ab = a + b
-        merged = F.filter(
+
+def _top_pair(syms: DataFrame):
+    pairs = syms.select(
+        "freq",
+        F.explode(
             F.transform(
-                "s",
-                lambda x, i: F.when(
-                    (x == F.lit(a)) & (F.get("s", i + 1) == F.lit(b)), F.lit(ab)
-                )
-                .when(
-                    (x == F.lit(b)) & (F.get("s", i - 1) == F.lit(a)),
-                    F.lit(None).cast("string"),
-                )
-                .otherwise(x),
-            ),
-            lambda x: x.isNotNull(),
-        )
-        syms = cheap_localCheckpoint(syms.select("freq", merged.alias("s")))
-    return spark.createDataFrame(
-        rows, "round BIGINT, sym_a STRING, sym_b STRING, pair_count BIGINT"
+                F.sequence(F.lit(1), F.size("s") - 1),
+                lambda i: F.struct(
+                    F.get("s", i - 1).alias("a"), F.get("s", i).alias("b")
+                ),
+            )
+        ).alias("p"),
+    ).select("freq", "p.a", "p.b")
+    top = (
+        pairs.where(F.col("a") != F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.sum("freq").cast("long").alias("n"))
+        .orderBy(F.desc("n"), F.asc("a"), F.asc("b"))
+        .limit(1)
+        .collect()
+    )
+    if not top:
+        return None
+    return top[0]["a"], top[0]["b"], int(top[0]["n"])
+
+
+def _apply_merge(syms: DataFrame, a: str, b: str) -> DataFrame:
+    ab = a + b
+    merged = F.filter(
+        F.transform(
+            "s",
+            lambda x, i: F.when(
+                (x == F.lit(a)) & (F.get("s", i + 1) == F.lit(b)), F.lit(ab)
+            )
+            .when(
+                (x == F.lit(b)) & (F.get("s", i - 1) == F.lit(a)),
+                F.lit(None).cast("string"),
+            )
+            .otherwise(x),
+        ),
+        lambda x: x.isNotNull(),
+    )
+    return cheap_localCheckpoint(syms.select("freq", merged.alias("s")))
+
+
+def _total_symbols(syms: DataFrame) -> int:
+    return int(
+        syms.agg(
+            F.sum(F.col("freq") * F.size("s")).cast("long").alias("t")
+        ).collect()[0]["t"]
     )

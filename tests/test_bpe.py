@@ -95,3 +95,22 @@ def test_bpe_mirror_on_mixed_corpus(spark):
     got = [(r.round, r.sym_a, r.sym_b, r.pair_count)
            for r in bpe_merges(_docs(spark, texts), merges=10).collect()]
     assert got == _mirror(texts, 10)
+
+
+def test_bpe_compression_is_cumsum_complement_of_merges(spark):
+    from plato_spark.functions.bpe import bpe_compression
+
+    texts = ["low low low low low", "lower lower newest newest",
+             "newest newest newest newest widest widest widest"]
+    docs = _docs(spark, texts)
+    merges = [(r.round, r.pair_count)
+              for r in bpe_merges(docs, merges=5).collect()]
+    curve = {r.round: r.total_symbols
+             for r in bpe_compression(docs, merges=5).collect()}
+    # round 0 baseline = total chars + one marker per word occurrence
+    import re
+    words = [w for t in texts for w in re.findall(TOKEN_RE, t)]
+    assert curve[0] == sum(len(w) + 1 for w in words)
+    # every merge removes exactly pair_count symbols
+    for r, n in merges:
+        assert curve[r] == curve[r - 1] - n
