@@ -4512,6 +4512,48 @@ def q_lsh_incremental(spark, sf_dir):
     return out
 
 
+def q_centroid_similarity(spark, sf_dir):
+    """Pairwise cosine between per-label embedding centroids
+    (functions/similarity.label_centroid_similarity): 6dp-pre-rounded
+    per-dimension means, one deterministic cosine per label pair —
+    the cluster-separation audit of the embedding space."""
+    from plato_spark.functions.similarity import label_centroid_similarity
+
+    return label_centroid_similarity(load_table(spark, sf_dir, "embeddings"))
+
+
+def q_zorder_key(spark, sf_dir):
+    """Morton/Z-order layout key over (user_id, absolute-hour) for the
+    event stream (functions/layout.zorder_key): the write-time
+    clustering order whose footer stats prune scans on EITHER filter
+    dimension; pure exact bit arithmetic, shuffle-free."""
+    from plato_spark.functions.layout import zorder_key
+
+    ev = load_table(spark, sf_dir, "events")
+    return zorder_key(
+        ev, "event_id",
+        F.col("user_id"),
+        F.floor(F.unix_micros(F.col("ts").cast("timestamp"))
+                / F.lit(3_600_000_000)),
+        bits=16,
+    ).select(F.col("id").alias("event_id"), "z")
+
+
+def _sql_zorder(bits: int = 16) -> str:
+    mask = (1 << bits) - 1
+    terms = []
+    for i in range(bits):
+        terms.append(f"((((user_id & {mask}) >> {i}) & 1) << {2 * i + 1})")
+        terms.append(f"((((hh & {mask}) >> {i}) & 1) << {2 * i})")
+    return f"""
+WITH e AS (SELECT event_id,
+                  user_id,
+                  CAST(floor(epoch_us(ts) / 3600000000) AS BIGINT) AS hh
+           FROM events)
+SELECT event_id, CAST({' + '.join(terms)} AS BIGINT) AS z
+FROM e ORDER BY event_id"""
+
+
 def q_bpe_compression(spark, sf_dir):
     """Corpus compression curve of the first BPE_MERGES BPE merges
     (functions/bpe.bpe_compression): occurrence-weighted symbol count
@@ -4924,6 +4966,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "attr_diffusion": q_attr_diffusion,
         "spectral_coord": q_spectral_coord,
         "bpe_compression": q_bpe_compression,
+        "centroid_similarity": q_centroid_similarity,
+        "zorder_key": q_zorder_key,
         "windowed_funnel": q_windowed_funnel,
         "postings": q_postings,
         "lang_confusion": q_lang_confusion,
@@ -5966,6 +6010,25 @@ FROM cls""",
         "attr_diffusion": _sql_attr_diffusion(DIFF_ROUNDS, DIFF_ALPHA),
         "spectral_coord": _sql_spectral(SPECTRAL_ROUNDS),
         "bpe_compression": _sql_bpe_compression(BPE_MERGES),
+        "zorder_key": _sql_zorder(16),
+        "centroid_similarity": f"""
+WITH ex AS MATERIALIZED (
+  SELECT label, u.p.d AS dim, CAST(u.p.v AS DOUBLE) AS v
+  FROM embeddings,
+       UNNEST([{{'d': i, 'v': embedding[i]}}
+               for i in range(1, length(embedding) + 1)]) AS u(p)),
+cd AS MATERIALIZED (
+  SELECT label, dim, round(sum(v) / count(v), 6) AS m
+  FROM ex GROUP BY label, dim),
+cv AS MATERIALIZED (
+  SELECT label, list(m ORDER BY dim) AS cvec FROM cd GROUP BY label),
+cn AS (SELECT label, CAST(count(*) AS BIGINT) AS n
+       FROM embeddings GROUP BY label),
+cj AS (SELECT c.label, c.cvec, n.n FROM cv c JOIN cn n ON c.label = n.label)
+SELECT a.label AS label_a, b.label AS label_b, a.n AS n_a, b.n AS n_b,
+       round({_cos_sql("a.cvec", "b.cvec")}, 6) AS cosine
+FROM cj a JOIN cj b ON a.label < b.label
+ORDER BY label_a, label_b""",
         "windowed_funnel": """
 WITH u1 AS MATERIALIZED (
   SELECT user_id AS u, min(ts) AS a FROM events

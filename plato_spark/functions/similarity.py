@@ -482,3 +482,57 @@ def rrf_fusion(lists, k: int = 5, c: int = 60) -> DataFrame:
                 F.round("score", 6).alias("rrf"),
                 F.col("rank").cast("int").alias("rank"))
     )
+
+
+def label_centroid_similarity(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """(label_a, label_b, n_a, n_b, cosine) — pairwise cosine between
+    per-label embedding centroids (label_a < label_b): the
+    cluster-separation audit of an embedding space (are the planted
+    classes distinguishable at the centroid level?) and the
+    inter-domain-similarity dashboard before mixture balancing.
+
+    Engine-portability: each centroid dimension is an explicit
+    sum/count mean ROUNDED 6dp before any cosine enters (the
+    value_outliers discipline — a raw float mean's accumulation order
+    differs between engines; the rounded means are identical, so the
+    one cosine per label pair is deterministic).  Plan: one posexplode
+    + one map-side-combined groupBy(label, dim) — the shuffle carries
+    |labels| * dim rows — then a |labels|-row self-join; vectors
+    reassemble via array_sort(collect_list(struct(dim, v))), a
+    deterministic order-by-key reassembly."""
+    exploded = emb.select(
+        F.col(label_col).alias("label"),
+        F.posexplode(F.col(vec_col)).alias("dim", "v"),
+    ).select("label", "dim", F.col("v").cast("double").alias("v"))
+    cent = (
+        exploded.groupBy("label", "dim")
+        .agg(F.round(F.sum("v") / F.count("v"), 6).alias("m"))
+        .groupBy("label")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("dim", "m"))),
+                lambda s: s["m"],
+            ).alias("cvec")
+        )
+    )
+    counts = emb.groupBy(F.col(label_col).alias("label")).agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    cent = cent.join(counts, "label")
+    a = cent.select(F.col("label").alias("label_a"),
+                    F.col("cvec").alias("va"), F.col("n").alias("n_a"))
+    b = cent.select(F.col("label").alias("label_b"),
+                    F.col("cvec").alias("vb"), F.col("n").alias("n_b"))
+    return (
+        a.join(b, F.col("label_a") < F.col("label_b"))
+        .select(
+            "label_a", "label_b", "n_a", "n_b",
+            F.round(cosine_sim_col(F.col("va"), F.col("vb")), 6)
+            .alias("cosine"),
+        )
+    )
