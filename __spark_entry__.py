@@ -4512,6 +4512,44 @@ def q_lsh_incremental(spark, sf_dir):
     return out
 
 
+def q_ivf_recall(spark, sf_dir):
+    """Recall@5 of the IVF index against the exact-cosine baseline, per
+    query — measure-don't-guess promoted to a first-class oracle row:
+    hits = |ivf top-5 ∩ brute top-5| as exact integers (the BENCH recall
+    sweep's gate-checkable sibling)."""
+    from plato_spark.functions.similarity import brute_force_topk, ivf_ann
+
+    emb = _emb_double(spark, sf_dir)
+    bf = brute_force_topk(emb, k=5).select("query_id", "nbr_id")
+    iv = ivf_ann(emb, k=5, n_clusters=8, n_probe=2, lloyd_iters=2).select(
+        "query_id", "nbr_id"
+    )
+    hits = (
+        bf.join(iv, ["query_id", "nbr_id"])
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("hits"))
+    )
+    return (
+        bf.select("query_id").distinct()
+        .join(hits, "query_id", "left")
+        .select("query_id",
+                F.coalesce("hits", F.lit(0)).cast("long").alias("hits"))
+    )
+
+
+def _sql_ivf_recall(k: int = 5) -> str:
+    return f"""
+WITH bf AS MATERIALIZED ({_sql_ann_topk(k)}),
+iv AS MATERIALIZED ({_sql_ivf_ann(k)}),
+h AS (SELECT b.query_id, CAST(count(*) AS BIGINT) AS hits
+      FROM bf b JOIN iv ON b.query_id = iv.query_id
+                       AND b.nbr_id = iv.nbr_id
+      GROUP BY b.query_id)
+SELECT q.query_id, COALESCE(h.hits, 0) AS hits
+FROM (SELECT DISTINCT query_id FROM bf) q
+LEFT JOIN h ON q.query_id = h.query_id ORDER BY q.query_id"""
+
+
 def q_centroid_similarity(spark, sf_dir):
     """Pairwise cosine between per-label embedding centroids
     (functions/similarity.label_centroid_similarity): 6dp-pre-rounded
@@ -4967,6 +5005,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "spectral_coord": q_spectral_coord,
         "bpe_compression": q_bpe_compression,
         "centroid_similarity": q_centroid_similarity,
+        "ivf_recall": q_ivf_recall,
         "zorder_key": q_zorder_key,
         "windowed_funnel": q_windowed_funnel,
         "postings": q_postings,
@@ -6011,6 +6050,7 @@ FROM cls""",
         "spectral_coord": _sql_spectral(SPECTRAL_ROUNDS),
         "bpe_compression": _sql_bpe_compression(BPE_MERGES),
         "zorder_key": _sql_zorder(16),
+        "ivf_recall": _sql_ivf_recall(5),
         "centroid_similarity": f"""
 WITH ex AS MATERIALIZED (
   SELECT label, u.p.d AS dim, CAST(u.p.v AS DOUBLE) AS v
