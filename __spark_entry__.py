@@ -5012,6 +5012,28 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_confusion": q_lang_confusion,
         "rrf_fusion": q_rrf_fusion,
         "shipping_priority": q_shipping_priority,
+        # -- r4 head block 1 (18): never driver-proven by any round
+        # (VERDICT r3 item 1: the gate snapshots the first 50 rows;
+        # these rotate to the front so CORRECTNESS_r04 finally proves
+        # them — all were value-matched via the gate replica in r3) --
+        "katz": q_katz,
+        "assortativity": q_assortativity,
+        "repetition_ratio": q_repetition_ratio,
+        "redact_pii": q_redact_pii,
+        "domain_counts": q_domain_counts,
+        "vocabulary": q_vocabulary,
+        "contamination": q_contamination,
+        "harmonic_sampled": q_harmonic,
+        "scc": q_scc,
+        "trussness": q_trussness,
+        "effective_diameter": q_effective_diameter,
+        "tfidf_keywords": q_tfidf,
+        "mis": q_mis,
+        "modularity": q_modularity,
+        "link_preferential": q_link_preferential,
+        "link_resource_alloc": q_link_resource_alloc,
+        "bigram_vocabulary": q_bigram_vocabulary,
+        "doc_chunks": q_doc_chunks,
         "hub_removal": q_hub_removal,
         "component_stability": q_component_stability,
         "degree_incremental": q_degree_incremental,
@@ -5053,28 +5075,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "local_bridges": q_local_bridges,
         "event_transitions": q_event_transitions,
         "edit_distance_dups": q_edit_distance_dups,
-        # -- r4 head block 1 (18): never driver-proven by any round
-        # (VERDICT r3 item 1: the gate snapshots the first 50 rows;
-        # these rotate to the front so CORRECTNESS_r04 finally proves
-        # them — all were value-matched via the gate replica in r3) --
-        "katz": q_katz,
-        "assortativity": q_assortativity,
-        "repetition_ratio": q_repetition_ratio,
-        "redact_pii": q_redact_pii,
-        "domain_counts": q_domain_counts,
-        "vocabulary": q_vocabulary,
-        "contamination": q_contamination,
-        "harmonic_sampled": q_harmonic,
-        "scc": q_scc,
-        "trussness": q_trussness,
-        "effective_diameter": q_effective_diameter,
-        "tfidf_keywords": q_tfidf,
-        "mis": q_mis,
-        "modularity": q_modularity,
-        "link_preferential": q_link_preferential,
-        "link_resource_alloc": q_link_resource_alloc,
-        "bigram_vocabulary": q_bigram_vocabulary,
-        "doc_chunks": q_doc_chunks,
         # -- r4 head block 2 (9): code or output shape changed this
         # round (embedding_project reshaped to (vec_id, dim, value);
         # closeness_exact new; weighted_matching hash tie-break;
