@@ -4512,6 +4512,63 @@ def q_lsh_incremental(spark, sf_dir):
     return out
 
 
+def q_burstiness(spark, sf_dir):
+    """Goh-Barabasi burstiness B = (sigma-mu)/(sigma+mu) of per-user
+    inter-event gaps (functions/events.burstiness): exact integer-second
+    sufficient statistics, one IEEE op sequence, 6dp read-out."""
+    from plato_spark.functions.events import burstiness
+
+    return burstiness(load_table(spark, sf_dir, "events"))
+
+
+def q_embedding_purity(spark, sf_dir):
+    """Nearest-centroid classification purity of the embedding space
+    (functions/similarity.embedding_purity): broadcast 6dp-pre-rounded
+    label centroids, 9dp-rounded argmax sim with smallest-label ties,
+    exact integer counts per true label."""
+    from plato_spark.functions.similarity import embedding_purity
+
+    return embedding_purity(load_table(spark, sf_dir, "embeddings"))
+
+
+def _sql_label_centroid_ctes() -> str:
+    """ex/cd/cv/cn/cj CTE block (label, cvec, n) — shared by the
+    centroid_similarity and embedding_purity oracles."""
+    return """ex AS MATERIALIZED (
+  SELECT label, u.p.d AS dim, CAST(u.p.v AS DOUBLE) AS v
+  FROM embeddings,
+       UNNEST([{'d': i, 'v': embedding[i]}
+               for i in range(1, length(embedding) + 1)]) AS u(p)),
+cd AS MATERIALIZED (
+  SELECT label, dim, round(sum(v) / count(v), 6) AS m
+  FROM ex GROUP BY label, dim),
+cv AS MATERIALIZED (
+  SELECT label, list(m ORDER BY dim) AS cvec FROM cd GROUP BY label),
+cn AS (SELECT label, CAST(count(*) AS BIGINT) AS n
+       FROM embeddings GROUP BY label),
+cj AS (SELECT c.label, c.cvec, n.n FROM cv c JOIN cn n ON c.label = n.label)"""
+
+
+def _sql_embedding_purity() -> str:
+    cos9 = f"round({_cos_sql('v.vec', 'c.cvec')}, 9)"
+    return f"""
+WITH {_sql_label_centroid_ctes()},
+v AS MATERIALIZED (
+  SELECT vec_id AS id, label AS true_label,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec
+  FROM embeddings),
+asg AS MATERIALIZED (
+  SELECT id, true_label, clabel AS pred FROM (
+    SELECT v.id, v.true_label, c.label AS clabel,
+           row_number() OVER (PARTITION BY v.id
+                              ORDER BY {cos9} DESC, c.label ASC) AS rn
+    FROM v CROSS JOIN cj c) t WHERE rn = 1)
+SELECT true_label AS label, CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(CASE WHEN pred = true_label THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_correct
+FROM asg GROUP BY true_label ORDER BY label"""
+
+
 def q_ivf_recall(spark, sf_dir):
     """Recall@5 of the IVF index against the exact-cosine baseline, per
     query — measure-don't-guess promoted to a first-class oracle row:
@@ -5005,6 +5062,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "spectral_coord": q_spectral_coord,
         "bpe_compression": q_bpe_compression,
         "centroid_similarity": q_centroid_similarity,
+        "burstiness": q_burstiness,
+        "embedding_purity": q_embedding_purity,
         "ivf_recall": q_ivf_recall,
         "zorder_key": q_zorder_key,
         "windowed_funnel": q_windowed_funnel,
@@ -6051,20 +6110,30 @@ FROM cls""",
         "bpe_compression": _sql_bpe_compression(BPE_MERGES),
         "zorder_key": _sql_zorder(16),
         "ivf_recall": _sql_ivf_recall(5),
+        "embedding_purity": _sql_embedding_purity(),
+        "burstiness": """
+WITH g AS MATERIALIZED (
+  SELECT user_id,
+         CAST(floor((epoch_us(ts) - lag(epoch_us(ts)) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id)) / 1000000)
+         AS BIGINT) AS gs
+  FROM events),
+a AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n_gaps,
+             CAST(sum(gs) AS BIGINT) AS s,
+             CAST(sum(gs * gs) AS BIGINT) AS ss
+      FROM g WHERE gs IS NOT NULL GROUP BY user_id)
+SELECT user_id, n_gaps,
+       CASE WHEN sqrt(greatest(ss / n_gaps - (s / n_gaps) * (s / n_gaps),
+                               0.0)) + s / n_gaps > 0
+            THEN round((sqrt(greatest(ss / n_gaps
+                                      - (s / n_gaps) * (s / n_gaps), 0.0))
+                        - s / n_gaps)
+                       / (sqrt(greatest(ss / n_gaps
+                                        - (s / n_gaps) * (s / n_gaps), 0.0))
+                          + s / n_gaps), 6) END AS b
+FROM a ORDER BY user_id""",
         "centroid_similarity": f"""
-WITH ex AS MATERIALIZED (
-  SELECT label, u.p.d AS dim, CAST(u.p.v AS DOUBLE) AS v
-  FROM embeddings,
-       UNNEST([{{'d': i, 'v': embedding[i]}}
-               for i in range(1, length(embedding) + 1)]) AS u(p)),
-cd AS MATERIALIZED (
-  SELECT label, dim, round(sum(v) / count(v), 6) AS m
-  FROM ex GROUP BY label, dim),
-cv AS MATERIALIZED (
-  SELECT label, list(m ORDER BY dim) AS cvec FROM cd GROUP BY label),
-cn AS (SELECT label, CAST(count(*) AS BIGINT) AS n
-       FROM embeddings GROUP BY label),
-cj AS (SELECT c.label, c.cvec, n.n FROM cv c JOIN cn n ON c.label = n.label)
+WITH {_sql_label_centroid_ctes()}
 SELECT a.label AS label_a, b.label AS label_b, a.n AS n_a, b.n AS n_b,
        round({_cos_sql("a.cvec", "b.cvec")}, 6) AS cosine
 FROM cj a JOIN cj b ON a.label < b.label

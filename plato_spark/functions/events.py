@@ -436,3 +436,44 @@ def interval_counts(
             F.coalesce("n_touches", F.lit(0)).cast("long").alias("n_touches"),
         )
     )
+
+
+def burstiness(events: DataFrame) -> DataFrame:
+    """(user_id, n_gaps, b) — Goh-Barabasi burstiness of each user's
+    inter-event gaps: B = (sigma - mu) / (sigma + mu) over the gap
+    distribution, in [-1, 1] — B near -1 is a periodic emitter, near 0
+    Poisson, near +1 bursty.  The single-scalar refinement of
+    inter_event_gaps that rate-limiting / anomaly policies key on.
+
+    Engine discipline: gaps fold as exact integer SECONDS (floor of the
+    microsecond diff / 1e6 — second-granularity squares stay within
+    int64 where microsecond squares would overflow; the floor of an
+    exact double quotient below 2^53 is engine-identical), sufficient
+    statistics are BIGINT sums, then sigma/mu/B are one identical IEEE
+    op sequence with a single 6dp round at read-out.  sigma + mu == 0
+    (all gaps zero) reports NULL; single-event users have no gaps and
+    are absent."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ts_us = F.unix_micros(F.col("ts").cast("timestamp"))
+    lag_us = F.unix_micros(F.lag(F.col("ts")).over(w).cast("timestamp"))
+    gap_s = F.floor((ts_us - lag_us) / F.lit(1000000)).cast("long")
+    g = (
+        events.select("user_id", "ts", "event_id")
+        .withColumn("gs", gap_s)
+        .where(F.col("gs").isNotNull())
+    )
+    agg = g.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_gaps"),
+        F.sum("gs").cast("long").alias("s"),
+        F.sum(F.col("gs") * F.col("gs")).cast("long").alias("ss"),
+    )
+    mu = F.col("s") / F.col("n_gaps")
+    var = F.col("ss") / F.col("n_gaps") - mu * mu
+    sigma = F.sqrt(F.greatest(var, F.lit(0.0)))
+    return agg.select(
+        "user_id", "n_gaps",
+        F.when(sigma + mu > 0,
+               F.round((sigma - mu) / (sigma + mu), 6)).alias("b"),
+    )

@@ -505,6 +505,30 @@ def label_centroid_similarity(
     |labels| * dim rows — then a |labels|-row self-join; vectors
     reassemble via array_sort(collect_list(struct(dim, v))), a
     deterministic order-by-key reassembly."""
+    cent = label_centroids(emb, id_col, vec_col, label_col)
+    a = cent.select(F.col("label").alias("label_a"),
+                    F.col("cvec").alias("va"), F.col("n").alias("n_a"))
+    b = cent.select(F.col("label").alias("label_b"),
+                    F.col("cvec").alias("vb"), F.col("n").alias("n_b"))
+    return (
+        a.join(b, F.col("label_a") < F.col("label_b"))
+        .select(
+            "label_a", "label_b", "n_a", "n_b",
+            F.round(cosine_sim_col(F.col("va"), F.col("vb")), 6)
+            .alias("cosine"),
+        )
+    )
+
+
+def label_centroids(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """(label, cvec, n) — per-label centroid with 6dp-pre-rounded
+    per-dimension means (see label_centroid_similarity for why the round
+    precedes any downstream cosine)."""
     exploded = emb.select(
         F.col(label_col).alias("label"),
         F.posexplode(F.col(vec_col)).alias("dim", "v"),
@@ -523,16 +547,48 @@ def label_centroid_similarity(
     counts = emb.groupBy(F.col(label_col).alias("label")).agg(
         F.count(F.lit(1)).cast("long").alias("n")
     )
-    cent = cent.join(counts, "label")
-    a = cent.select(F.col("label").alias("label_a"),
-                    F.col("cvec").alias("va"), F.col("n").alias("n_a"))
-    b = cent.select(F.col("label").alias("label_b"),
-                    F.col("cvec").alias("vb"), F.col("n").alias("n_b"))
+    return cent.join(counts, "label")
+
+
+def embedding_purity(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """(label, n, n_correct) — nearest-centroid classification purity of
+    the embedding space: each vector is assigned to its highest-cosine
+    label centroid (9dp-rounded sim, ties by smallest label — the
+    _kmeans_assign total order) and scored against its own label.  The
+    separability eval that decides whether embedding-space curation
+    (clustering, near-dup, stratification) will carry signal.
+
+    Plan: centroids are |labels| rows — broadcast against the vector
+    scan, argmin via a per-vector window over |labels| rows; exact
+    integer counts out."""
+    cent = label_centroids(emb, id_col, vec_col, label_col)
+    vecs = emb.select(
+        F.col(id_col).alias("id"),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("vec"),
+        F.col(label_col).alias("true_label"),
+    )
+    sim = F.round(cosine_sim_col(F.col("vec"), F.col("cvec")), 9)
+    scored = vecs.crossJoin(
+        F.broadcast(cent.select(F.col("label").alias("clabel"), "cvec"))
+    ).select("id", "true_label", "clabel", sim.alias("sim"))
+    w = Window.partitionBy("id").orderBy(
+        F.col("sim").desc(), F.col("clabel").asc()
+    )
+    assigned = (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .select("id", "true_label", F.col("clabel").alias("pred"))
+    )
     return (
-        a.join(b, F.col("label_a") < F.col("label_b"))
-        .select(
-            "label_a", "label_b", "n_a", "n_b",
-            F.round(cosine_sim_col(F.col("va"), F.col("vb")), 6)
-            .alias("cosine"),
+        assigned.groupBy(F.col("true_label").alias("label"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum(F.when(F.col("pred") == F.col("true_label"), 1)
+                  .otherwise(0)).cast("long").alias("n_correct"),
         )
     )

@@ -231,3 +231,79 @@ def test_centroid_similarity_identical_labels_cosine_one(spark):
     )
     got = label_centroid_similarity(emb).collect()
     assert got[0].cosine == 1.0
+
+
+# ----------------------------------------------------- burstiness / purity
+
+
+def test_burstiness_periodic_vs_bursty(spark):
+    from datetime import datetime
+
+    from plato_spark.functions.events import burstiness
+
+    base = datetime(2024, 1, 1)
+
+    def _ts(s):
+        return datetime.fromtimestamp(base.timestamp() + s)
+
+    rows = []
+    eid = 0
+    # user 1: perfectly periodic (gap 100s x 5) -> sigma=0 -> B = -1
+    for i in range(6):
+        rows.append((eid, 1, "view", _ts(100 * i))); eid += 1
+    # user 2: bursty: 24 one-second gaps then one huge gap.  B from a
+    # single outlier among n gaps is bounded by (sqrt(n-1)-1)/(sqrt(n-1)+1)
+    # (Goh-Barabasi finite-size limit), so n must be large enough for the
+    # > 0.5 assertion: n=25 -> bound ~0.66.
+    ts = 0
+    for g in [1] * 24 + [100000]:
+        rows.append((eid, 2, "view", _ts(ts))); eid += 1; ts += g
+    rows.append((eid, 2, "view", _ts(ts)))
+    ev = spark.createDataFrame(
+        rows, "event_id long, user_id long, event_type string, ts timestamp"
+    )
+    got = {r.user_id: (r.n_gaps, r.b) for r in burstiness(ev).collect()}
+    assert got[1] == (5, -1.0)
+    assert got[2][0] == 25
+    assert got[2][1] > 0.5          # strongly bursty
+
+
+def test_burstiness_python_mirror(spark):
+    import math
+    from datetime import datetime
+
+    from plato_spark.functions.events import burstiness
+
+    base = datetime(2024, 1, 1)
+    gaps = [3, 7, 2, 50, 1, 1, 120]
+    rows, t, eid = [], 0, 0
+    for g in [0] + gaps:
+        t += g
+        rows.append((eid, 9, "x", datetime.fromtimestamp(
+            base.timestamp() + t))); eid += 1
+    ev = spark.createDataFrame(
+        rows, "event_id long, user_id long, event_type string, ts timestamp"
+    )
+    n = len(gaps); s = sum(gaps); ss = sum(g * g for g in gaps)
+    mu = s / n; var = ss / n - mu * mu
+    sig = math.sqrt(max(var, 0.0))
+    want = round((sig - mu) / (sig + mu), 6)
+    got = burstiness(ev).collect()[0]
+    assert got.n_gaps == n and abs(got.b - want) <= 1e-9
+
+
+def test_embedding_purity_planted_clusters(spark):
+    from plato_spark.functions.similarity import embedding_purity
+
+    rows, vid = [], 0
+    for lab, d in [(0, [1.0, 0.0]), (1, [0.0, 1.0])]:
+        for j in range(5):
+            rows.append((vid, [d[0] + 0.01 * j, d[1]], lab)); vid += 1
+    # one mislabeled point: direction of label 1, tagged label 0
+    rows.append((vid, [0.0, 1.0], 0))
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>, label int"
+    )
+    got = {r.label: (r.n, r.n_correct) for r in embedding_purity(emb).collect()}
+    assert got[1] == (5, 5)
+    assert got[0] == (6, 5)        # the planted mislabel assigns to centroid 1
