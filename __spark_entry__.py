@@ -5027,6 +5027,34 @@ def q_pricing_summary(spark, sf_dir):
     return pricing_summary(load_table(spark, sf_dir, "lineitem"))
 
 
+def q_large_orders(spark, sf_dir):
+    """TPC-H-Q18-shape large-quantity orders
+    (functions/relational.large_orders): map-side-combined per-order
+    quantity fold, HAVING filter to a tiny qualifying set, then only
+    the SMALL side ever broadcasts — against orders, then against
+    customer (never the reverse)."""
+    from plato_spark.functions.relational import large_orders
+
+    return large_orders(
+        load_table(spark, sf_dir, "orders"),
+        load_table(spark, sf_dir, "lineitem"),
+        load_table(spark, sf_dir, "customer"),
+    )
+
+
+def q_promo_revenue(spark, sf_dir):
+    """TPC-H-Q14-shape promo revenue share per ship month
+    (functions/relational.promo_revenue): broadcast part dimension,
+    exact integer cents x discount-unit folds, one rounded IEEE
+    division per month."""
+    from plato_spark.functions.relational import promo_revenue
+
+    return promo_revenue(
+        load_table(spark, sf_dir, "lineitem"),
+        load_table(spark, sf_dir, "part"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
@@ -5108,6 +5136,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # driver snapshot; rows below here carry replica evidence) --
         "burstiness": q_burstiness,
         "embedding_purity": q_embedding_purity,
+        "large_orders": q_large_orders,
+        "promo_revenue": q_promo_revenue,
         "pagerank_citation": q_pagerank_citation,
         "co_citation": q_co_citation,
         "biblio_coupling": q_biblio_coupling,
@@ -5299,6 +5329,36 @@ FROM l LEFT JOIN r
   ON l.user_id = r.user_id
  AND r.rts < l.lts AND r.rts >= l.lts - 600000000
 GROUP BY l.event_id, l.user_id ORDER BY l.event_id""",
+        "large_orders": """
+WITH q AS (
+  SELECT l_orderkey, CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT)
+           AS sum_qty
+  FROM lineitem GROUP BY l_orderkey HAVING sum_qty > 200)
+SELECT c.c_custkey, c.c_name, o.o_orderkey,
+       strftime(o.o_orderdate, '%Y-%m-%d') AS o_orderdate,
+       round(o.o_totalprice, 2) AS o_totalprice, q.sum_qty
+FROM q JOIN orders o ON o.o_orderkey = q.l_orderkey
+       JOIN customer c ON c.c_custkey = o.o_custkey
+ORDER BY o.o_orderkey""",
+        "promo_revenue": """
+WITH b AS (
+  SELECT strftime(l_shipdate, '%Y-%m') AS month,
+         CAST(round(l_extendedprice * 100, 0) AS BIGINT)
+           * CAST(round((1.0 - l_discount) * 100, 0) AS BIGINT) AS rev_u,
+         p_type LIKE 'PROMO%' AS is_promo
+  FROM lineitem JOIN part ON p_partkey = l_partkey),
+g AS (
+  SELECT month,
+         CAST(sum(CASE WHEN is_promo THEN rev_u ELSE 0 END) AS BIGINT)
+           AS promo_u,
+         CAST(sum(rev_u) AS BIGINT) AS total_u
+  FROM b GROUP BY month)
+SELECT month, round(CAST(promo_u AS DOUBLE) / 1e4, 2) AS promo_rev,
+       round(CAST(total_u AS DOUBLE) / 1e4, 2) AS total_rev,
+       CASE WHEN total_u > 0
+            THEN round(CAST(100 * promo_u AS DOUBLE) / total_u, 6)
+       END AS promo_pct
+FROM g ORDER BY month""",
         "pricing_summary": """
 WITH b AS (
   SELECT l_returnflag, l_linestatus,

@@ -16,7 +16,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["revenue_rollup", "value_outliers", "pricing_summary"]
+__all__ = ["revenue_rollup", "value_outliers", "pricing_summary",
+           "large_orders", "promo_revenue"]
 
 
 def _cents(col):
@@ -212,4 +213,88 @@ def shipping_priority(
             "l_orderkey", "o_orderdate", "o_orderpriority",
             F.round(F.col("rev_u") / F.lit(1e4), 2).alias("revenue"),
         )
+    )
+
+
+def large_orders(
+    orders: DataFrame,
+    lineitem: DataFrame,
+    customer: DataFrame,
+    threshold: int = 200,
+) -> DataFrame:
+    """(c_custkey, c_name, o_orderkey, o_orderdate, o_totalprice,
+    sum_qty) — the TPC-H-Q18 shape: customers whose single orders total
+    more than ``threshold`` quantity units.
+
+    Plan shape is the point: the lineitem aggregation happens FIRST
+    (map-side-combined sum per orderkey — the only pass over the fact
+    table), the HAVING filter collapses it to a tiny qualifying set
+    (~0.5% of orders at threshold=200), and everything after rides
+    broadcasts of that small side: qualifying keys broadcast against the
+    orders scan, then the enriched qualifying orders broadcast against
+    customer.  Customer is never assumed broadcastable — at 100 TB it
+    isn't — the SMALL side always moves.  Quantities are integral
+    (exact long fold); o_totalprice holds 2 decimals, re-rounded once
+    to kill parquet double dust; o_orderdate emits as yyyy-MM-dd text
+    (the retention_cohorts portability lesson)."""
+    q = (
+        lineitem.groupBy("l_orderkey")
+        .agg(F.sum(F.col("l_quantity").cast("long")).alias("sum_qty"))
+        .where(F.col("sum_qty") > threshold)
+    )
+    qual = orders.select(
+        "o_orderkey", "o_custkey",
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_orderdate"),
+        F.round(F.col("o_totalprice"), 2).alias("o_totalprice"),
+    ).join(F.broadcast(q), F.col("o_orderkey") == F.col("l_orderkey"))
+    return (
+        customer.select("c_custkey", "c_name")
+        .join(F.broadcast(qual), F.col("c_custkey") == F.col("o_custkey"))
+        .select("c_custkey", "c_name", "o_orderkey", "o_orderdate",
+                "o_totalprice", F.col("sum_qty").cast("long").alias("sum_qty"))
+    )
+
+
+def promo_revenue(
+    lineitem: DataFrame,
+    part: DataFrame,
+    promo_prefix: str = "PROMO",
+) -> DataFrame:
+    """(month, promo_rev, total_rev, promo_pct) — the TPC-H-Q14 shape
+    per ship month: discounted revenue attributable to promo-class parts
+    as a share of all revenue.
+
+    Part is the broadcast dimension (the first operator to exercise the
+    lineitem-to-part join); revenue folds as exact integer
+    cents x 1e2-discount units so the shares are reassociation-proof,
+    promo_pct is ONE IEEE division of exact integers (numerator
+    pre-multiplied by 100 as an integer), rounded 6dp at read-out."""
+    rev_u = _cents(F.col("l_extendedprice")) * F.round(
+        (F.lit(1.0) - F.col("l_discount")) * 100, 0
+    ).cast("long")
+    li = lineitem.select(
+        "l_partkey",
+        F.date_format("l_shipdate", "yyyy-MM").alias("month"),
+        rev_u.alias("rev_u"),
+    )
+    p = part.select(
+        "p_partkey",
+        F.col("p_type").startswith(promo_prefix).alias("is_promo"),
+    )
+    g = (
+        li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("month")
+        .agg(
+            F.sum(F.when(F.col("is_promo"), F.col("rev_u"))
+                  .otherwise(F.lit(0))).cast("long").alias("promo_u"),
+            F.sum("rev_u").cast("long").alias("total_u"),
+        )
+    )
+    return g.select(
+        "month",
+        F.round(F.col("promo_u") / F.lit(1e4), 2).alias("promo_rev"),
+        F.round(F.col("total_u") / F.lit(1e4), 2).alias("total_rev"),
+        F.when(F.col("total_u") > 0,
+               F.round((F.lit(100) * F.col("promo_u")) / F.col("total_u"), 6)
+               ).alias("promo_pct"),
     )

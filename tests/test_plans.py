@@ -552,3 +552,30 @@ def test_bpe_merge_apply_has_no_shuffle_and_no_python(spark):
     p = plan_of(merged)
     assert "Exchange" not in p, p
     assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p, p
+
+
+def test_large_orders_broadcasts_small_side_only(spark):
+    from plato_spark.functions.relational import large_orders
+
+    o = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+    li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+    c = spark.read.parquet("/root/testdata/sf0.001/customer.parquet")
+    p = plan_of(large_orders(o, li, c))
+    # the qualifying agg is map-side combined, both joins are broadcasts
+    # of the small (qualifying) side, and nothing degenerates to a
+    # cartesian or nested loop
+    assert "partial" in p.lower(), p
+    assert p.count("BroadcastExchange") >= 2, p
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p, p
+
+
+def test_promo_revenue_broadcasts_part_dim(spark):
+    from plato_spark.functions.relational import promo_revenue
+
+    li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+    part = spark.read.parquet("/root/testdata/sf0.001/part.parquet")
+    p = plan_of(promo_revenue(li, part))
+    assert "BroadcastExchange" in p, p
+    # column pruning on the fact scan: quantity/tax are never referenced
+    tail = p.split("ReadSchema", 1)[1][:400]
+    assert "l_quantity" not in tail and "l_tax" not in tail, p
