@@ -4049,8 +4049,10 @@ def q_spread_behaviour(spark, sf_dir):
 def q_events_sessions(spark, sf_dir):
     """Batch session windows (native F.session_window; the streaming
     counterpart is plato_spark.streaming.sessionize_events). A session
-    extends while consecutive events are < 30 min apart (half-open
-    window: an exactly-30-min gap starts a new session)."""
+    extends while consecutive events are <= 30 min apart — the window
+    end is last_event + gap, boundary-INCLUSIVE, so an exactly-30-min
+    gap still merges (proven by a peak_concurrency fixture; the oracle
+    mirrors <=)."""
     ev = load_table(spark, sf_dir, "events")
     return (
         ev.groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
@@ -4567,6 +4569,95 @@ SELECT true_label AS label, CAST(count(*) AS BIGINT) AS n,
        CAST(sum(CASE WHEN pred = true_label THEN 1 ELSE 0 END) AS BIGINT)
          AS n_correct
 FROM asg GROUP BY true_label ORDER BY label"""
+
+
+def q_peak_concurrency(spark, sf_dir):
+    """Max simultaneously-open sessions + earliest attaining timestamp
+    (functions/events.peak_concurrency): session_window sessions, the
+    +1/-1 sweep collapsed to order-independent per-ts aggregates, and
+    the sequence_packing distributed prefix sum over time buckets."""
+    from plato_spark.functions.events import peak_concurrency
+
+    return peak_concurrency(load_table(spark, sf_dir, "events"))
+
+
+def q_silhouette(spark, sf_dir):
+    """Per-label simplified (centroid-based) silhouette
+    (functions/similarity.silhouette): 6dp-pre-rounded centroids,
+    9dp-rounded cosines, exact-integer mean accumulation (s * 1e9 as
+    BIGINT), one IEEE division per label."""
+    from plato_spark.functions.similarity import silhouette
+
+    return silhouette(load_table(spark, sf_dir, "embeddings"))
+
+
+def _sql_peak_concurrency(gap_s: int = 1800) -> str:
+    gap_us = gap_s * 1_000_000
+    return f"""
+WITH e AS (SELECT user_id, epoch_us(ts) AS t FROM events),
+o AS (SELECT user_id, t,
+        CASE WHEN lag(t) OVER (PARTITION BY user_id ORDER BY t) IS NULL
+               OR t - lag(t) OVER (PARTITION BY user_id ORDER BY t)
+                    > {gap_us}
+             THEN 1 ELSE 0 END AS ns
+      FROM e),
+sid AS MATERIALIZED (
+  SELECT user_id, t,
+         sum(ns) OVER (PARTITION BY user_id ORDER BY t
+                       ROWS UNBOUNDED PRECEDING) AS sid
+  FROM o),
+s AS MATERIALIZED (
+  SELECT user_id, sid, min(t) AS a, max(t) AS b
+  FROM sid GROUP BY user_id, sid),
+d AS (SELECT a AS t, 1 AS d FROM s
+      UNION ALL SELECT b AS t, -1 AS d FROM s),
+pt AS (SELECT t, CAST(sum(d) AS BIGINT) AS net,
+              CAST(sum(CASE WHEN d < 0 THEN 1 ELSE 0 END) AS BIGINT)
+                AS ends
+       FROM d GROUP BY t),
+c AS MATERIALIZED (
+  SELECT t, sum(net) OVER (ORDER BY t ROWS UNBOUNDED PRECEDING) + ends
+           AS cand
+  FROM pt),
+p AS (SELECT max(cand) AS peak FROM c)
+SELECT (SELECT CAST(count(*) AS BIGINT) FROM s) AS n_sessions,
+       CAST(p.peak AS BIGINT) AS peak,
+       CAST((SELECT min(t) FROM c WHERE cand = p.peak) AS BIGINT)
+         AS peak_at_us
+FROM p"""
+
+
+def _sql_silhouette() -> str:
+    own = _cos_sql("v.vec", "c.cvec")
+    return f"""
+WITH {_sql_label_centroid_ctes()},
+v AS MATERIALIZED (
+  SELECT vec_id AS id, label AS true_label,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec
+  FROM embeddings),
+sc AS MATERIALIZED (
+  SELECT v.id, v.true_label, c.label AS clabel,
+         round({own}, 9) AS sim
+  FROM v CROSS JOIN cj c),
+per AS (
+  SELECT id, true_label,
+         max(CASE WHEN clabel = true_label THEN sim END) AS own_sim,
+         max(CASE WHEN clabel <> true_label THEN sim END) AS other_sim
+  FROM sc GROUP BY id, true_label),
+sv AS (
+  SELECT true_label,
+         CASE WHEN other_sim IS NULL THEN NULL
+              WHEN greatest(1.0 - own_sim, 1.0 - other_sim) > 0
+              THEN CAST(round(round(((1.0 - other_sim) - (1.0 - own_sim))
+                     / greatest(1.0 - own_sim, 1.0 - other_sim), 9) * 1e9,
+                     0) AS BIGINT)
+              ELSE CAST(0 AS BIGINT) END AS s9
+  FROM per)
+SELECT true_label AS label, CAST(count(*) AS BIGINT) AS n,
+       CASE WHEN count(s9) > 0
+            THEN round(CAST(sum(s9) AS DOUBLE) / (count(s9) * 1e9), 6)
+       END AS silhouette
+FROM sv GROUP BY true_label ORDER BY label"""
 
 
 def q_ivf_recall(spark, sf_dir):
@@ -5138,6 +5229,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_purity": q_embedding_purity,
         "large_orders": q_large_orders,
         "promo_revenue": q_promo_revenue,
+        "peak_concurrency": q_peak_concurrency,
+        "silhouette": q_silhouette,
         "pagerank_citation": q_pagerank_citation,
         "co_citation": q_co_citation,
         "biblio_coupling": q_biblio_coupling,
@@ -6173,6 +6266,8 @@ FROM cls""",
         "zorder_key": _sql_zorder(16),
         "ivf_recall": _sql_ivf_recall(5),
         "embedding_purity": _sql_embedding_purity(),
+        "peak_concurrency": _sql_peak_concurrency(1800),
+        "silhouette": _sql_silhouette(),
         "burstiness": """
 WITH g AS MATERIALIZED (
   SELECT user_id,
@@ -6690,7 +6785,7 @@ WHERE l.lab = (SELECT lab FROM maj)""",
             WITH x AS (
               SELECT user_id, ts, value,
                      CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
-                               < INTERVAL 30 MINUTE
+                               <= INTERVAL 30 MINUTE
                           THEN 0 ELSE 1 END AS brk
               FROM events),
             g AS (SELECT user_id, ts, value,

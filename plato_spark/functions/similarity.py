@@ -592,3 +592,58 @@ def embedding_purity(
                   .otherwise(0)).cast("long").alias("n_correct"),
         )
     )
+
+
+def silhouette(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """(label, n, silhouette) — simplified (centroid-based) silhouette
+    per label: for each vector, a = cosine distance to its OWN label
+    centroid, b = cosine distance to the nearest OTHER centroid,
+    s = (b - a) / max(a, b); the per-label mean is the standard
+    cluster-quality read-out (near 1 = compact and separated, near 0 =
+    boundary, negative = probably mislabeled).  The medoid-free variant
+    is the only one that scales: true silhouette is all-pairs.
+
+    Engine discipline: centroids are the 6dp-pre-rounded
+    label_centroids; every cosine rounds to 9dp before use (so a and b
+    are exact differences of identical doubles, and the max over other
+    centroids is order-independent); s rounds to 9dp and then
+    accumulates as an exact integer (s * 1e9 as BIGINT) so the mean is
+    ONE IEEE division regardless of partitioning.  max(a, b) == 0
+    scores s = 0; a single-label input reports NULL."""
+    cent = label_centroids(emb, id_col, vec_col, label_col)
+    vecs = emb.select(
+        F.col(id_col).alias("id"),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("vec"),
+        F.col(label_col).alias("true_label"),
+    )
+    sim = F.round(cosine_sim_col(F.col("vec"), F.col("cvec")), 9)
+    scored = vecs.crossJoin(
+        F.broadcast(cent.select(F.col("label").alias("clabel"), "cvec"))
+    ).select("id", "true_label", "clabel", sim.alias("sim"))
+    per = scored.groupBy("id", "true_label").agg(
+        F.max(F.when(F.col("clabel") == F.col("true_label"), F.col("sim"))
+              ).alias("own_sim"),
+        F.max(F.when(F.col("clabel") != F.col("true_label"), F.col("sim"))
+              ).alias("other_sim"),
+    )
+    a = F.lit(1.0) - F.col("own_sim")
+    b = F.lit(1.0) - F.col("other_sim")
+    s = F.when(F.col("other_sim").isNull(), F.lit(None).cast("double")).when(
+        F.greatest(a, b) > 0, F.round((b - a) / F.greatest(a, b), 9)
+    ).otherwise(F.lit(0.0))
+    s9 = F.round(s * 1e9, 0).cast("long")
+    return (
+        per.select("true_label", s9.alias("s9"))
+        .groupBy(F.col("true_label").alias("label"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.when(F.count("s9") > 0,
+                   F.round(F.sum("s9") / (F.count("s9") * F.lit(1e9)), 6)
+                   ).alias("silhouette"),
+        )
+    )

@@ -85,3 +85,171 @@ def test_promo_revenue_all_promo_is_100pct(spark):
     p = _part(spark, [(0, "PROMO X")])
     r = promo_revenue(li, p).collect()[0]
     assert (r.month, r.promo_pct) == ("2024-03", 100.0)
+
+
+# --------------------------------------------- peak concurrency / silhouette
+
+
+def _ev(spark, rows):
+    # (user_id, seconds-offset)
+    base = datetime(2024, 1, 1).timestamp()
+    return spark.createDataFrame(
+        [(i, datetime.fromtimestamp(base + s), u, "view", 1.0, "{}")
+         for i, (u, s) in enumerate(rows)],
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+
+
+def _base_us(spark, rows):
+    from pyspark.sql import functions as F
+    return _ev(spark, rows).agg(F.min(F.unix_micros("ts"))).collect()[0][0]
+
+
+def test_peak_concurrency_overlap_and_argmin(spark):
+    from plato_spark.functions.events import peak_concurrency
+
+    # u1 active [0, 100], u2 [50, 150], u3 [200, 300]: peak 2 first at 50
+    ev = _ev(spark, [(1, 0), (1, 100), (2, 50), (2, 150), (3, 200), (3, 300)])
+    b = _base_us(spark, [(1, 0)])
+    r = peak_concurrency(ev).collect()[0]
+    assert (r.n_sessions, r.peak) == (3, 2)
+    assert r.peak_at_us == b + 50_000_000
+
+
+def test_peak_concurrency_touching_endpoints_overlap(spark):
+    from plato_spark.functions.events import peak_concurrency
+
+    # u1 ends exactly where u2 starts: closed intervals overlap at t=100
+    ev = _ev(spark, [(1, 0), (1, 100), (2, 100), (2, 200)])
+    b = _base_us(spark, [(1, 0)])
+    r = peak_concurrency(ev).collect()[0]
+    assert (r.n_sessions, r.peak) == (2, 2)
+    assert r.peak_at_us == b + 100_000_000
+
+
+def test_peak_concurrency_gap_boundary_splits_session(spark):
+    from plato_spark.functions.events import peak_concurrency
+
+    # session_window is boundary-INCLUSIVE: an exactly-1800s gap still
+    # merges (window end = last + gap); 1801s starts a new session
+    ev = _ev(spark, [(1, 0), (1, 1800)])
+    assert peak_concurrency(ev).collect()[0].n_sessions == 1
+    ev2 = _ev(spark, [(1, 0), (1, 1801)])
+    assert peak_concurrency(ev2).collect()[0].n_sessions == 2
+
+
+def test_peak_concurrency_python_mirror(spark):
+    from plato_spark.functions.events import peak_concurrency
+
+    rows = []
+    for u in range(5):
+        t = u * 37
+        for k in range(6):
+            rows.append((u, t))
+            t += 300 + 700 * ((u + k) % 3)
+    ev = _ev(spark, rows)
+    b = _base_us(spark, [(0, 0)])
+    # mirror: sessionize, sweep per-ts
+    from collections import defaultdict
+    by_u = defaultdict(list)
+    for u, s in rows:
+        by_u[u].append(s)
+    sess = []
+    for u, ts in by_u.items():
+        ts.sort()
+        a = prev = ts[0]
+        for t in ts[1:]:
+            if t - prev > 1800:
+                sess.append((a, prev)); a = t
+            prev = t
+        sess.append((a, prev))
+    per = defaultdict(lambda: [0, 0])  # t -> [net, ends]
+    for a, e in sess:
+        per[a][0] += 1
+        per[e][0] -= 1
+        per[e][1] += 1
+    cum, best, best_t = 0, -1, None
+    for t in sorted(per):
+        net, ends = per[t]
+        cum += net
+        cand = cum + ends
+        if cand > best:
+            best, best_t = cand, t
+    r = peak_concurrency(ev).collect()[0]
+    assert (r.n_sessions, r.peak) == (len(sess), best)
+    assert r.peak_at_us == b + best_t * 1_000_000
+
+
+def _emb(spark, rows):
+    return spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>, label int"
+    )
+
+
+def test_silhouette_separated_clusters_near_one(spark):
+    from plato_spark.functions.similarity import silhouette
+
+    rows, vid = [], 0
+    for lab, d in [(0, [1.0, 0.0]), (1, [0.0, 1.0])]:
+        for _ in range(4):
+            rows.append((vid, d, lab)); vid += 1
+    got = {r.label: r for r in silhouette(_emb(spark, rows)).collect()}
+    # every vec sits ON its centroid: a=0, b=1 -> s=1 exactly
+    assert got[0].silhouette == 1.0 and got[1].silhouette == 1.0
+    assert got[0].n == 4
+
+
+def test_silhouette_identical_centroids_zero(spark):
+    from plato_spark.functions.similarity import silhouette
+
+    rows = [(0, [1.0, 1.0], 0), (1, [1.0, 1.0], 0),
+            (2, [1.0, 1.0], 1), (3, [1.0, 1.0], 1)]
+    got = {r.label: r.silhouette for r in
+           silhouette(_emb(spark, rows)).collect()}
+    assert got == {0: 0.0, 1: 0.0}
+
+
+def test_silhouette_single_label_null(spark):
+    from plato_spark.functions.similarity import silhouette
+
+    rows = [(0, [1.0, 0.0], 0), (1, [0.9, 0.1], 0)]
+    got = silhouette(_emb(spark, rows)).collect()
+    assert len(got) == 1 and got[0].silhouette is None and got[0].n == 2
+
+
+def test_silhouette_python_mirror(spark):
+    import math
+
+    from plato_spark.functions.similarity import silhouette
+
+    rows = [(0, [1.0, 0.2], 0), (1, [0.8, 0.4], 0), (2, [0.1, 1.0], 1),
+            (3, [0.3, 0.9], 1), (4, [0.6, 0.6], 1)]
+    # mirror with the same rounding ladder
+    import collections
+    by_lab = collections.defaultdict(list)
+    for _, v, lab in rows:
+        by_lab[lab].append(v)
+    cents = {}
+    for lab, vs in by_lab.items():
+        cents[lab] = [round(sum(v[i] for v in vs) / len(vs), 6)
+                      for i in range(2)]
+
+    def cos(a, b):
+        num = sum(x * y for x, y in zip(a, b))
+        den = math.sqrt(sum(x * x for x in a)) * math.sqrt(
+            sum(y * y for y in b))
+        return round(num / den, 9)
+
+    sums = collections.defaultdict(lambda: [0, 0])
+    for _, v, lab in rows:
+        own = cos(v, cents[lab])
+        other = max(cos(v, c) for L, c in cents.items() if L != lab)
+        a, b = 1.0 - own, 1.0 - other
+        s = round((b - a) / max(a, b), 9) if max(a, b) > 0 else 0.0
+        sums[lab][0] += int(round(s * 1e9))
+        sums[lab][1] += 1
+    want = {lab: round(t / (n * 1e9), 6) for lab, (t, n) in sums.items()}
+    got = {r.label: r.silhouette for r in
+           silhouette(_emb(spark, rows)).collect()}
+    assert got == want
