@@ -822,12 +822,12 @@ SELECT (SELECT r FROM st) AS start_id,
        CAST((SELECT max(dist) FROM c{bfs_iters}) AS INT) AS diameter_lb"""
 
 
-def _sql_closeness_exact(num_roots: int = 64, bfs_iters: int = 6,
-                         wcc_iters: int = 10) -> str:
-    """Mirror of algos/closeness.closeness_exact (Bavelas per-root exact):
-    (V-1)/sum-of-distances per root over a FULL BFS; roots = the
-    ``num_roots`` smallest major-component ids; ``bfs_iters`` pinned past
-    the measured root eccentricity (extra rounds are fixpoint no-ops)."""
+def _sql_multi_bfs_ctes(num_roots: int = 64, bfs_iters: int = 6,
+                        wcc_iters: int = 10) -> str:
+    """Unrolled major-component multi-source BFS chain (shared by the
+    closeness_exact and eccentricity oracles): hash-min WCC to find the
+    major component, roots = its ``num_roots`` smallest ids, then
+    ``bfs_iters`` frontier rounds into m{bfs_iters} = (root, id, dist)."""
     ctes = ["l0 AS MATERIALIZED (SELECT id, id AS lab FROM verts)"]
     for k in range(wcc_iters):
         ctes.append(
@@ -858,7 +858,16 @@ m0 AS MATERIALIZED (SELECT root, root AS id, 0 AS dist FROM roots)"""
     FROM m{k} d JOIN edges e ON e.src = d.id
   ) u GROUP BY root, id)"""
         )
-    return SQL_GRAPH_PREFIX + ", " + ",\n".join(ctes) + f""",
+    return SQL_GRAPH_PREFIX + ", " + ",\n".join(ctes)
+
+
+def _sql_closeness_exact(num_roots: int = 64, bfs_iters: int = 6,
+                         wcc_iters: int = 10) -> str:
+    """Mirror of algos/closeness.closeness_exact (Bavelas per-root exact):
+    (V-1)/sum-of-distances per root over a FULL BFS; ``bfs_iters`` pinned
+    past the measured root eccentricity (extra rounds are fixpoint
+    no-ops)."""
+    return _sql_multi_bfs_ctes(num_roots, bfs_iters, wcc_iters) + f""",
 sums AS (SELECT root, CAST(sum(dist) AS BIGINT) AS s
          FROM m{bfs_iters} GROUP BY root)
 SELECT root AS id,
@@ -867,6 +876,16 @@ SELECT root AS id,
                        / CAST(s AS DOUBLE)
                   ELSE 0.0 END, 6) AS closeness
 FROM sums ORDER BY id"""
+
+
+def _sql_eccentricity(num_roots: int = 64, bfs_iters: int = 6,
+                      wcc_iters: int = 10) -> str:
+    """Mirror of algos/closeness.eccentricity: per-root max BFS distance
+    and reached count over the same pinned-root multi-source chain."""
+    return _sql_multi_bfs_ctes(num_roots, bfs_iters, wcc_iters) + f"""
+SELECT root AS id, CAST(max(dist) AS BIGINT) AS ecc,
+       CAST(count(*) AS BIGINT) AS n_reached
+FROM m{bfs_iters} GROUP BY root ORDER BY root"""
 
 def _sql_harmonic(samples: int = CLOSENESS_SAMPLES, radius: int = 5,
                   wcc_iters: int = 10) -> str:
@@ -2732,6 +2751,16 @@ def q_closeness_exact(spark, sf_dir):
     return closeness_exact(
         part_cooccurrence_edges(spark, sf_dir), num_roots=64
     )
+
+
+def q_eccentricity(spark, sf_dir):
+    """Exact per-root eccentricity + reached count over the same pinned
+    64-root multi-source BFS as closeness_exact
+    (algos/closeness.eccentricity): radius upper bound / diameter lower
+    bound read-outs, exact integers end to end."""
+    from plato_spark.algos.closeness import eccentricity
+
+    return eccentricity(part_cooccurrence_edges(spark, sf_dir), num_roots=64)
 
 
 def q_harmonic(spark, sf_dir):
@@ -5231,6 +5260,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "promo_revenue": q_promo_revenue,
         "peak_concurrency": q_peak_concurrency,
         "silhouette": q_silhouette,
+        "eccentricity": q_eccentricity,
         "pagerank_citation": q_pagerank_citation,
         "co_citation": q_co_citation,
         "biblio_coupling": q_biblio_coupling,
@@ -6669,6 +6699,7 @@ WHERE rn <= 5""",
         # 64-root eccentricity (2 at sf0.001, 3 at sf0.01; extra rounds
         # are fixpoint no-ops on the min-dist merge)
         "closeness_exact": _sql_closeness_exact(64, bfs_iters=6),
+        "eccentricity": _sql_eccentricity(64, bfs_iters=6),
         "eigenvector": _sql_eigenvector(5),
         "pseudo_diameter": _sql_pseudo_diameter(8),
         "scc": """

@@ -216,3 +216,29 @@ def harmonic_sampled(
             ).alias("harmonic"),
         )
     )
+
+
+def eccentricity(
+    edges: DataFrame,
+    num_roots: int = 64,
+    max_iters: int = 10_000,
+) -> DataFrame:
+    """(id, ecc, n_reached) — EXACT eccentricity (max hop distance to any
+    reachable vertex) for the pinned root set, over canonical undirected
+    edges.  min(ecc) over any root set upper-bounds nothing but min over
+    ALL vertices is the radius — over a pinned subset it is an UPPER
+    bound on the radius, while max(ecc) is a LOWER bound on the diameter
+    (the double-sweep pseudo_diameter refines that one); n_reached
+    cross-checks that every root saw the whole major component.
+
+    Same kernel, same pinned-root policy, and same scale fence as
+    closeness_exact (reference bavelas.hpp runs per-root queries; all
+    roots here ride ONE multi-source level-synchronous BFS): per-root
+    cost is a full BFS sweep, so this is a query for the roots you
+    care about, never an all-vertices call.  ecc and n_reached are
+    exact integers — no float anywhere."""
+    _members, _fac, visited = _sampled_bfs(edges, num_roots, max_iters)
+    return visited.groupBy(F.col("root").alias("id")).agg(
+        F.max("dist").cast("long").alias("ecc"),
+        F.count(F.lit(1)).cast("long").alias("n_reached"),
+    )

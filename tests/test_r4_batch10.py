@@ -253,3 +253,43 @@ def test_silhouette_python_mirror(spark):
     got = {r.label: r.silhouette for r in
            silhouette(_emb(spark, rows)).collect()}
     assert got == want
+
+
+# ------------------------------------------------------------- eccentricity
+
+
+def _edges(spark, pairs):
+    return spark.createDataFrame(
+        sorted({(min(a, b), max(a, b)) for a, b in pairs}),
+        "src long, dst long",
+    )
+
+
+def test_eccentricity_path_graph(spark):
+    from plato_spark.algos.closeness import eccentricity
+
+    # path 0-1-2-3-4: ecc(0)=4, ecc(1)=3, ecc(2)=2
+    e = _edges(spark, [(i, i + 1) for i in range(4)])
+    got = {r.id: (r.ecc, r.n_reached) for r in
+           eccentricity(e, num_roots=3).collect()}
+    assert got == {0: (4, 5), 1: (3, 5), 2: (2, 5)}
+
+
+def test_eccentricity_star_center_vs_leaf(spark):
+    from plato_spark.algos.closeness import eccentricity
+
+    # star center 0 with leaves 1..4: ecc(0)=1, ecc(leaf)=2
+    e = _edges(spark, [(0, i) for i in range(1, 5)])
+    got = {r.id: r.ecc for r in eccentricity(e, num_roots=2).collect()}
+    assert got == {0: 1, 1: 2}
+
+
+def test_eccentricity_restricted_to_major_component(spark):
+    from plato_spark.algos.closeness import eccentricity
+
+    # major component = triangle+tail {0,1,2,3}; {10,11} ignored
+    e = _edges(spark, [(0, 1), (1, 2), (2, 0), (2, 3), (10, 11)])
+    got = {r.id: (r.ecc, r.n_reached) for r in
+           eccentricity(e, num_roots=10).collect()}
+    assert set(got) == {0, 1, 2, 3}
+    assert got[0] == (2, 4) and got[2] == (1, 4) and got[3] == (2, 4)
