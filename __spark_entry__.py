@@ -3930,6 +3930,72 @@ def q_cms_incremental(spark, sf_dir):
     return out
 
 
+def q_quantiles_incremental(spark, sf_dir):
+    """Streaming fixed-bin histogram quantiles (streaming/hist_stream):
+    events arrive as three micro-batches folded bin-wise into a
+    constant-size (<= nbins rows) versioned state with epoch-tagged
+    exactly-once commits; bin counts are an additive monoid, so the
+    folded histogram — and hence the interpolated quantile read-out —
+    equals the fixed-edge batch histogram of the union verbatim."""
+    import shutil
+    import tempfile
+
+    from plato_spark.streaming.hist_stream import (
+        merge_hist_batch,
+        quantiles_from_state,
+        read_hist_state,
+    )
+
+    ev = load_table(spark, sf_dir, "events").persist()
+    sd = tempfile.mkdtemp(prefix="plato_inchist_")
+    try:
+        for i in range(3):
+            merge_hist_batch(
+                ev.where(F.pmod(F.xxhash64("event_id"), F.lit(3)) == i),
+                sd, epoch_id=i, col="value", lo=0.0, hi=600.0, nbins=256,
+            )
+        out = quantiles_from_state(
+            read_hist_state(spark, sd), lo=0.0, hi=600.0, nbins=256,
+            quantiles=(0.5, 0.9, 0.99),
+        ).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(sd, ignore_errors=True)
+        ev.unpersist()
+    return out
+
+
+def _sql_fixed_hist_quantiles(lo: float = 0.0, hi: float = 600.0,
+                              nbins: int = 256) -> str:
+    w = (float(hi) - float(lo)) / int(nbins)
+    return f"""
+WITH x AS (SELECT CAST(value AS DOUBLE) AS v FROM events
+           WHERE value IS NOT NULL),
+h AS MATERIALIZED (
+  SELECT greatest(least(CAST(floor((v - {lo!r}) / {w!r}) AS INT),
+                        {int(nbins) - 1}), 0) AS bin,
+         CAST(count(*) AS BIGINT) AS cnt
+  FROM x GROUP BY 1),
+c AS MATERIALIZED (
+  SELECT bin, cnt,
+         sum(cnt) OVER (ORDER BY bin ROWS UNBOUNDED PRECEDING) AS cum
+  FROM h),
+nn AS (SELECT CAST(sum(cnt) AS BIGINT) AS n FROM h),
+qs AS (SELECT CAST(q AS DOUBLE) AS q
+       FROM (VALUES (0.5), (0.9), (0.99)) AS t(q)),
+rk AS (SELECT q, CAST(greatest(ceil(q * CAST(n AS DOUBLE)), 1) AS BIGINT)
+                AS r
+       FROM qs, nn),
+pick AS (
+  SELECT q, r, bin, cnt, cum FROM (
+    SELECT rk.q, rk.r, c.bin, c.cnt, c.cum,
+           row_number() OVER (PARTITION BY rk.q ORDER BY c.bin) AS rn
+    FROM rk JOIN c ON c.cum >= rk.r) t
+  WHERE rn = 1)
+SELECT q, round({lo!r} + {w!r} * (bin + CAST(r - (cum - cnt) AS DOUBLE)
+                                        / cnt), 6) AS value
+FROM pick ORDER BY q"""
+
+
 def q_pq_ann(spark, sf_dir):
     """Product-quantization ANN (functions/pq): m=4 x 16-dim subspaces,
     16 codewords each, integer-nano ADC top-5 per vector."""
@@ -5261,6 +5327,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "peak_concurrency": q_peak_concurrency,
         "silhouette": q_silhouette,
         "eccentricity": q_eccentricity,
+        "quantiles_incremental": q_quantiles_incremental,
         "pagerank_citation": q_pagerank_citation,
         "co_citation": q_co_citation,
         "biblio_coupling": q_biblio_coupling,
@@ -6298,6 +6365,7 @@ FROM cls""",
         "embedding_purity": _sql_embedding_purity(),
         "peak_concurrency": _sql_peak_concurrency(1800),
         "silhouette": _sql_silhouette(),
+        "quantiles_incremental": _sql_fixed_hist_quantiles(0.0, 600.0, 256),
         "burstiness": """
 WITH g AS MATERIALIZED (
   SELECT user_id,

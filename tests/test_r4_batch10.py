@@ -293,3 +293,90 @@ def test_eccentricity_restricted_to_major_component(spark):
            eccentricity(e, num_roots=10).collect()}
     assert set(got) == {0, 1, 2, 3}
     assert got[0] == (2, 4) and got[2] == (1, 4) and got[3] == (2, 4)
+
+
+# ---------------------------------------------------- streaming histogram
+
+
+def test_hist_stream_equals_batch(spark):
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from plato_spark.streaming.hist_stream import (
+        bin_counts, merge_hist_batch, read_hist_state,
+    )
+
+    df = spark.createDataFrame(
+        [(i, float((i * 37) % 100)) for i in range(60)], "event_id long, value double"
+    )
+    sd = tempfile.mkdtemp(prefix="hist_test_")
+    try:
+        for i in range(3):
+            merge_hist_batch(
+                df.where(F.pmod(F.col("event_id"), F.lit(3)) == i),
+                sd, epoch_id=i, col="value", lo=0.0, hi=100.0, nbins=16,
+            )
+        folded = {r.bin: r.cnt for r in read_hist_state(spark, sd).collect()}
+        batch = {r.bin: r.cnt
+                 for r in bin_counts(df, "value", 0.0, 100.0, 16).collect()}
+        assert folded == batch and sum(folded.values()) == 60
+    finally:
+        shutil.rmtree(sd, ignore_errors=True)
+
+
+def test_hist_stream_replay_and_rollback(spark):
+    import os
+    import shutil
+    import tempfile
+
+    from plato_spark.streaming.hist_stream import (
+        merge_hist_batch, read_hist_state,
+    )
+
+    df = spark.createDataFrame([(0, 5.0), (1, 50.0)], "event_id long, value double")
+    sd = tempfile.mkdtemp(prefix="hist_test_")
+    try:
+        assert merge_hist_batch(df, sd, 0, "value", 0.0, 100.0, 8)["applied"]
+        snap = {r.bin: r.cnt for r in read_hist_state(spark, sd).collect()}
+        # replay must be skipped (additive counts not idempotent)
+        assert not merge_hist_batch(df, sd, 0, "value", 0.0, 100.0, 8)["applied"]
+        assert snap == {r.bin: r.cnt
+                        for r in read_hist_state(spark, sd).collect()}
+        # rollback: remove versions, replay applies exactly once
+        for d in [d for d in os.listdir(sd) if d.startswith("v")]:
+            shutil.rmtree(os.path.join(sd, d))
+        assert merge_hist_batch(df, sd, 0, "value", 0.0, 100.0, 8)["applied"]
+        assert snap == {r.bin: r.cnt
+                        for r in read_hist_state(spark, sd).collect()}
+    finally:
+        shutil.rmtree(sd, ignore_errors=True)
+
+
+def test_hist_stream_clamp_and_quantiles(spark):
+    import shutil
+    import tempfile
+
+    from plato_spark.streaming.hist_stream import (
+        merge_hist_batch, quantiles_from_state, read_hist_state,
+    )
+
+    # values -5 and 105 clamp into edge bins; quantile read-out matches a
+    # hand interpolation: bins of width 10 over [0, 100)
+    df = spark.createDataFrame(
+        [(0, -5.0), (1, 5.0), (2, 15.0), (3, 15.0), (4, 105.0)],
+        "event_id long, value double",
+    )
+    sd = tempfile.mkdtemp(prefix="hist_test_")
+    try:
+        merge_hist_batch(df, sd, 0, "value", 0.0, 100.0, 10)
+        st = read_hist_state(spark, sd)
+        bins = {r.bin: r.cnt for r in st.collect()}
+        assert bins == {0: 2, 1: 2, 9: 1}
+        got = {r.q: r.value for r in
+               quantiles_from_state(st, 0.0, 100.0, 10, (0.5,)).collect()}
+        # n=5, r=ceil(2.5)=3 -> bin 1 (cum 4, prev 2): 10*(1 + (3-2)/2)=15
+        assert got[0.5] == 15.0
+    finally:
+        shutil.rmtree(sd, ignore_errors=True)
