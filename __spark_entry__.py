@@ -3930,6 +3930,42 @@ def q_cms_incremental(spark, sf_dir):
     return out
 
 
+def q_mixture_apply(spark, sf_dir):
+    """Per-document replication factors materializing the temperature
+    mixture (functions/packing.mixture_apply): floor(boost) copies plus
+    one more iff the portable doc hash falls under the exact-integer
+    fractional threshold — deterministic at any partitioning."""
+    from plato_spark.functions.packing import mixture_apply
+
+    return mixture_apply(load_table(spark, sf_dir, "documents"))
+
+
+def q_rate_spikes(spark, sf_dir):
+    """Per-type hourly event counts flagged against the type's own rate
+    distribution (functions/events.rate_spikes): value_outliers' z-score
+    discipline keyed on time buckets, 6dp-pre-rounded mean/std, exact
+    epoch-microsecond hours."""
+    from plato_spark.functions.events import rate_spikes
+
+    return rate_spikes(load_table(spark, sf_dir, "events"))
+
+
+def q_revenue_rollup_totals(spark, sf_dir):
+    """Q5-shape revenue with ROLLUP grouping sets
+    (functions/relational.revenue_rollup_totals): leaf + per-region
+    subtotal + grand total in ONE Expand pass, grouping-id lvl column
+    disambiguating subtotal NULLs."""
+    from plato_spark.functions.relational import revenue_rollup_totals
+
+    return revenue_rollup_totals(
+        load_table(spark, sf_dir, "orders"),
+        load_table(spark, sf_dir, "lineitem"),
+        load_table(spark, sf_dir, "customer"),
+        load_table(spark, sf_dir, "nation"),
+        load_table(spark, sf_dir, "region"),
+    )
+
+
 def q_quantiles_incremental(spark, sf_dir):
     """Streaming fixed-bin histogram quantiles (streaming/hist_stream):
     events arrive as three micro-batches folded bin-wise into a
@@ -5328,6 +5364,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "silhouette": q_silhouette,
         "eccentricity": q_eccentricity,
         "quantiles_incremental": q_quantiles_incremental,
+        "mixture_apply": q_mixture_apply,
+        "rate_spikes": q_rate_spikes,
+        "revenue_rollup_totals": q_revenue_rollup_totals,
         "pagerank_citation": q_pagerank_citation,
         "co_citation": q_co_citation,
         "biblio_coupling": q_biblio_coupling,
@@ -7333,6 +7372,74 @@ WHERE bit_count(xor(x.simhash, y.simhash)) <= 3""",
                    round(CAST(w AS DOUBLE) / tw, 6) AS temp_share,
                    round(CAST(w * tt AS DOUBLE) / (tw * n_tokens), 6) AS boost
             FROM iw, tot""",
+        "mixture_apply": f"""
+            WITH t AS (SELECT source,
+                         CAST(length(regexp_extract_all(text, '{TOKEN_RE_SQL}'))
+                              AS BIGINT) AS tk
+                       FROM documents),
+            per AS (SELECT source, CAST(sum(tk) AS BIGINT) AS n_tokens
+                    FROM t GROUP BY source),
+            f0 AS (SELECT *, CAST(floor(sqrt(CAST(n_tokens AS DOUBLE)))
+                                  AS BIGINT) AS f FROM per),
+            f1 AS (SELECT *, CASE WHEN (f+1)*(f+1) <= n_tokens
+                                  THEN f+1 ELSE f END AS g FROM f0),
+            iw AS (SELECT source, n_tokens,
+                          CASE WHEN g*g > n_tokens THEN g-1 ELSE g END AS w
+                   FROM f1),
+            tot AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS tt,
+                           CAST(sum(w) AS BIGINT) AS tw FROM iw),
+            rates AS (SELECT source,
+                   round(CAST(w * tt AS DOUBLE) / (tw * n_tokens), 6) AS b6
+                      FROM iw, tot),
+            rr AS (SELECT source, CAST(floor(b6) AS BIGINT) AS n_base,
+                          CAST(round((b6 - floor(b6)) * 1e6, 0) AS BIGINT)
+                            AS thresh
+                   FROM rates)
+            SELECT d.doc_id AS id, d.source,
+                   CAST(r.n_base + CASE WHEN
+                     ({H1_SQL.format(s="('mix|' || CAST(d.doc_id AS VARCHAR))")})
+                       % 1000000 < r.thresh THEN 1 ELSE 0 END AS BIGINT)
+                     AS n_copies
+            FROM documents d JOIN rr r ON d.source = r.source""",
+        "rate_spikes": """
+WITH per AS MATERIALIZED (
+  SELECT event_type,
+         CAST((epoch_us(ts) // 3600000000) * 3600000000 AS BIGINT)
+           AS hour_us,
+         CAST(count(*) AS BIGINT) AS n
+  FROM events GROUP BY event_type, hour_us),
+g AS (SELECT event_type, count(*) AS k, CAST(sum(n) AS BIGINT) AS s,
+             CAST(sum(n * n) AS BIGINT) AS ss
+      FROM per GROUP BY event_type),
+st AS (SELECT event_type,
+              round(CAST(s AS DOUBLE) / k, 6) AS mean,
+              round(sqrt(greatest(CAST(ss AS DOUBLE) / k
+                                  - (CAST(s AS DOUBLE) / k)
+                                    * (CAST(s AS DOUBLE) / k), 0.0)), 6)
+                AS std
+       FROM g)
+SELECT p.event_type, p.hour_us, p.n, st.mean, st.std,
+       (st.std > 0 AND abs(p.n - st.mean) > 3.0 * st.std) AS is_spike
+FROM per p JOIN st ON p.event_type = st.event_type
+ORDER BY p.event_type, p.hour_us""",
+        "revenue_rollup_totals": """
+WITH li AS MATERIALIZED (
+  SELECT l_orderkey,
+         CAST(round(l_extendedprice * 100, 0) AS BIGINT)
+         * CAST(round((1 - l_discount) * 10000, 0) AS BIGINT) AS rev_u
+  FROM lineitem),
+j AS MATERIALIZED (
+  SELECT r.r_name, n.n_name, o.o_orderkey, li.rev_u
+  FROM li JOIN orders o ON li.l_orderkey = o.o_orderkey
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  JOIN nation n ON c.c_nationkey = n.n_nationkey
+  JOIN region r ON n.n_regionkey = r.r_regionkey)
+SELECT r_name AS region, n_name AS nation,
+       CAST(GROUPING(r_name) * 2 + GROUPING(n_name) AS INT) AS lvl,
+       CAST(count(DISTINCT o_orderkey) AS BIGINT) AS n_orders,
+       round(CAST(sum(rev_u) AS DOUBLE) / 1e6, 2) AS revenue
+FROM j GROUP BY ROLLUP (r_name, n_name)
+ORDER BY lvl, region, nation""",
         "snapshot_diff": f"""
             WITH m AS (SELECT doc_id, text,
                     ({H1_SQL.format(s="('diffv2|' || CAST(doc_id AS VARCHAR))")})

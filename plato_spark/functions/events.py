@@ -19,7 +19,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 __all__ = ["funnel_counts", "asof_attribution", "interval_counts",
-           "burstiness", "peak_concurrency"]
+           "burstiness", "peak_concurrency", "rate_spikes"]
 
 
 def funnel_counts(
@@ -551,3 +551,55 @@ def peak_concurrency(
                 F.col("peak_at_us").cast("long").alias("peak_at_us"))
     )
     return n_sessions.crossJoin(at)
+
+
+def rate_spikes(
+    events: DataFrame,
+    z: float = 3.0,
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """(event_type, hour_us, n, mean, std, is_spike) — per-type hourly
+    event counts flagged against the type's own rate distribution: an
+    hour is a spike when |n - mean| > z * std.  The ingest-ops
+    anomaly monitor (crawler stampedes, outage gaps) — value_outliers'
+    sibling keyed on TIME buckets instead of values.
+
+    Semantics note: the distribution runs over OBSERVED hours only —
+    silent hours contribute no zero rows (imputing the full calendar
+    needs a time-range generator; at 100 TB the observed-hour table is
+    what the monitor actually materializes).  mean/std come from one
+    map-side-combined sufficient-statistics fold and are ROUNDED 6dp
+    BEFORE the comparison (the value_outliers discipline); hours emit
+    as exact epoch microseconds."""
+    hour_us = (
+        F.floor(F.unix_micros(F.col(ts_col).cast("timestamp"))
+                / F.lit(3_600_000_000)) * F.lit(3_600_000_000)
+    ).cast("long")
+    per = (
+        events.select(F.col(type_col).alias("event_type"),
+                      hour_us.alias("hour_us"))
+        .groupBy("event_type", "hour_us")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    g = per.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("k"),
+        F.sum("n").alias("s"),
+        F.sum(F.col("n") * F.col("n")).alias("ss"),
+    )
+    m = F.col("s") / F.col("k")
+    var = F.col("ss") / F.col("k") - m * m
+    stats = g.select(
+        "event_type",
+        F.round(m, 6).alias("mean"),
+        F.round(F.sqrt(F.greatest(var, F.lit(0.0))), 6).alias("std"),
+    )
+    return (
+        per.join(F.broadcast(stats), "event_type")
+        .select(
+            "event_type", "hour_us", "n", "mean", "std",
+            ((F.col("std") > 0)
+             & (F.abs(F.col("n") - F.col("mean"))
+                > F.lit(float(z)) * F.col("std"))).alias("is_spike"),
+        )
+    )

@@ -39,7 +39,8 @@ from pyspark.sql import functions as F
 
 from plato_spark.functions.text import portable_h1, token_count_col
 
-__all__ = ["sequence_packing", "mixture_weights", "snapshot_diff"]
+__all__ = ["sequence_packing", "mixture_weights", "snapshot_diff",
+           "mixture_apply"]
 
 
 def sequence_packing(
@@ -201,4 +202,52 @@ def snapshot_diff(
         .when(F.col("h_old") == F.col("h_new"), F.lit("unchanged"))
         .otherwise(F.lit("changed"))
         .alias("status"),
+    )
+
+
+def mixture_apply(
+    docs: DataFrame,
+    source_col: str = "source",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(id, source, n_copies) — materialize the mixture_weights plan as a
+    per-document replication factor: every document of source s is
+    consumed ``boost_s`` times in expectation, so each source's
+    effective token share equals its temperature share.  The standard
+    epochs-per-source recipe (boost > 1 upsamples by repetition,
+    boost < 1 downsamples) made fully deterministic: n_copies =
+    floor(boost) + 1 more iff portable_h1('mix|' || id) % 1e6 falls
+    under the fractional part — reproducible at any partitioning, no
+    RNG state, and exactly mirrorable in SQL.
+
+    Portability contract: boost is the 6dp-ROUNDED division (the
+    mixture_weights gate already proves both engines agree on it), so
+    the fractional threshold round(frac * 1e6) is an EXACT integer and
+    the hash comparison is integer-vs-integer — the float only ever
+    passes through one agreed rounding.
+
+    Scale: one broadcast of the per-source boost table (|sources| rows)
+    against the corpus scan plus one JVM hash per document — no
+    shuffle beyond mixture_weights' aggregation.  Downstream, a trainer
+    repeats each doc n_copies times (0 drops it)."""
+    w = mixture_weights(docs, source_col=source_col, text_col=text_col)
+    b6 = F.col("boost")  # already rounded 6dp by mixture_weights
+    rates = w.select(
+        F.col(source_col).alias("__src"),
+        F.floor(b6).cast("long").alias("n_base"),
+        F.round((b6 - F.floor(b6)) * 1e6, 0).cast("long").alias("thresh"),
+    )
+    h = portable_h1(F.concat(F.lit("mix|"), F.col("id").cast("string")))
+    return (
+        docs.select(F.col(id_col).alias("id"),
+                    F.col(source_col).alias("__src"))
+        .join(F.broadcast(rates), "__src")
+        .select(
+            "id",
+            F.col("__src").alias("source"),
+            (F.col("n_base")
+             + F.when(F.pmod(h, F.lit(1_000_000)) < F.col("thresh"), 1)
+             .otherwise(0)).cast("long").alias("n_copies"),
+        )
     )

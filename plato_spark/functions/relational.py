@@ -17,13 +17,33 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 __all__ = ["revenue_rollup", "value_outliers", "pricing_summary",
-           "large_orders", "promo_revenue"]
+           "large_orders", "promo_revenue", "revenue_rollup_totals"]
 
 
 def _cents(col):
     # exact: prices have <= 2 decimals; round once to kill any parquet
     # double representation dust, then hold as int64 cents
     return F.round(col * 100, 0).cast("long")
+
+
+
+def _rev_joined(orders, lineitem, customer, nation, region) -> DataFrame:
+    """Shared Q5-shape star join: lineitem revenue units joined through
+    orders to the broadcast customer/nation/region dimensions."""
+    rev = _cents(F.col("l_extendedprice")) * F.round(
+        (F.lit(1.0) - F.col("l_discount")) * 10000, 0
+    ).cast("long")
+    li = lineitem.select("l_orderkey", rev.alias("rev_u"))
+    o = orders.select("o_orderkey", "o_custkey")
+    c = customer.select("c_custkey", "c_nationkey")
+    n = nation.select("n_nationkey", "n_name", "n_regionkey")
+    r = region.select("r_regionkey", "r_name")
+    return (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
+    )
 
 
 def revenue_rollup(
@@ -38,20 +58,7 @@ def revenue_rollup(
     TPC-H Q5 join shape.  Revenue is accumulated as integer
     cents*10^4 (discounts have <= 4 decimals) and divided back once at
     read-out; dimensions broadcast."""
-    rev = _cents(F.col("l_extendedprice")) * F.round(
-        (F.lit(1.0) - F.col("l_discount")) * 10000, 0
-    ).cast("long")
-    li = lineitem.select("l_orderkey", rev.alias("rev_u"))
-    o = orders.select("o_orderkey", "o_custkey")
-    c = customer.select("c_custkey", "c_nationkey")
-    n = nation.select("n_nationkey", "n_name", "n_regionkey")
-    r = region.select("r_regionkey", "r_name")
-    j = (
-        li.join(o, li["l_orderkey"] == o["o_orderkey"])
-        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
-        .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
-        .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
-    )
+    j = _rev_joined(orders, lineitem, customer, nation, region)
     return (
         j.groupBy(F.col("r_name").alias("region"),
                   F.col("n_name").alias("nation"))
@@ -297,4 +304,41 @@ def promo_revenue(
         F.when(F.col("total_u") > 0,
                F.round((F.lit(100) * F.col("promo_u")) / F.col("total_u"), 6)
                ).alias("promo_pct"),
+    )
+
+
+def revenue_rollup_totals(
+    orders: DataFrame,
+    lineitem: DataFrame,
+    customer: DataFrame,
+    nation: DataFrame,
+    region: DataFrame,
+) -> DataFrame:
+    """(region, nation, lvl, n_orders, revenue) — the Q5-shape revenue
+    rollup with ROLLUP grouping sets: per-(region, nation) rows plus
+    per-region subtotals and the grand total in one pass.  ``lvl`` is
+    the grouping-id bit pattern (0 = leaf, 1 = region subtotal,
+    3 = grand total — ROLLUP never emits 2) — emitted explicitly because rollup marks subtotal keys with NULL,
+    and a NULL that MEANS "all nations" must stay distinguishable from
+    a (hypothetical) NULL nation value; grouping() is the standard
+    disambiguator.
+
+    Plan: Spark compiles rollup to ONE Expand + one aggregation — the
+    fact table is scanned once, each row expands to its 3 grouping-set
+    replicas before the map-side combine (not 3 separate scans); exact
+    integer revenue folds, countDistinct for orders."""
+    j = _rev_joined(orders, lineitem, customer, nation, region)
+    return (
+        j.rollup("r_name", "n_name")
+        .agg(
+            (F.grouping("r_name") * 2 + F.grouping("n_name"))
+            .cast("int").alias("lvl"),
+            F.countDistinct("o_orderkey").cast("long").alias("n_orders"),
+            F.sum("rev_u").cast("long").alias("rev_u"),
+        )
+        .select(
+            F.col("r_name").alias("region"), F.col("n_name").alias("nation"),
+            "lvl", "n_orders",
+            F.round(F.col("rev_u") / F.lit(1e6), 2).alias("revenue"),
+        )
     )

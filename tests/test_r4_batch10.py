@@ -380,3 +380,92 @@ def test_hist_stream_clamp_and_quantiles(spark):
         assert got[0.5] == 15.0
     finally:
         shutil.rmtree(sd, ignore_errors=True)
+
+
+# ------------------------------------- mixture_apply / rate_spikes / rollup
+
+
+def test_mixture_apply_single_source_is_identity(spark):
+    from plato_spark.functions.packing import mixture_apply
+
+    docs = spark.createDataFrame(
+        [(i, "web", "alpha beta gamma") for i in range(8)],
+        "doc_id long, source string, text string",
+    )
+    got = mixture_apply(docs).collect()
+    # one source: boost = w*T/(w*T) = 1.0 exactly -> every doc once
+    assert len(got) == 8 and all(r.n_copies == 1 for r in got)
+
+
+def test_mixture_apply_boost_bounds_and_determinism(spark):
+    from plato_spark.functions.packing import mixture_apply
+    from plato_spark.functions.packing import mixture_weights
+    import math
+
+    rows = [(i, "big", "tok " * 40) for i in range(6)] + [
+        (100 + i, "small", "tok tok") for i in range(3)]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, source string, text string")
+    boosts = {r.source: r.boost for r in mixture_weights(docs).collect()}
+    assert boosts["small"] > 1.0 > boosts["big"]
+    got = mixture_apply(docs).collect()
+    by_src = {}
+    for r in got:
+        by_src.setdefault(r.source, []).append(r.n_copies)
+    for src, copies in by_src.items():
+        base = math.floor(boosts[src])
+        assert set(copies) <= {base, base + 1}, (src, copies)
+    again = sorted((r.id, r.n_copies) for r in mixture_apply(docs).collect())
+    assert again == sorted((r.id, r.n_copies) for r in got)
+
+
+def test_rate_spikes_flags_the_burst_hour(spark):
+    from plato_spark.functions.events import rate_spikes
+
+    rows, eid = [], 0
+    # 11 calm hours of 10 events + 1 burst hour of 200 for 'view' — a
+    # single outlier among k equal values scores z = sqrt(k-1), so k
+    # must exceed 10 for a z=3 flag (k=12 -> 3.317); 'click' constant
+    # at 5/hour -> std 0, never a spike
+    for h in range(12):
+        k = 200 if h == 9 else 10
+        for i in range(k):
+            rows.append((eid, datetime(2024, 1, 1, h, 0, i % 60,
+                                       i * 137 % 1000000), 1, "view", 1.0,
+                         "{}")); eid += 1
+    for h in range(12):
+        for i in range(5):
+            rows.append((eid, datetime(2024, 1, 1, h, 30, i), 2, "click",
+                         1.0, "{}")); eid += 1
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, "
+              "event_type string, value double, props string")
+    got = rate_spikes(ev, z=3.0).collect()
+    spikes = {(r.event_type, r.hour_us) for r in got if r.is_spike}
+    base = datetime(2024, 1, 1).timestamp() * 1_000_000
+    assert spikes == {("view", int(base + 9 * 3_600_000_000))}
+    clicks = [r for r in got if r.event_type == "click"]
+    assert len(clicks) == 12 and all(not r.is_spike for r in clicks)
+    assert all(r.std == 0.0 for r in clicks)
+
+
+def test_revenue_rollup_totals_levels_and_sums(spark):
+    from plato_spark.functions.relational import revenue_rollup_totals
+
+    o = _orders(spark, [(1, 7, 0.0, 1), (2, 8, 0.0, 2)])
+    li = _li(spark, [(1, 0, 1, 100.0, 0.0, 1), (2, 0, 1, 50.0, 0.0, 1)])
+    c = spark.createDataFrame(
+        [(7, "A", 0, 0.0, "B"), (8, "B", 1, 0.0, "B")],
+        "c_custkey long, c_name string, c_nationkey int, c_acctbal double, "
+        "c_mktsegment string")
+    n = spark.createDataFrame(
+        [(0, "FR", 0), (1, "DE", 0)],
+        "n_nationkey int, n_name string, n_regionkey int")
+    r = spark.createDataFrame([(0, "EUROPE")], "r_regionkey int, r_name string")
+    got = {(x.region, x.nation): (x.lvl, x.n_orders, x.revenue)
+           for x in revenue_rollup_totals(o, li, c, n, r).collect()}
+    assert got[("EUROPE", "FR")] == (0, 1, 100.0)
+    assert got[("EUROPE", "DE")] == (0, 1, 50.0)
+    assert got[("EUROPE", None)] == (1, 2, 150.0)   # region subtotal
+    assert got[(None, None)] == (3, 2, 150.0)       # grand total
+    assert len(got) == 4
