@@ -3930,6 +3930,84 @@ def q_cms_incremental(spark, sf_dir):
     return out
 
 
+def q_group_quantiles(spark, sf_dir):
+    """Per-event-type histogram quantiles fully in-plan
+    (functions/quantiles.group_quantiles): broadcast per-group stats
+    instead of driver-collected scalars, group-partitioned cumulative
+    window, the proven interpolation ladder."""
+    from plato_spark.functions.quantiles import group_quantiles
+
+    return group_quantiles(
+        load_table(spark, sf_dir, "events"), "event_type", "value"
+    )
+
+
+def _sql_group_quantiles(nbins: int = 256) -> str:
+    return f"""
+WITH x AS (SELECT event_type AS g, CAST(value AS DOUBLE) AS x
+           FROM events WHERE value IS NOT NULL),
+st AS MATERIALIZED (
+  SELECT g, min(x) AS lo, max(x) AS hi, CAST(count(x) AS BIGINT) AS n
+  FROM x GROUP BY g),
+st2 AS MATERIALIZED (
+  SELECT g, lo, hi, n, (hi - lo) / {int(nbins)} AS w,
+         CASE WHEN (hi - lo) / {int(nbins)} <> 0.0
+              THEN (hi - lo) / {int(nbins)} ELSE 1.0 END AS w_safe
+  FROM st),
+h AS MATERIALIZED (
+  SELECT x.g,
+         least(CAST(floor((x.x - s.lo) / s.w_safe) AS INT),
+               {int(nbins) - 1}) AS bin,
+         CAST(count(*) AS BIGINT) AS cnt
+  FROM x JOIN st2 s ON x.g = s.g GROUP BY x.g, bin),
+c AS MATERIALIZED (
+  SELECT g, bin, cnt,
+         sum(cnt) OVER (PARTITION BY g ORDER BY bin
+                        ROWS UNBOUNDED PRECEDING) AS cum
+  FROM h),
+qs AS (SELECT CAST(q AS DOUBLE) AS q
+       FROM (VALUES (0.5), (0.9), (0.99)) AS t(q)),
+rk AS (SELECT s.g, qs.q, s.lo, s.w,
+              CAST(greatest(ceil(qs.q * CAST(s.n AS DOUBLE)), 1) AS BIGINT)
+                AS r
+       FROM st2 s CROSS JOIN qs),
+pick AS (
+  SELECT g, q, r, lo, w, bin, cnt, cum FROM (
+    SELECT rk.g, rk.q, rk.r, rk.lo, rk.w, c.bin, c.cnt, c.cum,
+           row_number() OVER (PARTITION BY rk.g, rk.q ORDER BY c.bin) AS rn
+    FROM rk JOIN c ON c.g = rk.g AND c.cum >= rk.r) t
+  WHERE rn = 1)
+SELECT g AS event_type, q,
+       round(lo + w * (bin + CAST(r - (cum - cnt) AS DOUBLE) / cnt), 6)
+         AS value
+FROM pick ORDER BY event_type, q"""
+
+
+def q_harmonic_exact(spark, sf_dir):
+    """Exact per-root harmonic centrality over the shared pinned-root
+    multi-source BFS (algos/closeness.harmonic_exact): integer L/d
+    weight folds, one float division at read-out."""
+    from plato_spark.algos.closeness import harmonic_exact
+
+    return harmonic_exact(part_cooccurrence_edges(spark, sf_dir),
+                          num_roots=64)
+
+
+def _sql_harmonic_exact(num_roots: int = 64, bfs_iters: int = 6,
+                        wcc_iters: int = 10, radius_cap: int = 20) -> str:
+    import math as _math
+
+    lcm = _math.lcm(*range(1, radius_cap + 1))
+    return _sql_multi_bfs_ctes(num_roots, bfs_iters, wcc_iters) + f""",
+u AS (SELECT root,
+             CAST(sum(CASE WHEN dist > 0 THEN {lcm} // dist ELSE 0 END)
+                  AS BIGINT) AS units
+      FROM m{bfs_iters} GROUP BY root)
+SELECT root AS id,
+       round(CAST(units AS DOUBLE) / {float(lcm)!r}, 6) AS harmonic
+FROM u ORDER BY id"""
+
+
 def q_mixture_apply(spark, sf_dir):
     """Per-document replication factors materializing the temperature
     mixture (functions/packing.mixture_apply): floor(boost) copies plus
@@ -5367,6 +5445,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mixture_apply": q_mixture_apply,
         "rate_spikes": q_rate_spikes,
         "revenue_rollup_totals": q_revenue_rollup_totals,
+        "group_quantiles": q_group_quantiles,
+        "harmonic_exact": q_harmonic_exact,
         "pagerank_citation": q_pagerank_citation,
         "co_citation": q_co_citation,
         "biblio_coupling": q_biblio_coupling,
@@ -6405,6 +6485,8 @@ FROM cls""",
         "peak_concurrency": _sql_peak_concurrency(1800),
         "silhouette": _sql_silhouette(),
         "quantiles_incremental": _sql_fixed_hist_quantiles(0.0, 600.0, 256),
+        "group_quantiles": _sql_group_quantiles(256),
+        "harmonic_exact": _sql_harmonic_exact(64, bfs_iters=6),
         "burstiness": """
 WITH g AS MATERIALIZED (
   SELECT user_id,

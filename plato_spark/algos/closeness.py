@@ -242,3 +242,39 @@ def eccentricity(
         F.max("dist").cast("long").alias("ecc"),
         F.count(F.lit(1)).cast("long").alias("n_reached"),
     )
+
+
+def harmonic_exact(
+    edges: DataFrame,
+    num_roots: int = 64,
+    max_iters: int = 10_000,
+    radius_cap: int = 20,
+) -> DataFrame:
+    """(id, harmonic) — EXACT harmonic centrality sum_{v != r} 1/d(r, v)
+    for the pinned root set: the disconnected-robust centrality, here
+    exact per root instead of the sampled per-vertex estimate
+    (harmonic_sampled).  Same shared multi-source BFS, same pinned-root
+    policy and scale fence as closeness_exact / eccentricity.
+
+    Exactness: terms fold as integer weights L/d with L = lcm(1..
+    ``radius_cap``) — order-free BIGINT addition, ONE float division at
+    read-out (the harmonic_sampled discipline).  L/d is only integral
+    for d <= radius_cap, so distances are asserted under the cap (a
+    web-scale co-occurrence graph has diameter ~4-6; lcm(1..20) ~ 2.3e8
+    leaves int64 headroom for ~4e10 accumulated terms)."""
+    _members, _fac, visited = _sampled_bfs(edges, num_roots, max_iters)
+    lcm = math.lcm(*range(1, radius_cap + 1))
+    over = visited.where(F.col("dist") > radius_cap).count()
+    if over:
+        raise ValueError(
+            f"harmonic_exact: {over} BFS distances exceed radius_cap="
+            f"{radius_cap}; raise the cap (L must stay divisible by d)"
+        )
+    w = F.when(F.col("dist") > 0,
+               (F.lit(lcm) / F.col("dist")).cast("long")).otherwise(F.lit(0))
+    return (
+        visited.groupBy(F.col("root").alias("id"))
+        .agg(F.sum(w).cast("long").alias("units"))
+        .select("id", F.round(F.col("units") / F.lit(float(lcm)), 6)
+                .alias("harmonic"))
+    )

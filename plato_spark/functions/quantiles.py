@@ -20,7 +20,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["histogram_quantiles"]
+__all__ = ["histogram_quantiles", "group_quantiles"]
 
 
 def histogram_quantiles(
@@ -89,6 +89,93 @@ def histogram_quantiles(
         F.round(
             F.lit(lo)
             + F.lit(w)
+            * (
+                F.col("bin")
+                + (F.col("r") - (F.col("cum") - F.col("cnt")))
+                .cast("double") / F.col("cnt")
+            ),
+            6,
+        ).alias("value"),
+    )
+
+
+def group_quantiles(
+    df: DataFrame,
+    group_col: str,
+    col: str,
+    quantiles: tuple = (0.5, 0.9, 0.99),
+    nbins: int = 256,
+) -> DataFrame:
+    """(group, q, value) — histogram_quantiles PER GROUP, computed
+    fully IN-PLAN: where the global operator collects its (min, max, n)
+    scalars to the driver, the per-group form keeps them as a broadcast
+    stats table, so there is NO driver action and the whole thing is one
+    lazy DataFrame — the shape you want when "group" is a thousand
+    tenants, not one.
+
+    Pipeline: per-group (lo, hi, n) aggregation (map-side combined,
+    |groups| rows, broadcast) -> per-row bin against the group's own
+    edges -> per-group cumulative walk (window PARTITIONED by group —
+    never a single-partition global window) -> rank pick + linear
+    interpolation, the exact IEEE ladder of the global operator (same
+    oracle discipline).  Constant columns (hi == lo) report the constant;
+    null values are dropped before binning; empty groups do not appear.
+    """
+    spark = df.sparkSession
+    x = F.col(col).cast("double")
+    df = df.where(x.isNotNull()).select(
+        F.col(group_col).alias("g"), x.alias("x")
+    )
+    stats = df.groupBy("g").agg(
+        F.min("x").alias("lo"), F.max("x").alias("hi"),
+        F.count("x").cast("long").alias("n"),
+    )
+    w = (F.col("hi") - F.col("lo")) / F.lit(int(nbins))
+    stats = stats.select(
+        "g", "lo", "hi", "n", w.alias("w"),
+        F.when(w != 0.0, w).otherwise(F.lit(1.0)).alias("w_safe"),
+    )
+    hist = (
+        df.join(F.broadcast(stats), "g")
+        .select(
+            "g",
+            F.least(
+                F.floor((F.col("x") - F.col("lo")) / F.col("w_safe"))
+                .cast("int"),
+                F.lit(int(nbins) - 1),
+            ).alias("bin"),
+        )
+        .groupBy("g", "bin")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+    cum = hist.select(
+        "g", "bin", "cnt",
+        F.sum("cnt").over(
+            Window.partitionBy("g").orderBy("bin")
+            .rowsBetween(Window.unboundedPreceding, 0)
+        ).alias("cum"),
+    )
+    qs = spark.createDataFrame([(float(q),) for q in quantiles], "q double")
+    ranks = stats.crossJoin(F.broadcast(qs)).select(
+        "g", "q", "lo", "w",
+        F.greatest(F.ceil(F.col("q") * F.col("n").cast("double")), F.lit(1))
+        .cast("long").alias("r"),
+    )
+    pick = (
+        ranks.join(cum, "g")
+        .where(F.col("cum") >= F.col("r"))
+        .groupBy("g", "q", "r", "lo", "w")
+        .agg(F.min(F.struct("bin", "cnt", "cum")).alias("t"))
+        .select("g", "q", "r", "lo", "w",
+                F.col("t.bin").alias("bin"), F.col("t.cnt").alias("cnt"),
+                F.col("t.cum").alias("cum"))
+    )
+    return pick.select(
+        F.col("g").alias(group_col),
+        "q",
+        F.round(
+            F.col("lo")
+            + F.col("w")
             * (
                 F.col("bin")
                 + (F.col("r") - (F.col("cum") - F.col("cnt")))

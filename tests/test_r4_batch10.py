@@ -469,3 +469,60 @@ def test_revenue_rollup_totals_levels_and_sums(spark):
     assert got[("EUROPE", None)] == (1, 2, 150.0)   # region subtotal
     assert got[(None, None)] == (3, 2, 150.0)       # grand total
     assert len(got) == 4
+
+
+# ------------------------------------ group quantiles / harmonic exact
+
+
+def test_group_quantiles_matches_global_per_group(spark):
+    from plato_spark.functions.quantiles import (
+        group_quantiles, histogram_quantiles,
+    )
+
+    rows = ([("a", float(v)) for v in range(100)]
+            + [("b", float(3 * v + 7)) for v in range(50)])
+    df = spark.createDataFrame(rows, "g string, v double")
+    got = {(r.g, r.q): r.value
+           for r in group_quantiles(df, "g", "v", nbins=32).collect()}
+    for g in ("a", "b"):
+        solo = {r.q: r.value for r in histogram_quantiles(
+            df.where(df.g == g), "v", nbins=32).collect()}
+        for q, want in solo.items():
+            assert got[(g, q)] == want, (g, q, got[(g, q)], want)
+
+
+def test_group_quantiles_constant_group_reports_constant(spark):
+    from plato_spark.functions.quantiles import group_quantiles
+
+    df = spark.createDataFrame(
+        [("c", 42.0)] * 5 + [("d", 1.0), ("d", 2.0)], "g string, v double")
+    got = {(r.g, r.q): r.value
+           for r in group_quantiles(df, "g", "v", quantiles=(0.5,),
+                                    nbins=8).collect()}
+    assert got[("c", 0.5)] == 42.0
+
+
+def test_harmonic_exact_star_and_path(spark):
+    from plato_spark.algos.closeness import harmonic_exact
+
+    # star: center 0, leaves 1..4: h(0) = 4, h(leaf) = 1 + 3/2 = 2.5
+    e = _edges(spark, [(0, i) for i in range(1, 5)])
+    got = {r.id: r.harmonic for r in
+           harmonic_exact(e, num_roots=2).collect()}
+    assert got[0] == 4.0 and got[1] == 2.5
+    # path 0-1-2-3: h(0) = 1 + 1/2 + 1/3
+    e2 = _edges(spark, [(0, 1), (1, 2), (2, 3)])
+    got2 = {r.id: r.harmonic for r in
+            harmonic_exact(e2, num_roots=1).collect()}
+    assert got2[0] == round(1 + 0.5 + 1 / 3, 6)
+
+
+def test_harmonic_exact_radius_cap_guard(spark):
+    import pytest
+
+    from plato_spark.algos.closeness import harmonic_exact
+
+    # path of length 4 with radius_cap=3: dist 4 exceeds the cap
+    e = _edges(spark, [(i, i + 1) for i in range(4)])
+    with pytest.raises(ValueError, match="radius_cap"):
+        harmonic_exact(e, num_roots=1, radius_cap=3)
