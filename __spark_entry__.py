@@ -3930,6 +3930,43 @@ def q_cms_incremental(spark, sf_dir):
     return out
 
 
+def q_asof_next(spark, sf_dir):
+    """Forward as-of join (functions/events.asof_next): each view/click
+    matched to the user's earliest purchase at-or-after within 1 hour —
+    the time-to-convert mirror of asof_attribution, same tagged-union +
+    one-user-keyed-window plan traversed descending."""
+    from plato_spark.functions.events import asof_next
+
+    return asof_next(load_table(spark, sf_dir, "events"), window_s=3600)
+
+
+def q_embedding_quantization(spark, sf_dir):
+    """Symmetric int8 quantization audit
+    (functions/similarity.embedding_quantization): global 127/max|x|
+    scale, per-label max/mean reconstruction error with exact-integer
+    mean accumulation."""
+    from plato_spark.functions.similarity import embedding_quantization
+
+    return embedding_quantization(load_table(spark, sf_dir, "embeddings"))
+
+
+def q_mixing_null_model(spark, sf_dir):
+    """Language mixing matrix vs its configuration-model null
+    (algos/mixing.mixing_null_model) over the planted citation digraph:
+    observed, expected = rowsum*colsum/M, and lift per label pair —
+    full |labels|^2 grid, exact integer folds, one rounded division
+    each."""
+    from plato_spark.algos.mixing import mixing_null_model
+
+    edges = q_reference_graph(spark, sf_dir)
+    labels = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    return mixing_null_model(edges, labels).select(
+        F.col("src_label").alias("src_lang"),
+        F.col("dst_label").alias("dst_lang"),
+        "observed", "expected", "lift",
+    )
+
+
 def q_group_quantiles(spark, sf_dir):
     """Per-event-type histogram quantiles fully in-plan
     (functions/quantiles.group_quantiles): broadcast per-group stats
@@ -5447,6 +5484,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "revenue_rollup_totals": q_revenue_rollup_totals,
         "group_quantiles": q_group_quantiles,
         "harmonic_exact": q_harmonic_exact,
+        "asof_next": q_asof_next,
+        "embedding_quantization": q_embedding_quantization,
+        "mixing_null_model": q_mixing_null_model,
         "pagerank_citation": q_pagerank_citation,
         "co_citation": q_co_citation,
         "biblio_coupling": q_biblio_coupling,
@@ -6487,6 +6527,62 @@ FROM cls""",
         "quantiles_incremental": _sql_fixed_hist_quantiles(0.0, 600.0, 256),
         "group_quantiles": _sql_group_quantiles(256),
         "harmonic_exact": _sql_harmonic_exact(64, bfs_iters=6),
+        "asof_next": """
+WITH e AS (SELECT user_id AS u, event_type AS t, epoch_us(ts) AS ts,
+                  event_id AS eid
+           FROM events),
+tch AS MATERIALIZED (SELECT u, ts, eid FROM e
+                     WHERE t IN ('view', 'click')),
+cv AS MATERIALIZED (SELECT u, ts, eid FROM e WHERE t = 'purchase')
+SELECT t.eid AS touch_id, t.u AS user_id,
+       CAST(c.ceid AS BIGINT) AS conversion_id,
+       CAST(c.gap AS BIGINT) AS gap_us
+FROM tch t LEFT JOIN LATERAL (
+  SELECT c.eid AS ceid, c.ts - t.ts AS gap
+  FROM cv c
+  WHERE c.u = t.u AND c.ts >= t.ts AND c.ts <= t.ts + 3600000000
+  ORDER BY c.ts, c.eid LIMIT 1) c ON TRUE
+ORDER BY touch_id""",
+        "embedding_quantization": """
+WITH v AS MATERIALIZED (
+  SELECT vec_id AS id, label,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec
+  FROM embeddings),
+g AS (SELECT max(list_max(list_transform(vec, x -> abs(x)))) AS maxabs
+      FROM v),
+per AS MATERIALIZED (
+  SELECT id, label,
+         CASE WHEN g.maxabs > 0 THEN
+           list_max(list_transform(vec, x ->
+             abs(x - greatest(least(round(x * (127.0 / g.maxabs), 0),
+                                    127.0), -127.0)
+                     / (127.0 / g.maxabs))))
+         ELSE 0.0 END AS verr
+  FROM v, g)
+SELECT label, CAST(count(*) AS BIGINT) AS n,
+       round(max(verr), 6) AS max_err,
+       round(CAST(sum(CAST(round(round(verr, 9) * 1e9, 0) AS BIGINT))
+                  AS DOUBLE) / (count(*) * 1e9), 6) AS mean_err
+FROM per GROUP BY label ORDER BY label""",
+        "mixing_null_model": f"""
+            WITH g AS MATERIALIZED ({_sql_reference_graph()}),
+            e AS (SELECT x.lang AS sl, y.lang AS dl
+                  FROM g JOIN documents x ON g.src = x.doc_id
+                         JOIN documents y ON g.dst = y.doc_id),
+            mm AS MATERIALIZED (SELECT sl, dl, CAST(count(*) AS BIGINT) AS c
+                                FROM e GROUP BY 1, 2),
+            r AS (SELECT sl AS l, CAST(sum(c) AS BIGINT) AS rs
+                  FROM mm GROUP BY 1),
+            c2 AS (SELECT dl AS l, CAST(sum(c) AS BIGINT) AS cs
+                   FROM mm GROUP BY 1),
+            t AS (SELECT CAST(sum(c) AS BIGINT) AS m FROM mm)
+            SELECT r.l AS src_lang, c2.l AS dst_lang,
+                   CAST(COALESCE(mm.c, 0) AS BIGINT) AS observed,
+                   round(CAST(r.rs * c2.cs AS DOUBLE) / t.m, 6) AS expected,
+                   round(CAST(COALESCE(mm.c, 0) * t.m AS DOUBLE)
+                         / (r.rs * c2.cs), 6) AS lift
+            FROM r CROSS JOIN c2 CROSS JOIN t
+            LEFT JOIN mm ON mm.sl = r.l AND mm.dl = c2.l""",
         "burstiness": """
 WITH g AS MATERIALIZED (
   SELECT user_id,

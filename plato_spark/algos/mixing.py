@@ -214,3 +214,38 @@ def attribute_conductance(edges: DataFrame, labels: DataFrame) -> DataFrame:
             "conductance"
         ),
     )
+
+
+def mixing_null_model(edges: DataFrame, labels: DataFrame) -> DataFrame:
+    """(src_label, dst_label, observed, expected, lift) — the mixing
+    matrix scored against its configuration-model/independence null:
+    expected_ij = rowsum_i * colsum_j / M (what random wiring with the
+    same per-label degree totals would produce), lift = observed /
+    expected.  The audit that separates "languages cite each other
+    because the graph is dense" from genuine entanglement — lift >> 1
+    off-diagonal is real cross-label structure, lift ~ 1 is volume.
+
+    The full |labels|^2 grid emits (a zero observed cell with large
+    marginals is itself a finding); marginals come from the observed
+    matrix, so every grid row has rowsum, colsum > 0 and both divisions
+    are defined.  Exact BIGINT folds; expected and lift are each ONE
+    rounded IEEE division of exact integers (lift's numerator
+    pre-multiplied by M as an integer).  Everything after the mixing
+    matrix's groupBy is |labels|^2-row arithmetic — driver-trivial."""
+    m = attribute_mixing_matrix(edges, labels)
+    rows = m.groupBy(F.col("src_label")).agg(
+        F.sum("edges").cast("long").alias("r"))
+    cols = m.groupBy(F.col("dst_label")).agg(
+        F.sum("edges").cast("long").alias("c"))
+    tot = m.agg(F.sum("edges").cast("long").alias("mm"))
+    grid = rows.crossJoin(cols).crossJoin(F.broadcast(tot))
+    obs = grid.join(m, ["src_label", "dst_label"], "left").select(
+        "src_label", "dst_label", "r", "c", "mm",
+        F.coalesce("edges", F.lit(0)).cast("long").alias("observed"),
+    )
+    return obs.select(
+        "src_label", "dst_label", "observed",
+        F.round((F.col("r") * F.col("c")) / F.col("mm"), 6).alias("expected"),
+        F.round((F.col("observed") * F.col("mm"))
+                / (F.col("r") * F.col("c")), 6).alias("lift"),
+    )

@@ -19,7 +19,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 __all__ = ["funnel_counts", "asof_attribution", "interval_counts",
-           "burstiness", "peak_concurrency", "rate_spikes"]
+           "burstiness", "peak_concurrency", "rate_spikes", "asof_next"]
 
 
 def funnel_counts(
@@ -602,4 +602,72 @@ def rate_spikes(
              & (F.abs(F.col("n") - F.col("mean"))
                 > F.lit(float(z)) * F.col("std"))).alias("is_spike"),
         )
+    )
+
+
+def asof_next(
+    events: DataFrame,
+    conversion_type: str = "purchase",
+    touch_types: tuple = ("view", "click"),
+    window_s: int | None = 3600,
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """(touch_id, user_id, conversion_id, gap_us) — FORWARD as-of join,
+    asof_attribution's time-mirror: each touch event matched to the
+    user's EARLIEST conversion at or after it (time-to-convert
+    analysis), NULL when none follows within ``window_s`` seconds
+    (unbounded when None).
+
+    Same scale-safe plan as the backward form — tagged union + ONE
+    user-keyed running window, never a per-row inequality subquery —
+    with the traversal reversed: ordering by ts DESC carries the
+    earliest future conversion backward into each touch row.  Total
+    order at equal timestamps: conversions sort before touches (at-or-
+    after includes an equal-ts conversion) and among equal-ts
+    conversions the SMALLEST event_id wins (processed last in the
+    descending traversal).  gap_us is exact integer microseconds; the
+    window cap compares integers."""
+    from pyspark.sql import Window
+
+    us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    base = events.select(
+        F.col(user_col).alias("u"),
+        F.col(type_col).alias("t"),
+        us.alias("ts_us"),
+        F.col(id_col).alias("eid"),
+    )
+    touches = base.where(F.col("t").isin(list(touch_types))).select(
+        "u", "ts_us", F.lit(1).alias("side"), "eid"
+    )
+    convs = base.where(F.col("t") == conversion_type).select(
+        "u", "ts_us", F.lit(0).alias("side"), "eid"
+    )
+    w = (
+        Window.partitionBy("u")
+        .orderBy(F.desc("ts_us"), F.asc("side"), F.desc("eid"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    tagged = touches.unionByName(convs)
+    carried = tagged.select(
+        "u", "ts_us", "side", "eid",
+        F.last(F.when(F.col("side") == 0, F.col("eid")), ignorenulls=True)
+        .over(w).alias("conv_id"),
+        F.last(F.when(F.col("side") == 0, F.col("ts_us")), ignorenulls=True)
+        .over(w).alias("conv_us"),
+    )
+    out = carried.where(F.col("side") == 1)
+    gap = (F.col("conv_us") - F.col("ts_us")).cast("long")
+    if window_s is not None:
+        keep = gap <= F.lit(int(window_s) * 1_000_000)
+    else:
+        keep = F.lit(True)
+    ok = F.col("conv_id").isNotNull() & keep
+    return out.select(
+        F.col("eid").alias("touch_id"),
+        F.col("u").alias("user_id"),
+        F.when(ok, F.col("conv_id")).cast("long").alias("conversion_id"),
+        F.when(ok, gap).cast("long").alias("gap_us"),
     )

@@ -647,3 +647,72 @@ def silhouette(
                    ).alias("silhouette"),
         )
     )
+
+
+def embedding_quantization(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    bits_max: int = 127,
+) -> DataFrame:
+    """(label, n, max_err, mean_err) — symmetric int8 quantization audit
+    of the embedding space: every element quantizes to
+    clamp(round(x * scale), -127, 127) with the GLOBAL scale
+    127 / max|x|, and the per-label reconstruction error
+    (per-vector max |x - q/scale|, then max and mean per label) tells
+    you whether the 4x storage/bandwidth cut is safe for retrieval —
+    the audit run before shipping a quantized ANN index.
+
+    Engine discipline: max|x| is an order-independent MAX over raw
+    data, so scale is one identical IEEE division; q and the
+    reconstruction are identical op sequences; the per-vector max is
+    order-independent; per-label mean accumulates 9dp-rounded
+    per-vector errors as exact e*1e9 BIGINTs (the silhouette trick) so
+    the mean is ONE division at any partitioning.  An all-zero corpus
+    (max|x| = 0) reports zero error."""
+    vecs = emb.select(
+        F.col(id_col).alias("id"),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("vec"),
+        F.col(label_col).alias("label"),
+    )
+    g = vecs.agg(
+        F.max(F.aggregate(
+            "vec", F.lit(0.0),
+            lambda acc, x: F.greatest(acc, F.abs(x)),
+        )).alias("maxabs")
+    )
+    per = vecs.crossJoin(F.broadcast(g)).select(
+        "id", "label",
+        F.when(
+            F.col("maxabs") > 0,
+            F.aggregate(
+                F.transform(
+                    "vec",
+                    lambda x: F.abs(
+                        x - F.greatest(
+                            F.least(
+                                F.round(x * (F.lit(float(bits_max))
+                                             / F.col("maxabs")), 0),
+                                F.lit(float(bits_max)),
+                            ),
+                            F.lit(-float(bits_max)),
+                        ) / (F.lit(float(bits_max)) / F.col("maxabs"))
+                    ),
+                ),
+                F.lit(0.0),
+                lambda acc, e: F.greatest(acc, e),
+            ),
+        ).otherwise(F.lit(0.0)).alias("verr"),
+    )
+    e9 = F.round(F.round(F.col("verr"), 9) * 1e9, 0).cast("long")
+    return (
+        per.select("label", "verr", e9.alias("e9"))
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.round(F.max("verr"), 6).alias("max_err"),
+            F.round(F.sum("e9") / (F.count(F.lit(1)) * F.lit(1e9)), 6)
+            .alias("mean_err"),
+        )
+    )

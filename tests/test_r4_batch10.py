@@ -526,3 +526,88 @@ def test_harmonic_exact_radius_cap_guard(spark):
     e = _edges(spark, [(i, i + 1) for i in range(4)])
     with pytest.raises(ValueError, match="radius_cap"):
         harmonic_exact(e, num_roots=1, radius_cap=3)
+
+
+# ------------------------- asof_next / quantization / mixing null model
+
+
+def _ev4(spark, rows):
+    # (event_id, user, type, seconds)
+    base = datetime(2024, 1, 1).timestamp()
+    return spark.createDataFrame(
+        [(eid, datetime.fromtimestamp(base + s), u, t, 1.0, "{}")
+         for eid, u, t, s in rows],
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+
+
+def test_asof_next_earliest_at_or_after_and_window(spark):
+    from plato_spark.functions.events import asof_next
+
+    ev = _ev4(spark, [
+        (1, 7, "view", 100),          # converts at 150 (gap 50s)
+        (2, 7, "purchase", 150),
+        (3, 7, "view", 150),          # equal-ts purchase qualifies: gap 0
+        (4, 7, "view", 200),          # next purchase at 5000 > 1h? no: in
+        (5, 7, "purchase", 5000),     # 4800s > 3600 -> NULL for touch 4
+        (6, 8, "view", 100),          # other user: no purchase -> NULL
+    ])
+    got = {r.touch_id: (r.conversion_id, r.gap_us)
+           for r in asof_next(ev, window_s=3600).collect()}
+    assert got[1] == (2, 50_000_000)
+    assert got[3] == (2, 0)
+    assert got[4] == (None, None)
+    assert got[6] == (None, None)
+
+
+def test_asof_next_equal_ts_smallest_conversion_wins(spark):
+    from plato_spark.functions.events import asof_next
+
+    ev = _ev4(spark, [
+        (10, 7, "view", 100),
+        (11, 7, "purchase", 100),
+        (12, 7, "purchase", 100),     # same ts: smallest eid (11) wins
+    ])
+    got = {r.touch_id: r.conversion_id
+           for r in asof_next(ev, window_s=None).collect()}
+    assert got[10] == 11
+
+
+def test_embedding_quantization_exact_grid(spark):
+    from plato_spark.functions.similarity import embedding_quantization
+
+    # maxabs = 127 -> scale = 1.0 -> integer coords quantize losslessly
+    emb = _emb(spark, [(0, [127.0, -127.0], 0), (1, [3.0, -5.0], 0),
+                       (2, [0.5, 1.0], 1)])
+    got = {r.label: r for r in embedding_quantization(emb).collect()}
+    assert got[0].max_err == 0.0 and got[0].mean_err == 0.0
+    # 0.5 rounds to 0 or 1 -> err 0.5 exactly
+    assert got[1].max_err == 0.5
+
+
+def test_embedding_quantization_all_zero_corpus(spark):
+    from plato_spark.functions.similarity import embedding_quantization
+
+    emb = _emb(spark, [(0, [0.0, 0.0], 0), (1, [0.0, 0.0], 1)])
+    got = embedding_quantization(emb).collect()
+    assert all(r.max_err == 0.0 and r.mean_err == 0.0 for r in got)
+
+
+def test_mixing_null_model_hand_grid(spark):
+    from plato_spark.algos.mixing import mixing_null_model
+
+    # edges: a->a x2, a->b x1, b->a x1  (M=4)
+    e = spark.createDataFrame(
+        [(0, 1), (2, 3), (0, 4), (5, 1)], "src long, dst long")
+    lab = spark.createDataFrame(
+        [(0, "a"), (2, "a"), (5, "b"), (1, "a"), (3, "a"), (4, "b")],
+        "id long, label string")
+    got = {(r.src_label, r.dst_label): (r.observed, r.expected, r.lift)
+           for r in mixing_null_model(e, lab).collect()}
+    # rowsums: a=3, b=1; colsums: a=3, b=1; M=4
+    assert got[("a", "a")] == (2, round(9 / 4, 6), round(8 / 9, 6))
+    assert got[("a", "b")] == (1, round(3 / 4, 6), round(4 / 3, 6))
+    assert got[("b", "a")] == (1, round(3 / 4, 6), round(4 / 3, 6))
+    assert got[("b", "b")] == (0, round(1 / 4, 6), 0.0)
+    assert len(got) == 4
