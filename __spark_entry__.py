@@ -3064,6 +3064,19 @@ def q_hub_removal(spark, sf_dir):
     return hub_removal_sweep(support, ks=HUB_SWEEP_KS)
 
 
+def q_random_removal(spark, sf_dir):
+    """Random-failure tolerance curve (algos/percolation
+    .random_removal_sweep): delete k hash-uniform vertices per sweep
+    point — the Albert-Jeong-Barabási PAIR with hub_removal (scale-free
+    graphs: robust to random failure, fragile to targeted attack; the
+    gap between the two curves is the finding)."""
+    from plato_spark.algos.percolation import random_removal_sweep
+    from plato_spark.graph.edges import canonicalize_undirected
+
+    support = canonicalize_undirected(q_reference_graph(spark, sf_dir))
+    return random_removal_sweep(support, ks=HUB_SWEEP_KS)
+
+
 def _sql_hub_prefix_ctes() -> list:
     """hg/hcanon/hdeg CTEs: the citation support graph + degrees."""
     return [f"""hg AS MATERIALIZED ({_sql_reference_graph()}),
@@ -3076,9 +3089,11 @@ hdeg AS MATERIALIZED (
   GROUP BY id)"""]
 
 
-def _sql_hub_wcc_ctes(k: int, iters: int) -> list:
-    """Per-k CTEs: prune top-k hubs, symmetrize, unrolled hash-min WCC
-    (final labels in hl{k}_{iters})."""
+def _sql_hub_wcc_ctes(k: int, iters: int, pick_sql: str = None) -> list:
+    """Per-k CTEs: prune k picked vertices (default: top-k degree hubs;
+    ``pick_sql`` overrides the pick, e.g. the hash-uniform random-failure
+    policy), symmetrize, unrolled hash-min WCC (final labels in
+    hl{k}_{iters})."""
     ctes = []
     prune = (
         f"""WHERE src NOT IN (SELECT id FROM hh{k})
@@ -3087,10 +3102,9 @@ def _sql_hub_wcc_ctes(k: int, iters: int) -> list:
         else ""
     )
     if k:
-        ctes.append(
-            f"""hh{k} AS MATERIALIZED (
-  SELECT id FROM hdeg ORDER BY deg DESC, id LIMIT {k})"""
-        )
+        sel = pick_sql or f"SELECT id FROM hdeg ORDER BY deg DESC, id LIMIT {k}"
+        ctes.append(f"""hh{k} AS MATERIALIZED (
+  {sel})""")
     ctes.append(f"""he{k} AS MATERIALIZED (
   SELECT src, dst FROM hcanon {prune}),
 hs{k} AS MATERIALIZED (
@@ -3114,10 +3128,17 @@ def _sql_hub_removal(ks: tuple, iters: int) -> str:
     support graph, then one unrolled hash-min WCC chain; ``iters``
     pinned past the largest per-k fixpoint (measured 15 at k=100 —
     hub removal GROWS the diameter before the graph shatters)."""
+    return _sql_removal_sweep(ks, iters, pick_for_k=None)
+
+
+def _sql_removal_sweep(ks: tuple, iters: int, pick_for_k=None) -> str:
+    """Shared removal-sweep mirror; ``pick_for_k(k)`` returns the pick
+    SQL (None = the degree-hub default)."""
     ctes = _sql_hub_prefix_ctes()
     rows = []
     for k in ks:
-        ctes.extend(_sql_hub_wcc_ctes(k, iters))
+        pick = pick_for_k(k) if (pick_for_k and k) else None
+        ctes.extend(_sql_hub_wcc_ctes(k, iters, pick_sql=pick))
         rows.append(f"""SELECT CAST({k} AS INTEGER) AS removed,
   (SELECT CAST(count(*) AS BIGINT) FROM hv{k}) AS n_vertices,
   (SELECT CAST(count(*) AS BIGINT) FROM he{k}) AS n_edges,
@@ -3126,6 +3147,16 @@ def _sql_hub_removal(ks: tuple, iters: int) -> str:
   (SELECT CAST(COALESCE(max(c), 0) AS BIGINT) FROM (
      SELECT count(*) AS c FROM hl{k}_{iters} GROUP BY lab) z) AS largest""")
     return "WITH " + ",\n".join(ctes) + "\n" + "\nUNION ALL\n".join(rows)
+
+
+def _sql_random_removal(ks: tuple, iters: int) -> str:
+    """Mirror of q_random_removal: remove the k vertices with the
+    smallest portable_h1('rr|' || id) (ties by id) per sweep point."""
+    def pick(k):
+        h = H1_SQL.format(s="('rr|' || CAST(id AS VARCHAR))")
+        return f"SELECT id FROM hdeg ORDER BY {h}, id LIMIT {k}"
+
+    return _sql_removal_sweep(ks, iters, pick_for_k=pick)
 
 
 def q_degree_incremental(spark, sf_dir):
@@ -5485,6 +5516,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "group_quantiles": q_group_quantiles,
         "harmonic_exact": q_harmonic_exact,
         "asof_next": q_asof_next,
+        "random_removal": q_random_removal,
         "embedding_quantization": q_embedding_quantization,
         "mixing_null_model": q_mixing_null_model,
         "pagerank_citation": q_pagerank_citation,
@@ -5796,6 +5828,8 @@ FROM g ORDER BY l_returnflag, l_linestatus""",
             SELECT DISTINCT doc_id AS id, pos, fp FROM sel""",
         "reference_graph": _sql_reference_graph(),
         "hub_removal": _sql_hub_removal(HUB_SWEEP_KS, HUB_SWEEP_SQL_ITERS),
+        "random_removal": _sql_random_removal(HUB_SWEEP_KS,
+                                              HUB_SWEEP_SQL_ITERS),
         "component_stability": _sql_component_stability(HUB_SWEEP_SQL_ITERS),
         "degree_incremental": SQL_GRAPH_PREFIX
         + "SELECT id, deg FROM deg",

@@ -29,7 +29,8 @@ from pyspark.sql import functions as F
 from plato_spark.algos.wcc import connected_components
 from plato_spark.graph.edges import symmetrize
 
-__all__ = ["percolation_sweep"]
+__all__ = ["percolation_sweep", "hub_removal_sweep",
+           "random_removal_sweep"]
 
 
 def percolation_sweep(
@@ -83,6 +84,41 @@ def hub_removal_sweep(
     removal can GROW the diameter; the oracle's pinned round count is
     measured past the largest per-k fixpoint.
     """
+    return _removal_sweep(
+        edges_canon, ks,
+        lambda deg, k: deg.orderBy(F.desc("deg"), F.asc("id")).limit(int(k)),
+    )
+
+
+def random_removal_sweep(
+    edges_canon: DataFrame, ks: tuple = (0, 10, 50, 200)
+) -> DataFrame:
+    """(removed, n_vertices, n_edges, n_components, largest) — the
+    RANDOM-failure twin of hub_removal_sweep: delete k uniformly-chosen
+    vertices and watch the giant component (barely) degrade.  The
+    Albert-Jeong-Barabási result is the PAIR: scale-free graphs are
+    robust to random failure and fragile to targeted attack — one curve
+    alone proves nothing, the gap between the two is the finding.
+
+    "Random" is the deterministic engine-portable kind: vertices ranked
+    by portable_h1('rr|' || id) (ties by id), the k smallest removed —
+    a degree-blind uniform pick both engines replay exactly (the
+    stratified_sample policy).  Same shrinking-edge-set WCC sweep and
+    accounting as the hub variant."""
+    from plato_spark.functions.text import portable_h1
+
+    def pick(deg, k):
+        h = portable_h1(F.concat(F.lit("rr|"), F.col("id").cast("string")))
+        return (deg.select("id", h.alias("h"))
+                .orderBy("h", "id").limit(int(k)))
+
+    return _removal_sweep(edges_canon, ks, pick)
+
+
+def _removal_sweep(edges_canon: DataFrame, ks: tuple, pick) -> DataFrame:
+    """Shared vertex-removal sweep: ``pick(deg, k)`` returns the k
+    vertices to delete; one hash-min WCC per k over the shrinking
+    edge set."""
     spark = edges_canon.sparkSession
     canon = edges_canon.select("src", "dst").persist()
     deg = (
@@ -97,8 +133,7 @@ def hub_removal_sweep(
         if k == 0:
             sub = canon
         else:
-            hubs = deg.orderBy(F.desc("deg"), F.asc("id")).limit(int(k))
-            hub_ids = F.broadcast(hubs.select("id"))
+            hub_ids = F.broadcast(pick(deg, k).select("id"))
             sub = canon.join(
                 hub_ids.withColumnRenamed("id", "src"), "src", "anti"
             ).join(hub_ids.withColumnRenamed("id", "dst"), "dst", "anti")

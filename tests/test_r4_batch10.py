@@ -611,3 +611,52 @@ def test_mixing_null_model_hand_grid(spark):
     assert got[("b", "a")] == (1, round(3 / 4, 6), round(4 / 3, 6))
     assert got[("b", "b")] == (0, round(1 / 4, 6), 0.0)
     assert len(got) == 4
+
+
+# ------------------------------------------------------- random removal
+
+
+def test_random_removal_clique_is_pick_independent(spark):
+    from plato_spark.algos.percolation import random_removal_sweep
+
+    # K6: removing ANY 2 vertices leaves one 4-clique — the assertion
+    # holds whichever vertices the hash picks
+    e = _edges(spark, [(a, b) for a in range(6) for b in range(a + 1, 6)])
+    got = {r.removed: (r.n_vertices, r.n_components, r.largest)
+           for r in random_removal_sweep(e, ks=(0, 2)).collect()}
+    assert got[0] == (6, 1, 6)
+    assert got[2] == (4, 1, 4)
+
+
+def test_random_removal_hash_pick_mirror(spark):
+    import hashlib
+
+    from plato_spark.algos.percolation import random_removal_sweep
+
+    def h1(v):
+        return int(hashlib.md5(f"rr|{v}".encode()).hexdigest()[:14], 16)
+
+    # path 0-1-2-3-4-5: removing one interior vertex splits the path
+    verts = list(range(6))
+    e = _edges(spark, [(i, i + 1) for i in range(5)])
+    victim = min(verts, key=lambda v: (h1(v), v))
+    # mirror the expected component structure after removing `victim`
+    remaining = [v for v in verts if v != victim]
+    segs = []
+    cur = []
+    for v in remaining:
+        if cur and v != cur[-1] + 1:
+            segs.append(cur); cur = []
+        cur.append(v)
+    segs.append(cur)
+    segs = [s for s in segs if len(s) > 1 or any(
+        abs(s[0] - o) == 1 and o != victim for o in verts if o != s[0])]
+    # n_vertices counts only vertices with a surviving edge
+    n_comp = len([s for s in segs if len(s) >= 2])
+    n_verts = sum(len(s) for s in segs if len(s) >= 2)
+    largest = max(len(s) for s in segs if len(s) >= 2)
+    got = {r.removed: r for r in
+           random_removal_sweep(e, ks=(1,)).collect()}
+    r1 = got[1]
+    assert (r1.n_vertices, r1.n_components, r1.largest) == (
+        n_verts, n_comp, largest)
