@@ -4010,45 +4010,128 @@ def q_group_quantiles(spark, sf_dir):
     )
 
 
-def _sql_group_quantiles(nbins: int = 256) -> str:
-    return f"""
-WITH x AS (SELECT event_type AS g, CAST(value AS DOUBLE) AS x
-           FROM events WHERE value IS NOT NULL),
-st AS MATERIALIZED (
+def _sql_gq_chain(nbins: int, quantiles: tuple, src_sql: str,
+                  p: str = "") -> str:
+    """CTE chain computing per-group histogram quantiles over
+    ``src_sql`` (must yield columns (g, x)); the result lands in
+    ``{p}val(g, q, value)``.  All CTE names carry prefix ``p`` so
+    multiple chains compose in one query (the MAD oracle runs two)."""
+    vals = ", ".join(f"({float(q)!r})" for q in quantiles)
+    return f"""{p}x AS MATERIALIZED ({src_sql}),
+{p}st AS MATERIALIZED (
   SELECT g, min(x) AS lo, max(x) AS hi, CAST(count(x) AS BIGINT) AS n
-  FROM x GROUP BY g),
-st2 AS MATERIALIZED (
+  FROM {p}x GROUP BY g),
+{p}st2 AS MATERIALIZED (
   SELECT g, lo, hi, n, (hi - lo) / {int(nbins)} AS w,
          CASE WHEN (hi - lo) / {int(nbins)} <> 0.0
               THEN (hi - lo) / {int(nbins)} ELSE 1.0 END AS w_safe
-  FROM st),
-h AS MATERIALIZED (
+  FROM {p}st),
+{p}h AS MATERIALIZED (
   SELECT x.g,
          least(CAST(floor((x.x - s.lo) / s.w_safe) AS INT),
                {int(nbins) - 1}) AS bin,
          CAST(count(*) AS BIGINT) AS cnt
-  FROM x JOIN st2 s ON x.g = s.g GROUP BY x.g, bin),
-c AS MATERIALIZED (
+  FROM {p}x x JOIN {p}st2 s ON x.g = s.g GROUP BY x.g, bin),
+{p}c AS MATERIALIZED (
   SELECT g, bin, cnt,
          sum(cnt) OVER (PARTITION BY g ORDER BY bin
                         ROWS UNBOUNDED PRECEDING) AS cum
-  FROM h),
-qs AS (SELECT CAST(q AS DOUBLE) AS q
-       FROM (VALUES (0.5), (0.9), (0.99)) AS t(q)),
-rk AS (SELECT s.g, qs.q, s.lo, s.w,
+  FROM {p}h),
+{p}qs AS (SELECT CAST(q AS DOUBLE) AS q FROM (VALUES {vals}) AS t(q)),
+{p}rk AS (SELECT s.g, qs.q, s.lo, s.w,
               CAST(greatest(ceil(qs.q * CAST(s.n AS DOUBLE)), 1) AS BIGINT)
                 AS r
-       FROM st2 s CROSS JOIN qs),
-pick AS (
+       FROM {p}st2 s CROSS JOIN {p}qs qs),
+{p}pick AS (
   SELECT g, q, r, lo, w, bin, cnt, cum FROM (
     SELECT rk.g, rk.q, rk.r, rk.lo, rk.w, c.bin, c.cnt, c.cum,
            row_number() OVER (PARTITION BY rk.g, rk.q ORDER BY c.bin) AS rn
-    FROM rk JOIN c ON c.g = rk.g AND c.cum >= rk.r) t
-  WHERE rn = 1)
-SELECT g AS event_type, q,
-       round(lo + w * (bin + CAST(r - (cum - cnt) AS DOUBLE) / cnt), 6)
-         AS value
-FROM pick ORDER BY event_type, q"""
+    FROM {p}rk rk JOIN {p}c c ON c.g = rk.g AND c.cum >= rk.r) t
+  WHERE rn = 1),
+{p}val AS (
+  SELECT g, q,
+         round(lo + w * (bin + CAST(r - (cum - cnt) AS DOUBLE) / cnt), 6)
+           AS value
+  FROM {p}pick)"""
+
+
+_GQ_EVENTS_SRC = ("SELECT event_type AS g, CAST(value AS DOUBLE) AS x "
+                  "FROM events WHERE value IS NOT NULL")
+
+
+def _sql_group_quantiles(nbins: int = 256) -> str:
+    return ("WITH "
+            + _sql_gq_chain(nbins, (0.5, 0.9, 0.99), _GQ_EVENTS_SRC)
+            + "\nSELECT g AS event_type, q, value FROM val"
+              "\nORDER BY event_type, q")
+
+
+def q_trimmed_mean(spark, sf_dir):
+    """Per-type trimmed mean over the [p05, p95] quantile band
+    (functions/quantiles.trimmed_mean): broadcast 6dp band edges, kept
+    values fold as exact integer cents, one rounded division."""
+    from plato_spark.functions.quantiles import trimmed_mean
+
+    return trimmed_mean(load_table(spark, sf_dir, "events"),
+                        "event_type", "value")
+
+
+def _sql_trimmed_mean(nbins: int = 256) -> str:
+    return ("WITH " + _sql_gq_chain(nbins, (0.05, 0.95), _GQ_EVENTS_SRC)
+            + f""",
+band AS (SELECT g,
+                min(CASE WHEN q = 0.05 THEN lo + w * bin END) AS lo_t,
+                min(CASE WHEN q = 0.95 THEN lo + w * (bin + 1) END) AS hi_t
+         FROM pick GROUP BY g),
+v AS (SELECT event_type AS g, CAST(value AS DOUBLE) AS x,
+             CAST(round(CAST(value AS DOUBLE) * 100, 0) AS BIGINT) AS xc
+      FROM events WHERE value IS NOT NULL),
+j AS (SELECT v.g, v.x, v.xc, b.lo_t, b.hi_t
+      FROM v JOIN band b ON v.g = b.g),
+a AS (SELECT g,
+             CAST(sum(CASE WHEN x BETWEEN lo_t AND hi_t THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_kept,
+             CAST(sum(CASE WHEN x BETWEEN lo_t AND hi_t THEN 0 ELSE 1 END)
+                  AS BIGINT) AS n_trimmed,
+             CAST(sum(CASE WHEN x BETWEEN lo_t AND hi_t THEN xc ELSE 0 END)
+                  AS BIGINT) AS sc
+      FROM j GROUP BY g)
+SELECT g AS event_type, n_kept, n_trimmed,
+       CASE WHEN n_kept > 0
+            THEN round(CAST(sc AS DOUBLE) / (100.0 * n_kept), 6)
+       END AS tmean
+FROM a ORDER BY event_type""")
+
+
+def q_mad_outliers(spark, sf_dir):
+    """Median-absolute-deviation outliers per type
+    (functions/quantiles.mad_outliers): the robust twin of
+    value_outliers — histogram medians of value and |value - med|,
+    exact integer counts."""
+    from plato_spark.functions.quantiles import mad_outliers
+
+    return mad_outliers(load_table(spark, sf_dir, "events"),
+                        "event_type", "value")
+
+
+def _sql_mad_outliers(nbins: int = 256, k: float = 3.0) -> str:
+    dev_src = "SELECT g, dev AS x FROM vv"
+    return ("WITH " + _sql_gq_chain(nbins, (0.5,), _GQ_EVENTS_SRC, p="m1")
+            + f""",
+med AS (SELECT g, value AS med FROM m1val),
+vv AS MATERIALIZED (
+  SELECT e.g, e.x, med.med, abs(e.x - med.med) AS dev
+  FROM ({_GQ_EVENTS_SRC}) e JOIN med ON e.g = med.g),
+"""
+            + _sql_gq_chain(nbins, (0.5,), dev_src, p="m2")
+            + f""",
+madt AS (SELECT g, value AS mad FROM m2val)
+SELECT v.g AS event_type, v.med, m.mad,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(CASE WHEN v.dev > {float(k)!r} * m.mad THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_outliers
+FROM vv v JOIN madt m ON v.g = m.g
+GROUP BY v.g, v.med, m.mad ORDER BY event_type""")
 
 
 def q_harmonic_exact(spark, sf_dir):
@@ -5517,6 +5600,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "harmonic_exact": q_harmonic_exact,
         "asof_next": q_asof_next,
         "random_removal": q_random_removal,
+        "trimmed_mean": q_trimmed_mean,
+        "mad_outliers": q_mad_outliers,
         "embedding_quantization": q_embedding_quantization,
         "mixing_null_model": q_mixing_null_model,
         "pagerank_citation": q_pagerank_citation,
@@ -6560,6 +6645,8 @@ FROM cls""",
         "silhouette": _sql_silhouette(),
         "quantiles_incremental": _sql_fixed_hist_quantiles(0.0, 600.0, 256),
         "group_quantiles": _sql_group_quantiles(256),
+        "trimmed_mean": _sql_trimmed_mean(256),
+        "mad_outliers": _sql_mad_outliers(256, 3.0),
         "harmonic_exact": _sql_harmonic_exact(64, bfs_iters=6),
         "asof_next": """
 WITH e AS (SELECT user_id AS u, event_type AS t, epoch_us(ts) AS ts,

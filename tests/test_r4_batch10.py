@@ -660,3 +660,77 @@ def test_random_removal_hash_pick_mirror(spark):
     r1 = got[1]
     assert (r1.n_vertices, r1.n_components, r1.largest) == (
         n_verts, n_comp, largest)
+
+
+# ------------------------------------------ trimmed mean / MAD outliers
+
+
+def test_trimmed_mean_drops_the_whale(spark):
+    from plato_spark.functions.quantiles import trimmed_mean
+
+    # 20 values of 10.00 plus one 10000.00 whale; p95 band drops it
+    rows = [("buy", 10.0)] * 20 + [("buy", 10000.0)]
+    df = spark.createDataFrame(rows, "g string, v double")
+    r = trimmed_mean(df, "g", "v", nbins=64).collect()[0]
+    assert r.n_trimmed >= 1
+    assert r.tmean == 10.0          # exact: all kept values identical
+
+
+def test_trimmed_mean_exact_cents_fold(spark):
+    import math
+
+    from plato_spark.functions.quantiles import trimmed_mean
+
+    # python mirror of the conservative-edge band + exact cents fold
+    vals = [round(1.0 + 0.5 * i, 2) for i in range(40)]
+    nbins = 64
+    df = spark.createDataFrame([("g", v) for v in vals],
+                               "g string, v double")
+    r = trimmed_mean(df, "g", "v", nbins=nbins).collect()[0]
+    lo, hi, n = min(vals), max(vals), len(vals)
+    w = (hi - lo) / nbins
+    bins = sorted({min(int(math.floor((v - lo) / w)), nbins - 1)
+                   for v in vals})
+    counts = {b: sum(1 for v in vals
+                     if min(int(math.floor((v - lo) / w)), nbins - 1) == b)
+              for b in bins}
+
+    def pick(q):
+        rk = max(math.ceil(q * n), 1)
+        cum = 0
+        for b in bins:
+            cum += counts[b]
+            if cum >= rk:
+                return b
+        return bins[-1]
+
+    lo_t = lo + w * pick(0.05)
+    hi_t = lo + w * (pick(0.95) + 1)
+    kept = [v for v in vals if lo_t <= v <= hi_t]
+    assert r.n_kept == len(kept)
+    want = round(sum(int(round(v * 100)) for v in kept)
+                 / (100.0 * len(kept)), 6)
+    assert r.tmean == want
+
+
+def test_mad_outliers_robust_to_the_whale(spark):
+    from plato_spark.functions.quantiles import mad_outliers
+
+    # 30 values spread tightly around 10, one at 1000: the whale is
+    # a MAD outlier (z-score would be diluted by its own presence)
+    rows = [("t", 10.0 + 0.1 * (i % 5)) for i in range(30)] + [("t", 1000.0)]
+    df = spark.createDataFrame(rows, "g string, v double")
+    # the histogram median is exact to one bin width = range/nbins; the
+    # whale stretches the range to 990, so nbins must be large for a
+    # tight median (64 bins -> width 15.5 -> med estimate 18.25!)
+    r = mad_outliers(df, "g", "v", k=3.0, nbins=8192).collect()[0]
+    assert r.n == 31 and r.n_outliers >= 1
+    assert abs(r.med - 10.2) < 0.3
+
+
+def test_mad_outliers_constant_group(spark):
+    from plato_spark.functions.quantiles import mad_outliers
+
+    df = spark.createDataFrame([("c", 7.0)] * 6, "g string, v double")
+    r = mad_outliers(df, "g", "v").collect()[0]
+    assert (r.med, r.mad, r.n_outliers) == (7.0, 0.0, 0)
