@@ -4066,6 +4066,47 @@ def _sql_group_quantiles(nbins: int = 256) -> str:
               "\nORDER BY event_type, q")
 
 
+def q_session_stats(spark, sf_dir):
+    """Session-quality dashboard (functions/events.session_stats):
+    bounce share, mean events, exact integer duration stats over the
+    proven boundary-inclusive session_window rule."""
+    from plato_spark.functions.events import session_stats
+
+    return session_stats(load_table(spark, sf_dir, "events"))
+
+
+def _sql_session_stats(gap_s: int = 1800) -> str:
+    return f"""
+WITH x AS (
+  SELECT user_id, ts, epoch_us(ts) AS tus,
+         CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                   <= INTERVAL {int(gap_s)} SECOND
+              THEN 0 ELSE 1 END AS brk
+  FROM events),
+g AS MATERIALIZED (
+  SELECT user_id, tus,
+         sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+                        ROWS UNBOUNDED PRECEDING) AS grp
+  FROM x),
+s AS MATERIALIZED (
+  SELECT user_id, grp, CAST(count(*) AS BIGINT) AS n_events,
+         CAST(max(tus) - min(tus) AS BIGINT) AS dur_us
+  FROM g GROUP BY user_id, grp),
+a AS (SELECT CAST(count(*) AS BIGINT) AS n_sessions,
+             CAST(sum(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_bounce,
+             CAST(sum(n_events) AS BIGINT) AS se,
+             CAST(sum(dur_us) AS BIGINT) AS sd,
+             CAST(max(dur_us) AS BIGINT) AS max_dur_us
+      FROM s)
+SELECT n_sessions, n_bounce,
+       round(CAST(100 * n_bounce AS DOUBLE) / n_sessions, 6) AS bounce_pct,
+       round(CAST(se AS DOUBLE) / n_sessions, 6) AS avg_events,
+       CAST(sd // n_sessions AS BIGINT) AS avg_dur_us,
+       max_dur_us
+FROM a"""
+
+
 def q_trimmed_mean(spark, sf_dir):
     """Per-type trimmed mean over the [p05, p95] quantile band
     (functions/quantiles.trimmed_mean): broadcast 6dp band edges, kept
@@ -5602,6 +5643,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "random_removal": q_random_removal,
         "trimmed_mean": q_trimmed_mean,
         "mad_outliers": q_mad_outliers,
+        "session_stats": q_session_stats,
         "embedding_quantization": q_embedding_quantization,
         "mixing_null_model": q_mixing_null_model,
         "pagerank_citation": q_pagerank_citation,
@@ -6647,6 +6689,7 @@ FROM cls""",
         "group_quantiles": _sql_group_quantiles(256),
         "trimmed_mean": _sql_trimmed_mean(256),
         "mad_outliers": _sql_mad_outliers(256, 3.0),
+        "session_stats": _sql_session_stats(1800),
         "harmonic_exact": _sql_harmonic_exact(64, bfs_iters=6),
         "asof_next": """
 WITH e AS (SELECT user_id AS u, event_type AS t, epoch_us(ts) AS ts,

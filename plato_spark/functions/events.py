@@ -19,7 +19,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 __all__ = ["funnel_counts", "asof_attribution", "interval_counts",
-           "burstiness", "peak_concurrency", "rate_spikes", "asof_next"]
+           "burstiness", "peak_concurrency", "rate_spikes", "asof_next", "session_stats"]
 
 
 def funnel_counts(
@@ -670,4 +670,45 @@ def asof_next(
         F.col("u").alias("user_id"),
         F.when(ok, F.col("conv_id")).cast("long").alias("conversion_id"),
         F.when(ok, gap).cast("long").alias("gap_us"),
+    )
+
+
+def session_stats(
+    events: DataFrame,
+    gap_seconds: int = 1800,
+) -> DataFrame:
+    """One row (n_sessions, n_bounce, bounce_pct, avg_events,
+    avg_dur_us, max_dur_us) — the session-quality dashboard over the
+    proven session_window rule (exactly-gap merges; see
+    peak_concurrency): bounce = single-event session, duration = the
+    closed [first_ts, last_ts] span in exact integer microseconds.
+
+    One session_window aggregation + one scalar fold; averages are one
+    rounded division of exact integers each, except avg_dur_us which is
+    an exact integer floor division (the inter_event_gaps lesson — at
+    ~1e9 us magnitudes a 6dp double round sits below float spacing)."""
+    gap = f"{int(gap_seconds)} seconds"
+    s = (
+        events.groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            (F.unix_micros(F.max("ts").cast("timestamp"))
+             - F.unix_micros(F.min("ts").cast("timestamp")))
+            .cast("long").alias("dur_us"),
+        )
+    )
+    return s.agg(
+        F.count(F.lit(1)).cast("long").alias("n_sessions"),
+        F.sum(F.when(F.col("n_events") == 1, 1).otherwise(0)).cast("long")
+        .alias("n_bounce"),
+        F.sum("n_events").cast("long").alias("se"),
+        F.sum("dur_us").cast("long").alias("sd"),
+        F.max("dur_us").cast("long").alias("max_dur_us"),
+    ).select(
+        "n_sessions", "n_bounce",
+        F.round((F.lit(100) * F.col("n_bounce")) / F.col("n_sessions"), 6)
+        .alias("bounce_pct"),
+        F.round(F.col("se") / F.col("n_sessions"), 6).alias("avg_events"),
+        F.expr("sd div n_sessions").cast("long").alias("avg_dur_us"),
+        "max_dur_us",
     )

@@ -734,3 +734,19 @@ def test_mad_outliers_constant_group(spark):
     df = spark.createDataFrame([("c", 7.0)] * 6, "g string, v double")
     r = mad_outliers(df, "g", "v").collect()[0]
     assert (r.med, r.mad, r.n_outliers) == (7.0, 0.0, 0)
+
+
+# ----------------------------------------------------------- session stats
+
+
+def test_session_stats_hand_fixture(spark):
+    from plato_spark.functions.events import session_stats
+
+    # u1: one 2-event session spanning 100s; u2: two bounces (gap 7200s)
+    ev = _ev(spark, [(1, 0), (1, 100), (2, 0), (2, 7200)])
+    r = session_stats(ev).collect()[0]
+    assert (r.n_sessions, r.n_bounce) == (3, 2)
+    assert r.bounce_pct == round(200 / 3, 6)
+    assert r.avg_events == round(4 / 3, 6)
+    assert r.avg_dur_us == 100_000_000 // 3
+    assert r.max_dur_us == 100_000_000
