@@ -542,13 +542,15 @@ def peak_concurrency(
         .select("t", (F.col("cum") + F.col("ends")).alias("cand"))
     )
     n_sessions = s.select(F.count(F.lit(1)).cast("long").alias("n_sessions"))
-    best = cand.agg(F.max("cand").alias("peak"))
-    at = (
-        cand.join(F.broadcast(best), F.col("cand") == F.col("peak"))
-        .agg(F.min("t").alias("peak_at_us"),
-             F.max("peak").alias("peak"))
-        .select(F.col("peak").cast("long").alias("peak"),
-                F.col("peak_at_us").cast("long").alias("peak_at_us"))
+    # peak + earliest attaining ts in ONE struct-max scalar aggregate
+    # (lexicographic: max cand, then max -t = min t) — no re-scan of
+    # cand, no argmax join
+    at = cand.agg(
+        F.max(F.struct(F.col("cand").alias("c"),
+                       (-F.col("t")).alias("nt"))).alias("m")
+    ).select(
+        F.col("m.c").cast("long").alias("peak"),
+        (-F.col("m.nt")).cast("long").alias("peak_at_us"),
     )
     return n_sessions.crossJoin(at)
 

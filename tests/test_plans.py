@@ -579,3 +579,49 @@ def test_promo_revenue_broadcasts_part_dim(spark):
     # column pruning on the fact scan: quantity/tax are never referenced
     tail = p.split("ReadSchema", 1)[1][:400]
     assert "l_quantity" not in tail and "l_tax" not in tail, p
+
+
+def test_peak_concurrency_windows_are_bucket_partitioned(spark):
+    from plato_spark.functions.events import peak_concurrency
+
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    p = plan_of(peak_concurrency(ev))
+    # the per-timestamp running sum MUST ride the bucket-partitioned
+    # window; the only single-partition work is the <= |buckets|-row
+    # offset table and 1-row scalar folds
+    assert "hashpartitioning(bucket" in p, p
+    assert "CartesianProduct" not in p, p
+    # struct-max argmax: no self-join of cand back onto its own max
+    assert p.count("SortMergeJoin") == 0, p
+
+
+def test_group_quantiles_no_single_partition_exchange(spark):
+    from plato_spark.functions.quantiles import group_quantiles
+
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    p = plan_of(group_quantiles(ev, "event_type", "value"))
+    # fully in-plan AND fully partitioned: the cumulative window runs
+    # per group, the stats table broadcasts — nothing serializes
+    # through one task
+    assert "SinglePartition" not in p, p
+    assert "hashpartitioning(g" in p, p
+    assert "BroadcastExchange" in p, p
+
+
+def test_asof_next_single_user_shuffle_no_inequality_join(spark):
+    from plato_spark.functions.events import asof_next
+
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    p = plan_of(asof_next(ev))
+    assert "hashpartitioning(u" in p, p
+    assert "CartesianProduct" not in p, p
+    assert "BroadcastNestedLoopJoin" not in p, p
+
+
+def test_mixture_apply_broadcasts_rates_no_extra_shuffle(spark):
+    from plato_spark.functions.packing import mixture_apply
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    p = plan_of(mixture_apply(docs))
+    assert "BroadcastExchange" in p, p
+    assert "CartesianProduct" not in p, p
