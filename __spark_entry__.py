@@ -4066,6 +4066,61 @@ def _sql_group_quantiles(nbins: int = 256) -> str:
               "\nORDER BY event_type, q")
 
 
+def q_corpus_card(spark, sf_dir):
+    """Dataset-card headline block (functions/text.corpus_card): docs,
+    sources, langs, tokens, chars, dup rate, empties — one
+    map-side-combined pass, digests-only dup fold."""
+    from plato_spark.functions.text import corpus_card
+
+    return corpus_card(load_table(spark, sf_dir, "documents"))
+
+
+def q_lang_modularity(spark, sf_dir):
+    """Newman modularity of the LANGUAGE partition on the citation
+    support graph (algos/modularity.modularity with lang as the
+    community) — the partition-quality scalar beside lang_conductance's
+    per-class cuts and attr_assortativity's correlation: 'would
+    splitting the corpus by language cut few citations?' answered in
+    one exact-integer fold."""
+    from plato_spark.algos.modularity import modularity
+    from plato_spark.graph.edges import canonicalize_undirected
+
+    canon = canonicalize_undirected(q_reference_graph(spark, sf_dir))
+    labels = load_table(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("id"), F.col("lang").alias("community"))
+    return modularity(canon, labels)
+
+
+def _sql_lang_modularity() -> str:
+    return f"""
+WITH g AS MATERIALIZED ({_sql_reference_graph()}),
+canon AS MATERIALIZED (
+  SELECT DISTINCT least(src, dst) AS src, greatest(src, dst) AS dst
+  FROM g WHERE src != dst),
+part AS MATERIALIZED (SELECT doc_id AS id, lang AS comm FROM documents),
+wtot AS (SELECT CAST(count(*) AS BIGINT) AS w FROM canon),
+intra AS MATERIALIZED (
+  SELECT p1.comm, CAST(count(*) AS BIGINT) AS wc
+  FROM canon c JOIN part p1 ON c.src = p1.id JOIN part p2 ON c.dst = p2.id
+  WHERE p1.comm = p2.comm GROUP BY p1.comm),
+deg AS MATERIALIZED (
+  SELECT id, CAST(count(*) AS BIGINT) AS wsum FROM (
+    SELECT src AS id FROM canon UNION ALL SELECT dst FROM canon) z
+  GROUP BY id),
+dtot AS MATERIALIZED (
+  SELECT p.comm, CAST(sum(d.wsum) AS BIGINT) AS dc
+  FROM part p JOIN deg d ON p.id = d.id GROUP BY p.comm),
+num AS (SELECT CAST(sum(4 * (SELECT w FROM wtot) * COALESCE(i.wc, 0)
+                     - d.dc * d.dc) AS BIGINT) AS n
+        FROM dtot d LEFT JOIN intra i ON d.comm = i.comm)
+SELECT (SELECT CAST(count(*) AS BIGINT) FROM dtot) AS n_communities,
+       (SELECT CAST(COALESCE(sum(wc), 0) AS BIGINT) FROM intra)
+         AS intra_weight,
+       round(CAST((SELECT n FROM num) AS DOUBLE)
+             / CAST(4 * (SELECT w FROM wtot) * (SELECT w FROM wtot)
+                    AS DOUBLE), 6) AS modularity"""
+
+
 def q_session_stats(spark, sf_dir):
     """Session-quality dashboard (functions/events.session_stats):
     bounce share, mean events, exact integer duration stats over the
@@ -5644,6 +5699,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "trimmed_mean": q_trimmed_mean,
         "mad_outliers": q_mad_outliers,
         "session_stats": q_session_stats,
+        "corpus_card": q_corpus_card,
+        "lang_modularity": q_lang_modularity,
         "embedding_quantization": q_embedding_quantization,
         "mixing_null_model": q_mixing_null_model,
         "pagerank_citation": q_pagerank_citation,
@@ -6690,6 +6747,29 @@ FROM cls""",
         "trimmed_mean": _sql_trimmed_mean(256),
         "mad_outliers": _sql_mad_outliers(256, 3.0),
         "session_stats": _sql_session_stats(1800),
+        "lang_modularity": _sql_lang_modularity(),
+        "corpus_card": f"""
+WITH t AS (SELECT source, lang,
+             CAST(length(regexp_extract_all(text, '{TOKEN_RE_SQL}'))
+                  AS BIGINT) AS tk,
+             CAST(n_chars AS BIGINT) AS nc, md5(text) AS h,
+             length(text) = 0 AS empty
+           FROM documents),
+a AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
+             CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+             CAST(sum(tk) AS BIGINT) AS total_tokens,
+             CAST(sum(nc) AS BIGINT) AS total_chars,
+             CAST(count(DISTINCT h) AS BIGINT) AS uniq,
+             CAST(sum(CASE WHEN empty THEN 1 ELSE 0 END) AS BIGINT)
+               AS empty_docs
+      FROM t)
+SELECT n_docs, n_sources, n_langs, total_tokens, total_chars,
+       round(CAST(total_tokens AS DOUBLE) / n_docs, 6) AS avg_tokens,
+       CAST(n_docs - uniq AS BIGINT) AS dup_docs,
+       round(CAST(100 * (n_docs - uniq) AS DOUBLE) / n_docs, 6) AS dup_pct,
+       empty_docs
+FROM a""",
         "harmonic_exact": _sql_harmonic_exact(64, bfs_iters=6),
         "asof_next": """
 WITH e AS (SELECT user_id AS u, event_type AS t, epoch_us(ts) AS ts,

@@ -924,3 +924,40 @@ def inverted_postings(
     return toks.join(F.broadcast(top), "token").select(
         "token", "doc_id", (F.col("pos0") + 1).cast("long").alias("pos")
     )
+
+
+def corpus_card(docs: DataFrame) -> DataFrame:
+    """One row (n_docs, n_sources, n_langs, total_tokens, total_chars,
+    avg_tokens, dup_docs, dup_pct, empty_docs) — the dataset-card
+    headline block: the numbers every corpus README leads with,
+    computed in ONE pass (single map-side-combined aggregation; the
+    md5-distinct for the dup rate is the only extra fold and it moves
+    16-byte digests, never bodies).
+
+    Exact integer counts everywhere; the two ratios are one rounded
+    IEEE division each."""
+    t = docs.select(
+        "source", "lang",
+        token_count_col(F.col("text")).alias("tk"),
+        F.col("n_chars").cast("long").alias("nc"),
+        F.md5(F.col("text")).alias("h"),
+        (F.length(F.col("text")) == 0).alias("empty"),
+    )
+    return t.agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.countDistinct("source").cast("long").alias("n_sources"),
+        F.countDistinct("lang").cast("long").alias("n_langs"),
+        F.sum("tk").cast("long").alias("total_tokens"),
+        F.sum("nc").cast("long").alias("total_chars"),
+        F.countDistinct("h").cast("long").alias("uniq"),
+        F.sum(F.when(F.col("empty"), 1).otherwise(0)).cast("long")
+        .alias("empty_docs"),
+    ).select(
+        "n_docs", "n_sources", "n_langs", "total_tokens", "total_chars",
+        F.round(F.col("total_tokens") / F.col("n_docs"), 6)
+        .alias("avg_tokens"),
+        (F.col("n_docs") - F.col("uniq")).cast("long").alias("dup_docs"),
+        F.round((F.lit(100) * (F.col("n_docs") - F.col("uniq")))
+                / F.col("n_docs"), 6).alias("dup_pct"),
+        "empty_docs",
+    )

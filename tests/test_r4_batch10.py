@@ -750,3 +750,37 @@ def test_session_stats_hand_fixture(spark):
     assert r.avg_events == round(4 / 3, 6)
     assert r.avg_dur_us == 100_000_000 // 3
     assert r.max_dur_us == 100_000_000
+
+
+# ----------------------------------------- corpus card / lang modularity
+
+
+def test_corpus_card_hand_fixture(spark):
+    from plato_spark.functions.text import corpus_card
+
+    docs = spark.createDataFrame(
+        [(0, "alpha beta", "en", "web", 10),
+         (1, "alpha beta", "en", "web", 10),       # exact dup
+         (2, "gamma", "fr", "books", 5),
+         (3, "", "en", "web", 0)],
+        "doc_id long, text string, lang string, source string, n_chars long")
+    r = corpus_card(docs).collect()[0]
+    assert (r.n_docs, r.n_sources, r.n_langs) == (4, 2, 2)
+    assert r.total_tokens == 5 and r.total_chars == 25
+    assert (r.dup_docs, r.empty_docs) == (1, 1)
+    assert r.dup_pct == 25.0 and r.avg_tokens == 1.25
+
+
+def test_lang_modularity_perfect_split(spark):
+    from plato_spark.algos.modularity import modularity
+
+    # two disjoint triangles labeled by their own component: Q = 0.5
+    canon = spark.createDataFrame(
+        [(0, 1), (1, 2), (0, 2), (10, 11), (11, 12), (10, 12)],
+        "src long, dst long")
+    labels = spark.createDataFrame(
+        [(i, "a") for i in (0, 1, 2)] + [(i, "b") for i in (10, 11, 12)],
+        "id long, community string")
+    r = modularity(canon, labels).collect()[0]
+    assert (r.n_communities, r.intra_weight) == (2, 6)
+    assert r.modularity == 0.5
