@@ -4066,6 +4066,31 @@ def _sql_group_quantiles(nbins: int = 256) -> str:
               "\nORDER BY event_type, q")
 
 
+def q_trade_volume(spark, sf_dir):
+    """TPC-H-Q7-shape nation-pair trade volume per ship year
+    (functions/relational.trade_volume): the first lineitem-to-supplier
+    join emitting the full cross-nation trade matrix, nation tags
+    broadcast, exact integer revenue."""
+    from plato_spark.functions.relational import trade_volume
+
+    return trade_volume(
+        load_table(spark, sf_dir, "lineitem"),
+        load_table(spark, sf_dir, "orders"),
+        load_table(spark, sf_dir, "customer"),
+        load_table(spark, sf_dir, "supplier"),
+        load_table(spark, sf_dir, "nation"),
+    )
+
+
+def q_blocklist_hits(spark, sf_dir):
+    """Blocklist coverage audit per source (functions/text
+    .blocklist_hits): JVM array-filter hit counts for a term list,
+    zero Python, zero pre-agg shuffle."""
+    from plato_spark.functions.text import blocklist_hits
+
+    return blocklist_hits(load_table(spark, sf_dir, "documents"))
+
+
 def q_corpus_card(spark, sf_dir):
     """Dataset-card headline block (functions/text.corpus_card): docs,
     sources, langs, tokens, chars, dup rate, empties — one
@@ -5701,6 +5726,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "session_stats": q_session_stats,
         "corpus_card": q_corpus_card,
         "lang_modularity": q_lang_modularity,
+        "trade_volume": q_trade_volume,
+        "blocklist_hits": q_blocklist_hits,
         "embedding_quantization": q_embedding_quantization,
         "mixing_null_model": q_mixing_null_model,
         "pagerank_citation": q_pagerank_citation,
@@ -6748,6 +6775,41 @@ FROM cls""",
         "mad_outliers": _sql_mad_outliers(256, 3.0),
         "session_stats": _sql_session_stats(1800),
         "lang_modularity": _sql_lang_modularity(),
+        "trade_volume": """
+WITH n AS (SELECT n_nationkey, n_name FROM nation),
+sup AS (SELECT s_suppkey, n.n_name AS supp_nation
+        FROM supplier s JOIN n ON s.s_nationkey = n.n_nationkey),
+cus AS (SELECT c_custkey, n.n_name AS cust_nation
+        FROM customer c JOIN n ON c.c_nationkey = n.n_nationkey),
+li AS (SELECT l_orderkey, l_suppkey,
+              CAST(year(l_shipdate) AS INTEGER) AS year,
+              CAST(round(l_extendedprice * 100, 0) AS BIGINT)
+              * CAST(round((1.0 - l_discount) * 100, 0) AS BIGINT) AS rev_u
+       FROM lineitem
+       WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+         AND l_shipdate <= TIMESTAMP '1997-12-31'),
+j AS (SELECT sup.supp_nation, cus.cust_nation, li.year, li.rev_u
+      FROM li JOIN sup ON li.l_suppkey = sup.s_suppkey
+      JOIN orders o ON li.l_orderkey = o.o_orderkey
+      JOIN cus ON o.o_custkey = cus.c_custkey
+      WHERE sup.supp_nation <> cus.cust_nation)
+SELECT supp_nation, cust_nation, year,
+       CAST(count(*) AS BIGINT) AS n_items,
+       CAST((sum(rev_u) + 50) // 100 AS BIGINT) / 100.0 AS revenue
+FROM j GROUP BY supp_nation, cust_nation, year
+ORDER BY supp_nation, cust_nation, year""",
+        "blocklist_hits": f"""
+WITH t AS (SELECT source,
+             length(list_filter(
+               regexp_extract_all(text, '{TOKEN_RE_SQL}'),
+               x -> list_contains(['slow', 'dup'], x))) AS h
+           FROM documents)
+SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(CASE WHEN h > 0 THEN 1 ELSE 0 END) AS BIGINT) AS docs_hit,
+       CAST(sum(h) AS BIGINT) AS n_hits,
+       round(CAST(100 * sum(CASE WHEN h > 0 THEN 1 ELSE 0 END) AS DOUBLE)
+             / count(*), 6) AS hit_pct
+FROM t GROUP BY source ORDER BY source""",
         "corpus_card": f"""
 WITH t AS (SELECT source, lang,
              CAST(length(regexp_extract_all(text, '{TOKEN_RE_SQL}'))

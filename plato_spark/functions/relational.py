@@ -17,7 +17,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 __all__ = ["revenue_rollup", "value_outliers", "pricing_summary",
-           "large_orders", "promo_revenue", "revenue_rollup_totals"]
+           "large_orders", "promo_revenue", "revenue_rollup_totals",
+           "trade_volume"]
 
 
 def _cents(col):
@@ -341,4 +342,68 @@ def revenue_rollup_totals(
             "lvl", "n_orders",
             F.round(F.col("rev_u") / F.lit(1e6), 2).alias("revenue"),
         )
+    )
+
+
+def trade_volume(
+    lineitem: DataFrame,
+    orders: DataFrame,
+    customer: DataFrame,
+    supplier: DataFrame,
+    nation: DataFrame,
+    nation_a: str | None = None,
+    nation_b: str | None = None,
+    date_lo: str = "1996-01-01",
+    date_hi: str = "1997-12-31",
+) -> DataFrame:
+    """(supp_nation, cust_nation, year, n_items, revenue) — the
+    TPC-H-Q7 shape: cross-nation shipped revenue per ship year — the
+    first operator to exercise the lineitem-to-SUPPLIER join.  With a
+    (nation_a, nation_b) pair it is literal Q7 (both directions of one
+    corridor); the default None emits the FULL trade matrix (at tiny SF
+    a fixed pair can be legitimately empty — a 0-row gate row proves
+    nothing).
+
+    Scale plan: when a pair is given its filter pushes all the way OUT
+    before the fact fan-in — suppliers of the two nations become a tiny
+    broadcast that shrinks fact rows at the FIRST join; either way the
+    supplier/customer nation tags ride broadcasts, the ship-date range
+    pushes to the parquet scan, and revenue folds exact integer
+    cents x 1e2 discount units."""
+    n = nation.select("n_nationkey", "n_name")
+    if nation_a is not None:
+        n = n.where(F.col("n_name").isin([nation_a, nation_b]))
+    sup = supplier.join(
+        F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey")
+    ).select(F.col("s_suppkey"), F.col("n_name").alias("supp_nation"))
+    cus = customer.join(
+        F.broadcast(n.withColumnRenamed("n_name", "c_nation")),
+        F.col("c_nationkey") == F.col("n_nationkey"),
+    ).select(F.col("c_custkey"), F.col("c_nation").alias("cust_nation"))
+    rev = _cents(F.col("l_extendedprice")) * F.round(
+        (F.lit(1.0) - F.col("l_discount")) * 100, 0
+    ).cast("long")
+    li = lineitem.where(
+        (F.col("l_shipdate") >= F.lit(date_lo).cast("timestamp"))
+        & (F.col("l_shipdate") <= F.lit(date_hi).cast("timestamp"))
+    ).select("l_orderkey", "l_suppkey",
+             F.year("l_shipdate").cast("int").alias("year"),
+             rev.alias("rev_u"))
+    j = (
+        li.join(F.broadcast(sup), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(orders.select("o_orderkey", "o_custkey"),
+              F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(cus), F.col("o_custkey") == F.col("c_custkey"))
+        .where(F.col("supp_nation") != F.col("cust_nation"))
+    )
+    return (
+        j.groupBy("supp_nation", "cust_nation", "year")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_items"),
+             F.sum("rev_u").cast("long").alias("rev_u"))
+        # half-up to cents as an INTEGER op (rev_u is exact at scale
+        # 1e4; engines' float round() disagree on literal x.xx5 ties —
+        # 2/1196 rows differed before this), then one exact division
+        .select("supp_nation", "cust_nation", "year", "n_items",
+                (F.expr("(rev_u + 50) div 100").cast("long")
+                 / F.lit(100.0)).alias("revenue"))
     )

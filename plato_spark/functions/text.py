@@ -961,3 +961,43 @@ def corpus_card(docs: DataFrame) -> DataFrame:
                 / F.col("n_docs"), 6).alias("dup_pct"),
         "empty_docs",
     )
+
+
+def blocklist_hits(
+    docs: DataFrame,
+    terms: tuple = ("slow", "dup"),
+    source_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """(source, n_docs, docs_hit, n_hits, hit_pct) — blocklist audit per
+    source: how many documents contain any blocked term, and how many
+    total occurrences.  The coverage check run BEFORE wiring a term
+    filter into curation (a blocklist that would nuke 40% of a source
+    is a policy decision, not a filter).
+
+    Plan: pure JVM higher-order functions over the token array — zero
+    Python, zero joins, no shuffle before the per-source map-side-
+    combined aggregation; the term list lives in the plan as an array
+    literal (it is a config, not data).  Exact integer counts, one
+    rounded division."""
+    tl = F.array(*[F.lit(t) for t in terms])
+    toks = F.regexp_extract_all(F.col(text_col), F.lit(TOKEN_RE), F.lit(0))
+    hits = F.size(F.filter(toks, lambda t: F.array_contains(tl, t)))
+    t = docs.select(
+        F.col(source_col).alias("source"),
+        hits.alias("h"),
+    )
+    return (
+        t.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum(F.when(F.col("h") > 0, 1).otherwise(0)).cast("long")
+            .alias("docs_hit"),
+            F.sum("h").cast("long").alias("n_hits"),
+        )
+        .select(
+            "source", "n_docs", "docs_hit", "n_hits",
+            F.round((F.lit(100) * F.col("docs_hit")) / F.col("n_docs"), 6)
+            .alias("hit_pct"),
+        )
+    )

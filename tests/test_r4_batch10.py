@@ -784,3 +784,78 @@ def test_lang_modularity_perfect_split(spark):
     r = modularity(canon, labels).collect()[0]
     assert (r.n_communities, r.intra_weight) == (2, 6)
     assert r.modularity == 0.5
+
+
+# ---------------------------------------------- trade volume / blocklist
+
+
+def test_trade_volume_directionality_and_revenue(spark):
+    from plato_spark.functions.relational import trade_volume
+
+    n = spark.createDataFrame([(0, "FR", 0), (1, "DE", 0)],
+                              "n_nationkey int, n_name string, n_regionkey int")
+    sup = spark.createDataFrame([(1, "s1", 0, 0.0), (2, "s2", 1, 0.0)],
+                                "s_suppkey long, s_name string, "
+                                "s_nationkey int, s_acctbal double")
+    c = spark.createDataFrame(
+        [(7, "A", 1, 0.0, "B"), (8, "B", 0, 0.0, "B")],
+        "c_custkey long, c_name string, c_nationkey int, c_acctbal double, "
+        "c_mktsegment string")
+    o = _orders(spark, [(1, 7, 0.0, 1), (2, 8, 0.0, 2)])
+    # order 1 (cust DE) supplied by s1 (FR) in 1996? dates via _li month
+    li = spark.createDataFrame(
+        [(1, 0, 1, 1, 1.0, 100.0, 0.0, 0.0, "N", "O", datetime(1996, 3, 1)),
+         (2, 0, 2, 1, 1.0, 50.0, 0.10, 0.0, "N", "O", datetime(1997, 5, 1))],
+        "l_orderkey long, l_partkey long, l_suppkey long, l_linenumber int, "
+        "l_quantity double, l_extendedprice double, l_discount double, "
+        "l_tax double, l_returnflag string, l_linestatus string, "
+        "l_shipdate timestamp")
+    got = {(r.supp_nation, r.cust_nation, r.year): (r.n_items, r.revenue)
+           for r in trade_volume(li, o, c, sup, n).collect()}
+    assert got[("FR", "DE", 1996)] == (1, 100.0)
+    assert got[("DE", "FR", 1997)] == (1, 45.0)
+    assert len(got) == 2
+
+
+def test_trade_volume_pair_filter_and_date_window(spark):
+    from plato_spark.functions.relational import trade_volume
+
+    n = spark.createDataFrame(
+        [(0, "FR", 0), (1, "DE", 0), (2, "IT", 0)],
+        "n_nationkey int, n_name string, n_regionkey int")
+    sup = spark.createDataFrame(
+        [(1, "s1", 0, 0.0), (2, "s2", 2, 0.0)],
+        "s_suppkey long, s_name string, s_nationkey int, s_acctbal double")
+    c = spark.createDataFrame(
+        [(7, "A", 1, 0.0, "B")],
+        "c_custkey long, c_name string, c_nationkey int, c_acctbal double, "
+        "c_mktsegment string")
+    o = _orders(spark, [(1, 7, 0.0, 1)])
+    li = spark.createDataFrame(
+        [(1, 0, 1, 1, 10.0, 10.0, 0.0, 0.0, "N", "O", datetime(1996, 3, 1)),
+         (1, 0, 2, 1, 10.0, 10.0, 0.0, 0.0, "N", "O", datetime(1996, 3, 1)),
+         (1, 0, 1, 1, 10.0, 10.0, 0.0, 0.0, "N", "O", datetime(1995, 3, 1))],
+        "l_orderkey long, l_partkey long, l_suppkey long, l_linenumber int, "
+        "l_quantity double, l_extendedprice double, l_discount double, "
+        "l_tax double, l_returnflag string, l_linestatus string, "
+        "l_shipdate timestamp")
+    # pair (FR, DE): the IT-supplied item and the out-of-window item drop
+    got = trade_volume(li, o, c, sup, n, "FR", "DE").collect()
+    assert len(got) == 1
+    r = got[0]
+    assert (r.supp_nation, r.cust_nation, r.n_items) == ("FR", "DE", 1)
+
+
+def test_blocklist_hits_counts(spark):
+    from plato_spark.functions.text import blocklist_hits
+
+    docs = spark.createDataFrame(
+        [(0, "slow slow dup fast", "web"), (1, "fast join", "web"),
+         (2, "dup", "books")],
+        "doc_id long, text string, source string")
+    got = {r.source: r for r in
+           blocklist_hits(docs, terms=("slow", "dup")).collect()}
+    w = got["web"]
+    assert (w.n_docs, w.docs_hit, w.n_hits, w.hit_pct) == (2, 1, 3, 50.0)
+    b = got["books"]
+    assert (b.docs_hit, b.n_hits, b.hit_pct) == (1, 1, 100.0)
