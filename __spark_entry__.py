@@ -4066,6 +4066,39 @@ def _sql_group_quantiles(nbins: int = 256) -> str:
               "\nORDER BY event_type, q")
 
 
+def q_hll_incremental(spark, sf_dir):
+    """Streaming per-type distinct-user HLL (streaming/hll_stream):
+    three micro-batches max-merged into <= |groups| x 64 register rows
+    — the IDEMPOTENT member of the streaming-monoid trilogy (replays
+    re-max harmlessly, unlike additive CMS/degree/histogram state);
+    read-out equals batch hll_user_cardinality verbatim (same
+    oracle)."""
+    import shutil
+    import tempfile
+
+    from plato_spark.streaming.hll_stream import (
+        hll_state_estimate,
+        merge_hll_batch,
+        read_hll_state,
+    )
+
+    ev = load_table(spark, sf_dir, "events").persist()
+    sd = tempfile.mkdtemp(prefix="plato_inchll_")
+    try:
+        for i in range(3):
+            merge_hll_batch(
+                ev.where(F.pmod(F.xxhash64("event_id"), F.lit(3)) == i),
+                sd, epoch_id=i, group_col="event_type", id_col="user_id",
+            )
+        out = hll_state_estimate(
+            read_hll_state(spark, sd), "event_type"
+        ).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(sd, ignore_errors=True)
+        ev.unpersist()
+    return out
+
+
 def q_trade_volume(spark, sf_dir):
     """TPC-H-Q7-shape nation-pair trade volume per ship year
     (functions/relational.trade_volume): the first lineitem-to-supplier
@@ -5728,6 +5761,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_modularity": q_lang_modularity,
         "trade_volume": q_trade_volume,
         "blocklist_hits": q_blocklist_hits,
+        "hll_incremental": q_hll_incremental,
         "embedding_quantization": q_embedding_quantization,
         "mixing_null_model": q_mixing_null_model,
         "pagerank_citation": q_pagerank_citation,
@@ -7020,6 +7054,7 @@ ORDER BY item, rank""",
         # 205->48->16->5->0; was 31 rounds under the (src,dst) tie-break)
         "weighted_matching": _sql_matching(12, weighted=True),
         "hll_user_cardinality": _sql_hll_groups(),
+        "hll_incremental": _sql_hll_groups(),
         "densest_subgraph": _sql_densest(12),
         "source_health": f"""
 WITH per AS MATERIALIZED (

@@ -148,22 +148,38 @@ def hll_group_cardinality(
     it is bit-reproducible in SQL.  Duplicated (group, id) rows are
     harmless (max-merge), no pre-distinct needed.
     """
+    regs = hll_registers(df, group_col, id_col)
+    return hll_estimate(regs).withColumnRenamed("g", group_col)
+
+
+def hll_registers(df: DataFrame, group_col: str, id_col: str) -> DataFrame:
+    """(g, idx, mr) — per-group HLL register maxes (<= |groups| * M
+    rows).  Max-merge is a commutative IDEMPOTENT monoid: registers
+    fold incrementally AND survive replays unguarded (the WCC-min
+    property, unlike additive CMS/degree counts)."""
+    from plato_spark.algos.hll_portable import _idx_rho
+
+    idx, rho = _idx_rho(F.col(id_col))
+    return (
+        df.select(F.col(group_col).alias("g"), idx.alias("idx"),
+                  rho.alias("rho"))
+        .groupBy("g", "idx")
+        .agg(F.max("rho").cast("int").alias("mr"))
+    )
+
+
+def hll_estimate(regs: DataFrame) -> DataFrame:
+    """(g, est_distinct) — the standard HLL read-out over (g, idx, mr)
+    register rows: integer power fold + linear counting under the small
+    bound, one float division, rounded 4dp."""
     from plato_spark.algos.hll_portable import (
         ALPHA_NUM,
         LC,
         LINEAR_BOUND,
         M,
         POW,
-        _idx_rho,
     )
 
-    idx, rho = _idx_rho(F.col(id_col))
-    regs = (
-        df.select(F.col(group_col).alias("g"), idx.alias("idx"),
-                  rho.alias("rho"))
-        .groupBy("g", "idx")
-        .agg(F.max("rho").alias("mr"))
-    )
     pow_arr = F.array(*[F.lit(p) for p in POW])
     sv = regs.groupBy("g").agg(
         (
@@ -178,9 +194,7 @@ def hll_group_cardinality(
         (raw <= F.lit(LINEAR_BOUND)) & (F.col("vz") > 0),
         F.element_at(lc_arr, F.col("vz")),
     ).otherwise(raw)
-    return sv.select(
-        F.col("g").alias(group_col), F.round(est, 4).alias("est_distinct")
-    )
+    return sv.select("g", F.round(est, 4).alias("est_distinct"))
 
 
 def bloom_bits(

@@ -859,3 +859,47 @@ def test_blocklist_hits_counts(spark):
     assert (w.n_docs, w.docs_hit, w.n_hits, w.hit_pct) == (2, 1, 3, 50.0)
     b = got["books"]
     assert (b.docs_hit, b.n_hits, b.hit_pct) == (1, 1, 100.0)
+
+
+# ---------------------------------------------------------- streaming HLL
+
+
+def test_hll_stream_equals_batch_and_replay_idempotent(spark):
+    import os
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from plato_spark.functions.sketches import hll_group_cardinality
+    from plato_spark.streaming.hll_stream import (
+        hll_state_estimate, merge_hll_batch, read_hll_state,
+    )
+
+    df = spark.createDataFrame(
+        [(i, "a" if i % 3 else "b", i % 17) for i in range(60)],
+        "event_id long, g string, uid long")
+    sd = tempfile.mkdtemp(prefix="hll_test_")
+    try:
+        for i in range(3):
+            merge_hll_batch(
+                df.where(F.pmod(F.col("event_id"), F.lit(3)) == i),
+                sd, epoch_id=i, group_col="g", id_col="uid")
+        folded = {r.g: r.est_distinct for r in hll_state_estimate(
+            read_hll_state(spark, sd), "g").collect()}
+        batch = {r.g: r.est_distinct for r in
+                 hll_group_cardinality(df, "g", "uid").collect()}
+        assert folded == batch
+        # the idempotence property: wipe the epoch tag (simulating a
+        # guard-less replay) and re-apply epoch 2 — the estimate MUST
+        # not move, max-merge absorbs the duplicate fold
+        vs = sorted(d for d in os.listdir(sd) if d.startswith("v"))
+        os.remove(os.path.join(sd, vs[-1], "_EPOCH"))
+        assert merge_hll_batch(
+            df.where(F.pmod(F.col("event_id"), F.lit(3)) == 2),
+            sd, epoch_id=2, group_col="g", id_col="uid")["applied"]
+        again = {r.g: r.est_distinct for r in hll_state_estimate(
+            read_hll_state(spark, sd), "g").collect()}
+        assert again == batch
+    finally:
+        shutil.rmtree(sd, ignore_errors=True)
