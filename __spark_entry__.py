@@ -4066,6 +4066,74 @@ def _sql_group_quantiles(nbins: int = 256) -> str:
               "\nORDER BY event_type, q")
 
 
+def q_frequent_triples(spark, sf_dir):
+    """Frequent 3-itemsets over order baskets
+    (functions/recommend.frequent_triples): one distributed Apriori
+    round — candidates only from frequent pairs with the (y,z) closure
+    check, three basket-keyed semi-joins for counting."""
+    from plato_spark.functions.recommend import frequent_triples
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("basket"), F.col("l_partkey").alias("item")
+    )
+    return frequent_triples(li, min_support=2)
+
+
+def q_event_trigrams(spark, sf_dir):
+    """Behavioural event-type 3-grams (functions/events.event_trigrams):
+    one per-user window with two leads, (ts, event_id)-pinned order,
+    exact counts over <= |types|^3 groups."""
+    from plato_spark.functions.events import event_trigrams
+
+    return event_trigrams(load_table(spark, sf_dir, "events"))
+
+
+def q_centrality_rank_corr(spark, sf_dir):
+    """Spearman-style rank agreement between total degree and directed
+    PageRank on the citation digraph (algos/rankcorr.rank_correlation):
+    does link structure add signal over the cheap statistic?  Ranks via
+    the distributed dictionary rank on a composite int64 key (pinned
+    (score DESC, id) order — documented tie deviation), exact BIGINT
+    d^2 fold, one rounded division."""
+    from plato_spark.algos.rankcorr import rank_correlation
+
+    edges = q_reference_graph(spark, sf_dir)
+    deg = (
+        edges.select(F.col("src").alias("id"))
+        .unionByName(edges.select(F.col("dst").alias("id")))
+        .groupBy("id").agg(F.count(F.lit(1)).cast("long").alias("score_u"))
+    )
+    pr = pagerank(edges, eps=0.0, max_iters=PRC_ITERS, impl="join").select(
+        "id", F.round(F.col("rank") * 1e6, 0).cast("long").alias("score_u")
+    )
+    return rank_correlation(deg, pr)
+
+
+def _sql_rank_corr() -> str:
+    pr_sql = _sql_pagerank(PRC_ITERS, prefix=_sql_citation_prefix())
+    return f"""
+WITH prq AS MATERIALIZED ({pr_sql}),
+cg AS MATERIALIZED ({_sql_reference_graph()}),
+dg AS (SELECT id, CAST(count(*) AS BIGINT) AS su FROM (
+         SELECT src AS id FROM cg UNION ALL SELECT dst FROM cg) z
+       GROUP BY id),
+pb AS (SELECT id, CAST(round(rank * 1e6, 0) AS BIGINT) AS su FROM prq),
+ra AS (SELECT id, row_number() OVER (ORDER BY su DESC, id) - 1 AS r1
+       FROM dg),
+rb AS (SELECT id, row_number() OVER (ORDER BY su DESC, id) - 1 AS r2
+       FROM pb),
+j AS (SELECT ra.id, r1, r2 FROM ra JOIN rb ON ra.id = rb.id),
+agg AS (SELECT CAST(count(*) AS BIGINT) AS n,
+               CAST(sum((r1 - r2) * (r1 - r2)) AS BIGINT) AS sum_d2
+        FROM j)
+SELECT n, sum_d2,
+       CASE WHEN n > 1
+            THEN round(1.0 - CAST(6 * sum_d2 AS DOUBLE)
+                             / (n * (n * n - 1)), 6)
+       END AS spearman
+FROM agg"""
+
+
 def q_hll_incremental(spark, sf_dir):
     """Streaming per-type distinct-user HLL (streaming/hll_stream):
     three micro-batches max-merged into <= |groups| x 64 register rows
@@ -5762,6 +5830,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "trade_volume": q_trade_volume,
         "blocklist_hits": q_blocklist_hits,
         "hll_incremental": q_hll_incremental,
+        "frequent_triples": q_frequent_triples,
+        "event_trigrams": q_event_trigrams,
+        "centrality_rank_corr": q_centrality_rank_corr,
         "embedding_quantization": q_embedding_quantization,
         "mixing_null_model": q_mixing_null_model,
         "pagerank_citation": q_pagerank_citation,
@@ -7055,6 +7126,29 @@ ORDER BY item, rank""",
         "weighted_matching": _sql_matching(12, weighted=True),
         "hll_user_cardinality": _sql_hll_groups(),
         "hll_incremental": _sql_hll_groups(),
+        "centrality_rank_corr": _sql_rank_corr(),
+        "frequent_triples": """
+WITH inc AS MATERIALIZED (
+  SELECT DISTINCT l_orderkey AS b, l_partkey AS i FROM lineitem),
+ok AS (SELECT b FROM inc GROUP BY b HAVING count(*) <= 256),
+inc2 AS MATERIALIZED (SELECT inc.b, inc.i FROM inc JOIN ok ON inc.b = ok.b),
+t AS (SELECT a.b, a.i AS x, c.i AS y, d.i AS z
+      FROM inc2 a JOIN inc2 c ON a.b = c.b AND a.i < c.i
+                  JOIN inc2 d ON a.b = d.b AND c.i < d.i)
+SELECT x, y, z, CAST(count(*) AS BIGINT) AS support
+FROM t GROUP BY x, y, z HAVING count(*) >= 2
+ORDER BY x, y, z""",
+        "event_trigrams": """
+WITH s AS (
+  SELECT user_id,
+         event_type AS t1,
+         lead(event_type, 1) OVER w AS t2,
+         lead(event_type, 2) OVER w AS t3
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+SELECT t1, t2, t3, CAST(count(*) AS BIGINT) AS n
+FROM s WHERE t3 IS NOT NULL
+GROUP BY t1, t2, t3 ORDER BY t1, t2, t3""",
         "densest_subgraph": _sql_densest(12),
         "source_health": f"""
 WITH per AS MATERIALIZED (

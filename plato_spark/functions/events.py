@@ -714,3 +714,36 @@ def session_stats(
         F.expr("sd div n_sessions").cast("long").alias("avg_dur_us"),
         "max_dur_us",
     )
+
+
+def event_trigrams(
+    events: DataFrame,
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """(t1, t2, t3, n) — frequent behavioural 3-grams: counts of
+    consecutive event-type triples along each user's timeline, the
+    second-order extension of event_transitions' Markov matrix (does
+    view->click->purchase happen more than view->click predicts?).
+
+    Plan: ONE per-user window with two leads (partitioned by user —
+    no global sort) + one map-side-combined groupBy over at most
+    |types|^3 groups; ordering pinned by (ts, event_id) so equal
+    timestamps cannot flip grams between engines.  Exact integer
+    counts."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("u").orderBy("ts", "eid")
+    ev = events.select(
+        F.col(user_col).alias("u"), F.col(type_col).alias("t"),
+        F.col(ts_col).alias("ts"), F.col(id_col).alias("eid"),
+    )
+    return (
+        ev.withColumn("t2", F.lead("t", 1).over(w))
+        .withColumn("t3", F.lead("t", 2).over(w))
+        .where(F.col("t3").isNotNull())
+        .groupBy(F.col("t").alias("t1"), F.col("t2"), F.col("t3"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )

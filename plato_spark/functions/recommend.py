@@ -35,7 +35,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["topk_per_key", "co_purchase_topk", "knn_graph"]
+__all__ = ["topk_per_key", "co_purchase_topk", "knn_graph",
+           "frequent_triples"]
 
 
 def topk_per_key(
@@ -176,3 +177,61 @@ def association_lift(
     return scored.orderBy(
         F.col("lift").desc(), F.col("src").asc(), F.col("dst").asc()
     ).limit(k)
+
+
+def frequent_triples(
+    inc: DataFrame,
+    basket: str = "basket",
+    item: str = "item",
+    min_support: int = 2,
+    max_basket: int = 256,
+) -> DataFrame:
+    """(x, y, z, support) — frequent 3-itemsets (x < y < z) over a
+    (basket, item) incidence table: one distributed Apriori round on
+    top of the pair layer.
+
+    The Apriori prune IS the scale story: candidate triples are
+    generated only from frequent PAIRS ((x,y) join (x,z) on the shared
+    prefix, then (y,z) must itself be frequent — the classic a-priori
+    closure), so the counting join touches a candidate set bounded by
+    the frequent-pair graph's wedge count, never the |items|^3 cube.
+    Counting then re-joins candidates to the incidence table via three
+    basket-keyed semi-joins (co-partitioned on basket); the same
+    ``max_basket`` quadratic guard as co_purchase_topk drops
+    pathological baskets whole.  Exact integer supports."""
+    inc = inc.select(F.col(basket).alias("b"), F.col(item).alias("i")).distinct()
+    ok = (
+        inc.groupBy("b").agg(F.count("*").alias("sz"))
+        .where(F.col("sz") <= max_basket).select("b")
+    )
+    inc = inc.join(ok, "b", "left_semi").persist()
+    a = inc.select("b", F.col("i").alias("x"))
+    c = inc.select("b", F.col("i").alias("y"))
+    fp = (
+        a.join(c, "b")
+        .where(F.col("x") < F.col("y"))
+        .groupBy("x", "y")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .where(F.col("n") >= int(min_support))
+        .select("x", "y")
+        .persist()
+    )
+    # candidate generation: shared-prefix join + closure check on (y, z)
+    cand = (
+        fp.alias("p")
+        .join(fp.select(F.col("x").alias("x2"), F.col("y").alias("z")).alias("q"),
+              F.col("p.x") == F.col("x2"))
+        .where(F.col("p.y") < F.col("z"))
+        .select("x", "y", "z")
+        .join(fp.select(F.col("x").alias("y"), F.col("y").alias("z")),
+              ["y", "z"], "left_semi")
+    )
+    counted = (
+        cand.join(inc.select("b", F.col("i").alias("x")), "x")
+        .join(inc.select("b", F.col("i").alias("y")), ["b", "y"], "left_semi")
+        .join(inc.select("b", F.col("i").alias("z")), ["b", "z"], "left_semi")
+        .groupBy("x", "y", "z")
+        .agg(F.count(F.lit(1)).cast("long").alias("support"))
+        .where(F.col("support") >= int(min_support))
+    )
+    return counted

@@ -903,3 +903,67 @@ def test_hll_stream_equals_batch_and_replay_idempotent(spark):
         assert again == batch
     finally:
         shutil.rmtree(sd, ignore_errors=True)
+
+
+# ---------------------------- frequent triples / trigrams / rank corr
+
+
+def test_frequent_triples_apriori_and_counts(spark):
+    from plato_spark.functions.recommend import frequent_triples
+
+    # baskets: {1,2,3} x2, {1,2,4}, {5,6} -> only (1,2,3) has support 2
+    rows = [(10, 1), (10, 2), (10, 3), (11, 1), (11, 2), (11, 3),
+            (12, 1), (12, 2), (12, 4), (13, 5), (13, 6)]
+    inc = spark.createDataFrame(rows, "basket long, item long")
+    got = [(r.x, r.y, r.z, r.support)
+           for r in frequent_triples(inc, min_support=2).collect()]
+    assert got == [(1, 2, 3, 2)]
+
+
+def test_frequent_triples_python_mirror(spark):
+    from itertools import combinations
+
+    from plato_spark.functions.recommend import frequent_triples
+
+    baskets = {}
+    for b in range(12):
+        baskets[b] = sorted({(b * 7 + k * k) % 9 for k in range(4)})
+    rows = [(b, i) for b, its in baskets.items() for i in its]
+    inc = spark.createDataFrame(rows, "basket long, item long")
+    from collections import Counter
+    cnt = Counter()
+    for its in baskets.values():
+        for t in combinations(its, 3):
+            cnt[t] += 1
+    want = sorted((x, y, z, n) for (x, y, z), n in cnt.items() if n >= 2)
+    got = sorted((r.x, r.y, r.z, r.support)
+                 for r in frequent_triples(inc, min_support=2).collect())
+    assert got == want
+
+
+def test_event_trigrams_hand_counts(spark):
+    from plato_spark.functions.events import event_trigrams
+
+    ev = _ev4(spark, [
+        (1, 7, "view", 0), (2, 7, "click", 1), (3, 7, "purchase", 2),
+        (4, 7, "view", 3),
+        (5, 8, "view", 0), (6, 8, "click", 1), (7, 8, "purchase", 2),
+    ])
+    got = {(r.t1, r.t2, r.t3): r.n for r in event_trigrams(ev).collect()}
+    assert got[("view", "click", "purchase")] == 2
+    assert got[("click", "purchase", "view")] == 1
+    assert len(got) == 2
+
+
+def test_rank_correlation_exact_values(spark):
+    from plato_spark.algos.rankcorr import rank_correlation
+
+    a = spark.createDataFrame([(i, 100 - i) for i in range(5)],
+                              "id long, score_u long")
+    # b swaps ranks of ids 0 and 1 -> d^2 sum = 2, rho = 1 - 12/120
+    b = spark.createDataFrame(
+        [(0, 99), (1, 100), (2, 98), (3, 97), (4, 96)],
+        "id long, score_u long")
+    r = rank_correlation(a, b).collect()[0]
+    assert (r.n, r.sum_d2) == (5, 2)
+    assert r.spearman == round(1 - 6 * 2 / (5 * 24), 6)
