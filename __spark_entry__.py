@@ -4192,6 +4192,15 @@ def q_blocklist_hits(spark, sf_dir):
     return blocklist_hits(load_table(spark, sf_dir, "documents"))
 
 
+def q_lang_concentration(spark, sf_dir):
+    """Per-source Herfindahl language concentration
+    (functions/text.lang_concentration): the entropy-free mixture
+    scalar, exact integer cross-multiplication, one rounded division."""
+    from plato_spark.functions.text import lang_concentration
+
+    return lang_concentration(load_table(spark, sf_dir, "documents"))
+
+
 def q_corpus_card(spark, sf_dir):
     """Dataset-card headline block (functions/text.corpus_card): docs,
     sources, langs, tokens, chars, dup rate, empties — one
@@ -5242,6 +5251,53 @@ SELECT true_label AS label, CAST(count(*) AS BIGINT) AS n,
 FROM sv GROUP BY true_label ORDER BY label"""
 
 
+PCA_ROUNDS = 8
+
+
+def q_pca_component(spark, sf_dir):
+    """Top principal component of the embedding space
+    (functions/similarity.pca_component): exact-integer gramian fold +
+    integer-disciplined power iteration, PCA_ROUNDS pinned rounds."""
+    from plato_spark.functions.similarity import pca_component
+
+    return pca_component(load_table(spark, sf_dir, "embeddings"),
+                         rounds=PCA_ROUNDS)
+
+
+def _sql_pca_component(rounds: int) -> str:
+    ctes = ["""ex AS MATERIALIZED (
+  SELECT vec_id AS id, u.p.d - 1 AS dim, CAST(u.p.v AS DOUBLE) AS x
+  FROM embeddings,
+       UNNEST([{'d': i, 'v': embedding[i]}
+               for i in range(1, length(embedding) + 1)]) AS u(p)),
+mns AS (SELECT dim, round(sum(x) / count(x), 6) AS m FROM ex GROUP BY dim),
+cx AS MATERIALIZED (
+  SELECT id, ex.dim, x - m AS x FROM ex JOIN mns ON ex.dim = mns.dim),
+cells9 AS MATERIALIZED (
+  SELECT a.dim AS i, b.dim AS j,
+         CAST(sum(CAST(round(round(a.x * b.x, 9) * 1e9, 0) AS BIGINT))
+              AS BIGINT) AS c9
+  FROM cx a JOIN cx b ON a.id = b.id GROUP BY a.dim, b.dim),
+cells AS MATERIALIZED (
+  SELECT i, j, CAST(round(c9 / 1000.0, 0) AS BIGINT) AS c FROM cells9),
+v0 AS MATERIALIZED (
+  SELECT DISTINCT i AS j, CAST(1000000 AS BIGINT) AS v FROM cells)"""]
+    for k in range(rounds):
+        ctes.append(f"""s{k} AS MATERIALIZED (
+  SELECT c.i, CAST(sum(c.c * v.v) AS BIGINT) AS s
+  FROM cells c JOIN v{k} v ON c.j = v.j GROUP BY c.i),
+mm{k} AS (SELECT max(abs(s)) AS mx FROM s{k}),
+v{k + 1} AS MATERIALIZED (
+  SELECT i AS j,
+         CASE WHEN mx > 0
+              THEN CAST(round((CAST(s AS DOUBLE) / mx) * 1e6, 0) AS BIGINT)
+              ELSE 0 END AS v
+  FROM s{k}, mm{k})""")
+    return ("WITH " + ",\n".join(ctes) + f"""
+SELECT j AS dim, round(CAST(v AS DOUBLE) / 1e6, 6) AS loading
+FROM v{rounds} ORDER BY dim""")
+
+
 def q_ivf_recall(spark, sf_dir):
     """Recall@5 of the IVF index against the exact-cosine baseline, per
     query — measure-don't-guess promoted to a first-class oracle row:
@@ -5826,6 +5882,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mad_outliers": q_mad_outliers,
         "session_stats": q_session_stats,
         "corpus_card": q_corpus_card,
+        "lang_concentration": q_lang_concentration,
+        "pca_component": q_pca_component,
         "lang_modularity": q_lang_modularity,
         "trade_volume": q_trade_volume,
         "blocklist_hits": q_blocklist_hits,
@@ -6880,6 +6938,17 @@ FROM cls""",
         "mad_outliers": _sql_mad_outliers(256, 3.0),
         "session_stats": _sql_session_stats(1800),
         "lang_modularity": _sql_lang_modularity(),
+        "pca_component": _sql_pca_component(PCA_ROUNDS),
+        "lang_concentration": """
+WITH per AS (SELECT source, lang, CAST(count(*) AS BIGINT) AS c
+             FROM documents GROUP BY source, lang),
+a AS (SELECT source, CAST(sum(c) AS BIGINT) AS n_docs,
+             CAST(count(*) AS BIGINT) AS n_langs,
+             CAST(sum(c * c) AS BIGINT) AS ss
+      FROM per GROUP BY source)
+SELECT source, n_docs, n_langs,
+       round(CAST(ss AS DOUBLE) / (n_docs * n_docs), 6) AS hhi
+FROM a ORDER BY source""",
         "trade_volume": """
 WITH n AS (SELECT n_nationkey, n_name FROM nation),
 sup AS (SELECT s_suppkey, n.n_name AS supp_nation

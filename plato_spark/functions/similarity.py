@@ -716,3 +716,85 @@ def embedding_quantization(
             .alias("mean_err"),
         )
     )
+
+
+def pca_component(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    rounds: int = 8,
+) -> DataFrame:
+    """(dim, loading) — the top principal component of the embedding
+    space (power iteration on the mean-centered gramian): the direction
+    that explains the most variance — the PCA leg beside the random
+    projection (data-blind), PQ (local codebooks) and IVF (clusters),
+    and the feature-space sibling of the graph Fiedler coordinate.
+
+    Engine-portability ladder (every float op is one agreed rounding or
+    an identical IEEE expression):
+
+    * per-dimension means 6dp-pre-rounded (the label_centroids rule),
+      centering is then an exact subtraction of identical doubles;
+    * gramian cells accumulate round(x_i*x_j, 9)*1e9 as BIGINTs — an
+      order-free integer fold (raw float product sums would be
+      partition-order-sensitive), re-scaled once to 1e6 integers;
+    * each power round is an exact integer matvec (c6 * v6 fits int64:
+      |cells| <= ~1e10 at unit-norm embeddings, v at 1e6, d=64 terms),
+      normalized by the integer max-abs — an order-free MAX, never an
+      L2 sqrt (the spectral_coord lesson) — with ONE division per cell;
+    * pinned ``rounds``, deterministic all-ones start (generic for a
+      PSD gramian).
+
+    Scale: the map side streams N*d^2 products into a map-side-combined
+    d^2-cell fold (the classic distributed gramian — the shuffle
+    carries 4096 cells); the iteration then runs entirely on the tiny
+    cell table.  Output loadings at 1e-6 resolution, sign fixed by the
+    deterministic start."""
+    ex = emb.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(F.transform(F.col(vec_col), lambda x: x.cast("double"))
+                     ).alias("dim", "x"),
+    )
+    means = ex.groupBy("dim").agg(
+        F.round(F.sum("x") / F.count("x"), 6).alias("m"))
+    cx = ex.join(F.broadcast(means), "dim").select(
+        "id", "dim", (F.col("x") - F.col("m")).alias("x"))
+    a = cx.select("id", F.col("dim").alias("i"), F.col("x").alias("xi"))
+    b = cx.select("id", F.col("dim").alias("j"), F.col("x").alias("xj"))
+    p9 = F.round(F.round(F.col("xi") * F.col("xj"), 9) * 1e9, 0).cast("long")
+    cells9 = (
+        a.join(b, "id")
+        .groupBy("i", "j")
+        .agg(F.sum(p9).alias("c9"))
+    )
+    cells = cells9.select(
+        "i", "j",
+        F.round(F.col("c9") / F.lit(1000.0), 0).cast("long").alias("c"),
+    ).persist()
+    from plato_spark.engine.ckpt_blocks import cheap_localCheckpoint
+
+    v = cells.select(F.col("i").alias("j")).distinct().select(
+        "j", F.lit(1_000_000).cast("long").alias("v"))
+    for _ in range(int(rounds)):
+        s = (
+            cells.join(v, "j")
+            .groupBy(F.col("i"))
+            .agg(F.sum(F.col("c") * F.col("v")).alias("s"))
+        )
+        m = s.agg(F.max(F.abs(F.col("s"))).alias("mx"))
+        v = (
+            s.crossJoin(F.broadcast(m))
+            .select(
+                F.col("i").alias("j"),
+                F.when(
+                    F.col("mx") > 0,
+                    F.round((F.col("s") / F.col("mx")) * 1e6, 0).cast("long"),
+                ).otherwise(F.lit(0)).alias("v"),
+            )
+            # tiny table, but 8 rounds double the join tree without a
+            # truncation point (the SALSA catalyst-hang lesson)
+            .transform(cheap_localCheckpoint)
+        )
+    out = v.select(F.col("j").alias("dim"),
+                   F.round(F.col("v") / F.lit(1e6), 6).alias("loading"))
+    return out

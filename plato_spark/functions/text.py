@@ -1001,3 +1001,32 @@ def blocklist_hits(
             .alias("hit_pct"),
         )
     )
+
+
+def lang_concentration(
+    docs: DataFrame,
+    source_col: str = "source",
+    lang_col: str = "lang",
+) -> DataFrame:
+    """(source, n_docs, n_langs, hhi) — Herfindahl-Hirschman language
+    concentration per source: sum over languages of (share)^2, in
+    (1/n_langs, 1] — 1.0 is a monolingual source, low values a mixed
+    crawl.  The entropy-free concentration measure (no ln(), the
+    cross-libm lesson): HHI = sum(c_i^2) / n^2 is exact integer
+    cross-multiplication with ONE rounded division."""
+    per = docs.groupBy(F.col(source_col).alias("source"),
+                       F.col(lang_col).alias("lang")).agg(
+        F.count(F.lit(1)).cast("long").alias("c"))
+    return (
+        per.groupBy("source")
+        .agg(
+            F.sum("c").cast("long").alias("n_docs"),
+            F.count(F.lit(1)).cast("long").alias("n_langs"),
+            F.sum(F.col("c") * F.col("c")).cast("long").alias("ss"),
+        )
+        .select(
+            "source", "n_docs", "n_langs",
+            F.round(F.col("ss") / (F.col("n_docs") * F.col("n_docs")), 6)
+            .alias("hhi"),
+        )
+    )

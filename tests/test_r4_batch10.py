@@ -967,3 +967,60 @@ def test_rank_correlation_exact_values(spark):
     r = rank_correlation(a, b).collect()[0]
     assert (r.n, r.sum_d2) == (5, 2)
     assert r.spearman == round(1 - 6 * 2 / (5 * 24), 6)
+
+
+# ----------------------------------------- lang concentration / PCA
+
+
+def test_lang_concentration_hand_values(spark):
+    from plato_spark.functions.text import lang_concentration
+
+    docs = spark.createDataFrame(
+        [(0, "x", "en", "mono"), (1, "x", "en", "mono"),
+         (2, "x", "en", "mix"), (3, "x", "fr", "mix"),
+         (4, "x", "de", "mix"), (5, "x", "de", "mix")],
+        "doc_id long, text string, lang string, source string")
+    got = {r.source: r for r in lang_concentration(docs).collect()}
+    assert got["mono"].hhi == 1.0 and got["mono"].n_langs == 1
+    # mix: shares (1/4, 1/4, 2/4) -> HHI = (1 + 1 + 4) / 16
+    assert got["mix"].hhi == round(6 / 16, 6) and got["mix"].n_langs == 3
+
+
+def test_pca_component_recovers_planted_direction(spark):
+    from plato_spark.functions.similarity import pca_component
+
+    # variance concentrated on dim 2: x = [noise, noise, big spread]
+    rows = []
+    for i in range(40):
+        rows.append((i, [0.01 * (i % 3), 0.01 * (i % 5),
+                         1.0 if i % 2 else -1.0]))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = {r.dim: r.loading for r in
+           pca_component(emb, rounds=6).collect()}
+    assert abs(got[2]) == 1.0          # dominant direction, max-abs = 1
+    assert abs(got[0]) < 0.05 and abs(got[1]) < 0.05
+
+
+def test_pca_component_numpy_mirror_direction(spark):
+    import numpy as np
+
+    from plato_spark.functions.similarity import pca_component
+
+    rng_rows = []
+    for i in range(30):
+        a = 0.1 * ((i * 7) % 11 - 5)
+        rng_rows.append((i, [a, 2 * a + 0.01 * ((i * 3) % 7),
+                             0.05 * ((i * 5) % 13 - 6)]))
+    emb = spark.createDataFrame(rng_rows,
+                                "vec_id long, embedding array<double>")
+    got = {r.dim: r.loading for r in
+           pca_component(emb, rounds=10).collect()}
+    X = np.array([v for _, v in rng_rows])
+    Xc = X - X.mean(axis=0)
+    w, V = np.linalg.eigh(Xc.T @ Xc)
+    top = V[:, -1]
+    top = top / np.abs(top).max()
+    gv = np.array([got[d] for d in range(3)])
+    if np.sign(gv[np.abs(top).argmax()]) != np.sign(top[np.abs(top).argmax()]):
+        top = -top
+    assert np.allclose(gv, top, atol=5e-3), (gv, top)
