@@ -4192,6 +4192,47 @@ def q_blocklist_hits(spark, sf_dir):
     return blocklist_hits(load_table(spark, sf_dir, "documents"))
 
 
+def q_pca_variance(spark, sf_dir):
+    """Rayleigh quotient + trace share of the top principal component
+    (functions/similarity.pca_variance): down-scaled exact integer
+    quadratic form, one rounded division per output."""
+    from plato_spark.functions.similarity import pca_variance
+
+    return pca_variance(load_table(spark, sf_dir, "embeddings"),
+                        rounds=PCA_ROUNDS)
+
+
+def _sql_pca_variance(rounds: int) -> str:
+    comp = _sql_pca_component(rounds)
+    return f"""
+WITH comp AS MATERIALIZED ({comp}),
+{_sql_gramian_cells("g")},
+v3 AS (SELECT dim, CAST(round(loading * 1e3, 0) AS BIGINT) AS v3
+       FROM comp),
+c3t AS (SELECT i, j, CAST(round(c / 1000.0, 0) AS BIGINT) AS c3
+        FROM gcells),
+num AS (SELECT CAST(sum(c3t.c3 * a.v3 * b.v3) AS BIGINT) AS num
+        FROM c3t JOIN v3 a ON c3t.i = a.dim JOIN v3 b ON c3t.j = b.dim),
+den AS (SELECT CAST(sum(v3 * v3) AS BIGINT) AS den FROM v3),
+tr AS (SELECT CAST(sum(c3) AS BIGINT) AS tr3 FROM c3t WHERE i = j)
+SELECT round(CAST(num AS DOUBLE) / (den * 1000.0), 6) AS lambda_top,
+       round(CAST(tr3 AS DOUBLE) / 1e3, 6) AS trace,
+       CASE WHEN tr3 > 0
+            THEN round(CAST(100 * num AS DOUBLE) / (den * tr3), 6)
+       END AS explained_pct
+FROM num, den, tr"""
+
+
+def q_active_users(spark, sf_dir):
+    """DAU / trailing-7d / trailing-28d distinct active users per
+    observed day (functions/events.active_users): distinct (day, user)
+    pairs exploded to their <= 28 bounded target days — never a
+    non-equi range join — one groupBy with conditional distincts."""
+    from plato_spark.functions.events import active_users
+
+    return active_users(load_table(spark, sf_dir, "events"))
+
+
 def q_lang_concentration(spark, sf_dir):
     """Per-source Herfindahl language concentration
     (functions/text.lang_concentration): the entropy-free mixture
@@ -5264,22 +5305,30 @@ def q_pca_component(spark, sf_dir):
                          rounds=PCA_ROUNDS)
 
 
-def _sql_pca_component(rounds: int) -> str:
-    ctes = ["""ex AS MATERIALIZED (
+def _sql_gramian_cells(p: str = "") -> str:
+    """{p}cells CTE chain: the mean-centered gramian as 1e6-scaled
+    BIGINT cells (mirror of functions/similarity._gramian_cells)."""
+    return f"""{p}ex AS MATERIALIZED (
   SELECT vec_id AS id, u.p.d - 1 AS dim, CAST(u.p.v AS DOUBLE) AS x
   FROM embeddings,
-       UNNEST([{'d': i, 'v': embedding[i]}
+       UNNEST([{{'d': i, 'v': embedding[i]}}
                for i in range(1, length(embedding) + 1)]) AS u(p)),
-mns AS (SELECT dim, round(sum(x) / count(x), 6) AS m FROM ex GROUP BY dim),
-cx AS MATERIALIZED (
-  SELECT id, ex.dim, x - m AS x FROM ex JOIN mns ON ex.dim = mns.dim),
-cells9 AS MATERIALIZED (
+{p}mns AS (SELECT dim, round(sum(x) / count(x), 6) AS m
+           FROM {p}ex GROUP BY dim),
+{p}cx AS MATERIALIZED (
+  SELECT id, e.dim, x - m AS x
+  FROM {p}ex e JOIN {p}mns mn ON e.dim = mn.dim),
+{p}cells9 AS MATERIALIZED (
   SELECT a.dim AS i, b.dim AS j,
          CAST(sum(CAST(round(round(a.x * b.x, 9) * 1e9, 0) AS BIGINT))
               AS BIGINT) AS c9
-  FROM cx a JOIN cx b ON a.id = b.id GROUP BY a.dim, b.dim),
-cells AS MATERIALIZED (
-  SELECT i, j, CAST(round(c9 / 1000.0, 0) AS BIGINT) AS c FROM cells9),
+  FROM {p}cx a JOIN {p}cx b ON a.id = b.id GROUP BY a.dim, b.dim),
+{p}cells AS MATERIALIZED (
+  SELECT i, j, CAST(round(c9 / 1000.0, 0) AS BIGINT) AS c FROM {p}cells9)"""
+
+
+def _sql_pca_component(rounds: int) -> str:
+    ctes = [_sql_gramian_cells() + """,
 v0 AS MATERIALIZED (
   SELECT DISTINCT i AS j, CAST(1000000 AS BIGINT) AS v FROM cells)"""]
     for k in range(rounds):
@@ -5883,6 +5932,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "session_stats": q_session_stats,
         "corpus_card": q_corpus_card,
         "lang_concentration": q_lang_concentration,
+        "pca_variance": q_pca_variance,
+        "active_users": q_active_users,
         "pca_component": q_pca_component,
         "lang_modularity": q_lang_modularity,
         "trade_volume": q_trade_volume,
@@ -6939,6 +6990,19 @@ FROM cls""",
         "session_stats": _sql_session_stats(1800),
         "lang_modularity": _sql_lang_modularity(),
         "pca_component": _sql_pca_component(PCA_ROUNDS),
+        "pca_variance": _sql_pca_variance(PCA_ROUNDS),
+        "active_users": """
+WITH du AS MATERIALIZED (
+  SELECT DISTINCT CAST(ts AS DATE) AS d, user_id AS u FROM events),
+dd AS (SELECT DISTINCT d FROM du)
+SELECT strftime(dd.d, '%Y-%m-%d') AS day,
+       CAST(count(DISTINCT CASE WHEN du.d = dd.d THEN du.u END) AS BIGINT)
+         AS dau,
+       CAST(count(DISTINCT CASE WHEN du.d >= dd.d - 6 THEN du.u END)
+            AS BIGINT) AS wau,
+       CAST(count(DISTINCT du.u) AS BIGINT) AS mau
+FROM dd JOIN du ON du.d <= dd.d AND du.d >= dd.d - 27
+GROUP BY dd.d ORDER BY day""",
         "lang_concentration": """
 WITH per AS (SELECT source, lang, CAST(count(*) AS BIGINT) AS c
              FROM documents GROUP BY source, lang),

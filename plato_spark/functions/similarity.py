@@ -718,6 +718,35 @@ def embedding_quantization(
     )
 
 
+def _gramian_cells(
+    emb: DataFrame, id_col: str, vec_col: str
+) -> DataFrame:
+    """(i, j, c) — the mean-centered gramian as 1e6-scaled BIGINT cells
+    (see pca_component's portability ladder: 6dp-pre-rounded means,
+    round(xi*xj,9)*1e9 integer accumulation, one re-scale)."""
+    ex = emb.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(F.transform(F.col(vec_col), lambda x: x.cast("double"))
+                     ).alias("dim", "x"),
+    )
+    means = ex.groupBy("dim").agg(
+        F.round(F.sum("x") / F.count("x"), 6).alias("m"))
+    cx = ex.join(F.broadcast(means), "dim").select(
+        "id", "dim", (F.col("x") - F.col("m")).alias("x"))
+    a = cx.select("id", F.col("dim").alias("i"), F.col("x").alias("xi"))
+    b = cx.select("id", F.col("dim").alias("j"), F.col("x").alias("xj"))
+    p9 = F.round(F.round(F.col("xi") * F.col("xj"), 9) * 1e9, 0).cast("long")
+    cells9 = (
+        a.join(b, "id")
+        .groupBy("i", "j")
+        .agg(F.sum(p9).alias("c9"))
+    )
+    return cells9.select(
+        "i", "j",
+        F.round(F.col("c9") / F.lit(1000.0), 0).cast("long").alias("c"),
+    )
+
+
 def pca_component(
     emb: DataFrame,
     id_col: str = "vec_id",
@@ -750,27 +779,7 @@ def pca_component(
     carries 4096 cells); the iteration then runs entirely on the tiny
     cell table.  Output loadings at 1e-6 resolution, sign fixed by the
     deterministic start."""
-    ex = emb.select(
-        F.col(id_col).alias("id"),
-        F.posexplode(F.transform(F.col(vec_col), lambda x: x.cast("double"))
-                     ).alias("dim", "x"),
-    )
-    means = ex.groupBy("dim").agg(
-        F.round(F.sum("x") / F.count("x"), 6).alias("m"))
-    cx = ex.join(F.broadcast(means), "dim").select(
-        "id", "dim", (F.col("x") - F.col("m")).alias("x"))
-    a = cx.select("id", F.col("dim").alias("i"), F.col("x").alias("xi"))
-    b = cx.select("id", F.col("dim").alias("j"), F.col("x").alias("xj"))
-    p9 = F.round(F.round(F.col("xi") * F.col("xj"), 9) * 1e9, 0).cast("long")
-    cells9 = (
-        a.join(b, "id")
-        .groupBy("i", "j")
-        .agg(F.sum(p9).alias("c9"))
-    )
-    cells = cells9.select(
-        "i", "j",
-        F.round(F.col("c9") / F.lit(1000.0), 0).cast("long").alias("c"),
-    ).persist()
+    cells = _gramian_cells(emb, id_col, vec_col).persist()
     from plato_spark.engine.ckpt_blocks import cheap_localCheckpoint
 
     v = cells.select(F.col("i").alias("j")).distinct().select(
@@ -798,3 +807,48 @@ def pca_component(
     out = v.select(F.col("j").alias("dim"),
                    F.round(F.col("v") / F.lit(1e6), 6).alias("loading"))
     return out
+
+
+def pca_variance(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    rounds: int = 8,
+) -> DataFrame:
+    """One row (lambda_top, trace, explained_pct) — the Rayleigh
+    quotient of the converged top component against the gramian trace:
+    the 'is one direction carrying the space?' read-out that decides
+    whether a 1-d projection (or a whitening step) is worth it.
+
+    All integer arithmetic on down-scaled copies so every product
+    chain stays inside int64 (c at 1e3 x v at 1e3 squared x d^2 terms
+    ~ 4e16): num = v'Cv and den = v'v fold exactly, lambda and the
+    explained share are one rounded division each."""
+    cells = _gramian_cells(emb, id_col, vec_col).persist()
+    comp = pca_component(emb, id_col, vec_col, rounds=rounds)
+    v3 = comp.select(
+        F.col("dim"),
+        F.round(F.col("loading") * 1e3, 0).cast("long").alias("v3"),
+    )
+    c3 = cells.select(
+        "i", "j", F.round(F.col("c") / F.lit(1000.0), 0).cast("long").alias("c3")
+    )
+    num = (
+        c3.join(v3.select(F.col("dim").alias("i"), F.col("v3").alias("vi")), "i")
+        .join(v3.select(F.col("dim").alias("j"), F.col("v3").alias("vj")), "j")
+        .agg(F.sum(F.col("c3") * F.col("vi") * F.col("vj")).alias("num"))
+    )
+    den = v3.agg(F.sum(F.col("v3") * F.col("v3")).alias("den"))
+    tr = c3.where(F.col("i") == F.col("j")).agg(
+        F.sum("c3").alias("tr3"))
+    out = num.crossJoin(F.broadcast(den)).crossJoin(F.broadcast(tr))
+    return out.select(
+        F.round(F.col("num") / (F.col("den") * F.lit(1000.0)), 6)
+        .alias("lambda_top"),
+        F.round(F.col("tr3") / F.lit(1e3), 6).alias("trace"),
+        F.when(
+            F.col("tr3") > 0,
+            F.round((F.lit(100) * F.col("num"))
+                    / (F.col("den") * F.col("tr3")), 6),
+        ).alias("explained_pct"),
+    )

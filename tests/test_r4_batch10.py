@@ -1024,3 +1024,44 @@ def test_pca_component_numpy_mirror_direction(spark):
     if np.sign(gv[np.abs(top).argmax()]) != np.sign(top[np.abs(top).argmax()]):
         top = -top
     assert np.allclose(gv, top, atol=5e-3), (gv, top)
+
+
+# --------------------------------------------- pca variance / active users
+
+
+def test_pca_variance_planted_dominance(spark):
+    from plato_spark.functions.similarity import pca_variance
+
+    rows = [(i, [1.0 if i % 2 else -1.0, 0.001 * (i % 3)])
+            for i in range(40)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    r = pca_variance(emb, rounds=6).collect()[0]
+    # nearly all variance on dim 0
+    assert r.explained_pct > 99.0
+    assert abs(r.lambda_top - 40.0) < 0.5   # sum of squares around mean
+    assert r.trace >= r.lambda_top
+
+
+def test_active_users_rolling_windows(spark):
+    from datetime import datetime
+
+    from plato_spark.functions.events import active_users
+
+    rows, eid = [], 0
+    # day 1: users {1,2}; day 5: {2,3}; feb 9 (day 40): {9}
+    from datetime import timedelta
+    base = datetime(2024, 1, 1, 12)
+    for d, us in [(0, (1, 2)), (4, (2, 3)), (39, (9,))]:
+        for u in us:
+            rows.append((eid, base + timedelta(days=d), u, "view", 1.0,
+                         "{}")); eid += 1
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, "
+              "event_type string, value double, props string")
+    got = {r.day: (r.dau, r.wau, r.mau) for r in active_users(ev).collect()}
+    assert got["2024-01-01"] == (2, 2, 2)
+    # day 5: dau {2,3}; wau window 12-30 to 1-05 includes day 1 -> {1,2,3}
+    assert got["2024-01-05"] == (2, 3, 3)
+    # day 40 (feb 9): both jan days out of the 28-day window
+    assert got["2024-02-09"] == (1, 1, 1)
+    assert len(got) == 3
