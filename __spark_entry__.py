@@ -4192,6 +4192,29 @@ def q_blocklist_hits(spark, sf_dir):
     return blocklist_hits(load_table(spark, sf_dir, "documents"))
 
 
+def q_instability(spark, sf_dir):
+    """Martin instability I = fan_out/(fan_in+fan_out) per doc of the
+    citation digraph (algos/citations.instability) — the
+    code-architecture coupling audit; full doc table as the universe so
+    isolated docs report (0,0,NULL)."""
+    from plato_spark.algos.citations import instability
+
+    edges = q_reference_graph(spark, sf_dir)
+    verts = load_table(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("id"))
+    return instability(edges, verts)
+
+
+def q_weighted_sample(spark, sf_dir):
+    """Deterministic weight-proportional document sample
+    (functions/sampling.weighted_sample): Efraimidis-Spirakis A-ES with
+    the portable hash as the fixed-granularity uniform, top-32 by
+    n_chars weight, TakeOrdered under (priority, id)."""
+    from plato_spark.functions.sampling import weighted_sample
+
+    return weighted_sample(load_table(spark, sf_dir, "documents"), k=32)
+
+
 def q_pca_variance(spark, sf_dir):
     """Rayleigh quotient + trace share of the top principal component
     (functions/similarity.pca_variance): down-scaled exact integer
@@ -5934,6 +5957,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_concentration": q_lang_concentration,
         "pca_variance": q_pca_variance,
         "active_users": q_active_users,
+        "instability": q_instability,
+        "weighted_sample": q_weighted_sample,
         "pca_component": q_pca_component,
         "lang_modularity": q_lang_modularity,
         "trade_volume": q_trade_volume,
@@ -6991,6 +7016,28 @@ FROM cls""",
         "lang_modularity": _sql_lang_modularity(),
         "pca_component": _sql_pca_component(PCA_ROUNDS),
         "pca_variance": _sql_pca_variance(PCA_ROUNDS),
+        "instability": f"""
+WITH g AS MATERIALIZED ({_sql_reference_graph()}),
+fi AS (SELECT dst AS id, CAST(count(*) AS BIGINT) AS fan_in
+       FROM g GROUP BY dst),
+fo AS (SELECT src AS id, CAST(count(*) AS BIGINT) AS fan_out
+       FROM g GROUP BY src)
+SELECT d.doc_id AS id,
+       CAST(COALESCE(fi.fan_in, 0) AS BIGINT) AS fan_in,
+       CAST(COALESCE(fo.fan_out, 0) AS BIGINT) AS fan_out,
+       CASE WHEN COALESCE(fi.fan_in, 0) + COALESCE(fo.fan_out, 0) > 0
+            THEN round(CAST(COALESCE(fo.fan_out, 0) AS DOUBLE)
+                       / (COALESCE(fi.fan_in, 0)
+                          + COALESCE(fo.fan_out, 0)), 6)
+       END AS instability
+FROM documents d LEFT JOIN fi ON d.doc_id = fi.id
+LEFT JOIN fo ON d.doc_id = fo.id""",
+        "weighted_sample": f"""
+SELECT doc_id AS id, CAST(n_chars AS BIGINT) AS weight,
+       CAST(({H1_SQL.format(s="('wsample|' || CAST(doc_id AS VARCHAR))")})
+            AS DOUBLE) / CAST(n_chars AS DOUBLE) AS priority
+FROM documents WHERE n_chars > 0
+ORDER BY priority, id LIMIT 32""",
         "active_users": """
 WITH du AS MATERIALIZED (
   SELECT DISTINCT CAST(ts AS DATE) AS d, user_id AS u FROM events),

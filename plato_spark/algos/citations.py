@@ -74,3 +74,36 @@ def bibliographic_coupling(
         edges.select(F.col("dst").alias("k"), F.col("src").alias("v")),
         max_fanout,
     )
+
+
+def instability(edges: DataFrame, vertices_df: DataFrame | None = None
+                ) -> DataFrame:
+    """(id, fan_in, fan_out, instability) — Martin's instability metric
+    I = Ce / (Ca + Ce) per vertex of a directed dependency/citation
+    graph: fan_out (efferent, what I depend on / cite) over total
+    coupling.  I = 1 is a pure consumer (safe to change, nothing
+    depends on it), I = 0 a pure provider (every change ripples).  The
+    code-architecture audit on the import/citation digraph.
+
+    Two degree aggregations + one outer join; ``vertices_df`` (id)
+    optionally pins the universe so isolated vertices report (0, 0,
+    NULL) instead of vanishing.  Exact integers, one guarded rounded
+    division."""
+    fi = edges.groupBy(F.col("dst").alias("id")).agg(
+        F.count(F.lit(1)).cast("long").alias("fan_in"))
+    fo = edges.groupBy(F.col("src").alias("id")).agg(
+        F.count(F.lit(1)).cast("long").alias("fan_out"))
+    base = fi.join(fo, "id", "outer")
+    if vertices_df is not None:
+        base = vertices_df.select("id").join(base, "id", "left")
+    b = base.select(
+        "id",
+        F.coalesce("fan_in", F.lit(0)).cast("long").alias("fan_in"),
+        F.coalesce("fan_out", F.lit(0)).cast("long").alias("fan_out"),
+    )
+    tot = F.col("fan_in") + F.col("fan_out")
+    return b.select(
+        "id", "fan_in", "fan_out",
+        F.when(tot > 0, F.round(F.col("fan_out") / tot, 6))
+        .alias("instability"),
+    )

@@ -199,3 +199,40 @@ def sinkhorn_mixing_weights(
             F.round(F.col("cnt") * F.col("u") * F.col("v"), 6).alias("weight"),
         )
     )
+
+
+def weighted_sample(
+    df: DataFrame,
+    k: int = 32,
+    id_col: str = "doc_id",
+    weight_col: str = "n_chars",
+    salt: str = "wsample",
+) -> DataFrame:
+    """(id, weight, priority) — deterministic weight-proportional sample
+    without replacement: the k rows with the smallest
+    portable_h1(salt|id) / weight.  This is Efraimidis–Spirakis A-ES
+    with the uniform draw replaced by the portable 56-bit hash (fixed
+    granularity, reproducible at any partitioning and in SQL): doubling
+    a row's weight halves its key, doubling its selection odds — the
+    importance-sampling primitive for eval-set construction.
+
+    Zero/negative weights are excluded (a zero weight must never be
+    sampled; guarding also keeps the one IEEE division defined).  Plan:
+    one JVM hash + division per row, TakeOrderedAndProject under the
+    (priority, id) total order — k rows per partition move, no global
+    sort."""
+    from plato_spark.functions.text import portable_h1
+
+    h = portable_h1(F.concat(F.lit(salt + "|"),
+                             F.col(id_col).cast("string")))
+    scored = (
+        df.where(F.col(weight_col) > 0)
+        .select(
+            F.col(id_col).alias("id"),
+            F.col(weight_col).cast("long").alias("weight"),
+            # raw IEEE division — identical operands on both engines;
+            # a 6dp round at 1e13 magnitude would be a no-op anyway
+            (h / F.col(weight_col).cast("double")).alias("priority"),
+        )
+    )
+    return scored.orderBy(F.asc("priority"), F.asc("id")).limit(int(k))

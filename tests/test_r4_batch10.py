@@ -1065,3 +1065,48 @@ def test_active_users_rolling_windows(spark):
     # day 40 (feb 9): both jan days out of the 28-day window
     assert got["2024-02-09"] == (1, 1, 1)
     assert len(got) == 3
+
+
+# ---------------------------------------------- instability / weighted sample
+
+
+def test_instability_provider_consumer(spark):
+    from plato_spark.algos.citations import instability
+
+    # 0 -> 1, 0 -> 2, 3 -> 1: 0 pure consumer (I=1), 1 pure provider
+    # (I=0), 4 isolated (NULL)
+    e = spark.createDataFrame([(0, 1), (0, 2), (3, 1)], "src long, dst long")
+    v = spark.createDataFrame([(i,) for i in range(5)], "id long")
+    got = {r.id: (r.fan_in, r.fan_out, r.instability)
+           for r in instability(e, v).collect()}
+    assert got[0] == (0, 2, 1.0)
+    assert got[1] == (2, 0, 0.0)
+    assert got[3] == (0, 1, 1.0)
+    assert got[4] == (0, 0, None)
+    assert len(got) == 5
+
+
+def test_weighted_sample_mirror_and_weight_bias(spark):
+    import hashlib
+
+    from plato_spark.functions.sampling import weighted_sample
+
+    rows = [(i, "x", 10 + (i * 13) % 90) for i in range(200)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, n_chars long")
+    got = [(r.id, r.weight) for r in
+           weighted_sample(docs, k=10).collect()]
+
+    def h1(v):
+        return int(hashlib.md5(f"wsample|{v}".encode()).hexdigest()[:14], 16)
+
+    want = sorted(((h1(i) / w, i, w) for i, _, w in rows))[:10]
+    assert got == [(i, w) for _, i, w in want]
+
+
+def test_weighted_sample_zero_weight_never_sampled(spark):
+    from plato_spark.functions.sampling import weighted_sample
+
+    docs = spark.createDataFrame(
+        [(0, "x", 0), (1, "x", 5)], "doc_id long, text string, n_chars long")
+    got = weighted_sample(docs, k=10).collect()
+    assert [r.id for r in got] == [1]
