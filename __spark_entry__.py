@@ -4215,6 +4215,16 @@ def q_weighted_sample(spark, sf_dir):
     return weighted_sample(load_table(spark, sf_dir, "documents"), k=32)
 
 
+def q_pca_second(spark, sf_dir):
+    """Second principal component via integer Hotelling deflation
+    (functions/similarity.pca_second): rank-1 term subtracted on the
+    exact-integer ladder, then the same pinned power iteration."""
+    from plato_spark.functions.similarity import pca_second
+
+    return pca_second(load_table(spark, sf_dir, "embeddings"),
+                      rounds=PCA_ROUNDS)
+
+
 def q_pca_variance(spark, sf_dir):
     """Rayleigh quotient + trace share of the top principal component
     (functions/similarity.pca_variance): down-scaled exact integer
@@ -5350,24 +5360,51 @@ def _sql_gramian_cells(p: str = "") -> str:
   SELECT i, j, CAST(round(c9 / 1000.0, 0) AS BIGINT) AS c FROM {p}cells9)"""
 
 
-def _sql_pca_component(rounds: int) -> str:
-    ctes = [_sql_gramian_cells() + """,
-v0 AS MATERIALIZED (
-  SELECT DISTINCT i AS j, CAST(1000000 AS BIGINT) AS v FROM cells)"""]
+def _sql_power_rounds(cells: str, vp: str, rounds: int) -> list:
+    """Unrolled integer power-iteration CTEs over ``cells`` (i, j, c);
+    the converged vector lands in {vp}{rounds}(j, v) at 1e6 scale."""
+    ctes = [f"""{vp}0 AS MATERIALIZED (
+  SELECT DISTINCT i AS j, CAST(1000000 AS BIGINT) AS v FROM {cells})"""]
     for k in range(rounds):
-        ctes.append(f"""s{k} AS MATERIALIZED (
+        ctes.append(f"""{vp}s{k} AS MATERIALIZED (
   SELECT c.i, CAST(sum(c.c * v.v) AS BIGINT) AS s
-  FROM cells c JOIN v{k} v ON c.j = v.j GROUP BY c.i),
-mm{k} AS (SELECT max(abs(s)) AS mx FROM s{k}),
-v{k + 1} AS MATERIALIZED (
+  FROM {cells} c JOIN {vp}{k} v ON c.j = v.j GROUP BY c.i),
+{vp}m{k} AS (SELECT max(abs(s)) AS mx FROM {vp}s{k}),
+{vp}{k + 1} AS MATERIALIZED (
   SELECT i AS j,
          CASE WHEN mx > 0
               THEN CAST(round((CAST(s AS DOUBLE) / mx) * 1e6, 0) AS BIGINT)
               ELSE 0 END AS v
-  FROM s{k}, mm{k})""")
+  FROM {vp}s{k}, {vp}m{k})""")
+    return ctes
+
+
+def _sql_pca_component(rounds: int) -> str:
+    ctes = [_sql_gramian_cells()] + _sql_power_rounds("cells", "v", rounds)
     return ("WITH " + ",\n".join(ctes) + f"""
 SELECT j AS dim, round(CAST(v AS DOUBLE) / 1e6, 6) AS loading
 FROM v{rounds} ORDER BY dim""")
+
+
+def _sql_pca_second(rounds: int) -> str:
+    ctes = [_sql_gramian_cells()] + _sql_power_rounds("cells", "v", rounds)
+    ctes.append(f"""tv3 AS (SELECT j, CAST(round(v / 1000.0, 0) AS BIGINT)
+                AS v3 FROM v{rounds}),
+tc3 AS MATERIALIZED (
+  SELECT i, j, CAST(round(c / 1000.0, 0) AS BIGINT) AS c3 FROM cells),
+nd AS (SELECT (SELECT CAST(sum(tc3.c3 * a.v3 * b.v3) AS BIGINT)
+               FROM tc3 JOIN tv3 a ON tc3.i = a.j JOIN tv3 b ON tc3.j = b.j)
+                 AS num,
+              (SELECT CAST(sum(v3 * v3) AS BIGINT) FROM tv3) AS den),
+defl AS MATERIALIZED (
+  SELECT tc3.i, tc3.j,
+         tc3.c3 - CAST(round(((CAST(nd.num AS DOUBLE) / nd.den)
+                             * (a.v3 * b.v3)) / nd.den, 0) AS BIGINT) AS c
+  FROM tc3 JOIN tv3 a ON tc3.i = a.j JOIN tv3 b ON tc3.j = b.j, nd)""")
+    ctes += _sql_power_rounds("defl", "w", rounds)
+    return ("WITH " + ",\n".join(ctes) + f"""
+SELECT j AS dim, round(CAST(v AS DOUBLE) / 1e6, 6) AS loading
+FROM w{rounds} ORDER BY dim""")
 
 
 def q_ivf_recall(spark, sf_dir):
@@ -5956,6 +5993,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_card": q_corpus_card,
         "lang_concentration": q_lang_concentration,
         "pca_variance": q_pca_variance,
+        "pca_second": q_pca_second,
         "active_users": q_active_users,
         "instability": q_instability,
         "weighted_sample": q_weighted_sample,
@@ -7016,6 +7054,7 @@ FROM cls""",
         "lang_modularity": _sql_lang_modularity(),
         "pca_component": _sql_pca_component(PCA_ROUNDS),
         "pca_variance": _sql_pca_variance(PCA_ROUNDS),
+        "pca_second": _sql_pca_second(PCA_ROUNDS),
         "instability": f"""
 WITH g AS MATERIALIZED ({_sql_reference_graph()}),
 fi AS (SELECT dst AS id, CAST(count(*) AS BIGINT) AS fan_in

@@ -780,6 +780,15 @@ def pca_component(
     cell table.  Output loadings at 1e-6 resolution, sign fixed by the
     deterministic start."""
     cells = _gramian_cells(emb, id_col, vec_col).persist()
+    v = _power_iterate(cells, rounds)
+    return v.select(F.col("j").alias("dim"),
+                    F.round(F.col("v") / F.lit(1e6), 6).alias("loading"))
+
+
+def _power_iterate(cells: DataFrame, rounds: int) -> DataFrame:
+    """(j, v) — max-abs-normalized integer power iteration over (i, j,
+    c) BIGINT cells (any scale; the per-round normalization is
+    scale-invariant).  v lands at 1e6 integer scale; all-ones start."""
     from plato_spark.engine.ckpt_blocks import cheap_localCheckpoint
 
     v = cells.select(F.col("i").alias("j")).distinct().select(
@@ -800,13 +809,11 @@ def pca_component(
                     F.round((F.col("s") / F.col("mx")) * 1e6, 0).cast("long"),
                 ).otherwise(F.lit(0)).alias("v"),
             )
-            # tiny table, but 8 rounds double the join tree without a
+            # tiny table, but the rounds double the join tree without a
             # truncation point (the SALSA catalyst-hang lesson)
             .transform(cheap_localCheckpoint)
         )
-    out = v.select(F.col("j").alias("dim"),
-                   F.round(F.col("v") / F.lit(1e6), 6).alias("loading"))
-    return out
+    return v
 
 
 def pca_variance(
@@ -852,3 +859,56 @@ def pca_variance(
                     / (F.col("den") * F.col("tr3")), 6),
         ).alias("explained_pct"),
     )
+
+
+def pca_second(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    rounds: int = 8,
+) -> DataFrame:
+    """(dim, loading) — the SECOND principal component via Hotelling
+    deflation: subtract the converged top component's rank-1 term
+    lambda * u u' from the gramian, then power-iterate the residual.
+    With pca_component this gives the 2-d PCA projection — the
+    visualization/whitening plane.
+
+    The deflation stays on the integer ladder: cells and the top
+    component re-scale to 1e3 (exact half-up of exact integers), the
+    Rayleigh scalars num = v'Cv and den = v'v fold as exact BIGINTs,
+    and the rank-1 term round(((num/den) * v_i*v_j) / den) is ONE fixed
+    IEEE op chain per cell over engine-identical inputs — the residual
+    cells are again exact integers, so the second iteration is as
+    deterministic as the first.  Orthogonality to the top component is
+    exact to the 1e-3 quantization (asserted in tests), the price of
+    cross-engine determinism."""
+    cells = _gramian_cells(emb, id_col, vec_col).persist()
+    v1 = _power_iterate(cells, rounds)
+    v3 = v1.select(
+        "j", F.round(F.col("v") / F.lit(1000.0), 0).cast("long").alias("v3"))
+    c3 = cells.select(
+        "i", "j",
+        F.round(F.col("c") / F.lit(1000.0), 0).cast("long").alias("c3"))
+    nd = (
+        c3.join(v3.select(F.col("j").alias("i"), F.col("v3").alias("vi")), "i")
+        .join(v3.select("j", F.col("v3").alias("vj")), "j")
+        .agg(F.sum(F.col("c3") * F.col("vi") * F.col("vj")).alias("num"),
+             )
+        .crossJoin(F.broadcast(
+            v3.agg(F.sum(F.col("v3") * F.col("v3")).alias("den"))))
+    )
+    defl = (
+        c3.join(v3.select(F.col("j").alias("i"), F.col("v3").alias("vi")), "i")
+        .join(v3.select("j", F.col("v3").alias("vj")), "j")
+        .crossJoin(F.broadcast(nd))
+        .select(
+            "i", "j",
+            (F.col("c3")
+             - F.round(((F.col("num") / F.col("den"))
+                        * (F.col("vi") * F.col("vj"))) / F.col("den"), 0)
+             .cast("long")).alias("c"),
+        )
+    ).persist()
+    v2 = _power_iterate(defl, rounds)
+    return v2.select(F.col("j").alias("dim"),
+                     F.round(F.col("v") / F.lit(1e6), 6).alias("loading"))

@@ -1110,3 +1110,29 @@ def test_weighted_sample_zero_weight_never_sampled(spark):
         [(0, "x", 0), (1, "x", 5)], "doc_id long, text string, n_chars long")
     got = weighted_sample(docs, k=10).collect()
     assert [r.id for r in got] == [1]
+
+
+# -------------------------------------------------------------- pca second
+
+
+def test_pca_second_recovers_second_direction(spark):
+    import numpy as np
+
+    from plato_spark.functions.similarity import pca_component, pca_second
+
+    # variance 1st on dim 0, 2nd on dim 2, tiny on dim 1
+    rows = []
+    for i in range(48):
+        rows.append((i, [2.0 if i % 2 else -2.0,
+                         0.001 * (i % 3),
+                         0.5 if (i // 2) % 2 else -0.5]))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    c1 = {r.dim: r.loading for r in pca_component(emb, rounds=8).collect()}
+    c2 = {r.dim: r.loading for r in pca_second(emb, rounds=8).collect()}
+    assert abs(c1[0]) == 1.0 and abs(c2[2]) == 1.0
+    assert abs(c2[0]) < 0.01        # deflated direction gone
+    # near-orthogonality at the integer quantization
+    v1 = np.array([c1[d] for d in range(3)])
+    v2 = np.array([c2[d] for d in range(3)])
+    cosang = abs(v1 @ v2) / (np.linalg.norm(v1) * np.linalg.norm(v2))
+    assert cosang < 0.01
