@@ -4225,6 +4225,48 @@ def q_pca_second(spark, sf_dir):
                       rounds=PCA_ROUNDS)
 
 
+def q_pca_project(spark, sf_dir):
+    """2-d principal-plane projection of every embedding
+    (functions/similarity.pca_project): in-plan loading reassembly,
+    order-fixed array-fold dot products, one 6dp round."""
+    from plato_spark.functions.similarity import pca_project
+
+    return pca_project(load_table(spark, sf_dir, "embeddings"),
+                       rounds=PCA_ROUNDS)
+
+
+def _sql_pca_project(rounds: int) -> str:
+    c1 = _sql_pca_component(rounds)
+    c2 = _sql_pca_second(rounds)
+    return f"""
+WITH comp1 AS MATERIALIZED ({c1}),
+comp2 AS MATERIALIZED ({c2}),
+l1 AS (SELECT list(loading ORDER BY dim) AS arr FROM comp1),
+l2 AS (SELECT list(loading ORDER BY dim) AS arr FROM comp2),
+pex AS MATERIALIZED (
+  SELECT vec_id AS id, u.p.d - 1 AS dim, CAST(u.p.v AS DOUBLE) AS x
+  FROM embeddings,
+       UNNEST([{{'d': i, 'v': embedding[i]}}
+               for i in range(1, length(embedding) + 1)]) AS u(p)),
+pm AS (SELECT dim, round(sum(x) / count(x), 6) AS m
+       FROM pex GROUP BY dim),
+ma AS (SELECT list(m ORDER BY dim) AS marr FROM pm),
+vx AS MATERIALIZED (
+  SELECT vec_id AS id,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec
+  FROM embeddings),
+cvx AS (SELECT id,
+               [vec[i] - ma.marr[i] for i in range(1, length(vec) + 1)]
+                 AS cvec
+        FROM vx, ma)
+SELECT id,
+       round(list_sum([cvec[i] * l1.arr[i]
+                       for i in range(1, length(cvec) + 1)]), 6) AS p1,
+       round(list_sum([cvec[i] * l2.arr[i]
+                       for i in range(1, length(cvec) + 1)]), 6) AS p2
+FROM cvx, l1, l2 ORDER BY id"""
+
+
 def q_pca_variance(spark, sf_dir):
     """Rayleigh quotient + trace share of the top principal component
     (functions/similarity.pca_variance): down-scaled exact integer
@@ -5994,6 +6036,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_concentration": q_lang_concentration,
         "pca_variance": q_pca_variance,
         "pca_second": q_pca_second,
+        "pca_project": q_pca_project,
         "active_users": q_active_users,
         "instability": q_instability,
         "weighted_sample": q_weighted_sample,
@@ -7055,6 +7098,7 @@ FROM cls""",
         "pca_component": _sql_pca_component(PCA_ROUNDS),
         "pca_variance": _sql_pca_variance(PCA_ROUNDS),
         "pca_second": _sql_pca_second(PCA_ROUNDS),
+        "pca_project": _sql_pca_project(PCA_ROUNDS),
         "instability": f"""
 WITH g AS MATERIALIZED ({_sql_reference_graph()}),
 fi AS (SELECT dst AS id, CAST(count(*) AS BIGINT) AS fan_in

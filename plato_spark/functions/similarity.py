@@ -912,3 +912,59 @@ def pca_second(
     v2 = _power_iterate(defl, rounds)
     return v2.select(F.col("j").alias("dim"),
                      F.round(F.col("v") / F.lit(1e6), 6).alias("loading"))
+
+
+def pca_project(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    rounds: int = 8,
+) -> DataFrame:
+    """(id, p1, p2) — every vector projected onto the top-2 principal
+    plane (pca_component x pca_second): the 2-d map the embedding
+    dashboard actually plots, and the whitening front-end for
+    downstream clustering.
+
+    The loadings reassemble in-plan via array_sort(collect_list(
+    struct(dim, loading))) — the deterministic order-by-key rebuild
+    (the label_centroids idiom), broadcast as one 2-array row against
+    the vector scan; each projection is a zip_with/aggregate fold whose
+    summation order is the ARRAY order — sequential and engine-fixed
+    (the embedding_project precedent), so the raw IEEE dot products
+    agree cross-engine and one 6dp round closes it.  Mean-centering
+    re-applies the same 6dp-pre-rounded means the gramian used."""
+    c1 = pca_component(emb, id_col, vec_col, rounds=rounds)
+    c2 = pca_second(emb, id_col, vec_col, rounds=rounds)
+
+    def _arr(comp):
+        return comp.agg(
+            F.array_sort(F.collect_list(F.struct("dim", "loading")))
+            .alias("s")
+        ).select(F.transform("s", lambda t: t["loading"]).alias("arr"))
+
+    ex = emb.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(F.transform(F.col(vec_col), lambda x: x.cast("double"))
+                     ).alias("dim", "x"),
+    )
+    means = ex.groupBy("dim").agg(
+        F.round(F.sum("x") / F.count("x"), 6).alias("m"))
+    marr = means.agg(
+        F.array_sort(F.collect_list(F.struct("dim", "m"))).alias("s")
+    ).select(F.transform("s", lambda t: t["m"]).alias("marr"))
+    vecs = emb.select(
+        F.col(id_col).alias("id"),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("vec"),
+    ).crossJoin(F.broadcast(marr)).select(
+        "id", F.zip_with("vec", "marr", lambda x, m: x - m).alias("cvec"))
+    a1 = _arr(c1).withColumnRenamed("arr", "l1")
+    a2 = _arr(c2).withColumnRenamed("arr", "l2")
+    j = vecs.crossJoin(F.broadcast(a1)).crossJoin(F.broadcast(a2))
+    dot = lambda v, l: F.aggregate(  # noqa: E731
+        F.zip_with(v, l, lambda x, y: x * y), F.lit(0.0),
+        lambda acc, t: acc + t)
+    return j.select(
+        "id",
+        F.round(dot(F.col("cvec"), F.col("l1")), 6).alias("p1"),
+        F.round(dot(F.col("cvec"), F.col("l2")), 6).alias("p2"),
+    )

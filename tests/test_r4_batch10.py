@@ -1136,3 +1136,26 @@ def test_pca_second_recovers_second_direction(spark):
     v2 = np.array([c2[d] for d in range(3)])
     cosang = abs(v1 @ v2) / (np.linalg.norm(v1) * np.linalg.norm(v2))
     assert cosang < 0.01
+
+
+def test_pca_project_separates_planted_axes(spark):
+    from plato_spark.functions.similarity import pca_project
+
+    rows = []
+    for i in range(48):
+        rows.append((i, [2.0 if i % 2 else -2.0,
+                         0.001 * (i % 3),
+                         0.5 if (i // 2) % 2 else -0.5]))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = {r.id: (r.p1, r.p2) for r in
+           pca_project(emb, rounds=8).collect()}
+    # p1 tracks dim 0 (+-2 spread), p2 tracks dim 2 (+-0.5 spread)
+    for i, (p1, p2) in got.items():
+        want1 = 2.0 if i % 2 else -2.0
+        want2 = 0.5 if (i // 2) % 2 else -0.5
+        assert abs(abs(p1) - 2.0) < 0.05, (i, p1)
+        assert abs(abs(p2) - 0.5) < 0.05, (i, p2)
+        # sign consistency within each axis
+    s1 = {i: got[i][0] > 0 for i in got}
+    assert all(s1[i] == s1[1] for i in got if i % 2 == 1)
+    assert all(s1[i] == s1[0] for i in got if i % 2 == 0)
