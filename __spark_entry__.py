@@ -4317,6 +4317,24 @@ def q_lang_concentration(spark, sf_dir):
     return lang_concentration(load_table(spark, sf_dir, "documents"))
 
 
+def q_vocab_growth(spark, sf_dir):
+    """Heaps-law vocabulary growth over 8 deterministic hash batches
+    (functions/text.vocab_growth): per-batch token mass, first-seen
+    types, cumulative vocab — the tokenizer-freeze signal."""
+    from plato_spark.functions.text import vocab_growth
+
+    return vocab_growth(load_table(spark, sf_dir, "documents"), n_batches=8)
+
+
+def q_vocab_coverage(spark, sf_dir):
+    """Zipf head coverage (functions/text.vocab_coverage): share of the
+    corpus token mass covered by the top-k types for k in (10, 100,
+    1000) — the vocab-size decision read-out."""
+    from plato_spark.functions.text import vocab_coverage
+
+    return vocab_coverage(load_table(spark, sf_dir, "documents"))
+
+
 def q_corpus_card(spark, sf_dir):
     """Dataset-card headline block (functions/text.corpus_card): docs,
     sources, langs, tokens, chars, dup rate, empties — one
@@ -6034,6 +6052,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "session_stats": q_session_stats,
         "corpus_card": q_corpus_card,
         "lang_concentration": q_lang_concentration,
+        "vocab_growth": q_vocab_growth,
+        "vocab_coverage": q_vocab_coverage,
         "pca_variance": q_pca_variance,
         "pca_second": q_pca_second,
         "pca_project": q_pca_project,
@@ -7133,6 +7153,42 @@ SELECT strftime(dd.d, '%Y-%m-%d') AS day,
        CAST(count(DISTINCT du.u) AS BIGINT) AS mau
 FROM dd JOIN du ON du.d <= dd.d AND du.d >= dd.d - 27
 GROUP BY dd.d ORDER BY day""",
+        "vocab_growth": f"""
+WITH toks AS MATERIALIZED (
+  SELECT CAST(({H1_SQL.format(s="('vg|' || CAST(doc_id AS VARCHAR))")}) % 8
+              AS INTEGER) AS batch,
+         unnest(regexp_extract_all(text, '{TOKEN_RE_SQL}')) AS token
+  FROM documents),
+mass AS (SELECT batch, CAST(count(*) AS BIGINT) AS n_tokens
+         FROM toks GROUP BY batch),
+fst AS (SELECT token, min(batch) AS batch FROM toks GROUP BY token),
+news AS (SELECT batch, CAST(count(*) AS BIGINT) AS new_types
+         FROM fst GROUP BY batch)
+SELECT m.batch, m.n_tokens,
+       CAST(COALESCE(nw.new_types, 0) AS BIGINT) AS new_types,
+       CAST(sum(COALESCE(nw.new_types, 0)) OVER (
+              ORDER BY m.batch ROWS UNBOUNDED PRECEDING) AS BIGINT)
+         AS vocab_size
+FROM mass m LEFT JOIN news nw ON m.batch = nw.batch
+ORDER BY m.batch""",
+        "vocab_coverage": f"""
+WITH tc AS MATERIALIZED (
+  SELECT token, CAST(count(*) AS BIGINT) AS n FROM (
+    SELECT unnest(regexp_extract_all(text, '{TOKEN_RE_SQL}')) AS token
+    FROM documents) z
+  GROUP BY token),
+tot AS (SELECT CAST(sum(n) AS BIGINT) AS total_tokens FROM tc),
+rk AS (SELECT n, row_number() OVER (ORDER BY n DESC, token) AS r FROM tc),
+cm AS (SELECT r, sum(n) OVER (ORDER BY r ROWS UNBOUNDED PRECEDING) AS cum
+       FROM rk),
+kd AS (SELECT CAST(k AS INTEGER) AS k
+       FROM (VALUES (10), (100), (1000)) AS t(k)),
+pick AS (SELECT k, CAST(max(cum) AS BIGINT) AS covered_tokens
+         FROM kd JOIN cm ON cm.r <= kd.k GROUP BY k)
+SELECT k, covered_tokens, tot.total_tokens,
+       round(CAST(100 * covered_tokens AS DOUBLE) / tot.total_tokens, 6)
+         AS coverage_pct
+FROM pick, tot ORDER BY k""",
         "lang_concentration": """
 WITH per AS (SELECT source, lang, CAST(count(*) AS BIGINT) AS c
              FROM documents GROUP BY source, lang),

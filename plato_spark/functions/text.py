@@ -1030,3 +1030,94 @@ def lang_concentration(
             .alias("hhi"),
         )
     )
+
+
+def vocab_growth(
+    docs: DataFrame,
+    n_batches: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(batch, n_tokens, new_types, vocab_size) — the Heaps-law vocab
+    growth curve: documents fall into ``n_batches`` deterministic
+    hash batches (portable_h1 mod n — the stratified_sample policy, a
+    reproducible stand-in for arrival order) and each batch reports its
+    token mass, how many token TYPES appear for the first time, and the
+    cumulative vocabulary.  Flattening new_types is the signal that a
+    tokenizer/vocab freeze has seen enough corpus.
+
+    Plan: one explode + a min-aggregation per type (its first batch),
+    then a <= n_batches-row cumulative fold; exact integers."""
+    h = portable_h1(F.concat(F.lit("vg|"), F.col(id_col).cast("string")))
+    toks = docs.select(
+        F.pmod(h, F.lit(int(n_batches))).cast("int").alias("batch"),
+        F.explode(
+            F.regexp_extract_all(F.col(text_col), F.lit(TOKEN_RE), F.lit(0))
+        ).alias("token"),
+    )
+    mass = toks.groupBy("batch").agg(
+        F.count(F.lit(1)).cast("long").alias("n_tokens"))
+    first = toks.groupBy("token").agg(F.min("batch").alias("batch"))
+    news = first.groupBy("batch").agg(
+        F.count(F.lit(1)).cast("long").alias("new_types"))
+    from pyspark.sql import Window
+
+    w = Window.orderBy("batch").rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        mass.join(news, "batch", "left")
+        .select("batch", "n_tokens",
+                F.coalesce("new_types", F.lit(0)).cast("long")
+                .alias("new_types"))
+        # <= n_batches rows: the single-partition window is bounded
+        .withColumn("vocab_size",
+                    F.sum("new_types").over(w).cast("long"))
+    )
+
+
+def vocab_coverage(
+    docs: DataFrame,
+    ks: tuple = (10, 100, 1000),
+    text_col: str = "text",
+) -> DataFrame:
+    """(k, covered_tokens, total_tokens, coverage_pct) — what share of
+    the corpus token MASS the top-k most frequent types cover (ties by
+    token text): the Zipf head-coverage read-out behind vocab-size
+    decisions (a 50k vocab covering 99.5% means the tail is UNK-noise).
+
+    Plan: one map-side-combined type count, TakeOrdered top-max(k)
+    under the (count DESC, token) total order, then per-k exact sums
+    over <= max(k) rows; one rounded division per k."""
+    spark = docs.sparkSession
+    tc = (
+        docs.select(F.explode(
+            F.regexp_extract_all(F.col(text_col), F.lit(TOKEN_RE), F.lit(0))
+        ).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    tot = tc.agg(F.sum("n").cast("long").alias("total_tokens"))
+    kmax = max(ks)
+    top = tc.orderBy(F.desc("n"), F.asc("token")).limit(int(kmax))
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.desc("n"), F.asc("token")).rowsBetween(
+        Window.unboundedPreceding, 0)
+    ranked = top.select(
+        "n", F.row_number().over(
+            Window.orderBy(F.desc("n"), F.asc("token"))).alias("r"),
+        F.sum("n").over(w).alias("cum"),
+    )
+    kdf = spark.createDataFrame([(int(k),) for k in ks], "k int")
+    pick = (
+        kdf.join(ranked, F.col("r") <= F.col("k"))
+        .groupBy("k")
+        .agg(F.max("cum").cast("long").alias("covered_tokens"))
+    )
+    return (
+        pick.crossJoin(F.broadcast(tot))
+        .select(
+            "k", "covered_tokens", "total_tokens",
+            F.round((F.lit(100) * F.col("covered_tokens"))
+                    / F.col("total_tokens"), 6).alias("coverage_pct"),
+        )
+    )

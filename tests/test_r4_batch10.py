@@ -1159,3 +1159,40 @@ def test_pca_project_separates_planted_axes(spark):
     s1 = {i: got[i][0] > 0 for i in got}
     assert all(s1[i] == s1[1] for i in got if i % 2 == 1)
     assert all(s1[i] == s1[0] for i in got if i % 2 == 0)
+
+
+# ------------------------------------------------ vocab growth / coverage
+
+
+def test_vocab_growth_invariants(spark):
+    import hashlib
+
+    from plato_spark.functions.text import vocab_growth
+
+    docs = spark.createDataFrame(
+        [(i, "alpha beta w%d" % (i % 4)) for i in range(16)],
+        "doc_id long, text string")
+    got = sorted((r.batch, r.n_tokens, r.new_types, r.vocab_size)
+                 for r in vocab_growth(docs, n_batches=4).collect())
+    # total types = alpha, beta, w0..w3 = 6; monotone cumulative
+    assert got[-1][3] == 6
+    assert sum(r[2] for r in got) == 6
+    assert sum(r[1] for r in got) == 16 * 3
+    # first batch by hash carries alpha+beta as new types
+    def h1(v):
+        return int(hashlib.md5(f"vg|{v}".encode()).hexdigest()[:14], 16)
+    first_batch = min(h1(i) % 4 for i in range(16))
+    assert got[0][0] == first_batch and got[0][2] >= 2
+
+
+def test_vocab_coverage_hand_zipf(spark):
+    from plato_spark.functions.text import vocab_coverage
+
+    # 'a' x10, 'b' x5, 'c' x1: top-1 covers 10/16, top-2 15/16
+    text = " ".join(["a"] * 10 + ["b"] * 5 + ["c"])
+    docs = spark.createDataFrame([(0, text)], "doc_id long, text string")
+    got = {r.k: (r.covered_tokens, r.coverage_pct) for r in
+           vocab_coverage(docs, ks=(1, 2, 100)).collect()}
+    assert got[1] == (10, round(1000 / 16, 6))
+    assert got[2] == (15, round(1500 / 16, 6))
+    assert got[100] == (16, 100.0)
