@@ -781,6 +781,7 @@ def pca_component(
     deterministic start."""
     cells = _gramian_cells(emb, id_col, vec_col).persist()
     v = _power_iterate(cells, rounds)
+    cells.unpersist()  # v is checkpointed per round; free the cell cache
     return v.select(F.col("j").alias("dim"),
                     F.round(F.col("v") / F.lit(1e6), 6).alias("loading"))
 
@@ -848,7 +849,12 @@ def pca_variance(
     den = v3.agg(F.sum(F.col("v3") * F.col("v3")).alias("den"))
     tr = c3.where(F.col("i") == F.col("j")).agg(
         F.sum("c3").alias("tr3"))
+    from plato_spark.engine.ckpt_blocks import cheap_localCheckpoint
+
     out = num.crossJoin(F.broadcast(den)).crossJoin(F.broadcast(tr))
+    # materialize the 1-row result so the cell cache can free eagerly
+    out = cheap_localCheckpoint(out)
+    cells.unpersist()
     return out.select(
         F.round(F.col("num") / (F.col("den") * F.lit(1000.0)), 6)
         .alias("lambda_top"),
@@ -910,6 +916,8 @@ def pca_second(
         )
     ).persist()
     v2 = _power_iterate(defl, rounds)
+    cells.unpersist()
+    defl.unpersist()  # both loops checkpoint per round; free the caches
     return v2.select(F.col("j").alias("dim"),
                      F.round(F.col("v") / F.lit(1e6), 6).alias("loading"))
 
