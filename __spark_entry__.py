@@ -4812,6 +4812,17 @@ def q_dedup_clusters(spark, sf_dir):
     )
 
 
+def q_dedup_apply(spark, sf_dir):
+    """Per-document keep/drop manifest from the near-dup clusters
+    (functions/dedup.dedup_apply): keepers and singletons keep, dropped
+    rows carry their keeper for provenance — the verdict table the
+    curation pipeline actually filters on."""
+    from plato_spark.functions.dedup import dedup_apply
+
+    return dedup_apply(load_table(spark, sf_dir, "documents"),
+                       threshold=0.5, hash_impl="portable")
+
+
 def q_dedup_exact(spark, sf_dir):
     return exact_dedup(load_table(spark, sf_dir, "documents"))
 
@@ -6215,6 +6226,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_windowed": q_events_windowed,
         "events_sessions": q_events_sessions,
         "dedup_clusters": q_dedup_clusters,
+        "dedup_apply": q_dedup_apply,
         "token_count": q_token_count,
         "text_quality": q_text_quality,
         "quality_filter": q_quality_filter,
@@ -8223,6 +8235,12 @@ WHERE l.lab = (SELECT lab FROM maj)""",
                         / greatest(length(a.sh) + length(b.sh)
                                    - length(list_intersect(a.sh, b.sh)), 1), 6) >= 0.5""",
         "dedup_clusters": _sql_dedup_clusters_lsh(),
+        "dedup_apply": f"""
+WITH cl AS MATERIALIZED ({_sql_dedup_clusters_lsh()})
+SELECT d.doc_id AS id, cl.keeper_id,
+       (cl.keeper_id IS NULL OR cl.keeper_id = d.doc_id) AS keep
+FROM documents d LEFT JOIN cl ON d.doc_id = cl.doc_id
+ORDER BY id""",
         "nstep_exact": SQL_GRAPH_PREFIX
         + """, r1 AS MATERIALIZED (SELECT DISTINCT src, dst FROM edges),
 r2 AS MATERIALIZED (

@@ -783,3 +783,34 @@ def cdc_chunk_stats(
         .cast("long")
         .alias("reclaimable_chars"),
     )
+
+
+def dedup_apply(
+    df: DataFrame,
+    threshold: float = 0.5,
+    n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    hash_impl: str = "portable",
+) -> DataFrame:
+    """(id, keeper_id, keep) — materialize the near-dup verdicts as the
+    per-document keep/drop manifest the pipeline actually applies: every
+    document keeps its cluster's keeper id (NULL when it never collided
+    — singletons are implicit keeps), and ``keep`` is true for keepers
+    and singletons.  Downstream: ``WHERE keep`` is the deduplicated
+    corpus; the dropped rows carry their keeper for provenance.
+
+    One left join of the corpus ids against the (clustered-docs-only)
+    near_dup_clusters table — digests and ids move, never bodies."""
+    clusters = near_dup_clusters(
+        df, threshold=threshold, n=n, text_col=text_col, id_col=id_col,
+        use_lsh=True, hash_impl=hash_impl,
+    )
+    ids = df.select(F.col(id_col).alias("id"))
+    j = ids.join(clusters.select(F.col(id_col).alias("id"),
+                                 F.col("keeper_id")), "id", "left")
+    return j.select(
+        "id", "keeper_id",
+        (F.col("keeper_id").isNull()
+         | (F.col("keeper_id") == F.col("id"))).alias("keep"),
+    )

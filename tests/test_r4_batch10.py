@@ -1196,3 +1196,22 @@ def test_vocab_coverage_hand_zipf(spark):
     assert got[1] == (10, round(1000 / 16, 6))
     assert got[2] == (15, round(1500 / 16, 6))
     assert got[100] == (16, 100.0)
+
+
+# --------------------------------------------------------------- dedup apply
+
+
+def test_dedup_apply_keepers_singletons_drops(spark):
+    from plato_spark.functions.dedup import dedup_apply
+
+    text = "alpha beta gamma delta epsilon zeta eta theta " * 6
+    docs = spark.createDataFrame(
+        [(0, text), (1, text), (2, "totally unrelated content here xyz "
+                                   "pqr stu vwx yz abc def ghi")],
+        "doc_id long, text string")
+    got = {r.id: (r.keeper_id, r.keep) for r in
+           dedup_apply(docs, threshold=0.5).collect()}
+    assert got[0] == (0, True)         # cluster keeper
+    assert got[1] == (0, False)        # dropped, provenance to keeper
+    assert got[2] == (None, True)      # singleton: implicit keep
+    assert len(got) == 3
