@@ -2349,6 +2349,30 @@ def q_bfs(spark, sf_dir):
     return bfs(symmetrize(canon), root=int(root))
 
 
+def q_bfs_parents(spark, sf_dir):
+    """Deterministic shortest-path tree (algos/bfs.bfs_parents):
+    smallest-id predecessor per reached vertex — the proven BFS levels
+    plus one edge join and a min-aggregation."""
+    from plato_spark.algos.bfs import bfs_parents
+
+    canon = part_cooccurrence_edges(spark, sf_dir)
+    root = canon.agg(
+        F.least(F.min("src"), F.min("dst")).alias("m")
+    ).collect()[0]["m"]
+    return bfs_parents(symmetrize(canon), root=int(root))
+
+
+def _sql_bfs_parents() -> str:
+    prefix, last = _sql_bfs()
+    return prefix + f""",
+pp AS (SELECT e.dst AS id, CAST(min(e.src) AS BIGINT) AS parent
+       FROM edges e JOIN {last} p ON e.src = p.id
+            JOIN {last} c ON e.dst = c.id
+       WHERE p.dist = c.dist - 1 GROUP BY e.dst)
+SELECT l.id, l.dist, pp.parent
+FROM {last} l LEFT JOIN pp ON l.id = pp.id ORDER BY l.id"""
+
+
 def q_tree_stat(spark, sf_dir):
     canon = part_cooccurrence_edges(spark, sf_dir)
     root = canon.agg(
@@ -4132,6 +4156,15 @@ SELECT n, sum_d2,
                              / (n * (n * n - 1)), 6)
        END AS spearman
 FROM agg"""
+
+
+def q_hourly_profile(spark, sf_dir):
+    """Hour-of-day seasonality + conversion profile
+    (functions/events.hourly_profile): <= 24 groups, exact counts, one
+    guarded division."""
+    from plato_spark.functions.events import hourly_profile
+
+    return hourly_profile(load_table(spark, sf_dir, "events"))
 
 
 def q_hll_incremental(spark, sf_dir):
@@ -6076,6 +6109,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "trade_volume": q_trade_volume,
         "blocklist_hits": q_blocklist_hits,
         "hll_incremental": q_hll_incremental,
+        "bfs_parents": q_bfs_parents,
+        "hourly_profile": q_hourly_profile,
         "frequent_triples": q_frequent_triples,
         "event_trigrams": q_event_trigrams,
         "centrality_rank_corr": q_centrality_rank_corr,
@@ -7457,6 +7492,20 @@ ORDER BY item, rank""",
         "weighted_matching": _sql_matching(12, weighted=True),
         "hll_user_cardinality": _sql_hll_groups(),
         "hll_incremental": _sql_hll_groups(),
+        "bfs_parents": _sql_bfs_parents(),
+        "hourly_profile": """
+WITH g AS (
+  SELECT CAST(hour(ts) AS INTEGER) AS hour,
+         CAST(count(*) AS BIGINT) AS n_events,
+         CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_denom,
+         CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_numer
+  FROM events GROUP BY hour)
+SELECT hour, n_events, n_denom, n_numer,
+       CASE WHEN n_denom > 0
+            THEN round(CAST(n_numer AS DOUBLE) / n_denom, 6) END AS cvr
+FROM g ORDER BY hour""",
         "centrality_rank_corr": _sql_rank_corr(),
         "frequent_triples": """
 WITH inc AS MATERIALIZED (

@@ -176,3 +176,28 @@ def bfs_path_counts(
             visited = visited.unionByName(nxt).transform(cheap_localCheckpoint)
             frontier = nxt.select("id", "sigma")
     return visited
+
+
+def bfs_parents(edges: DataFrame, root: int, max_iters: int = 10_000
+                ) -> DataFrame:
+    """(id, dist, parent) — the deterministic shortest-path TREE from
+    ``root``: each reached vertex records the SMALLEST-id predecessor
+    at distance dist-1 (the route you would actually follow back; the
+    path-reconstruction read-out plato's visitor callbacks expose,
+    bfs.hpp's per-vertex visit hook).  Root's parent is NULL.
+
+    Composition, not a new loop: the proven level table plus ONE
+    edge-predecessor join and a min-aggregation — min over equal-level
+    in-neighbors is a total order, so the tree is engine-portable."""
+    levels = bfs(edges, root, max_iters=max_iters)
+    pred = (
+        edges.join(levels.select(F.col("id").alias("src"),
+                                 F.col("dist").alias("pd")), "src")
+        .join(levels.select(F.col("id").alias("dst"),
+                            F.col("dist").alias("cd")), "dst")
+        .where(F.col("pd") == F.col("cd") - 1)
+        .groupBy(F.col("dst").alias("id"))
+        .agg(F.min("src").alias("parent"))
+    )
+    return levels.join(pred, "id", "left").select(
+        "id", "dist", F.col("parent").cast("long").alias("parent"))

@@ -793,3 +793,34 @@ def active_users(
     )
     return g.select(F.date_format("t", "yyyy-MM-dd").alias("day"),
                     "dau", "wau", "mau")
+
+
+def hourly_profile(
+    events: DataFrame,
+    numer_type: str = "purchase",
+    denom_type: str = "view",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """(hour, n_events, n_denom, n_numer, cvr) — the hour-of-day
+    seasonality profile: total events, views, purchases, and the
+    view->purchase conversion rate per wall-clock hour 0..23.  The
+    capacity/campaign-planning complement of rate_spikes (which flags
+    anomalies against OWN history; this shows the expected shape).
+
+    One map-side-combined aggregation over <= 24 groups; exact integer
+    counts, one guarded rounded division; hours come from the session
+    zone (pinned UTC)."""
+    h = F.hour(F.col(ts_col).cast("timestamp")).cast("int")
+    g = events.groupBy(h.alias("hour")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.sum(F.when(F.col(type_col) == denom_type, 1).otherwise(0))
+        .cast("long").alias("n_denom"),
+        F.sum(F.when(F.col(type_col) == numer_type, 1).otherwise(0))
+        .cast("long").alias("n_numer"),
+    )
+    return g.select(
+        "hour", "n_events", "n_denom", "n_numer",
+        F.when(F.col("n_denom") > 0,
+               F.round(F.col("n_numer") / F.col("n_denom"), 6)).alias("cvr"),
+    )

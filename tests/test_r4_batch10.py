@@ -1215,3 +1215,56 @@ def test_dedup_apply_keepers_singletons_drops(spark):
     assert got[1] == (0, False)        # dropped, provenance to keeper
     assert got[2] == (None, True)      # singleton: implicit keep
     assert len(got) == 3
+
+
+# -------------------------------------------- bfs parents / hourly profile
+
+
+def test_bfs_parents_smallest_predecessor(spark):
+    from plato_spark.algos.bfs import bfs_parents
+
+    # diamond 0->{1,2}->3 (symmetric): 3's parent is min(1,2) = 1
+    e = spark.createDataFrame(
+        [(0, 1), (1, 0), (0, 2), (2, 0), (1, 3), (3, 1), (2, 3), (3, 2)],
+        "src long, dst long")
+    got = {r.id: (r.dist, r.parent) for r in bfs_parents(e, 0).collect()}
+    assert got[0] == (0, None)
+    assert got[1] == (1, 0) and got[2] == (1, 0)
+    assert got[3] == (2, 1)
+
+
+def test_bfs_parents_tree_consistency(spark):
+    from plato_spark.algos.bfs import bfs_parents
+
+    # path + branch: every non-root parent sits exactly one level up
+    pairs = [(0, 1), (1, 2), (2, 3), (1, 4), (4, 5)]
+    e = spark.createDataFrame(
+        sorted({(a, b) for a, b in pairs} | {(b, a) for a, b in pairs}),
+        "src long, dst long")
+    rows = bfs_parents(e, 0).collect()
+    dist = {r.id: r.dist for r in rows}
+    for r in rows:
+        if r.id == 0:
+            assert r.parent is None
+        else:
+            assert dist[r.parent] == r.dist - 1
+
+
+def test_hourly_profile_counts_and_cvr(spark):
+    from datetime import datetime
+
+    from plato_spark.functions.events import hourly_profile
+
+    rows = []
+    eid = 0
+    for h, tys in [(9, ["view"] * 4 + ["purchase"]), (23, ["click"] * 2)]:
+        for t in tys:
+            rows.append((eid, datetime(2024, 1, 1, h, eid % 60), 1, t,
+                         1.0, "{}")); eid += 1
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, "
+              "event_type string, value double, props string")
+    got = {r.hour: (r.n_events, r.n_denom, r.n_numer, r.cvr)
+           for r in hourly_profile(ev).collect()}
+    assert got[9] == (5, 4, 1, 0.25)
+    assert got[23] == (2, 0, 0, None)
