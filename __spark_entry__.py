@@ -4090,6 +4090,21 @@ def _sql_group_quantiles(nbins: int = 256) -> str:
               "\nORDER BY event_type, q")
 
 
+def q_rec_coverage(spark, sf_dir):
+    """Catalog coverage + exposure Gini of the co-purchase recommender
+    (functions/recommend.rec_coverage): never-recommended items stay in
+    the Gini denominator — leaving them out flatters every
+    recommender."""
+    from plato_spark.functions.recommend import rec_coverage
+
+    inc = load_table(spark, sf_dir, "orders").join(
+        load_table(spark, sf_dir, "lineitem"),
+        F.col("o_orderkey") == F.col("l_orderkey"),
+    ).select(F.col("o_custkey").alias("user"),
+             F.col("l_partkey").alias("item"))
+    return rec_coverage(inc, k=5)
+
+
 def q_frequent_triples(spark, sf_dir):
     """Frequent 3-itemsets over order baskets
     (functions/recommend.frequent_triples): one distributed Apriori
@@ -6112,6 +6127,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bfs_parents": q_bfs_parents,
         "hourly_profile": q_hourly_profile,
         "frequent_triples": q_frequent_triples,
+        "rec_coverage": q_rec_coverage,
         "event_trigrams": q_event_trigrams,
         "centrality_rank_corr": q_centrality_rank_corr,
         "embedding_quantization": q_embedding_quantization,
@@ -7481,6 +7497,49 @@ r AS (SELECT item, rec, score,
 SELECT item, rec, round(score, 6) AS score, rank FROM r WHERE rank <= 5
 ORDER BY item, rank""",
         "pq_ann": _sql_pq_ann(4, 16, 2, 64, 5),
+        "rec_coverage": """
+WITH inc AS MATERIALIZED (
+  SELECT DISTINCT o.o_custkey AS u, l.l_partkey AS i
+  FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey),
+ok AS (SELECT u FROM inc GROUP BY u HAVING count(*) <= 256),
+inc2 AS MATERIALIZED (SELECT i.u, i.i FROM inc i JOIN ok ON i.u = ok.u),
+dg AS MATERIALIZED (
+  SELECT i, CAST(count(*) AS BIGINT) AS d FROM inc2 GROUP BY i),
+co AS MATERIALIZED (
+  SELECT a.i AS x, b.i AS y, CAST(count(*) AS BIGINT) AS co
+  FROM inc2 a JOIN inc2 b ON a.u = b.u AND a.i < b.i GROUP BY a.i, b.i),
+bo AS (SELECT x, y, co FROM co
+       UNION ALL SELECT y AS x, x AS y, co FROM co),
+sc AS (SELECT bo.x AS item, bo.y AS rec, bo.co / sqrt(dx.d * dy.d) AS score
+       FROM bo JOIN dg dx ON bo.x = dx.i JOIN dg dy ON bo.y = dy.i),
+rr AS (SELECT item, rec FROM (
+         SELECT item, rec,
+                row_number() OVER (PARTITION BY item
+                                   ORDER BY score DESC, rec ASC) AS rank
+         FROM sc) z WHERE rank <= 5),
+cat AS (SELECT DISTINCT i FROM inc),
+expo AS (SELECT CAST(COALESCE(e.cnt, 0) AS BIGINT) AS v FROM cat
+         LEFT JOIN (SELECT rec AS i, CAST(count(*) AS BIGINT) AS cnt
+                    FROM rr GROUP BY rec) e ON cat.i = e.i),
+hist AS (SELECT v, CAST(count(*) AS BIGINT) AS c FROM expo GROUP BY v),
+h2 AS (SELECT v, c,
+         CAST(COALESCE(sum(c) OVER (ORDER BY v
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+              AS BIGINT) AS o
+       FROM hist),
+a AS (SELECT CAST(sum(c) AS BIGINT) AS n,
+             CAST(sum(v * c) AS BIGINT) AS t,
+             CAST(sum(v * (c * o + (c * (c + 1)) // 2)) AS BIGINT) AS s
+      FROM h2),
+nr AS (SELECT CAST(count(DISTINCT rec) AS BIGINT) AS items_recommended
+       FROM rr)
+SELECT a.n AS catalog_items, nr.items_recommended,
+       round(CAST(100 * nr.items_recommended AS DOUBLE) / a.n, 6)
+         AS coverage_pct,
+       round((2.0 * a.s) / (CAST(a.n AS DOUBLE) * CAST(a.t AS DOUBLE))
+             - CAST(a.n + 1 AS DOUBLE) / CAST(a.n AS DOUBLE), 6)
+         AS exposure_gini
+FROM a, nr""",
         # streaming CMS folds to exactly the batch sketch (cell monoid)
         "cms_incremental": _sql_cms(50, 4, 64),
         "salsa": _sql_salsa(5),

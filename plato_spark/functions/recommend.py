@@ -235,3 +235,45 @@ def frequent_triples(
         .where(F.col("support") >= int(min_support))
     )
     return counted
+
+
+def rec_coverage(
+    inc: DataFrame,
+    user: str = "user",
+    item: str = "item",
+    k: int = 5,
+) -> DataFrame:
+    """One row (catalog_items, items_recommended, coverage_pct,
+    exposure_gini) — the catalog-coverage / popularity-bias eval of the
+    co-purchase recommender: how much of the catalog ever appears in a
+    top-k list, and how concentrated the exposure is (Gini over per-item
+    appearance counts WITH the never-recommended zeros in the
+    denominator — leaving them out flatters every recommender).
+
+    Composition: co_purchase_topk (same guard, same total order) ->
+    per-rec exposure counts left-joined onto the full catalog ->
+    the histogram Gini kernel (graph/edges.gini_from_counts).  Exact
+    integers, one rounded division for the share."""
+    from plato_spark.graph.edges import gini_from_counts
+
+    recs = co_purchase_topk(inc, user=user, item=item, k=k)
+    catalog = inc.select(F.col(item).alias("i")).distinct()
+    expo = (
+        catalog.join(
+            recs.groupBy(F.col("rec").alias("i")).agg(
+                F.count(F.lit(1)).cast("long").alias("cnt")),
+            "i", "left")
+        .select(F.coalesce("cnt", F.lit(0)).cast("long").alias("cnt"))
+    )
+    g = gini_from_counts(expo)
+    nrec = recs.agg(F.countDistinct("rec").cast("long").alias("items_recommended"))
+    return (
+        g.crossJoin(F.broadcast(nrec))
+        .select(
+            F.col("n").alias("catalog_items"),
+            "items_recommended",
+            F.round((F.lit(100) * F.col("items_recommended")) / F.col("n"), 6)
+            .alias("coverage_pct"),
+            F.col("gini").alias("exposure_gini"),
+        )
+    )

@@ -270,25 +270,40 @@ def degree_gini(canon: DataFrame) -> DataFrame:
     deg = sym.groupBy(F.col("src").alias("id")).agg(
         F.count("*").cast("long").alias("deg")
     )
-    hist = deg.groupBy("deg").agg(F.count("*").cast("long").alias("c"))
+    return gini_from_counts(deg.select(F.col("deg").alias("cnt"))).select(
+        F.col("n").alias("n_vertices"),
+        F.col("total").alias("total_degree"),
+        "gini",
+    )
+
+
+def gini_from_counts(counts: DataFrame) -> DataFrame:
+    """1-row (n, total, gini) — Gini of any nonnegative integer ``cnt``
+    column, folded over its VALUE HISTOGRAM: a value class of size c
+    at cumulative offset o contributes v*(c*o + c*(c+1)/2), all
+    integers, so the only window runs over |distinct values| rows.  Two
+    IEEE divisions at read-out (degree_gini's kernel, generalized for
+    any exposure/weight distribution)."""
+    hist = counts.groupBy(F.col("cnt").alias("v")).agg(
+        F.count("*").cast("long").alias("c"))
     from pyspark.sql import Window
 
-    w = Window.orderBy("deg").rowsBetween(Window.unboundedPreceding, -1)
+    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, -1)
     hist = hist.withColumn(
         "offset", F.coalesce(F.sum("c").over(w), F.lit(0)).cast("long")
     )
     agg = hist.agg(
-        F.sum("c").cast("long").alias("n_vertices"),
-        F.sum(F.col("deg") * F.col("c")).cast("long").alias("total_degree"),
+        F.sum("c").cast("long").alias("n"),
+        F.sum(F.col("v") * F.col("c")).cast("long").alias("total"),
         F.sum(
-            F.col("deg")
+            F.col("v")
             * (F.col("c") * F.col("offset")
                + F.expr("c * (c + 1) div 2"))
         ).cast("long").alias("s"),
     )
-    n, t, s = F.col("n_vertices"), F.col("total_degree"), F.col("s")
+    n, t, s = F.col("n"), F.col("total"), F.col("s")
     return agg.select(
-        "n_vertices", "total_degree",
+        "n", "total",
         F.round(
             (2.0 * s.cast("double")) / (n.cast("double") * t.cast("double"))
             - (n + 1).cast("double") / n.cast("double"),

@@ -1268,3 +1268,34 @@ def test_hourly_profile_counts_and_cvr(spark):
            for r in hourly_profile(ev).collect()}
     assert got[9] == (5, 4, 1, 0.25)
     assert got[23] == (2, 0, 0, None)
+
+
+# --------------------------------------------------------------- rec coverage
+
+
+def test_rec_coverage_uniform_vs_concentrated(spark):
+    from plato_spark.functions.recommend import rec_coverage
+
+    # clique basket: every pair co-occurs equally -> full coverage,
+    # uniform exposure (gini 0)
+    inc = spark.createDataFrame(
+        [(u, i) for u in range(4) for i in range(4)],
+        "user long, item long")
+    r = rec_coverage(inc, k=3).collect()[0]
+    assert r.catalog_items == 4
+    assert r.items_recommended == 4 and r.coverage_pct == 100.0
+    assert r.exposure_gini == 0.0
+
+
+def test_rec_coverage_uncovered_items_counted(spark):
+    from plato_spark.functions.recommend import rec_coverage
+
+    # items 0,1 co-occur; item 9 bought alone by one user -> never
+    # recommended but stays in the catalog denominator
+    inc = spark.createDataFrame(
+        [(1, 0), (1, 1), (2, 0), (2, 1), (3, 9)], "user long, item long")
+    r = rec_coverage(inc, k=5).collect()[0]
+    assert r.catalog_items == 3
+    assert r.items_recommended == 2
+    assert r.coverage_pct == round(200 / 3, 6)
+    assert r.exposure_gini > 0.0
