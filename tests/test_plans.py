@@ -625,3 +625,55 @@ def test_mixture_apply_broadcasts_rates_no_extra_shuffle(spark):
     p = plan_of(mixture_apply(docs))
     assert "BroadcastExchange" in p, p
     assert "CartesianProduct" not in p, p
+
+
+def test_frequent_triples_apriori_no_cartesian(spark):
+    from pyspark.sql import functions as FF
+
+    from plato_spark.functions.recommend import frequent_triples
+
+    li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").select(
+        FF.col("l_orderkey").alias("basket"), FF.col("l_partkey").alias("item"))
+    p = plan_of(frequent_triples(li, min_support=2))
+    # candidate generation and counting are all equi/semi joins
+    assert "CartesianProduct" not in p, p
+    assert "BroadcastNestedLoopJoin" not in p, p
+
+
+def test_active_users_bounded_explode_no_range_join(spark):
+    from plato_spark.functions.events import active_users
+
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    p = plan_of(active_users(ev))
+    # the trailing windows come from a bounded JVM sequence explode,
+    # never a non-equi nested-loop range join
+    assert "Generate" in p, p
+    assert "BroadcastNestedLoopJoin" not in p, p
+    assert "CartesianProduct" not in p, p
+
+
+def test_event_trigrams_user_partitioned_window(spark):
+    from plato_spark.functions.events import event_trigrams
+
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    p = plan_of(event_trigrams(ev))
+    assert "SinglePartition" not in p, p
+    assert "hashpartitioning(u" in p, p
+
+
+def test_blocklist_hits_jvm_only_single_exchange(spark):
+    from plato_spark.functions.text import blocklist_hits
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    p = plan_of(blocklist_hits(docs))
+    # pure JVM array filters: no Python eval, no pre-agg join shuffles
+    assert "Python" not in p, p
+    assert "Join" not in p, p
+
+
+def test_vocab_coverage_head_is_take_ordered(spark):
+    from plato_spark.functions.text import vocab_coverage
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    p = plan_of(vocab_coverage(docs))
+    assert "TakeOrderedAndProject" in p, p
