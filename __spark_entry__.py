@@ -4315,6 +4315,50 @@ SELECT id,
 FROM cvx, l1, l2 ORDER BY id"""
 
 
+def q_pca_plane_variance(spark, sf_dir):
+    """Two-term scree read-out (functions/similarity.pca_plane_variance):
+    Rayleigh quotients of both components vs the original gramian and
+    the 2-d plane's variance share; lambda1 must equal pca_variance's
+    lambda_top — a cross-operator consistency check the gate sees."""
+    from plato_spark.functions.similarity import pca_plane_variance
+
+    return pca_plane_variance(load_table(spark, sf_dir, "embeddings"),
+                              rounds=PCA_ROUNDS)
+
+
+def _sql_pca_plane_variance(rounds: int) -> str:
+    c1 = _sql_pca_component(rounds)
+    c2 = _sql_pca_second(rounds)
+    return f"""
+WITH comp1 AS MATERIALIZED ({c1}),
+comp2 AS MATERIALIZED ({c2}),
+{_sql_gramian_cells("g")},
+pc3 AS MATERIALIZED (
+  SELECT i, j, CAST(round(c / 1000.0, 0) AS BIGINT) AS c3 FROM gcells),
+w1 AS (SELECT dim, CAST(round(loading * 1e3, 0) AS BIGINT) AS v3
+       FROM comp1),
+w2 AS (SELECT dim, CAST(round(loading * 1e3, 0) AS BIGINT) AS v3
+       FROM comp2),
+q1 AS (SELECT (SELECT CAST(sum(pc3.c3 * a.v3 * b.v3) AS BIGINT)
+               FROM pc3 JOIN w1 a ON pc3.i = a.dim
+                        JOIN w1 b ON pc3.j = b.dim) AS num1,
+              (SELECT CAST(sum(v3 * v3) AS BIGINT) FROM w1) AS den1),
+q2 AS (SELECT (SELECT CAST(sum(pc3.c3 * a.v3 * b.v3) AS BIGINT)
+               FROM pc3 JOIN w2 a ON pc3.i = a.dim
+                        JOIN w2 b ON pc3.j = b.dim) AS num2,
+              (SELECT CAST(sum(v3 * v3) AS BIGINT) FROM w2) AS den2),
+trr AS (SELECT CAST(sum(c3) AS BIGINT) AS tr3 FROM pc3 WHERE i = j)
+SELECT round(CAST(num1 AS DOUBLE) / (den1 * 1000.0), 6) AS lambda1,
+       round(CAST(num2 AS DOUBLE) / (den2 * 1000.0), 6) AS lambda2,
+       round(CAST(tr3 AS DOUBLE) / 1e3, 6) AS trace,
+       CASE WHEN tr3 > 0
+            THEN round((100.0 * (CAST(num1 AS DOUBLE) / (den1 * 1000.0)
+                                 + CAST(num2 AS DOUBLE) / (den2 * 1000.0)))
+                       / (CAST(tr3 AS DOUBLE) / 1e3), 6)
+       END AS plane_pct
+FROM q1, q2, trr"""
+
+
 def q_pca_variance(spark, sf_dir):
     """Rayleigh quotient + trace share of the top principal component
     (functions/similarity.pca_variance): down-scaled exact integer
@@ -6115,6 +6159,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vocab_coverage": q_vocab_coverage,
         "pca_variance": q_pca_variance,
         "pca_second": q_pca_second,
+        "pca_plane_variance": q_pca_plane_variance,
         "pca_project": q_pca_project,
         "active_users": q_active_users,
         "instability": q_instability,
@@ -7181,6 +7226,7 @@ FROM cls""",
         "pca_component": _sql_pca_component(PCA_ROUNDS),
         "pca_variance": _sql_pca_variance(PCA_ROUNDS),
         "pca_second": _sql_pca_second(PCA_ROUNDS),
+        "pca_plane_variance": _sql_pca_plane_variance(PCA_ROUNDS),
         "pca_project": _sql_pca_project(PCA_ROUNDS),
         "instability": f"""
 WITH g AS MATERIALIZED ({_sql_reference_graph()}),

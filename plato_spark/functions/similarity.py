@@ -976,3 +976,60 @@ def pca_project(
         F.round(dot(F.col("cvec"), F.col("l1")), 6).alias("p1"),
         F.round(dot(F.col("cvec"), F.col("l2")), 6).alias("p2"),
     )
+
+
+def pca_plane_variance(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    rounds: int = 8,
+) -> DataFrame:
+    """One row (lambda1, lambda2, trace, plane_pct) — the two-term scree
+    read-out: Rayleigh quotients of BOTH converged components against
+    the original gramian, and the variance share the 2-d plane
+    (pca_project's target) actually captures.  lambda1 equals
+    pca_variance's lambda_top by construction — a visible cross-operator
+    consistency check.
+
+    Same integer discipline as pca_variance (1e3-scaled copies, exact
+    BIGINT quadratic forms, one division per quotient); plane_pct is
+    one fixed IEEE chain over the two quotients and the trace."""
+    cells = _gramian_cells(emb, id_col, vec_col).persist()
+    c3 = cells.select(
+        "i", "j",
+        F.round(F.col("c") / F.lit(1000.0), 0).cast("long").alias("c3"))
+
+    def _ray(comp, tag):
+        v3 = comp.select(
+            F.col("dim"),
+            F.round(F.col("loading") * 1e3, 0).cast("long").alias("v3"))
+        num = (
+            c3.join(v3.select(F.col("dim").alias("i"),
+                              F.col("v3").alias("vi")), "i")
+            .join(v3.select(F.col("dim").alias("j"),
+                            F.col("v3").alias("vj")), "j")
+            .agg(F.sum(F.col("c3") * F.col("vi") * F.col("vj"))
+                 .alias(f"num{tag}"))
+        )
+        den = v3.agg(F.sum(F.col("v3") * F.col("v3")).alias(f"den{tag}"))
+        return num.crossJoin(F.broadcast(den))
+
+    r1 = _ray(pca_component(emb, id_col, vec_col, rounds=rounds), "1")
+    r2 = _ray(pca_second(emb, id_col, vec_col, rounds=rounds), "2")
+    tr = c3.where(F.col("i") == F.col("j")).agg(F.sum("c3").alias("tr3"))
+    out = r1.crossJoin(F.broadcast(r2)).crossJoin(F.broadcast(tr))
+    from plato_spark.engine.ckpt_blocks import cheap_localCheckpoint
+
+    out = cheap_localCheckpoint(out)
+    cells.unpersist()
+    l1 = F.col("num1") / (F.col("den1") * F.lit(1000.0))
+    l2 = F.col("num2") / (F.col("den2") * F.lit(1000.0))
+    t = F.col("tr3") / F.lit(1e3)
+    return out.select(
+        F.round(l1, 6).alias("lambda1"),
+        F.round(l2, 6).alias("lambda2"),
+        F.round(t, 6).alias("trace"),
+        F.when(F.col("tr3") > 0,
+               F.round((F.lit(100.0) * (l1 + l2)) / t, 6))
+        .alias("plane_pct"),
+    )

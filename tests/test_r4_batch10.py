@@ -1299,3 +1299,23 @@ def test_rec_coverage_uncovered_items_counted(spark):
     assert r.items_recommended == 2
     assert r.coverage_pct == round(200 / 3, 6)
     assert r.exposure_gini > 0.0
+
+
+def test_pca_plane_variance_consistency(spark):
+    from plato_spark.functions.similarity import (
+        pca_plane_variance, pca_variance,
+    )
+
+    rows = []
+    for i in range(48):
+        rows.append((i, [2.0 if i % 2 else -2.0,
+                         0.001 * (i % 3),
+                         0.5 if (i // 2) % 2 else -0.5]))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    pv = pca_variance(emb, rounds=8).collect()[0]
+    pl = pca_plane_variance(emb, rounds=8).collect()[0]
+    # cross-operator invariant: lambda1 == pca_variance's lambda_top
+    assert pl.lambda1 == pv.lambda_top
+    assert pl.lambda1 > pl.lambda2 > 0
+    assert pl.plane_pct > 99.0       # dims 0+2 carry ~all variance
+    assert pl.trace == pv.trace
