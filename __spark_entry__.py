@@ -4022,6 +4022,69 @@ def q_mixing_null_model(spark, sf_dir):
     )
 
 
+def q_conversion_latency(spark, sf_dir):
+    """Time-to-convert quantiles (asof_next matches -> histogram
+    quantiles over exact integer microsecond gaps): the latency
+    distribution behind the conversion-window choice (windowed_funnel's
+    W and asof_next's cap stop being folklore)."""
+    from plato_spark.functions.events import asof_next
+    from plato_spark.functions.quantiles import histogram_quantiles
+
+    m = asof_next(load_table(spark, sf_dir, "events"), window_s=None)
+    return histogram_quantiles(
+        m.where(F.col("conversion_id").isNotNull()), "gap_us",
+        quantiles=(0.5, 0.9, 0.99), nbins=256,
+    )
+
+
+def _sql_conversion_latency(nbins: int = 256) -> str:
+    asof = """
+WITH e AS (SELECT user_id AS u, event_type AS t, epoch_us(ts) AS ts,
+                  event_id AS eid
+           FROM events),
+tch AS MATERIALIZED (SELECT u, ts, eid FROM e
+                     WHERE t IN ('view', 'click')),
+cv AS MATERIALIZED (SELECT u, ts, eid FROM e WHERE t = 'purchase'),
+mt AS MATERIALIZED (
+  SELECT t.eid AS touch_id, c.gap AS gap_us
+  FROM tch t LEFT JOIN LATERAL (
+    SELECT c.eid AS ceid, c.ts - t.ts AS gap
+    FROM cv c WHERE c.u = t.u AND c.ts >= t.ts
+    ORDER BY c.ts, c.eid LIMIT 1) c ON TRUE
+  WHERE c.ceid IS NOT NULL),
+x AS (SELECT CAST(gap_us AS DOUBLE) AS x FROM mt),
+st AS (SELECT min(x) AS lo, max(x) AS hi, CAST(count(x) AS BIGINT) AS n
+       FROM x),
+st2 AS (SELECT lo, hi, n, (hi - lo) / {nbins} AS w,
+               CASE WHEN (hi - lo) / {nbins} <> 0.0
+                    THEN (hi - lo) / {nbins} ELSE 1.0 END AS w_safe
+        FROM st),
+h AS MATERIALIZED (
+  SELECT least(CAST(floor((x.x - s.lo) / s.w_safe) AS INT),
+               {nbins_1}) AS bin,
+         CAST(count(*) AS BIGINT) AS cnt
+  FROM x, st2 s GROUP BY bin),
+c AS (SELECT bin, cnt,
+             sum(cnt) OVER (ORDER BY bin ROWS UNBOUNDED PRECEDING) AS cum
+      FROM h),
+qs AS (SELECT CAST(q AS DOUBLE) AS q
+       FROM (VALUES (0.5), (0.9), (0.99)) AS t(q)),
+rk AS (SELECT qs.q, s.lo, s.w,
+              CAST(greatest(ceil(qs.q * CAST(s.n AS DOUBLE)), 1) AS BIGINT)
+                AS r
+       FROM qs, st2 s),
+pick AS (
+  SELECT q, r, lo, w, bin, cnt, cum FROM (
+    SELECT rk.q, rk.r, rk.lo, rk.w, c.bin, c.cnt, c.cum,
+           row_number() OVER (PARTITION BY rk.q ORDER BY c.bin) AS rn
+    FROM rk JOIN c ON c.cum >= rk.r) z
+  WHERE rn = 1)
+SELECT q, round(lo + w * (bin + CAST(r - (cum - cnt) AS DOUBLE) / cnt), 6)
+         AS value
+FROM pick ORDER BY q"""
+    return asof.format(nbins=nbins, nbins_1=nbins - 1)
+
+
 def q_group_quantiles(spark, sf_dir):
     """Per-event-type histogram quantiles fully in-plan
     (functions/quantiles.group_quantiles): broadcast per-group stats
@@ -6147,6 +6210,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rate_spikes": q_rate_spikes,
         "revenue_rollup_totals": q_revenue_rollup_totals,
         "group_quantiles": q_group_quantiles,
+        "conversion_latency": q_conversion_latency,
         "harmonic_exact": q_harmonic_exact,
         "asof_next": q_asof_next,
         "random_removal": q_random_removal,
@@ -7219,6 +7283,7 @@ FROM cls""",
         "silhouette": _sql_silhouette(),
         "quantiles_incremental": _sql_fixed_hist_quantiles(0.0, 600.0, 256),
         "group_quantiles": _sql_group_quantiles(256),
+        "conversion_latency": _sql_conversion_latency(256),
         "trimmed_mean": _sql_trimmed_mean(256),
         "mad_outliers": _sql_mad_outliers(256, 3.0),
         "session_stats": _sql_session_stats(1800),

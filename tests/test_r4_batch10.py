@@ -1319,3 +1319,18 @@ def test_pca_plane_variance_consistency(spark):
     assert pl.lambda1 > pl.lambda2 > 0
     assert pl.plane_pct > 99.0       # dims 0+2 carry ~all variance
     assert pl.trace == pv.trace
+
+
+def test_conversion_latency_known_gaps(spark):
+    from plato_spark.functions.events import asof_next
+    from plato_spark.functions.quantiles import histogram_quantiles
+
+    # constructed gaps: every view converts after exactly 60s
+    ev = _ev4(spark, [(2 * i, 7 + i, "view", 0) for i in range(5)]
+              + [(2 * i + 1, 7 + i, "purchase", 60) for i in range(5)])
+    m = asof_next(ev, window_s=None)
+    from pyspark.sql import functions as FF
+    got = {r.q: r.value for r in histogram_quantiles(
+        m.where(FF.col("conversion_id").isNotNull()), "gap_us",
+        quantiles=(0.5,), nbins=16).collect()}
+    assert got[0.5] == 60_000_000.0     # constant column reports constant
