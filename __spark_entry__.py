@@ -4303,6 +4303,18 @@ def q_blocklist_hits(spark, sf_dir):
     return blocklist_hits(load_table(spark, sf_dir, "documents"))
 
 
+def q_strength_assortativity(spark, sf_dir):
+    """Weighted (strength) assortativity of the co-occurrence graph
+    (graph/edges.strength_assortativity): do heavily-evidenced vertices
+    attach to each other? — the evidence-mass sibling of the
+    degree-assortativity scalar, same zero-variance-NULL sufficient-
+    statistics form."""
+    from plato_spark.graph.edges import strength_assortativity
+
+    return strength_assortativity(
+        part_cooccurrence_edges(spark, sf_dir, weighted=True))
+
+
 def q_instability(spark, sf_dir):
     """Martin instability I = fan_out/(fan_in+fan_out) per doc of the
     citation digraph (algos/citations.instability) — the
@@ -6227,6 +6239,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pca_project": q_pca_project,
         "active_users": q_active_users,
         "instability": q_instability,
+        "strength_assortativity": q_strength_assortativity,
         "weighted_sample": q_weighted_sample,
         "pca_component": q_pca_component,
         "lang_modularity": q_lang_modularity,
@@ -8394,6 +8407,10 @@ WHERE l.lab = (SELECT lab FROM maj)""",
                    CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
                    CAST(count(*) AS BIGINT) AS n_urls
             FROM d GROUP BY domain""",
+        "strength_assortativity": SQL_GRAPH_PREFIX + """
+            SELECT round(corr(d1.wsum, d2.wsum), 6) AS assortativity
+            FROM edges e JOIN deg d1 ON e.src = d1.id
+                         JOIN deg d2 ON e.dst = d2.id""",
         "assortativity": SQL_GRAPH_PREFIX + """
             SELECT round(corr(CAST(d1.deg AS DOUBLE), CAST(d2.deg AS DOUBLE)), 6)
                    AS assortativity

@@ -529,3 +529,46 @@ def directed_degree_assortativity(edges: DataFrame) -> DataFrame:
         "'in-in', `in-in`, 'in-out', `in-out`)"
     ).alias("mode", "assortativity")
     return modes.select(stack)
+
+
+def strength_assortativity(weighted_canon: DataFrame) -> DataFrame:
+    """1-row (assortativity) — degree_assortativity's WEIGHTED sibling:
+    Pearson correlation of endpoint STRENGTHS (sum of incident integer
+    weights) over the symmetrized edge list, each orientation once.  On
+    a co-occurrence graph this asks whether heavily-evidenced vertices
+    attach to each other (rich-club wiring by evidence mass, not just
+    by link count — the two can disagree when hub edges are weak).
+
+    Same sufficient-statistics form as the degree variant (corr() would
+    raise on zero variance where NULL is the right answer); strengths
+    are exact integer sums of integral weights, folded as doubles only
+    inside the one Pearson read-out."""
+    sym = weighted_canon.select("src", "dst", "weight").unionAll(
+        weighted_canon.select(
+            F.col("dst").alias("src"), F.col("src").alias("dst"), "weight")
+    )
+    st = sym.groupBy(F.col("src").alias("id")).agg(
+        F.sum("weight").cast("double").alias("s"))
+    ss = st.select(F.col("id").alias("src"), F.col("s").alias("ssrc"))
+    sd = st.select(F.col("id").alias("dst"), F.col("s").alias("sdst"))
+    m = (
+        sym.join(ss, "src")
+        .join(sd, "dst")
+        .agg(
+            F.count("*").cast("double").alias("n"),
+            F.sum("ssrc").alias("sx"),
+            F.sum("sdst").alias("sy"),
+            F.sum(F.col("ssrc") * F.col("sdst")).alias("sxy"),
+            F.sum(F.col("ssrc") * F.col("ssrc")).alias("sxx"),
+            F.sum(F.col("sdst") * F.col("sdst")).alias("syy"),
+        )
+    )
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    vx = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    vy = F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")
+    return m.select(
+        F.when(
+            (vx > 0) & (vy > 0),
+            F.round(num / (F.sqrt(vx) * F.sqrt(vy)), 6),
+        ).alias("assortativity")
+    )

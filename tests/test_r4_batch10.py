@@ -1334,3 +1334,21 @@ def test_conversion_latency_known_gaps(spark):
         m.where(FF.col("conversion_id").isNotNull()), "gap_us",
         quantiles=(0.5,), nbins=16).collect()}
     assert got[0.5] == 60_000_000.0     # constant column reports constant
+
+
+def test_strength_assortativity_sign_and_null(spark):
+    from plato_spark.graph.edges import strength_assortativity
+
+    # uniform weights on a clique: every strength equal -> zero variance
+    # -> NULL (the corr() ANSI-crash case the kernel guards)
+    k4 = spark.createDataFrame(
+        [(a, b, 1) for a in range(4) for b in range(a + 1, 4)],
+        "src long, dst long, weight long")
+    assert strength_assortativity(k4).collect()[0].assortativity is None
+    # two heavy vertices joined by a heavy edge, light pendants ->
+    # strength-assortative structure, coefficient defined and positive
+    g = spark.createDataFrame(
+        [(0, 1, 10), (0, 2, 1), (1, 3, 1), (2, 4, 1), (3, 5, 1)],
+        "src long, dst long, weight long")
+    r = strength_assortativity(g).collect()[0].assortativity
+    assert r is not None and r > 0
