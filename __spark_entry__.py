@@ -4190,6 +4190,49 @@ def q_event_trigrams(spark, sf_dir):
     return event_trigrams(load_table(spark, sf_dir, "events"))
 
 
+def q_pagerank_concentration(spark, sf_dir):
+    """Attention concentration of the citation PageRank: share of total
+    rank mass held by the top-k vertices, k in (10, 100) — the
+    hub-domination audit behind mixture balancing (if 100 docs hold
+    half the attention, per-source caps matter).  The 6dp-rounded ranks
+    are EXACT integers at 1e6 scale, so shares are integer sums with
+    one division; top-k under the (rank DESC, id) total order."""
+    pr = pagerank(q_reference_graph(spark, sf_dir), eps=0.0,
+                  max_iters=PRC_ITERS, impl="join").select(
+        "id", F.round(F.col("rank") * 1e6, 0).cast("long").alias("r6"))
+    pr = pr.localCheckpoint(eager=True)
+    tot = pr.agg(F.sum("r6").cast("long").alias("tot"))
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.desc("r6"), F.asc("id"))
+    spark_k = spark.createDataFrame([(10,), (100,)], "k int")
+    top = pr.orderBy(F.desc("r6"), F.asc("id")).limit(100).select(
+        "r6", F.row_number().over(w).alias("rn"))
+    return (
+        spark_k.join(top, F.col("rn") <= F.col("k"))
+        .groupBy("k")
+        .agg(F.sum("r6").cast("long").alias("mass"))
+        .crossJoin(F.broadcast(tot))
+        .select("k", "mass", "tot",
+                F.round((F.lit(100) * F.col("mass")) / F.col("tot"), 6)
+                .alias("share_pct"))
+    )
+
+
+def _sql_pagerank_concentration() -> str:
+    pr_sql = _sql_pagerank(PRC_ITERS, prefix=_sql_citation_prefix())
+    return f"""
+WITH prq AS MATERIALIZED ({pr_sql}),
+r6 AS (SELECT id, CAST(round(rank * 1e6, 0) AS BIGINT) AS r6 FROM prq),
+tt AS (SELECT CAST(sum(r6) AS BIGINT) AS tot FROM r6),
+tp AS (SELECT r6, row_number() OVER (ORDER BY r6 DESC, id) AS rn FROM r6),
+kd AS (SELECT CAST(k AS INTEGER) AS k FROM (VALUES (10), (100)) AS t(k))
+SELECT k, CAST(sum(tp.r6) AS BIGINT) AS mass, tt.tot,
+       round(CAST(100 * sum(tp.r6) AS DOUBLE) / tt.tot, 6) AS share_pct
+FROM kd JOIN tp ON tp.rn <= kd.k, tt
+GROUP BY k, tt.tot ORDER BY k"""
+
+
 def q_centrality_rank_corr(spark, sf_dir):
     """Spearman-style rank agreement between total degree and directed
     PageRank on the citation digraph (algos/rankcorr.rank_correlation):
@@ -4482,6 +4525,31 @@ def q_lang_concentration(spark, sf_dir):
     from plato_spark.functions.text import lang_concentration
 
     return lang_concentration(load_table(spark, sf_dir, "documents"))
+
+
+LANG_VOCAB_K = 10
+
+
+def q_lang_vocabulary(spark, sf_dir):
+    """Top-10 tokens per language (functions/recommend.topk_per_key
+    over per-(lang, token) counts): the per-language tokenizer/quality
+    audit beside the global vocabulary head; partition-local rank under
+    the (tf DESC, token) total order."""
+    from plato_spark.functions.recommend import topk_per_key
+    from plato_spark.functions.text import TOKEN_RE
+
+    docs = load_table(spark, sf_dir, "documents")
+    tc = (
+        docs.select("lang", F.explode(
+            F.regexp_extract_all(F.col("text"), F.lit(TOKEN_RE), F.lit(0))
+        ).alias("token"))
+        .groupBy("lang", "token")
+        .agg(F.count(F.lit(1)).cast("long").alias("tf"))
+    )
+    return topk_per_key(
+        tc, "lang", [F.col("tf").desc(), F.col("token").asc()],
+        LANG_VOCAB_K,
+    ).select("lang", "token", "tf", F.col("rank").cast("int").alias("rank"))
 
 
 def q_vocab_growth(spark, sf_dir):
@@ -6252,6 +6320,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rec_coverage": q_rec_coverage,
         "event_trigrams": q_event_trigrams,
         "centrality_rank_corr": q_centrality_rank_corr,
+        "pagerank_concentration": q_pagerank_concentration,
+        "lang_vocabulary": q_lang_vocabulary,
         "embedding_quantization": q_embedding_quantization,
         "mixing_null_model": q_mixing_null_model,
         "pagerank_citation": q_pagerank_citation,
@@ -7690,6 +7760,21 @@ SELECT hour, n_events, n_denom, n_numer,
             THEN round(CAST(n_numer AS DOUBLE) / n_denom, 6) END AS cvr
 FROM g ORDER BY hour""",
         "centrality_rank_corr": _sql_rank_corr(),
+        "pagerank_concentration": _sql_pagerank_concentration(),
+        "lang_vocabulary": f"""
+WITH tc AS MATERIALIZED (
+  SELECT lang, token, CAST(count(*) AS BIGINT) AS tf FROM (
+    SELECT lang,
+           unnest(regexp_extract_all(text, '{TOKEN_RE_SQL}')) AS token
+    FROM documents) z
+  GROUP BY lang, token),
+rk AS (SELECT lang, token, tf,
+              CAST(row_number() OVER (PARTITION BY lang
+                                      ORDER BY tf DESC, token) AS INTEGER)
+                AS rank
+       FROM tc)
+SELECT lang, token, tf, rank FROM rk WHERE rank <= 10
+ORDER BY lang, rank""",
         "frequent_triples": """
 WITH inc AS MATERIALIZED (
   SELECT DISTINCT l_orderkey AS b, l_partkey AS i FROM lineitem),

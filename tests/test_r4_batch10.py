@@ -1352,3 +1352,29 @@ def test_strength_assortativity_sign_and_null(spark):
         "src long, dst long, weight long")
     r = strength_assortativity(g).collect()[0].assortativity
     assert r is not None and r > 0
+
+
+# ------------------------------------ pagerank concentration / lang vocab
+
+
+def test_lang_vocabulary_per_lang_heads(spark):
+    from pyspark.sql import functions as FF
+
+    from plato_spark.functions.recommend import topk_per_key
+    from plato_spark.functions.text import TOKEN_RE
+
+    docs = spark.createDataFrame(
+        [(0, "aa aa bb", "en"), (1, "cc cc cc aa", "fr")],
+        "doc_id long, text string, lang string")
+    tc = (
+        docs.select("lang", FF.explode(
+            FF.regexp_extract_all(FF.col("text"), FF.lit(TOKEN_RE),
+                                  FF.lit(0))).alias("token"))
+        .groupBy("lang", "token")
+        .agg(FF.count(FF.lit(1)).cast("long").alias("tf"))
+    )
+    got = {(r.lang, r.rank): (r.token, r.tf) for r in topk_per_key(
+        tc, "lang", [FF.col("tf").desc(), FF.col("token").asc()], 2
+    ).collect()}
+    assert got[("en", 1)] == ("aa", 2) and got[("en", 2)] == ("bb", 1)
+    assert got[("fr", 1)] == ("cc", 3) and got[("fr", 2)] == ("aa", 1)
