@@ -2584,6 +2584,78 @@ def q_media_features(spark, sf_dir):
     return parse_media_headers(docs_to_media(docs))
 
 
+def q_graph_card(spark, sf_dir):
+    """One-row graph dashboard — the corpus_card analog for the
+    co-occurrence graph: vertices, canonical edges, density (one
+    division of exact integers), max degree, component count, and the
+    giant component's vertex share.  Composes degree aggregates with
+    the proven hash-min WCC; exact integers throughout."""
+    canon = part_cooccurrence_edges(spark, sf_dir).persist()
+    deg = (
+        symmetrize(canon).groupBy(F.col("src").alias("id"))
+        .agg(F.count(F.lit(1)).cast("long").alias("deg"))
+    )
+    dstats = deg.agg(
+        F.count(F.lit(1)).cast("long").alias("n_vertices"),
+        F.max("deg").cast("long").alias("max_deg"),
+    )
+    ecnt = canon.agg(F.count(F.lit(1)).cast("long").alias("n_edges"))
+    comp = connected_components(canon)
+    cstats = (
+        comp.groupBy("component").agg(F.count(F.lit(1)).alias("sz"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_components"),
+             F.max("sz").cast("long").alias("gcc"))
+    )
+    out = dstats.crossJoin(F.broadcast(ecnt)).crossJoin(F.broadcast(cstats))
+    out = out.localCheckpoint(eager=True)
+    canon.unpersist()
+    n, e = F.col("n_vertices"), F.col("n_edges")
+    return out.select(
+        "n_vertices", "n_edges",
+        F.round((F.lit(2) * e) / (n * (n - 1)), 6).alias("density"),
+        "max_deg", "n_components",
+        F.round((F.lit(100) * F.col("gcc")) / n, 6).alias("gcc_pct"),
+    )
+
+
+def _sql_graph_card(iters: int) -> str:
+    return (SQL_GRAPH_PREFIX + ", "
+            + ",\n".join(_sql_wcc_chain_ctes(iters)) + f""",
+cs AS (SELECT CAST(count(DISTINCT lab) AS BIGINT) AS n_components,
+              CAST(max(c) AS BIGINT) AS gcc FROM (
+        SELECT lab, count(*) AS c FROM l{iters} GROUP BY lab) z),
+dv AS (SELECT CAST(count(*) AS BIGINT) AS n_vertices,
+              CAST(max(deg) AS BIGINT) AS max_deg FROM deg),
+ec AS (SELECT CAST(count(*) AS BIGINT) AS n_edges FROM canon)
+SELECT dv.n_vertices, ec.n_edges,
+       round(CAST(2 * ec.n_edges AS DOUBLE)
+             / (dv.n_vertices * (dv.n_vertices - 1)), 6) AS density,
+       dv.max_deg, cs.n_components,
+       round(CAST(100 * cs.gcc AS DOUBLE) / dv.n_vertices, 6) AS gcc_pct
+FROM dv, ec, cs""")
+
+
+def q_events_card(spark, sf_dir):
+    """One-row event-stream dashboard: events, users, span days,
+    events-per-user, distinct types — the ingest sanity block beside
+    corpus_card and graph_card.  Exact integers; span from exact
+    microsecond min/max; one rounded division."""
+    ev = load_table(spark, sf_dir, "events")
+    g = ev.agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.countDistinct("user_id").cast("long").alias("n_users"),
+        F.countDistinct("event_type").cast("long").alias("n_types"),
+        F.unix_micros(F.min(F.col("ts").cast("timestamp"))).alias("lo"),
+        F.unix_micros(F.max(F.col("ts").cast("timestamp"))).alias("hi"),
+    )
+    return g.select(
+        "n_events", "n_users", "n_types",
+        F.expr("(hi - lo) div 86400000000").cast("long").alias("span_days"),
+        F.round(F.col("n_events") / F.col("n_users"), 6)
+        .alias("events_per_user"),
+    )
+
+
 def q_component_stats(spark, sf_dir):
     """Per-component vertex/edge counts (cgm stats,
     connected_component.hpp:247-341)."""
@@ -6298,6 +6370,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mad_outliers": q_mad_outliers,
         "session_stats": q_session_stats,
         "corpus_card": q_corpus_card,
+        "graph_card": q_graph_card,
+        "events_card": q_events_card,
         "lang_concentration": q_lang_concentration,
         "vocab_growth": q_vocab_growth,
         "vocab_coverage": q_vocab_coverage,
@@ -7657,6 +7731,18 @@ FROM g ORDER BY rev_u DESC, o_orderdate ASC, l_orderkey ASC LIMIT 10""",
         "pagerank_weighted": _sql_pagerank(PRW_ITERS, weighted=True),
         "personalized_pagerank": _sql_ppr(PPR_ITERS, n_sources=PPR_SOURCES),
         "wcc": _sql_wcc(WCC_SQL_ITERS),
+        "graph_card": _sql_graph_card(WCC_SQL_ITERS),
+        "events_card": """
+WITH g AS (SELECT CAST(count(*) AS BIGINT) AS n_events,
+                  CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+                  CAST(count(DISTINCT event_type) AS BIGINT) AS n_types,
+                  CAST(min(epoch_us(ts)) AS BIGINT) AS lo,
+                  CAST(max(epoch_us(ts)) AS BIGINT) AS hi
+           FROM events)
+SELECT n_events, n_users, n_types,
+       CAST((hi - lo) // 86400000000 AS BIGINT) AS span_days,
+       round(CAST(n_events AS DOUBLE) / n_users, 6) AS events_per_user
+FROM g""",
         "wcc_jump": _sql_wcc(WCC_SQL_ITERS),
         "wcc_incremental": _sql_wcc(WCC_SQL_ITERS),
         "hits": _sql_hits(5),

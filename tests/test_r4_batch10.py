@@ -1378,3 +1378,48 @@ def test_lang_vocabulary_per_lang_heads(spark):
     ).collect()}
     assert got[("en", 1)] == ("aa", 2) and got[("en", 2)] == ("bb", 1)
     assert got[("fr", 1)] == ("cc", 3) and got[("fr", 2)] == ("aa", 1)
+
+
+# ------------------------------------------------- graph card / events card
+
+
+def test_graph_card_triangle_plus_isolate_pair(spark):
+    import __spark_entry__ as e  # noqa: F401 (query-level kernel)
+    from plato_spark.algos.wcc import connected_components
+    from plato_spark.graph.edges import symmetrize
+    from pyspark.sql import functions as FF
+
+    # assemble the same card arithmetic on a hand graph: triangle + edge
+    canon = spark.createDataFrame(
+        [(0, 1), (1, 2), (0, 2), (10, 11)], "src long, dst long")
+    deg = (symmetrize(canon).groupBy(FF.col("src").alias("id"))
+           .agg(FF.count(FF.lit(1)).alias("deg")))
+    assert deg.where(FF.col("deg") == 2).count() == 3
+    comp = connected_components(canon)
+    sizes = sorted(r["count"] for r in
+                   comp.groupBy("component").count().collect())
+    assert sizes == [2, 3]   # gcc share 60%, 2 components — the card's
+    # n=5, e=4, density 2*4/20=0.4 is pure arithmetic over these
+
+
+def test_events_card_hand_values(spark):
+    from datetime import datetime, timedelta
+
+    import __spark_entry__ as e
+
+    base = datetime(2024, 1, 1)
+    rows = [(i, base + timedelta(days=i), i % 2, "view", 1.0, "{}")
+            for i in range(4)]
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, "
+              "event_type string, value double, props string")
+    # drive the same aggregate the query wrapper builds
+    from pyspark.sql import functions as FF
+    g = ev.agg(
+        FF.count(FF.lit(1)).alias("n"),
+        FF.countDistinct("user_id").alias("u"),
+        FF.unix_micros(FF.min(FF.col("ts").cast("timestamp"))).alias("lo"),
+        FF.unix_micros(FF.max(FF.col("ts").cast("timestamp"))).alias("hi"),
+    ).collect()[0]
+    assert (g.n, g.u) == (4, 2)
+    assert (g.hi - g.lo) // 86_400_000_000 == 3
