@@ -3547,6 +3547,50 @@ def q_pagerank_citation(spark, sf_dir):
     return r.select("id", F.round("rank", 6).alias("rank"))
 
 
+def q_source_mixing(spark, sf_dir):
+    """Cross-SOURCE citation mixing matrix (algos/mixing
+    .attribute_mixing_matrix keyed on source): the container-level
+    entanglement dashboard beside the language one — per
+    (src_source, dst_source) directed edge counts."""
+    from plato_spark.algos.mixing import attribute_mixing_matrix
+
+    edges = q_reference_graph(spark, sf_dir)
+    labels = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source")
+    return attribute_mixing_matrix(edges, labels).select(
+        F.col("src_label").alias("src_source"),
+        F.col("dst_label").alias("dst_source"),
+        "edges",
+    )
+
+
+def q_cocitation_cosine(spark, sf_dir):
+    """Cosine-normalized co-citation (Small's weight over the geometric
+    mean of citation in-degrees): corrects raw co-citation's popularity
+    bias — two blockbusters co-cited 10 times may be LESS related than
+    two niche docs co-cited 3 times.  One broadcast-scale join per side
+    onto the existing co_citation kernel, exact integers until one
+    rounded division."""
+    from plato_spark.algos.citations import co_citation
+
+    edges = q_reference_graph(spark, sf_dir)
+    cc = co_citation(edges)
+    ind = edges.groupBy(F.col("dst").alias("id")).agg(
+        F.count(F.lit(1)).cast("long").alias("ind"))
+    return (
+        cc.join(ind.select(F.col("id").alias("a"),
+                           F.col("ind").alias("da")), "a")
+        .join(ind.select(F.col("id").alias("b"),
+                         F.col("ind").alias("db")), "b")
+        .select(
+            "a", "b", "weight",
+            F.round(F.col("weight")
+                    / F.sqrt((F.col("da") * F.col("db")).cast("double")), 6)
+            .alias("cosine"),
+        )
+    )
+
+
 def q_co_citation(spark, sf_dir):
     """Co-citation pairs (algos/citations.co_citation — Small 1973):
     docs cited together by a common third doc, over the planted
@@ -6400,6 +6444,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mixing_null_model": q_mixing_null_model,
         "pagerank_citation": q_pagerank_citation,
         "co_citation": q_co_citation,
+        "source_mixing": q_source_mixing,
+        "cocitation_cosine": q_cocitation_cosine,
         "biblio_coupling": q_biblio_coupling,
         "degree_clustering": q_degree_clustering,
         "strength_disparity": q_strength_disparity,
@@ -7162,6 +7208,30 @@ FROM cls""",
             LEFT JOIN (SELECT component, count(*) AS n
                        FROM cls GROUP BY component) c
                    ON cat.component = c.component""",
+        "source_mixing": f"""
+            WITH g AS MATERIALIZED ({_sql_reference_graph()})
+            SELECT x.source AS src_source, y.source AS dst_source,
+                   CAST(count(*) AS BIGINT) AS edges
+            FROM g JOIN documents x ON g.src = x.doc_id
+                   JOIN documents y ON g.dst = y.doc_id
+            GROUP BY 1, 2""",
+        "cocitation_cosine": f"""
+            WITH g AS MATERIALIZED ({_sql_reference_graph()}),
+            kv AS (SELECT DISTINCT src AS k, dst AS v FROM g),
+            ok AS (SELECT k FROM kv GROUP BY k HAVING count(*) <= 256),
+            k2 AS MATERIALIZED (
+              SELECT kv.k, kv.v FROM kv JOIN ok ON kv.k = ok.k),
+            cc AS MATERIALIZED (
+              SELECT a.v AS a, b.v AS b, CAST(count(*) AS BIGINT) AS weight
+              FROM k2 a JOIN k2 b ON a.k = b.k AND a.v < b.v
+              GROUP BY a.v, b.v),
+            ind AS (SELECT dst AS id, CAST(count(*) AS BIGINT) AS ind
+                    FROM g GROUP BY dst)
+            SELECT cc.a, cc.b, cc.weight,
+                   round(CAST(cc.weight AS DOUBLE)
+                         / sqrt(CAST(da.ind * db.ind AS DOUBLE)), 6)
+                     AS cosine
+            FROM cc JOIN ind da ON cc.a = da.id JOIN ind db ON cc.b = db.id""",
         "lang_mixing": f"""
             WITH g AS MATERIALIZED ({_sql_reference_graph()})
             SELECT x.lang AS src_lang, y.lang AS dst_lang,

