@@ -3591,6 +3591,82 @@ def q_cocitation_cosine(spark, sf_dir):
     )
 
 
+def q_bibcoupling_cosine(spark, sf_dir):
+    """Cosine-normalized bibliographic coupling (Kessler's weight over
+    the geometric mean of OUT-degrees): cocitation_cosine's time-mirror
+    — shared references instead of shared citers, corrected for
+    reference-list length (a survey shares references with everyone)."""
+    from plato_spark.algos.citations import bibliographic_coupling
+
+    edges = q_reference_graph(spark, sf_dir)
+    bc = bibliographic_coupling(edges)
+    outd = edges.groupBy(F.col("src").alias("id")).agg(
+        F.count(F.lit(1)).cast("long").alias("od"))
+    return (
+        bc.join(outd.select(F.col("id").alias("a"),
+                            F.col("od").alias("da")), "a")
+        .join(outd.select(F.col("id").alias("b"),
+                          F.col("od").alias("db")), "b")
+        .select(
+            "a", "b", "weight",
+            F.round(F.col("weight")
+                    / F.sqrt((F.col("da") * F.col("db")).cast("double")), 6)
+            .alias("cosine"),
+        )
+    )
+
+
+def q_degree_quantiles(spark, sf_dir):
+    """Degree-distribution percentiles (p50/p90/p99 of the symmetrized
+    co-occurrence degrees via the histogram quantile kernel): the
+    skew dashboard number beside degree_gini's scalar and the log2
+    histogram's shape."""
+    from plato_spark.functions.quantiles import histogram_quantiles
+    from plato_spark.graph.edges import symmetrize
+
+    deg = (
+        symmetrize(part_cooccurrence_edges(spark, sf_dir))
+        .groupBy(F.col("src").alias("id"))
+        .agg(F.count(F.lit(1)).cast("long").alias("deg"))
+    )
+    return histogram_quantiles(deg, "deg", quantiles=(0.5, 0.9, 0.99),
+                               nbins=256)
+
+
+def _sql_degree_quantiles(nbins: int = 256) -> str:
+    return SQL_GRAPH_PREFIX + f""",
+x AS (SELECT CAST(deg AS DOUBLE) AS x FROM deg),
+st AS (SELECT min(x) AS lo, max(x) AS hi, CAST(count(x) AS BIGINT) AS n
+       FROM x),
+st2 AS (SELECT lo, hi, n, (hi - lo) / {nbins} AS w,
+               CASE WHEN (hi - lo) / {nbins} <> 0.0
+                    THEN (hi - lo) / {nbins} ELSE 1.0 END AS w_safe
+        FROM st),
+h AS MATERIALIZED (
+  SELECT least(CAST(floor((x.x - s.lo) / s.w_safe) AS INT),
+               {nbins - 1}) AS bin,
+         CAST(count(*) AS BIGINT) AS cnt
+  FROM x, st2 s GROUP BY bin),
+c AS (SELECT bin, cnt,
+             sum(cnt) OVER (ORDER BY bin ROWS UNBOUNDED PRECEDING) AS cum
+      FROM h),
+qs AS (SELECT CAST(q AS DOUBLE) AS q
+       FROM (VALUES (0.5), (0.9), (0.99)) AS t(q)),
+rk AS (SELECT qs.q, s.lo, s.w,
+              CAST(greatest(ceil(qs.q * CAST(s.n AS DOUBLE)), 1) AS BIGINT)
+                AS r
+       FROM qs, st2 s),
+pick AS (
+  SELECT q, r, lo, w, bin, cnt, cum FROM (
+    SELECT rk.q, rk.r, rk.lo, rk.w, c.bin, c.cnt, c.cum,
+           row_number() OVER (PARTITION BY rk.q ORDER BY c.bin) AS rn
+    FROM rk JOIN c ON c.cum >= rk.r) z
+  WHERE rn = 1)
+SELECT q, round(lo + w * (bin + CAST(r - (cum - cnt) AS DOUBLE) / cnt), 6)
+         AS value
+FROM pick ORDER BY q"""
+
+
 def q_co_citation(spark, sf_dir):
     """Co-citation pairs (algos/citations.co_citation — Small 1973):
     docs cited together by a common third doc, over the planted
@@ -6446,6 +6522,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "co_citation": q_co_citation,
         "source_mixing": q_source_mixing,
         "cocitation_cosine": q_cocitation_cosine,
+        "bibcoupling_cosine": q_bibcoupling_cosine,
+        "degree_quantiles": q_degree_quantiles,
         "biblio_coupling": q_biblio_coupling,
         "degree_clustering": q_degree_clustering,
         "strength_disparity": q_strength_disparity,
@@ -7232,6 +7310,24 @@ FROM cls""",
                          / sqrt(CAST(da.ind * db.ind AS DOUBLE)), 6)
                      AS cosine
             FROM cc JOIN ind da ON cc.a = da.id JOIN ind db ON cc.b = db.id""",
+        "bibcoupling_cosine": f"""
+            WITH g AS MATERIALIZED ({_sql_reference_graph()}),
+            kv AS (SELECT DISTINCT dst AS k, src AS v FROM g),
+            ok AS (SELECT k FROM kv GROUP BY k HAVING count(*) <= 256),
+            k2 AS MATERIALIZED (
+              SELECT kv.k, kv.v FROM kv JOIN ok ON kv.k = ok.k),
+            bc AS MATERIALIZED (
+              SELECT a.v AS a, b.v AS b, CAST(count(*) AS BIGINT) AS weight
+              FROM k2 a JOIN k2 b ON a.k = b.k AND a.v < b.v
+              GROUP BY a.v, b.v),
+            outd AS (SELECT src AS id, CAST(count(*) AS BIGINT) AS od
+                     FROM g GROUP BY src)
+            SELECT bc.a, bc.b, bc.weight,
+                   round(CAST(bc.weight AS DOUBLE)
+                         / sqrt(CAST(da.od * db.od AS DOUBLE)), 6) AS cosine
+            FROM bc JOIN outd da ON bc.a = da.id
+                    JOIN outd db ON bc.b = db.id""",
+        "degree_quantiles": _sql_degree_quantiles(256),
         "lang_mixing": f"""
             WITH g AS MATERIALIZED ({_sql_reference_graph()})
             SELECT x.lang AS src_lang, y.lang AS dst_lang,

@@ -1458,3 +1458,31 @@ def test_cocitation_cosine_popularity_correction(spark):
     # normalization despite 2x raw difference
     assert got[(1, 2)] == (4, 1.0)
     assert got[(8, 9)] == (2, 1.0)
+
+
+def test_bibcoupling_cosine_survey_correction(spark):
+    import __spark_entry__  # noqa: F401
+    from plato_spark.algos.citations import bibliographic_coupling
+    from pyspark.sql import functions as FF
+
+    # survey s cites 4 refs; focused f cites the same 2 refs as doc g
+    e = [(1, 10), (1, 11), (1, 12), (1, 13),   # survey cites 4
+         (2, 10), (2, 11),                     # focused pair
+         (3, 10), (3, 11)]
+    edges = spark.createDataFrame(e, "src long, dst long")
+    bc = bibliographic_coupling(edges)
+    outd = edges.groupBy(FF.col("src").alias("id")).agg(
+        FF.count(FF.lit(1)).cast("long").alias("od"))
+    j = (bc.join(outd.select(FF.col("id").alias("a"),
+                             FF.col("od").alias("da")), "a")
+         .join(outd.select(FF.col("id").alias("b"),
+                           FF.col("od").alias("db")), "b")
+         .select("a", "b", "weight",
+                 FF.round(FF.col("weight")
+                          / FF.sqrt((FF.col("da") * FF.col("db"))
+                                    .cast("double")), 6).alias("cosine")))
+    got = {(r.a, r.b): r.cosine for r in j.collect()}
+    # focused pair perfectly coupled (2/sqrt(4) = 1.0); survey pairs
+    # discounted by its long reference list (2/sqrt(8) ~ 0.707)
+    assert got[(2, 3)] == 1.0
+    assert got[(1, 2)] == round(2 / (8 ** 0.5), 6)
