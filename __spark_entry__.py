@@ -3835,6 +3835,56 @@ def q_vocabulary(spark, sf_dir):
     return vocabulary_stats(docs, top_k=VOCAB_TOP_K)
 
 
+def q_quality_length_corr(spark, sf_dir):
+    """Rank agreement between document LENGTH (n_chars) and the
+    unigram-LM quality score (algos/rankcorr.rank_correlation): the
+    'is the quality filter just a length filter?' audit — rho near 1
+    says the expensive signal adds nothing over n_chars.  Same pinned
+    (score DESC, id) total order and distributed dictionary rank as
+    centrality_rank_corr; mean_tf is already 6dp-rounded so
+    round(mean_tf*1e6) is an exact integer score."""
+    from plato_spark.algos.rankcorr import rank_correlation
+    from plato_spark.functions.text import unigram_commonness
+
+    docs = load_table(spark, sf_dir, "documents")
+    a = docs.select(F.col("doc_id").alias("id"),
+                    F.col("n_chars").cast("long").alias("score_u"))
+    b = unigram_commonness(docs).select(
+        F.col("doc_id").alias("id"),
+        F.round(F.col("mean_tf") * 1e6, 0).cast("long").alias("score_u"))
+    return rank_correlation(a, b)
+
+
+def _sql_quality_length_corr() -> str:
+    return f"""
+WITH t AS MATERIALIZED (
+  SELECT doc_id,
+         unnest(regexp_extract_all(text, '{TOKEN_RE_SQL}')) AS token
+  FROM documents),
+v AS MATERIALIZED (
+  SELECT token, CAST(count(*) AS BIGINT) AS cnt FROM t GROUP BY token),
+lmq AS MATERIALIZED (
+  SELECT doc_id, round(CAST(sum(cnt) AS DOUBLE) / count(*), 6) AS mean_tf
+  FROM t JOIN v USING (token) GROUP BY doc_id),
+aa AS (SELECT doc_id AS id, CAST(n_chars AS BIGINT) AS su FROM documents),
+bb AS (SELECT doc_id AS id, CAST(round(mean_tf * 1e6, 0) AS BIGINT) AS su
+       FROM lmq),
+ra AS (SELECT id, row_number() OVER (ORDER BY su DESC, id) - 1 AS r1
+       FROM aa),
+rb AS (SELECT id, row_number() OVER (ORDER BY su DESC, id) - 1 AS r2
+       FROM bb),
+j AS (SELECT ra.id, r1, r2 FROM ra JOIN rb ON ra.id = rb.id),
+agg AS (SELECT CAST(count(*) AS BIGINT) AS n,
+               CAST(sum((r1 - r2) * (r1 - r2)) AS BIGINT) AS sum_d2
+        FROM j)
+SELECT n, sum_d2,
+       CASE WHEN n > 1
+            THEN round(1.0 - CAST(6 * sum_d2 AS DOUBLE)
+                             / (n * (n * n - 1)), 6)
+       END AS spearman
+FROM agg"""
+
+
 def q_lm_quality(spark, sf_dir):
     """Unigram-LM document quality scoring (the perplexity-filter signal
     in exact arithmetic — see functions/text.unigram_commonness)."""
@@ -6524,6 +6574,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cocitation_cosine": q_cocitation_cosine,
         "bibcoupling_cosine": q_bibcoupling_cosine,
         "degree_quantiles": q_degree_quantiles,
+        "quality_length_corr": q_quality_length_corr,
         "biblio_coupling": q_biblio_coupling,
         "degree_clustering": q_degree_clustering,
         "strength_disparity": q_strength_disparity,
@@ -7328,6 +7379,7 @@ FROM cls""",
             FROM bc JOIN outd da ON bc.a = da.id
                     JOIN outd db ON bc.b = db.id""",
         "degree_quantiles": _sql_degree_quantiles(256),
+        "quality_length_corr": _sql_quality_length_corr(),
         "lang_mixing": f"""
             WITH g AS MATERIALIZED ({_sql_reference_graph()})
             SELECT x.lang AS src_lang, y.lang AS dst_lang,
