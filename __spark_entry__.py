@@ -3835,6 +3835,45 @@ def q_vocabulary(spark, sf_dir):
     return vocabulary_stats(docs, top_k=VOCAB_TOP_K)
 
 
+def q_orphan_docs(spark, sf_dir):
+    """Per-source citation-orphan share: docs with zero citation
+    degree in either direction (never cited, citing nothing) — the
+    'dead weight' curation signal a link-graph corpus watches per
+    container.  Composes instability's degree table; exact integers,
+    one rounded division."""
+    from plato_spark.algos.citations import instability
+
+    edges = q_reference_graph(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents")
+    inst = instability(edges, docs.select(F.col("doc_id").alias("id")))
+    j = docs.select(F.col("doc_id").alias("id"), "source").join(
+        inst.select("id", (F.col("fan_in") + F.col("fan_out") == 0)
+                    .alias("orphan")), "id")
+    return (
+        j.groupBy("source")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_docs"),
+             F.sum(F.when(F.col("orphan"), 1).otherwise(0)).cast("long")
+             .alias("orphans"))
+        .select("source", "n_docs", "orphans",
+                F.round((F.lit(100) * F.col("orphans")) / F.col("n_docs"), 6)
+                .alias("orphan_pct"))
+    )
+
+
+def _sql_orphan_docs() -> str:
+    return f"""
+WITH g AS MATERIALIZED ({_sql_reference_graph()}),
+touched AS (SELECT DISTINCT id FROM (
+  SELECT src AS id FROM g UNION ALL SELECT dst FROM g) z)
+SELECT d.source, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(CASE WHEN t.id IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS orphans,
+       round(CAST(100 * sum(CASE WHEN t.id IS NULL THEN 1 ELSE 0 END)
+                  AS DOUBLE) / count(*), 6) AS orphan_pct
+FROM documents d LEFT JOIN touched t ON d.doc_id = t.id
+GROUP BY d.source ORDER BY d.source"""
+
+
 def q_quality_length_corr(spark, sf_dir):
     """Rank agreement between document LENGTH (n_chars) and the
     unigram-LM quality score (algos/rankcorr.rank_correlation): the
@@ -6575,6 +6614,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bibcoupling_cosine": q_bibcoupling_cosine,
         "degree_quantiles": q_degree_quantiles,
         "quality_length_corr": q_quality_length_corr,
+        "orphan_docs": q_orphan_docs,
         "biblio_coupling": q_biblio_coupling,
         "degree_clustering": q_degree_clustering,
         "strength_disparity": q_strength_disparity,
@@ -7380,6 +7420,7 @@ FROM cls""",
                     JOIN outd db ON bc.b = db.id""",
         "degree_quantiles": _sql_degree_quantiles(256),
         "quality_length_corr": _sql_quality_length_corr(),
+        "orphan_docs": _sql_orphan_docs(),
         "lang_mixing": f"""
             WITH g AS MATERIALIZED ({_sql_reference_graph()})
             SELECT x.lang AS src_lang, y.lang AS dst_lang,
