@@ -2395,6 +2395,36 @@ def q_kcore(spark, sf_dir):
     return kcore(part_cooccurrence_edges(spark, sf_dir))
 
 
+def q_core_size_curve(spark, sf_dir):
+    """k-core size curve: vertices remaining in the k-core per k — the
+    peel-depth profile that a flat coreness table hides (where does the
+    graph's dense nucleus start?).  Derived from the proven Montresor
+    coreness by one histogram + a descending cumulative window over
+    <= |distinct coreness| rows (bounded — the offsets-table role)."""
+    from pyspark.sql import Window
+
+    kc = kcore(part_cooccurrence_edges(spark, sf_dir))
+    hist = kc.groupBy(F.col("coreness")).agg(
+        F.count(F.lit(1)).cast("long").alias("c"))
+    w = Window.orderBy(F.desc("coreness")).rowsBetween(
+        Window.unboundedPreceding, 0)
+    return hist.select(
+        F.col("coreness").cast("long").alias("k"),
+        F.sum("c").over(w).cast("long").alias("n_vertices"),
+    )
+
+
+def _sql_core_size_curve() -> str:
+    return f"""
+WITH kc AS MATERIALIZED ({_sql_kcore()}),
+hist AS (SELECT coreness, CAST(count(*) AS BIGINT) AS c
+         FROM kc GROUP BY coreness)
+SELECT CAST(coreness AS BIGINT) AS k,
+       CAST(sum(c) OVER (ORDER BY coreness DESC
+                         ROWS UNBOUNDED PRECEDING) AS BIGINT) AS n_vertices
+FROM hist ORDER BY k"""
+
+
 def q_closeness(spark, sf_dir):
     return closeness_sampled(
         part_cooccurrence_edges(spark, sf_dir), num_samples=CLOSENESS_SAMPLES
@@ -6615,6 +6645,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "degree_quantiles": q_degree_quantiles,
         "quality_length_corr": q_quality_length_corr,
         "orphan_docs": q_orphan_docs,
+        "core_size_curve": q_core_size_curve,
         "biblio_coupling": q_biblio_coupling,
         "degree_clustering": q_degree_clustering,
         "strength_disparity": q_strength_disparity,
@@ -7421,6 +7452,7 @@ FROM cls""",
         "degree_quantiles": _sql_degree_quantiles(256),
         "quality_length_corr": _sql_quality_length_corr(),
         "orphan_docs": _sql_orphan_docs(),
+        "core_size_curve": _sql_core_size_curve(),
         "lang_mixing": f"""
             WITH g AS MATERIALIZED ({_sql_reference_graph()})
             SELECT x.lang AS src_lang, y.lang AS dst_lang,

@@ -1486,3 +1486,24 @@ def test_bibcoupling_cosine_survey_correction(spark):
     # discounted by its long reference list (2/sqrt(8) ~ 0.707)
     assert got[(2, 3)] == 1.0
     assert got[(1, 2)] == round(2 / (8 ** 0.5), 6)
+
+
+def test_core_size_curve_invariants(spark):
+    from pyspark.sql import functions as FF
+    from pyspark.sql import Window
+
+    from plato_spark.algos.kcore import kcore
+
+    # K4 clique + pendant chain: coreness {3: clique, 1: chain}
+    e = spark.createDataFrame(
+        [(a, b) for a in range(4) for b in range(a + 1, 4)]
+        + [(0, 10), (10, 11)], "src long, dst long")
+    kc = kcore(e)
+    hist = kc.groupBy("coreness").agg(FF.count(FF.lit(1)).alias("c"))
+    w = Window.orderBy(FF.desc("coreness")).rowsBetween(
+        Window.unboundedPreceding, 0)
+    curve = {r.k: r.n for r in hist.select(
+        FF.col("coreness").alias("k"),
+        FF.sum("c").over(w).alias("n")).collect()}
+    assert curve[3] == 4          # the clique's nucleus
+    assert curve[1] == 6          # everything sits in the 1-core
