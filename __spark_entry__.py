@@ -5358,6 +5358,45 @@ def q_dedup_clusters(spark, sf_dir):
     )
 
 
+def q_dup_cross_sources(spark, sf_dir):
+    """Cross-source near-dup pair matrix: for every near-dup cluster,
+    the member pairs counted by UNORDERED source pair — mirror-site /
+    template duplication localized to container pairs (the
+    cluster-level sibling of source_overlap's shingle containment).
+    Cluster sizes bound the self-join; exact integer counts."""
+    from plato_spark.functions.dedup import near_dup_clusters
+
+    docs = load_table(spark, sf_dir, "documents")
+    cl = near_dup_clusters(docs, threshold=0.5, use_lsh=True,
+                           hash_impl="portable")
+    m = cl.join(docs.select("doc_id", "source"), "doc_id").select(
+        "keeper_id", "doc_id", "source")
+    a = m.select("keeper_id", F.col("doc_id").alias("da"),
+                 F.col("source").alias("sa"))
+    b = m.select("keeper_id", F.col("doc_id").alias("db"),
+                 F.col("source").alias("sb"))
+    return (
+        a.join(b, "keeper_id")
+        .where(F.col("da") < F.col("db"))
+        .groupBy(F.least("sa", "sb").alias("source_a"),
+                 F.greatest("sa", "sb").alias("source_b"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_pairs"))
+    )
+
+
+def _sql_dup_cross_sources() -> str:
+    return f"""
+WITH cl AS MATERIALIZED ({_sql_dedup_clusters_lsh()}),
+m AS MATERIALIZED (
+  SELECT cl.keeper_id, cl.doc_id, d.source
+  FROM cl JOIN documents d ON cl.doc_id = d.doc_id)
+SELECT least(a.source, b.source) AS source_a,
+       greatest(a.source, b.source) AS source_b,
+       CAST(count(*) AS BIGINT) AS n_pairs
+FROM m a JOIN m b ON a.keeper_id = b.keeper_id AND a.doc_id < b.doc_id
+GROUP BY source_a, source_b ORDER BY source_a, source_b"""
+
+
 def q_dedup_apply(spark, sf_dir):
     """Per-document keep/drop manifest from the near-dup clusters
     (functions/dedup.dedup_apply): keepers and singletons keep, dropped
@@ -6790,6 +6829,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_sessions": q_events_sessions,
         "dedup_clusters": q_dedup_clusters,
         "dedup_apply": q_dedup_apply,
+        "dup_cross_sources": q_dup_cross_sources,
         "token_count": q_token_count,
         "text_quality": q_text_quality,
         "quality_filter": q_quality_filter,
@@ -7453,6 +7493,7 @@ FROM cls""",
         "quality_length_corr": _sql_quality_length_corr(),
         "orphan_docs": _sql_orphan_docs(),
         "core_size_curve": _sql_core_size_curve(),
+        "dup_cross_sources": _sql_dup_cross_sources(),
         "lang_mixing": f"""
             WITH g AS MATERIALIZED ({_sql_reference_graph()})
             SELECT x.lang AS src_lang, y.lang AS dst_lang,
