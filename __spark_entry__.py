@@ -5358,6 +5358,49 @@ def q_dedup_clusters(spark, sf_dir):
     )
 
 
+def q_dedup_savings(spark, sf_dir):
+    """One-row executive summary of the near-dup pass: docs kept vs
+    dropped and the exact character mass reclaimed — the number the
+    curation report leads with.  Composes dedup_apply with doc lengths;
+    exact integers, one rounded division."""
+    from plato_spark.functions.dedup import dedup_apply
+
+    docs = load_table(spark, sf_dir, "documents")
+    manifest = dedup_apply(docs, threshold=0.5, hash_impl="portable")
+    j = manifest.join(
+        docs.select(F.col("doc_id").alias("id"),
+                    F.col("n_chars").cast("long").alias("nc")), "id")
+    return j.agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(F.when(F.col("keep"), 1).otherwise(0)).cast("long")
+        .alias("kept"),
+        F.sum(F.when(~F.col("keep"), 1).otherwise(0)).cast("long")
+        .alias("dropped"),
+        F.sum(F.when(~F.col("keep"), F.col("nc")).otherwise(F.lit(0)))
+        .cast("long").alias("chars_reclaimed"),
+    ).select(
+        "n_docs", "kept", "dropped", "chars_reclaimed",
+        F.round((F.lit(100) * F.col("dropped")) / F.col("n_docs"), 6)
+        .alias("drop_pct"),
+    )
+
+
+def _sql_dedup_savings() -> str:
+    return f"""
+WITH cl AS MATERIALIZED ({_sql_dedup_clusters_lsh()}),
+mf AS (SELECT d.doc_id AS id, d.n_chars,
+              (cl.keeper_id IS NULL OR cl.keeper_id = d.doc_id) AS keep
+       FROM documents d LEFT JOIN cl ON d.doc_id = cl.doc_id)
+SELECT CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS kept,
+       CAST(sum(CASE WHEN keep THEN 0 ELSE 1 END) AS BIGINT) AS dropped,
+       CAST(sum(CASE WHEN keep THEN 0 ELSE n_chars END) AS BIGINT)
+         AS chars_reclaimed,
+       round(CAST(100 * sum(CASE WHEN keep THEN 0 ELSE 1 END) AS DOUBLE)
+             / count(*), 6) AS drop_pct
+FROM mf"""
+
+
 def q_dup_cross_sources(spark, sf_dir):
     """Cross-source near-dup pair matrix: for every near-dup cluster,
     the member pairs counted by UNORDERED source pair — mirror-site /
@@ -6830,6 +6873,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_clusters": q_dedup_clusters,
         "dedup_apply": q_dedup_apply,
         "dup_cross_sources": q_dup_cross_sources,
+        "dedup_savings": q_dedup_savings,
         "token_count": q_token_count,
         "text_quality": q_text_quality,
         "quality_filter": q_quality_filter,
@@ -7494,6 +7538,7 @@ FROM cls""",
         "orphan_docs": _sql_orphan_docs(),
         "core_size_curve": _sql_core_size_curve(),
         "dup_cross_sources": _sql_dup_cross_sources(),
+        "dedup_savings": _sql_dedup_savings(),
         "lang_mixing": f"""
             WITH g AS MATERIALIZED ({_sql_reference_graph()})
             SELECT x.lang AS src_lang, y.lang AS dst_lang,
