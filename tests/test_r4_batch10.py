@@ -1507,3 +1507,81 @@ def test_core_size_curve_invariants(spark):
         FF.sum("c").over(w).alias("n")).collect()}
     assert curve[3] == 4          # the clique's nucleus
     assert curve[1] == 6          # everything sits in the 1-core
+
+
+# -------------------------------------- late-composition unit coverage
+
+
+def test_source_mixing_counts(spark):
+    from plato_spark.algos.mixing import attribute_mixing_matrix
+
+    e = spark.createDataFrame([(0, 1), (0, 2), (3, 1)], "src long, dst long")
+    lab = spark.createDataFrame(
+        [(0, "web"), (1, "books"), (2, "web"), (3, "books")],
+        "id long, label string")
+    got = {(r.src_label, r.dst_label): r.edges
+           for r in attribute_mixing_matrix(e, lab).collect()}
+    # (0->1)=(web,books), (0->2)=(web,web), (3->1)=(books,books)
+    assert got[("web", "books")] == 1
+    assert got[("web", "web")] == 1
+    assert got[("books", "books")] == 1
+    assert len(got) == 3
+
+
+def test_orphan_share_arithmetic(spark):
+    from plato_spark.algos.citations import instability
+    from pyspark.sql import functions as FF
+
+    e = spark.createDataFrame([(0, 1)], "src long, dst long")
+    v = spark.createDataFrame([(i,) for i in range(4)], "id long")
+    inst = instability(e, v)
+    orphans = inst.where((FF.col("fan_in") + FF.col("fan_out")) == 0).count()
+    assert orphans == 2            # ids 2 and 3 untouched
+
+
+def test_dedup_savings_arithmetic(spark):
+    from plato_spark.functions.dedup import dedup_apply
+    from pyspark.sql import functions as FF
+
+    text = "alpha beta gamma delta epsilon zeta eta theta " * 6
+    docs = spark.createDataFrame(
+        [(0, text, 100), (1, text, 80),
+         (2, "unique content qqq www eee rrr ttt yyy uuu", 50)],
+        "doc_id long, text string, n_chars long")
+    m = dedup_apply(docs, threshold=0.5)
+    j = m.join(docs.select(FF.col("doc_id").alias("id"), "n_chars"), "id")
+    agg = j.agg(
+        FF.sum(FF.when(~FF.col("keep"), FF.col("n_chars"))
+               .otherwise(FF.lit(0))).alias("reclaimed"),
+        FF.sum(FF.when(~FF.col("keep"), 1).otherwise(0)).alias("dropped"),
+    ).collect()[0]
+    assert (agg.dropped, agg.reclaimed) == (1, 80)   # keeper is min id 0
+
+
+def test_degree_quantiles_via_kernel(spark):
+    from plato_spark.functions.quantiles import histogram_quantiles
+
+    # degrees 1..32 uniformly: p50 interpolates near the middle
+    deg = spark.createDataFrame([(i, i) for i in range(1, 33)],
+                                "id long, deg long")
+    got = {r.q: r.value for r in histogram_quantiles(
+        deg, "deg", quantiles=(0.5,), nbins=32).collect()}
+    assert abs(got[0.5] - 16.5) <= 1.0   # one-bin-width bound
+
+
+def test_pagerank_concentration_shares_sum_sane(spark):
+    # on a star graph the center holds the dominant rank share
+    import __spark_entry__ as E
+    from plato_spark.algos.pagerank import pagerank
+    from pyspark.sql import functions as FF
+    from pyspark.sql import Window
+
+    e = spark.createDataFrame(
+        [(i, 0) for i in range(1, 12)] + [(0, 1)], "src long, dst long")
+    pr = pagerank(e, eps=0.0, max_iters=8, impl="join").select(
+        "id", FF.round(FF.col("rank") * 1e6, 0).cast("long").alias("r6"))
+    tot = pr.agg(FF.sum("r6")).collect()[0][0]
+    w = Window.orderBy(FF.desc("r6"), FF.asc("id"))
+    top2 = (pr.orderBy(FF.desc("r6"), FF.asc("id")).limit(2)
+            .agg(FF.sum("r6")).collect()[0][0])
+    assert top2 / tot > 0.5        # center + its single target dominate
