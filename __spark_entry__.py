@@ -2614,6 +2614,53 @@ def q_media_features(spark, sf_dir):
     return parse_media_headers(docs_to_media(docs))
 
 
+FRAGMENT_HIST_K = 200
+
+
+def q_component_histogram(spark, sf_dir):
+    """Log2-bucketed FRAGMENT-size distribution after the targeted
+    k=200 hub attack on the citation support graph — the shape behind
+    hub_removal's (n_components, largest) scalars: the intact graph is
+    ONE 500-vertex component (a 1-bucket histogram says nothing), the
+    attacked graph shatters into a size spectrum.  Bucket = integer bit
+    length of the size (the doclen_histogram lesson — length(bin(n)),
+    never libm log2); exact counts."""
+    from plato_spark.graph.edges import canonicalize_undirected
+
+    support = canonicalize_undirected(q_reference_graph(spark, sf_dir))
+    deg = (
+        symmetrize(support).groupBy(F.col("src").alias("id"))
+        .agg(F.count(F.lit(1)).cast("long").alias("deg"))
+    )
+    hubs = F.broadcast(
+        deg.orderBy(F.desc("deg"), F.asc("id"))
+        .limit(FRAGMENT_HIST_K).select("id"))
+    sub = support.join(
+        hubs.withColumnRenamed("id", "src"), "src", "anti"
+    ).join(hubs.withColumnRenamed("id", "dst"), "dst", "anti")
+    comp = connected_components(sub)
+    sizes = comp.groupBy("component").agg(
+        F.count(F.lit(1)).cast("long").alias("sz"))
+    return (
+        sizes.groupBy(F.length(F.bin(F.col("sz"))).cast("int")
+                      .alias("bucket"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_components"),
+             F.sum("sz").cast("long").alias("n_vertices"))
+    )
+
+
+def _sql_component_histogram(iters: int = 24) -> str:
+    ctes = _sql_hub_prefix_ctes()
+    ctes.extend(_sql_hub_wcc_ctes(FRAGMENT_HIST_K, iters))
+    return ("WITH " + ",\n".join(ctes) + f""",
+szs AS (SELECT lab, CAST(count(*) AS BIGINT) AS sz
+        FROM hl{FRAGMENT_HIST_K}_{iters} GROUP BY lab)
+SELECT CAST(length(bin(sz)) AS INTEGER) AS bucket,
+       CAST(count(*) AS BIGINT) AS n_components,
+       CAST(sum(sz) AS BIGINT) AS n_vertices
+FROM szs GROUP BY bucket ORDER BY bucket""")
+
+
 def q_graph_card(spark, sf_dir):
     """One-row graph dashboard — the corpus_card analog for the
     co-occurrence graph: vertices, canonical edges, density (one
@@ -6692,6 +6739,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "session_stats": q_session_stats,
         "corpus_card": q_corpus_card,
         "graph_card": q_graph_card,
+        "component_histogram": q_component_histogram,
         "events_card": q_events_card,
         "lang_concentration": q_lang_concentration,
         "vocab_growth": q_vocab_growth,
@@ -8109,6 +8157,8 @@ FROM g ORDER BY rev_u DESC, o_orderdate ASC, l_orderkey ASC LIMIT 10""",
         "personalized_pagerank": _sql_ppr(PPR_ITERS, n_sources=PPR_SOURCES),
         "wcc": _sql_wcc(WCC_SQL_ITERS),
         "graph_card": _sql_graph_card(WCC_SQL_ITERS),
+        "component_histogram": _sql_component_histogram(
+            HUB_SWEEP_SQL_ITERS),
         "events_card": """
 WITH g AS (SELECT CAST(count(*) AS BIGINT) AS n_events,
                   CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
