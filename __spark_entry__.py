@@ -2395,6 +2395,42 @@ def q_kcore(spark, sf_dir):
     return kcore(part_cooccurrence_edges(spark, sf_dir))
 
 
+def q_weighted_triangles(spark, sf_dir):
+    """One row (n_triangles, min_weight_sum) — weighted triangle mass:
+    each triangle contributes its weakest edge's co-occurrence count
+    (the bottleneck-evidence cohesion measure; a triangle held together
+    by one weak edge counts for little).  Same a<b<c orientation
+    discipline as the exact triangle count — three equi-joins over the
+    canonical weighted edges, each triangle enumerated exactly once;
+    exact integer weights, no division at all."""
+    canon = part_cooccurrence_edges(spark, sf_dir, weighted=True)
+    ab = canon.select(F.col("src").alias("a"), F.col("dst").alias("b"),
+                      F.col("weight").alias("wab"))
+    ac = canon.select(F.col("src").alias("a2"), F.col("dst").alias("c"),
+                      F.col("weight").alias("wac"))
+    bc = canon.select(F.col("src").alias("b2"), F.col("dst").alias("c2"),
+                      F.col("weight").alias("wbc"))
+    tri = (
+        ab.join(ac, (F.col("a") == F.col("a2")) & (F.col("c") > F.col("b")))
+        .join(bc, (F.col("b2") == F.col("b")) & (F.col("c2") == F.col("c")))
+    )
+    return tri.agg(
+        F.count(F.lit(1)).cast("long").alias("n_triangles"),
+        F.sum(F.least("wab", "wac", "wbc").cast("long")).cast("long")
+        .alias("min_weight_sum"),
+    )
+
+
+def _sql_weighted_triangles() -> str:
+    return SQL_GRAPH_PREFIX + """
+SELECT CAST(count(*) AS BIGINT) AS n_triangles,
+       CAST(sum(CAST(least(ab.weight, ac.weight, bc.weight) AS BIGINT))
+            AS BIGINT) AS min_weight_sum
+FROM canon ab
+JOIN canon ac ON ac.src = ab.src AND ac.dst > ab.dst
+JOIN canon bc ON bc.src = ab.dst AND bc.dst = ac.dst"""
+
+
 def q_core_size_curve(spark, sf_dir):
     """k-core size curve: vertices remaining in the k-core per k — the
     peel-depth profile that a flat coreness table hides (where does the
@@ -6776,6 +6812,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_length_corr": q_quality_length_corr,
         "orphan_docs": q_orphan_docs,
         "core_size_curve": q_core_size_curve,
+        "weighted_triangles": q_weighted_triangles,
         "biblio_coupling": q_biblio_coupling,
         "degree_clustering": q_degree_clustering,
         "strength_disparity": q_strength_disparity,
@@ -7585,6 +7622,7 @@ FROM cls""",
         "quality_length_corr": _sql_quality_length_corr(),
         "orphan_docs": _sql_orphan_docs(),
         "core_size_curve": _sql_core_size_curve(),
+        "weighted_triangles": _sql_weighted_triangles(),
         "dup_cross_sources": _sql_dup_cross_sources(),
         "dedup_savings": _sql_dedup_savings(),
         "lang_mixing": f"""

@@ -1585,3 +1585,27 @@ def test_pagerank_concentration_shares_sum_sane(spark):
     top2 = (pr.orderBy(FF.desc("r6"), FF.asc("id")).limit(2)
             .agg(FF.sum("r6")).collect()[0][0])
     assert top2 / tot > 0.5        # center + its single target dominate
+
+
+def test_weighted_triangles_min_edge(spark):
+    import __spark_entry__ as E
+    from pyspark.sql import functions as FF
+
+    # one triangle with weights 5, 3, 9 -> min 3; one dangling edge
+    canon = spark.createDataFrame(
+        [(0, 1, 5), (0, 2, 3), (1, 2, 9), (2, 3, 7)],
+        "src long, dst long, weight long")
+    ab = canon.select(FF.col("src").alias("a"), FF.col("dst").alias("b"),
+                      FF.col("weight").alias("wab"))
+    ac = canon.select(FF.col("src").alias("a2"), FF.col("dst").alias("c"),
+                      FF.col("weight").alias("wac"))
+    bc = canon.select(FF.col("src").alias("b2"), FF.col("dst").alias("c2"),
+                      FF.col("weight").alias("wbc"))
+    tri = (ab.join(ac, (FF.col("a") == FF.col("a2"))
+                   & (FF.col("c") > FF.col("b")))
+           .join(bc, (FF.col("b2") == FF.col("b"))
+                 & (FF.col("c2") == FF.col("c"))))
+    r = tri.agg(FF.count(FF.lit(1)).alias("n"),
+                FF.sum(FF.least("wab", "wac", "wbc")).alias("s")
+                ).collect()[0]
+    assert (r.n, r.s) == (1, 3)
