@@ -4673,6 +4673,31 @@ SELECT n, sum_d2,
 FROM agg"""
 
 
+def q_propensity_by_activity(spark, sf_dir):
+    """Purchase propensity by activity bucket: users bucketed by the
+    integer bit length of their event count (the deterministic log2
+    discipline — never libm, never a global rank), per bucket the user
+    count, buyers, and conversion share.  The 'do heavy users actually
+    buy more?' read-out behind engagement-driven ranking.  Exact
+    integers, one rounded division per bucket."""
+    ev = load_table(spark, sf_dir, "events")
+    per = ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
+        .cast("long").alias("purchases"),
+    )
+    return (
+        per.groupBy(F.length(F.bin(F.col("n_events"))).cast("int")
+                    .alias("bucket"))
+        .agg(F.count(F.lit(1)).cast("long").alias("users"),
+             F.sum(F.when(F.col("purchases") > 0, 1).otherwise(0))
+             .cast("long").alias("buyers"))
+        .select("bucket", "users", "buyers",
+                F.round((F.lit(100) * F.col("buyers")) / F.col("users"), 6)
+                .alias("buyer_pct"))
+    )
+
+
 def q_hourly_profile(spark, sf_dir):
     """Hour-of-day seasonality + conversion profile
     (functions/events.hourly_profile): <= 24 groups, exact counts, one
@@ -6795,6 +6820,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hll_incremental": q_hll_incremental,
         "bfs_parents": q_bfs_parents,
         "hourly_profile": q_hourly_profile,
+        "propensity_by_activity": q_propensity_by_activity,
         "frequent_triples": q_frequent_triples,
         "rec_coverage": q_rec_coverage,
         "event_trigrams": q_event_trigrams,
@@ -8297,6 +8323,18 @@ FROM a, nr""",
         "hll_user_cardinality": _sql_hll_groups(),
         "hll_incremental": _sql_hll_groups(),
         "bfs_parents": _sql_bfs_parents(),
+        "propensity_by_activity": """
+WITH per AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+                    CAST(sum(CASE WHEN event_type = 'purchase'
+                                  THEN 1 ELSE 0 END) AS BIGINT) AS purchases
+             FROM events GROUP BY user_id)
+SELECT CAST(length(bin(n_events)) AS INTEGER) AS bucket,
+       CAST(count(*) AS BIGINT) AS users,
+       CAST(sum(CASE WHEN purchases > 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS buyers,
+       round(CAST(100 * sum(CASE WHEN purchases > 0 THEN 1 ELSE 0 END)
+                  AS DOUBLE) / count(*), 6) AS buyer_pct
+FROM per GROUP BY bucket ORDER BY bucket""",
         "hourly_profile": """
 WITH g AS (
   SELECT CAST(hour(ts) AS INTEGER) AS hour,
