@@ -5198,6 +5198,34 @@ def q_rate_spikes(spark, sf_dir):
     return rate_spikes(load_table(spark, sf_dir, "events"))
 
 
+def q_revenue_concentration(spark, sf_dir):
+    """Revenue concentration: share of total order value held by the
+    top-k customers (k = 10, 100) — the whale-dependence audit
+    (pagerank_concentration's business twin).  Exact integer cents,
+    top-k under the (revenue DESC, custkey) total order, one division
+    per k."""
+    o = load_table(spark, sf_dir, "orders")
+    per = o.groupBy("o_custkey").agg(
+        F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("long"))
+        .cast("long").alias("rc"))
+    tot = per.agg(F.sum("rc").cast("long").alias("tot"))
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.desc("rc"), F.asc("o_custkey"))
+    top = per.orderBy(F.desc("rc"), F.asc("o_custkey")).limit(100).select(
+        "rc", F.row_number().over(w).alias("rn"))
+    ks = spark_k = top.sparkSession.createDataFrame([(10,), (100,)], "k int")
+    return (
+        ks.join(top, F.col("rn") <= F.col("k"))
+        .groupBy("k")
+        .agg(F.sum("rc").cast("long").alias("mass_cents"))
+        .crossJoin(F.broadcast(tot))
+        .select("k", "mass_cents", "tot",
+                F.round((F.lit(100) * F.col("mass_cents")) / F.col("tot"), 6)
+                .alias("share_pct"))
+    )
+
+
 def q_revenue_rollup_totals(spark, sf_dir):
     """Q5-shape revenue with ROLLUP grouping sets
     (functions/relational.revenue_rollup_totals): leaf + per-region
@@ -6790,6 +6818,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mixture_apply": q_mixture_apply,
         "rate_spikes": q_rate_spikes,
         "revenue_rollup_totals": q_revenue_rollup_totals,
+        "revenue_concentration": q_revenue_concentration,
         "group_quantiles": q_group_quantiles,
         "conversion_latency": q_conversion_latency,
         "harmonic_exact": q_harmonic_exact,
@@ -9282,6 +9311,19 @@ SELECT p.event_type, p.hour_us, p.n, st.mean, st.std,
        (st.std > 0 AND abs(p.n - st.mean) > 3.0 * st.std) AS is_spike
 FROM per p JOIN st ON p.event_type = st.event_type
 ORDER BY p.event_type, p.hour_us""",
+        "revenue_concentration": """
+WITH per AS (SELECT o_custkey,
+                    CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT))
+                         AS BIGINT) AS rc
+             FROM orders GROUP BY o_custkey),
+tt AS (SELECT CAST(sum(rc) AS BIGINT) AS tot FROM per),
+tp AS (SELECT rc, row_number() OVER (ORDER BY rc DESC, o_custkey) AS rn
+       FROM per),
+kd AS (SELECT CAST(k AS INTEGER) AS k FROM (VALUES (10), (100)) AS t(k))
+SELECT k, CAST(sum(tp.rc) AS BIGINT) AS mass_cents, tt.tot,
+       round(CAST(100 * sum(tp.rc) AS DOUBLE) / tt.tot, 6) AS share_pct
+FROM kd JOIN tp ON tp.rn <= kd.k, tt
+GROUP BY k, tt.tot ORDER BY k""",
         "revenue_rollup_totals": """
 WITH li AS MATERIALIZED (
   SELECT l_orderkey,
