@@ -4698,6 +4698,30 @@ def q_propensity_by_activity(spark, sf_dir):
     )
 
 
+def q_error_precursors(spark, sf_dir):
+    """What users do immediately before an error: the lag-1 event-type
+    distribution over error events (first-event-of-timeline errors
+    count under 'none') — the triage signal behind interval_counts'
+    window counts.  One per-user window lag pinned by (ts, event_id),
+    exact counts, one rounded share division."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    p = (
+        ev.withColumn("prev", F.lag("event_type").over(w))
+        .where(F.col("event_type") == "error")
+        .groupBy(F.coalesce("prev", F.lit("none")).alias("prev_type"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    tot = p.agg(F.sum("n").cast("long").alias("tot"))
+    return p.crossJoin(F.broadcast(tot)).select(
+        "prev_type", "n",
+        F.round((F.lit(100) * F.col("n")) / F.col("tot"), 6)
+        .alias("share_pct"),
+    )
+
+
 def q_hourly_profile(spark, sf_dir):
     """Hour-of-day seasonality + conversion profile
     (functions/events.hourly_profile): <= 24 groups, exact counts, one
@@ -6850,6 +6874,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bfs_parents": q_bfs_parents,
         "hourly_profile": q_hourly_profile,
         "propensity_by_activity": q_propensity_by_activity,
+        "error_precursors": q_error_precursors,
         "frequent_triples": q_frequent_triples,
         "rec_coverage": q_rec_coverage,
         "event_trigrams": q_event_trigrams,
@@ -8352,6 +8377,18 @@ FROM a, nr""",
         "hll_user_cardinality": _sql_hll_groups(),
         "hll_incremental": _sql_hll_groups(),
         "bfs_parents": _sql_bfs_parents(),
+        "error_precursors": """
+WITH s AS (SELECT event_type,
+                  lag(event_type) OVER (PARTITION BY user_id
+                                        ORDER BY ts, event_id) AS prev
+           FROM events),
+p AS (SELECT COALESCE(prev, 'none') AS prev_type,
+             CAST(count(*) AS BIGINT) AS n
+      FROM s WHERE event_type = 'error' GROUP BY prev_type),
+tt AS (SELECT CAST(sum(n) AS BIGINT) AS tot FROM p)
+SELECT prev_type, n,
+       round(CAST(100 * n AS DOUBLE) / tt.tot, 6) AS share_pct
+FROM p, tt ORDER BY prev_type""",
         "propensity_by_activity": """
 WITH per AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
                     CAST(sum(CASE WHEN event_type = 'purchase'
