@@ -6187,6 +6187,66 @@ FROM sv GROUP BY true_label ORDER BY label"""
 PCA_ROUNDS = 8
 
 
+def q_norm_quantiles(spark, sf_dir):
+    """Embedding L2-norm distribution (p50/p90/p99 via the histogram
+    kernel): the health check before cosine ANN — wildly varying norms
+    mean dot-product shortcuts and IVF assignments quietly disagree
+    with cosine.  Norms are per-row array folds (sequential,
+    engine-fixed order — the embedding_project precedent) rounded 6dp
+    before binning."""
+    from plato_spark.functions.quantiles import histogram_quantiles
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    norms = emb.select(
+        F.round(
+            F.sqrt(F.aggregate(
+                F.transform("embedding", lambda x: x.cast("double")),
+                F.lit(0.0), lambda acc, x: acc + x * x)),
+            6,
+        ).alias("nrm")
+    )
+    return histogram_quantiles(norms, "nrm", quantiles=(0.5, 0.9, 0.99),
+                               nbins=256)
+
+
+def _sql_norm_quantiles(nbins: int = 256) -> str:
+    return f"""
+WITH x AS MATERIALIZED (
+  SELECT round(sqrt(list_sum(
+           [CAST(v AS DOUBLE) * CAST(v AS DOUBLE)
+            for v in embedding])), 6) AS x
+  FROM embeddings),
+st AS (SELECT min(x) AS lo, max(x) AS hi, CAST(count(x) AS BIGINT) AS n
+       FROM x),
+st2 AS (SELECT lo, hi, n, (hi - lo) / {nbins} AS w,
+               CASE WHEN (hi - lo) / {nbins} <> 0.0
+                    THEN (hi - lo) / {nbins} ELSE 1.0 END AS w_safe
+        FROM st),
+h AS MATERIALIZED (
+  SELECT least(CAST(floor((x.x - s.lo) / s.w_safe) AS INT),
+               {nbins - 1}) AS bin,
+         CAST(count(*) AS BIGINT) AS cnt
+  FROM x, st2 s GROUP BY bin),
+c AS (SELECT bin, cnt,
+             sum(cnt) OVER (ORDER BY bin ROWS UNBOUNDED PRECEDING) AS cum
+      FROM h),
+qs AS (SELECT CAST(q AS DOUBLE) AS q
+       FROM (VALUES (0.5), (0.9), (0.99)) AS t(q)),
+rk AS (SELECT qs.q, s.lo, s.w,
+              CAST(greatest(ceil(qs.q * CAST(s.n AS DOUBLE)), 1) AS BIGINT)
+                AS r
+       FROM qs, st2 s),
+pick AS (
+  SELECT q, r, lo, w, bin, cnt, cum FROM (
+    SELECT rk.q, rk.r, rk.lo, rk.w, c.bin, c.cnt, c.cum,
+           row_number() OVER (PARTITION BY rk.q ORDER BY c.bin) AS rn
+    FROM rk JOIN c ON c.cum >= rk.r) z
+  WHERE rn = 1)
+SELECT q, round(lo + w * (bin + CAST(r - (cum - cnt) AS DOUBLE) / cnt), 6)
+         AS value
+FROM pick ORDER BY q"""
+
+
 def q_pca_component(spark, sf_dir):
     """Top principal component of the embedding space
     (functions/similarity.pca_component): exact-integer gramian fold +
@@ -6867,6 +6927,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "strength_assortativity": q_strength_assortativity,
         "weighted_sample": q_weighted_sample,
         "pca_component": q_pca_component,
+        "norm_quantiles": q_norm_quantiles,
         "lang_modularity": q_lang_modularity,
         "trade_volume": q_trade_volume,
         "blocklist_hits": q_blocklist_hits,
@@ -7989,6 +8050,7 @@ FROM cls""",
         "session_stats": _sql_session_stats(1800),
         "lang_modularity": _sql_lang_modularity(),
         "pca_component": _sql_pca_component(PCA_ROUNDS),
+        "norm_quantiles": _sql_norm_quantiles(256),
         "pca_variance": _sql_pca_variance(PCA_ROUNDS),
         "pca_second": _sql_pca_second(PCA_ROUNDS),
         "pca_plane_variance": _sql_pca_plane_variance(PCA_ROUNDS),
