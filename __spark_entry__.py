@@ -3900,6 +3900,24 @@ def q_bowtie(spark, sf_dir):
     return bowtie_decomposition(edges, docs.select(F.col("doc_id").alias("id")))
 
 
+def q_brand_mixing(spark, sf_dir):
+    """Brand mixing over the co-occurrence graph (algos/mixing
+    .attribute_mixing_matrix keyed on p_brand, canonical edges as the
+    directed input): do baskets stay within a brand or mix? — the
+    product-category cohesion matrix, the merchandising twin of the
+    language one."""
+    from plato_spark.algos.mixing import attribute_mixing_matrix
+
+    canon = part_cooccurrence_edges(spark, sf_dir)
+    labels = load_table(spark, sf_dir, "part").select(
+        F.col("p_partkey").alias("doc_id"), F.col("p_brand"))
+    return attribute_mixing_matrix(canon, labels).select(
+        F.col("src_label").alias("src_brand"),
+        F.col("dst_label").alias("dst_brand"),
+        "edges",
+    )
+
+
 def q_lang_mixing(spark, sf_dir):
     """Cross-language citation mixing matrix (algos/mixing
     .attribute_mixing_matrix) over the planted citation digraph — per
@@ -6947,6 +6965,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pagerank_citation": q_pagerank_citation,
         "co_citation": q_co_citation,
         "source_mixing": q_source_mixing,
+        "brand_mixing": q_brand_mixing,
         "cocitation_cosine": q_cocitation_cosine,
         "bibcoupling_cosine": q_bibcoupling_cosine,
         "degree_quantiles": q_degree_quantiles,
@@ -7718,6 +7737,12 @@ FROM cls""",
             LEFT JOIN (SELECT component, count(*) AS n
                        FROM cls GROUP BY component) c
                    ON cat.component = c.component""",
+        "brand_mixing": SQL_GRAPH_PREFIX + """
+SELECT x.p_brand AS src_brand, y.p_brand AS dst_brand,
+       CAST(count(*) AS BIGINT) AS edges
+FROM canon c JOIN part x ON c.src = x.p_partkey
+             JOIN part y ON c.dst = y.p_partkey
+GROUP BY 1, 2""",
         "source_mixing": f"""
             WITH g AS MATERIALIZED ({_sql_reference_graph()})
             SELECT x.source AS src_source, y.source AS dst_source,
