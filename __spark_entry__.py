@@ -4716,6 +4716,31 @@ def q_propensity_by_activity(spark, sf_dir):
     )
 
 
+def q_dow_profile(spark, sf_dir):
+    """Day-of-week seasonality (0 = Sunday): hourly_profile's weekly
+    sibling, with the weekday computed as PURE integer arithmetic
+    ((epoch_days + 4) % 7 — 1970-01-01 is a Thursday) because engines'
+    dayofweek()/day-name functions disagree on origin and locale.
+    Exact counts, one guarded division."""
+    ev = load_table(spark, sf_dir, "events")
+    dow = F.pmod(
+        F.floor(F.unix_micros(F.col("ts").cast("timestamp"))
+                / F.lit(86_400_000_000)) + 4, F.lit(7)).cast("int")
+    g = ev.groupBy(dow.alias("dow")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.sum(F.when(F.col("event_type") == "view", 1).otherwise(0))
+        .cast("long").alias("n_views"),
+        F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
+        .cast("long").alias("n_purchases"),
+    )
+    return g.select(
+        "dow", "n_events", "n_views", "n_purchases",
+        F.when(F.col("n_views") > 0,
+               F.round(F.col("n_purchases") / F.col("n_views"), 6))
+        .alias("cvr"),
+    )
+
+
 def q_error_precursors(spark, sf_dir):
     """What users do immediately before an error: the lag-1 event-type
     distribution over error events (first-event-of-timeline errors
@@ -6954,6 +6979,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hourly_profile": q_hourly_profile,
         "propensity_by_activity": q_propensity_by_activity,
         "error_precursors": q_error_precursors,
+        "dow_profile": q_dow_profile,
         "frequent_triples": q_frequent_triples,
         "rec_coverage": q_rec_coverage,
         "event_trigrams": q_event_trigrams,
@@ -8464,6 +8490,20 @@ FROM a, nr""",
         "hll_user_cardinality": _sql_hll_groups(),
         "hll_incremental": _sql_hll_groups(),
         "bfs_parents": _sql_bfs_parents(),
+        "dow_profile": """
+WITH g AS (
+  SELECT CAST(((epoch_us(ts) // 86400000000) + 4) % 7 AS INTEGER) AS dow,
+         CAST(count(*) AS BIGINT) AS n_events,
+         CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_views,
+         CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_purchases
+  FROM events GROUP BY dow)
+SELECT dow, n_events, n_views, n_purchases,
+       CASE WHEN n_views > 0
+            THEN round(CAST(n_purchases AS DOUBLE) / n_views, 6)
+       END AS cvr
+FROM g ORDER BY dow""",
         "error_precursors": """
 WITH s AS (SELECT event_type,
                   lag(event_type) OVER (PARTITION BY user_id
