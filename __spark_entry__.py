@@ -4807,6 +4807,34 @@ def q_hll_incremental(spark, sf_dir):
     return out
 
 
+def q_discount_bands(spark, sf_dir):
+    """Revenue profile by discount band (exact integer percent bands
+    over l_discount*100): the pricing-policy read-out — how much
+    revenue ships at each discount depth, and the per-band margin
+    forgone (list price minus discounted).  Pure integer cents/unit
+    folds, one rounded division per band."""
+    li = load_table(spark, sf_dir, "lineitem")
+    dc = F.round(F.col("l_discount") * 100, 0).cast("long")
+    pc = F.round(F.col("l_extendedprice") * 100, 0).cast("long")
+    b = li.select(
+        dc.alias("discount_pct"),
+        pc.alias("pc"),
+        (pc * (100 - dc)).alias("dp_u"),
+    )
+    g = b.groupBy("discount_pct").agg(
+        F.count(F.lit(1)).cast("long").alias("n_items"),
+        F.sum("pc").cast("long").alias("list_c"),
+        F.sum("dp_u").cast("long").alias("disc_u"),
+    )
+    return g.select(
+        "discount_pct", "n_items",
+        F.round(F.col("list_c") / F.lit(100.0), 2).alias("list_revenue"),
+        F.round(F.col("disc_u") / F.lit(1e4), 2).alias("disc_revenue"),
+        F.round((F.col("list_c") * F.lit(100) - F.col("disc_u"))
+                / F.lit(1e4), 2).alias("forgone"),
+    )
+
+
 def q_trade_volume(spark, sf_dir):
     """TPC-H-Q7-shape nation-pair trade volume per ship year
     (functions/relational.trade_volume): the first lineitem-to-supplier
@@ -6946,6 +6974,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rate_spikes": q_rate_spikes,
         "revenue_rollup_totals": q_revenue_rollup_totals,
         "revenue_concentration": q_revenue_concentration,
+        "discount_bands": q_discount_bands,
         "group_quantiles": q_group_quantiles,
         "conversion_latency": q_conversion_latency,
         "harmonic_exact": q_harmonic_exact,
@@ -9475,6 +9504,20 @@ SELECT p.event_type, p.hour_us, p.n, st.mean, st.std,
        (st.std > 0 AND abs(p.n - st.mean) > 3.0 * st.std) AS is_spike
 FROM per p JOIN st ON p.event_type = st.event_type
 ORDER BY p.event_type, p.hour_us""",
+        "discount_bands": """
+WITH b AS (
+  SELECT CAST(round(l_discount * 100, 0) AS BIGINT) AS discount_pct,
+         CAST(round(l_extendedprice * 100, 0) AS BIGINT) AS pc
+  FROM lineitem),
+g AS (SELECT discount_pct, CAST(count(*) AS BIGINT) AS n_items,
+             CAST(sum(pc) AS BIGINT) AS list_c,
+             CAST(sum(pc * (100 - discount_pct)) AS BIGINT) AS disc_u
+      FROM b GROUP BY discount_pct)
+SELECT discount_pct, n_items,
+       round(CAST(list_c AS DOUBLE) / 100.0, 2) AS list_revenue,
+       round(CAST(disc_u AS DOUBLE) / 1e4, 2) AS disc_revenue,
+       round(CAST(list_c * 100 - disc_u AS DOUBLE) / 1e4, 2) AS forgone
+FROM g ORDER BY discount_pct""",
         "revenue_concentration": """
 WITH per AS (SELECT o_custkey,
                     CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT))
