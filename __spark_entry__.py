@@ -4807,6 +4807,31 @@ def q_hll_incremental(spark, sf_dir):
     return out
 
 
+def q_segment_mix(spark, sf_dir):
+    """Customer market-segment mix per nation: (nation, segment,
+    n_customers, pct within nation) — the demographic slice behind
+    segment-targeted queries like Q3; broadcast nation dimension, a
+    per-nation window over |segments| rows for the share.  Exact
+    counts, one rounded division."""
+    from pyspark.sql import Window
+
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name")
+    g = (
+        c.join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy(F.col("n_name").alias("nation"),
+                 F.col("c_mktsegment").alias("segment"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_customers"))
+    )
+    w = Window.partitionBy("nation")
+    return g.select(
+        "nation", "segment", "n_customers",
+        F.round((F.lit(100) * F.col("n_customers"))
+                / F.sum("n_customers").over(w), 6).alias("pct"),
+    )
+
+
 def q_discount_bands(spark, sf_dir):
     """Revenue profile by discount band (exact integer percent bands
     over l_discount*100): the pricing-policy read-out — how much
@@ -6975,6 +7000,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "revenue_rollup_totals": q_revenue_rollup_totals,
         "revenue_concentration": q_revenue_concentration,
         "discount_bands": q_discount_bands,
+        "segment_mix": q_segment_mix,
         "group_quantiles": q_group_quantiles,
         "conversion_latency": q_conversion_latency,
         "harmonic_exact": q_harmonic_exact,
@@ -9504,6 +9530,15 @@ SELECT p.event_type, p.hour_us, p.n, st.mean, st.std,
        (st.std > 0 AND abs(p.n - st.mean) > 3.0 * st.std) AS is_spike
 FROM per p JOIN st ON p.event_type = st.event_type
 ORDER BY p.event_type, p.hour_us""",
+        "segment_mix": """
+WITH g AS (SELECT n.n_name AS nation, c.c_mktsegment AS segment,
+                  CAST(count(*) AS BIGINT) AS n_customers
+           FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+           GROUP BY 1, 2)
+SELECT nation, segment, n_customers,
+       round(CAST(100 * n_customers AS DOUBLE)
+             / sum(n_customers) OVER (PARTITION BY nation), 6) AS pct
+FROM g ORDER BY nation, segment""",
         "discount_bands": """
 WITH b AS (
   SELECT CAST(round(l_discount * 100, 0) AS BIGINT) AS discount_pct,
