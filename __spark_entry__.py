@@ -4807,6 +4807,17 @@ def q_hll_incremental(spark, sf_dir):
     return out
 
 
+def q_order_size_histogram(spark, sf_dir):
+    """Lines-per-order distribution: (n_lines, n_orders) — the basket
+    shape profile behind join fan-out estimates and the quadratic
+    basket guards; one map-side-combined count-of-counts."""
+    li = load_table(spark, sf_dir, "lineitem")
+    per = li.groupBy("l_orderkey").agg(
+        F.count(F.lit(1)).cast("long").alias("n_lines"))
+    return per.groupBy("n_lines").agg(
+        F.count(F.lit(1)).cast("long").alias("n_orders"))
+
+
 def q_segment_mix(spark, sf_dir):
     """Customer market-segment mix per nation: (nation, segment,
     n_customers, pct within nation) — the demographic slice behind
@@ -7001,6 +7012,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "revenue_concentration": q_revenue_concentration,
         "discount_bands": q_discount_bands,
         "segment_mix": q_segment_mix,
+        "order_size_histogram": q_order_size_histogram,
         "group_quantiles": q_group_quantiles,
         "conversion_latency": q_conversion_latency,
         "harmonic_exact": q_harmonic_exact,
@@ -9530,6 +9542,11 @@ SELECT p.event_type, p.hour_us, p.n, st.mean, st.std,
        (st.std > 0 AND abs(p.n - st.mean) > 3.0 * st.std) AS is_spike
 FROM per p JOIN st ON p.event_type = st.event_type
 ORDER BY p.event_type, p.hour_us""",
+        "order_size_histogram": """
+WITH per AS (SELECT l_orderkey, CAST(count(*) AS BIGINT) AS n_lines
+             FROM lineitem GROUP BY l_orderkey)
+SELECT n_lines, CAST(count(*) AS BIGINT) AS n_orders
+FROM per GROUP BY n_lines ORDER BY n_lines""",
         "segment_mix": """
 WITH g AS (SELECT n.n_name AS nation, c.c_mktsegment AS segment,
                   CAST(count(*) AS BIGINT) AS n_customers
