@@ -4871,6 +4871,128 @@ def q_discount_bands(spark, sf_dir):
     )
 
 
+def q_local_supplier_volume(spark, sf_dir):
+    """TPC-H-Q5 shape (functions/relational.local_supplier_volume):
+    same-nation customer+supplier revenue per region/nation over one
+    order year — the two-dimension-path correlation join; supplier tag
+    broadcast, customer on the shuffle, exact integer revenue."""
+    from plato_spark.functions.relational import local_supplier_volume
+
+    return local_supplier_volume(
+        load_table(spark, sf_dir, "lineitem"),
+        load_table(spark, sf_dir, "orders"),
+        load_table(spark, sf_dir, "customer"),
+        load_table(spark, sf_dir, "supplier"),
+        load_table(spark, sf_dir, "nation"),
+        load_table(spark, sf_dir, "region"),
+    )
+
+
+def q_returned_items(spark, sf_dir):
+    """TPC-H-Q10 shape (functions/relational.returned_items): top-20
+    customers by returned (l_returnflag='R') revenue under the pinned
+    (revenue DESC, custkey) total order — aggregate-then-top-k-then-
+    broadcast-join; only 20 rows ever touch the customer dimension."""
+    from plato_spark.functions.relational import returned_items
+
+    return returned_items(
+        load_table(spark, sf_dir, "lineitem"),
+        load_table(spark, sf_dir, "orders"),
+        load_table(spark, sf_dir, "customer"),
+        load_table(spark, sf_dir, "nation"),
+        k=20,
+    )
+
+
+def q_top_supplier(spark, sf_dir):
+    """TPC-H-Q15 shape (functions/relational.top_supplier): max-revenue
+    supplier(s) over 1996Q1 shipments, tie membership decided on EXACT
+    integer revenue units (a float max would be partitioning-
+    dependent)."""
+    from plato_spark.functions.relational import top_supplier
+
+    return top_supplier(
+        load_table(spark, sf_dir, "lineitem"),
+        load_table(spark, sf_dir, "supplier"),
+    )
+
+
+def q_product_profit(spark, sf_dir):
+    """TPC-H-Q9 shape adapted (functions/relational.product_profit):
+    per (part type, order year) margin = discounted revenue minus
+    qty x retail cost, both folded in ONE exact integer unit system;
+    part shuffles like a fact (never broadcast at 100 TB)."""
+    from plato_spark.functions.relational import product_profit
+
+    return product_profit(
+        load_table(spark, sf_dir, "lineitem"),
+        load_table(spark, sf_dir, "orders"),
+        load_table(spark, sf_dir, "part"),
+    )
+
+
+def q_small_qty_revenue(spark, sf_dir):
+    """TPC-H-Q17 shape (functions/relational.small_qty_revenue): list
+    revenue in lines below 20% of their part's average quantity — the
+    correlated per-part-average rejoin with the band test as a pure
+    integer cross-multiply (5*qty*n < sum), exact at any
+    partitioning."""
+    from plato_spark.functions.relational import small_qty_revenue
+
+    return small_qty_revenue(
+        load_table(spark, sf_dir, "lineitem"),
+        load_table(spark, sf_dir, "part"),
+    )
+
+
+def q_dormant_customers(spark, sf_dir):
+    """TPC-H-Q22 shape (functions/relational.dormant_customers):
+    above-average-balance customers with no order since 2000-01-01,
+    per nation — the scalar-broadcast compare (integer cross-multiply,
+    no float mean) plus LEFT ANTI against the collapsed recent-order
+    custkeys."""
+    from plato_spark.functions.relational import dormant_customers
+
+    return dormant_customers(
+        load_table(spark, sf_dir, "orders"),
+        load_table(spark, sf_dir, "customer"),
+        load_table(spark, sf_dir, "nation"),
+    )
+
+
+def q_late_shipments(spark, sf_dir):
+    """TPC-H-Q4 shape adapted (functions/relational.late_shipments):
+    orders with >=1 line shipped >90 days after order date, per
+    priority — the EXISTS-decorrelated LEFT SEMI join carrying a
+    non-equi date predicate on the orderkey equi-key."""
+    from plato_spark.functions.relational import late_shipments
+
+    return late_shipments(
+        load_table(spark, sf_dir, "orders"),
+        load_table(spark, sf_dir, "lineitem"),
+        grace_days=90,
+    )
+
+
+def q_customer_distribution(spark, sf_dir):
+    """TPC-H-Q13 shape: orders-per-customer count-of-counts INCLUDING
+    the zero-order customers (the left join is the point — a groupBy
+    over orders alone can never produce the 0 bin, and the 0 bin is the
+    business signal: registered-but-inactive accounts).  Distinct from
+    order_size_histogram (lines per order).  One left join + two
+    map-side-combined aggs, exact counts."""
+    c = load_table(spark, sf_dir, "customer").select("c_custkey")
+    o = load_table(spark, sf_dir, "orders").select("o_custkey")
+    per = (
+        c.join(o, F.col("c_custkey") == F.col("o_custkey"), "left")
+        .groupBy("c_custkey")
+        .agg(F.sum(F.when(F.col("o_custkey").isNull(), 0).otherwise(1))
+             .cast("long").alias("n_orders"))
+    )
+    return per.groupBy("n_orders").agg(
+        F.count(F.lit(1)).cast("long").alias("n_customers"))
+
+
 def q_trade_volume(spark, sf_dir):
     """TPC-H-Q7-shape nation-pair trade volume per ship year
     (functions/relational.trade_volume): the first lineitem-to-supplier
@@ -7013,6 +7135,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "discount_bands": q_discount_bands,
         "segment_mix": q_segment_mix,
         "order_size_histogram": q_order_size_histogram,
+        "local_supplier_volume": q_local_supplier_volume,
+        "returned_items": q_returned_items,
+        "top_supplier": q_top_supplier,
+        "product_profit": q_product_profit,
+        "small_qty_revenue": q_small_qty_revenue,
+        "dormant_customers": q_dormant_customers,
+        "late_shipments": q_late_shipments,
+        "customer_distribution": q_customer_distribution,
         "group_quantiles": q_group_quantiles,
         "conversion_latency": q_conversion_latency,
         "harmonic_exact": q_harmonic_exact,
@@ -9547,6 +9677,131 @@ WITH per AS (SELECT l_orderkey, CAST(count(*) AS BIGINT) AS n_lines
              FROM lineitem GROUP BY l_orderkey)
 SELECT n_lines, CAST(count(*) AS BIGINT) AS n_orders
 FROM per GROUP BY n_lines ORDER BY n_lines""",
+        "local_supplier_volume": """
+WITH li AS (
+  SELECT l_orderkey, l_suppkey,
+         CAST(round(l_extendedprice * 100, 0) AS BIGINT)
+         * CAST(round((1 - l_discount) * 100, 0) AS BIGINT) AS rev_u
+  FROM lineitem),
+j AS (
+  SELECT r.r_name AS region, n.n_name AS nation, li.rev_u
+  FROM li
+  JOIN orders o ON li.l_orderkey = o.o_orderkey
+   AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+   AND o.o_orderdate < TIMESTAMP '1997-01-01'
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  JOIN supplier s ON li.l_suppkey = s.s_suppkey
+   AND c.c_nationkey = s.s_nationkey
+  JOIN nation n ON c.c_nationkey = n.n_nationkey
+  JOIN region r ON n.n_regionkey = r.r_regionkey)
+SELECT region, nation, CAST(count(*) AS BIGINT) AS n_items,
+       CAST((sum(rev_u) + 50) // 100 AS BIGINT) / 100.0 AS revenue
+FROM j GROUP BY region, nation ORDER BY region, nation""",
+        "returned_items": """
+WITH li AS (
+  SELECT l_orderkey,
+         CAST(round(l_extendedprice * 100, 0) AS BIGINT)
+         * CAST(round((1 - l_discount) * 100, 0) AS BIGINT) AS rev_u
+  FROM lineitem WHERE l_returnflag = 'R'),
+per AS (
+  SELECT o.o_custkey, CAST(sum(li.rev_u) AS BIGINT) AS rev_u
+  FROM li JOIN orders o ON li.l_orderkey = o.o_orderkey
+  GROUP BY o.o_custkey),
+top AS (
+  SELECT o_custkey, rev_u,
+         CAST(row_number() OVER (ORDER BY rev_u DESC, o_custkey)
+              AS INTEGER) AS rank
+  FROM per ORDER BY rev_u DESC, o_custkey LIMIT 20)
+SELECT t.rank, c.c_custkey, c.c_name, n.n_name AS nation,
+       CAST((t.rev_u + 50) // 100 AS BIGINT) / 100.0 AS ret_revenue
+FROM top t JOIN customer c ON t.o_custkey = c.c_custkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+ORDER BY t.rank""",
+        "top_supplier": """
+WITH per AS (
+  SELECT l_suppkey,
+         CAST(sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT)
+              * CAST(round((1 - l_discount) * 100, 0) AS BIGINT))
+              AS BIGINT) AS rev_u
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+    AND l_shipdate < TIMESTAMP '1996-04-01'
+  GROUP BY l_suppkey)
+SELECT s.s_suppkey, s.s_name,
+       CAST((p.rev_u + 50) // 100 AS BIGINT) / 100.0 AS total_revenue
+FROM per p JOIN supplier s ON p.l_suppkey = s.s_suppkey
+WHERE p.rev_u = (SELECT max(rev_u) FROM per)
+ORDER BY s.s_suppkey""",
+        "product_profit": """
+WITH li AS (
+  SELECT l_orderkey, l_partkey,
+         CAST(round(l_extendedprice * 100, 0) AS BIGINT)
+         * CAST(round((1 - l_discount) * 100, 0) AS BIGINT) AS rev_u,
+         CAST(round(l_quantity, 0) AS BIGINT) AS qty
+  FROM lineitem),
+j AS (
+  SELECT p.p_type, CAST(year(o.o_orderdate) AS INTEGER) AS year,
+         li.rev_u - li.qty
+           * CAST(round(p.p_retailprice * 100, 0) AS BIGINT) * 100
+           AS profit_u
+  FROM li JOIN part p ON li.l_partkey = p.p_partkey
+  JOIN orders o ON li.l_orderkey = o.o_orderkey),
+g AS (
+  SELECT p_type, year, CAST(count(*) AS BIGINT) AS n_items,
+         CAST(sum(profit_u) AS BIGINT) AS profit_u
+  FROM j GROUP BY p_type, year)
+SELECT p_type, year, n_items,
+       CAST(CASE WHEN profit_u >= 0 THEN (profit_u + 50) // 100
+            ELSE -((-profit_u + 50) // 100) END AS BIGINT) / 100.0
+         AS profit
+FROM g ORDER BY p_type, year""",
+        "small_qty_revenue": """
+WITH li AS (
+  SELECT l_partkey, CAST(round(l_quantity, 0) AS BIGINT) AS qty,
+         CAST(round(l_extendedprice * 100, 0) AS BIGINT) AS price_c
+  FROM lineitem),
+per AS (
+  SELECT l_partkey AS pk, CAST(count(*) AS BIGINT) AS n_lines,
+         CAST(sum(qty) AS BIGINT) AS sum_qty
+  FROM li GROUP BY l_partkey)
+SELECT p.p_brand, CAST(count(*) AS BIGINT) AS n_small_lines,
+       round(CAST(sum(li.price_c) AS DOUBLE) / 100.0, 2) AS lost_revenue
+FROM li JOIN per ON li.l_partkey = per.pk
+JOIN part p ON li.l_partkey = p.p_partkey
+WHERE 5 * li.qty * per.n_lines < per.sum_qty
+GROUP BY p.p_brand ORDER BY p.p_brand""",
+        "dormant_customers": """
+WITH c AS (
+  SELECT c_custkey, c_nationkey,
+         CAST(round(c_acctbal * 100, 0) AS BIGINT) AS bal_c
+  FROM customer),
+st AS (SELECT CAST(count(*) AS BIGINT) AS n_pos,
+              CAST(sum(bal_c) AS BIGINT) AS sum_pos
+       FROM c WHERE bal_c > 0)
+SELECT n.n_name AS nation, CAST(count(*) AS BIGINT) AS n_customers,
+       round(CAST(sum(c.bal_c) AS DOUBLE) / 100.0, 2) AS total_acctbal
+FROM c
+CROSS JOIN st
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+WHERE c.bal_c * st.n_pos > st.sum_pos
+  AND NOT EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey
+                    AND o.o_orderdate >= TIMESTAMP '2000-01-01')
+GROUP BY n.n_name ORDER BY nation""",
+        "late_shipments": """
+SELECT o.o_orderpriority, CAST(count(*) AS BIGINT) AS n_orders
+FROM orders o
+WHERE EXISTS (SELECT 1 FROM lineitem l
+              WHERE l.l_orderkey = o.o_orderkey
+                AND l.l_shipdate > o.o_orderdate + INTERVAL 90 DAY)
+GROUP BY o.o_orderpriority ORDER BY o.o_orderpriority""",
+        "customer_distribution": """
+WITH per AS (
+  SELECT c.c_custkey, CAST(count(o.o_custkey) AS BIGINT) AS n_orders
+  FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+  GROUP BY c.c_custkey)
+SELECT n_orders, CAST(count(*) AS BIGINT) AS n_customers
+FROM per GROUP BY n_orders ORDER BY n_orders""",
         "segment_mix": """
 WITH g AS (SELECT n.n_name AS nation, c.c_mktsegment AS segment,
                   CAST(count(*) AS BIGINT) AS n_customers

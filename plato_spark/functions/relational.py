@@ -18,7 +18,9 @@ from pyspark.sql import functions as F
 
 __all__ = ["revenue_rollup", "value_outliers", "pricing_summary",
            "large_orders", "promo_revenue", "revenue_rollup_totals",
-           "trade_volume"]
+           "trade_volume", "local_supplier_volume", "returned_items",
+           "top_supplier", "product_profit", "small_qty_revenue",
+           "dormant_customers", "late_shipments"]
 
 
 def _cents(col):
@@ -407,3 +409,312 @@ def trade_volume(
                 (F.expr("(rev_u + 50) div 100").cast("long")
                  / F.lit(100.0)).alias("revenue"))
     )
+
+
+def local_supplier_volume(
+    lineitem: DataFrame,
+    orders: DataFrame,
+    customer: DataFrame,
+    supplier: DataFrame,
+    nation: DataFrame,
+    region: DataFrame,
+    date_lo: str = "1996-01-01",
+    date_hi: str = "1997-01-01",
+) -> DataFrame:
+    """(region, nation, n_items, revenue) — the TPC-H-Q5 shape: revenue
+    from order lines where the ordering customer and the shipping
+    supplier sit in the SAME nation (local fulfilment), per region and
+    nation, over one order-date year.
+
+    The join shape is the point: the same-nation predicate correlates
+    two different dimension paths (customer-side nation vs
+    supplier-side nation) through the fact table — neither filter alone
+    is selective, only their conjunction after both tags are attached.
+    Scale plan: the order-date year pushes to the orders scan BEFORE
+    the fact fan-in; the supplier tag (suppkey -> nationkey) broadcasts
+    (|supplier| = |customer|/15 in TPC-H proportions); customer rides
+    the shuffle on custkey (never assumed broadcastable at 100 TB);
+    nation/region are true broadcast dims.  Revenue folds exact integer
+    cents x 1e2 discount units; one half-up integer rounding at the
+    end (the trade_volume tie lesson)."""
+    n = nation.select("n_nationkey", "n_name", "n_regionkey")
+    r = region.select("r_regionkey", "r_name")
+    sup = supplier.select(
+        "s_suppkey", F.col("s_nationkey").alias("sup_nk"))
+    cus = customer.select(
+        "c_custkey", F.col("c_nationkey").alias("cus_nk"))
+    o = orders.where(
+        (F.col("o_orderdate") >= F.lit(date_lo).cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit(date_hi).cast("timestamp"))
+    ).select("o_orderkey", "o_custkey")
+    rev = _cents(F.col("l_extendedprice")) * F.round(
+        (F.lit(1.0) - F.col("l_discount")) * 100, 0
+    ).cast("long")
+    li = lineitem.select("l_orderkey", "l_suppkey", rev.alias("rev_u"))
+    j = (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(cus, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(sup), F.col("l_suppkey") == F.col("s_suppkey"))
+        .where(F.col("cus_nk") == F.col("sup_nk"))
+        .join(F.broadcast(n), F.col("cus_nk") == F.col("n_nationkey"))
+        .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
+    )
+    return (
+        j.groupBy(F.col("r_name").alias("region"),
+                  F.col("n_name").alias("nation"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_items"),
+             F.sum("rev_u").cast("long").alias("rev_u"))
+        .select("region", "nation", "n_items",
+                (F.expr("(rev_u + 50) div 100").cast("long")
+                 / F.lit(100.0)).alias("revenue"))
+    )
+
+
+def returned_items(
+    lineitem: DataFrame,
+    orders: DataFrame,
+    customer: DataFrame,
+    nation: DataFrame,
+    k: int = 20,
+) -> DataFrame:
+    """(rank, c_custkey, c_name, nation, ret_revenue) — the TPC-H-Q10
+    shape: the k customers who returned the most revenue
+    (l_returnflag = 'R'), the churn-risk escalation list.
+
+    Scale plan: the returnflag filter pushes to the lineitem scan
+    (~25% selectivity), revenue folds exact integer units and
+    aggregates per custkey BEFORE any dimension join (map-side
+    combined, one shuffle on orderkey + one on custkey), the top-k is
+    a TakeOrdered under the pinned (rev_u DESC, custkey) total order —
+    never a global sort — and only the k survivors join the customer
+    dimension (broadcast of k rows against the big side)."""
+    rev = _cents(F.col("l_extendedprice")) * F.round(
+        (F.lit(1.0) - F.col("l_discount")) * 100, 0
+    ).cast("long")
+    li = lineitem.where(F.col("l_returnflag") == "R").select(
+        "l_orderkey", rev.alias("rev_u"))
+    per = (
+        li.join(orders.select("o_orderkey", "o_custkey"),
+                F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("o_custkey")
+        .agg(F.sum("rev_u").cast("long").alias("rev_u"))
+    )
+    from pyspark.sql import Window
+
+    top = per.orderBy(F.col("rev_u").desc(), F.col("o_custkey")).limit(k)
+    top = top.select(
+        "o_custkey", "rev_u",
+        F.row_number().over(
+            Window.orderBy(F.col("rev_u").desc(), F.col("o_custkey"))
+        ).cast("int").alias("rank"),
+    )
+    c = customer.select("c_custkey", "c_name", "c_nationkey")
+    n = nation.select("n_nationkey", "n_name")
+    return (
+        c.join(F.broadcast(top), F.col("c_custkey") == F.col("o_custkey"))
+        .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+        .select("rank", "c_custkey", "c_name",
+                F.col("n_name").alias("nation"),
+                (F.expr("(rev_u + 50) div 100").cast("long")
+                 / F.lit(100.0)).alias("ret_revenue"))
+    )
+
+
+def top_supplier(
+    lineitem: DataFrame,
+    supplier: DataFrame,
+    date_lo: str = "1996-01-01",
+    date_hi: str = "1996-04-01",
+) -> DataFrame:
+    """(s_suppkey, s_name, total_revenue) — the TPC-H-Q15 shape: the
+    supplier(s) with maximum shipped revenue over one quarter; ties all
+    return (the view + HAVING = MAX semantics of the original, which is
+    why the max compare happens on EXACT integer revenue units — a
+    float max would make tie membership partitioning-dependent).
+
+    Scale plan: the quarter pushes to the lineitem scan, revenue
+    aggregates per suppkey map-side (one shuffle), the scalar max rides
+    a broadcast 1-row cross join, and only the argmax rows (usually 1)
+    touch the supplier dimension."""
+    rev = _cents(F.col("l_extendedprice")) * F.round(
+        (F.lit(1.0) - F.col("l_discount")) * 100, 0
+    ).cast("long")
+    per = (
+        lineitem.where(
+            (F.col("l_shipdate") >= F.lit(date_lo).cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit(date_hi).cast("timestamp")))
+        .select("l_suppkey", rev.alias("rev_u"))
+        .groupBy("l_suppkey")
+        .agg(F.sum("rev_u").cast("long").alias("rev_u"))
+    )
+    mx = per.agg(F.max("rev_u").alias("mx"))
+    best = per.crossJoin(F.broadcast(mx)).where(
+        F.col("rev_u") == F.col("mx"))
+    return (
+        supplier.select("s_suppkey", "s_name")
+        .join(F.broadcast(best), F.col("s_suppkey") == F.col("l_suppkey"))
+        .select("s_suppkey", "s_name",
+                (F.expr("(rev_u + 50) div 100").cast("long")
+                 / F.lit(100.0)).alias("total_revenue"))
+    )
+
+
+def product_profit(
+    lineitem: DataFrame,
+    orders: DataFrame,
+    part: DataFrame,
+) -> DataFrame:
+    """(p_type, year, n_items, profit) — the TPC-H-Q9 shape adapted to
+    this schema (no partsupp table, so unit cost is the part's retail
+    price): discounted revenue minus qty x retail cost, per part type
+    and order year — the product-line margin read-out.
+
+    Scale plan: two fact-side shuffles (partkey for the type/cost tag,
+    orderkey for the year), both map-side-pre-projected to 3 columns;
+    part is NOT broadcast (200k x SF rows in TPC-H proportions — at
+    100 TB it shuffles like a fact).  Profit folds in one exact
+    integer unit system: rev_u and cost_u both live at cents x 1e2
+    scale, so the subtraction is exact and the single final division
+    is the only float op."""
+    rev_u = _cents(F.col("l_extendedprice")) * F.round(
+        (F.lit(1.0) - F.col("l_discount")) * 100, 0
+    ).cast("long")
+    qty = F.round(F.col("l_quantity"), 0).cast("long")
+    li = lineitem.select(
+        "l_orderkey", "l_partkey", rev_u.alias("rev_u"), qty.alias("qty"))
+    p = part.select("p_partkey", "p_type",
+                    _cents(F.col("p_retailprice")).alias("retail_c"))
+    o = orders.select("o_orderkey",
+                      F.year("o_orderdate").cast("int").alias("year"))
+    j = (
+        li.join(p, F.col("l_partkey") == F.col("p_partkey"))
+        .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .select("p_type", "year", "rev_u",
+                (F.col("qty") * F.col("retail_c") * F.lit(100))
+                .alias("cost_u"))
+    )
+    return (
+        j.groupBy("p_type", "year")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_items"),
+             F.sum(F.col("rev_u") - F.col("cost_u")).cast("long")
+             .alias("profit_u"))
+        .select("p_type", "year", "n_items",
+                (F.when(F.col("profit_u") >= 0,
+                        F.expr("(profit_u + 50) div 100"))
+                 .otherwise(-F.expr("(-profit_u + 50) div 100"))
+                 .cast("long") / F.lit(100.0)).alias("profit"))
+    )
+
+
+def small_qty_revenue(
+    lineitem: DataFrame,
+    part: DataFrame,
+) -> DataFrame:
+    """(p_brand, n_small_lines, lost_revenue) — the TPC-H-Q17 shape:
+    list revenue sitting in order lines whose quantity is below 20% of
+    that part's average line quantity — the 'could these dribble orders
+    be batched?' read-out, per brand.
+
+    The correlated-subquery shape (per-part average rejoined against
+    the same fact) is the point.  Scale plan: the per-part aggregate is
+    map-side combined and rejoined on partkey (self-join on the SAME
+    partitioning — one shuffle feeds both sides); the 20%-of-average
+    predicate is evaluated as a PURE integer cross-multiply
+    (5 * qty * n_lines < sum_qty), never a float division, so band
+    membership is exact at any partitioning; quantities are integral."""
+    qty = F.round(F.col("l_quantity"), 0).cast("long")
+    li = lineitem.select(
+        "l_partkey", qty.alias("qty"),
+        _cents(F.col("l_extendedprice")).alias("price_c"))
+    per = li.groupBy(F.col("l_partkey").alias("pk")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_lines"),
+        F.sum("qty").cast("long").alias("sum_qty"))
+    small = (
+        li.join(per, F.col("l_partkey") == F.col("pk"))
+        .where(F.lit(5) * F.col("qty") * F.col("n_lines")
+               < F.col("sum_qty"))
+    )
+    p = part.select("p_partkey", "p_brand")
+    return (
+        small.join(p, F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("p_brand")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_small_lines"),
+             F.sum("price_c").cast("long").alias("lost_c"))
+        .select("p_brand", "n_small_lines",
+                F.round(F.col("lost_c") / F.lit(100.0), 2)
+                .alias("lost_revenue"))
+    )
+
+
+def dormant_customers(
+    orders: DataFrame,
+    customer: DataFrame,
+    nation: DataFrame,
+    since: str = "2000-01-01",
+) -> DataFrame:
+    """(nation, n_customers, total_acctbal) — the TPC-H-Q22 shape:
+    customers with an above-average positive account balance and no
+    order since ``since`` — parked money going stale, per nation.
+    (Literal Q22 tests 'never ordered'; in this synthetic corpus every
+    customer has orders, so the never-ordered set is structurally empty
+    — the 0-row-gate lesson — and the recency cutoff is the honest
+    dormancy test with the identical anti-join shape.)
+
+    Scale plan: the positive-balance average is ONE scalar aggregate
+    broadcast back as a 1-row cross join, the above-average test is an
+    exact integer cross-multiply (bal_c * n_pos > sum_pos_c — no float
+    mean), and the dormancy test is a LEFT ANTI join against the
+    distinct custkeys of the recent orders (the date filter pushes to
+    the orders scan and the side collapses to keys before the join; at
+    100 TB that is the small side and AQE broadcasts it)."""
+    bal_c = _cents(F.col("c_acctbal"))
+    c = customer.select("c_custkey", "c_nationkey", bal_c.alias("bal_c"))
+    stats = c.where(F.col("bal_c") > 0).agg(
+        F.count(F.lit(1)).cast("long").alias("n_pos"),
+        F.sum("bal_c").cast("long").alias("sum_pos"))
+    rich = c.crossJoin(F.broadcast(stats)).where(
+        F.col("bal_c") * F.col("n_pos") > F.col("sum_pos"))
+    recent = orders.where(
+        F.col("o_orderdate") >= F.lit(since).cast("timestamp")
+    ).select("o_custkey").distinct()
+    never = rich.join(recent, F.col("c_custkey") == F.col("o_custkey"),
+                      "left_anti")
+    n = nation.select("n_nationkey", "n_name")
+    return (
+        never.join(F.broadcast(n),
+                   F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_customers"),
+             F.round(F.sum("bal_c") / F.lit(100.0), 2)
+             .alias("total_acctbal"))
+    )
+
+
+def late_shipments(
+    orders: DataFrame,
+    lineitem: DataFrame,
+    grace_days: int = 90,
+) -> DataFrame:
+    """(o_orderpriority, n_orders) — the TPC-H-Q4 shape adapted to this
+    schema (no commit/receipt dates): orders with AT LEAST ONE line
+    shipped more than ``grace_days`` after the order date, per
+    priority — does priority actually buy shipping urgency?
+
+    The EXISTS decorrelation is the point: a LEFT SEMI join on the
+    orderkey equi-key carrying the non-equi date predicate — each order
+    counts ONCE however many lines are late (a plain inner join + count
+    would double-count).  Scale plan: both sides pre-project to 2-3
+    columns, the semi join rides the same orderkey shuffle every other
+    fact-fact join uses, and the final rollup is <= |priorities|
+    rows."""
+    o = orders.select("o_orderkey", "o_orderpriority", "o_orderdate")
+    li = lineitem.select("l_orderkey", "l_shipdate")
+    late = o.join(
+        li,
+        (F.col("o_orderkey") == F.col("l_orderkey"))
+        & (F.col("l_shipdate")
+           > F.col("o_orderdate") + F.expr(f"INTERVAL {grace_days} DAYS")),
+        "left_semi",
+    )
+    return late.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).cast("long").alias("n_orders"))
