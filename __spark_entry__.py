@@ -4993,6 +4993,177 @@ def q_customer_distribution(spark, sf_dir):
         F.count(F.lit(1)).cast("long").alias("n_customers"))
 
 
+def q_knn_hubness(spark, sf_dir):
+    """In-degree histogram of the k=10 kNN graph: (in_degree,
+    n_vertices) — the HUBNESS read-out of the similarity structure.  A
+    heavy right tail (a few vertices in everyone's top-10) is the
+    classic ANN pathology: those hubs dominate retrieval and drown
+    recall; the 0 bin (never anyone's neighbor — anti-hubs) is kept via
+    a left join against the full vertex set, because 'how much of the
+    graph is unreachable through kNN' is the other half of the signal.
+    Composes the proven knn_graph kernel; two map-side-combined
+    aggs."""
+    from plato_spark.functions.recommend import knn_graph
+
+    canon = part_cooccurrence_edges(spark, sf_dir, weighted=True)
+    knn = knn_graph(canon, k=10)
+    verts = (
+        canon.select(F.col("src").alias("id"))
+        .unionByName(canon.select(F.col("dst").alias("id")))
+        .distinct()
+    )
+    ind = knn.groupBy(F.col("dst").alias("id")).agg(
+        F.count(F.lit(1)).cast("long").alias("ind"))
+    per = verts.join(ind, "id", "left").select(
+        F.coalesce(F.col("ind"), F.lit(0)).cast("long").alias("in_degree"))
+    return per.groupBy("in_degree").agg(
+        F.count(F.lit(1)).cast("long").alias("n_vertices"))
+
+
+def q_degree_mixing_matrix(spark, sf_dir):
+    """Joint degree-degree edge distribution: (bucket_lo, bucket_hi,
+    n_edges) over bit-length degree buckets (the deterministic log2
+    discipline) — the MATRIX behind the assortativity scalar.  The
+    scalar can be ~0 while the matrix shows structure (hubs wired to
+    leaves AND to each other cancel); buckets are unordered
+    (least/greatest) because canonical a<b says nothing about which
+    endpoint is bigger.  One degree agg + two tag joins on the edge
+    table's own keys."""
+    canon = part_cooccurrence_edges(spark, sf_dir)
+    sym = canon.unionByName(canon.select(
+        F.col("dst").alias("src"), F.col("src").alias("dst")))
+    deg = sym.groupBy(F.col("src").alias("id")).agg(
+        F.count(F.lit(1)).cast("long").alias("deg"))
+    e = (
+        canon.join(deg.select(F.col("id").alias("sid"),
+                              F.col("deg").alias("ds")),
+                   F.col("src") == F.col("sid"))
+        .join(deg.select(F.col("id").alias("did"),
+                         F.col("deg").alias("dd")),
+              F.col("dst") == F.col("did"))
+    )
+    bs = F.length(F.bin(F.col("ds"))).cast("int")
+    bd = F.length(F.bin(F.col("dd"))).cast("int")
+    return (
+        e.select(F.least(bs, bd).alias("bucket_lo"),
+                 F.greatest(bs, bd).alias("bucket_hi"))
+        .groupBy("bucket_lo", "bucket_hi")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_edges"))
+    )
+
+
+def q_zipf_curve(spark, sf_dir):
+    """Rank-frequency (Zipf) profile of the corpus vocabulary:
+    (bucket, n_tokens, mass, mass_pct) over bit-length RANK buckets —
+    how fast token mass decays down the frequency ranking, the
+    complement of hapax_stats' frequency spectrum (that buckets by
+    count; this buckets by rank, which is what Zipf's law is stated
+    over).  The global rank rides the vid-encoder distributed
+    dictionary rank (graph/edges.build_dictionary — range partition +
+    per-partition offsets, never a single-partition window) on a
+    composite STRING key whose ascending order IS (tf DESC, token ASC):
+    lpad(10^12 - tf) || token."""
+    from plato_spark.functions.text import TOKEN_RE
+    from plato_spark.graph.edges import build_dictionary
+
+    docs = load_table(spark, sf_dir, "documents")
+    tf = (
+        docs.select(F.explode(F.regexp_extract_all(
+            F.col("text"), F.lit(TOKEN_RE), F.lit(0))).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).cast("long").alias("tf"))
+    )
+    keyed = tf.select(
+        "tf",
+        F.concat(
+            F.lpad((F.lit(10**12) - F.col("tf")).cast("string"), 13, "0"),
+            F.col("token"),
+        ).alias("vkey"),
+    )
+    d = build_dictionary(keyed.select("vkey"), 8)
+    ranked = keyed.join(d, "vkey").select(
+        "tf", (F.col("id") + 1).cast("long").alias("rank"))
+    tot = ranked.agg(F.sum("tf").cast("long").alias("tot"))
+    g = ranked.groupBy(
+        F.length(F.bin(F.col("rank"))).cast("int").alias("bucket")
+    ).agg(F.count(F.lit(1)).cast("long").alias("n_tokens"),
+          F.sum("tf").cast("long").alias("mass"))
+    return g.crossJoin(F.broadcast(tot)).select(
+        "bucket", "n_tokens", "mass",
+        F.round((F.lit(100) * F.col("mass")) / F.col("tot"), 6)
+        .alias("mass_pct"),
+    )
+
+
+def q_session_gaps(spark, sf_dir):
+    """Inter-session gap quantiles: time from a session's last event to
+    the user's next session's first event, through the proven histogram
+    quantile kernel over exact integer microseconds — the empirical
+    basis for the 30-minute session timeout itself (the
+    inter_event_gaps pick-the-knee discipline applied one level up:
+    gaps far above 30 min say the timeout isn't splitting real
+    visits)."""
+    from pyspark.sql import Window
+
+    from plato_spark.functions.quantiles import histogram_quantiles
+
+    ev = load_table(spark, sf_dir, "events")
+    sess = (
+        ev.groupBy(F.session_window("ts", "30 minutes").alias("w"),
+                   "user_id")
+        .agg(F.min("ts").alias("st"), F.max("ts").alias("en"))
+    )
+    w = Window.partitionBy("user_id").orderBy("st")
+    # parquet ts is TIMESTAMP_NTZ; cast reinterprets for unix_micros.
+    # Gaps convert to SECONDS before the kernel: multi-hour gaps in µs
+    # are ~3e10 and a 6dp-rounded double needs 17 significant digits
+    # there — past float64; in seconds the same rounding is exact.
+    # Both engines divide the SAME exact integer by 1e6, so the IEEE
+    # result is bit-identical.
+    st_us = F.unix_micros(F.col("st").cast("timestamp"))
+    en_us = F.unix_micros(F.col("en").cast("timestamp"))
+    gaps = sess.select(
+        "user_id",
+        ((st_us - F.lag(en_us).over(w)).cast("double")
+         / F.lit(1e6)).alias("gap_s"),
+    ).where(F.col("gap_s").isNotNull())
+    return histogram_quantiles(gaps, "gap_s",
+                               quantiles=(0.5, 0.9, 0.99), nbins=256)
+
+
+def _sql_session_gaps(nbins: int = 256) -> str:
+    """Session chain (the events_sessions oracle logic) -> per-user
+    lag gaps -> the proven per-group histogram-quantile chain with a
+    constant group."""
+    chain = _sql_gq_chain(
+        nbins, (0.5, 0.9, 0.99),
+        "SELECT 0 AS g, CAST(gap_us AS DOUBLE) / 1e6 AS x FROM gap "
+        "WHERE gap_us IS NOT NULL",
+        p="q",
+    )
+    return f"""
+WITH x0 AS (
+  SELECT user_id, ts,
+         CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                   <= INTERVAL 30 MINUTE
+              THEN 0 ELSE 1 END AS brk
+  FROM events),
+g0 AS (SELECT user_id, ts,
+              sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+                             ROWS UNBOUNDED PRECEDING) AS grp
+       FROM x0),
+sess AS MATERIALIZED (
+  SELECT user_id, min(ts) AS st, max(ts) AS en
+  FROM g0 GROUP BY user_id, grp),
+gap AS MATERIALIZED (
+  SELECT epoch_us(st)
+         - lag(epoch_us(en)) OVER (PARTITION BY user_id ORDER BY st)
+           AS gap_us
+  FROM sess),
+{chain}
+SELECT q, value FROM qval ORDER BY q"""
+
+
 def q_trade_volume(spark, sf_dir):
     """TPC-H-Q7-shape nation-pair trade volume per ship year
     (functions/relational.trade_volume): the first lineitem-to-supplier
@@ -7143,6 +7314,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dormant_customers": q_dormant_customers,
         "late_shipments": q_late_shipments,
         "customer_distribution": q_customer_distribution,
+        "knn_hubness": q_knn_hubness,
+        "degree_mixing_matrix": q_degree_mixing_matrix,
+        "zipf_curve": q_zipf_curve,
+        "session_gaps": q_session_gaps,
         "group_quantiles": q_group_quantiles,
         "conversion_latency": q_conversion_latency,
         "harmonic_exact": q_harmonic_exact,
@@ -9802,6 +9977,43 @@ WITH per AS (
   GROUP BY c.c_custkey)
 SELECT n_orders, CAST(count(*) AS BIGINT) AS n_customers
 FROM per GROUP BY n_orders ORDER BY n_orders""",
+        "knn_hubness": SQL_GRAPH_PREFIX + """
+, knn AS MATERIALIZED (
+  SELECT dst FROM (
+    SELECT dst, row_number() OVER (
+      PARTITION BY src ORDER BY weight DESC, dst ASC) AS rank
+    FROM edges) r
+  WHERE rank <= 10),
+ind AS (SELECT dst AS id, CAST(count(*) AS BIGINT) AS ind
+        FROM knn GROUP BY dst)
+SELECT COALESCE(i.ind, 0) AS in_degree,
+       CAST(count(*) AS BIGINT) AS n_vertices
+FROM verts v LEFT JOIN ind i ON v.id = i.id
+GROUP BY COALESCE(i.ind, 0) ORDER BY in_degree""",
+        "degree_mixing_matrix": SQL_GRAPH_PREFIX + """
+SELECT least(CAST(length(bin(da.deg)) AS INTEGER),
+             CAST(length(bin(db.deg)) AS INTEGER)) AS bucket_lo,
+       greatest(CAST(length(bin(da.deg)) AS INTEGER),
+                CAST(length(bin(db.deg)) AS INTEGER)) AS bucket_hi,
+       CAST(count(*) AS BIGINT) AS n_edges
+FROM canon c JOIN deg da ON c.src = da.id JOIN deg db ON c.dst = db.id
+GROUP BY 1, 2 ORDER BY bucket_lo, bucket_hi""",
+        "zipf_curve": f"""
+WITH t AS MATERIALIZED (
+  SELECT unnest(regexp_extract_all(text, '{TOKEN_RE_SQL}')) AS token
+  FROM documents),
+v AS MATERIALIZED (
+  SELECT token, CAST(count(*) AS BIGINT) AS tf FROM t GROUP BY token),
+r AS (SELECT tf,
+             row_number() OVER (ORDER BY tf DESC, token) AS rank
+      FROM v),
+tot AS (SELECT CAST(sum(tf) AS BIGINT) AS tot FROM v)
+SELECT CAST(length(bin(rank)) AS INTEGER) AS bucket,
+       CAST(count(*) AS BIGINT) AS n_tokens,
+       CAST(sum(tf) AS BIGINT) AS mass,
+       round(CAST(100 * sum(tf) AS DOUBLE) / max(tot.tot), 6) AS mass_pct
+FROM r CROSS JOIN tot GROUP BY bucket ORDER BY bucket""",
+        "session_gaps": _sql_session_gaps(),
         "segment_mix": """
 WITH g AS (SELECT n.n_name AS nation, c.c_mktsegment AS segment,
                   CAST(count(*) AS BIGINT) AS n_customers
