@@ -5164,6 +5164,112 @@ gap AS MATERIALIZED (
 SELECT q, value FROM qval ORDER BY q"""
 
 
+def q_props_stats(spark, sf_dir):
+    """Typed extraction from the semi-structured event payload:
+    from_json(props, 'k INT') — the JSON column is parsed ONCE into a
+    typed struct JVM-side (never string-sliced per use), then per
+    event type: rows, null-payload rows, exact integer sum/min/max of
+    k.  The semi-structured operator class: at 100 TB the payload
+    column dominates scan bytes, and the typed parse keeps everything
+    in whole-stage codegen — no Python, no UDF."""
+    ev = load_table(spark, sf_dir, "events")
+    parsed = ev.select(
+        "event_type",
+        F.from_json(F.col("props"), "k INT").alias("p"),
+    ).select("event_type", F.col("p.k").cast("long").alias("k"))
+    return parsed.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.when(F.col("k").isNull(), 1).otherwise(0)).cast("long")
+        .alias("n_null"),
+        F.sum("k").cast("long").alias("k_sum"),
+        F.min("k").cast("long").alias("k_min"),
+        F.max("k").cast("long").alias("k_max"),
+    )
+
+
+# pinned pivot columns: schema stability demands a FIXED list (a
+# discovered pivot makes the output schema data-dependent — the driver
+# contract and any downstream consumer would see schema drift)
+MKT_SEGMENTS = ["AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD",
+                "MACHINERY"]
+
+
+def q_segment_pivot(spark, sf_dir):
+    """Nation x market-segment contingency table via the PIVOT
+    operator: one row per nation, one LONG column per (pinned)
+    segment.  Spark compiles pivot-with-values to a single pass of
+    conditional aggregates — no second values-discovery job, which is
+    the 100-TB point of pinning the list.  Zero-count cells emit 0,
+    not null (the left-join zero-bin lesson)."""
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name")
+    base = c.join(F.broadcast(n),
+                  F.col("c_nationkey") == F.col("n_nationkey"))
+    piv = (
+        base.groupBy(F.col("n_name").alias("nation"))
+        .pivot("c_mktsegment", MKT_SEGMENTS)
+        .agg(F.count(F.lit(1)).cast("long"))
+    )
+    return piv.select(
+        "nation",
+        *[F.coalesce(F.col(s), F.lit(0)).cast("long").alias(s.lower())
+          for s in MKT_SEGMENTS],
+    )
+
+
+def q_status_priority_cube(spark, sf_dir):
+    """Order counts + exact revenue over CUBE(status, priority) — all
+    four grouping sets in ONE pass (Spark expands the cube before the
+    shuffle, so at 100 TB this is one Exchange, not four jobs).  lvl =
+    GROUPING(status)*2 + GROUPING(priority) disambiguates real NULLs
+    from subtotal rows, the revenue_rollup_totals discipline."""
+    o = load_table(spark, sf_dir, "orders")
+    base = o.select(
+        "o_orderstatus", "o_orderpriority",
+        F.round(F.col("o_totalprice") * 100, 0).cast("long").alias("pc"))
+    return (
+        base.cube("o_orderstatus", "o_orderpriority")
+        .agg(
+            (F.grouping("o_orderstatus") * 2
+             + F.grouping("o_orderpriority")).cast("int").alias("lvl"),
+            F.count(F.lit(1)).cast("long").alias("n_orders"),
+            F.sum("pc").cast("long").alias("rev_c"),
+        )
+        .select(
+            F.col("o_orderstatus").alias("status"),
+            F.col("o_orderpriority").alias("priority"),
+            "lvl", "n_orders",
+            F.round(F.col("rev_c") / F.lit(100.0), 2).alias("revenue"),
+        )
+    )
+
+
+def q_audience_overlap(spark, sf_dir):
+    """Set algebra over event audiences: viewers INTERSECT buyers,
+    viewers EXCEPT buyers, buyers EXCEPT viewers — the funnel-leak
+    Venn as one 3-row read-out.  The point is the operator class:
+    INTERSECT/EXCEPT compile to aggregate-based semi/anti plans over
+    the deduped key sets (each side collapses to distinct user_ids
+    BEFORE the set op — at 100 TB the events never meet each other
+    row-to-row)."""
+    ev = load_table(spark, sf_dir, "events")
+    viewers = ev.where(F.col("event_type") == "view").select(
+        "user_id").distinct()
+    buyers = ev.where(F.col("event_type") == "purchase").select(
+        "user_id").distinct()
+
+    def _n(df, tag):
+        return df.agg(F.count(F.lit(1)).cast("long").alias("n_users")
+                      ).select(F.lit(tag).alias("relation"), "n_users")
+
+    return (
+        _n(viewers.intersect(buyers), "view_and_buy")
+        .unionByName(_n(viewers.subtract(buyers), "view_only"))
+        .unionByName(_n(buyers.subtract(viewers), "buy_only"))
+    )
+
+
 def q_trade_volume(spark, sf_dir):
     """TPC-H-Q7-shape nation-pair trade volume per ship year
     (functions/relational.trade_volume): the first lineitem-to-supplier
@@ -7318,6 +7424,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "degree_mixing_matrix": q_degree_mixing_matrix,
         "zipf_curve": q_zipf_curve,
         "session_gaps": q_session_gaps,
+        "props_stats": q_props_stats,
+        "segment_pivot": q_segment_pivot,
+        "status_priority_cube": q_status_priority_cube,
+        "audience_overlap": q_audience_overlap,
         "group_quantiles": q_group_quantiles,
         "conversion_latency": q_conversion_latency,
         "harmonic_exact": q_harmonic_exact,
@@ -10014,6 +10124,58 @@ SELECT CAST(length(bin(rank)) AS INTEGER) AS bucket,
        round(CAST(100 * sum(tf) AS DOUBLE) / max(tot.tot), 6) AS mass_pct
 FROM r CROSS JOIN tot GROUP BY bucket ORDER BY bucket""",
         "session_gaps": _sql_session_gaps(),
+        "props_stats": """
+WITH p AS (SELECT event_type,
+                  CAST(json_extract(props, 'k') AS BIGINT) AS k
+           FROM events)
+SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(CASE WHEN k IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_null,
+       CAST(sum(k) AS BIGINT) AS k_sum,
+       CAST(min(k) AS BIGINT) AS k_min,
+       CAST(max(k) AS BIGINT) AS k_max
+FROM p GROUP BY event_type ORDER BY event_type""",
+        "segment_pivot": """
+SELECT n.n_name AS nation,
+       CAST(sum(CASE WHEN c_mktsegment = 'AUTOMOBILE' THEN 1 ELSE 0 END)
+            AS BIGINT) AS automobile,
+       CAST(sum(CASE WHEN c_mktsegment = 'BUILDING' THEN 1 ELSE 0 END)
+            AS BIGINT) AS building,
+       CAST(sum(CASE WHEN c_mktsegment = 'FURNITURE' THEN 1 ELSE 0 END)
+            AS BIGINT) AS furniture,
+       CAST(sum(CASE WHEN c_mktsegment = 'HOUSEHOLD' THEN 1 ELSE 0 END)
+            AS BIGINT) AS household,
+       CAST(sum(CASE WHEN c_mktsegment = 'MACHINERY' THEN 1 ELSE 0 END)
+            AS BIGINT) AS machinery
+FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+GROUP BY n.n_name ORDER BY nation""",
+        "status_priority_cube": """
+SELECT o_orderstatus AS status, o_orderpriority AS priority,
+       CAST(GROUPING(o_orderstatus) * 2 + GROUPING(o_orderpriority)
+            AS INTEGER) AS lvl,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       round(CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT))
+                  AS DOUBLE) / 100.0, 2) AS revenue
+FROM orders
+GROUP BY CUBE (o_orderstatus, o_orderpriority)
+ORDER BY lvl, status, priority""",
+        "audience_overlap": """
+WITH v AS (SELECT DISTINCT user_id FROM events
+           WHERE event_type = 'view'),
+b AS (SELECT DISTINCT user_id FROM events
+      WHERE event_type = 'purchase')
+SELECT 'view_and_buy' AS relation,
+       CAST((SELECT count(*) FROM (SELECT * FROM v INTERSECT
+                                   SELECT * FROM b)) AS BIGINT)
+         AS n_users
+UNION ALL
+SELECT 'view_only',
+       CAST((SELECT count(*) FROM (SELECT * FROM v EXCEPT
+                                   SELECT * FROM b)) AS BIGINT)
+UNION ALL
+SELECT 'buy_only',
+       CAST((SELECT count(*) FROM (SELECT * FROM b EXCEPT
+                                   SELECT * FROM v)) AS BIGINT)""",
         "segment_mix": """
 WITH g AS (SELECT n.n_name AS nation, c.c_mktsegment AS segment,
                   CAST(count(*) AS BIGINT) AS n_customers
