@@ -5270,6 +5270,93 @@ def q_audience_overlap(spark, sf_dir):
     )
 
 
+def q_link_overlap(spark, sf_dir):
+    """Overlap (hub-promoted) coefficient per linked pair
+    (algos/triangles.neighborhood_similarity method='overlap'):
+    |N(u)∩N(v)| / min(deg) — completes the link-score family
+    (jaccard / adamic-adar / resource-allocation / preferential);
+    containment-vs-resemblance for neighborhoods: a leaf inside a hub's
+    neighborhood scores 1.0 where Jaccard dilutes it."""
+    from plato_spark.algos.triangles import neighborhood_similarity
+
+    return neighborhood_similarity(
+        part_cooccurrence_edges(spark, sf_dir), method="overlap")
+
+
+def q_densification_curve(spark, sf_dir):
+    """Temporal graph growth: per day, CUMULATIVE distinct users and
+    distinct (user, event_type) incidences — the densification read-out
+    (do incidences grow superlinearly in vertices, the Leskovec
+    densification-law question).  Cumulative-distinct never runs as a
+    distinct-per-window: each entity contributes its FIRST-SEEN day
+    (one map-side-combined min per key), then a running sum over the
+    <=|days| day table — the bounded offsets-table role.  Day emits as
+    yyyy-MM-dd text (the retention_cohorts portability lesson)."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", F.to_date("ts").alias("d"))
+    fu = (ev.groupBy("user_id").agg(F.min("d").alias("d"))
+          .groupBy("d").agg(F.count(F.lit(1)).cast("long").alias("nu")))
+    fi = (ev.groupBy("user_id", "event_type").agg(F.min("d").alias("d"))
+          .groupBy("d").agg(F.count(F.lit(1)).cast("long").alias("ni")))
+    days = ev.select("d").distinct()
+    j = (days.join(fu, "d", "left").join(fi, "d", "left")
+         .select("d", F.coalesce("nu", F.lit(0)).alias("nu"),
+                 F.coalesce("ni", F.lit(0)).alias("ni")))
+    w = (Window.orderBy("d")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    return j.select(
+        F.date_format("d", "yyyy-MM-dd").alias("day"),
+        F.sum("nu").over(w).cast("long").alias("cum_users"),
+        F.sum("ni").over(w).cast("long").alias("cum_incidences"),
+    )
+
+
+def q_segment_unpivot(spark, sf_dir):
+    """UNPIVOT (melt) of the segment_pivot contingency back to long
+    form: (nation, segment, n_customers) INCLUDING explicit zero cells
+    — the operator-class complement of pivot (Spark's unpivot compiles
+    to one Expand, no join, no shuffle beyond the pivot's own).
+    Distinct from segment_mix, which only emits observed pairs."""
+    piv = q_segment_pivot(spark, sf_dir)
+    return piv.unpivot(
+        "nation", [s.lower() for s in MKT_SEGMENTS],
+        "segment", "n_customers",
+    ).select("nation", F.upper(F.col("segment")).alias("segment"),
+             F.col("n_customers").cast("long").alias("n_customers"))
+
+
+def q_brand_size_lift(spark, sf_dir):
+    """Brand x size-decile contingency with independence lift:
+    observed count and n*N / (brand_total * size_total) — pairs with
+    lift far from 1 are where the catalog's brand lines specialize by
+    size.  Pure integer margins via two broadcast-scale rejoins of the
+    cell table onto its own marginals; ONE float division, rounded
+    6dp."""
+    p = load_table(spark, sf_dir, "part").select(
+        "p_brand",
+        F.expr("(p_size - 1) div 10").cast("int").alias("size_bucket"))
+    cells = p.groupBy("p_brand", "size_bucket").agg(
+        F.count(F.lit(1)).cast("long").alias("n"))
+    rb = cells.groupBy("p_brand").agg(
+        F.sum("n").cast("long").alias("brand_total"))
+    cs = cells.groupBy("size_bucket").agg(
+        F.sum("n").cast("long").alias("size_total"))
+    tot = cells.agg(F.sum("n").cast("long").alias("total"))
+    return (
+        cells.join(F.broadcast(rb), "p_brand")
+        .join(F.broadcast(cs), "size_bucket")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "p_brand", "size_bucket", "n", "brand_total", "size_total",
+            F.round((F.col("n") * F.col("total")).cast("double")
+                    / (F.col("brand_total") * F.col("size_total")), 6)
+            .alias("lift"),
+        )
+    )
+
+
 def q_trade_volume(spark, sf_dir):
     """TPC-H-Q7-shape nation-pair trade volume per ship year
     (functions/relational.trade_volume): the first lineitem-to-supplier
@@ -7428,6 +7515,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "segment_pivot": q_segment_pivot,
         "status_priority_cube": q_status_priority_cube,
         "audience_overlap": q_audience_overlap,
+        "link_overlap": q_link_overlap,
+        "densification_curve": q_densification_curve,
+        "segment_unpivot": q_segment_unpivot,
+        "brand_size_lift": q_brand_size_lift,
         "group_quantiles": q_group_quantiles,
         "conversion_latency": q_conversion_latency,
         "harmonic_exact": q_harmonic_exact,
@@ -10176,6 +10267,67 @@ UNION ALL
 SELECT 'buy_only',
        CAST((SELECT count(*) FROM (SELECT * FROM b EXCEPT
                                    SELECT * FROM v)) AS BIGINT)""",
+        "link_overlap": SQL_GRAPH_PREFIX
+        + """SELECT c.src, c.dst,
+                    round(COALESCE(t.cnt, 0)
+                          / least(du.deg, dv.deg), 6) AS score
+             FROM canon c
+             JOIN deg du ON c.src = du.id JOIN deg dv ON c.dst = dv.id
+             LEFT JOIN (
+               SELECT a.src AS u, b.src AS v, count(*) AS cnt
+               FROM edges a JOIN edges b ON a.dst = b.dst AND a.src < b.src
+               GROUP BY a.src, b.src) t ON c.src = t.u AND c.dst = t.v""",
+        "densification_curve": """
+WITH ev AS MATERIALIZED (
+  SELECT user_id, event_type, CAST(ts AS DATE) AS d FROM events),
+fu AS (SELECT d, CAST(count(*) AS BIGINT) AS nu FROM (
+         SELECT user_id, min(d) AS d FROM ev GROUP BY user_id)
+       GROUP BY d),
+fi AS (SELECT d, CAST(count(*) AS BIGINT) AS ni FROM (
+         SELECT user_id, event_type, min(d) AS d FROM ev
+         GROUP BY user_id, event_type)
+       GROUP BY d),
+days AS (SELECT DISTINCT d FROM ev)
+SELECT strftime(days.d, '%Y-%m-%d') AS day,
+       CAST(sum(COALESCE(fu.nu, 0)) OVER (ORDER BY days.d
+            ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_users,
+       CAST(sum(COALESCE(fi.ni, 0)) OVER (ORDER BY days.d
+            ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_incidences
+FROM days LEFT JOIN fu ON days.d = fu.d LEFT JOIN fi ON days.d = fi.d
+ORDER BY day""",
+        "segment_unpivot": """
+WITH g AS (SELECT n.n_name AS nation, c.c_mktsegment AS segment,
+                  CAST(count(*) AS BIGINT) AS n_customers
+           FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+           GROUP BY 1, 2),
+nats AS (SELECT DISTINCT n_name AS nation FROM nation
+         WHERE n_nationkey IN (SELECT c_nationkey FROM customer)),
+segs AS (SELECT seg FROM (VALUES ('AUTOMOBILE'), ('BUILDING'),
+                                 ('FURNITURE'), ('HOUSEHOLD'),
+                                 ('MACHINERY')) AS t(seg))
+SELECT nats.nation AS nation, segs.seg AS segment,
+       COALESCE(g.n_customers, 0) AS n_customers
+FROM nats CROSS JOIN segs
+LEFT JOIN g ON g.nation = nats.nation AND g.segment = segs.seg
+ORDER BY nats.nation, segs.seg""",
+        "brand_size_lift": """
+WITH p AS (SELECT p_brand, CAST((p_size - 1) // 10 AS INTEGER)
+                    AS size_bucket
+           FROM part),
+cells AS (SELECT p_brand, size_bucket, CAST(count(*) AS BIGINT) AS n
+          FROM p GROUP BY p_brand, size_bucket),
+rb AS (SELECT p_brand, CAST(sum(n) AS BIGINT) AS brand_total
+       FROM cells GROUP BY p_brand),
+cs AS (SELECT size_bucket, CAST(sum(n) AS BIGINT) AS size_total
+       FROM cells GROUP BY size_bucket),
+tot AS (SELECT CAST(sum(n) AS BIGINT) AS total FROM cells)
+SELECT c.p_brand, c.size_bucket, c.n, rb.brand_total, cs.size_total,
+       round(CAST(c.n * tot.total AS DOUBLE)
+             / (rb.brand_total * cs.size_total), 6) AS lift
+FROM cells c JOIN rb ON c.p_brand = rb.p_brand
+JOIN cs ON c.size_bucket = cs.size_bucket
+CROSS JOIN tot
+ORDER BY c.p_brand, c.size_bucket""",
         "segment_mix": """
 WITH g AS (SELECT n.n_name AS nation, c.c_mktsegment AS segment,
                   CAST(count(*) AS BIGINT) AS n_customers

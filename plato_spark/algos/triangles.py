@@ -166,27 +166,33 @@ def neighborhood_similarity(canon: DataFrame, method: str = "jaccard") -> DataFr
     method="resource_allocation":  Σ_{w ∈ N(u) ∩ N(v)} 1 / deg(w)
     method="preferential_attachment":  deg(u) * deg(v)  (exact integer —
         no common-neighbor pass at all, just two degree joins)
+    method="overlap":      |N(u) ∩ N(v)| / min(deg(u), deg(v)) — the
+        overlap (hub-promoted) coefficient: a leaf fully contained in a
+        hub's neighborhood scores 1.0 where Jaccard dilutes it by the
+        hub's degree — the containment-vs-resemblance distinction of
+        the shingle family applied to neighborhoods
     Returns (src, dst, score) rounded 6dp (PA: exact long); pairs with
     empty intersection score 0.0. Same plan shape as common_neighbors
     (one adjacency build, JVM array_intersect); adamic-adar /
     resource-allocation add one explode + degree join.
     """
     deg = _degrees(canon)
-    if method == "jaccard":
+    if method in ("jaccard", "overlap"):
         pairs = common_neighbors(canon, as_count=True)
         du = deg.select(F.col("id").alias("src"), F.col("deg").alias("du"))
         dv = deg.select(F.col("id").alias("dst"), F.col("deg").alias("dv"))
+        denom = (
+            F.greatest(F.col("du") + F.col("dv") - F.col("common_count"),
+                       F.lit(1))
+            if method == "jaccard"
+            # linked pairs always have deg >= 1, min never hits 0
+            else F.least(F.col("du"), F.col("dv"))
+        )
         return (
             pairs.join(du, "src").join(dv, "dst")
             .select(
                 "src", "dst",
-                F.round(
-                    F.col("common_count")
-                    / F.greatest(
-                        F.col("du") + F.col("dv") - F.col("common_count"), F.lit(1)
-                    ),
-                    6,
-                ).alias("score"),
+                F.round(F.col("common_count") / denom, 6).alias("score"),
             )
         )
     if method == "preferential_attachment":
