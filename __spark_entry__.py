@@ -5197,10 +5197,11 @@ MKT_SEGMENTS = ["AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD",
 def q_segment_pivot(spark, sf_dir):
     """Nation x market-segment contingency table via the PIVOT
     operator: one row per nation, one LONG column per (pinned)
-    segment.  Spark compiles pivot-with-values to a single pass of
-    conditional aggregates — no second values-discovery job, which is
-    the 100-TB point of pinning the list.  Zero-count cells emit 0,
-    not null (the left-join zero-bin lesson)."""
+    segment.  Pinning the value list means NO values-discovery job (an
+    unpinned pivot first runs a distinct+collect over the data — the
+    100-TB killer); execution is the standard two-phase plan (count
+    agg + pivot_first), one scan.  Zero-count cells emit 0, not null
+    (the left-join zero-bin lesson)."""
     c = load_table(spark, sf_dir, "customer")
     n = load_table(spark, sf_dir, "nation").select(
         "n_nationkey", "n_name")

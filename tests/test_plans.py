@@ -677,3 +677,104 @@ def test_vocab_coverage_head_is_take_ordered(spark):
     docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     p = plan_of(vocab_coverage(docs))
     assert "TakeOrderedAndProject" in p, p
+
+
+def test_late_shipments_semi_join_not_cartesian(spark):
+    from plato_spark.functions.relational import late_shipments
+
+    o = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+    li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+    p = plan_of(late_shipments(o, li))
+    # the non-equi date predicate must ride the orderkey equi-key as a
+    # LeftSemi condition — never a nested-loop/cartesian EXISTS
+    assert "LeftSemi" in p, p
+    assert "CartesianProduct" not in p, p
+    assert "BroadcastNestedLoopJoin" not in p, p
+
+
+def test_returned_items_pushdown_and_take_ordered(spark):
+    from plato_spark.functions.relational import returned_items
+
+    li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+    o = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+    c = spark.read.parquet("/root/testdata/sf0.001/customer.parquet")
+    n = spark.read.parquet("/root/testdata/sf0.001/nation.parquet")
+    p = plan_of(returned_items(li, o, c, n, k=20))
+    # returnflag filter reaches the parquet scan; the top-k is a
+    # TakeOrdered, never a global sort; the k survivors broadcast
+    assert "EqualTo(l_returnflag,R)" in p, p
+    assert "TakeOrderedAndProject" in p, p
+    assert "BroadcastExchange" in p, p
+
+
+def test_local_supplier_volume_pushdown_and_broadcast_dims(spark):
+    from plato_spark.functions.relational import local_supplier_volume
+
+    t = lambda n: spark.read.parquet(f"/root/testdata/sf0.001/{n}.parquet")
+    p = plan_of(local_supplier_volume(
+        t("lineitem"), t("orders"), t("customer"), t("supplier"),
+        t("nation"), t("region")))
+    # order-date year pushes to the orders scan BEFORE the fan-in;
+    # supplier/nation/region tags broadcast; customer never does
+    assert "o_orderdate" in p.split("PushedFilters", 1)[1][:600] or \
+        "o_orderdate" in p, p
+    assert p.count("BroadcastExchange") >= 3, p
+    assert "CartesianProduct" not in p, p
+
+
+def test_dormant_customers_anti_join_and_scalar_broadcast(spark):
+    from plato_spark.functions.relational import dormant_customers
+
+    t = lambda n: spark.read.parquet(f"/root/testdata/sf0.001/{n}.parquet")
+    p = plan_of(dormant_customers(t("orders"), t("customer"), t("nation")))
+    assert "LeftAnti" in p, p
+    # the balance-average scalar rides a broadcast, not a re-aggregation
+    assert "BroadcastExchange" in p, p
+    assert "CartesianProduct" not in p, p
+
+
+def test_cube_single_expand_single_exchange(spark):
+    import __spark_entry__ as E
+
+    df = E.q_status_priority_cube(spark, "/root/testdata/sf0.001")
+    p = plan_of(df)
+    # CUBE = one Expand feeding one partial/final agg pair — all four
+    # grouping sets in a single shuffle, never four jobs
+    assert "Expand" in p, p
+    assert p.count("Exchange") <= 2, p
+    assert "partial" in p.lower(), p
+
+
+def test_segment_pivot_single_pass(spark):
+    import __spark_entry__ as E
+
+    p = plan_of(E.q_segment_pivot(spark, "/root/testdata/sf0.001"))
+    # pinned pivot values -> NO values-discovery job (the plan contains
+    # the literal segment list inside pivotfirst); execution is the
+    # standard two-phase pivot: count agg + pivot_first = exactly 2
+    # shuffle exchanges, one scan of the data
+    assert "pivotfirst" in p and "AUTOMOBILE" in p, p
+    assert "BroadcastExchange" in p, p
+    import re
+
+    shuffles = len(re.findall(r"\(\d+\) Exchange", p))
+    assert shuffles <= 2, p
+    assert "partial" in p.lower(), p
+
+
+def test_zipf_rank_is_range_partitioned_never_single_window(spark):
+    import __spark_entry__ as E
+
+    p = plan_of(E.q_zipf_curve(spark, "/root/testdata/sf0.001"))
+    # the dictionary rank rides a range partition + per-partition
+    # window; the only SinglePartition work is the 1-row total
+    assert "rangepartitioning" in p, p
+    assert "CartesianProduct" not in p, p
+
+
+def test_knn_hubness_topk_window_is_src_partitioned(spark):
+    import __spark_entry__ as E
+
+    p = plan_of(E.q_knn_hubness(spark, "/root/testdata/sf0.001"))
+    assert "hashpartitioning(src" in p, p
+    assert "CartesianProduct" not in p, p
