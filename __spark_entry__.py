@@ -5271,6 +5271,110 @@ def q_audience_overlap(spark, sf_dir):
     )
 
 
+def q_balance_deciles(spark, sf_dir):
+    """Customer account-balance decile profile: per decile (0 =
+    richest) the customer count and exact min/max/sum balance in cents.
+    Deciles come from the vid-encoder DISTRIBUTED rank
+    (graph/edges.build_dictionary on the rankcorr composite int64 key
+    custkey - bal_c*2^24, whose ascending order IS (bal DESC, custkey))
+    — never ntile(), which is an unpartitioned window = a global sort
+    at 100 TB.  decile = (rank * 10) div n, one scalar broadcast."""
+    from plato_spark.graph.edges import build_dictionary
+
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey",
+        F.round(F.col("c_acctbal") * 100, 0).cast("long").alias("bal_c"))
+    keyed = c.select(
+        "bal_c",
+        (F.col("c_custkey") - F.col("bal_c") * F.lit(1 << 24))
+        .cast("long").alias("vkey"))
+    d = build_dictionary(keyed.select("vkey"), 8)
+    ranked = keyed.join(d, "vkey").select(
+        "bal_c", F.col("id").alias("rank"))
+    n = ranked.agg(F.count(F.lit(1)).cast("long").alias("n"))
+    return (
+        ranked.crossJoin(F.broadcast(n))
+        .select("bal_c",
+                F.expr("(rank * 10) div n").cast("int").alias("decile"))
+        .groupBy("decile")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_customers"),
+             F.min("bal_c").cast("long").alias("min_bal_c"),
+             F.max("bal_c").cast("long").alias("max_bal_c"),
+             F.sum("bal_c").cast("long").alias("sum_bal_c"))
+    )
+
+
+def q_trailing_revenue(spark, sf_dir):
+    """7-day trailing order revenue per priority: per (priority, day)
+    the day's exact revenue and the RANGE-framed trailing week — the
+    smoothed demand curve.  The sliding aggregate runs over the
+    PRE-AGGREGATED per-day table (<= |priorities| x |days| rows — the
+    bounded offsets-table role), partitioned by priority, with a RANGE
+    BETWEEN 6 PRECEDING frame on the integer epoch day: RANGE on exact
+    ints has identical semantics in both engines and skips calendar
+    gaps correctly where a ROWS frame would not."""
+    from pyspark.sql import Window
+
+    o = load_table(spark, sf_dir, "orders")
+    per = (
+        o.select("o_orderpriority",
+                 F.datediff(F.col("o_orderdate"), F.lit("1970-01-01"))
+                 .cast("long").alias("day_i"),
+                 F.round(F.col("o_totalprice") * 100, 0).cast("long")
+                 .alias("pc"))
+        .groupBy("o_orderpriority", "day_i")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_orders"),
+             F.sum("pc").cast("long").alias("rev_c"))
+    )
+    w = (Window.partitionBy("o_orderpriority").orderBy("day_i")
+         .rangeBetween(-6, 0))
+    return per.select(
+        F.col("o_orderpriority").alias("priority"), "day_i", "n_orders",
+        F.round(F.col("rev_c") / F.lit(100.0), 2).alias("revenue"),
+        F.round(F.sum("rev_c").over(w) / F.lit(100.0), 2)
+        .alias("trailing_7d_revenue"),
+    )
+
+
+def q_shipping_latency(spark, sf_dir):
+    """Order-to-first-shipment latency quantiles per priority: exact
+    integer day gaps (min ship date per order minus order date) through
+    the in-plan per-group histogram-quantile kernel — does paying for
+    1-URGENT actually ship sooner?  One map-side-combined min per
+    order + one orderkey join feed the proven group_quantiles chain."""
+    from plato_spark.functions.quantiles import group_quantiles
+
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    first = li.groupBy("l_orderkey").agg(
+        F.min("l_shipdate").alias("first_ship"))
+    j = o.select("o_orderkey", "o_orderpriority", "o_orderdate").join(
+        first, F.col("o_orderkey") == F.col("l_orderkey"))
+    lead = j.select(
+        "o_orderpriority",
+        F.datediff(F.col("first_ship"), F.col("o_orderdate"))
+        .cast("double").alias("lead_days"))
+    return group_quantiles(lead, "o_orderpriority", "lead_days")
+
+
+def q_edge_weight_spectrum(spark, sf_dir):
+    """Co-occurrence edge-weight spectrum: per bit-length weight bucket
+    the edge count and total weight mass — the evidence-strength shape
+    of the weighted graph (a mass-heavy tail bucket says a few
+    always-together pairs carry the graph; the degree histogram can't
+    see that).  Weights are exact integer counts; one
+    map-side-combined agg over the canonical edge table."""
+    canon = part_cooccurrence_edges(spark, sf_dir, weighted=True)
+    wgt = F.col("weight").cast("long")
+    return (
+        canon.select(F.length(F.bin(wgt)).cast("int").alias("bucket"),
+                     wgt.alias("w"))
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_edges"),
+             F.sum("w").cast("long").alias("weight_mass"))
+    )
+
+
 def q_link_overlap(spark, sf_dir):
     """Overlap (hub-promoted) coefficient per linked pair
     (algos/triangles.neighborhood_similarity method='overlap'):
@@ -7520,6 +7624,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "densification_curve": q_densification_curve,
         "segment_unpivot": q_segment_unpivot,
         "brand_size_lift": q_brand_size_lift,
+        "balance_deciles": q_balance_deciles,
+        "trailing_revenue": q_trailing_revenue,
+        "shipping_latency": q_shipping_latency,
+        "edge_weight_spectrum": q_edge_weight_spectrum,
         "group_quantiles": q_group_quantiles,
         "conversion_latency": q_conversion_latency,
         "harmonic_exact": q_harmonic_exact,
@@ -10329,6 +10437,53 @@ FROM cells c JOIN rb ON c.p_brand = rb.p_brand
 JOIN cs ON c.size_bucket = cs.size_bucket
 CROSS JOIN tot
 ORDER BY c.p_brand, c.size_bucket""",
+        "balance_deciles": """
+WITH c AS (SELECT c_custkey,
+                  CAST(round(c_acctbal * 100, 0) AS BIGINT) AS bal_c
+           FROM customer),
+r AS (SELECT bal_c,
+             row_number() OVER (ORDER BY bal_c DESC, c_custkey) - 1
+               AS rank
+      FROM c),
+n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM c)
+SELECT CAST((r.rank * 10) // n.n AS INTEGER) AS decile,
+       CAST(count(*) AS BIGINT) AS n_customers,
+       CAST(min(bal_c) AS BIGINT) AS min_bal_c,
+       CAST(max(bal_c) AS BIGINT) AS max_bal_c,
+       CAST(sum(bal_c) AS BIGINT) AS sum_bal_c
+FROM r CROSS JOIN n GROUP BY 1 ORDER BY decile""",
+        "trailing_revenue": """
+WITH per AS (
+  SELECT o_orderpriority,
+         CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS BIGINT)
+           AS day_i,
+         CAST(count(*) AS BIGINT) AS n_orders,
+         CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT))
+              AS BIGINT) AS rev_c
+  FROM orders GROUP BY 1, 2)
+SELECT o_orderpriority AS priority, day_i, n_orders,
+       round(CAST(rev_c AS DOUBLE) / 100.0, 2) AS revenue,
+       round(CAST(sum(rev_c) OVER (
+               PARTITION BY o_orderpriority ORDER BY day_i
+               RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)
+             AS DOUBLE) / 100.0, 2) AS trailing_7d_revenue
+FROM per ORDER BY priority, day_i""",
+        "shipping_latency": "WITH " + _sql_gq_chain(
+            256, (0.5, 0.9, 0.99),
+            """SELECT o.o_orderpriority AS g,
+                      CAST(CAST(f.first_ship AS DATE)
+                           - CAST(o.o_orderdate AS DATE) AS DOUBLE) AS x
+               FROM orders o JOIN (
+                 SELECT l_orderkey, min(l_shipdate) AS first_ship
+                 FROM lineitem GROUP BY l_orderkey) f
+               ON o.o_orderkey = f.l_orderkey""",
+        ) + "\nSELECT g AS o_orderpriority, q, value FROM val"
+            "\nORDER BY o_orderpriority, q",
+        "edge_weight_spectrum": SQL_GRAPH_PREFIX + """
+SELECT CAST(length(bin(CAST(weight AS BIGINT))) AS INTEGER) AS bucket,
+       CAST(count(*) AS BIGINT) AS n_edges,
+       CAST(sum(CAST(weight AS BIGINT)) AS BIGINT) AS weight_mass
+FROM canon GROUP BY bucket ORDER BY bucket""",
         "segment_mix": """
 WITH g AS (SELECT n.n_name AS nation, c.c_mktsegment AS segment,
                   CAST(count(*) AS BIGINT) AS n_customers
