@@ -5271,6 +5271,190 @@ def q_audience_overlap(spark, sf_dir):
     )
 
 
+def q_source_entropy(spark, sf_dir):
+    """Per-source token Shannon entropy in bits: H = log2(N) -
+    (Σ c·log2 c)/N over the per-(source, token) counts — vocabulary
+    RICHNESS where lang_concentration's Herfindahl reads dominance;
+    the two disagree exactly when a source mixes a few heavy tokens
+    with a long tail.  Counts are exact integers; the Σ c·log2 c fold
+    is the only float sum and its reassociation error is ~V·ε relative
+    (≈1e-11 here) — invisible at the 6dp rounding both engines
+    apply."""
+    from plato_spark.functions.text import TOKEN_RE
+
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "source",
+        F.explode(F.regexp_extract_all(
+            F.col("text"), F.lit(TOKEN_RE), F.lit(0))).alias("token"))
+    c = tok.groupBy("source", "token").agg(
+        F.count(F.lit(1)).cast("long").alias("c"))
+    g = c.groupBy("source").agg(
+        F.sum("c").cast("long").alias("n_tokens"),
+        F.count(F.lit(1)).cast("long").alias("vocab"),
+        F.sum(F.col("c") * F.log2(F.col("c"))).alias("s"),
+    )
+    return g.select(
+        "source", "n_tokens", "vocab",
+        F.round(F.log2(F.col("n_tokens")) - F.col("s") / F.col("n_tokens"),
+                6).alias("entropy_bits"),
+    )
+
+
+def q_reorder_gaps(spark, sf_dir):
+    """Repeat-purchase interval quantiles: days between a customer's
+    consecutive orders through the proven histogram-quantile kernel —
+    the replenishment-cycle read-out behind dormancy cutoffs (Q22's
+    'since' parameter stops being folklore).  One per-customer window
+    lag under the pinned (date, orderkey) order; exact integer day
+    gaps."""
+    from pyspark.sql import Window
+
+    from plato_spark.functions.quantiles import histogram_quantiles
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderkey",
+        F.datediff(F.col("o_orderdate"), F.lit("1970-01-01"))
+        .cast("long").alias("day_i"))
+    w = Window.partitionBy("o_custkey").orderBy("day_i", "o_orderkey")
+    gaps = o.select(
+        (F.col("day_i") - F.lag("day_i").over(w)).cast("double")
+        .alias("gap_days")
+    ).where(F.col("gap_days").isNotNull())
+    return histogram_quantiles(gaps, "gap_days",
+                               quantiles=(0.5, 0.9, 0.99), nbins=256)
+
+
+def q_audience_jaccard(spark, sf_dir):
+    """Pairwise Jaccard between event-type audiences: the full
+    |types| x |types| overlap matrix generalizing audience_overlap's
+    single Venn — which behaviours share users.  The pair universe
+    comes from the type list itself (zero-intersection pairs emit 0 —
+    the 0-row lesson); intersections ride ONE self-join of the deduped
+    (user, type) incidence on user_id; exact integers, one division."""
+    ev = load_table(spark, sf_dir, "events")
+    inc = ev.select("user_id", F.col("event_type").alias("t")).distinct()
+    marg = inc.groupBy("t").agg(
+        F.count(F.lit(1)).cast("long").alias("m"))
+    inter = (
+        inc.alias("a")
+        .join(inc.alias("b"),
+              (F.col("a.user_id") == F.col("b.user_id"))
+              & (F.col("a.t") < F.col("b.t")))
+        .groupBy(F.col("a.t").alias("ta"), F.col("b.t").alias("tb"))
+        .agg(F.count(F.lit(1)).cast("long").alias("nab"))
+    )
+    pairs = (
+        marg.select(F.col("t").alias("ta"), F.col("m").alias("ma"))
+        .join(marg.select(F.col("t").alias("tb"), F.col("m").alias("mb")),
+              F.col("ta") < F.col("tb"))
+    )
+    return (
+        pairs.join(inter, ["ta", "tb"], "left")
+        .select(
+            "ta", "tb",
+            F.coalesce("nab", F.lit(0)).cast("long").alias("n_both"),
+            "ma", "mb",
+            F.round(F.coalesce("nab", F.lit(0))
+                    / (F.col("ma") + F.col("mb")
+                       - F.coalesce("nab", F.lit(0))), 6).alias("jaccard"),
+        )
+    )
+
+
+MARKOV_ITERS = 8
+
+
+def q_markov_stationary(spark, sf_dir):
+    """Stationary distribution of the first-order event-type Markov
+    chain: 8 power iterations x_{t+1} = x_t P from uniform over the
+    measured transition matrix (functions/events.event_transitions
+    counts; probabilities recomputed as the same exact n/rowsum
+    division in both engines — never the 6dp-rounded prob column,
+    which would compound).  PageRank's kernel on a |types|-state
+    chain: every join is broadcast-scale, the oracle unrolls the same
+    8 steps, and states nothing transitions INTO get explicit 0 mass
+    via the left join (the zero-bin discipline)."""
+    from plato_spark.functions.events import event_transitions
+
+    tr = event_transitions(load_table(spark, sf_dir, "events")).select(
+        "src_type", "dst_type", "n")
+    rows = tr.groupBy("src_type").agg(F.sum("n").alias("rs"))
+    P = tr.join(rows, "src_type").select(
+        "src_type", "dst_type",
+        (F.col("n") / F.col("rs")).alias("p")).persist()
+    states = (
+        P.select(F.col("src_type").alias("state"))
+        .unionByName(P.select(F.col("dst_type").alias("state")))
+        .distinct().persist()
+    )
+    ns = states.agg(F.count(F.lit(1)).cast("long").alias("k"))
+    x = states.crossJoin(F.broadcast(ns)).select(
+        "state", (F.lit(1.0) / F.col("k")).alias("w"))
+    for _ in range(MARKOV_ITERS):
+        step = (
+            P.join(x, F.col("state") == F.col("src_type"))
+            .groupBy(F.col("dst_type").alias("state2"))
+            .agg(F.sum(F.col("w") * F.col("p")).alias("w2"))
+        )
+        x = states.join(step, F.col("state") == F.col("state2"), "left"
+                        ).select("state",
+                                 F.coalesce("w2", F.lit(0.0)).alias("w"))
+    return x.select("state", F.round("w", 6).alias("w"))
+
+
+def _sql_reorder_gaps(nbins: int = 256) -> str:
+    chain = _sql_gq_chain(
+        nbins, (0.5, 0.9, 0.99),
+        "SELECT 0 AS g, CAST(gap_days AS DOUBLE) AS x FROM gap "
+        "WHERE gap_days IS NOT NULL",
+        p="q",
+    )
+    return f"""
+WITH o AS (SELECT o_custkey, o_orderkey,
+                  CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01'
+                       AS BIGINT) AS day_i
+           FROM orders),
+gap AS MATERIALIZED (
+  SELECT day_i - lag(day_i) OVER (
+           PARTITION BY o_custkey ORDER BY day_i, o_orderkey)
+           AS gap_days
+  FROM o),
+{chain}
+SELECT q, value FROM qval ORDER BY q"""
+
+
+def _sql_markov_stationary(iters: int = MARKOV_ITERS) -> str:
+    steps = []
+    for i in range(1, iters + 1):
+        steps.append(f"""
+x{i} AS MATERIALIZED (
+  SELECT s.state, COALESCE(t.w, 0.0) AS w
+  FROM st s LEFT JOIN (
+    SELECT p.dst_type AS state, sum(x.w * p.p) AS w
+    FROM p JOIN x{i - 1} x ON x.state = p.src_type
+    GROUP BY p.dst_type) t ON s.state = t.state)""")
+    return f"""
+WITH s0 AS (SELECT event_type AS t,
+              lead(event_type) OVER (
+                PARTITION BY user_id ORDER BY ts, event_id) AS nt
+            FROM events),
+c AS MATERIALIZED (
+  SELECT t AS src_type, nt AS dst_type, CAST(count(*) AS BIGINT) AS n
+  FROM s0 WHERE nt IS NOT NULL GROUP BY 1, 2),
+p AS MATERIALIZED (
+  SELECT src_type, dst_type,
+         CAST(n AS DOUBLE) / sum(n) OVER (PARTITION BY src_type) AS p
+  FROM c),
+st AS MATERIALIZED (
+  SELECT src_type AS state FROM c
+  UNION SELECT dst_type FROM c),
+ns AS (SELECT CAST(count(*) AS BIGINT) AS k FROM st),
+x0 AS (SELECT state, 1.0 / ns.k AS w FROM st CROSS JOIN ns),
+{",".join(steps)}
+SELECT state, round(w, 6) AS w FROM x{iters} ORDER BY state"""
+
+
 def q_balance_deciles(spark, sf_dir):
     """Customer account-balance decile profile: per decile (0 =
     richest) the customer count and exact min/max/sum balance in cents.
@@ -7628,6 +7812,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "trailing_revenue": q_trailing_revenue,
         "shipping_latency": q_shipping_latency,
         "edge_weight_spectrum": q_edge_weight_spectrum,
+        "source_entropy": q_source_entropy,
+        "reorder_gaps": q_reorder_gaps,
+        "audience_jaccard": q_audience_jaccard,
+        "markov_stationary": q_markov_stationary,
         "group_quantiles": q_group_quantiles,
         "conversion_latency": q_conversion_latency,
         "harmonic_exact": q_harmonic_exact,
@@ -10484,6 +10672,37 @@ SELECT CAST(length(bin(CAST(weight AS BIGINT))) AS INTEGER) AS bucket,
        CAST(count(*) AS BIGINT) AS n_edges,
        CAST(sum(CAST(weight AS BIGINT)) AS BIGINT) AS weight_mass
 FROM canon GROUP BY bucket ORDER BY bucket""",
+        "source_entropy": f"""
+WITH t AS MATERIALIZED (
+  SELECT source,
+         unnest(regexp_extract_all(text, '{TOKEN_RE_SQL}')) AS token
+  FROM documents),
+c AS MATERIALIZED (
+  SELECT source, token, CAST(count(*) AS BIGINT) AS c
+  FROM t GROUP BY source, token)
+SELECT source, CAST(sum(c) AS BIGINT) AS n_tokens,
+       CAST(count(*) AS BIGINT) AS vocab,
+       round(log2(sum(c)) - sum(c * log2(c)) / sum(c), 6)
+         AS entropy_bits
+FROM c GROUP BY source ORDER BY source""",
+        "reorder_gaps": _sql_reorder_gaps(),
+        "audience_jaccard": """
+WITH inc AS MATERIALIZED (
+  SELECT DISTINCT user_id, event_type AS t FROM events),
+marg AS (SELECT t, CAST(count(*) AS BIGINT) AS m FROM inc GROUP BY t),
+inter AS (
+  SELECT a.t AS ta, b.t AS tb, CAST(count(*) AS BIGINT) AS nab
+  FROM inc a JOIN inc b ON a.user_id = b.user_id AND a.t < b.t
+  GROUP BY a.t, b.t),
+pairs AS (
+  SELECT ma.t AS ta, ma.m AS ma, mb.t AS tb, mb.m AS mb
+  FROM marg ma JOIN marg mb ON ma.t < mb.t)
+SELECT p.ta, p.tb, COALESCE(i.nab, 0) AS n_both, p.ma, p.mb,
+       round(CAST(COALESCE(i.nab, 0) AS DOUBLE)
+             / (p.ma + p.mb - COALESCE(i.nab, 0)), 6) AS jaccard
+FROM pairs p LEFT JOIN inter i ON p.ta = i.ta AND p.tb = i.tb
+ORDER BY p.ta, p.tb""",
+        "markov_stationary": _sql_markov_stationary(),
         "segment_mix": """
 WITH g AS (SELECT n.n_name AS nation, c.c_mktsegment AS segment,
                   CAST(count(*) AS BIGINT) AS n_customers
