@@ -5271,6 +5271,105 @@ def q_audience_overlap(spark, sf_dir):
     )
 
 
+def _observed_catalog(spark, sf_dir):
+    """(l_partkey, l_suppkey, qty, unit_u) — the observed supply
+    catalog derived from lineitem (this schema has no partsupp table):
+    per line, the unit price quantized to EXACT integer 1e-4 cents via
+    floor division (extprice_c * 10000) div qty — the deterministic
+    stand-in for a rational compare; both engines floor identically."""
+    li = load_table(spark, sf_dir, "lineitem")
+    pc = F.round(F.col("l_extendedprice") * 100, 0).cast("long")
+    qty = F.round(F.col("l_quantity"), 0).cast("long")
+    return li.select(
+        "l_partkey", "l_suppkey", qty.alias("qty"), pc.alias("pc")
+    ).select(
+        "l_partkey", "l_suppkey", "qty",
+        # integer floor division — a double divide could round across
+        # an integer boundary and flip an argmin
+        F.expr("(pc * 10000) div qty").cast("long").alias("unit_u"))
+
+
+def q_cheapest_supplier(spark, sf_dir):
+    """TPC-H-Q2 shape over the observed catalog: per part the supplier
+    with the LOWEST observed unit price (min over exact integer 1e-4
+    cents, ties to the smaller suppkey — a struct-min total order, one
+    map-side-combined agg, no window).  The min rides (unit_u, suppkey)
+    packed lexicographically; only the winners join the supplier
+    dimension."""
+    cat = _observed_catalog(spark, sf_dir)
+    best = (
+        cat.groupBy("l_partkey")
+        .agg(F.min(F.struct("unit_u", "l_suppkey")).alias("m"))
+        .select(F.col("l_partkey").alias("p_partkey"),
+                F.col("m.l_suppkey").alias("s_suppkey"),
+                F.col("m.unit_u").alias("unit_u"))
+    )
+    s = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_name")
+    # half-up to 4 decimals as an INTEGER op (engines' float round()
+    # disagree on exact .5 ties — the trade_volume lesson)
+    return best.join(s, "s_suppkey").select(
+        "p_partkey", "s_suppkey", "s_name",
+        (F.expr("(unit_u + 50) div 100").cast("long") / F.lit(1e4))
+        .alias("unit_price"))
+
+
+def q_dominant_suppliers(spark, sf_dir):
+    """TPC-H-Q20 shape: suppliers holding an OUTSIZED share (> 1/8) of
+    a part's total observed quantity — concentrated-supply risk, per
+    supplier.  With ~100 active suppliers the fair share is ~1%, so
+    1/8 flags a 12.5x overweight; a strict >1/2 majority never occurs
+    in this near-uniform synthetic catalog (the 0-row lesson — a
+    threshold that can't fire proves nothing).  The share test is a
+    pure integer cross-multiply (8 * supplier_qty > part_total)
+    against the part aggregate rejoined on its own partitioning."""
+    cat = _observed_catalog(spark, sf_dir)
+    per = cat.groupBy("l_partkey", "l_suppkey").agg(
+        F.sum("qty").cast("long").alias("sq"))
+    tot = per.groupBy(F.col("l_partkey").alias("pk")).agg(
+        F.sum("sq").cast("long").alias("st"))
+    dom = per.join(tot, F.col("l_partkey") == F.col("pk")).where(
+        F.lit(8) * F.col("sq") > F.col("st"))
+    return dom.groupBy(F.col("l_suppkey").alias("s_suppkey")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_parts_dominated"),
+        F.sum("sq").cast("long").alias("qty_mass"))
+
+
+def q_catalog_breadth(spark, sf_dir):
+    """TPC-H-Q16 shape over the observed catalog: per brand the
+    distinct suppliers, distinct parts, and observed (part, supplier)
+    pair count — supply-base breadth.  Two count-distincts share ONE
+    expand over the pair-deduped catalog; part tag joins on
+    partkey."""
+    cat = _observed_catalog(spark, sf_dir).select(
+        "l_partkey", "l_suppkey").distinct()
+    p = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    j = cat.join(p, F.col("l_partkey") == F.col("p_partkey"))
+    return j.groupBy("p_brand").agg(
+        F.count_distinct("l_suppkey").cast("long").alias("n_suppliers"),
+        F.count_distinct("l_partkey").cast("long").alias("n_parts"),
+        F.count(F.lit(1)).cast("long").alias("n_pairs"))
+
+
+def q_price_dispersion(spark, sf_dir):
+    """Per-brand unit-price dispersion: how differently the same part
+    sells across lines — (parts, parts with any spread, mean relative
+    spread (max-min)/min).  Spread membership is decided on EXACT
+    integer unit_u; the per-part ratio is the only float op, averaged
+    per brand and rounded 6dp."""
+    cat = _observed_catalog(spark, sf_dir)
+    per = cat.groupBy("l_partkey").agg(
+        F.min("unit_u").alias("lo"), F.max("unit_u").alias("hi"))
+    p = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    j = per.join(p, F.col("l_partkey") == F.col("p_partkey"))
+    return j.groupBy("p_brand").agg(
+        F.count(F.lit(1)).cast("long").alias("n_parts"),
+        F.sum(F.when(F.col("hi") > F.col("lo"), 1).otherwise(0))
+        .cast("long").alias("n_spread"),
+        F.round(F.avg((F.col("hi") - F.col("lo")) / F.col("lo")), 6)
+        .alias("mean_rel_spread"))
+
+
 def q_source_entropy(spark, sf_dir):
     """Per-source token Shannon entropy in bits: H = log2(N) -
     (Σ c·log2 c)/N over the per-(source, token) counts — vocabulary
@@ -7816,6 +7915,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "reorder_gaps": q_reorder_gaps,
         "audience_jaccard": q_audience_jaccard,
         "markov_stationary": q_markov_stationary,
+        "cheapest_supplier": q_cheapest_supplier,
+        "dominant_suppliers": q_dominant_suppliers,
+        "catalog_breadth": q_catalog_breadth,
+        "price_dispersion": q_price_dispersion,
         "group_quantiles": q_group_quantiles,
         "conversion_latency": q_conversion_latency,
         "harmonic_exact": q_harmonic_exact,
@@ -10703,6 +10806,63 @@ SELECT p.ta, p.tb, COALESCE(i.nab, 0) AS n_both, p.ma, p.mb,
 FROM pairs p LEFT JOIN inter i ON p.ta = i.ta AND p.tb = i.tb
 ORDER BY p.ta, p.tb""",
         "markov_stationary": _sql_markov_stationary(),
+        "cheapest_supplier": """
+WITH cat AS MATERIALIZED (
+  SELECT l_partkey, l_suppkey,
+         (CAST(round(l_extendedprice * 100, 0) AS BIGINT) * 10000)
+           // CAST(round(l_quantity, 0) AS BIGINT) AS unit_u
+  FROM lineitem),
+mn AS (SELECT l_partkey, CAST(min(unit_u) AS BIGINT) AS mu
+       FROM cat GROUP BY l_partkey),
+best AS (
+  SELECT c.l_partkey AS p_partkey,
+         CAST(min(c.l_suppkey) AS BIGINT) AS s_suppkey,
+         mn.mu AS unit_u
+  FROM cat c JOIN mn ON c.l_partkey = mn.l_partkey
+                    AND c.unit_u = mn.mu
+  GROUP BY c.l_partkey, mn.mu)
+SELECT b.p_partkey, b.s_suppkey, s.s_name,
+       CAST((b.unit_u + 50) // 100 AS BIGINT) / 1e4 AS unit_price
+FROM best b JOIN supplier s ON b.s_suppkey = s.s_suppkey
+ORDER BY b.p_partkey""",
+        "dominant_suppliers": """
+WITH cat AS MATERIALIZED (
+  SELECT l_partkey, l_suppkey,
+         CAST(round(l_quantity, 0) AS BIGINT) AS qty
+  FROM lineitem),
+per AS (SELECT l_partkey, l_suppkey, CAST(sum(qty) AS BIGINT) AS sq
+        FROM cat GROUP BY 1, 2),
+tot AS (SELECT l_partkey AS pk, CAST(sum(sq) AS BIGINT) AS st
+        FROM per GROUP BY 1)
+SELECT per.l_suppkey AS s_suppkey,
+       CAST(count(*) AS BIGINT) AS n_parts_dominated,
+       CAST(sum(per.sq) AS BIGINT) AS qty_mass
+FROM per JOIN tot ON per.l_partkey = tot.pk
+WHERE 8 * per.sq > tot.st
+GROUP BY per.l_suppkey ORDER BY s_suppkey""",
+        "catalog_breadth": """
+WITH cat AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem)
+SELECT p.p_brand,
+       CAST(count(DISTINCT cat.l_suppkey) AS BIGINT) AS n_suppliers,
+       CAST(count(DISTINCT cat.l_partkey) AS BIGINT) AS n_parts,
+       CAST(count(*) AS BIGINT) AS n_pairs
+FROM cat JOIN part p ON cat.l_partkey = p.p_partkey
+GROUP BY p.p_brand ORDER BY p.p_brand""",
+        "price_dispersion": """
+WITH cat AS MATERIALIZED (
+  SELECT l_partkey,
+         (CAST(round(l_extendedprice * 100, 0) AS BIGINT) * 10000)
+           // CAST(round(l_quantity, 0) AS BIGINT) AS unit_u
+  FROM lineitem),
+per AS (SELECT l_partkey, CAST(min(unit_u) AS BIGINT) AS lo,
+               CAST(max(unit_u) AS BIGINT) AS hi
+        FROM cat GROUP BY l_partkey)
+SELECT p.p_brand, CAST(count(*) AS BIGINT) AS n_parts,
+       CAST(sum(CASE WHEN hi > lo THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_spread,
+       round(avg(CAST(hi - lo AS DOUBLE) / lo), 6) AS mean_rel_spread
+FROM per JOIN part p ON per.l_partkey = p.p_partkey
+GROUP BY p.p_brand ORDER BY p.p_brand""",
         "segment_mix": """
 WITH g AS (SELECT n.n_name AS nation, c.c_mktsegment AS segment,
                   CAST(count(*) AS BIGINT) AS n_customers
