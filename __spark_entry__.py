@@ -5271,6 +5271,100 @@ def q_audience_overlap(spark, sf_dir):
     )
 
 
+def q_lcc_histogram(spark, sf_dir):
+    """Local-clustering-coefficient distribution in 10 EXACT bins:
+    bin = min((20·T) div (d·(d-1)), 9) — the rational 2T/(d(d-1)) is
+    binned by INTEGER cross-multiply, so bin membership never rides a
+    float (a 0.septillion-ulp lcc at a bin edge would otherwise flip
+    between engines).  deg < 2 vertices land in bin 0 with lcc 0, the
+    clustering_coefficient convention; lcc = 1.0 caps into bin 9.
+    The shape statistic behind transitivity's single scalar."""
+    from plato_spark.algos.triangles import _degrees, triangle_count
+
+    canon = part_cooccurrence_edges(spark, sf_dir)
+    tri = triangle_count(canon, per_vertex=True)
+    deg = _degrees(canon)
+    j = tri.join(deg, "id", "left")
+    b = F.when(
+        F.col("deg") >= 2,
+        F.least(F.expr("(20 * triangles) div (deg * (deg - 1))"),
+                F.lit(9)),
+    ).otherwise(F.lit(0)).cast("int")
+    return j.select(b.alias("bin")).groupBy("bin").agg(
+        F.count(F.lit(1)).cast("long").alias("n_vertices"))
+
+
+def q_revenue_growth(spark, sf_dir):
+    """Year-over-year revenue growth per nation: exact integer yearly
+    revenue with the growth ratio as the ONLY float op (lag window per
+    nation over <= |years| rows — the bounded offsets-table role); the
+    first year emits NULL growth, never a fake 0 (no prior year is not
+    zero growth)."""
+    from pyspark.sql import Window
+
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey")
+    n = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name")
+    per = (
+        o.select("o_custkey",
+                 F.year("o_orderdate").cast("int").alias("year"),
+                 F.round(F.col("o_totalprice") * 100, 0).cast("long")
+                 .alias("pc"))
+        .join(c, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy(F.col("n_name").alias("nation"), "year")
+        .agg(F.sum("pc").cast("long").alias("rev_c"))
+    )
+    w = Window.partitionBy("nation").orderBy("year")
+    prev = F.lag("rev_c").over(w)
+    return per.select(
+        "nation", "year",
+        F.round(F.col("rev_c") / F.lit(100.0), 2).alias("revenue"),
+        F.round((F.lit(100) * (F.col("rev_c") - prev)) / prev, 6)
+        .alias("yoy_pct"),
+    )
+
+
+def q_lifetime_quantiles(spark, sf_dir):
+    """User lifetime (first to last event) quantiles in seconds through
+    the proven histogram kernel — the engagement-horizon read-out
+    behind retention_cohorts' window choice.  Exact integer µs spans
+    divided by 1e6 once (the session_gaps float64-precision
+    lesson)."""
+    from plato_spark.functions.quantiles import histogram_quantiles
+
+    ev = load_table(spark, sf_dir, "events")
+    ts_us = F.unix_micros(F.col("ts").cast("timestamp"))
+    span = ev.groupBy("user_id").agg(
+        ((F.max(ts_us) - F.min(ts_us)).cast("double") / F.lit(1e6))
+        .alias("lifetime_s"))
+    return histogram_quantiles(span, "lifetime_s",
+                               quantiles=(0.5, 0.9, 0.99), nbins=256)
+
+
+def q_event_grouping_sets(spark, sf_dir):
+    """Custom GROUPING SETS — (type), (day), (type, day) — in ONE pass:
+    the grouping-set operator class beyond ROLLUP/CUBE's fixed
+    lattices (this set is NOT a rollup: it keeps both one-dimensional
+    marginals but drops the grand total).  Spark expands all three
+    sets before a single exchange; lvl = GROUPING bits
+    disambiguate."""
+    ev = load_table(spark, sf_dir, "events")
+    ev.select("event_type",
+              F.date_format("ts", "yyyy-MM-dd").alias("day")
+              ).createOrReplaceTempView("ev_gs")
+    return spark.sql("""
+        SELECT event_type, day,
+               CAST(grouping(event_type) * 2 + grouping(day) AS INT)
+                 AS lvl,
+               CAST(count(*) AS BIGINT) AS n
+        FROM ev_gs
+        GROUP BY GROUPING SETS ((event_type), (day), (event_type, day))
+    """)
+
+
 def _observed_catalog(spark, sf_dir):
     """(l_partkey, l_suppkey, qty, unit_u) — the observed supply
     catalog derived from lineitem (this schema has no partsupp table):
@@ -7919,6 +8013,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dominant_suppliers": q_dominant_suppliers,
         "catalog_breadth": q_catalog_breadth,
         "price_dispersion": q_price_dispersion,
+        "lcc_histogram": q_lcc_histogram,
+        "revenue_growth": q_revenue_growth,
+        "lifetime_quantiles": q_lifetime_quantiles,
+        "event_grouping_sets": q_event_grouping_sets,
         "group_quantiles": q_group_quantiles,
         "conversion_latency": q_conversion_latency,
         "harmonic_exact": q_harmonic_exact,
@@ -10863,6 +10961,53 @@ SELECT p.p_brand, CAST(count(*) AS BIGINT) AS n_parts,
        round(avg(CAST(hi - lo AS DOUBLE) / lo), 6) AS mean_rel_spread
 FROM per JOIN part p ON per.l_partkey = p.p_partkey
 GROUP BY p.p_brand ORDER BY p.p_brand""",
+        "lcc_histogram": SQL_GRAPH_PREFIX
+        + """, tri AS MATERIALIZED (
+  SELECT a.src AS x, a.dst AS y, b.dst AS z
+  FROM canon a JOIN canon b ON a.dst = b.src
+  JOIN canon c ON c.src = a.src AND c.dst = b.dst),
+corners AS (SELECT x AS id FROM tri UNION ALL
+            SELECT y AS id FROM tri UNION ALL
+            SELECT z AS id FROM tri),
+tv AS (SELECT id, CAST(count(*) AS BIGINT) AS t FROM corners GROUP BY id)
+SELECT CAST(CASE WHEN d.deg >= 2
+            THEN least((20 * COALESCE(tv.t, 0))
+                       // (d.deg * (d.deg - 1)), 9)
+            ELSE 0 END AS INTEGER) AS bin,
+       CAST(count(*) AS BIGINT) AS n_vertices
+FROM verts v JOIN deg d ON v.id = d.id LEFT JOIN tv ON v.id = tv.id
+GROUP BY 1 ORDER BY bin""",
+        "revenue_growth": """
+WITH per AS (
+  SELECT n.n_name AS nation,
+         CAST(year(o.o_orderdate) AS INTEGER) AS year,
+         CAST(sum(CAST(round(o.o_totalprice * 100, 0) AS BIGINT))
+              AS BIGINT) AS rev_c
+  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+  JOIN nation n ON c.c_nationkey = n.n_nationkey
+  GROUP BY 1, 2)
+SELECT nation, year,
+       round(CAST(rev_c AS DOUBLE) / 100.0, 2) AS revenue,
+       round(CAST(100 * (rev_c - lag(rev_c) OVER w) AS DOUBLE)
+             / lag(rev_c) OVER w, 6) AS yoy_pct
+FROM per WINDOW w AS (PARTITION BY nation ORDER BY year)
+ORDER BY nation, year""",
+        "lifetime_quantiles": "WITH " + _sql_gq_chain(
+            256, (0.5, 0.9, 0.99),
+            """SELECT 0 AS g,
+                      CAST(epoch_us(max(ts)) - epoch_us(min(ts))
+                           AS DOUBLE) / 1e6 AS x
+               FROM events GROUP BY user_id""",
+        ) + "\nSELECT q, value FROM val ORDER BY q",
+        "event_grouping_sets": """
+WITH ev AS (SELECT event_type, strftime(ts, '%Y-%m-%d') AS day
+            FROM events)
+SELECT event_type, day,
+       CAST(GROUPING(event_type) * 2 + GROUPING(day) AS INTEGER) AS lvl,
+       CAST(count(*) AS BIGINT) AS n
+FROM ev
+GROUP BY GROUPING SETS ((event_type), (day), (event_type, day))
+ORDER BY lvl, event_type, day""",
         "segment_mix": """
 WITH g AS (SELECT n.n_name AS nation, c.c_mktsegment AS segment,
                   CAST(count(*) AS BIGINT) AS n_customers
