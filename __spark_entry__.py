@@ -5271,6 +5271,109 @@ def q_audience_overlap(spark, sf_dir):
     )
 
 
+def q_lsh_recall(spark, sf_dir):
+    """Recall@5 of hyperplane-LSH against the exact brute-force top-5 —
+    the estimator-quality audit AS an oracle-checked query (BENCH
+    carried this number; now the gate proves it): per query the hit
+    count is an exact integer (left join exact->LSH on (query, nbr)),
+    mean recall = sum_hits/(k·n_queries) and the worst query's floor
+    are the only divisions.  Same deterministic Rademacher planes and
+    k as the registered lsh_ann/ann_topk rows."""
+    from plato_spark.functions.similarity import (
+        brute_force_topk,
+        lsh_bucketed_neighbors_portable,
+    )
+
+    emb = _emb_double(spark, sf_dir)
+    ex = brute_force_topk(emb, k=5).select("query_id", "nbr_id")
+    ls = lsh_bucketed_neighbors_portable(emb, k=5).select(
+        F.col("query_id").alias("q2"), F.col("nbr_id").alias("n2"))
+    per = (
+        ex.join(ls, (F.col("query_id") == F.col("q2"))
+                & (F.col("nbr_id") == F.col("n2")), "left")
+        .groupBy("query_id")
+        .agg(F.count("n2").cast("long").alias("hits"))
+    )
+    return per.agg(
+        F.lit(5).cast("int").alias("k"),
+        F.count(F.lit(1)).cast("long").alias("n_queries"),
+        F.sum("hits").cast("long").alias("sum_hits"),
+        F.round(F.sum("hits") / (F.lit(5) * F.count(F.lit(1))), 6)
+        .alias("mean_recall"),
+        F.round(F.min("hits") / F.lit(5.0), 6).alias("min_recall"),
+    )
+
+
+def q_open_order_aging(spark, sf_dir):
+    """Open-order (status 'O') age quantiles per priority, aged against
+    the dataset's LAST order date (a broadcast scalar — never
+    wall-clock now(), which would make the result time-dependent):
+    the backlog-health read-out.  Exact integer day ages through the
+    in-plan per-group quantile kernel."""
+    from plato_spark.functions.quantiles import group_quantiles
+
+    o = load_table(spark, sf_dir, "orders")
+    now = o.agg(F.max("o_orderdate").alias("now_d"))
+    aged = (
+        o.where(F.col("o_orderstatus") == "O")
+        .crossJoin(F.broadcast(now))
+        .select("o_orderpriority",
+                F.datediff(F.col("now_d"), F.col("o_orderdate"))
+                .cast("double").alias("age_days"))
+    )
+    return group_quantiles(aged, "o_orderpriority", "age_days")
+
+
+def q_supply_demand_balance(spark, sf_dir):
+    """Per-nation supply/demand imbalance: quantity SHIPPED by the
+    nation's suppliers vs quantity ORDERED by its customers, and the
+    exact-integer-fed ratio — which nations are net exporters of this
+    catalog.  The two quantities ride the two different dimension
+    paths Q5 correlates (supplier tag broadcast onto lineitem;
+    customer path through orders), aggregated independently and
+    full-outer-merged per nation (a nation missing one side shows 0,
+    not a dropped row)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    qty = F.round(F.col("l_quantity"), 0).cast("long")
+    n = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name")
+    sup = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_nationkey")
+    cus = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey")
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey")
+    supplied = (
+        li.select("l_suppkey", qty.alias("q"))
+        .join(F.broadcast(sup), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(F.sum("q").cast("long").alias("supplied_qty"))
+    )
+    consumed = (
+        li.select("l_orderkey", qty.alias("q"))
+        .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(cus, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(n.withColumnRenamed("n_name", "nation2")),
+              F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy(F.col("nation2").alias("nation"))
+        .agg(F.sum("q").cast("long").alias("consumed_qty"))
+    )
+    j = supplied.join(consumed, "nation", "full_outer").select(
+        "nation",
+        F.coalesce("supplied_qty", F.lit(0)).cast("long")
+        .alias("supplied_qty"),
+        F.coalesce("consumed_qty", F.lit(0)).cast("long")
+        .alias("consumed_qty"),
+    )
+    return j.select(
+        "nation", "supplied_qty", "consumed_qty",
+        F.when(F.col("consumed_qty") > 0,
+               F.round(F.col("supplied_qty") / F.col("consumed_qty"), 6))
+        .alias("supply_ratio"),
+    )
+
+
 def q_lcc_histogram(spark, sf_dir):
     """Local-clustering-coefficient distribution in 10 EXACT bins:
     bin = min((20·T) div (d·(d-1)), 9) — the rational 2T/(d(d-1)) is
@@ -8017,6 +8120,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "revenue_growth": q_revenue_growth,
         "lifetime_quantiles": q_lifetime_quantiles,
         "event_grouping_sets": q_event_grouping_sets,
+        "lsh_recall": q_lsh_recall,
+        "open_order_aging": q_open_order_aging,
+        "supply_demand_balance": q_supply_demand_balance,
         "group_quantiles": q_group_quantiles,
         "conversion_latency": q_conversion_latency,
         "harmonic_exact": q_harmonic_exact,
@@ -11008,6 +11114,57 @@ SELECT event_type, day,
 FROM ev
 GROUP BY GROUPING SETS ((event_type), (day), (event_type, day))
 ORDER BY lvl, event_type, day""",
+        "lsh_recall": f"""
+WITH ex AS MATERIALIZED (
+  SELECT query_id, nbr_id FROM ({_sql_ann_topk(5)})),
+ls AS MATERIALIZED (
+  SELECT query_id, nbr_id FROM ({_sql_lsh_ann(5)})),
+per AS (
+  SELECT e.query_id, CAST(count(l.nbr_id) AS BIGINT) AS hits
+  FROM ex e LEFT JOIN ls l
+    ON e.query_id = l.query_id AND e.nbr_id = l.nbr_id
+  GROUP BY e.query_id)
+SELECT CAST(5 AS INTEGER) AS k,
+       CAST(count(*) AS BIGINT) AS n_queries,
+       CAST(sum(hits) AS BIGINT) AS sum_hits,
+       round(CAST(sum(hits) AS DOUBLE) / (5 * count(*)), 6)
+         AS mean_recall,
+       round(CAST(min(hits) AS DOUBLE) / 5.0, 6) AS min_recall
+FROM per""",
+        "open_order_aging": "WITH " + _sql_gq_chain(
+            256, (0.5, 0.9, 0.99),
+            """SELECT o_orderpriority AS g,
+                      CAST(CAST((SELECT max(o_orderdate) FROM orders)
+                                AS DATE)
+                           - CAST(o_orderdate AS DATE) AS DOUBLE) AS x
+               FROM orders WHERE o_orderstatus = 'O'""",
+        ) + "\nSELECT g AS o_orderpriority, q, value FROM val"
+            "\nORDER BY o_orderpriority, q",
+        "supply_demand_balance": """
+WITH s AS (
+  SELECT n.n_name AS nation,
+         CAST(sum(CAST(round(l.l_quantity, 0) AS BIGINT)) AS BIGINT)
+           AS supplied_qty
+  FROM lineitem l JOIN supplier sp ON l.l_suppkey = sp.s_suppkey
+  JOIN nation n ON sp.s_nationkey = n.n_nationkey
+  GROUP BY 1),
+c AS (
+  SELECT n.n_name AS nation,
+         CAST(sum(CAST(round(l.l_quantity, 0) AS BIGINT)) AS BIGINT)
+           AS consumed_qty
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+  JOIN customer cu ON o.o_custkey = cu.c_custkey
+  JOIN nation n ON cu.c_nationkey = n.n_nationkey
+  GROUP BY 1)
+SELECT COALESCE(s.nation, c.nation) AS nation,
+       COALESCE(s.supplied_qty, 0) AS supplied_qty,
+       COALESCE(c.consumed_qty, 0) AS consumed_qty,
+       CASE WHEN COALESCE(c.consumed_qty, 0) > 0
+            THEN round(CAST(COALESCE(s.supplied_qty, 0) AS DOUBLE)
+                       / c.consumed_qty, 6)
+       END AS supply_ratio
+FROM s FULL OUTER JOIN c ON s.nation = c.nation
+ORDER BY nation""",
         "segment_mix": """
 WITH g AS (SELECT n.n_name AS nation, c.c_mktsegment AS segment,
                   CAST(count(*) AS BIGINT) AS n_customers
