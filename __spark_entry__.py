@@ -326,7 +326,8 @@ def _sql_wcc_trace(iters: int = 10) -> str:
     )
 
 
-def _sql_lpa(iters: int = 3) -> str:
+def _sql_lpa(iters: int = 3, weighted: bool = False) -> str:
+    vote = ("sum(CAST(e.weight AS BIGINT))" if weighted else "count(*)")
     ctes = ["lp0 AS MATERIALIZED (SELECT id, id AS label FROM verts)"]
     for k in range(iters):
         ctes.append(
@@ -335,9 +336,9 @@ def _sql_lpa(iters: int = 3) -> str:
   FROM verts v JOIN lp{k} p ON v.id = p.id
   LEFT JOIN (
     SELECT id, label AS new_label FROM (
-      SELECT e.dst AS id, l.label, count(*) AS cnt,
+      SELECT e.dst AS id, l.label, {vote} AS cnt,
              row_number() OVER (PARTITION BY e.dst
-                                ORDER BY count(*) DESC, l.label ASC) AS rn
+                                ORDER BY {vote} DESC, l.label ASC) AS rn
       FROM edges e JOIN lp{k} l ON e.src = l.id
       GROUP BY e.dst, l.label) t
     WHERE rn = 1) w ON v.id = w.id)"""
@@ -2275,6 +2276,19 @@ def q_wcc_jump(spark, sf_dir):
 
 def q_lpa(spark, sf_dir):
     return label_propagation(_sym(spark, sf_dir), iterations=LPA_ITERS)
+
+
+def q_lpa_weighted(spark, sf_dir):
+    """Weighted-vote label propagation (algos/lpa.label_propagation
+    weight='weight'): each in-neighbor's vote counts its co-occurrence
+    weight — heavily-evidenced links pull labels harder; vote sums are
+    exact int64 so the (sum, smallest-label) argmax stays a
+    deterministic total order.  Same 3-iteration protocol and unrolled
+    oracle as lpa, with the vote kernel swapped."""
+    edges = symmetrize(part_cooccurrence_edges(spark, sf_dir,
+                                               weighted=True))
+    return label_propagation(edges, iterations=LPA_ITERS,
+                             weight="weight")
 
 
 def q_triangle_count(spark, sf_dir):
@@ -5271,6 +5285,36 @@ def q_audience_overlap(spark, sf_dir):
     )
 
 
+def q_priority_drift(spark, sf_dir):
+    """Order-priority mix drift: per (year, priority) the share of that
+    year's orders and its deviation from the priority's ALL-TIME share
+    — is the urgent-order fraction creeping up.  Exact counts; the
+    year share rides a per-year window over <= |priorities| rows, the
+    all-time share a broadcast join; two rounded divisions."""
+    from pyspark.sql import Window
+
+    o = load_table(spark, sf_dir, "orders").select(
+        F.year("o_orderdate").cast("int").alias("year"),
+        "o_orderpriority")
+    per = o.groupBy("year", "o_orderpriority").agg(
+        F.count(F.lit(1)).cast("long").alias("n"))
+    overall = o.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).cast("long").alias("tn"))
+    tot = o.count()
+    w = Window.partitionBy("year")
+    return (
+        per.join(F.broadcast(overall), "o_orderpriority")
+        .select(
+            "year", F.col("o_orderpriority").alias("priority"), "n",
+            F.round((F.lit(100) * F.col("n"))
+                    / F.sum("n").over(w), 6).alias("share_pct"),
+            F.round((F.lit(100) * F.col("n")) / F.sum("n").over(w)
+                    - (F.lit(100) * F.col("tn")) / F.lit(float(tot)), 6)
+            .alias("dev_pct"),
+        )
+    )
+
+
 def q_lsh_recall(spark, sf_dir):
     """Recall@5 of hyperplane-LSH against the exact brute-force top-5 —
     the estimator-quality audit AS an oracle-checked query (BENCH
@@ -8123,6 +8167,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lsh_recall": q_lsh_recall,
         "open_order_aging": q_open_order_aging,
         "supply_demand_balance": q_supply_demand_balance,
+        "lpa_weighted": q_lpa_weighted,
+        "priority_drift": q_priority_drift,
         "group_quantiles": q_group_quantiles,
         "conversion_latency": q_conversion_latency,
         "harmonic_exact": q_harmonic_exact,
@@ -11165,6 +11211,25 @@ SELECT COALESCE(s.nation, c.nation) AS nation,
        END AS supply_ratio
 FROM s FULL OUTER JOIN c ON s.nation = c.nation
 ORDER BY nation""",
+        "lpa_weighted": _sql_lpa(LPA_ITERS, weighted=True),
+        "priority_drift": """
+WITH o AS (SELECT CAST(year(o_orderdate) AS INTEGER) AS year,
+                  o_orderpriority
+           FROM orders),
+per AS (SELECT year, o_orderpriority, CAST(count(*) AS BIGINT) AS n
+        FROM o GROUP BY 1, 2),
+ov AS (SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS tn FROM o
+       GROUP BY 1),
+tt AS (SELECT CAST(count(*) AS BIGINT) AS tot FROM o)
+SELECT per.year, per.o_orderpriority AS priority, per.n,
+       round(CAST(100 * per.n AS DOUBLE)
+             / sum(per.n) OVER (PARTITION BY per.year), 6) AS share_pct,
+       round(CAST(100 * per.n AS DOUBLE)
+             / sum(per.n) OVER (PARTITION BY per.year)
+             - CAST(100 * ov.tn AS DOUBLE) / tt.tot, 6) AS dev_pct
+FROM per JOIN ov ON per.o_orderpriority = ov.o_orderpriority
+CROSS JOIN tt
+ORDER BY per.year, priority""",
         "segment_mix": """
 WITH g AS (SELECT n.n_name AS nation, c.c_mktsegment AS segment,
                   CAST(count(*) AS BIGINT) AS n_customers

@@ -37,14 +37,23 @@ def label_propagation(
     edges: DataFrame,
     iterations: int = 20,
     ckpt: CheckpointManager | None = None,
+    weight: str | None = None,
 ) -> DataFrame:
     """Returns (id: long, label: long).
 
     edges: directed (src, dst); votes flow src -> dst (dst counts labels of
     in-neighbors). For undirected semantics pass a symmetrized table.
+
+    ``weight``: optional edge-weight column — each in-neighbor's vote
+    counts its edge weight instead of 1 (the weighted-vote variant:
+    heavily-evidenced links pull labels harder).  Weights are cast to
+    exact int64 (co-occurrence counts here), so the (sum, smallest
+    label) argmax stays a deterministic total order — a float vote sum
+    would make tie membership partitioning-dependent.
     """
     spark = edges.sparkSession
-    e0 = edges.select("src", "dst").persist()
+    cols = ["src", "dst"] + ([weight] if weight else [])
+    e0 = edges.select(*cols).persist()
     n_e = e0.count()
     shuffle_n = auto_shuffle_partitions(spark, n_e)
     e = e0.repartition(shuffle_n, "src").persist()
@@ -60,11 +69,14 @@ def label_propagation(
 
     state0 = verts.select("id", F.col("id").alias("label"))
 
+    vote_w = (F.col(weight).cast("long") if weight
+              else F.lit(1).cast("long"))
+
     def step(state: DataFrame, k: int):
         votes = (
             e.join(state.select(F.col("id").alias("src"), "label"), "src")
             .groupBy(F.col("dst").alias("id"), "label")
-            .agg(F.count("*").alias("cnt"))
+            .agg(F.sum(vote_w).alias("cnt"))
         )
         # argmax with smallest-label tie-break: max over (cnt, -label)
         winner = (
