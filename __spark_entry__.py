@@ -326,7 +326,11 @@ def _sql_wcc_trace(iters: int = 10) -> str:
     )
 
 
-def _sql_lpa(iters: int = 3, weighted: bool = False) -> str:
+def _sql_lpa(iters: int = 3, weighted: bool = False,
+             prefix: str | None = None, final: str | None = None) -> str:
+    """Unrolled LPA chain.  ``prefix`` overrides the graph CTE block
+    (must define edges/verts — the _sql_pagerank convention); ``final``
+    overrides the closing SELECT (must read lp{iters})."""
     vote = ("sum(CAST(e.weight AS BIGINT))" if weighted else "count(*)")
     ctes = ["lp0 AS MATERIALIZED (SELECT id, id AS label FROM verts)"]
     for k in range(iters):
@@ -344,8 +348,10 @@ def _sql_lpa(iters: int = 3, weighted: bool = False) -> str:
     WHERE rn = 1) w ON v.id = w.id)"""
         )
     return (
-        SQL_GRAPH_PREFIX + ", " + ",\n".join(ctes)
-        + f"\nSELECT id, label FROM lp{iters} ORDER BY id"
+        (prefix if prefix is not None else SQL_GRAPH_PREFIX)
+        + ", " + ",\n".join(ctes)
+        + (final if final is not None
+           else f"\nSELECT id, label FROM lp{iters} ORDER BY id")
     )
 
 
@@ -5285,6 +5291,81 @@ def q_audience_overlap(spark, sf_dir):
     )
 
 
+def q_lang_rand_index(spark, sf_dir):
+    """Rand index between LPA communities on the citation graph and
+    the documents' language labels — EXTERNAL clustering evaluation as
+    an oracle-checked row (does community structure recover language?
+    — the pair-counting answer beside lang_modularity's edge-cut one).
+    RI = (C(n,2) + 2·ΣC(nij,2) - ΣC(ai,2) - ΣC(bj,2)) / C(n,2) — every
+    term an exact integer from the contingency table (pair counts via
+    m(m-1) div 2), ONE final division.  Communities come from the same
+    3-iteration LPA protocol the lpa row pins."""
+    from plato_spark.graph.edges import canonicalize_undirected
+
+    canon = canonicalize_undirected(q_reference_graph(spark, sf_dir))
+    comm = label_propagation(symmetrize(canon), iterations=LPA_ITERS)
+    lang = load_table(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("id"), "lang")
+    j = comm.join(lang, "id")
+    cells = j.groupBy("label", "lang").agg(
+        F.count(F.lit(1)).cast("long").alias("m"))
+    c2 = lambda c: F.expr(f"({c} * ({c} - 1)) div 2")  # noqa: E731
+    parts = cells.agg(
+        F.sum("m").cast("long").alias("n"),
+        F.count_distinct("label").cast("long").alias("n_communities"),
+        F.count_distinct("lang").cast("long").alias("n_langs"),
+        F.sum(c2("m")).cast("long").alias("cell2"),
+    )
+    rows2 = (cells.groupBy("label").agg(F.sum("m").alias("a"))
+             .agg(F.sum(c2("a")).cast("long").alias("row2")))
+    cols2 = (cells.groupBy("lang").agg(F.sum("m").alias("b"))
+             .agg(F.sum(c2("b")).cast("long").alias("col2")))
+    return (
+        parts.crossJoin(F.broadcast(rows2)).crossJoin(F.broadcast(cols2))
+        .select(
+            "n", "n_communities", "n_langs",
+            F.round(
+                (F.expr("(n * (n - 1)) div 2") + 2 * F.col("cell2")
+                 - F.col("row2") - F.col("col2"))
+                / F.expr("(n * (n - 1)) div 2").cast("double"), 6)
+            .alias("rand_index"),
+        )
+    )
+
+
+def _sql_lang_rand_index() -> str:
+    refpref = f"""WITH cg AS MATERIALIZED ({_sql_reference_graph()}),
+canon AS MATERIALIZED (
+  SELECT DISTINCT least(src, dst) AS src, greatest(src, dst) AS dst
+  FROM cg WHERE src != dst),
+edges AS MATERIALIZED (SELECT src, dst FROM canon
+          UNION ALL SELECT dst AS src, src AS dst FROM canon),
+verts AS MATERIALIZED (SELECT DISTINCT src AS id FROM edges)"""
+    final = f"""
+, j AS (SELECT l.label, d.lang
+        FROM lp{LPA_ITERS} l JOIN documents d ON l.id = d.doc_id),
+cells AS MATERIALIZED (
+  SELECT label, lang, CAST(count(*) AS BIGINT) AS m
+  FROM j GROUP BY 1, 2),
+parts AS (SELECT CAST(sum(m) AS BIGINT) AS n,
+                 CAST(count(DISTINCT label) AS BIGINT) AS nc,
+                 CAST(count(DISTINCT lang) AS BIGINT) AS nl,
+                 CAST(sum((m * (m - 1)) // 2) AS BIGINT) AS cell2
+          FROM cells),
+r2 AS (SELECT CAST(sum((a * (a - 1)) // 2) AS BIGINT) AS row2
+       FROM (SELECT CAST(sum(m) AS BIGINT) AS a FROM cells
+             GROUP BY label)),
+cc2 AS (SELECT CAST(sum((b * (b - 1)) // 2) AS BIGINT) AS col2
+        FROM (SELECT CAST(sum(m) AS BIGINT) AS b FROM cells
+              GROUP BY lang))
+SELECT parts.n, parts.nc AS n_communities, parts.nl AS n_langs,
+       round(CAST((parts.n * (parts.n - 1)) // 2 + 2 * parts.cell2
+                  - r2.row2 - cc2.col2 AS DOUBLE)
+             / ((parts.n * (parts.n - 1)) // 2), 6) AS rand_index
+FROM parts CROSS JOIN r2 CROSS JOIN cc2"""
+    return _sql_lpa(LPA_ITERS, prefix=refpref, final=final)
+
+
 def q_priority_drift(spark, sf_dir):
     """Order-priority mix drift: per (year, priority) the share of that
     year's orders and its deviation from the priority's ALL-TIME share
@@ -8169,6 +8250,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "supply_demand_balance": q_supply_demand_balance,
         "lpa_weighted": q_lpa_weighted,
         "priority_drift": q_priority_drift,
+        "lang_rand_index": q_lang_rand_index,
         "group_quantiles": q_group_quantiles,
         "conversion_latency": q_conversion_latency,
         "harmonic_exact": q_harmonic_exact,
@@ -11212,6 +11294,7 @@ SELECT COALESCE(s.nation, c.nation) AS nation,
 FROM s FULL OUTER JOIN c ON s.nation = c.nation
 ORDER BY nation""",
         "lpa_weighted": _sql_lpa(LPA_ITERS, weighted=True),
+        "lang_rand_index": _sql_lang_rand_index(),
         "priority_drift": """
 WITH o AS (SELECT CAST(year(o_orderdate) AS INTEGER) AS year,
                   o_orderpriority
