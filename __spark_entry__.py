@@ -5333,6 +5333,82 @@ def q_lang_rand_index(spark, sf_dir):
     )
 
 
+def q_friendship_paradox(spark, sf_dir):
+    """The friendship-paradox magnitude in one row: mean degree 2E/V
+    vs mean NEIGHBOR degree Σd²/Σd — your contacts have more contacts
+    than you whenever the degree distribution has variance, and the
+    ratio measures by how much (the sampling-bias warning for any
+    neighbor-based estimator, e.g. GNN neighbor sampling).  Every term
+    folds as exact integers; two divisions rounded 6dp."""
+    canon = part_cooccurrence_edges(spark, sf_dir)
+    sym = canon.unionByName(canon.select(
+        F.col("dst").alias("src"), F.col("src").alias("dst")))
+    deg = sym.groupBy(F.col("src").alias("id")).agg(
+        F.count(F.lit(1)).cast("long").alias("d"))
+    return deg.agg(
+        F.count(F.lit(1)).cast("long").alias("v"),
+        (F.sum("d") / 2).cast("long").alias("e"),
+        F.round(F.sum("d") / F.count(F.lit(1)), 6).alias("mean_deg"),
+        F.round(F.sum(F.col("d") * F.col("d")) / F.sum("d"), 6)
+        .alias("mean_nbr_deg"),
+        F.round((F.sum(F.col("d") * F.col("d")) / F.sum("d"))
+                / (F.sum("d") / F.count(F.lit(1))), 6).alias("paradox"),
+    )
+
+
+def q_error_conversion_impact(spark, sf_dir):
+    """Do errors kill conversion?  Per has-error flag over 30-minute
+    sessions: session count and the share that converts (contains a
+    purchase) — the incident-impact read-out composed from the proven
+    session windows; exact counts, one rounded division."""
+    ev = load_table(spark, sf_dir, "events")
+    sess = (
+        ev.groupBy(F.session_window("ts", "30 minutes").alias("w"),
+                   "user_id")
+        .agg(F.max(F.when(F.col("event_type") == "error", 1)
+                   .otherwise(0)).alias("has_error"),
+             F.max(F.when(F.col("event_type") == "purchase", 1)
+                   .otherwise(0)).alias("has_purchase"))
+    )
+    return sess.groupBy("has_error").agg(
+        F.count(F.lit(1)).cast("long").alias("n_sessions"),
+        F.sum("has_purchase").cast("long").alias("n_converted"),
+        F.round((F.lit(100) * F.sum("has_purchase"))
+                / F.count(F.lit(1)), 6).alias("conversion_pct"),
+    )
+
+
+def q_integrity_audit(spark, sf_dir):
+    """Referential-integrity audit across the star schema's four FK
+    paths — each relation's violation count via a LEFT ANTI join
+    against the parent's collapsed keys.  Zeros ARE the signal (the
+    audit passing), unlike an empty result; at 100 TB this is the
+    standard pre-flight before trusting any join's row counts."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    p = load_table(spark, sf_dir, "part")
+    s = load_table(spark, sf_dir, "supplier")
+
+    def _viol(child, fk, parent, pk, tag):
+        bad = child.select(F.col(fk)).join(
+            parent.select(F.col(pk).alias(fk)).distinct(), fk,
+            "left_anti")
+        return bad.agg(F.count(F.lit(1)).cast("long").alias("n_violations")
+                       ).select(F.lit(tag).alias("relation"),
+                                "n_violations")
+
+    return (
+        _viol(li, "l_orderkey", o, "o_orderkey", "lineitem->orders")
+        .unionByName(_viol(li, "l_partkey", p, "p_partkey",
+                           "lineitem->part"))
+        .unionByName(_viol(li, "l_suppkey", s, "s_suppkey",
+                           "lineitem->supplier"))
+        .unionByName(_viol(o, "o_custkey", c, "c_custkey",
+                           "orders->customer"))
+    )
+
+
 def _sql_lang_rand_index() -> str:
     refpref = f"""WITH cg AS MATERIALIZED ({_sql_reference_graph()}),
 canon AS MATERIALIZED (
@@ -8251,6 +8327,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lpa_weighted": q_lpa_weighted,
         "priority_drift": q_priority_drift,
         "lang_rand_index": q_lang_rand_index,
+        "friendship_paradox": q_friendship_paradox,
+        "error_conversion_impact": q_error_conversion_impact,
+        "integrity_audit": q_integrity_audit,
         "group_quantiles": q_group_quantiles,
         "conversion_latency": q_conversion_latency,
         "harmonic_exact": q_harmonic_exact,
@@ -11295,6 +11374,54 @@ FROM s FULL OUTER JOIN c ON s.nation = c.nation
 ORDER BY nation""",
         "lpa_weighted": _sql_lpa(LPA_ITERS, weighted=True),
         "lang_rand_index": _sql_lang_rand_index(),
+        "friendship_paradox": SQL_GRAPH_PREFIX + """
+SELECT CAST(count(*) AS BIGINT) AS v,
+       CAST(sum(deg) / 2 AS BIGINT) AS e,
+       round(CAST(sum(deg) AS DOUBLE) / count(*), 6) AS mean_deg,
+       round(CAST(sum(deg * deg) AS DOUBLE) / sum(deg), 6)
+         AS mean_nbr_deg,
+       round((CAST(sum(deg * deg) AS DOUBLE) / sum(deg))
+             / (CAST(sum(deg) AS DOUBLE) / count(*)), 6) AS paradox
+FROM deg""",
+        "error_conversion_impact": """
+WITH x AS (
+  SELECT user_id, ts, event_type,
+         CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                   <= INTERVAL 30 MINUTE
+              THEN 0 ELSE 1 END AS brk
+  FROM events),
+g AS (SELECT user_id, event_type,
+             sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+                            ROWS UNBOUNDED PRECEDING) AS grp
+      FROM x),
+sess AS (SELECT user_id, grp,
+                max(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+                  AS has_error,
+                max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                  AS has_purchase
+         FROM g GROUP BY user_id, grp)
+SELECT has_error, CAST(count(*) AS BIGINT) AS n_sessions,
+       CAST(sum(has_purchase) AS BIGINT) AS n_converted,
+       round(CAST(100 * sum(has_purchase) AS DOUBLE) / count(*), 6)
+         AS conversion_pct
+FROM sess GROUP BY has_error ORDER BY has_error""",
+        "integrity_audit": """
+SELECT 'lineitem->orders' AS relation, CAST(count(*) AS BIGINT)
+         AS n_violations
+FROM lineitem l WHERE NOT EXISTS (
+  SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)
+UNION ALL
+SELECT 'lineitem->part', CAST(count(*) AS BIGINT)
+FROM lineitem l WHERE NOT EXISTS (
+  SELECT 1 FROM part p WHERE p.p_partkey = l.l_partkey)
+UNION ALL
+SELECT 'lineitem->supplier', CAST(count(*) AS BIGINT)
+FROM lineitem l WHERE NOT EXISTS (
+  SELECT 1 FROM supplier s WHERE s.s_suppkey = l.l_suppkey)
+UNION ALL
+SELECT 'orders->customer', CAST(count(*) AS BIGINT)
+FROM orders o WHERE NOT EXISTS (
+  SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)""",
         "priority_drift": """
 WITH o AS (SELECT CAST(year(o_orderdate) AS INTEGER) AS year,
                   o_orderpriority
