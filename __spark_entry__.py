@@ -5333,6 +5333,23 @@ def q_lang_rand_index(spark, sf_dir):
     )
 
 
+def q_revenue_gini(spark, sf_dir):
+    """Gini coefficient of per-customer order revenue (in exact cents)
+    through the generalized value-histogram Gini kernel
+    (graph/edges.gini_from_counts) — the whole-distribution inequality
+    scalar beside revenue_concentration's top-k share; the only window
+    runs over |distinct revenue values| rows."""
+    from plato_spark.graph.edges import gini_from_counts
+
+    o = load_table(spark, sf_dir, "orders")
+    per = o.groupBy("o_custkey").agg(
+        F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("long"))
+        .cast("long").alias("cnt"))
+    return gini_from_counts(per.select("cnt")).select(
+        F.col("n").alias("n_customers"),
+        F.col("total").alias("total_cents"), "gini")
+
+
 def q_friendship_paradox(spark, sf_dir):
     """The friendship-paradox magnitude in one row: mean degree 2E/V
     vs mean NEIGHBOR degree Σd²/Σd — your contacts have more contacts
@@ -8327,6 +8344,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lpa_weighted": q_lpa_weighted,
         "priority_drift": q_priority_drift,
         "lang_rand_index": q_lang_rand_index,
+        "revenue_gini": q_revenue_gini,
         "friendship_paradox": q_friendship_paradox,
         "error_conversion_impact": q_error_conversion_impact,
         "integrity_audit": q_integrity_audit,
@@ -11374,6 +11392,26 @@ FROM s FULL OUTER JOIN c ON s.nation = c.nation
 ORDER BY nation""",
         "lpa_weighted": _sql_lpa(LPA_ITERS, weighted=True),
         "lang_rand_index": _sql_lang_rand_index(),
+        "revenue_gini": """
+WITH per AS (
+  SELECT o_custkey,
+         CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT))
+              AS BIGINT) AS v
+  FROM orders GROUP BY o_custkey),
+hist AS (SELECT v, CAST(count(*) AS BIGINT) AS c FROM per GROUP BY v),
+h2 AS (SELECT v, c,
+         CAST(COALESCE(sum(c) OVER (ORDER BY v
+              ROWS BETWEEN UNBOUNDED PRECEDING
+              AND 1 PRECEDING), 0) AS BIGINT) AS o
+       FROM hist),
+a AS (SELECT CAST(sum(c) AS BIGINT) AS n,
+             CAST(sum(v * c) AS BIGINT) AS t,
+             CAST(sum(v * (c * o + (c * (c + 1)) // 2)) AS BIGINT) AS s
+      FROM h2)
+SELECT n AS n_customers, t AS total_cents,
+       round((2.0 * s) / (CAST(n AS DOUBLE) * CAST(t AS DOUBLE))
+             - CAST(n + 1 AS DOUBLE) / CAST(n AS DOUBLE), 6) AS gini
+FROM a""",
         "friendship_paradox": SQL_GRAPH_PREFIX + """
 SELECT CAST(count(*) AS BIGINT) AS v,
        CAST(sum(deg) / 2 AS BIGINT) AS e,
