@@ -639,6 +639,33 @@ def _sql_sssp(iters: int = 8) -> str:
     )
 
 
+def _sql_widest(iters: int = 14) -> str:
+    """Unrolled max-min (bottleneck) relaxation from the smallest vertex;
+    ``iters`` must be >= the max hop count of any bottleneck-OPTIMAL path
+    (measured via DuckDB fixpoint probe: 6 at sf0.001, 10 at sf0.01 —
+    vs 4/5 for sssp's min-plus on the same graph: wide detours genuinely
+    run longer than shortest paths; 14 = headroom, extra rounds are
+    idempotent).  Root capacity +inf; root excluded from the output so
+    every value is a finite edge weight."""
+    ctes = ["""wp0 AS MATERIALIZED (
+  SELECT id, CAST('infinity' AS DOUBLE) AS cap FROM verts
+  WHERE id = (SELECT min(id) FROM verts))"""]
+    for k in range(iters):
+        ctes.append(f"""wp{k + 1} AS MATERIALIZED (
+  SELECT id, max(cap) AS cap FROM (
+    SELECT id, cap FROM wp{k}
+    UNION ALL
+    SELECT e.dst AS id, least(d.cap, e.weight) AS cap
+    FROM wp{k} d JOIN edges e ON e.src = d.id) u
+  GROUP BY id)""")
+    return (
+        SQL_GRAPH_PREFIX + ", " + ",\n".join(ctes)
+        + f"""
+SELECT id, round(cap, 6) AS cap FROM wp{iters}
+WHERE id != (SELECT min(id) FROM verts) ORDER BY id"""
+    )
+
+
 def _sql_sinkhorn(iters: int) -> str:
     """Unrolled Sinkhorn-Knopp row/col normalizations on the
     (source, lang) doc-count matrix toward probability marginals
@@ -2408,6 +2435,22 @@ def q_sssp(spark, sf_dir):
     root = sym.agg(F.min("src").alias("m")).collect()[0]["m"]
     return sssp(sym, root=int(root), weight="weight").select(
         "id", F.round("dist", 6).alias("dist")
+    )
+
+
+def q_widest_path(spark, sf_dir):
+    """Bottleneck (widest-path) capacity from the smallest vertex over
+    the weighted co-occurrence graph — the max-min semiring twin of
+    q_sssp's min-plus run (algos/sssp.widest_path): how much evidence
+    the WEAKEST link on the best path carries.  Every capacity is an
+    exact copy of some edge's integer co-occurrence count (no float
+    accumulation); the root's +inf is excluded by contract."""
+    from plato_spark.algos.sssp import widest_path
+
+    sym = symmetrize(part_cooccurrence_edges(spark, sf_dir, weighted=True))
+    root = sym.agg(F.min("src").alias("m")).collect()[0]["m"]
+    return widest_path(sym, root=int(root), weight="weight").select(
+        "id", F.round("cap", 6).alias("cap")
     )
 
 
@@ -8272,6 +8315,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "link_resource_alloc": q_link_resource_alloc,
         "bigram_vocabulary": q_bigram_vocabulary,
         "doc_chunks": q_doc_chunks,
+        # -- r4 head block 2: new this session (driver-gated on first
+        # appearance; the rows they displace past the 50-row snapshot
+        # are r4-new too and remain replica-checked) --
+        "widest_path": q_widest_path,
         "hub_removal": q_hub_removal,
         "component_stability": q_component_stability,
         "degree_incremental": q_degree_incremental,
@@ -10245,6 +10292,7 @@ WHERE rn <= 5""",
         "tree_stat": _sql_tree_stat(),
         "kcore": _sql_kcore(),
         "sssp": _sql_sssp(),
+        "widest_path": _sql_widest(),
         "closeness_sampled": _sql_closeness(),
         "harmonic_sampled": _sql_harmonic(),
         # exact Bavelas: full BFS — bfs_iters pinned past the measured

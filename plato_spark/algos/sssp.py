@@ -84,3 +84,76 @@ def sssp(
             frontier = merged.where("improved").select("id", "dist")
             state = merged.select("id", "dist")
     return state
+
+
+def widest_path(
+    edges: DataFrame,
+    root: int,
+    weight: str = "weight",
+    max_iters: int = 200,
+) -> DataFrame:
+    """(id, cap: double) — bottleneck (widest-path) capacity from ``root``
+    for every OTHER reachable vertex: max over paths of the min edge
+    weight along the path.  The max-min semiring twin of :func:`sssp`
+    (min-plus): same frontier relaxation, ``F.greatest``/``F.least``
+    swapped in for min/+.  Values are exact copies of edge weights (the
+    bottleneck IS some edge), so results are engine-reproducible with no
+    float accumulation at all.
+
+    The root itself (capacity +inf by convention) is excluded from the
+    output so every returned value is a finite, hashable weight.
+
+    Converges in O(max hop count of any bottleneck-optimal path)
+    supersteps — capacities only ever increase, receivers keep the max
+    (plato's write_max combiner ≙ groupBy(dst).max), and only improved
+    vertices re-offer.  Unlike shortest paths, a bottleneck-optimal path
+    can be LONGER (more hops) than any shortest path — the wide detour —
+    so the fixpoint hop bound is measured, not inherited from sssp.
+    """
+    spark = edges.sparkSession
+    e0 = edges.select(
+        "src", "dst", F.col(weight).cast("double").alias("w")
+    ).persist()
+    n_e = e0.count()
+    shuffle_n = auto_shuffle_partitions(spark, n_e)
+    e = e0.repartition(shuffle_n, "src").persist()
+    e.count()
+    e0.unpersist()
+    n_vertices = (
+        e.select(F.col("src").alias("id"))
+        .unionByName(e.select(F.col("dst").alias("id")))
+        .distinct()
+        .count()
+    )
+
+    state = spark.createDataFrame(
+        [(int(root), float("inf"))], "id long, cap double"
+    )
+    frontier = state
+    neg_inf = F.lit(float("-inf"))
+    with scoped_shuffle_partitions(spark, shuffle_n):
+        for _ in range(max_iters):
+            n_front = frontier.count()
+            if n_front == 0:
+                break
+            f = frontier
+            if n_front < PUSH_THRESHOLD * n_vertices:
+                f = F.broadcast(f)
+            cand = (
+                e.join(f.select(F.col("id").alias("src"), "cap"), "src")
+                .groupBy(F.col("dst").alias("id"))
+                .agg(F.max(F.least(F.col("cap"), F.col("w"))).alias("nc"))
+            )
+            merged = state.join(cand, "id", "outer").select(
+                "id",
+                F.greatest(
+                    F.coalesce("cap", neg_inf), F.coalesce("nc", neg_inf)
+                ).alias("cap"),
+                (
+                    F.col("nc").isNotNull()
+                    & (F.col("cap").isNull() | (F.col("nc") > F.col("cap")))
+                ).alias("improved"),
+            ).transform(cheap_localCheckpoint)
+            frontier = merged.where("improved").select("id", "cap")
+            state = merged.select("id", "cap")
+    return state.where(F.col("id") != int(root))
