@@ -2454,6 +2454,51 @@ def q_widest_path(spark, sf_dir):
     )
 
 
+def q_waiting_suppliers(spark, sf_dir):
+    """TPC-H-Q21-shape sole-late-supplier blame
+    (functions/relational.waiting_suppliers): the EXISTS / NOT-EXISTS
+    quantifier pair decorrelated into one grouped pass + one orderkey
+    window — the oracle runs the literal double-quantifier SQL, so the
+    gate proves the rewrite equivalent."""
+    from plato_spark.functions.relational import waiting_suppliers
+
+    return waiting_suppliers(
+        load_table(spark, sf_dir, "orders"),
+        load_table(spark, sf_dir, "lineitem"),
+        load_table(spark, sf_dir, "supplier"),
+    )
+
+
+def q_market_share(spark, sf_dir):
+    """TPC-H-Q8-shape nation market share inside a customer region per
+    order year (functions/relational.market_share): numerator as a
+    map-side conditional sum beside the denominator in ONE aggregation,
+    share as a single division of exact int64 folds."""
+    from plato_spark.functions.relational import market_share
+
+    return market_share(
+        load_table(spark, sf_dir, "lineitem"),
+        load_table(spark, sf_dir, "orders"),
+        load_table(spark, sf_dir, "customer"),
+        load_table(spark, sf_dir, "supplier"),
+        load_table(spark, sf_dir, "nation"),
+        load_table(spark, sf_dir, "region"),
+    )
+
+
+def q_brand_band_revenue(spark, sf_dir):
+    """TPC-H-Q19-shape disjunctive promo-band revenue
+    (functions/relational.brand_band_revenue): OR-of-ANDs with the
+    union bounds pre-pushed to both scans, residual conjunctions
+    post-join, exact integer cents."""
+    from plato_spark.functions.relational import brand_band_revenue
+
+    return brand_band_revenue(
+        load_table(spark, sf_dir, "lineitem"),
+        load_table(spark, sf_dir, "part"),
+    )
+
+
 def q_kcore(spark, sf_dir):
     return kcore(part_cooccurrence_edges(spark, sf_dir))
 
@@ -8319,6 +8364,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # appearance; the rows they displace past the 50-row snapshot
         # are r4-new too and remain replica-checked) --
         "widest_path": q_widest_path,
+        "waiting_suppliers": q_waiting_suppliers,
+        "market_share": q_market_share,
+        "brand_band_revenue": q_brand_band_revenue,
         "hub_removal": q_hub_removal,
         "component_stability": q_component_stability,
         "degree_incremental": q_degree_incremental,
@@ -10293,6 +10341,69 @@ WHERE rn <= 5""",
         "kcore": _sql_kcore(),
         "sssp": _sql_sssp(),
         "widest_path": _sql_widest(),
+        # literal EXISTS/NOT-EXISTS double quantifier — proves the
+        # grouped-pass rewrite in relational.waiting_suppliers
+        "waiting_suppliers": """
+WITH o AS (SELECT o_orderkey, o_orderdate FROM orders
+           WHERE o_orderstatus = 'F'),
+l1 AS (SELECT l.l_orderkey, l.l_suppkey
+       FROM lineitem l JOIN o ON l.l_orderkey = o.o_orderkey
+       WHERE l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+       GROUP BY 1, 2)
+SELECT s.s_name, CAST(count(*) AS BIGINT) AS numwait
+FROM l1
+JOIN supplier s ON l1.l_suppkey = s.s_suppkey
+WHERE EXISTS (SELECT 1 FROM lineitem l2
+              WHERE l2.l_orderkey = l1.l_orderkey
+                AND l2.l_suppkey <> l1.l_suppkey)
+  AND NOT EXISTS (SELECT 1 FROM lineitem l3 JOIN o o3
+                    ON l3.l_orderkey = o3.o_orderkey
+                  WHERE l3.l_orderkey = l1.l_orderkey
+                    AND l3.l_suppkey <> l1.l_suppkey
+                    AND l3.l_shipdate > o3.o_orderdate + INTERVAL 60 DAY)
+GROUP BY s.s_name ORDER BY s.s_name""",
+        "market_share": """
+WITH cust_r AS (SELECT c_custkey
+                FROM customer c
+                JOIN nation n ON c.c_nationkey = n.n_nationkey
+                JOIN region r ON n.n_regionkey = r.r_regionkey
+                WHERE r.r_name = 'ASIA'),
+sup AS (SELECT s_suppkey,
+               CASE WHEN n.n_name = 'NATION_3' THEN 1 ELSE 0 END
+                 AS is_target
+        FROM supplier s JOIN nation n ON s.s_nationkey = n.n_nationkey),
+j AS (SELECT CAST(year(o.o_orderdate) AS INTEGER) AS year,
+             CAST(round(l.l_extendedprice * 100, 0) AS BIGINT)
+             * CAST(round((1.0 - l.l_discount) * 100, 0) AS BIGINT)
+               AS rev_u,
+             sup.is_target
+      FROM lineitem l
+      JOIN orders o ON l.l_orderkey = o.o_orderkey
+      JOIN sup ON l.l_suppkey = sup.s_suppkey
+      WHERE o.o_custkey IN (SELECT c_custkey FROM cust_r)),
+a AS (SELECT year, CAST(sum(rev_u) AS BIGINT) AS total_u,
+             CAST(sum(rev_u * is_target) AS BIGINT) AS nation_u
+      FROM j GROUP BY year)
+SELECT year,
+       CAST((total_u + 50) // 100 AS BIGINT) / 100.0 AS total_revenue,
+       CAST((nation_u + 50) // 100 AS BIGINT) / 100.0 AS nation_revenue,
+       round(CAST(nation_u AS DOUBLE) / total_u, 6) AS mkt_share
+FROM a ORDER BY year""",
+        "brand_band_revenue": """
+WITH j AS (SELECT p.p_brand,
+             CAST(round(l.l_extendedprice * 100, 0) AS BIGINT)
+             * CAST(round((1.0 - l.l_discount) * 100, 0) AS BIGINT)
+               AS rev_u
+           FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+           WHERE (p.p_brand = 'Brand#1' AND p.p_size BETWEEN 1 AND 15
+                  AND l.l_quantity BETWEEN 1 AND 20)
+              OR (p.p_brand = 'Brand#2' AND p.p_size BETWEEN 1 AND 25
+                  AND l.l_quantity BETWEEN 10 AND 35)
+              OR (p.p_brand = 'Brand#3' AND p.p_size BETWEEN 1 AND 40
+                  AND l.l_quantity BETWEEN 20 AND 50))
+SELECT p_brand, CAST(count(*) AS BIGINT) AS n_items,
+       CAST((sum(rev_u) + 50) // 100 AS BIGINT) / 100.0 AS revenue
+FROM j GROUP BY p_brand ORDER BY p_brand""",
         "closeness_sampled": _sql_closeness(),
         "harmonic_sampled": _sql_harmonic(),
         # exact Bavelas: full BFS — bfs_iters pinned past the measured

@@ -20,7 +20,8 @@ __all__ = ["revenue_rollup", "value_outliers", "pricing_summary",
            "large_orders", "promo_revenue", "revenue_rollup_totals",
            "trade_volume", "local_supplier_volume", "returned_items",
            "top_supplier", "product_profit", "small_qty_revenue",
-           "dormant_customers", "late_shipments"]
+           "dormant_customers", "late_shipments", "waiting_suppliers",
+           "market_share", "brand_band_revenue"]
 
 
 def _cents(col):
@@ -718,3 +719,185 @@ def late_shipments(
     )
     return late.groupBy("o_orderpriority").agg(
         F.count(F.lit(1)).cast("long").alias("n_orders"))
+
+
+def waiting_suppliers(
+    orders: DataFrame,
+    lineitem: DataFrame,
+    supplier: DataFrame,
+    grace_days: int = 60,
+) -> DataFrame:
+    """(s_name, numwait) — the TPC-H-Q21 shape adapted to this schema:
+    in finished multi-supplier orders, the supplier who was the ONLY
+    one to ship late (> ``grace_days`` after the order date) — the
+    unambiguous bottleneck, charged per order it alone held up.
+
+    Literal Q21 spells this as EXISTS (another supplier in the order)
+    AND NOT EXISTS (another LATE supplier) — two extra fact-fact
+    self-joins.  The scale-correct rewrite used here decorrelates both
+    quantifiers into ONE grouped pass: fold lineitems to per
+    (order, supplier) late-flags, then a window over the orderkey
+    partition reads supplier count and late count per order, and the
+    blame filter is `late = 1 AND n_supp > 1 AND n_late = 1`.  The
+    oracle runs the literal EXISTS/NOT-EXISTS form, proving the rewrite
+    equivalent.  Scale plan: one orderkey-shuffle carries the fold AND
+    the window (same key — no second exchange), names broadcast, output
+    <= |suppliers| rows."""
+    from pyspark.sql import Window
+
+    o = orders.where(F.col("o_orderstatus") == "F").select(
+        "o_orderkey", "o_orderdate")
+    li = lineitem.select("l_orderkey", "l_suppkey", "l_shipdate")
+    tagged = li.join(
+        o, F.col("l_orderkey") == F.col("o_orderkey")
+    ).select(
+        "l_orderkey", "l_suppkey",
+        (F.col("l_shipdate")
+         > F.col("o_orderdate") + F.expr(f"INTERVAL {grace_days} DAYS")
+         ).cast("int").alias("late"),
+    )
+    per_su = tagged.groupBy("l_orderkey", "l_suppkey").agg(
+        F.max("late").alias("late"))
+    w = Window.partitionBy("l_orderkey")
+    blamed = per_su.select(
+        "l_suppkey", "late",
+        F.count(F.lit(1)).over(w).alias("n_supp"),
+        F.sum("late").over(w).alias("n_late"),
+    ).where((F.col("late") == 1) & (F.col("n_supp") > 1)
+            & (F.col("n_late") == 1))
+    s = supplier.select("s_suppkey", "s_name")
+    return (
+        blamed.join(F.broadcast(s),
+                    F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).cast("long").alias("numwait"))
+    )
+
+
+def market_share(
+    lineitem: DataFrame,
+    orders: DataFrame,
+    customer: DataFrame,
+    supplier: DataFrame,
+    nation: DataFrame,
+    region: DataFrame,
+    target_nation: str = "NATION_3",
+    region_name: str = "ASIA",
+) -> DataFrame:
+    """(year, total_revenue, nation_revenue, mkt_share) — the TPC-H-Q8
+    shape: within one customer REGION's order flow, the revenue share
+    supplied by one target NATION per order year — is the corridor
+    growing or losing ground?
+
+    Scale plan: the region filter collapses customers to a key set that
+    left-semi-broadcasts against orders (never the reverse); the
+    supplier->nation tag is a broadcast carrying ONE precomputed
+    is_target bit so the share numerator is a map-side conditional sum
+    in the SAME aggregation as the denominator (one pass, never two
+    scans); revenue folds exact integer cents x 1e2 discount units and
+    the share is ONE division of two exact int64 sums — identical in
+    any engine — rounded once at read-out."""
+    n = nation.select("n_nationkey", "n_name", "n_regionkey")
+    r = region.where(F.col("r_name") == region_name).select("r_regionkey")
+    cust = (
+        customer.join(F.broadcast(n),
+                      F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("c_custkey")
+    )
+    sup = supplier.join(
+        F.broadcast(n.select("n_nationkey", "n_name")),
+        F.col("s_nationkey") == F.col("n_nationkey"),
+    ).select(
+        "s_suppkey",
+        (F.col("n_name") == target_nation).cast("long").alias("is_target"),
+    )
+    rev = _cents(F.col("l_extendedprice")) * F.round(
+        (F.lit(1.0) - F.col("l_discount")) * 100, 0
+    ).cast("long")
+    li = lineitem.select("l_orderkey", "l_suppkey", rev.alias("rev_u"))
+    j = (
+        li.join(orders.select("o_orderkey", "o_custkey",
+                              F.year("o_orderdate").cast("int")
+                              .alias("year")),
+                F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(cust),
+              F.col("o_custkey") == F.col("c_custkey"), "left_semi")
+        .join(F.broadcast(sup), F.col("l_suppkey") == F.col("s_suppkey"))
+    )
+    agg = j.groupBy("year").agg(
+        F.sum("rev_u").cast("long").alias("total_u"),
+        F.sum(F.col("rev_u") * F.col("is_target")).cast("long")
+        .alias("nation_u"),
+    )
+    return agg.select(
+        "year",
+        (F.expr("(total_u + 50) div 100").cast("long")
+         / F.lit(100.0)).alias("total_revenue"),
+        (F.expr("(nation_u + 50) div 100").cast("long")
+         / F.lit(100.0)).alias("nation_revenue"),
+        F.round(F.col("nation_u") / F.col("total_u"), 6).alias("mkt_share"),
+    )
+
+
+#: Q19-style promo bands: (brand, size_lo, size_hi, qty_lo, qty_hi).
+#: Bands are keyed by DISTINCT brands so membership is disjoint and a
+#: line never double-counts across bands.
+PROMO_BANDS = (
+    ("Brand#1", 1, 15, 1, 20),
+    ("Brand#2", 1, 25, 10, 35),
+    ("Brand#3", 1, 40, 20, 50),
+)
+
+
+def brand_band_revenue(
+    lineitem: DataFrame,
+    part: DataFrame,
+    bands: tuple = PROMO_BANDS,
+) -> DataFrame:
+    """(p_brand, n_items, revenue) — the TPC-H-Q19 shape: discounted
+    revenue from lines matching an OR-of-ANDs of (brand, part-size
+    band, quantity band) promo conditions, reported per band.
+
+    The disjunctive predicate is the point: a naive translation leaves
+    the whole OR to post-join eval.  Here the UNION BOUNDS pre-push on
+    both sides — part prunes to `p_brand IN bands AND p_size <=
+    max(hi)` BEFORE broadcasting (at 100 TB the broadcast list shrinks
+    ~10x), lineitem's scan gets `l_quantity BETWEEN global lo AND
+    global hi` pushed to parquet — and only the residual per-band
+    conjunction evaluates post-join.  Bands must be brand-disjoint
+    (enforced); revenue folds exact integer cents x 1e2 units with one
+    half-up integer rounding at read-out."""
+    brands = [b[0] for b in bands]
+    if len(set(brands)) != len(brands):
+        raise ValueError("brand_band_revenue bands must have distinct "
+                         "brands (disjoint membership)")
+    max_size = max(b[2] for b in bands)
+    qty_lo = min(b[3] for b in bands)
+    qty_hi = max(b[4] for b in bands)
+    p = part.where(
+        F.col("p_brand").isin(brands) & (F.col("p_size") <= max_size)
+    ).select("p_partkey", "p_brand", "p_size")
+    rev = _cents(F.col("l_extendedprice")) * F.round(
+        (F.lit(1.0) - F.col("l_discount")) * 100, 0
+    ).cast("long")
+    li = lineitem.where(
+        (F.col("l_quantity") >= qty_lo) & (F.col("l_quantity") <= qty_hi)
+    ).select("l_partkey", "l_quantity", rev.alias("rev_u"))
+    cond = F.lit(False)
+    for brand, s_lo, s_hi, q_lo, q_hi in bands:
+        cond = cond | (
+            (F.col("p_brand") == brand)
+            & (F.col("p_size") >= s_lo) & (F.col("p_size") <= s_hi)
+            & (F.col("l_quantity") >= q_lo) & (F.col("l_quantity") <= q_hi)
+        )
+    j = li.join(F.broadcast(p),
+                F.col("l_partkey") == F.col("p_partkey")).where(cond)
+    return (
+        j.groupBy("p_brand")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_items"),
+             F.sum("rev_u").cast("long").alias("rev_u"))
+        .select("p_brand", "n_items",
+                (F.expr("(rev_u + 50) div 100").cast("long")
+                 / F.lit(100.0)).alias("revenue"))
+    )
