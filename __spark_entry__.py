@@ -666,6 +666,40 @@ WHERE id != (SELECT min(id) FROM verts) ORDER BY id"""
     )
 
 
+def _sql_temporal_reach(iters: int = 10) -> str:
+    """Unrolled earliest-arrival relaxation over the co-activity
+    CONTACT list (one row per pair/type/hour-bucket, epoch-micros
+    times); ``iters`` must be >= the temporal diameter (measured
+    fixpoint: 6 at both sf0.001 and sf0.01; 10 = headroom, extra
+    rounds are idempotent).  Root arrival -2^62 excluded from the
+    output so every value is a real contact time."""
+    ctes = ["""ue AS MATERIALIZED (
+  SELECT DISTINCT user_id AS u, event_type AS t,
+         date_trunc('hour', ts) AS h
+  FROM events)""", """okb AS (
+  SELECT t, h FROM ue GROUP BY t, h HAVING count(*) <= 256)""", """u2 AS MATERIALIZED (
+  SELECT ue.u, ue.t, ue.h FROM ue
+  JOIN okb ON ue.t = okb.t AND ue.h = okb.h)""", """contacts AS MATERIALIZED (
+  SELECT DISTINCT a.u AS src, b.u AS dst, epoch_us(a.h) AS tm
+  FROM u2 a JOIN u2 b ON a.t = b.t AND a.h = b.h AND a.u <> b.u)""", """tr0 AS MATERIALIZED (
+  SELECT CAST((SELECT min(src) FROM contacts) AS BIGINT) AS id,
+         CAST(-4611686018427387904 AS BIGINT) AS arr)"""]
+    for k in range(iters):
+        ctes.append(f"""tr{k + 1} AS MATERIALIZED (
+  SELECT id, min(arr) AS arr FROM (
+    SELECT id, arr FROM tr{k}
+    UNION ALL
+    SELECT c.dst AS id, c.tm AS arr
+    FROM tr{k} r JOIN contacts c ON c.src = r.id AND c.tm >= r.arr) u
+  GROUP BY id)""")
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f"""
+SELECT id, arr AS arrival FROM tr{iters}
+WHERE id != (SELECT min(src) FROM contacts) ORDER BY id"""
+    )
+
+
 def _sql_sinkhorn(iters: int) -> str:
     """Unrolled Sinkhorn-Knopp row/col normalizations on the
     (source, lang) doc-count matrix toward probability marginals
@@ -2452,6 +2486,22 @@ def q_widest_path(spark, sf_dir):
     return widest_path(sym, root=int(root), weight="weight").select(
         "id", F.round("cap", 6).alias("cap")
     )
+
+
+def q_temporal_reach(spark, sf_dir):
+    """Earliest-arrival time-respecting reachability from the smallest
+    user over the co-activity CONTACT list
+    (algos/temporal.temporal_reachability over
+    functions/events.co_activity_contacts): static reachability on the
+    collapsed graph overstates reach by routing through contacts that
+    already happened; this is the honest influence cone.  Every arrival
+    is an exact integer copy of some contact bucket's epoch micros."""
+    from plato_spark.algos.temporal import temporal_reachability
+    from plato_spark.functions.events import co_activity_contacts
+
+    contacts = co_activity_contacts(load_table(spark, sf_dir, "events"))
+    root = contacts.agg(F.min("src").alias("m")).collect()[0]["m"]
+    return temporal_reachability(contacts, root=int(root), time_col="tm")
 
 
 def q_waiting_suppliers(spark, sf_dir):
@@ -8364,6 +8414,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # appearance; the rows they displace past the 50-row snapshot
         # are r4-new too and remain replica-checked) --
         "widest_path": q_widest_path,
+        "temporal_reach": q_temporal_reach,
         "waiting_suppliers": q_waiting_suppliers,
         "market_share": q_market_share,
         "brand_band_revenue": q_brand_band_revenue,
@@ -10341,6 +10392,7 @@ WHERE rn <= 5""",
         "kcore": _sql_kcore(),
         "sssp": _sql_sssp(),
         "widest_path": _sql_widest(),
+        "temporal_reach": _sql_temporal_reach(),
         # literal EXISTS/NOT-EXISTS double quantifier — proves the
         # grouped-pass rewrite in relational.waiting_suppliers
         "waiting_suppliers": """

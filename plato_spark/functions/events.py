@@ -824,3 +824,43 @@ def hourly_profile(
         F.when(F.col("n_denom") > 0,
                F.round(F.col("n_numer") / F.col("n_denom"), 6)).alias("cvr"),
     )
+
+
+def co_activity_contacts(
+    events: DataFrame,
+    window: str = "hour",
+    max_bucket: int = 256,
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """(src, dst, tm) — the TEMPORAL contact list behind
+    :func:`co_activity_edges`: one directed row per (user pair,
+    event_type, time-bucket) contact, ``tm`` = the bucket start in
+    exact epoch MICROSECONDS (both orientations — a shared activity
+    bucket transmits either way).  Where co_activity_edges collapses
+    time into a weight, this keeps it: the input
+    algos/temporal.temporal_reachability needs, since reachability on
+    the collapsed graph overstates reach by routing through contacts
+    that already happened.  Same viral-bucket guard (> ``max_bucket``
+    users dropped BEFORE the pair join)."""
+    ue = events.select(
+        F.col(user_col).alias("u"),
+        F.col(type_col).alias("t"),
+        F.date_trunc(window, F.col(ts_col)).alias("h"),
+    ).distinct()
+    ok = (
+        ue.groupBy("t", "h").agg(F.count("*").alias("n"))
+        .where(F.col("n") <= max_bucket)
+        .select("t", "h")
+    )
+    ue = ue.join(ok, ["t", "h"], "left_semi")
+    a = ue.select("t", "h", F.col("u").alias("src"))
+    b = ue.select("t", "h", F.col("u").alias("dst"))
+    return (
+        a.join(b, ["t", "h"])
+        .where(F.col("src") != F.col("dst"))
+        .select("src", "dst",
+                F.unix_micros(F.col("h").cast("timestamp")).alias("tm"))
+        .distinct()
+    )
