@@ -2549,6 +2549,155 @@ def q_brand_band_revenue(spark, sf_dir):
     )
 
 
+def q_ewma_revenue(spark, sf_dir):
+    """Exponentially-weighted (alpha = 1/2) 20-day trailing revenue per
+    day — the responsive smoother beside trailing_revenue's flat 7-day
+    RANGE window.  The trick that makes EWMA oracle-checkable: with
+    alpha = 1/2 every weight is a POWER OF TWO, so the weighted fold is
+    an exact int64 sum of cents << (19 - gap) — float never enters
+    until the ONE normalizing division ( / (2^20 - 1) / 100).
+
+    Gap days are real zero-revenue days: the calendar is gap-filled
+    in-plan (sequence + explode over the broadcast min/max bounds), so
+    the decay rides CALENDAR days, not row offsets.  Scale plan: the
+    window is an EXPAND x20 (each day offers its weighted contribution
+    to its next 19 calendar days) + ONE shuffle on the target day —
+    never a global-sort window; the series is the pre-aggregated
+    per-day table (|days| rows, the bounded offsets-table role).  Only
+    days with a full 20-day history report (constant weight mass)."""
+    o = load_table(spark, sf_dir, "orders")
+    per = (
+        o.select(
+            F.datediff(F.col("o_orderdate"), F.lit("1970-01-01"))
+            .cast("long").alias("day_i"),
+            F.round(F.col("o_totalprice") * 100, 0).cast("long")
+            .alias("pc"))
+        .groupBy("day_i").agg(F.sum("pc").cast("long").alias("rev_c"))
+    )
+    b = per.agg(F.min("day_i").alias("lo"), F.max("day_i").alias("hi"))
+    days = b.select(
+        F.explode(F.sequence(F.col("lo"), F.col("hi"))).alias("day_i"))
+    filled = days.join(per, "day_i", "left").select(
+        "day_i", F.coalesce("rev_c", F.lit(0)).alias("c"))
+    contrib = filled.select(
+        F.explode(F.sequence(F.lit(0), F.lit(19))).alias("k"),
+        "day_i", "c",
+    ).select(
+        (F.col("day_i") + F.col("k")).alias("t_day"),
+        # shiftleft's bits arg must be a literal in the Python API;
+        # the SQL form takes the column
+        (F.col("c") * F.expr("shiftleft(1L, 19 - cast(k AS INT))"))
+        .alias("w_c"),
+    )
+    num = contrib.groupBy(F.col("t_day").alias("day_i")).agg(
+        F.sum("w_c").cast("long").alias("num"))
+    return (
+        num.crossJoin(F.broadcast(b))
+        .where((F.col("day_i") >= F.col("lo") + 19)
+               & (F.col("day_i") <= F.col("hi")))
+        .select("day_i",
+                F.round(F.col("num") / F.lit(((1 << 20) - 1) * 100.0), 6)
+                .alias("ewma"))
+    )
+
+
+def q_revenue_autocorr(spark, sf_dir):
+    """Lag-7 autocorrelation of daily order revenue — does the weekly
+    cycle exist?  Pearson r over (x_t, x_{t-7}) pairs on the gap-filled
+    calendar (missing days are REAL zero-revenue observations; skipping
+    them would splice non-adjacent weeks together).
+
+    Exactness: every sum (x, y, x^2, y^2, xy in cents) folds in
+    DECIMAL(38,0) — 128-bit exact, order-free — mirrored by DuckDB's
+    automatic HUGEINT sums; the lag pairing is a self-join on
+    day_i = day_i + 7 (an equi-join, never a global-sort window), and
+    float enters only at the final covariance / sqrt(var*var) division
+    of exact integers.  sqrt is IEEE-correctly-rounded everywhere
+    (unlike ln/log2 — the cross-libm lesson), so 6dp rounding is
+    engine-stable."""
+    o = load_table(spark, sf_dir, "orders")
+    per = (
+        o.select(
+            F.datediff(F.col("o_orderdate"), F.lit("1970-01-01"))
+            .cast("long").alias("day_i"),
+            F.round(F.col("o_totalprice") * 100, 0).cast("long")
+            .alias("pc"))
+        .groupBy("day_i").agg(F.sum("pc").cast("long").alias("rev_c"))
+    )
+    b = per.agg(F.min("day_i").alias("lo"), F.max("day_i").alias("hi"))
+    days = b.select(
+        F.explode(F.sequence(F.col("lo"), F.col("hi"))).alias("day_i"))
+    filled = days.join(per, "day_i", "left").select(
+        "day_i",
+        F.coalesce("rev_c", F.lit(0)).cast("decimal(19,0)").alias("c"))
+    x = filled.select(F.col("day_i").alias("tx"), F.col("c").alias("x"))
+    y = filled.select((F.col("day_i") + 7).alias("tx"),
+                      F.col("c").alias("y"))
+    pairs = x.join(y, "tx")
+    s = pairs.agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("n"),
+        F.sum("x").cast("decimal(38,0)").alias("sx"),
+        F.sum("y").cast("decimal(38,0)").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).cast("decimal(38,0)").alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).cast("decimal(38,0)").alias("syy"),
+        F.sum(F.col("x") * F.col("y")).cast("decimal(38,0)").alias("sxy"),
+    )
+    cov = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy"))
+    vx = (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
+    vy = (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy"))
+    return s.select(
+        F.col("n").cast("long").alias("n_pairs"),
+        F.lit(7).cast("int").alias("lag"),
+        F.round(
+            cov.cast("double")
+            / F.sqrt(vx.cast("double") * vy.cast("double")), 6
+        ).alias("autocorr"),
+    )
+
+
+def q_rfm_segments(spark, sf_dir):
+    """RFM customer segmentation: score recency / frequency / monetary
+    1-4 by FIXED thresholds (quantile binning is balance_deciles' job —
+    fixed cutoffs are the production-stable contract: a segment keeps
+    its meaning when the population shifts), then report segment sizes
+    and average spend.  Recency anchors on the dataset's LAST order
+    date as a broadcast scalar (never wall-clock now() — results must
+    not depend on run time); monetary folds exact int64 cents with ONE
+    division at read-out."""
+    o = load_table(spark, sf_dir, "orders")
+    anchor = o.agg(F.max("o_orderdate").alias("mx"))
+    per = (
+        o.crossJoin(F.broadcast(anchor))
+        .groupBy("o_custkey")
+        .agg(
+            F.min(F.datediff(F.col("mx"), F.col("o_orderdate")))
+            .cast("long").alias("rec_days"),
+            F.count(F.lit(1)).cast("long").alias("freq"),
+            F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("long"))
+            .cast("long").alias("mon_c"),
+        )
+    )
+    r_s = (F.when(F.col("rec_days") <= 90, 4)
+           .when(F.col("rec_days") <= 365, 3)
+           .when(F.col("rec_days") <= 730, 2).otherwise(1))
+    f_s = (F.when(F.col("freq") >= 15, 4)
+           .when(F.col("freq") >= 10, 3)
+           .when(F.col("freq") >= 5, 2).otherwise(1))
+    m_s = (F.when(F.col("mon_c") >= 400_000_000, 4)
+           .when(F.col("mon_c") >= 250_000_000, 3)
+           .when(F.col("mon_c") >= 100_000_000, 2).otherwise(1))
+    return (
+        per.select(r_s.alias("r_score"), f_s.alias("f_score"),
+                   m_s.alias("m_score"), "mon_c")
+        .groupBy("r_score", "f_score", "m_score")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_customers"),
+             F.sum("mon_c").cast("long").alias("mc"))
+        .select("r_score", "f_score", "m_score", "n_customers",
+                F.round(F.col("mc") / (F.col("n_customers") * F.lit(100.0)),
+                        6).alias("avg_monetary"))
+    )
+
+
 def q_kcore(spark, sf_dir):
     return kcore(part_cooccurrence_edges(spark, sf_dir))
 
@@ -8418,6 +8567,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "waiting_suppliers": q_waiting_suppliers,
         "market_share": q_market_share,
         "brand_band_revenue": q_brand_band_revenue,
+        "ewma_revenue": q_ewma_revenue,
+        "revenue_autocorr": q_revenue_autocorr,
+        "rfm_segments": q_rfm_segments,
         "hub_removal": q_hub_removal,
         "component_stability": q_component_stability,
         "degree_incremental": q_degree_incremental,
@@ -10456,6 +10608,79 @@ WITH j AS (SELECT p.p_brand,
 SELECT p_brand, CAST(count(*) AS BIGINT) AS n_items,
        CAST((sum(rev_u) + 50) // 100 AS BIGINT) / 100.0 AS revenue
 FROM j GROUP BY p_brand ORDER BY p_brand""",
+        # alpha=1/2 EWMA: every weight a power of two -> exact int64
+        # shifts; range self-join mirrors the Spark EXPAND-x20 plan
+        "ewma_revenue": """
+WITH per AS (
+  SELECT CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS BIGINT)
+           AS day_i,
+         CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT))
+              AS BIGINT) AS rev_c
+  FROM orders GROUP BY 1),
+b AS (SELECT min(day_i) AS lo, max(day_i) AS hi FROM per),
+days AS (SELECT unnest(generate_series(b.lo, b.hi)) AS day_i FROM b),
+filled AS (SELECT d.day_i, CAST(coalesce(p.rev_c, 0) AS BIGINT) AS c
+           FROM days d LEFT JOIN per p USING (day_i)),
+num AS (SELECT t.day_i,
+          CAST(sum(c.c * (CAST(1 AS BIGINT)
+                          << CAST(19 - (t.day_i - c.day_i) AS INTEGER)))
+               AS BIGINT) AS num
+        FROM filled t JOIN filled c
+          ON c.day_i BETWEEN t.day_i - 19 AND t.day_i
+        GROUP BY 1)
+SELECT n.day_i, round(n.num / 104857500.0, 6) AS ewma
+FROM num n, b WHERE n.day_i >= b.lo + 19 ORDER BY n.day_i""",
+        # HUGEINT sums mirror Spark's DECIMAL(38,0) folds; sqrt is
+        # IEEE-correctly-rounded in both engines (unlike ln/log2)
+        "revenue_autocorr": """
+WITH per AS (
+  SELECT CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS BIGINT)
+           AS day_i,
+         CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT))
+              AS BIGINT) AS rev_c
+  FROM orders GROUP BY 1),
+b AS (SELECT min(day_i) AS lo, max(day_i) AS hi FROM per),
+days AS (SELECT unnest(generate_series(b.lo, b.hi)) AS day_i FROM b),
+filled AS (SELECT d.day_i, CAST(coalesce(p.rev_c, 0) AS BIGINT) AS c
+           FROM days d LEFT JOIN per p USING (day_i)),
+pairs AS (SELECT x.c AS x, y.c AS y
+          FROM filled x JOIN filled y ON x.day_i = y.day_i + 7),
+s AS (SELECT CAST(count(*) AS HUGEINT) AS n,
+             sum(CAST(x AS HUGEINT)) AS sx, sum(CAST(y AS HUGEINT)) AS sy,
+             sum(CAST(x AS HUGEINT) * x) AS sxx,
+             sum(CAST(y AS HUGEINT) * y) AS syy,
+             sum(CAST(x AS HUGEINT) * y) AS sxy
+      FROM pairs)
+SELECT CAST(n AS BIGINT) AS n_pairs, CAST(7 AS INTEGER) AS lag,
+       round(CAST(n * sxy - sx * sy AS DOUBLE)
+             / sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
+                    * CAST(n * syy - sy * sy AS DOUBLE)), 6) AS autocorr
+FROM s""",
+        "rfm_segments": """
+WITH anchor AS (SELECT max(o_orderdate) AS mx FROM orders),
+per AS (
+  SELECT o_custkey,
+         min(CAST(CAST(a.mx AS DATE) - CAST(o_orderdate AS DATE)
+                  AS BIGINT)) AS rec_days,
+         CAST(count(*) AS BIGINT) AS freq,
+         CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT))
+              AS BIGINT) AS mon_c
+  FROM orders, anchor a GROUP BY o_custkey),
+scored AS (
+  SELECT CASE WHEN rec_days <= 90 THEN 4 WHEN rec_days <= 365 THEN 3
+              WHEN rec_days <= 730 THEN 2 ELSE 1 END AS r_score,
+         CASE WHEN freq >= 15 THEN 4 WHEN freq >= 10 THEN 3
+              WHEN freq >= 5 THEN 2 ELSE 1 END AS f_score,
+         CASE WHEN mon_c >= 400000000 THEN 4
+              WHEN mon_c >= 250000000 THEN 3
+              WHEN mon_c >= 100000000 THEN 2 ELSE 1 END AS m_score,
+         mon_c
+  FROM per)
+SELECT r_score, f_score, m_score,
+       CAST(count(*) AS BIGINT) AS n_customers,
+       round(CAST(sum(mon_c) AS DOUBLE)
+             / (count(*) * 100.0), 6) AS avg_monetary
+FROM scored GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""",
         "closeness_sampled": _sql_closeness(),
         "harmonic_sampled": _sql_harmonic(),
         # exact Bavelas: full BFS — bfs_iters pinned past the measured
