@@ -666,6 +666,35 @@ WHERE id != (SELECT min(id) FROM verts) ORDER BY id"""
     )
 
 
+def _sql_landmark_stretch(num_roots: int = 64, num_landmarks: int = 4,
+                          bfs_iters: int = 6) -> str:
+    """Mirror of algos/closeness.landmark_stretch: landmarks = the
+    ``num_landmarks`` smallest sample roots, estimate = min over
+    landmarks of d(l,r)+d(l,v), histogram of estimate - exact over the
+    shared multi-source BFS distances (same pinned bfs_iters as the
+    closeness_exact/eccentricity oracles)."""
+    m = f"m{bfs_iters}"
+    return _sql_multi_bfs_ctes(num_roots, bfs_iters) + f""",
+lmk AS (SELECT root FROM roots ORDER BY root LIMIT {num_landmarks}),
+ev AS (SELECT root FROM roots
+       WHERE root NOT IN (SELECT root FROM lmk)),
+lv AS MATERIALIZED (
+  SELECT mm.root AS l, mm.id AS v, mm.dist AS dlv
+  FROM {m} mm JOIN lmk ON mm.root = lmk.root),
+lr AS (SELECT lv.l, lv.v AS r, lv.dlv AS dlr
+       FROM lv JOIN ev ON lv.v = ev.root),
+est AS MATERIALIZED (
+  SELECT lr.r, lv.v, min(lr.dlr + lv.dlv) AS dest
+  FROM lr JOIN lv ON lr.l = lv.l GROUP BY lr.r, lv.v),
+ex AS (SELECT mm.root AS r, mm.id AS v, mm.dist AS dex
+       FROM {m} mm JOIN ev ON mm.root = ev.root
+       WHERE mm.id <> mm.root)
+SELECT CAST(e.dest - x.dex AS INTEGER) AS stretch,
+       CAST(count(*) AS BIGINT) AS n_pairs
+FROM ex x JOIN est e ON x.r = e.r AND x.v = e.v
+GROUP BY 1 ORDER BY 1"""
+
+
 def _sql_temporal_reach(iters: int = 10) -> str:
     """Unrolled earliest-arrival relaxation over the co-activity
     CONTACT list (one row per pair/type/hour-bucket, epoch-micros
@@ -2695,6 +2724,32 @@ def q_rfm_segments(spark, sf_dir):
         .select("r_score", "f_score", "m_score", "n_customers",
                 F.round(F.col("mc") / (F.col("n_customers") * F.lit(100.0)),
                         6).alias("avg_monetary"))
+    )
+
+
+def q_landmark_stretch(spark, sf_dir):
+    """Landmark distance-estimation quality audit
+    (algos/closeness.landmark_stretch): histogram of (landmark
+    upper-bound estimate - exact hop count) over every (eval root,
+    vertex) pair the shared multi-source BFS knows exactly — how loose
+    the standard 100-TB distance-query trick is on THIS graph.  Pure
+    integer hop arithmetic; no float enters at all."""
+    from plato_spark.algos.closeness import landmark_stretch
+
+    return landmark_stretch(part_cooccurrence_edges(spark, sf_dir))
+
+
+def q_join_skew_audit(spark, sf_dir):
+    """Pre-join skew dashboard over the lineitem fact's three join keys
+    (functions/relational.join_skew_audit): the max-over-average key
+    weight that decides salting / AQE skew-split BEFORE a 100-TB
+    shuffle discovers a straggler.  Exact integer counts, skew factor
+    as one integer cross-multiply divided once."""
+    from plato_spark.functions.relational import join_skew_audit
+
+    return join_skew_audit(
+        load_table(spark, sf_dir, "lineitem"),
+        keys=("l_orderkey", "l_partkey", "l_suppkey"),
     )
 
 
@@ -8570,6 +8625,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ewma_revenue": q_ewma_revenue,
         "revenue_autocorr": q_revenue_autocorr,
         "rfm_segments": q_rfm_segments,
+        "landmark_stretch": q_landmark_stretch,
+        "join_skew_audit": q_join_skew_audit,
         "hub_removal": q_hub_removal,
         "component_stability": q_component_stability,
         "degree_incremental": q_degree_incremental,
@@ -10681,6 +10738,29 @@ SELECT r_score, f_score, m_score,
        round(CAST(sum(mon_c) AS DOUBLE)
              / (count(*) * 100.0), 6) AS avg_monetary
 FROM scored GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""",
+        "landmark_stretch": _sql_landmark_stretch(),
+        "join_skew_audit": """
+WITH ko AS (SELECT CAST(count(*) AS BIGINT) AS c FROM lineitem
+            GROUP BY l_orderkey),
+kp AS (SELECT CAST(count(*) AS BIGINT) AS c FROM lineitem
+       GROUP BY l_partkey),
+ks AS (SELECT CAST(count(*) AS BIGINT) AS c FROM lineitem
+       GROUP BY l_suppkey),
+u AS (
+  SELECT 'l_orderkey' AS key_col, CAST(sum(c) AS BIGINT) AS n_rows,
+         CAST(count(*) AS BIGINT) AS n_keys,
+         CAST(max(c) AS BIGINT) AS max_key_rows FROM ko
+  UNION ALL
+  SELECT 'l_partkey', CAST(sum(c) AS BIGINT), CAST(count(*) AS BIGINT),
+         CAST(max(c) AS BIGINT) FROM kp
+  UNION ALL
+  SELECT 'l_suppkey', CAST(sum(c) AS BIGINT), CAST(count(*) AS BIGINT),
+         CAST(max(c) AS BIGINT) FROM ks)
+SELECT key_col, n_rows, n_keys, max_key_rows,
+       round(CAST(max_key_rows * n_keys AS DOUBLE) / n_rows, 6)
+         AS skew_factor,
+       round(CAST(max_key_rows AS DOUBLE) / n_rows, 6) AS top_share
+FROM u ORDER BY key_col""",
         "closeness_sampled": _sql_closeness(),
         "harmonic_sampled": _sql_harmonic(),
         # exact Bavelas: full BFS — bfs_iters pinned past the measured

@@ -278,3 +278,61 @@ def harmonic_exact(
         .select("id", F.round(F.col("units") / F.lit(float(lcm)), 6)
                 .alias("harmonic"))
     )
+
+
+def landmark_stretch(
+    edges: DataFrame,
+    num_roots: int = 64,
+    num_landmarks: int = 4,
+    max_iters: int = 10_000,
+) -> DataFrame:
+    """(stretch: int, n_pairs: long) — quality audit of LANDMARK
+    distance estimation, the standard trick for answering d(u, v)
+    queries at 100 TB where per-query BFS is unaffordable: precompute
+    exact distances from a few landmark vertices, then estimate
+    d(u, v) <= min over landmarks l of d(l, u) + d(l, v) (triangle
+    inequality — always an upper bound, tight iff some landmark sits on
+    a shortest path).  This operator measures how loose: the histogram
+    of (estimate - exact) over every (eval root, vertex) pair the
+    shared multi-source BFS already knows exactly.
+
+    Landmarks = the ``num_landmarks`` smallest sample roots; eval roots
+    = the remaining roots.  Everything is an exact integer hop count —
+    no float enters at ALL, so the histogram is engine-exact.
+
+    Scale plan: ONE multi-source BFS serves both the exact side and the
+    landmark tables (k joins total); the landmark-distance table is
+    |landmarks| x V rows — the small side by construction — and the
+    estimate is a broadcast-joinable min-plus fold, never a pairwise
+    V x V product."""
+    _members, _fac, visited = _sampled_bfs(edges, num_roots, max_iters)
+    roots = visited.where(F.col("dist") == 0).select("root")
+    lmk = roots.orderBy("root").limit(num_landmarks)
+    ev = roots.join(lmk.withColumnRenamed("root", "l"),
+                    F.col("root") == F.col("l"), "left_anti")
+    lv = visited.join(
+        F.broadcast(lmk.withColumnRenamed("root", "l")),
+        F.col("root") == F.col("l"), "left_semi",
+    ).select(F.col("root").alias("l"), F.col("id").alias("v"),
+             F.col("dist").alias("dlv"))
+    lr = lv.join(
+        F.broadcast(ev.withColumnRenamed("root", "r")),
+        F.col("v") == F.col("r"), "left_semi",
+    ).select("l", F.col("v").alias("r"), F.col("dlv").alias("dlr"))
+    est = (
+        lv.join(F.broadcast(lr), "l")
+        .groupBy("r", "v")
+        .agg(F.min(F.col("dlr") + F.col("dlv")).alias("dest"))
+    )
+    exact = visited.join(
+        F.broadcast(ev.withColumnRenamed("root", "rr")),
+        F.col("root") == F.col("rr"), "left_semi",
+    ).where(F.col("id") != F.col("root")).select(
+        F.col("root").alias("r"), F.col("id").alias("v"),
+        F.col("dist").alias("dex"))
+    return (
+        exact.join(est, ["r", "v"])
+        .groupBy((F.col("dest") - F.col("dex")).cast("int")
+                 .alias("stretch"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_pairs"))
+    )

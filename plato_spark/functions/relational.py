@@ -21,7 +21,7 @@ __all__ = ["revenue_rollup", "value_outliers", "pricing_summary",
            "trade_volume", "local_supplier_volume", "returned_items",
            "top_supplier", "product_profit", "small_qty_revenue",
            "dormant_customers", "late_shipments", "waiting_suppliers",
-           "market_share", "brand_band_revenue"]
+           "market_share", "brand_band_revenue", "join_skew_audit"]
 
 
 def _cents(col):
@@ -900,4 +900,39 @@ def brand_band_revenue(
         .select("p_brand", "n_items",
                 (F.expr("(rev_u + 50) div 100").cast("long")
                  / F.lit(100.0)).alias("revenue"))
+    )
+
+
+def join_skew_audit(df: DataFrame, keys: tuple) -> DataFrame:
+    """(key_col, n_rows, n_keys, max_key_rows, skew_factor, top_share)
+    — the pre-join skew dashboard: for each candidate join key of a
+    fact table, how concentrated are its rows?  skew_factor =
+    max_key_rows / (n_rows / n_keys) — how many times heavier the
+    heaviest key is than the average — is THE number that decides
+    whether a shuffle join needs salting (graph/salting.py) or AQE
+    skew splitting before anyone burns a 100-TB shuffle discovering a
+    straggler.  top_share = max_key_rows / n_rows.
+
+    Exactness: counts are exact int64; skew_factor is computed as the
+    integer cross-multiply max * n_keys divided ONCE by n_rows (never
+    a float average fed into a float division).  One aggregation per
+    key (map-side combined), output = |keys| rows."""
+    spark = df.sparkSession
+    out = None
+    for key in keys:
+        per = df.groupBy(F.col(key)).agg(
+            F.count(F.lit(1)).cast("long").alias("c"))
+        agg = per.agg(
+            F.lit(key).alias("key_col"),
+            F.sum("c").cast("long").alias("n_rows"),
+            F.count(F.lit(1)).cast("long").alias("n_keys"),
+            F.max("c").cast("long").alias("max_key_rows"),
+        )
+        out = agg if out is None else out.unionByName(agg)
+    return out.select(
+        "key_col", "n_rows", "n_keys", "max_key_rows",
+        F.round((F.col("max_key_rows") * F.col("n_keys"))
+                / F.col("n_rows"), 6).alias("skew_factor"),
+        F.round(F.col("max_key_rows") / F.col("n_rows"), 6)
+        .alias("top_share"),
     )
