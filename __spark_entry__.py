@@ -666,6 +666,40 @@ WHERE id != (SELECT min(id) FROM verts) ORDER BY id"""
     )
 
 
+def _sql_graphsage(layers: int = 2, dim: int = 64) -> str:
+    """Mirror of q_graphsage_features: int64 micro-unit quantization,
+    per-layer q' = floor((q*deg + sum_nbr q) / (2.0*deg)) over the
+    symmetrized planted citation graph (floor matches Spark's F.floor;
+    DuckDB's // would also floor but Spark's `div` would truncate —
+    the negative-sum trap the tests pin)."""
+    ctes = [f"""cg AS MATERIALIZED ({_sql_reference_graph()})""", """se AS MATERIALIZED (
+  SELECT src, dst FROM cg UNION SELECT dst AS src, src AS dst FROM cg)""", """degs AS MATERIALIZED (
+  SELECT src AS id, CAST(count(*) AS BIGINT) AS deg FROM se GROUP BY src)""", f"""dims AS (SELECT unnest(generate_series(1, {dim})) AS d)""", """sg0 AS MATERIALIZED (
+  SELECT e.vec_id AS id, CAST(dims.d - 1 AS INTEGER) AS dim,
+         CAST(round(CAST(e.embedding[dims.d] AS DOUBLE) * 1000000, 0)
+              AS BIGINT) AS q
+  FROM embeddings e, dims)"""]
+    for k in range(layers):
+        ctes.append(f"""sg{k + 1} AS MATERIALIZED (
+  SELECT b.id, b.dim,
+         CASE WHEN coalesce(d.deg, 0) > 0
+              THEN CAST(floor((b.q * d.deg + coalesce(g.s, 0))
+                              / (2.0 * d.deg)) AS BIGINT)
+              ELSE b.q END AS q
+  FROM sg{k} b
+  LEFT JOIN (SELECT e.dst AS id, f.dim, CAST(sum(f.q) AS BIGINT) AS s
+             FROM se e JOIN sg{k} f ON e.src = f.id
+             GROUP BY e.dst, f.dim) g
+    ON b.id = g.id AND b.dim = g.dim
+  LEFT JOIN degs d ON b.id = d.id)""")
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f"""
+SELECT id, dim, round(q / 1000000.0, 6) AS value
+FROM sg{layers} ORDER BY id, dim"""
+    )
+
+
 def _sql_landmark_stretch(num_roots: int = 64, num_landmarks: int = 4,
                           bfs_iters: int = 6) -> str:
     """Mirror of algos/closeness.landmark_stretch: landmarks = the
@@ -2751,6 +2785,26 @@ def q_join_skew_audit(spark, sf_dir):
         load_table(spark, sf_dir, "lineitem"),
         keys=("l_orderkey", "l_partkey", "l_suppkey"),
     )
+
+
+def q_graphsage_features(spark, sf_dir):
+    """2-layer untrained GraphSAGE mean aggregation of the document
+    embeddings over the symmetrized citation graph
+    (algos/sage.sage_mean_features): the GNN-inference feature side
+    beside gnn_neighbor_sample/negative_sampling/linkpred_eval.
+    Features quantized once to int64 micro-units; each layer is one
+    edge join + one (dst, dim) aggregation with a single floor'd IEEE
+    division — engine-exact, incl. negative sums (floor, never
+    truncating div).  Long (id, dim, value) output."""
+    from plato_spark.algos.sage import sage_mean_features
+
+    cg = q_reference_graph(spark, sf_dir).select("src", "dst")
+    sym = cg.unionByName(
+        cg.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).distinct()
+    feats = load_table(spark, sf_dir, "embeddings").select(
+        F.col("vec_id").alias("id"), "embedding")
+    return sage_mean_features(sym, feats, layers=2)
 
 
 def q_kcore(spark, sf_dir):
@@ -8627,6 +8681,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rfm_segments": q_rfm_segments,
         "landmark_stretch": q_landmark_stretch,
         "join_skew_audit": q_join_skew_audit,
+        "graphsage_features": q_graphsage_features,
         "hub_removal": q_hub_removal,
         "component_stability": q_component_stability,
         "degree_incremental": q_degree_incremental,
@@ -10739,6 +10794,7 @@ SELECT r_score, f_score, m_score,
              / (count(*) * 100.0), 6) AS avg_monetary
 FROM scored GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""",
         "landmark_stretch": _sql_landmark_stretch(),
+        "graphsage_features": _sql_graphsage(),
         "join_skew_audit": """
 WITH ko AS (SELECT CAST(count(*) AS BIGINT) AS c FROM lineitem
             GROUP BY l_orderkey),
