@@ -666,6 +666,69 @@ WHERE id != (SELECT min(id) FROM verts) ORDER BY id"""
     )
 
 
+def _sql_minhash_calibration(num_hashes: int = 64, bands: int = 16,
+                             n: int = 3) -> str:
+    """Mirror of functions/dedup.minhash_calibration: the
+    _sql_minhash_candidates chain (portable Kirsch-Mitzenmacher family)
+    plus per-candidate-pair slot-match counts, exact shingle
+    intersection/sizes, and the three rounded read-out divisions."""
+    rows = num_hashes // bands
+    sig_aggs = ", ".join(f"min(h1 + {i} * h2) AS s{i}"
+                         for i in range(num_hashes))
+    band_selects = "\n  UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band, "
+        + " || ',' || ".join(f"CAST(s{b * rows + j} AS VARCHAR)"
+                             for j in range(rows))
+        + " AS bucket FROM sig"
+        for b in range(bands)
+    )
+    match_sum = " + ".join(
+        f"CASE WHEN xa.s{i} = xb.s{i} THEN 1 ELSE 0 END"
+        for i in range(num_hashes)
+    )
+    return f"""
+WITH t AS MATERIALIZED (
+  SELECT doc_id, regexp_extract_all(text, '{TOKEN_RE_SQL}') AS toks
+  FROM documents),
+sh AS MATERIALIZED (SELECT doc_id,
+        CASE WHEN length(toks) >= {n} THEN
+          list_distinct([array_to_string(toks[i:i+{n - 1}], ' ')
+                         for i in range(1, length(toks) - {n - 2})])
+        ELSE [array_to_string(toks, ' ')] END AS sh FROM t),
+ex AS MATERIALIZED (SELECT doc_id, unnest(sh) AS s FROM sh),
+hh AS MATERIALIZED (SELECT doc_id, s, {H1_SQL.format(s='s')} AS h1,
+                           {H2_SQL.format(s='s')} AS h2 FROM ex),
+sig AS MATERIALIZED (SELECT doc_id, {sig_aggs} FROM hh GROUP BY doc_id),
+banded AS MATERIALIZED (
+  {band_selects}),
+cand AS MATERIALIZED (
+  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+  FROM banded x JOIN banded y
+    ON x.band = y.band AND x.bucket = y.bucket AND x.doc_id < y.doc_id),
+mt AS (SELECT c.a, c.b, CAST({match_sum} AS BIGINT) AS n_match
+       FROM cand c JOIN sig xa ON xa.doc_id = c.a
+       JOIN sig xb ON xb.doc_id = c.b),
+sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS c
+          FROM ex GROUP BY doc_id),
+inter AS (SELECT c.a, c.b, CAST(count(*) AS BIGINT) AS i
+          FROM cand c
+          JOIN ex xa ON xa.doc_id = c.a
+          JOIN ex xb ON xb.doc_id = c.b AND xb.s = xa.s
+          GROUP BY c.a, c.b)
+SELECT m.a, m.b, m.n_match,
+       round(coalesce(i.i, 0)
+             / (sa.c + sb.c - coalesce(i.i, 0)), 6) AS jaccard,
+       round(m.n_match / {float(num_hashes)}, 6) AS est,
+       round(m.n_match / {float(num_hashes)}
+             - coalesce(i.i, 0)
+               / (sa.c + sb.c - coalesce(i.i, 0)), 6) AS err
+FROM mt m
+LEFT JOIN inter i ON m.a = i.a AND m.b = i.b
+JOIN sizes sa ON sa.doc_id = m.a
+JOIN sizes sb ON sb.doc_id = m.b
+ORDER BY m.a, m.b"""
+
+
 def _sql_graphsage(layers: int = 2, dim: int = 64) -> str:
     """Mirror of q_graphsage_features: int64 micro-unit quantization,
     per-layer q' = floor((q*deg + sum_nbr q) / (2.0*deg)) over the
@@ -2805,6 +2868,101 @@ def q_graphsage_features(spark, sf_dir):
     feats = load_table(spark, sf_dir, "embeddings").select(
         F.col("vec_id").alias("id"), "embedding")
     return sage_mean_features(sym, feats, layers=2)
+
+
+def q_minhash_calibration(spark, sf_dir):
+    """MinHash estimator audit on the LSH candidate pairs
+    (functions/dedup.minhash_calibration): matching-slot fraction vs
+    TRUE distinct-shingle Jaccard per pair — the empirical check that
+    the 64-hash signature actually delivers its sqrt(J(1-J)/64)
+    accuracy on THIS corpus.  Candidate-fed (never all-pairs), portable
+    hash family, exact integer counts with three rounded divisions."""
+    from plato_spark.functions.dedup import minhash_calibration
+
+    return minhash_calibration(load_table(spark, sf_dir, "documents"))
+
+
+def q_discount_qty_corr(spark, sf_dir):
+    """Per-brand Pearson correlation between discount (scale-100 ints)
+    and quantity (integral) — do discounts actually move volume, and
+    differently per brand?  The revenue_autocorr discipline: all five
+    sums fold in DECIMAL(38,0) (DuckDB HUGEINT), float enters only at
+    cov/sqrt(var*var), zero-variance groups report NULL (never a fake
+    0).  One broadcast part join + one map-side-combined aggregation."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey",
+        F.round(F.col("l_discount") * 100, 0).cast("long").alias("d"),
+        F.col("l_quantity").cast("long").alias("q"))
+    p = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    j = li.join(F.broadcast(p),
+                F.col("l_partkey") == F.col("p_partkey")).select(
+        "p_brand",
+        F.col("d").cast("decimal(19,0)").alias("x"),
+        F.col("q").cast("decimal(19,0)").alias("y"))
+    s = j.groupBy("p_brand").agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("n"),
+        F.sum("x").cast("decimal(38,0)").alias("sx"),
+        F.sum("y").cast("decimal(38,0)").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).cast("decimal(38,0)").alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).cast("decimal(38,0)").alias("syy"),
+        F.sum(F.col("x") * F.col("y")).cast("decimal(38,0)").alias("sxy"),
+    )
+    cov = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy"))
+    vx = (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
+    vy = (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy"))
+    return s.select(
+        "p_brand", F.col("n").cast("long").alias("n_items"),
+        F.when(
+            (vx > 0) & (vy > 0),
+            F.round(cov.cast("double")
+                    / F.sqrt(vx.cast("double") * vy.cast("double")), 6),
+        ).alias("corr"),
+    )
+
+
+def q_cusum_changepoint(spark, sf_dir):
+    """CUSUM changepoint over daily order revenue: the day where the
+    cumulative deviation from the all-period mean rate peaks — the
+    single most likely level-shift point.  Exactness: dev_t =
+    |n * cumsum_t - t * total| is a pure int64 cross-multiply (never a
+    float mean fed into a running sum; cents x day-index stays < 2^63
+    by orders of magnitude at any plausible SF), the argmax is ONE
+    struct-max scalar aggregate with ties broken to the earliest day,
+    and the only division is the normalized read-out.  The running sum
+    rides a window over the pre-aggregated per-day table (|days| rows —
+    the bounded offsets-table role)."""
+    from pyspark.sql import Window
+
+    o = load_table(spark, sf_dir, "orders")
+    per = (
+        o.select(
+            F.datediff(F.col("o_orderdate"), F.lit("1970-01-01"))
+            .cast("long").alias("day_i"),
+            F.round(F.col("o_totalprice") * 100, 0).cast("long")
+            .alias("pc"))
+        .groupBy("day_i").agg(F.sum("pc").cast("long").alias("rev_c"))
+    )
+    w = Window.orderBy("day_i").rowsBetween(Window.unboundedPreceding, 0)
+    t = Window.orderBy("day_i")
+    cum = per.select(
+        "day_i",
+        F.sum("rev_c").over(w).alias("cum"),
+        F.row_number().over(t).cast("long").alias("t_idx"))
+    tot = per.agg(F.sum("rev_c").cast("long").alias("total"),
+                  F.count(F.lit(1)).cast("long").alias("n"))
+    dev = cum.crossJoin(F.broadcast(tot)).select(
+        "day_i", "total", "n",
+        F.abs(F.col("n") * F.col("cum")
+              - F.col("t_idx") * F.col("total")).alias("dev"))
+    best = dev.agg(F.max(F.struct(F.col("dev"), (-F.col("day_i"))
+                                  .alias("nd"))).alias("m"),
+                   F.max("total").alias("total"), F.max("n").alias("n"))
+    return best.select(
+        (-F.col("m.nd")).alias("day_i"),
+        F.col("m.dev").alias("scaled_dev"),
+        F.round(F.col("m.dev") / (F.col("n") * F.col("total")), 6)
+        .alias("rel_dev"),
+    )
 
 
 def q_kcore(spark, sf_dir):
@@ -8682,6 +8840,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "landmark_stretch": q_landmark_stretch,
         "join_skew_audit": q_join_skew_audit,
         "graphsage_features": q_graphsage_features,
+        "minhash_calibration": q_minhash_calibration,
+        "discount_qty_corr": q_discount_qty_corr,
+        "cusum_changepoint": q_cusum_changepoint,
         "hub_removal": q_hub_removal,
         "component_stability": q_component_stability,
         "degree_incremental": q_degree_incremental,
@@ -10795,6 +10956,46 @@ SELECT r_score, f_score, m_score,
 FROM scored GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""",
         "landmark_stretch": _sql_landmark_stretch(),
         "graphsage_features": _sql_graphsage(),
+        "minhash_calibration": _sql_minhash_calibration(),
+        "discount_qty_corr": """
+WITH j AS (SELECT p.p_brand,
+             CAST(round(l.l_discount * 100, 0) AS BIGINT) AS x,
+             CAST(l.l_quantity AS BIGINT) AS y
+           FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey),
+s AS (SELECT p_brand, CAST(count(*) AS HUGEINT) AS n,
+             sum(CAST(x AS HUGEINT)) AS sx, sum(CAST(y AS HUGEINT)) AS sy,
+             sum(CAST(x AS HUGEINT) * x) AS sxx,
+             sum(CAST(y AS HUGEINT) * y) AS syy,
+             sum(CAST(x AS HUGEINT) * y) AS sxy
+      FROM j GROUP BY p_brand)
+SELECT p_brand, CAST(n AS BIGINT) AS n_items,
+       CASE WHEN (n * sxx - sx * sx) > 0 AND (n * syy - sy * sy) > 0
+            THEN round(CAST(n * sxy - sx * sy AS DOUBLE)
+                       / sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
+                              * CAST(n * syy - sy * sy AS DOUBLE)), 6)
+            ELSE NULL END AS corr
+FROM s ORDER BY p_brand""",
+        "cusum_changepoint": """
+WITH per AS (
+  SELECT CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS BIGINT)
+           AS day_i,
+         CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT))
+              AS BIGINT) AS rev_c
+  FROM orders GROUP BY 1),
+tot AS (SELECT CAST(sum(rev_c) AS BIGINT) AS total,
+               CAST(count(*) AS BIGINT) AS n FROM per),
+cum AS (SELECT day_i,
+          CAST(sum(rev_c) OVER (ORDER BY day_i
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             AS BIGINT) AS cum,
+          CAST(row_number() OVER (ORDER BY day_i) AS BIGINT) AS t_idx
+        FROM per),
+dev AS (SELECT c.day_i, abs(t.n * c.cum - c.t_idx * t.total) AS dev,
+               t.total, t.n
+        FROM cum c, tot t)
+SELECT day_i, CAST(dev AS BIGINT) AS scaled_dev,
+       round(CAST(dev AS DOUBLE) / (n * total), 6) AS rel_dev
+FROM dev ORDER BY dev DESC, day_i ASC LIMIT 1""",
         "join_skew_audit": """
 WITH ko AS (SELECT CAST(count(*) AS BIGINT) AS c FROM lineitem
             GROUP BY l_orderkey),

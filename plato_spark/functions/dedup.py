@@ -814,3 +814,88 @@ def dedup_apply(
         (F.col("keeper_id").isNull()
          | (F.col("keeper_id") == F.col("id"))).alias("keep"),
     )
+
+
+def minhash_calibration(
+    df: DataFrame,
+    num_hashes: int = 64,
+    bands: int = 16,
+    n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(a, b, n_match, jaccard, est, err) — MinHash ESTIMATOR audit on
+    the LSH candidate pairs: matching-slot fraction (the estimate every
+    dedup threshold decision trusts) against the TRUE distinct-shingle
+    Jaccard, per pair.  E[est] = J, sd ~= sqrt(J(1-J)/64) ~ 0.06 — this
+    query is the empirical check that the deployed signature width
+    actually delivers that, on THIS corpus (if err spreads wider, the
+    hash family or shingling is biased and every threshold is
+    miscalibrated).
+
+    Exactness: n_match (0..num_hashes), the shingle intersection and
+    the set sizes are all exact integers; the three read-out values are
+    single divisions of those integers rounded 6dp.  Scale plan:
+    everything is CANDIDATE-FED (the LSH discipline — never all-pairs);
+    the true-Jaccard join runs shingles-of-a against shingles-of-b per
+    candidate pair, bounded by collision count x doc shingle size.
+    Portable hash family throughout, so the oracle is bit-equal."""
+    sigs = minhash_signatures(df, num_hashes, n, text_col, id_col,
+                              hash_impl="portable")
+    banded = banded_rows(sigs, num_hashes, bands, hash_impl="portable")
+    lhs = banded.select("band", "bucket", F.col("id").alias("a"))
+    rhs = banded.select("band", "bucket", F.col("id").alias("b"))
+    cands = (
+        lhs.join(rhs, ["band", "bucket"])
+        .where(F.col("a") < F.col("b"))
+        .select("a", "b")
+        .distinct()
+    )
+    matches = (
+        cands.join(sigs.select(F.col("id").alias("a"),
+                               F.col("sig").alias("sa")), "a")
+        .join(sigs.select(F.col("id").alias("b"),
+                          F.col("sig").alias("sb")), "b")
+        .select(
+            "a", "b",
+            F.aggregate(
+                F.zip_with("sa", "sb",
+                           lambda x, y: (x == y).cast("int")),
+                F.lit(0),
+                lambda acc, v: acc + v,
+            ).alias("n_match"),
+        )
+    )
+    sh = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(_token_shingles(text_col, n)).alias("s"),
+    ).distinct()
+    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).cast("long").alias("c"))
+    inter = (
+        cands.join(sh.select(F.col("id").alias("a"), "s"), "a")
+        .join(sh.select(F.col("id").alias("bid"),
+                        F.col("s").alias("s2")),
+              (F.col("b") == F.col("bid")) & (F.col("s") == F.col("s2")),
+              "left_semi")
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).cast("long").alias("i"))
+    )
+    return (
+        matches.join(inter, ["a", "b"], "left")
+        .join(sizes.select(F.col("id").alias("a"),
+                           F.col("c").alias("ca")), "a")
+        .join(sizes.select(F.col("id").alias("b"),
+                           F.col("c").alias("cb")), "b")
+        .select(
+            "a", "b", "n_match",
+            F.round(F.coalesce("i", F.lit(0))
+                    / (F.col("ca") + F.col("cb")
+                       - F.coalesce("i", F.lit(0))), 6).alias("jaccard"),
+            F.round(F.col("n_match") / F.lit(float(num_hashes)), 6)
+            .alias("est"),
+            F.round(F.col("n_match") / F.lit(float(num_hashes))
+                    - F.coalesce("i", F.lit(0))
+                    / (F.col("ca") + F.col("cb")
+                       - F.coalesce("i", F.lit(0))), 6).alias("err"),
+        )
+    )
