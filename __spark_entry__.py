@@ -2965,6 +2965,104 @@ def q_cusum_changepoint(spark, sf_dir):
     )
 
 
+def q_skyline_parts(spark, sf_dir):
+    """2-D skyline (Pareto frontier) of the part catalog: parts not
+    dominated on (retailprice low, size high) — the best-value-per-size
+    frontier.  The scale rewrite is the point: literal skyline is a
+    quadratic NOT-EXISTS self-join; on 2 attributes it collapses to a
+    cumulative min — best price over all STRICTLY larger sizes, and
+    over >= sizes for the price-tie direction — computed on the
+    per-size min table (<= |sizes| rows, the bounded-dimension role)
+    and broadcast back.  The oracle runs the literal double-quantifier
+    domination SQL, so the gate proves the rewrite.  Prices compare as
+    exact integer cents."""
+    from pyspark.sql import Window
+
+    p = load_table(spark, sf_dir, "part").select(
+        "p_partkey", "p_brand", "p_size",
+        F.round(F.col("p_retailprice") * 100, 0).cast("long").alias("pc"))
+    per_size = p.groupBy("p_size").agg(F.min("pc").alias("minp"))
+    w_ge = (Window.orderBy(F.desc("p_size"))
+            .rowsBetween(Window.unboundedPreceding, 0))
+    w_gt = (Window.orderBy(F.desc("p_size"))
+            .rowsBetween(Window.unboundedPreceding, -1))
+    best = per_size.select(
+        "p_size",
+        F.min("minp").over(w_ge).alias("best_ge"),
+        F.min("minp").over(w_gt).alias("best_gt"))
+    return (
+        p.join(F.broadcast(best), "p_size")
+        .where(
+            (F.col("best_gt").isNull() | (F.col("best_gt") > F.col("pc")))
+            & (F.col("best_ge") >= F.col("pc"))
+        )
+        .select("p_partkey", "p_brand", "p_size",
+                (F.col("pc") / F.lit(100.0)).alias("p_retailprice"))
+    )
+
+
+def q_token_cosine_topk(spark, sf_dir):
+    """Sparse token-count cosine retrieval: top-5 most similar docs per
+    doc via an INVERTED-INDEX join — the sparse sibling of ann_topk's
+    dense brute force, and the plan BM25-style retrieval rides at
+    100 TB.  Terms with document frequency > 64 are pruned BEFORE the
+    self-join (stopword posting lists are the quadratic hub poison —
+    the viral-bucket guard applied to retrieval); pair scores then flow
+    only through shared rare-ish terms.  Exactness: term counts and
+    dot products are exact integers, norms are per-doc integer folds,
+    cosine = dot / sqrt(na * nb) is one IEEE division + sqrt, and the
+    top-5 rank key is (6dp-rounded cosine DESC, neighbor id ASC) —
+    fully deterministic in both engines."""
+    from pyspark.sql import Window
+
+    from plato_spark.functions.text import TOKEN_RE
+
+    docs = load_table(spark, sf_dir, "documents")
+    tf = (
+        docs.select(
+            "doc_id",
+            F.explode(F.regexp_extract_all(F.col("text"),
+                                           F.lit(TOKEN_RE), F.lit(0)))
+            .alias("tok"))
+        .groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).cast("long").alias("tf"))
+    )
+    df_ok = (
+        tf.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+        .where(F.col("df") <= 64).select("tok")
+    )
+    tfp = tf.join(df_ok, "tok", "left_semi")
+    norms = tf.groupBy("doc_id").agg(
+        F.sum(F.col("tf") * F.col("tf")).cast("long").alias("n2"))
+    lhs = tfp.select("tok", F.col("doc_id").alias("a"),
+                     F.col("tf").alias("ta"))
+    rhs = tfp.select("tok", F.col("doc_id").alias("b"),
+                     F.col("tf").alias("tb"))
+    dots = (
+        lhs.join(rhs, "tok")
+        .where(F.col("a") != F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.sum(F.col("ta") * F.col("tb")).cast("long").alias("dot"))
+    )
+    scored = (
+        dots.join(F.broadcast(norms.select(F.col("doc_id").alias("a"),
+                                           F.col("n2").alias("na"))), "a")
+        .join(F.broadcast(norms.select(F.col("doc_id").alias("b"),
+                                       F.col("n2").alias("nb"))), "b")
+        .select(
+            "a", "b",
+            F.round(F.col("dot")
+                    / F.sqrt(F.col("na").cast("double") * F.col("nb")),
+                    6).alias("cos"))
+    )
+    w = Window.partitionBy("a").orderBy(F.desc("cos"), F.asc("b"))
+    return (
+        scored.select("a", "b", "cos",
+                      F.row_number().over(w).alias("rank"))
+        .where(F.col("rank") <= 5)
+    )
+
+
 def q_kcore(spark, sf_dir):
     return kcore(part_cooccurrence_edges(spark, sf_dir))
 
@@ -8843,6 +8941,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_calibration": q_minhash_calibration,
         "discount_qty_corr": q_discount_qty_corr,
         "cusum_changepoint": q_cusum_changepoint,
+        "skyline_parts": q_skyline_parts,
+        "token_cosine_topk": q_token_cosine_topk,
         "hub_removal": q_hub_removal,
         "component_stability": q_component_stability,
         "degree_incremental": q_degree_incremental,
@@ -10996,6 +11096,47 @@ dev AS (SELECT c.day_i, abs(t.n * c.cum - c.t_idx * t.total) AS dev,
 SELECT day_i, CAST(dev AS BIGINT) AS scaled_dev,
        round(CAST(dev AS DOUBLE) / (n * total), 6) AS rel_dev
 FROM dev ORDER BY dev DESC, day_i ASC LIMIT 1""",
+        # literal double-quantifier domination — proves the
+        # cumulative-min rewrite in q_skyline_parts
+        "skyline_parts": """
+WITH p AS (SELECT p_partkey, p_brand, p_size,
+             CAST(round(p_retailprice * 100, 0) AS BIGINT) AS pc
+           FROM part)
+SELECT p.p_partkey, p.p_brand, p.p_size, p.pc / 100.0 AS p_retailprice
+FROM p
+WHERE NOT EXISTS (
+  SELECT 1 FROM p q
+  WHERE q.pc <= p.pc AND q.p_size >= p.p_size
+    AND (q.pc < p.pc OR q.p_size > p.p_size))
+ORDER BY p.p_partkey""",
+        "token_cosine_topk": f"""
+WITH tf AS MATERIALIZED (
+  SELECT doc_id, t AS tok, CAST(count(*) AS BIGINT) AS tf
+  FROM (SELECT doc_id,
+          unnest(regexp_extract_all(text, '{TOKEN_RE_SQL}')) AS t
+        FROM documents)
+  GROUP BY doc_id, t),
+ok AS (SELECT tok FROM tf GROUP BY tok HAVING count(*) <= 64),
+tfp AS MATERIALIZED (
+  SELECT tf.doc_id, tf.tok, tf.tf FROM tf JOIN ok ON tf.tok = ok.tok),
+norms AS (SELECT doc_id, CAST(sum(tf * tf) AS BIGINT) AS n2
+          FROM tf GROUP BY doc_id),
+dots AS MATERIALIZED (
+  SELECT x.doc_id AS a, y.doc_id AS b,
+         CAST(sum(x.tf * y.tf) AS BIGINT) AS dot
+  FROM tfp x JOIN tfp y ON x.tok = y.tok AND x.doc_id <> y.doc_id
+  GROUP BY x.doc_id, y.doc_id),
+scored AS (
+  SELECT d.a, d.b,
+         round(d.dot / sqrt(CAST(na.n2 AS DOUBLE) * nb.n2), 6) AS cos
+  FROM dots d JOIN norms na ON d.a = na.doc_id
+  JOIN norms nb ON d.b = nb.doc_id),
+ranked AS (
+  SELECT a, b, cos,
+         CAST(row_number() OVER (PARTITION BY a
+              ORDER BY cos DESC, b ASC) AS INTEGER) AS rank
+  FROM scored)
+SELECT a, b, cos, rank FROM ranked WHERE rank <= 5 ORDER BY a, rank""",
         "join_skew_audit": """
 WITH ko AS (SELECT CAST(count(*) AS BIGINT) AS c FROM lineitem
             GROUP BY l_orderkey),
