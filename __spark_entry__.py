@@ -2134,6 +2134,38 @@ SELECT
     AS four_cycles"""
 
 
+def _sql_graphlet_census() -> str:
+    """Mirror of algos/motifs.graphlet_census: the same closed-form
+    integer folds over the codeg/etri tables on the co-occurrence
+    graph (non-induced ESCAPE counts; correctness of the FORMULAS is
+    pinned by the hand-derived K5/star/path pytest fixtures — the gate
+    proves the two engines fold identically)."""
+    return SQL_GRAPH_PREFIX + """, cd AS MATERIALIZED (
+  SELECT a.dst AS u, b.dst AS v, CAST(count(*) AS BIGINT) AS w
+  FROM edges a JOIN edges b ON a.src = b.src AND a.dst < b.dst
+  GROUP BY a.dst, b.dst),
+etri AS MATERIALIZED (
+  SELECT cd.u, cd.v, cd.w FROM cd
+  JOIN canon c ON cd.u = c.src AND cd.v = c.dst),
+tt AS (SELECT CAST(coalesce(sum(w), 0) // 3 AS BIGINT) AS t FROM etri),
+tv AS (SELECT id, CAST(sum(w) // 2 AS BIGINT) AS t FROM (
+         SELECT u AS id, w FROM etri
+         UNION ALL SELECT v AS id, w FROM etri) GROUP BY id)
+SELECT
+  (SELECT t FROM tt) AS triangles,
+  (SELECT CAST(coalesce(sum(deg * (deg - 1) * (deg - 2) // 6), 0)
+          AS BIGINT) FROM deg) AS claws,
+  (SELECT CAST(coalesce(sum((da.deg - 1) * (db.deg - 1)), 0) AS BIGINT)
+   FROM canon c JOIN deg da ON c.src = da.id
+   JOIN deg db ON c.dst = db.id) - 3 * (SELECT t FROM tt) AS paths_p4,
+  (SELECT CAST(coalesce(sum(tv.t * (d.deg - 2)), 0) AS BIGINT)
+   FROM tv JOIN deg d ON tv.id = d.id) AS tailed_triangles,
+  (SELECT CAST(coalesce(sum(w * (w - 1) // 2), 0) AS BIGINT) FROM etri)
+    AS diamonds,
+  (SELECT CAST(coalesce(sum(w * (w - 1) // 2), 0) // 2 AS BIGINT)
+   FROM cd) AS four_cycles"""
+
+
 def _sql_cms(threshold: int = 50, depth: int = 4, width: int = 64) -> str:
     """Mirror of functions/sketches.cms_heavy_hitters: identical d x w
     count-min sketch (portable md5 row hashes, salt 'r:token'), identical
@@ -3061,6 +3093,17 @@ def q_token_cosine_topk(spark, sf_dir):
                       F.row_number().over(w).alias("rank"))
         .where(F.col("rank") <= 5)
     )
+
+
+def q_graphlet_census(spark, sf_dir):
+    """Non-induced 4-node graphlet census over the co-occurrence graph
+    (algos/motifs.graphlet_census): claws / P4 paths / tailed triangles
+    / diamonds / 4-cycles, every count a closed-form int64 fold over
+    the degree and co-degree tables (ESCAPE decomposition) — no 4-way
+    join ever runs."""
+    from plato_spark.algos.motifs import graphlet_census
+
+    return graphlet_census(part_cooccurrence_edges(spark, sf_dir))
 
 
 def q_kcore(spark, sf_dir):
@@ -8943,6 +8986,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cusum_changepoint": q_cusum_changepoint,
         "skyline_parts": q_skyline_parts,
         "token_cosine_topk": q_token_cosine_topk,
+        "graphlet_census": q_graphlet_census,
         "hub_removal": q_hub_removal,
         "component_stability": q_component_stability,
         "degree_incremental": q_degree_incremental,
@@ -11137,6 +11181,7 @@ ranked AS (
               ORDER BY cos DESC, b ASC) AS INTEGER) AS rank
   FROM scored)
 SELECT a, b, cos, rank FROM ranked WHERE rank <= 5 ORDER BY a, rank""",
+        "graphlet_census": _sql_graphlet_census(),
         "join_skew_audit": """
 WITH ko AS (SELECT CAST(count(*) AS BIGINT) AS c FROM lineitem
             GROUP BY l_orderkey),

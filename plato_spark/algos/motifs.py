@@ -122,3 +122,91 @@ def rich_club(edges_canon: DataFrame, ks: tuple = (4, 8, 16, 32)) -> DataFrame:
             ),
         ).otherwise(F.lit(0.0)).alias("phi"),
     )
+
+
+def graphlet_census(edges_canon: DataFrame) -> DataFrame:
+    """One-row NON-INDUCED 4-node graphlet census over the canonical
+    (src < dst, unique) edge table: (triangles, claws, paths_p4,
+    tailed_triangles, diamonds, four_cycles).  K4s are four_cliques'
+    own kernel (array-intersection based) and deliberately not
+    recomputed here.
+
+    The point is the METHOD: every count is a closed-form integer fold
+    over degree / co-degree tables (the ESCAPE decomposition, Pinar et
+    al., WWW'17) — no 4-way join ever runs:
+
+      claws            = sum_v C(d_v, 3)
+      paths_p4         = sum_{(u,v) in E} (d_u - 1)(d_v - 1) - 3T
+      tailed_triangles = sum_v t_v (d_v - 2)
+      diamonds         = sum_{(u,v) in E} C(tri_e(u,v), 2)
+      four_cycles      = sum_{pairs} C(codeg, 2) / 2
+
+    with t_v = (sum of tri_e over v's incident edges) / 2.  All pure
+    int64 folds over one wedge join (codeg) — the same single expensive
+    pass motif_census already pays — plus broadcast degree lookups.
+    Tests pin the whole row on K5 / star / path fixtures where every
+    count is hand-derivable."""
+    spark = edges_canon.sparkSession
+    canon = edges_canon.select("src", "dst").persist()
+    sym = canon.unionByName(
+        canon.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    deg = sym.groupBy("src").agg(
+        F.count("*").cast("long").alias("d")).persist()
+
+    a = sym.select(F.col("src").alias("c"), F.col("dst").alias("u"))
+    b = sym.select(F.col("src").alias("c"), F.col("dst").alias("v"))
+    codeg = (
+        a.join(b, "c")
+        .where(F.col("u") < F.col("v"))
+        .groupBy("u", "v")
+        .agg(F.count("*").cast("long").alias("w"))
+    ).persist()
+    etri = codeg.join(
+        canon.select(F.col("src").alias("u"), F.col("dst").alias("v")),
+        ["u", "v"],
+    ).persist()
+
+    tri3 = etri.agg(F.coalesce(F.sum("w"), F.lit(0)).cast("long")
+                    .alias("s")).collect()[0]["s"]
+    assert tri3 % 3 == 0
+    t = tri3 // 3
+    claws = deg.agg(
+        F.coalesce(F.sum(F.expr("d * (d - 1) * (d - 2) div 6")),
+                   F.lit(0)).cast("long").alias("s")
+    ).collect()[0]["s"]
+    p4_raw = (
+        canon.join(F.broadcast(deg.select(F.col("src"),
+                                          F.col("d").alias("du"))), "src")
+        .join(F.broadcast(deg.select(F.col("src").alias("dst"),
+                                     F.col("d").alias("dv"))), "dst")
+        .agg(F.coalesce(F.sum((F.col("du") - 1) * (F.col("dv") - 1)),
+                        F.lit(0)).cast("long").alias("s"))
+        .collect()[0]["s"]
+    )
+    p4 = p4_raw - 3 * t
+    tv = (
+        etri.select(F.col("u").alias("id"), "w")
+        .unionByName(etri.select(F.col("v").alias("id"), "w"))
+        .groupBy("id").agg(F.expr("sum(w) div 2").cast("long").alias("t"))
+    )
+    tailed = tv.join(deg.withColumnRenamed("src", "id"), "id").agg(
+        F.coalesce(F.sum(F.col("t") * (F.col("d") - 2)), F.lit(0))
+        .cast("long").alias("s")
+    ).collect()[0]["s"]
+    diamonds = etri.agg(
+        F.coalesce(F.sum(F.expr("w * (w - 1) div 2")), F.lit(0))
+        .cast("long").alias("s")
+    ).collect()[0]["s"]
+    cyc2 = codeg.agg(
+        F.coalesce(F.sum(F.expr("w * (w - 1) div 2")), F.lit(0))
+        .cast("long").alias("s")
+    ).collect()[0]["s"]
+    assert cyc2 % 2 == 0
+    for c in (canon, deg, codeg, etri):
+        c.unpersist()
+    return spark.createDataFrame(
+        [(t, claws, p4, tailed, diamonds, cyc2 // 2)],
+        "triangles long, claws long, paths_p4 long, "
+        "tailed_triangles long, diamonds long, four_cycles long",
+    )
