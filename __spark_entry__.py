@@ -2116,6 +2116,58 @@ SELECT event_type, round({est}, 4) AS est_distinct FROM sv
 ORDER BY event_type"""
 
 
+def _sql_hll_set_ops(set_a: str = "view", set_b: str = "purchase") -> str:
+    """Mirror of functions/sketches.hll_set_ops: per-set registers (the
+    validated _sql_hll_groups derivation), union registers via
+    per-index max, inclusion-exclusion intersection, exact columns
+    beside."""
+    from plato_spark.algos.hll_portable import (
+        M,
+        RHO_MAX,
+        sql_estimate_exprs,
+    )
+    from plato_spark.functions.text import PORTABLE_H1_SQL
+
+    h = PORTABLE_H1_SQL.format(s="CAST(user_id AS VARCHAR)")
+    s_expr, est = sql_estimate_exprs()
+    return f"""
+WITH eh AS MATERIALIZED (
+  SELECT event_type AS g, {h} AS h FROM events
+  WHERE event_type IN ('{set_a}', '{set_b}')),
+er AS (SELECT g, CAST(h % {M} AS INT) AS idx,
+         CASE WHEN (h >> 6) = 0 THEN {RHO_MAX}
+              ELSE {RHO_MAX} - length(bin(h >> 6)) END AS rho
+       FROM eh),
+regs AS MATERIALIZED (
+  SELECT g, idx, max(rho) AS mr FROM er GROUP BY g, idx),
+uregs AS (SELECT '__union__' AS g, idx, max(mr) AS mr
+          FROM regs GROUP BY idx),
+allregs AS (SELECT g, idx, mr FROM regs
+            UNION ALL SELECT g, idx, mr FROM uregs),
+sv AS (SELECT g, {s_expr} AS s, {M} - count(*) AS vz
+       FROM allregs GROUP BY g),
+ev AS (SELECT g, round({est}, 4) AS e FROM sv),
+ids AS (SELECT DISTINCT event_type AS g, user_id AS i FROM events
+        WHERE event_type IN ('{set_a}', '{set_b}')),
+ex AS (SELECT
+  CAST(sum(CASE WHEN g = '{set_a}' THEN 1 ELSE 0 END) AS BIGINT)
+    AS exact_a,
+  CAST(sum(CASE WHEN g = '{set_b}' THEN 1 ELSE 0 END) AS BIGINT)
+    AS exact_b,
+  CAST(count(DISTINCT i) AS BIGINT) AS exact_union FROM ids)
+SELECT
+  (SELECT e FROM ev WHERE g = '{set_a}') AS est_a,
+  (SELECT e FROM ev WHERE g = '{set_b}') AS est_b,
+  (SELECT e FROM ev WHERE g = '__union__') AS est_union,
+  round((SELECT e FROM ev WHERE g = '{set_a}')
+        + (SELECT e FROM ev WHERE g = '{set_b}')
+        - (SELECT e FROM ev WHERE g = '__union__'), 4) AS est_intersect,
+  ex.exact_a, ex.exact_b, ex.exact_union,
+  CAST(ex.exact_a + ex.exact_b - ex.exact_union AS BIGINT)
+    AS exact_intersect
+FROM ex"""
+
+
 def _sql_motif_census() -> str:
     """Mirror of algos/motifs.motif_census on the co-occurrence graph:
     one codegree aggregation, exact integer divisions applied last."""
@@ -3104,6 +3156,58 @@ def q_graphlet_census(spark, sf_dir):
     from plato_spark.algos.motifs import graphlet_census
 
     return graphlet_census(part_cooccurrence_edges(spark, sf_dir))
+
+
+def q_hll_set_ops(spark, sf_dir):
+    """HLL set algebra between the 'view' and 'purchase' user sets
+    (functions/sketches.hll_set_ops): union via per-index register max
+    — the merge HLL is algebraically closed under — and intersection
+    via inclusion-exclusion, with the EXACT answers in the same row as
+    the accuracy report.  Portable registers, every estimate
+    bit-reproducible in SQL."""
+    from plato_spark.functions.sketches import hll_set_ops
+
+    return hll_set_ops(load_table(spark, sf_dir, "events"),
+                       "event_type", "user_id", "view", "purchase")
+
+
+def q_theil_sen_trend(spark, sf_dir):
+    """Theil-Sen robust trend of daily order revenue: the MEDIAN of all
+    pairwise day-to-day slopes — outlier days move the OLS slope, not
+    this one.  The quadratic pair set is over the per-day table, and
+    DAYS do not scale with data volume (the bounded-offsets-table
+    argument made explicit: 100x the rows is the same ~2.4k days, so
+    the pair count is fixed ~3M while every per-day sum rides the
+    normal fold).  Slopes are IEEE divisions of exact int64 cents /
+    day gaps — identical in both engines — and the median is the
+    value(s) at fixed ranks (ties share the value, so tie order cannot
+    change the answer), averaged for even counts, ONE /100 at
+    read-out."""
+    from pyspark.sql import Window
+
+    o = load_table(spark, sf_dir, "orders")
+    per = (
+        o.select(
+            F.datediff(F.col("o_orderdate"), F.lit("1970-01-01"))
+            .cast("long").alias("day_i"),
+            F.round(F.col("o_totalprice") * 100, 0).cast("long")
+            .alias("pc"))
+        .groupBy("day_i").agg(F.sum("pc").cast("long").alias("rev_c"))
+    )
+    a = per.select(F.col("day_i").alias("di"), F.col("rev_c").alias("ri"))
+    b = per.select(F.col("day_i").alias("dj"), F.col("rev_c").alias("rj"))
+    pairs = a.join(b, F.col("dj") > F.col("di")).select(
+        ((F.col("rj") - F.col("ri"))
+         / (F.col("dj") - F.col("di")).cast("double")).alias("slope"))
+    w = Window.orderBy("slope")
+    ranked = pairs.select("slope", F.row_number().over(w).alias("rn"))
+    m = pairs.count()
+    lo, hi = (m + 1) // 2, (m + 2) // 2
+    med = ranked.where(F.col("rn").isin([lo, hi])).agg(
+        F.avg("slope").alias("med"))
+    return med.select(
+        F.lit(m).cast("long").alias("n_pairs"),
+        F.round(F.col("med") / 100.0, 6).alias("slope_per_day"))
 
 
 def q_kcore(spark, sf_dir):
@@ -8987,6 +9091,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "skyline_parts": q_skyline_parts,
         "token_cosine_topk": q_token_cosine_topk,
         "graphlet_census": q_graphlet_census,
+        "hll_set_ops": q_hll_set_ops,
+        "theil_sen_trend": q_theil_sen_trend,
         "hub_removal": q_hub_removal,
         "component_stability": q_component_stability,
         "degree_incremental": q_degree_incremental,
@@ -11182,6 +11288,23 @@ ranked AS (
   FROM scored)
 SELECT a, b, cos, rank FROM ranked WHERE rank <= 5 ORDER BY a, rank""",
         "graphlet_census": _sql_graphlet_census(),
+        "hll_set_ops": _sql_hll_set_ops(),
+        "theil_sen_trend": """
+WITH per AS (
+  SELECT CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS BIGINT)
+           AS day_i,
+         CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT))
+              AS BIGINT) AS rev_c
+  FROM orders GROUP BY 1),
+pairs AS MATERIALIZED (
+  SELECT (b.rev_c - a.rev_c) / CAST(b.day_i - a.day_i AS DOUBLE)
+           AS slope
+  FROM per a JOIN per b ON b.day_i > a.day_i),
+m AS (SELECT CAST(count(*) AS BIGINT) AS m FROM pairs),
+r AS (SELECT slope, row_number() OVER (ORDER BY slope) AS rn FROM pairs)
+SELECT m.m AS n_pairs, round(avg(r.slope) / 100.0, 6) AS slope_per_day
+FROM r, m WHERE r.rn IN ((m.m + 1) // 2, (m.m + 2) // 2)
+GROUP BY m.m""",
         "join_skew_audit": """
 WITH ko AS (SELECT CAST(count(*) AS BIGINT) AS c FROM lineitem
             GROUP BY l_orderkey),

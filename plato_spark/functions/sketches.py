@@ -291,3 +291,61 @@ def bloom_probe_stats(
         .cast("long")
         .alias("false_positives"),
     )
+
+
+def hll_set_ops(
+    df: DataFrame,
+    group_col: str,
+    id_col: str,
+    set_a: str,
+    set_b: str,
+) -> DataFrame:
+    """One row: (est_a, est_b, est_union, est_intersect, exact_a,
+    exact_b, exact_union, exact_intersect) — HLL SET ALGEBRA between
+    two groups' id sets, with the exact answers beside the estimates so
+    the row itself is the accuracy report.
+
+    Union is the operation HLL is ALGEBRAICALLY closed under: per-index
+    register max — the merge that makes the sketch distributable (the
+    same zip_with(greatest) hyperanf rides).  Intersection has no
+    register-level form; it falls out of inclusion-exclusion over the
+    three estimates — correct in expectation but with RELATIVE error
+    amplified by est_union / est_intersect, which is exactly why this
+    row carries the exact columns (the production rule: trust HLL
+    unions at any scale, trust I-E intersections only when the overlap
+    is a large fraction of the union).
+
+    Exactness/scale: registers and their maxes are exact integers from
+    the portable hash (every estimate bit-reproducible in SQL); the
+    exact side is one distinct-pair fold — the thing you could NOT
+    afford at 100 TB, which is the point of shipping the sketch beside
+    it."""
+    two = df.where(F.col(group_col).isin([set_a, set_b]))
+    regs = hll_registers(two, group_col, id_col)
+    union_regs = regs.groupBy("idx").agg(
+        F.max("mr").cast("int").alias("mr")
+    ).select(F.lit("__union__").alias("g"), "idx", "mr")
+    est = hll_estimate(regs.unionByName(union_regs))
+    e = est.agg(
+        F.max(F.when(F.col("g") == set_a, F.col("est_distinct")))
+        .alias("est_a"),
+        F.max(F.when(F.col("g") == set_b, F.col("est_distinct")))
+        .alias("est_b"),
+        F.max(F.when(F.col("g") == "__union__", F.col("est_distinct")))
+        .alias("est_union"),
+    )
+    ids = two.select(F.col(group_col).alias("g"),
+                     F.col(id_col).alias("i")).distinct()
+    ex = ids.agg(
+        F.sum((F.col("g") == set_a).cast("long")).alias("exact_a"),
+        F.sum((F.col("g") == set_b).cast("long")).alias("exact_b"),
+        F.countDistinct("i").cast("long").alias("exact_union"),
+    )
+    return e.crossJoin(ex).select(
+        "est_a", "est_b", "est_union",
+        F.round(F.col("est_a") + F.col("est_b") - F.col("est_union"), 4)
+        .alias("est_intersect"),
+        "exact_a", "exact_b", "exact_union",
+        (F.col("exact_a") + F.col("exact_b") - F.col("exact_union"))
+        .cast("long").alias("exact_intersect"),
+    )
