@@ -2168,6 +2168,56 @@ SELECT
 FROM ex"""
 
 
+def _sql_funnel_sensitivity(windows: tuple) -> str:
+    """Mirror of q_funnel_sensitivity: the windowed_funnel anchor chain
+    parameterized per window, unioned with a window_s column."""
+    ctes = ["""v1 AS MATERIALIZED (
+  SELECT user_id AS u, min(ts) AS a FROM events
+  WHERE event_type = 'view' GROUP BY user_id)"""]
+    selects = []
+    for k, w in enumerate(windows):
+        wus = int(w) * 1_000_000
+        ctes.append(f"""u2_{k} AS MATERIALIZED (
+  SELECT e.user_id AS u, min(e.ts) AS a FROM events e
+  JOIN v1 ON e.user_id = v1.u
+  WHERE e.event_type = 'click' AND e.ts > v1.a
+    AND epoch_us(e.ts) <= epoch_us(v1.a) + {wus} GROUP BY e.user_id)""")
+        ctes.append(f"""u3_{k} AS MATERIALIZED (
+  SELECT e.user_id AS u, min(e.ts) AS a FROM events e
+  JOIN u2_{k} ON e.user_id = u2_{k}.u
+  WHERE e.event_type = 'purchase' AND e.ts > u2_{k}.a
+    AND epoch_us(e.ts) <= epoch_us(u2_{k}.a) + {wus}
+  GROUP BY e.user_id)""")
+        selects.append(
+            f"""SELECT CAST({w} AS BIGINT) AS window_s,
+       CAST(1 AS INTEGER) AS step, 'view' AS event_type,
+       (SELECT CAST(count(*) AS BIGINT) FROM v1) AS users
+UNION ALL SELECT {w}, 2, 'click',
+       (SELECT CAST(count(*) AS BIGINT) FROM u2_{k})
+UNION ALL SELECT {w}, 3, 'purchase',
+       (SELECT CAST(count(*) AS BIGINT) FROM u3_{k})""")
+    return ("WITH " + ",\n".join(ctes) + "\n"
+            + "\nUNION ALL\n".join(selects))
+
+
+def _sql_benford() -> str:
+    """Mirror of q_benford_audit: same Python-literal expectations."""
+    exp_rows = " UNION ALL ".join(
+        f"SELECT '{d}' AS digit, CAST({p!r} AS DOUBLE) AS be"
+        for d, p in BENFORD_P.items())
+    return f"""
+WITH d AS (SELECT substr(CAST(CAST(round(o_totalprice * 100, 0)
+                     AS BIGINT) AS VARCHAR), 1, 1) AS digit
+           FROM orders),
+c AS (SELECT digit, CAST(count(*) AS BIGINT) AS n FROM d GROUP BY digit),
+t AS (SELECT CAST(sum(n) AS BIGINT) AS t FROM c),
+e AS ({exp_rows})
+SELECT c.digit, c.n, round(CAST(c.n AS DOUBLE) / t.t, 6) AS share,
+       e.be AS benford_expected,
+       round(CAST(c.n AS DOUBLE) / t.t - e.be, 6) AS dev
+FROM c JOIN e ON c.digit = e.digit CROSS JOIN t ORDER BY c.digit"""
+
+
 def _sql_motif_census() -> str:
     """Mirror of algos/motifs.motif_census on the co-occurrence graph:
     one codegree aggregation, exact integer divisions applied last."""
@@ -3208,6 +3258,68 @@ def q_theil_sen_trend(spark, sf_dir):
     return med.select(
         F.lit(m).cast("long").alias("n_pairs"),
         F.round(F.col("med") / 100.0, 6).alias("slope_per_day"))
+
+
+#: funnel window-sensitivity sweep (seconds): 1h / 6h / 1d
+FUNNEL_SWEEP_S = (3600, 21600, 86400)
+
+#: Benford first-digit expectations log10(1 + 1/d), 6dp — PYTHON
+#: literals injected into BOTH engines so no runtime log10 ever runs
+#: (the cross-libm lesson applied to constants)
+BENFORD_P = {d: round(math.log10(1 + 1 / d), 6) for d in range(1, 10)}
+
+
+def q_funnel_sensitivity(spark, sf_dir):
+    """The windowed funnel's W, swept: view -> click -> purchase at 1h /
+    6h / 1d conversion windows in one result — the curve that tells you
+    whether windowed_funnel's pinned W sits on a cliff or a plateau
+    (the inter_event_gaps pick-the-knee discipline, applied to the
+    funnel definition itself).  Each window is the same exact
+    integer-microsecond anchor chain; rows = |windows| x |steps|."""
+    from plato_spark.functions.events import funnel_counts
+
+    ev = load_table(spark, sf_dir, "events")
+    out = None
+    for w in FUNNEL_SWEEP_S:
+        f = funnel_counts(ev, ["view", "click", "purchase"],
+                          window_s=w).select(
+            F.lit(w).cast("long").alias("window_s"),
+            "step", "event_type", "users")
+        out = f if out is None else out.unionByName(f)
+    return out
+
+
+def q_benford_audit(spark, sf_dir):
+    """Benford first-significant-digit audit of order totals — the
+    classic fabricated-numbers / data-quality screen.  The first digit
+    of the exact cents integer IS the first significant digit of the
+    price (cents shift never changes it); expectations log10(1 + 1/d)
+    are Python-computed literals injected into BOTH engines, so no
+    runtime log10 ever runs (the cross-libm lesson applied to
+    constants).  share is ONE division of exact int64 counts.  On this
+    synthetic catalog the verdict is a loud NOT-Benford — which is the
+    audit working, not failing."""
+    o = load_table(spark, sf_dir, "orders")
+    d = o.select(
+        F.substring(F.round(F.col("o_totalprice") * 100, 0)
+                    .cast("long").cast("string"), 1, 1).alias("digit"))
+    counts = d.groupBy("digit").agg(
+        F.count(F.lit(1)).cast("long").alias("n"))
+    tot = counts.agg(F.sum("n").cast("long").alias("t"))
+    exp = spark.createDataFrame(
+        [(str(k), v) for k, v in BENFORD_P.items()],
+        "digit string, benford_expected double")
+    return (
+        counts.crossJoin(F.broadcast(tot))
+        .join(F.broadcast(exp), "digit")
+        .select(
+            "digit", "n",
+            F.round(F.col("n") / F.col("t"), 6).alias("share"),
+            "benford_expected",
+            F.round(F.col("n") / F.col("t")
+                    - F.col("benford_expected"), 6).alias("dev"),
+        )
+    )
 
 
 def q_kcore(spark, sf_dir):
@@ -9093,6 +9205,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graphlet_census": q_graphlet_census,
         "hll_set_ops": q_hll_set_ops,
         "theil_sen_trend": q_theil_sen_trend,
+        "funnel_sensitivity": q_funnel_sensitivity,
+        "benford_audit": q_benford_audit,
         "hub_removal": q_hub_removal,
         "component_stability": q_component_stability,
         "degree_incremental": q_degree_incremental,
@@ -11289,6 +11403,8 @@ ranked AS (
 SELECT a, b, cos, rank FROM ranked WHERE rank <= 5 ORDER BY a, rank""",
         "graphlet_census": _sql_graphlet_census(),
         "hll_set_ops": _sql_hll_set_ops(),
+        "funnel_sensitivity": _sql_funnel_sensitivity(FUNNEL_SWEEP_S),
+        "benford_audit": _sql_benford(),
         "theil_sen_trend": """
 WITH per AS (
   SELECT CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS BIGINT)
