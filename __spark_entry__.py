@@ -3322,6 +3322,100 @@ def q_benford_audit(spark, sf_dir):
     )
 
 
+def q_cohort_ltv(spark, sf_dir):
+    """Cohort lifetime-value matrix: customers grouped by FIRST-order
+    year, revenue accumulated per years-since-acquisition — the money
+    sibling of retention_cohorts' activity matrix (does an older
+    cohort keep out-spending a newer one at the same age?).  Exact
+    int64 cents; the cohort tag is one min-aggregation broadcast back
+    onto the order stream; ages are exact integer year differences."""
+    o = load_table(spark, sf_dir, "orders")
+    first = o.groupBy("o_custkey").agg(
+        F.min(F.year("o_orderdate")).cast("int").alias("cohort"))
+    j = o.select("o_custkey",
+                 F.year("o_orderdate").cast("int").alias("y"),
+                 F.round(F.col("o_totalprice") * 100, 0).cast("long")
+                 .alias("pc")).join(F.broadcast(first), "o_custkey")
+    return (
+        j.groupBy("cohort", (F.col("y") - F.col("cohort")).alias("age"))
+        .agg(F.countDistinct("o_custkey").cast("long")
+             .alias("active_customers"),
+             F.sum("pc").cast("long").alias("rc"))
+        .select("cohort", "age", "active_customers",
+                F.round(F.col("rc") / F.lit(100.0), 2).alias("revenue"))
+    )
+
+
+def q_weighted_median_discount(spark, sf_dir):
+    """Quantity-weighted discount quantiles — 'what discount does the
+    MEDIAN UNIT ship at?' (unit-weighted, not line-weighted: a
+    50-unit line counts 50x a 1-unit line).  The discount domain is 11
+    exact scale-100 integers, so the weighted quantile needs NO
+    binning or interpolation at all: cumulative quantity over the
+    sorted 11-row domain, quantile q = the smallest value whose
+    cumulative weight reaches ceil(q * total) — the exact
+    lower-weighted-quantile rule, pure integer comparisons (the
+    bounded-domain case where histogram_quantiles' machinery would be
+    overkill).  Output one row per q in (0.25, 0.5, 0.75)."""
+    from pyspark.sql import Window
+
+    li = load_table(spark, sf_dir, "lineitem")
+    per = li.groupBy(
+        F.round(F.col("l_discount") * 100, 0).cast("long").alias("d")
+    ).agg(F.sum(F.col("l_quantity").cast("long")).cast("long")
+          .alias("w"))
+    w = Window.orderBy("d").rowsBetween(Window.unboundedPreceding, 0)
+    cum = per.select("d", F.sum("w").over(w).alias("cw")).crossJoin(
+        F.broadcast(per.agg(F.sum("w").cast("long").alias("tw"))))
+    qs = spark.createDataFrame(
+        [(0.25,), (0.5,), (0.75,)], "q double")
+    hit = (
+        cum.crossJoin(F.broadcast(qs))
+        # smallest d with 4*cw >= 4*q*tw, as an exact integer
+        # cross-multiply: q in quarters -> 4q integral
+        .where(F.col("cw") * 4 >= (F.col("q") * 4).cast("long")
+               * F.col("tw"))
+        .groupBy("q")
+        .agg(F.min("d").alias("dmin"), F.max("tw").alias("tw"))
+    )
+    return hit.select(
+        "q", (F.col("dmin") / F.lit(100.0)).alias("discount"),
+        F.col("tw").alias("total_qty"))
+
+
+def q_part_name_revenue(spark, sf_dir):
+    """Catalog text facet: the top-20 part-NAME tokens by attributed
+    discounted revenue — which words in the catalog sell?  Cross-domain
+    join of the text tokenizer with the fact table: part names tokenize
+    JVM-side, the token->part map broadcasts (parts are the dimension),
+    revenue folds exact integer cents x 1e2 units once per (token,
+    lineitem) incidence, and the top-20 rides TakeOrdered (never a
+    global sort).  Deterministic tie-break by token."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    ptok = p.select(
+        "p_partkey",
+        F.explode(F.array_distinct(
+            F.regexp_extract_all(F.lower(F.col("p_name")),
+                                 F.lit("[a-z0-9]+"), F.lit(0))))
+        .alias("token"))
+    rev = (F.round(F.col("l_extendedprice") * 100, 0).cast("long")
+           * F.round((F.lit(1.0) - F.col("l_discount")) * 100, 0)
+           .cast("long"))
+    j = li.select("l_partkey", rev.alias("rev_u")).join(
+        F.broadcast(ptok),
+        F.col("l_partkey") == F.col("p_partkey"))
+    agg = j.groupBy("token").agg(
+        F.count(F.lit(1)).cast("long").alias("n_lines"),
+        F.sum("rev_u").cast("long").alias("ru"))
+    return (
+        agg.orderBy(F.desc("ru"), F.asc("token")).limit(20)
+        .select("token", "n_lines",
+                (F.expr("(ru + 50) div 100").cast("long")
+                 / F.lit(100.0)).alias("revenue"))
+    )
+
+
 def q_kcore(spark, sf_dir):
     return kcore(part_cooccurrence_edges(spark, sf_dir))
 
@@ -9207,6 +9301,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "theil_sen_trend": q_theil_sen_trend,
         "funnel_sensitivity": q_funnel_sensitivity,
         "benford_audit": q_benford_audit,
+        "cohort_ltv": q_cohort_ltv,
+        "weighted_median_discount": q_weighted_median_discount,
+        "part_name_revenue": q_part_name_revenue,
         "hub_removal": q_hub_removal,
         "component_stability": q_component_stability,
         "degree_incremental": q_degree_incremental,
@@ -11405,6 +11502,47 @@ SELECT a, b, cos, rank FROM ranked WHERE rank <= 5 ORDER BY a, rank""",
         "hll_set_ops": _sql_hll_set_ops(),
         "funnel_sensitivity": _sql_funnel_sensitivity(FUNNEL_SWEEP_S),
         "benford_audit": _sql_benford(),
+        "cohort_ltv": """
+WITH first AS (SELECT o_custkey,
+                 CAST(min(year(o_orderdate)) AS INTEGER) AS cohort
+               FROM orders GROUP BY o_custkey),
+j AS (SELECT o.o_custkey, f.cohort,
+             CAST(year(o.o_orderdate) AS INTEGER) - f.cohort AS age,
+             CAST(round(o.o_totalprice * 100, 0) AS BIGINT) AS pc
+      FROM orders o JOIN first f ON o.o_custkey = f.o_custkey)
+SELECT cohort, age,
+       CAST(count(DISTINCT o_custkey) AS BIGINT) AS active_customers,
+       round(CAST(sum(pc) AS DOUBLE) / 100.0, 2) AS revenue
+FROM j GROUP BY cohort, age ORDER BY cohort, age""",
+        "weighted_median_discount": """
+WITH per AS (SELECT CAST(round(l_discount * 100, 0) AS BIGINT) AS d,
+               CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS w
+             FROM lineitem GROUP BY 1),
+cum AS (SELECT d, CAST(sum(w) OVER (ORDER BY d
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+          AS cw,
+        (SELECT CAST(sum(w) AS BIGINT) FROM per) AS tw
+        FROM per),
+qs AS (SELECT unnest([0.25, 0.5, 0.75]) AS q)
+SELECT q, min(d) / 100.0 AS discount, max(tw) AS total_qty
+FROM cum, qs
+WHERE cw * 4 >= CAST(q * 4 AS BIGINT) * tw
+GROUP BY q ORDER BY q""",
+        "part_name_revenue": """
+WITH ptok AS (
+  SELECT p_partkey, unnest(list_distinct(
+           regexp_extract_all(lower(p_name), '[a-z0-9]+'))) AS token
+  FROM part),
+j AS (SELECT pt.token,
+        CAST(round(l.l_extendedprice * 100, 0) AS BIGINT)
+        * CAST(round((1.0 - l.l_discount) * 100, 0) AS BIGINT) AS rev_u
+      FROM lineitem l JOIN ptok pt ON l.l_partkey = pt.p_partkey),
+a AS (SELECT token, CAST(count(*) AS BIGINT) AS n_lines,
+             CAST(sum(rev_u) AS BIGINT) AS ru
+      FROM j GROUP BY token)
+SELECT token, n_lines,
+       CAST((ru + 50) // 100 AS BIGINT) / 100.0 AS revenue
+FROM a ORDER BY ru DESC, token ASC LIMIT 20""",
         "theil_sen_trend": """
 WITH per AS (
   SELECT CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS BIGINT)
