@@ -2218,6 +2218,97 @@ SELECT c.digit, c.n, round(CAST(c.n AS DOUBLE) / t.t, 6) AS share,
 FROM c JOIN e ON c.digit = e.digit CROSS JOIN t ORDER BY c.digit"""
 
 
+def _sql_filter_ablation() -> str:
+    """Mirror of q_filter_ablation: the quality_filter ratio block,
+    per-rule all/only fail counts, stacked to 5 rows."""
+    return f"""
+WITH t AS (SELECT doc_id, text,
+             regexp_extract_all(text, '{TOKEN_RE_SQL}') AS toks
+           FROM documents),
+q AS (SELECT doc_id,
+        CAST(length(toks) AS BIGINT) AS n_tokens,
+        round(length(regexp_replace(text, '[^A-Za-z]', '', 'g'))
+              / greatest(length(text), 1), 6) AS alpha_ratio,
+        round(length(regexp_replace(text, '[^0-9]', '', 'g'))
+              / greatest(length(text), 1), 6) AS digit_ratio,
+        round(COALESCE(list_sum(list_transform(toks, x -> length(x))), 0)
+              / greatest(length(toks), 1), 6) AS mean_token_len
+      FROM t),
+fl AS (SELECT (n_tokens < 8) AS f_tokens,
+              (alpha_ratio < 0.45) AS f_alpha,
+              (digit_ratio > 0.3) AS f_digit,
+              (mean_token_len < 2.0 OR mean_token_len > 12.0) AS f_len
+       FROM q),
+s AS (SELECT
+  CAST(sum(CASE WHEN f_tokens THEN 1 ELSE 0 END) AS BIGINT) AS t_all,
+  CAST(sum(CASE WHEN f_tokens AND NOT f_alpha AND NOT f_digit
+                 AND NOT f_len THEN 1 ELSE 0 END) AS BIGINT) AS t_only,
+  CAST(sum(CASE WHEN f_alpha THEN 1 ELSE 0 END) AS BIGINT) AS a_all,
+  CAST(sum(CASE WHEN f_alpha AND NOT f_tokens AND NOT f_digit
+                 AND NOT f_len THEN 1 ELSE 0 END) AS BIGINT) AS a_only,
+  CAST(sum(CASE WHEN f_digit THEN 1 ELSE 0 END) AS BIGINT) AS d_all,
+  CAST(sum(CASE WHEN f_digit AND NOT f_tokens AND NOT f_alpha
+                 AND NOT f_len THEN 1 ELSE 0 END) AS BIGINT) AS d_only,
+  CAST(sum(CASE WHEN f_len THEN 1 ELSE 0 END) AS BIGINT) AS l_all,
+  CAST(sum(CASE WHEN f_len AND NOT f_tokens AND NOT f_alpha
+                 AND NOT f_digit THEN 1 ELSE 0 END) AS BIGINT) AS l_only,
+  CAST(sum(CASE WHEN f_tokens OR f_alpha OR f_digit OR f_len
+                THEN 1 ELSE 0 END) AS BIGINT) AS any_all
+  FROM fl)
+SELECT 'f_tokens' AS filter, t_all AS n_failing, t_only AS n_failing_only
+FROM s
+UNION ALL SELECT 'f_alpha', a_all, a_only FROM s
+UNION ALL SELECT 'f_digit', d_all, d_only FROM s
+UNION ALL SELECT 'f_len', l_all, l_only FROM s
+UNION ALL SELECT 'any', any_all, any_all FROM s"""
+
+
+def _sql_packing_sensitivity(budgets: tuple) -> str:
+    """Mirror of q_packing_sensitivity: one budget-independent packing
+    cum chain, per-budget manifest summaries unioned."""
+    selects = []
+    for b in budgets:
+        b = int(b)
+        selects.append(f"""SELECT CAST({b} AS BIGINT) AS budget,
+  CAST(count(*) AS BIGINT) AS n_docs,
+  CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+  CAST(max((cum - 1) // {b}) + 1 AS BIGINT) AS total_chunks,
+  CAST(sum(CASE WHEN (cum - 1) // {b} > (cum - n_tokens) // {b}
+            THEN 1 ELSE 0 END) AS BIGINT) AS split_docs,
+  CAST(sum((cum - 1) // {b} - (cum - n_tokens) // {b}) AS BIGINT)
+    AS extra_splits,
+  CAST((max((cum - 1) // {b}) + 1) * {b} - sum(n_tokens) AS BIGINT)
+    AS tail_waste
+FROM c""")
+    return f"""
+WITH t AS (SELECT doc_id,
+             CAST(length(regexp_extract_all(text, '{TOKEN_RE_SQL}'))
+                  AS BIGINT) AS n_tokens
+           FROM documents),
+k AS (SELECT doc_id, n_tokens,
+        {H1_SQL.format(s="('pack|' || CAST(doc_id AS VARCHAR))")} AS key
+      FROM t WHERE n_tokens > 0),
+c AS MATERIALIZED (SELECT doc_id, n_tokens,
+        sum(n_tokens) OVER (
+          ORDER BY (key // 2251799813685248), key, doc_id
+          ROWS UNBOUNDED PRECEDING) AS cum
+      FROM k)
+""" + "\nUNION ALL\n".join(selects)
+
+
+def _sql_dedup_threshold_curve(thresholds: tuple) -> str:
+    """Mirror of q_dedup_threshold_curve: the calibration chain as a
+    subquery, conditional pair counts per threshold."""
+    ths = ", ".join(str(t) for t in thresholds)
+    return f"""
+SELECT CAST(th AS DOUBLE) AS threshold,
+       CAST(sum(CASE WHEN c.jaccard >= th THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_pairs
+FROM ({_sql_minhash_calibration()}) c
+CROSS JOIN (SELECT unnest([{ths}]) AS th) q
+GROUP BY th ORDER BY th"""
+
+
 def _sql_motif_census() -> str:
     """Mirror of algos/motifs.motif_census on the co-occurrence graph:
     one codegree aggregation, exact integer divisions applied last."""
@@ -3413,6 +3504,107 @@ def q_part_name_revenue(spark, sf_dir):
         .select("token", "n_lines",
                 (F.expr("(ru + 50) div 100").cast("long")
                  / F.lit(100.0)).alias("revenue"))
+    )
+
+
+#: packing-budget sweep (tokens per chunk)
+PACKING_SWEEP = (128, 512, 2048)
+
+#: dedup-threshold sweep over verified LSH-candidate Jaccard
+DEDUP_THRESHOLDS = (0.3, 0.5, 0.7, 0.9)
+
+
+def q_filter_ablation(spark, sf_dir):
+    """Quality-filter ablation: for each of quality_filter's four rules
+    (too-few-tokens, low-alpha, high-digit, token-length-band), how
+    many docs fail IT at all and how many fail ONLY it — the number
+    that says which rule is doing the work and which is redundant
+    (a rule with n_failing_only = 0 never changes the corpus).  Same
+    6dp-rounded ratios as the registered quality_filter, so the
+    ablation and the gate can never disagree; exact integer counts."""
+    from plato_spark.functions.text import text_quality
+
+    q = text_quality(load_table(spark, sf_dir, "documents"))
+    flags = q.select(
+        (F.col("n_tokens") < 8).alias("f_tokens"),
+        (F.col("alpha_ratio") < 0.45).alias("f_alpha"),
+        (F.col("digit_ratio") > 0.3).alias("f_digit"),
+        ((F.col("mean_token_len") < 2.0)
+         | (F.col("mean_token_len") > 12.0)).alias("f_len"),
+    )
+    names = ["f_tokens", "f_alpha", "f_digit", "f_len"]
+    aggs = []
+    for n in names:
+        others = [c for c in names if c != n]
+        only = F.col(n)
+        for o in others:
+            only = only & ~F.col(o)
+        aggs.append(F.sum(F.col(n).cast("long")).alias(f"{n}_all"))
+        aggs.append(F.sum(only.cast("long")).alias(f"{n}_only"))
+    any_fail = F.col(names[0])
+    for n in names[1:]:
+        any_fail = any_fail | F.col(n)
+    aggs.append(F.sum(any_fail.cast("long")).alias("any_all"))
+    s = flags.agg(*aggs)
+    out = None
+    for n in names + ["any"]:
+        only = "any_all" if n == "any" else f"{n}_only"
+        row = s.select(
+            F.lit(n).alias("filter"),
+            F.col(f"{n}_all").alias("n_failing"),
+            F.col(only).alias("n_failing_only"))
+        out = row if out is None else out.unionByName(row)
+    return out
+
+
+def q_packing_sensitivity(spark, sf_dir):
+    """The packing budget, swept: the sequence_packing manifest
+    summarized at 128 / 512 / 2048 tokens per chunk — split-doc count,
+    extra splits (the attention-masking cost), and tail waste
+    (chunks x budget - tokens), per budget.  The curve behind choosing
+    a context length: small budgets split documents, large budgets
+    waste tail tokens.  Same deterministic layout for every budget
+    (the cut points move, the order does not); all exact BIGINTs."""
+    from plato_spark.functions.packing import sequence_packing
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = None
+    for b in PACKING_SWEEP:
+        m = sequence_packing(docs, budget=b)
+        s = m.agg(
+            F.lit(b).cast("long").alias("budget"),
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("total_tokens"),
+            (F.max("last_chunk") + 1).cast("long").alias("total_chunks"),
+            F.sum((F.col("n_chunks") > 1).cast("long")).cast("long")
+            .alias("split_docs"),
+            F.sum(F.col("n_chunks") - 1).cast("long")
+            .alias("extra_splits"),
+        ).select(
+            "*",
+            (F.col("total_chunks") * b - F.col("total_tokens"))
+            .cast("long").alias("tail_waste"))
+        out = s if out is None else out.unionByName(s)
+    return out
+
+
+def q_dedup_threshold_curve(spark, sf_dir):
+    """The dedup threshold, swept: verified-Jaccard pair counts at
+    0.3 / 0.5 / 0.7 / 0.9 over the LSH candidate set — the
+    policy-decision curve behind every near-dup drop rule (a cliff
+    between two thresholds means the corpus has a distinct duplication
+    mode there; a plateau means the choice is safe).  Reuses the
+    calibration kernel's exact integer intersections; candidate-fed."""
+    from plato_spark.functions.dedup import minhash_calibration
+
+    calib = minhash_calibration(load_table(spark, sf_dir, "documents"))
+    qs = spark.createDataFrame([(t,) for t in DEDUP_THRESHOLDS],
+                               "threshold double")
+    return (
+        calib.crossJoin(F.broadcast(qs))
+        .groupBy("threshold")
+        .agg(F.sum((F.col("jaccard") >= F.col("threshold"))
+                   .cast("long")).cast("long").alias("n_pairs"))
     )
 
 
@@ -9304,6 +9496,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cohort_ltv": q_cohort_ltv,
         "weighted_median_discount": q_weighted_median_discount,
         "part_name_revenue": q_part_name_revenue,
+        "filter_ablation": q_filter_ablation,
+        "packing_sensitivity": q_packing_sensitivity,
+        "dedup_threshold_curve": q_dedup_threshold_curve,
         "hub_removal": q_hub_removal,
         "component_stability": q_component_stability,
         "degree_incremental": q_degree_incremental,
@@ -11524,10 +11719,11 @@ cum AS (SELECT d, CAST(sum(w) OVER (ORDER BY d
         (SELECT CAST(sum(w) AS BIGINT) FROM per) AS tw
         FROM per),
 qs AS (SELECT unnest([0.25, 0.5, 0.75]) AS q)
-SELECT q, min(d) / 100.0 AS discount, max(tw) AS total_qty
+SELECT CAST(q AS DOUBLE) AS q, min(d) / 100.0 AS discount,
+       max(tw) AS total_qty
 FROM cum, qs
 WHERE cw * 4 >= CAST(q * 4 AS BIGINT) * tw
-GROUP BY q ORDER BY q""",
+GROUP BY qs.q ORDER BY qs.q""",
         "part_name_revenue": """
 WITH ptok AS (
   SELECT p_partkey, unnest(list_distinct(
@@ -11543,6 +11739,10 @@ a AS (SELECT token, CAST(count(*) AS BIGINT) AS n_lines,
 SELECT token, n_lines,
        CAST((ru + 50) // 100 AS BIGINT) / 100.0 AS revenue
 FROM a ORDER BY ru DESC, token ASC LIMIT 20""",
+        "filter_ablation": _sql_filter_ablation(),
+        "packing_sensitivity": _sql_packing_sensitivity(PACKING_SWEEP),
+        "dedup_threshold_curve":
+            _sql_dedup_threshold_curve(DEDUP_THRESHOLDS),
         "theil_sen_trend": """
 WITH per AS (
   SELECT CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS BIGINT)
