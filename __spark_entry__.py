@@ -3608,6 +3608,83 @@ def q_dedup_threshold_curve(spark, sf_dir):
     )
 
 
+def q_collective_influence(spark, sf_dir):
+    """Collective Influence at radius 2 over the co-occurrence graph
+    (algos/motifs.collective_influence): the optimal-percolation
+    heuristic — (d_v - 1) x the (d - 1) mass at distance exactly 2,
+    with the exact-distance-2 set recovered as codeg-pairs MINUS edges
+    (one wedge join + one anti-join, no per-root BFS).  Pure int64."""
+    from plato_spark.algos.motifs import collective_influence
+
+    return collective_influence(part_cooccurrence_edges(spark, sf_dir))
+
+
+def q_trade_reciprocity(spark, sf_dir):
+    """Trade reciprocity over the Q7 nation-pair flow matrix: of all
+    cross-nation shipped revenue, what share flows on RECIPROCATED
+    corridors — min(flow_ab, flow_ba) summed over unordered pairs,
+    divided by total flow.  The weighted-digraph sibling of
+    dyad_census's reciprocity bit; one full-outer self-merge of the
+    flow matrix on the reversed key (one-sided corridors keep 0, never
+    drop), exact integer revenue units, ONE division."""
+    n = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name")
+    sup = load_table(spark, sf_dir, "supplier").join(
+        F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey")
+    ).select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    cus = load_table(spark, sf_dir, "customer").join(
+        F.broadcast(n.withColumnRenamed("n_name", "c_nation")),
+        F.col("c_nationkey") == F.col("n_nationkey"),
+    ).select("c_custkey", F.col("c_nation").alias("cust_nation"))
+    rev = (F.round(F.col("l_extendedprice") * 100, 0).cast("long")
+           * F.round((F.lit(1.0) - F.col("l_discount")) * 100, 0)
+           .cast("long"))
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", rev.alias("rev_u"))
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey")
+    flow = (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(sup), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(cus), F.col("o_custkey") == F.col("c_custkey"))
+        .where(F.col("supp_nation") != F.col("cust_nation"))
+        .groupBy("supp_nation", "cust_nation")
+        .agg(F.sum("rev_u").cast("long").alias("fu"))
+    )
+    back = flow.select(F.col("cust_nation").alias("supp_nation"),
+                       F.col("supp_nation").alias("cust_nation"),
+                       F.col("fu").alias("ru"))
+    m = flow.join(back, ["supp_nation", "cust_nation"], "outer").select(
+        F.coalesce("fu", F.lit(0)).alias("fu"),
+        F.coalesce("ru", F.lit(0)).alias("ru"))
+    return m.agg(
+        F.sum(F.least("fu", "ru")).cast("long").alias("rec"),
+        F.sum("fu").cast("long").alias("tot"),
+    ).select(
+        # rev_u is cents x 1e2 discount units: half-up to cents first,
+        # then one exact /100 to dollars
+        (F.expr("(rec + 50) div 100").cast("long") / F.lit(100.0))
+        .alias("reciprocated_revenue"),
+        (F.expr("(tot + 50) div 100").cast("long") / F.lit(100.0))
+        .alias("total_revenue"),
+        F.round(F.col("rec") / F.col("tot"), 6).alias("reciprocity"),
+    )
+
+
+def q_hop_histogram(spark, sf_dir):
+    """Exact hop-distance histogram over the pinned 64-root sample of
+    the major component (the shared multi-source BFS): (dist, n_pairs)
+    — the distribution behind effective_diameter's HyperANF estimate,
+    here exact for the sampled rows.  Pure integer counts; root
+    self-rows (dist 0) included as the sample-size check."""
+    from plato_spark.algos.closeness import _sampled_bfs
+
+    _m, _f, visited = _sampled_bfs(
+        part_cooccurrence_edges(spark, sf_dir), 64, 10_000)
+    return visited.groupBy(F.col("dist").cast("int").alias("dist")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs"))
+
+
 def q_kcore(spark, sf_dir):
     return kcore(part_cooccurrence_edges(spark, sf_dir))
 
@@ -9499,6 +9576,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "filter_ablation": q_filter_ablation,
         "packing_sensitivity": q_packing_sensitivity,
         "dedup_threshold_curve": q_dedup_threshold_curve,
+        "collective_influence": q_collective_influence,
+        "trade_reciprocity": q_trade_reciprocity,
+        "hop_histogram": q_hop_histogram,
         "hub_removal": q_hub_removal,
         "component_stability": q_component_stability,
         "degree_incremental": q_degree_incremental,
@@ -11743,6 +11823,49 @@ FROM a ORDER BY ru DESC, token ASC LIMIT 20""",
         "packing_sensitivity": _sql_packing_sensitivity(PACKING_SWEEP),
         "dedup_threshold_curve":
             _sql_dedup_threshold_curve(DEDUP_THRESHOLDS),
+        "collective_influence": SQL_GRAPH_PREFIX + """, cdp AS MATERIALIZED (
+  SELECT DISTINCT a.dst AS u, b.dst AS v
+  FROM edges a JOIN edges b ON a.src = b.src AND a.dst < b.dst),
+d2 AS MATERIALIZED (
+  SELECT cdp.u, cdp.v FROM cdp
+  LEFT JOIN canon c ON cdp.u = c.src AND cdp.v = c.dst
+  WHERE c.src IS NULL),
+pairs AS (SELECT u, v FROM d2 UNION ALL SELECT v AS u, u AS v FROM d2),
+fs AS (SELECT p.u AS id, CAST(sum(dg.deg - 1) AS BIGINT) AS fs
+       FROM pairs p JOIN deg dg ON p.v = dg.id GROUP BY p.u)
+SELECT d.id, CAST((d.deg - 1) * coalesce(fs.fs, 0) AS BIGINT) AS ci
+FROM deg d LEFT JOIN fs ON d.id = fs.id ORDER BY d.id""",
+        "trade_reciprocity": """
+WITH n AS (SELECT n_nationkey, n_name FROM nation),
+sup AS (SELECT s_suppkey, n.n_name AS supp_nation
+        FROM supplier s JOIN n ON s.s_nationkey = n.n_nationkey),
+cus AS (SELECT c_custkey, n.n_name AS cust_nation
+        FROM customer c JOIN n ON c.c_nationkey = n.n_nationkey),
+li AS (SELECT l_orderkey, l_suppkey,
+         CAST(round(l_extendedprice * 100, 0) AS BIGINT)
+         * CAST(round((1.0 - l_discount) * 100, 0) AS BIGINT) AS rev_u
+       FROM lineitem),
+flow AS (SELECT sup.supp_nation, cus.cust_nation,
+           CAST(sum(li.rev_u) AS BIGINT) AS fu
+         FROM li JOIN orders o ON li.l_orderkey = o.o_orderkey
+         JOIN sup ON li.l_suppkey = sup.s_suppkey
+         JOIN cus ON o.o_custkey = cus.c_custkey
+         WHERE sup.supp_nation <> cus.cust_nation
+         GROUP BY 1, 2),
+m AS (SELECT coalesce(f.fu, 0) AS fu, coalesce(b.fu, 0) AS ru
+      FROM flow f FULL OUTER JOIN flow b
+        ON f.supp_nation = b.cust_nation
+       AND f.cust_nation = b.supp_nation),
+s AS (SELECT CAST(sum(least(fu, ru)) AS BIGINT) AS rec,
+             CAST(sum(fu) AS BIGINT) AS tot FROM m)
+SELECT CAST((rec + 50) // 100 AS BIGINT) / 100.0
+         AS reciprocated_revenue,
+       CAST((tot + 50) // 100 AS BIGINT) / 100.0 AS total_revenue,
+       round(CAST(rec AS DOUBLE) / tot, 6) AS reciprocity
+FROM s""",
+        "hop_histogram": _sql_multi_bfs_ctes(64, 6) + """
+SELECT CAST(dist AS INTEGER) AS dist, CAST(count(*) AS BIGINT) AS n_pairs
+FROM m6 GROUP BY dist ORDER BY dist""",
         "theil_sen_trend": """
 WITH per AS (
   SELECT CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS BIGINT)
