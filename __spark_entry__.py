@@ -3685,6 +3685,114 @@ def q_hop_histogram(spark, sf_dir):
         F.count(F.lit(1)).cast("long").alias("n_pairs"))
 
 
+def q_coactivity_churn(spark, sf_dir):
+    """Temporal edge churn of the co-activity graph: build the graph
+    from the FIRST and SECOND half of the event range (split at the
+    exact integer midpoint of min/max epoch micros — never wall-clock)
+    and read edge counts, overlap, and Jaccard — how stable is the
+    inferred social structure across time?  A near-zero Jaccard says
+    every downstream graph metric is a snapshot artifact.  Exact
+    integer counts, one rounded division."""
+    from plato_spark.functions.events import co_activity_edges
+
+    ev = load_table(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    bounds = ev.agg(F.min(us).alias("mn"), F.max(us).alias("mx")).select(
+        F.expr("(mn + mx) div 2").alias("mid"))
+    tagged = ev.crossJoin(F.broadcast(bounds))
+    ea = co_activity_edges(tagged.where(us < F.col("mid")))
+    eb = co_activity_edges(tagged.where(us >= F.col("mid")))
+    n_a = ea.count()
+    n_b = eb.count()
+    common = ea.select("src", "dst").join(
+        eb.select("src", "dst"), ["src", "dst"], "left_semi").count()
+    base = spark.createDataFrame(
+        [(n_a, n_b, common)],
+        "edges_early long, edges_late long, common_edges long")
+    # the division stays a Spark expression (half-up round), never
+    # python round() (half-even) — 6dp tie discipline
+    return base.select(
+        "*",
+        F.round(F.col("common_edges")
+                / (F.col("edges_early") + F.col("edges_late")
+                   - F.col("common_edges")), 6).alias("jaccard"))
+
+
+def q_length_ks_distance(spark, sf_dir):
+    """Exact two-sample Kolmogorov-Smirnov distance between two
+    sources' doc-length distributions — the distribution-drift test
+    behind 'did src1's crawler change?'.  D = max |F1(v) - F2(v)| is
+    computed as the exact integer cross-multiply max |c1*n2 - c2*n1|
+    over the merged distinct-value table (bounded by |distinct
+    lengths|, the offsets-table role), with the argmax value tie-broken
+    to the smallest v; float enters only at the two read-out
+    divisions."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    a = docs.where(F.col("source") == "src0").groupBy(
+        F.col("n_chars").alias("v")).agg(
+        F.count(F.lit(1)).cast("long").alias("ca"))
+    b = docs.where(F.col("source") == "src1").groupBy(
+        F.col("n_chars").alias("v")).agg(
+        F.count(F.lit(1)).cast("long").alias("cb"))
+    m = a.join(b, "v", "outer").select(
+        "v", F.coalesce("ca", F.lit(0)).alias("ca"),
+        F.coalesce("cb", F.lit(0)).alias("cb"))
+    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+    cum = m.select(
+        "v", F.sum("ca").over(w).alias("f1"),
+        F.sum("cb").over(w).alias("f2"))
+    tot = m.agg(F.sum("ca").cast("long").alias("n1"),
+                F.sum("cb").cast("long").alias("n2"))
+    dev = cum.crossJoin(F.broadcast(tot)).select(
+        "v", "n1", "n2",
+        F.abs(F.col("f1") * F.col("n2")
+              - F.col("f2") * F.col("n1")).alias("d"))
+    best = dev.agg(
+        F.max(F.struct(F.col("d"), (-F.col("v")).alias("nv"))).alias("m"),
+        F.max("n1").alias("n1"), F.max("n2").alias("n2"))
+    return best.select(
+        F.col("n1"), F.col("n2"),
+        (-F.col("m.nv")).cast("long").alias("ks_at_length"),
+        F.round(F.col("m.d") / (F.col("n1") * F.col("n2")), 6)
+        .alias("ks_distance"))
+
+
+def q_charclass_profile(spark, sf_dir):
+    """Per-source character-class profile: exact counts of lowercase /
+    uppercase / digit / whitespace / other characters — the ingest
+    fingerprint that catches a source flipping case conventions,
+    going numeric, or injecting markup, one aggregation, JVM regex
+    only."""
+    docs = load_table(spark, sf_dir, "documents")
+
+    def n_of(pat):
+        return F.length(F.regexp_replace(F.col("text"),
+                                         F.lit(pat), F.lit(""))).cast(
+            "long")
+
+    total = F.length(F.col("text")).cast("long")
+    return (
+        docs.select(
+            "source", total.alias("n"),
+            (total - n_of("[a-z]")).alias("lower"),
+            (total - n_of("[A-Z]")).alias("upper"),
+            (total - n_of("[0-9]")).alias("digit"),
+            (total - n_of(r"[ \t\n\r]")).alias("white"),
+        )
+        .groupBy("source")
+        .agg(F.sum("n").cast("long").alias("n_chars"),
+             F.sum("lower").cast("long").alias("n_lower"),
+             F.sum("upper").cast("long").alias("n_upper"),
+             F.sum("digit").cast("long").alias("n_digit"),
+             F.sum("white").cast("long").alias("n_white"),
+             (F.sum("n") - F.sum("lower") - F.sum("upper")
+              - F.sum("digit") - F.sum("white")).cast("long")
+             .alias("n_other"))
+    )
+
+
 def q_kcore(spark, sf_dir):
     return kcore(part_cooccurrence_edges(spark, sf_dir))
 
@@ -9579,6 +9687,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "collective_influence": q_collective_influence,
         "trade_reciprocity": q_trade_reciprocity,
         "hop_histogram": q_hop_histogram,
+        "coactivity_churn": q_coactivity_churn,
+        "length_ks_distance": q_length_ks_distance,
+        "charclass_profile": q_charclass_profile,
         "hub_removal": q_hub_removal,
         "component_stability": q_component_stability,
         "degree_incremental": q_degree_incremental,
@@ -11866,6 +11977,80 @@ FROM s""",
         "hop_histogram": _sql_multi_bfs_ctes(64, 6) + """
 SELECT CAST(dist AS INTEGER) AS dist, CAST(count(*) AS BIGINT) AS n_pairs
 FROM m6 GROUP BY dist ORDER BY dist""",
+        "coactivity_churn": """
+WITH b AS (SELECT (min(epoch_us(ts)) + max(epoch_us(ts))) // 2 AS mid
+           FROM events),
+uea AS (SELECT DISTINCT user_id AS u, event_type AS t,
+          date_trunc('hour', ts) AS h
+        FROM events, b WHERE epoch_us(ts) < b.mid),
+oka AS (SELECT t, h FROM uea GROUP BY t, h HAVING count(*) <= 256),
+u2a AS (SELECT uea.u, uea.t, uea.h FROM uea
+        JOIN oka ON uea.t = oka.t AND uea.h = oka.h),
+ea AS MATERIALIZED (
+  SELECT DISTINCT x.u AS src, y.u AS dst
+  FROM u2a x JOIN u2a y ON x.t = y.t AND x.h = y.h AND x.u < y.u),
+ueb AS (SELECT DISTINCT user_id AS u, event_type AS t,
+          date_trunc('hour', ts) AS h
+        FROM events, b WHERE epoch_us(ts) >= b.mid),
+okb2 AS (SELECT t, h FROM ueb GROUP BY t, h HAVING count(*) <= 256),
+u2b AS (SELECT ueb.u, ueb.t, ueb.h FROM ueb
+        JOIN okb2 ON ueb.t = okb2.t AND ueb.h = okb2.h),
+eb AS MATERIALIZED (
+  SELECT DISTINCT x.u AS src, y.u AS dst
+  FROM u2b x JOIN u2b y ON x.t = y.t AND x.h = y.h AND x.u < y.u),
+s AS (SELECT
+  (SELECT CAST(count(*) AS BIGINT) FROM ea) AS edges_early,
+  (SELECT CAST(count(*) AS BIGINT) FROM eb) AS edges_late,
+  (SELECT CAST(count(*) AS BIGINT) FROM ea
+   WHERE EXISTS (SELECT 1 FROM eb
+                 WHERE eb.src = ea.src AND eb.dst = ea.dst))
+    AS common_edges)
+SELECT edges_early, edges_late, common_edges,
+       round(CAST(common_edges AS DOUBLE)
+             / (edges_early + edges_late - common_edges), 6) AS jaccard
+FROM s""",
+        "length_ks_distance": """
+WITH a AS (SELECT n_chars AS v, CAST(count(*) AS BIGINT) AS ca
+           FROM documents WHERE source = 'src0' GROUP BY 1),
+b AS (SELECT n_chars AS v, CAST(count(*) AS BIGINT) AS cb
+      FROM documents WHERE source = 'src1' GROUP BY 1),
+m AS (SELECT coalesce(a.v, b.v) AS v, coalesce(ca, 0) AS ca,
+             coalesce(cb, 0) AS cb
+      FROM a FULL OUTER JOIN b ON a.v = b.v),
+cum AS (SELECT v,
+          CAST(sum(ca) OVER (ORDER BY v
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             AS BIGINT) AS f1,
+          CAST(sum(cb) OVER (ORDER BY v
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             AS BIGINT) AS f2
+        FROM m),
+tot AS (SELECT CAST(sum(ca) AS BIGINT) AS n1,
+               CAST(sum(cb) AS BIGINT) AS n2 FROM m),
+dev AS (SELECT c.v, t.n1, t.n2, abs(c.f1 * t.n2 - c.f2 * t.n1) AS d
+        FROM cum c, tot t)
+SELECT n1, n2, CAST(v AS BIGINT) AS ks_at_length,
+       round(CAST(d AS DOUBLE) / (n1 * n2), 6) AS ks_distance
+FROM dev ORDER BY d DESC, v ASC LIMIT 1""",
+        "charclass_profile": """
+WITH p AS (SELECT source, CAST(length(text) AS BIGINT) AS n,
+  CAST(length(text) - length(regexp_replace(text, '[a-z]', '', 'g'))
+       AS BIGINT) AS lo,
+  CAST(length(text) - length(regexp_replace(text, '[A-Z]', '', 'g'))
+       AS BIGINT) AS up,
+  CAST(length(text) - length(regexp_replace(text, '[0-9]', '', 'g'))
+       AS BIGINT) AS di,
+  CAST(length(text) - length(regexp_replace(text,
+       '[ \t\n\r]', '', 'g')) AS BIGINT) AS wh
+  FROM documents)
+SELECT source, CAST(sum(n) AS BIGINT) AS n_chars,
+       CAST(sum(lo) AS BIGINT) AS n_lower,
+       CAST(sum(up) AS BIGINT) AS n_upper,
+       CAST(sum(di) AS BIGINT) AS n_digit,
+       CAST(sum(wh) AS BIGINT) AS n_white,
+       CAST(sum(n) - sum(lo) - sum(up) - sum(di) - sum(wh) AS BIGINT)
+         AS n_other
+FROM p GROUP BY source ORDER BY source""",
         "theil_sen_trend": """
 WITH per AS (
   SELECT CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS BIGINT)
