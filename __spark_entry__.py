@@ -3793,6 +3793,43 @@ def q_charclass_profile(spark, sf_dir):
     )
 
 
+def q_ppjoin_pairs(spark, sf_dir):
+    """EXACT set-similarity self-join via prefix filtering
+    (functions/dedup.ppjoin_pairs, PPJoin): every token-set pair with
+    Jaccard >= 0.95, no LSH recall loss — the deterministic complement
+    to minhash_lsh_candidates.  The oracle computes the same pairs
+    from the UNFILTERED all-token join, so the gate proves the prefix
+    filter lossless on this corpus."""
+    from plato_spark.functions.dedup import ppjoin_pairs
+
+    return ppjoin_pairs(load_table(spark, sf_dir, "documents"),
+                        threshold_pct=95)
+
+
+def q_user_simpson_diversity(spark, sf_dir):
+    """Per-user Gini-Simpson activity diversity: the probability two
+    random events of the user differ in type, 1 - sum c_i(c_i-1) /
+    (n(n-1)) — the diversity metric WITHOUT logs (source_entropy's
+    bits need a documented libm caveat; this one is exact integer
+    folds + ONE division).  Single-event users report NULL (no pair
+    exists), never a fabricated 0."""
+    ev = load_table(spark, sf_dir, "events")
+    per = ev.groupBy("user_id", "event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("c"))
+    return per.groupBy("user_id").agg(
+        F.sum("c").cast("long").alias("n_events"),
+        F.count(F.lit(1)).cast("long").alias("n_types"),
+        F.sum(F.col("c") * (F.col("c") - 1)).cast("long").alias("ss"),
+    ).select(
+        "user_id", "n_events", "n_types",
+        F.when(
+            F.col("n_events") > 1,
+            F.round(1 - F.col("ss")
+                    / (F.col("n_events") * (F.col("n_events") - 1)), 6),
+        ).alias("simpson"),
+    )
+
+
 def q_kcore(spark, sf_dir):
     return kcore(part_cooccurrence_edges(spark, sf_dir))
 
@@ -9690,6 +9727,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "coactivity_churn": q_coactivity_churn,
         "length_ks_distance": q_length_ks_distance,
         "charclass_profile": q_charclass_profile,
+        "ppjoin_pairs": q_ppjoin_pairs,
+        "user_simpson_diversity": q_user_simpson_diversity,
         "hub_removal": q_hub_removal,
         "component_stability": q_component_stability,
         "degree_incremental": q_degree_incremental,
@@ -12051,6 +12090,37 @@ SELECT source, CAST(sum(n) AS BIGINT) AS n_chars,
        CAST(sum(n) - sum(lo) - sum(up) - sum(di) - sum(wh) AS BIGINT)
          AS n_other
 FROM p GROUP BY source ORDER BY source""",
+        # UNFILTERED all-token join — proves the prefix filter lossless
+        "ppjoin_pairs": f"""
+WITH tok AS MATERIALIZED (
+  SELECT DISTINCT doc_id AS id,
+         unnest(list_distinct(regexp_extract_all(text, '{TOKEN_RE_SQL}')))
+           AS tk
+  FROM documents),
+sizes AS (SELECT id, CAST(count(*) AS BIGINT) AS sz
+          FROM tok GROUP BY id),
+inter AS (SELECT a.id AS a, b.id AS b, CAST(count(*) AS BIGINT) AS inter
+          FROM tok a JOIN tok b ON a.tk = b.tk AND a.id < b.id
+          GROUP BY 1, 2)
+SELECT i.a, i.b, i.inter, sa.sz AS size_a, sb.sz AS size_b,
+       round(CAST(i.inter AS DOUBLE)
+             / (sa.sz + sb.sz - i.inter), 6) AS jaccard
+FROM inter i JOIN sizes sa ON sa.id = i.a JOIN sizes sb ON sb.id = i.b
+WHERE i.inter * 100 >= 95 * (sa.sz + sb.sz - i.inter)
+ORDER BY i.a, i.b""",
+        "user_simpson_diversity": """
+WITH per AS (SELECT user_id, event_type, CAST(count(*) AS BIGINT) AS c
+             FROM events GROUP BY 1, 2),
+a AS (SELECT user_id, CAST(sum(c) AS BIGINT) AS n_events,
+             CAST(count(*) AS BIGINT) AS n_types,
+             CAST(sum(c * (c - 1)) AS BIGINT) AS ss
+      FROM per GROUP BY user_id)
+SELECT user_id, n_events, n_types,
+       CASE WHEN n_events > 1
+            THEN round(1 - CAST(ss AS DOUBLE)
+                       / (n_events * (n_events - 1)), 6)
+            ELSE NULL END AS simpson
+FROM a ORDER BY user_id""",
         "theil_sen_trend": """
 WITH per AS (
   SELECT CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS BIGINT)

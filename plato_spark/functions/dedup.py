@@ -899,3 +899,81 @@ def minhash_calibration(
                        - F.coalesce("i", F.lit(0))), 6).alias("err"),
         )
     )
+
+
+def ppjoin_pairs(
+    df: DataFrame,
+    threshold_pct: int = 70,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(a, b, inter, size_a, size_b, jaccard) — EXACT token-set
+    similarity self-join via PREFIX FILTERING (PPJoin, Xiao et al.
+    WWW'08): every pair with Jaccard >= threshold, no LSH recall loss.
+
+    The trick: order each doc's distinct tokens by global rarity
+    (df ASC, token ASC — one shared total order), keep only the first
+    |d| - ceil(t*|d|) + 1 tokens as the PREFIX, and join on prefix
+    tokens only.  Any pair with J >= t MUST share a prefix token
+    (pigeonhole over the shared order), so the filter is LOSSLESS —
+    which is exactly what the oracle proves, by computing the same
+    pairs from the unfiltered all-token join.  Rare-first ordering
+    makes prefixes the low-df tokens, so the candidate join fans out
+    on the SMALL posting lists — the deterministic complement to
+    MinHash-LSH: exact answer, no tuning, at the cost of a verify pass
+    per candidate.
+
+    Exactness: the threshold test is the integer cross-multiply
+    100*inter >= t_pct*(|a| + |b| - inter); ceil(t*|d|) =
+    (t_pct*|d| + 99) div 100.  One rounded division at read-out."""
+    from pyspark.sql import Window
+
+    t = int(threshold_pct)
+    tok = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(F.array_distinct(
+            F.regexp_extract_all(F.col(text_col), F.lit(TOKEN_RE),
+                                 F.lit(0)))).alias("tk"),
+    ).persist()
+    dft = tok.groupBy("tk").agg(F.count(F.lit(1)).alias("dfc"))
+    sizes = tok.groupBy("id").agg(
+        F.count(F.lit(1)).cast("long").alias("sz"))
+    w = Window.partitionBy("id").orderBy("dfc", "tk")
+    ranked = (
+        tok.join(dft, "tk")
+        .select("id", "tk", F.row_number().over(w).alias("rn"))
+        .join(sizes, "id")
+    )
+    prefix = ranked.where(
+        F.col("rn") <= F.col("sz")
+        - F.expr(f"({t} * sz + 99) div 100") + 1)
+    cand = (
+        prefix.select("tk", F.col("id").alias("a"))
+        .join(prefix.select("tk", F.col("id").alias("b")), "tk")
+        .where(F.col("a") < F.col("b"))
+        .select("a", "b")
+        .distinct()
+    )
+    inter = (
+        cand.join(tok.select(F.col("id").alias("a"), "tk"), "a")
+        .join(tok.select(F.col("id").alias("bid"),
+                         F.col("tk").alias("tk2")),
+              (F.col("b") == F.col("bid")) & (F.col("tk") == F.col("tk2")),
+              "left_semi")
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).cast("long").alias("inter"))
+    )
+    out = (
+        inter.join(sizes.select(F.col("id").alias("a"),
+                                F.col("sz").alias("size_a")), "a")
+        .join(sizes.select(F.col("id").alias("b"),
+                           F.col("sz").alias("size_b")), "b")
+        .where(F.col("inter") * 100
+               >= F.lit(t) * (F.col("size_a") + F.col("size_b")
+                              - F.col("inter")))
+        .select("a", "b", "inter", "size_a", "size_b",
+                F.round(F.col("inter")
+                        / (F.col("size_a") + F.col("size_b")
+                           - F.col("inter")), 6).alias("jaccard"))
+    )
+    return out
