@@ -3830,6 +3830,55 @@ def q_user_simpson_diversity(spark, sf_dir):
     )
 
 
+def q_coarsen_stats(spark, sf_dir):
+    """Heavy-edge-matching graph coarsening (one multilevel-partitioning
+    level): contract every matched pair of the hash-priority maximal
+    matching (algos/matching) to its smaller endpoint and report the
+    size of the coarse graph — the reduction factor that decides how
+    many levels a METIS-style partitioner needs.  Exact integer counts;
+    two rounded reduction ratios.  Relabeling is two broadcast map
+    joins + one distinct (self-loops drop — a contracted edge's weight
+    mass is interior now)."""
+    from plato_spark.algos.matching import maximal_matching
+
+    canon = part_cooccurrence_edges(spark, sf_dir).select("src", "dst")
+    m = maximal_matching(canon).select("src", "dst")
+    # matched map: both endpoints -> src (the smaller id); identity
+    # otherwise
+    mp = m.select(F.col("src").alias("id"), F.col("src").alias("sv")) \
+        .unionByName(m.select(F.col("dst").alias("id"),
+                              F.col("src").alias("sv")))
+    verts = canon.select(F.col("src").alias("id")).unionByName(
+        canon.select(F.col("dst").alias("id"))).distinct()
+    full_map = verts.join(mp, "id", "left").select(
+        "id", F.coalesce("sv", F.col("id")).alias("sv"))
+    relab = (
+        canon.join(F.broadcast(full_map.withColumnRenamed("id", "src")
+                               .withColumnRenamed("sv", "sa")), "src")
+        .join(F.broadcast(full_map.withColumnRenamed("id", "dst")
+                          .withColumnRenamed("sv", "sb")), "dst")
+        .where(F.col("sa") != F.col("sb"))
+        .select(F.least("sa", "sb").alias("s"),
+                F.greatest("sa", "sb").alias("t"))
+        .distinct()
+    )
+    n_v = verts.count()
+    n_e = canon.count()
+    n_m = m.count()
+    n_sv = n_v - n_m
+    n_se = relab.count()
+    base = spark.createDataFrame(
+        [(n_v, n_e, n_m, n_sv, n_se)],
+        "n_vertices long, n_edges long, n_matched long, "
+        "n_super_vertices long, n_super_edges long")
+    return base.select(
+        "*",
+        F.round(F.col("n_super_vertices") / F.col("n_vertices"), 6)
+        .alias("vertex_ratio"),
+        F.round(F.col("n_super_edges") / F.col("n_edges"), 6)
+        .alias("edge_ratio"))
+
+
 def q_kcore(spark, sf_dir):
     return kcore(part_cooccurrence_edges(spark, sf_dir))
 
@@ -9729,6 +9778,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "charclass_profile": q_charclass_profile,
         "ppjoin_pairs": q_ppjoin_pairs,
         "user_simpson_diversity": q_user_simpson_diversity,
+        "coarsen_stats": q_coarsen_stats,
         "hub_removal": q_hub_removal,
         "component_stability": q_component_stability,
         "degree_incremental": q_degree_incremental,
@@ -12121,6 +12171,41 @@ SELECT user_id, n_events, n_types,
                        / (n_events * (n_events - 1)), 6)
             ELSE NULL END AS simpson
 FROM a ORDER BY user_id""",
+        "coarsen_stats": f"""
+WITH li2 AS MATERIALIZED (
+  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+canon2 AS MATERIALIZED (
+  SELECT a.l_partkey AS src, b.l_partkey AS dst
+  FROM li2 a JOIN li2 b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY a.l_partkey, b.l_partkey),
+verts2 AS MATERIALIZED (
+  SELECT DISTINCT src AS id FROM canon2
+  UNION SELECT DISTINCT dst FROM canon2),
+m AS MATERIALIZED (
+  SELECT src, dst FROM ({_sql_matching(12)})),
+mp AS (SELECT src AS id, src AS sv FROM m
+       UNION ALL SELECT dst AS id, src AS sv FROM m),
+fm AS MATERIALIZED (
+  SELECT v.id, coalesce(mp.sv, v.id) AS sv
+  FROM verts2 v LEFT JOIN mp ON v.id = mp.id),
+relab AS (SELECT DISTINCT least(a.sv, b.sv) AS s,
+                 greatest(a.sv, b.sv) AS t
+          FROM canon2 c JOIN fm a ON c.src = a.id
+          JOIN fm b ON c.dst = b.id
+          WHERE a.sv <> b.sv),
+s AS (SELECT
+  (SELECT CAST(count(*) AS BIGINT) FROM verts2) AS n_vertices,
+  (SELECT CAST(count(*) AS BIGINT) FROM canon2) AS n_edges,
+  (SELECT CAST(count(*) AS BIGINT) FROM m) AS n_matched,
+  (SELECT CAST(count(*) AS BIGINT) FROM relab) AS n_super_edges)
+SELECT n_vertices, n_edges, n_matched,
+       CAST(n_vertices - n_matched AS BIGINT) AS n_super_vertices,
+       n_super_edges,
+       round(CAST(n_vertices - n_matched AS DOUBLE) / n_vertices, 6)
+         AS vertex_ratio,
+       round(CAST(n_super_edges AS DOUBLE) / n_edges, 6) AS edge_ratio
+FROM s""",
         "theil_sen_trend": """
 WITH per AS (
   SELECT CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS BIGINT)
