@@ -9698,6 +9698,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # gate replica at sf0.001 AND sf0.01 (tools/validate_oracles.py)
     # regardless of rotation position.
     return {
+        # -- r4 head block -1: VERDICT-r3-mandated changes that MUST
+        # earn a driver-green row this round (they were pushed past
+        # position 50 by later session additions): embedding_project
+        # (the one red r3 row, reshaped to (vec_id, dim, value)),
+        # closeness_exact (new exact Bavelas variant), and the two
+        # materially-changed loops (weighted_matching hash tie-break
+        # with a re-pinned oracle; infomap one-action move rounds) --
+        "embedding_project": q_embedding_project,
+        "closeness_exact": q_closeness_exact,
+        "weighted_matching": q_weighted_matching,
+        "infomap": q_infomap,
         # -- r4 head block 0: brand-new this session --
         "asof_attribution": q_asof_attribution,
         "interval_counts": q_interval_counts,
@@ -9934,15 +9945,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "local_bridges": q_local_bridges,
         "event_transitions": q_event_transitions,
         "edit_distance_dups": q_edit_distance_dups,
-        # -- r4 head block 2 (9): code or output shape changed this
-        # round (embedding_project reshaped to (vec_id, dim, value);
-        # closeness_exact new; weighted_matching hash tie-break;
-        # infomap action fold; cms left-join probe; quantiles null
-        # filter; containment distinct; salsa iters guard) --
-        "embedding_project": q_embedding_project,
-        "closeness_exact": q_closeness_exact,
-        "weighted_matching": q_weighted_matching,
-        "infomap": q_infomap,
+        # -- r4 head block 2 (5): ADVICE-fix-adjacent rows (cms
+        # left-join probe; quantiles null filter; containment
+        # distinct; salsa iters guard); the four VERDICT-mandated
+        # rows that used to lead this block moved to block -1 at the
+        # registry head so the 50-row gate snapshot reaches them --
         "cms_heavy_hitters": q_cms_heavy_hitters,
         "cms_incremental": q_cms_incremental,
         "price_quantiles": q_price_quantiles,
