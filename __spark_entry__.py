@@ -9676,6 +9676,60 @@ def q_promo_revenue(spark, sf_dir):
     )
 
 
+def q_forman_curvature(spark, sf_dir):
+    """Per-edge augmented Forman-Ricci curvature (algos/curvature):
+    4 - deg(u) - deg(v) + 3*triangles(e) — the discrete-geometry read
+    of edge role (negative = inter-community traffic edge, positive =
+    triangle-wrapped intra-community edge) at one common-neighbor join
+    instead of all-sources Brandes.  All-integer output, no division."""
+    from plato_spark.algos.curvature import forman_curvature
+
+    return forman_curvature(part_cooccurrence_edges(spark, sf_dir))
+
+
+def q_vertex_cover(spark, sf_dir):
+    """Matching-based 2-approximate vertex cover with in-row
+    certificates (algos/matching.vertex_cover_stats): n_uncovered = 0
+    certifies coverage, n_matched lower-bounds the optimum, approx_ratio
+    = cover/lower <= 2.  The oracle re-derives the cover from the
+    identical unrolled hash-priority matching chain."""
+    from plato_spark.algos.matching import vertex_cover_stats
+
+    return vertex_cover_stats(part_cooccurrence_edges(spark, sf_dir))
+
+
+def q_out_of_order_stats(spark, sf_dir):
+    """Per-user event-stream disorder audit: with event_id as arrival
+    order (the deterministic stand-in for ingestion sequence), an event
+    is LATE when its timestamp precedes the running max over everything
+    that arrived before it.  Reports n_events, n_late, max lateness
+    (exact epoch-micro integers) and the late fraction — the number
+    that sizes a streaming watermark: allowedLateness must exceed the
+    observed max_lateness_us to avoid dropping these rows.  One window
+    pass (partitioned by user — never a global sort) + one agg."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"))
+    w = (Window.partitionBy("user_id").orderBy("event_id")
+         .rowsBetween(Window.unboundedPreceding, -1))
+    flagged = ev.select(
+        "user_id", "ts_us", F.max("ts_us").over(w).alias("pm"))
+    late = F.when(F.col("pm") > F.col("ts_us"), 1).otherwise(0)
+    return flagged.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.sum(late).cast("long").alias("n_late"),
+        F.coalesce(
+            F.max(F.when(F.col("pm") > F.col("ts_us"),
+                         F.col("pm") - F.col("ts_us"))),
+            F.lit(0)).cast("long").alias("max_lateness_us"),
+    ).select(
+        "user_id", "n_events", "n_late", "max_lateness_us",
+        F.round(F.col("n_late") / F.col("n_events"), 6).alias("late_frac"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
@@ -10074,6 +10128,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ppr_sweep": q_ppr_sweep,
         "edge_betweenness": q_edge_betweenness,
         "onion_layers": q_onion_layers,
+        # -- r4 session 7: graph geometry + cover certificates +
+        # stream-disorder audit --
+        "forman_curvature": q_forman_curvature,
+        "vertex_cover": q_vertex_cover,
+        "out_of_order_stats": q_out_of_order_stats,
     }
 
 
@@ -13601,4 +13660,65 @@ ORDER BY lvl, region, nation""",
                    END AS conductance
             FROM vol v LEFT JOIN cut c ON v.label = c.label, tot t
             ORDER BY lang""",
+        "forman_curvature": SQL_GRAPH_PREFIX
+        + """SELECT c.src, c.dst,
+                    CAST(COALESCE(t.cn, 0) AS BIGINT) AS support,
+                    CAST(4 - du.deg - dv.deg + 3 * COALESCE(t.cn, 0)
+                         AS BIGINT) AS curvature
+             FROM canon c
+             JOIN deg du ON c.src = du.id JOIN deg dv ON c.dst = dv.id
+             LEFT JOIN (
+               SELECT a.src AS u, b.src AS v,
+                      CAST(count(*) AS BIGINT) AS cn
+               FROM edges a JOIN edges b
+                 ON a.dst = b.dst AND a.src < b.src
+               GROUP BY a.src, b.src) t
+               ON c.src = t.u AND c.dst = t.v
+             ORDER BY c.src, c.dst""",
+        # outer CTEs renamed (li2/canon2/verts2): the nested matching
+        # chain brings its own li/canon/... and DuckDB rejects duplicate
+        # CTE aliases across the nesting (same binder quirk coarsen_stats
+        # recorded)
+        "vertex_cover": f"""
+WITH li2 AS MATERIALIZED (
+  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+canon2 AS MATERIALIZED (
+  SELECT a.l_partkey AS src, b.l_partkey AS dst
+  FROM li2 a JOIN li2 b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY a.l_partkey, b.l_partkey),
+verts2 AS MATERIALIZED (
+  SELECT DISTINCT src AS id FROM canon2
+  UNION SELECT DISTINCT dst FROM canon2),
+m AS MATERIALIZED (
+  SELECT src, dst FROM ({_sql_matching(12)})),
+cov AS MATERIALIZED (
+  SELECT src AS id FROM m UNION SELECT dst AS id FROM m),
+s AS (SELECT
+  (SELECT CAST(count(*) AS BIGINT) FROM verts2) AS n_vertices,
+  (SELECT CAST(count(*) AS BIGINT) FROM canon2) AS n_edges,
+  (SELECT CAST(count(*) AS BIGINT) FROM m) AS n_matched,
+  (SELECT CAST(count(*) AS BIGINT) FROM cov) AS cover_size,
+  (SELECT CAST(count(*) AS BIGINT) FROM canon2 c
+   WHERE NOT EXISTS (SELECT 1 FROM cov v WHERE v.id = c.src)
+     AND NOT EXISTS (SELECT 1 FROM cov v WHERE v.id = c.dst))
+    AS n_uncovered)
+SELECT n_vertices, n_edges, n_matched, cover_size, n_uncovered,
+       round(CAST(cover_size AS DOUBLE) / n_matched, 6) AS approx_ratio
+FROM s""",
+        "out_of_order_stats": """
+WITH e AS (SELECT user_id, epoch_us(ts) AS ts_us,
+                  max(epoch_us(ts)) OVER (
+                    PARTITION BY user_id ORDER BY event_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                    AS pm
+           FROM events)
+SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(CASE WHEN pm > ts_us THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_late,
+       CAST(COALESCE(max(CASE WHEN pm > ts_us THEN pm - ts_us END), 0)
+            AS BIGINT) AS max_lateness_us,
+       round(CAST(sum(CASE WHEN pm > ts_us THEN 1 ELSE 0 END) AS DOUBLE)
+             / count(*), 6) AS late_frac
+FROM e GROUP BY user_id ORDER BY user_id""",
     }

@@ -35,7 +35,7 @@ from pyspark.sql import functions as F
 from plato_spark.engine.ckpt_blocks import checkpoint_tracked, free_blocks
 from plato_spark.functions.text import portable_h1
 
-__all__ = ["maximal_matching"]
+__all__ = ["maximal_matching", "vertex_cover_stats"]
 
 
 def _keyed(edges: DataFrame, weight_col: str | None = None) -> DataFrame:
@@ -137,3 +137,52 @@ def maximal_matching(
     out, _ = checkpoint_tracked(out)
     free_blocks(spark, part_ids)
     return out
+
+
+def vertex_cover_stats(edges_canon: DataFrame, max_iters: int = 64) -> DataFrame:
+    """One row — the matching-based 2-approximate vertex cover audit.
+
+    The endpoints of any maximal matching form a vertex cover (an
+    uncovered edge would extend the matching — contradiction), and the
+    cover is at most 2x the optimum because ANY cover must take >= one
+    endpoint per matched edge (Gavril/Yannakakis folklore; the textbook
+    2-approximation).  Both bounds are certified IN the output:
+
+      n_uncovered   — edges with neither endpoint in the cover; 0
+                      certifies coverage (and maximality of the matching)
+      n_matched     — a lower bound on the optimum cover size
+      approx_ratio  — cover_size / n_matched, <= 2.0 by construction
+
+    Columns: (n_vertices, n_edges, n_matched, cover_size, n_uncovered,
+    approx_ratio).  Exact integers + one rounded division.
+
+    Scale: rides maximal_matching's residual-peel rounds; the audit
+    itself is two left_anti joins against the cover (hash join on id —
+    the cover is O(V), never collected) and three scalar counts.
+    """
+    spark = edges_canon.sparkSession
+    m = maximal_matching(edges_canon, max_iters=max_iters)
+    cover = m.select(F.col("src").alias("id")).unionByName(
+        m.select(F.col("dst").alias("id"))
+    ).distinct()
+    verts = edges_canon.select(F.col("src").alias("id")).unionByName(
+        edges_canon.select(F.col("dst").alias("id"))
+    ).distinct()
+    uncovered = (
+        edges_canon
+        .join(cover.withColumnRenamed("id", "src"), "src", "left_anti")
+        .join(cover.withColumnRenamed("id", "dst"), "dst", "left_anti")
+    )
+    n_v = verts.count()
+    n_e = edges_canon.count()
+    n_m = m.count()
+    n_c = cover.count()
+    n_u = uncovered.count()
+    base = spark.createDataFrame(
+        [(n_v, n_e, n_m, n_c, n_u)],
+        "n_vertices long, n_edges long, n_matched long, "
+        "cover_size long, n_uncovered long")
+    return base.select(
+        "*",
+        F.round(F.col("cover_size") / F.col("n_matched"), 6)
+        .alias("approx_ratio"))
