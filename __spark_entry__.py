@@ -9676,6 +9676,92 @@ def q_promo_revenue(spark, sf_dir):
     )
 
 
+def _scan_planted_edges(spark, sf_dir):
+    """Deterministic planted-community graph over doc ids (the
+    planted-truth idiom of q_scc / q_reference_graph): ~2% of docs are
+    designated hubs (wired to the two anchor members of two DIFFERENT
+    communities), ~2% outliers (one edge to one community's first
+    anchor), the rest are members of one of max(2, n//12) communities
+    with 60% hash-sampled intra-community pairs — triangle-dense inside,
+    empty across, exactly the topology SCAN's structural similarity
+    separates.  Both engines rebuild the identical edge set from the
+    portable md5 family."""
+    from plato_spark.functions.text import portable_h1
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents") \
+        .select("doc_id").distinct()
+    n = docs.count()
+    k = max(2, n // 12)
+
+    def h(tag, col):
+        return portable_h1(F.concat(F.lit(tag), col.cast("string")))
+
+    tagged = docs.select(
+        "doc_id", F.pmod(h("scanr|", F.col("doc_id")), F.lit(50)).alias("rr"))
+    mem = tagged.where(F.col("rr") >= 2).select(
+        "doc_id",
+        F.pmod(h("scanc|", F.col("doc_id")), F.lit(k)).alias("comm"))
+    rk = mem.select(
+        "doc_id", "comm",
+        F.row_number().over(
+            Window.partitionBy("comm").orderBy("doc_id")).alias("rn"))
+    anchors = rk.where(F.col("rn") <= 2)
+
+    a = mem.select(F.col("doc_id").alias("u"), "comm")
+    b = mem.select(F.col("doc_id").alias("v"), "comm")
+    intra = (
+        a.join(b, "comm").where(F.col("u") < F.col("v"))
+        .where(F.pmod(
+            portable_h1(F.concat(
+                F.lit("scane|"), F.col("u").cast("string"),
+                F.lit("|"), F.col("v").cast("string"))), F.lit(10)) < 6)
+        .select("u", "v")
+    )
+    hubs = tagged.where(F.col("rr") == 0).select(
+        "doc_id",
+        F.pmod(h("scanha|", F.col("doc_id")), F.lit(k)).alias("ca"),
+        F.pmod(h("scanhb|", F.col("doc_id")), F.lit(k - 1)).alias("cbr"),
+    ).select(
+        "doc_id", "ca",
+        F.pmod(F.col("ca") + 1 + F.col("cbr"), F.lit(k)).alias("cb"))
+    hube = (
+        hubs.select(F.col("doc_id").alias("u"), F.col("ca").alias("comm"))
+        .unionByName(hubs.select(F.col("doc_id").alias("u"),
+                                 F.col("cb").alias("comm")))
+        .join(anchors.select("comm", F.col("doc_id").alias("v")), "comm")
+        .select("u", "v")
+    )
+    oute = (
+        tagged.where(F.col("rr") == 1)
+        .select(F.col("doc_id").alias("u"),
+                F.pmod(h("scanoa|", F.col("doc_id")), F.lit(k))
+                .alias("comm"))
+        .join(anchors.where(F.col("rn") == 1)
+              .select("comm", F.col("doc_id").alias("v")), "comm")
+        .select("u", "v")
+    )
+    allp = intra.unionByName(hube).unionByName(oute)
+    return (
+        allp.where(F.col("u") != F.col("v"))
+        .select(F.least("u", "v").alias("src"),
+                F.greatest("u", "v").alias("dst"))
+        .distinct()
+    )
+
+
+def q_scan_clusters(spark, sf_dir):
+    """SCAN structural clustering (algos/scan, Xu et al. KDD'07) on the
+    planted-community fixture: exact-integer ε-similarity (no sqrt —
+    rational ε, squared comparison), hash-min components over the
+    core-core ε-subgraph, pinned min-cluster border attachment, and the
+    hub/outlier read-out Louvain and LPA cannot give.  ε = 3/5, μ = 3."""
+    from plato_spark.algos.scan import scan_clusters
+
+    return scan_clusters(_scan_planted_edges(spark, sf_dir),
+                         eps_num=3, eps_den=5, mu=3)
+
+
 def q_forman_curvature(spark, sf_dir):
     """Per-edge augmented Forman-Ricci curvature (algos/curvature):
     4 - deg(u) - deg(v) + 3*triangles(e) — the discrete-geometry read
@@ -9728,6 +9814,119 @@ def q_out_of_order_stats(spark, sf_dir):
         "user_id", "n_events", "n_late", "max_lateness_us",
         F.round(F.col("n_late") / F.col("n_events"), 6).alias("late_frac"),
     )
+
+
+def _sql_scan(wcc_iters: int = 6) -> str:
+    """DuckDB mirror of q_scan_clusters: rebuild the planted-community
+    fixture from the portable md5 family, then run the full SCAN chain
+    — exact-integer ε-test ((cn+2)^2*den^2 >= num^2*(du+1)(dv+1)),
+    unrolled hash-min components over the core-core ε-subgraph
+    (wcc_iters pinned past the measured diameter of the dense planted
+    communities), min-cluster border attachment, hub/outlier split."""
+    from plato_spark.functions.text import PORTABLE_H1_SQL
+
+    def h(expr):
+        return PORTABLE_H1_SQL.format(s=expr)
+
+    hr = h("'scanr|' || CAST(id AS VARCHAR)")
+    hc = h("'scanc|' || CAST(t.id AS VARCHAR)")
+    he = h("'scane|' || CAST(a.id AS VARCHAR) || '|' || CAST(b.id AS VARCHAR)")
+    hca = h("'scanha|' || CAST(t.id AS VARCHAR)")
+    hcb = h("'scanhb|' || CAST(t.id AS VARCHAR)")
+    ho = h("'scanoa|' || CAST(t.id AS VARCHAR)")
+    chain = ["s0 AS MATERIALIZED (SELECT id, id AS lab FROM ccv)"]
+    for i in range(wcc_iters):
+        chain.append(f"""s{i + 1} AS MATERIALIZED (
+  SELECT v.id, least(l.lab, COALESCE(m.minlab, l.lab)) AS lab
+  FROM ccv v JOIN s{i} l ON v.id = l.id
+  LEFT JOIN (SELECT e.dst AS id, min(l2.lab) AS minlab
+             FROM ccs e JOIN s{i} l2 ON e.src = l2.id
+             GROUP BY e.dst) m ON v.id = m.id)""")
+    return f"""
+WITH d0 AS MATERIALIZED (SELECT DISTINCT doc_id AS id FROM documents),
+kk AS MATERIALIZED (SELECT greatest(2, count(*) // 12) AS k FROM d0),
+tg AS MATERIALIZED (SELECT id, {hr} % 50 AS rr FROM d0),
+mem AS MATERIALIZED (
+  SELECT t.id, {hc} % kk.k AS comm FROM tg t, kk WHERE t.rr >= 2),
+rk AS MATERIALIZED (
+  SELECT id, comm, row_number() OVER (PARTITION BY comm ORDER BY id)
+    AS rn FROM mem),
+anch AS MATERIALIZED (SELECT comm, rn, id FROM rk WHERE rn <= 2),
+intra AS (
+  SELECT a.id AS u, b.id AS v
+  FROM mem a JOIN mem b ON a.comm = b.comm AND a.id < b.id
+  WHERE {he} % 10 < 6),
+hb0 AS (SELECT t.id, {hca} % kk.k AS ca,
+               {hcb} % (kk.k - 1) AS cbr,
+               kk.k AS k
+        FROM tg t, kk WHERE t.rr = 0),
+hb AS MATERIALIZED (SELECT id, ca, (ca + 1 + cbr) % k AS cb FROM hb0),
+hbe AS (SELECT h.id AS u, a.id AS v FROM hb h
+        JOIN anch a ON a.comm = h.ca OR a.comm = h.cb),
+oe AS (SELECT o.id AS u, a.id AS v
+       FROM (SELECT t.id, {ho} % kk.k AS comm
+             FROM tg t, kk WHERE t.rr = 1) o
+       JOIN anch a ON a.comm = o.comm AND a.rn = 1),
+canon3 AS MATERIALIZED (
+  SELECT DISTINCT least(u, v) AS src, greatest(u, v) AS dst
+  FROM (SELECT u, v FROM intra UNION ALL SELECT u, v FROM hbe
+        UNION ALL SELECT u, v FROM oe) z
+  WHERE u <> v),
+edges3 AS MATERIALIZED (SELECT src, dst FROM canon3
+  UNION ALL SELECT dst AS src, src AS dst FROM canon3),
+deg3 AS MATERIALIZED (
+  SELECT src AS id, CAST(count(*) AS BIGINT) AS deg
+  FROM edges3 GROUP BY src),
+cn3 AS MATERIALIZED (
+  SELECT a.src AS u, b.src AS v, CAST(count(*) AS BIGINT) AS cn
+  FROM edges3 a JOIN edges3 b ON a.dst = b.dst AND a.src < b.src
+  GROUP BY a.src, b.src),
+epse AS MATERIALIZED (
+  SELECT c.src, c.dst FROM canon3 c
+  JOIN deg3 du ON c.src = du.id JOIN deg3 dv ON c.dst = dv.id
+  LEFT JOIN cn3 t ON c.src = t.u AND c.dst = t.v
+  WHERE (COALESCE(t.cn, 0) + 2) * (COALESCE(t.cn, 0) + 2) * 25
+        >= 9 * (du.deg + 1) * (dv.deg + 1)),
+epss AS MATERIALIZED (SELECT src, dst FROM epse
+  UNION ALL SELECT dst AS src, src AS dst FROM epse),
+cores AS MATERIALIZED (
+  SELECT d.id FROM deg3 d
+  LEFT JOIN (SELECT src AS id, count(*) + 1 AS neps
+             FROM epss GROUP BY src) e ON d.id = e.id
+  WHERE COALESCE(e.neps, 1) >= 3),
+cce AS MATERIALIZED (
+  SELECT e.src, e.dst FROM epse e
+  WHERE EXISTS (SELECT 1 FROM cores c WHERE c.id = e.src)
+    AND EXISTS (SELECT 1 FROM cores c WHERE c.id = e.dst)),
+ccs AS MATERIALIZED (SELECT src, dst FROM cce
+  UNION ALL SELECT dst AS src, src AS dst FROM cce),
+ccv AS MATERIALIZED (SELECT DISTINCT src AS id FROM ccs),
+{", ".join(chain)},
+clus AS MATERIALIZED (
+  SELECT c.id, COALESCE(s.lab, c.id) AS cluster
+  FROM cores c LEFT JOIN s{wcc_iters} s ON c.id = s.id),
+bord AS MATERIALIZED (
+  SELECT e.src AS id, min(cl.cluster) AS cluster
+  FROM epss e JOIN clus cl ON e.dst = cl.id
+  WHERE NOT EXISTS (SELECT 1 FROM cores c WHERE c.id = e.src)
+  GROUP BY e.src),
+memb AS MATERIALIZED (
+  SELECT id, cluster, 'core' AS role FROM clus
+  UNION ALL SELECT id, cluster, 'border' AS role FROM bord),
+restv AS MATERIALIZED (
+  SELECT d.id FROM deg3 d
+  WHERE NOT EXISTS (SELECT 1 FROM memb m WHERE m.id = d.id)),
+nbc AS (SELECT e.src AS id, count(DISTINCT m.cluster) AS nc
+        FROM edges3 e JOIN memb m ON e.dst = m.id
+        WHERE EXISTS (SELECT 1 FROM restv r WHERE r.id = e.src)
+        GROUP BY e.src)
+SELECT id, role, cluster FROM memb
+UNION ALL
+SELECT r.id, CASE WHEN COALESCE(n.nc, 0) >= 2 THEN 'hub'
+                  ELSE 'outlier' END AS role,
+       CAST(NULL AS BIGINT) AS cluster
+FROM restv r LEFT JOIN nbc n ON r.id = n.id
+ORDER BY id"""
 
 
 # ---------------------------------------------------------------------------
@@ -10133,6 +10332,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "forman_curvature": q_forman_curvature,
         "vertex_cover": q_vertex_cover,
         "out_of_order_stats": q_out_of_order_stats,
+        "scan_clusters": q_scan_clusters,
     }
 
 
@@ -13721,4 +13921,5 @@ SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
        round(CAST(sum(CASE WHEN pm > ts_us THEN 1 ELSE 0 END) AS DOUBLE)
              / count(*), 6) AS late_frac
 FROM e GROUP BY user_id ORDER BY user_id""",
+        "scan_clusters": _sql_scan(6),
     }
