@@ -9816,6 +9816,257 @@ def q_out_of_order_stats(spark, sf_dir):
     )
 
 
+def q_pq_recall(spark, sf_dir):
+    """Recall@5 of the PQ/ADC index against the METRIC-MATCHED exact
+    baseline — integer-micro squared L2 (similarity.brute_force_l2_topk,
+    order-free polarization identity), not cosine, so the row measures
+    quantization loss alone.  Completes the recall family next to
+    ivf_recall and lsh_recall: every ANN index in the repo now carries a
+    gate-checked recall number."""
+    from plato_spark.functions.pq import pq_ann
+    from plato_spark.functions.similarity import brute_force_l2_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    bf = brute_force_l2_topk(emb, k=5).select("query_id", "nbr_id")
+    pq = pq_ann(emb, m=4, k_c=16, lloyd_iters=2, k=5).select(
+        "query_id", "nbr_id")
+    hits = (
+        bf.join(pq, ["query_id", "nbr_id"])
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("hits"))
+    )
+    return (
+        bf.select("query_id").distinct()
+        .join(hits, "query_id", "left")
+        .select("query_id",
+                F.coalesce("hits", F.lit(0)).cast("long").alias("hits"))
+    )
+
+
+MATRYOSHKA_DIMS = 16
+
+
+def q_matryoshka_recall(spark, sf_dir):
+    """Recall@5 of PREFIX-dimension search (first 16 of 64 dims) vs the
+    full-dimension exact cosine top-5 — the matryoshka/truncation
+    question ('how much index do the first dims buy?') as a
+    gate-checked number.  Queries are a ~10% hash-picked sample
+    (portable md5), the scale shape: at 100 TB the sampled-query recall
+    audit is O(|Q| x N) instead of O(N^2)."""
+    from plato_spark.functions.similarity import brute_force_topk
+    from plato_spark.functions.text import portable_h1
+
+    emb = _emb_double(spark, sf_dir)
+    qs = emb.where(F.pmod(
+        portable_h1(F.concat(F.lit("mat|"),
+                             F.col("vec_id").cast("string"))),
+        F.lit(10)) == 0)
+    full = brute_force_topk(emb, k=5, queries=qs).select(
+        "query_id", "nbr_id")
+    pe = emb.select(
+        "vec_id", F.slice("embedding", 1, MATRYOSHKA_DIMS)
+        .alias("embedding"))
+    pq_ = qs.select(
+        "vec_id", F.slice("embedding", 1, MATRYOSHKA_DIMS)
+        .alias("embedding"))
+    pref = brute_force_topk(pe, k=5, queries=pq_).select(
+        "query_id", "nbr_id")
+    hits = (
+        full.join(pref, ["query_id", "nbr_id"])
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("hits"))
+    )
+    return (
+        full.select("query_id").distinct()
+        .join(hits, "query_id", "left")
+        .select("query_id",
+                F.coalesce("hits", F.lit(0)).cast("long").alias("hits"))
+    )
+
+
+def q_wedge_closure(spark, sf_dir):
+    """Temporal triadic closure on the co-activity graph: open wedges
+    (two users sharing an early-half neighbor but not linked) that CLOSE
+    in the late half, against the base rate of new-edge formation over
+    all unlinked early pairs — the Granovetter closure hypothesis as a
+    lift number.  Split at the exact integer epoch-micros midpoint (the
+    coactivity_churn discipline); exact integer counts, divisions only
+    in the three read-out rates.  Wedge enumeration rides the
+    clique-guarded co-activity extraction (max_bucket caps the degree),
+    the standard triangle-join shape."""
+    from plato_spark.functions.events import co_activity_edges
+    from plato_spark.graph.edges import symmetrize
+
+    ev = load_table(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    bounds = ev.agg(F.min(us).alias("mn"), F.max(us).alias("mx")).select(
+        F.expr("(mn + mx) div 2").alias("mid"))
+    tagged = ev.crossJoin(F.broadcast(bounds))
+    ea = co_activity_edges(tagged.where(us < F.col("mid"))) \
+        .select("src", "dst").persist()
+    eb = co_activity_edges(tagged.where(us >= F.col("mid"))) \
+        .select("src", "dst").persist()
+    syma = symmetrize(ea)
+    lu = syma.select(F.col("src").alias("v"), F.col("dst").alias("src"))
+    lw = syma.select(F.col("src").alias("v"), F.col("dst").alias("dst"))
+    wedge = (
+        lu.join(lw, "v")
+        .where(F.col("src") < F.col("dst"))
+        .select("src", "dst").distinct()
+    )
+    open_pairs = wedge.join(ea, ["src", "dst"], "left_anti").persist()
+    n_open = open_pairs.count()
+    n_closed = open_pairs.join(eb, ["src", "dst"], "semi").count()
+    n_verts = syma.select("src").distinct().count()
+    # all unlinked early-vertex pairs, and the late edges they gained
+    eb_within = (
+        eb.join(ea.select(F.col("src").alias("id")).unionByName(
+            ea.select(F.col("dst").alias("id"))).distinct()
+            .withColumnRenamed("id", "src"), "src", "semi")
+        .join(ea.select(F.col("src").alias("id")).unionByName(
+            ea.select(F.col("dst").alias("id"))).distinct()
+            .withColumnRenamed("id", "dst"), "dst", "semi")
+        .join(ea, ["src", "dst"], "left_anti")
+    )
+    n_new = eb_within.count()
+    n_ea = ea.count()
+    cand = n_verts * (n_verts - 1) // 2 - n_ea
+    base = spark.createDataFrame(
+        [(n_open, n_closed, cand, n_new)],
+        "open_wedge_pairs long, closed_pairs long, "
+        "candidate_pairs long, new_edges long")
+    rate = F.when(F.col("open_wedge_pairs") > 0,
+                  F.round(F.col("closed_pairs")
+                          / F.col("open_wedge_pairs"), 6))
+    brate = F.when(F.col("candidate_pairs") > 0,
+                   F.round(F.col("new_edges")
+                           / F.col("candidate_pairs"), 6))
+    return base.select(
+        "*", rate.alias("closure_rate"), brate.alias("base_rate"),
+        F.when((F.col("open_wedge_pairs") > 0) & (F.col("new_edges") > 0)
+               & (F.col("candidate_pairs") > 0),
+               F.round((F.col("closed_pairs") * F.col("candidate_pairs"))
+                       / (F.col("open_wedge_pairs") * F.col("new_edges")),
+                       6)).alias("closure_lift"))
+
+
+def _sql_l2_topk(k: int = 5) -> str:
+    """Mirror of similarity.brute_force_l2_topk: integer-micro squared
+    L2 via the polarization identity (order-free; sums < 2^53 so the
+    double-typed list_dot_product is still exact)."""
+    return EMB_SQL_PREFIX + f""",
+u AS MATERIALIZED (
+  SELECT id, list_transform(vec,
+           x -> CAST(round(x * 1000000, 0) AS BIGINT)) AS iv
+  FROM v),
+n AS MATERIALIZED (
+  SELECT id, iv, CAST(list_dot_product(iv, iv) AS BIGINT) AS nn FROM u),
+p AS (SELECT a.id AS query_id, b.id AS nbr_id,
+             CAST(a.nn + b.nn
+                  - 2 * CAST(list_dot_product(a.iv, b.iv) AS BIGINT)
+                  AS BIGINT) AS d2_micro
+      FROM n a JOIN n b ON a.id != b.id)
+SELECT query_id, nbr_id, d2_micro, CAST(rn AS INT) AS "rank" FROM (
+  SELECT query_id, nbr_id, d2_micro,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY d2_micro ASC, nbr_id ASC) AS rn
+  FROM p) t WHERE rn <= {k}"""
+
+
+def _sql_matryoshka_recall(k: int = 5, dims: int = 16) -> str:
+    from plato_spark.functions.text import PORTABLE_H1_SQL
+
+    h = PORTABLE_H1_SQL.format(s="'mat|' || CAST(a.id AS VARCHAR)")
+    cos_full = _cos_sql("a.vec", "b.vec")
+    cos_pref = _cos_sql(f"a.vec[1:{dims}]", f"b.vec[1:{dims}]")
+
+    def top(cos):
+        return f"""SELECT query_id, nbr_id FROM (
+  SELECT a.id AS query_id, b.id AS nbr_id,
+         row_number() OVER (PARTITION BY a.id
+                            ORDER BY round({cos}, 6) DESC,
+                                     b.id ASC) AS rn
+  FROM v a JOIN v b ON a.id != b.id
+  WHERE {h} % 10 = 0) t WHERE rn <= {k}"""
+
+    return EMB_SQL_PREFIX + f""",
+pf AS MATERIALIZED ({top(cos_full)}),
+pp AS MATERIALIZED ({top(cos_pref)}),
+h AS (SELECT f.query_id, CAST(count(*) AS BIGINT) AS hits
+      FROM pf f JOIN pp ON f.query_id = pp.query_id
+                       AND f.nbr_id = pp.nbr_id
+      GROUP BY f.query_id)
+SELECT q.query_id, COALESCE(h.hits, 0) AS hits
+FROM (SELECT DISTINCT query_id FROM pf) q
+LEFT JOIN h ON q.query_id = h.query_id ORDER BY q.query_id"""
+
+
+def _sql_wedge_closure() -> str:
+    """Mirror of q_wedge_closure over the split co-activity graphs."""
+    return """
+WITH b AS (SELECT (min(epoch_us(ts)) + max(epoch_us(ts))) // 2 AS mid
+           FROM events),
+uea AS (SELECT DISTINCT user_id AS u, event_type AS t,
+          date_trunc('hour', ts) AS h
+        FROM events, b WHERE epoch_us(ts) < b.mid),
+oka AS (SELECT t, h FROM uea GROUP BY t, h HAVING count(*) <= 256),
+u2a AS (SELECT uea.u, uea.t, uea.h FROM uea
+        JOIN oka ON uea.t = oka.t AND uea.h = oka.h),
+ea AS MATERIALIZED (
+  SELECT DISTINCT x.u AS src, y.u AS dst
+  FROM u2a x JOIN u2a y ON x.t = y.t AND x.h = y.h AND x.u < y.u),
+ueb AS (SELECT DISTINCT user_id AS u, event_type AS t,
+          date_trunc('hour', ts) AS h
+        FROM events, b WHERE epoch_us(ts) >= b.mid),
+okb2 AS (SELECT t, h FROM ueb GROUP BY t, h HAVING count(*) <= 256),
+u2b AS (SELECT ueb.u, ueb.t, ueb.h FROM ueb
+        JOIN okb2 ON ueb.t = okb2.t AND ueb.h = okb2.h),
+eb AS MATERIALIZED (
+  SELECT DISTINCT x.u AS src, y.u AS dst
+  FROM u2b x JOIN u2b y ON x.t = y.t AND x.h = y.h AND x.u < y.u),
+sa AS MATERIALIZED (SELECT src, dst FROM ea
+  UNION ALL SELECT dst AS src, src AS dst FROM ea),
+wedge AS MATERIALIZED (
+  SELECT DISTINCT a.dst AS src, bb.dst AS dst
+  FROM sa a JOIN sa bb ON a.src = bb.src AND a.dst < bb.dst),
+op AS MATERIALIZED (
+  SELECT w.src, w.dst FROM wedge w
+  WHERE NOT EXISTS (SELECT 1 FROM ea
+                    WHERE ea.src = w.src AND ea.dst = w.dst)),
+av AS MATERIALIZED (SELECT DISTINCT src AS id FROM sa),
+ebw AS MATERIALIZED (
+  SELECT e.src, e.dst FROM eb e
+  WHERE EXISTS (SELECT 1 FROM av WHERE av.id = e.src)
+    AND EXISTS (SELECT 1 FROM av WHERE av.id = e.dst)
+    AND NOT EXISTS (SELECT 1 FROM ea
+                    WHERE ea.src = e.src AND ea.dst = e.dst)),
+s AS (SELECT
+  (SELECT CAST(count(*) AS BIGINT) FROM op) AS open_wedge_pairs,
+  (SELECT CAST(count(*) AS BIGINT) FROM op
+   WHERE EXISTS (SELECT 1 FROM eb
+                 WHERE eb.src = op.src AND eb.dst = op.dst))
+    AS closed_pairs,
+  (SELECT CAST(count(*) AS BIGINT) FROM av) AS nv,
+  (SELECT CAST(count(*) AS BIGINT) FROM ea) AS n_ea,
+  (SELECT CAST(count(*) AS BIGINT) FROM ebw) AS new_edges)
+SELECT open_wedge_pairs, closed_pairs,
+       CAST(nv * (nv - 1) // 2 - n_ea AS BIGINT) AS candidate_pairs,
+       new_edges,
+       CASE WHEN open_wedge_pairs > 0
+            THEN round(CAST(closed_pairs AS DOUBLE)
+                       / open_wedge_pairs, 6) END AS closure_rate,
+       CASE WHEN nv * (nv - 1) // 2 - n_ea > 0
+            THEN round(CAST(new_edges AS DOUBLE)
+                       / (nv * (nv - 1) // 2 - n_ea), 6) END AS base_rate,
+       CASE WHEN open_wedge_pairs > 0 AND new_edges > 0
+                 AND nv * (nv - 1) // 2 - n_ea > 0
+            THEN round(CAST(closed_pairs
+                            * (nv * (nv - 1) // 2 - n_ea) AS DOUBLE)
+                       / (open_wedge_pairs * new_edges), 6)
+       END AS closure_lift
+FROM s"""
+
+
 def _sql_scan(wcc_iters: int = 6) -> str:
     """DuckDB mirror of q_scan_clusters: rebuild the planted-community
     fixture from the portable md5 family, then run the full SCAN chain
@@ -10333,6 +10584,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vertex_cover": q_vertex_cover,
         "out_of_order_stats": q_out_of_order_stats,
         "scan_clusters": q_scan_clusters,
+        "pq_recall": q_pq_recall,
+        "matryoshka_recall": q_matryoshka_recall,
+        "wedge_closure": q_wedge_closure,
     }
 
 
@@ -13922,4 +14176,16 @@ SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
              / count(*), 6) AS late_frac
 FROM e GROUP BY user_id ORDER BY user_id""",
         "scan_clusters": _sql_scan(6),
+        "pq_recall": f"""
+WITH bf AS MATERIALIZED ({_sql_l2_topk(5)}),
+pqt AS MATERIALIZED ({_sql_pq_ann(4, 16, 2, 64, 5)}),
+h AS (SELECT b.query_id, CAST(count(*) AS BIGINT) AS hits
+      FROM bf b JOIN pqt ON b.query_id = pqt.query_id
+                        AND b.nbr_id = pqt.nbr_id
+      GROUP BY b.query_id)
+SELECT q.query_id, COALESCE(h.hits, 0) AS hits
+FROM (SELECT DISTINCT query_id FROM bf) q
+LEFT JOIN h ON q.query_id = h.query_id ORDER BY q.query_id""",
+        "matryoshka_recall": _sql_matryoshka_recall(5, MATRYOSHKA_DIMS),
+        "wedge_closure": _sql_wedge_closure(),
     }

@@ -1033,3 +1033,48 @@ def pca_plane_variance(
                F.round((F.lit(100.0) * (l1 + l2)) / t, 6))
         .alias("plane_pct"),
     )
+
+
+def brute_force_l2_topk(
+    emb: DataFrame,
+    k: int = 5,
+    queries: DataFrame | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(query_id, nbr_id, d2_micro, rank) — EXACT top-k by squared L2,
+    in integer micro-space: components are rounded once to 1e-6 units
+    (BIGINT), and the distance is the all-integer polarization identity
+    d2 = <a,a> + <b,b> - 2<a,b> — an order-FREE fold, so both engines
+    rank identically with no float-sum sensitivity (the pca gramian
+    lesson).  The metric-matched ground truth for the PQ/ADC index
+    (cosine ground truth would conflate metric mismatch with index
+    recall).  O(|Q| x N) by design — the documented recall yardstick,
+    same fence as brute_force_topk.
+    """
+    def ivec(c):
+        return F.transform(
+            c, lambda x: F.round(x.cast("double") * 1_000_000, 0)
+            .cast("long"))
+
+    def sq(c):
+        return F.aggregate(F.transform(c, lambda x: x * x),
+                           F.lit(0).cast("long"), lambda a, x: a + x)
+
+    base = emb.select(F.col(id_col).alias("nbr_id"),
+                      ivec(F.col(vec_col)).alias("nv"))
+    q = (queries if queries is not None else emb).select(
+        F.col(id_col).alias("query_id"), ivec(F.col(vec_col)).alias("qv"))
+    dot = F.aggregate(F.zip_with("qv", "nv", lambda x, y: x * y),
+                      F.lit(0).cast("long"), lambda a, x: a + x)
+    pairs = (
+        q.crossJoin(base)
+        .where(F.col("query_id") != F.col("nbr_id"))
+        .select("query_id", "nbr_id",
+                (sq(F.col("qv")) + sq(F.col("nv")) - 2 * dot)
+                .alias("d2_micro"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("d2_micro").asc(), F.col("nbr_id").asc())
+    return pairs.withColumn(
+        "rank", F.row_number().over(w)).where(F.col("rank") <= k)
