@@ -9950,6 +9950,142 @@ def q_wedge_closure(spark, sf_dir):
                        6)).alias("closure_lift"))
 
 
+def q_embedding_anisotropy(spark, sf_dir):
+    """Corpus-level embedding anisotropy (similarity.embedding_anisotropy):
+    mean pairwise cosine over ALL distinct pairs WITHOUT the O(N^2)
+    join — Gram identity over unit-normalized 6dp-rounded integer-micro
+    vectors, exact decimal folds, float only in the two read-outs.  The
+    collapsed-space health check that gates every downstream ANN row."""
+    from plato_spark.functions.similarity import embedding_anisotropy
+
+    return embedding_anisotropy(load_table(spark, sf_dir, "embeddings"))
+
+
+KCENTER_K = 8
+
+
+def q_kcenter_seeds(spark, sf_dir):
+    """Gonzalez farthest-point traversal (similarity.kcenter_seeds):
+    the deterministic k-center 2-approximation / coreset skeleton —
+    k-1 rounds of ONE incremental min-dist update (broadcast newest
+    seed) + one scalar argmax, integer-micro squared L2 throughout.
+    The oracle unrolls the identical traversal."""
+    from plato_spark.functions.similarity import kcenter_seeds
+
+    return kcenter_seeds(load_table(spark, sf_dir, "embeddings"),
+                         k=KCENTER_K)
+
+
+def q_davies_bouldin(spark, sf_dir):
+    """Davies-Bouldin cluster-validity components per ground-truth
+    label (similarity.davies_bouldin, squared-metric variant): exact
+    integer centroids/scatters, no float sums anywhere — only
+    correctly-rounded single divisions, so both engines agree without
+    reduce-order caveats.  Completes the cluster-quality family beside
+    silhouette and embedding_purity."""
+    from plato_spark.functions.similarity import davies_bouldin
+
+    return davies_bouldin(load_table(spark, sf_dir, "embeddings"))
+
+
+EMB_DIM = 64
+
+
+def _sql_anisotropy(dim: int = 64) -> str:
+    return EMB_SQL_PREFIX + f""",
+u AS MATERIALIZED (
+  SELECT id, list_transform(vec,
+    x -> CAST(round(round(x / sqrt(list_dot_product(vec, vec)), 6)
+                    * 1000000, 0) AS BIGINT)) AS iv
+  FROM v),
+ex AS (SELECT p.pos, iv[p.pos] AS val
+       FROM u CROSS JOIN (SELECT unnest(range(1, {dim + 1})) AS pos) p),
+pd AS MATERIALIZED (
+  SELECT pos, CAST(sum(val) AS HUGEINT) AS s,
+         sum(CAST(val AS HUGEINT) * val) AS self_sq
+  FROM ex GROUP BY pos),
+t AS (SELECT sum(s * s) AS ss, sum(self_sq) AS selfsq FROM pd),
+n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM v)
+SELECT n.n AS n_vectors,
+       round(CAST(t.ss - t.selfsq AS DOUBLE) / (n.n * (n.n - 1.0))
+             / 1e12, 6) AS mean_pairwise_cosine,
+       round(CAST(t.selfsq AS DOUBLE) / CAST(n.n AS DOUBLE) / 1e12, 6)
+         AS mean_self_sq
+FROM t, n"""
+
+
+def _sql_kcenter(k: int = 8) -> str:
+    """Unrolled Gonzalez traversal: d2 via the integer polarization
+    identity (exact; equals the Spark zip_with squared-diff fold)."""
+    def pd2(a, b):
+        return (f"CAST(list_dot_product({a}, {a})"
+                f" + list_dot_product({b}, {b})"
+                f" - 2 * list_dot_product({a}, {b}) AS BIGINT)")
+
+    ctes = ["""u AS MATERIALIZED (
+  SELECT id, list_transform(vec,
+    x -> CAST(round(x * 1000000, 0) AS BIGINT)) AS iv FROM v)""",
+            "g1 AS MATERIALIZED (SELECT min(id) AS sid FROM u)",
+            f"""d1 AS MATERIALIZED (
+  SELECT a.id, a.iv, {pd2('a.iv', 's.iv')} AS dmin
+  FROM u a JOIN u s ON s.id = (SELECT sid FROM g1)
+  WHERE a.id != (SELECT sid FROM g1))"""]
+    for r in range(2, k + 1):
+        ctes.append(f"""g{r} AS MATERIALIZED (
+  SELECT id AS sid, dmin FROM d{r - 1}
+  ORDER BY dmin DESC, id ASC LIMIT 1)""")
+        if r < k:
+            ctes.append(f"""d{r} AS MATERIALIZED (
+  SELECT a.id, a.iv, least(a.dmin, {pd2('a.iv', 's.iv')}) AS dmin
+  FROM d{r - 1} a JOIN u s ON s.id = (SELECT sid FROM g{r})
+  WHERE a.id != (SELECT sid FROM g{r}))""")
+    sels = ["SELECT CAST(1 AS INT) AS seed_rank, sid AS vec_id, "
+            "CAST(0 AS BIGINT) AS dist_micro FROM g1"]
+    sels += [f"SELECT CAST({r} AS INT), sid, dmin FROM g{r}"
+             for r in range(2, k + 1)]
+    return (EMB_SQL_PREFIX + ", " + ",\n".join(ctes) + "\n"
+            + "\nUNION ALL ".join(sels) + " ORDER BY seed_rank")
+
+
+def _sql_davies_bouldin(dim: int = 64) -> str:
+    def pd2(a, b):
+        return (f"CAST(list_dot_product({a}, {a})"
+                f" + list_dot_product({b}, {b})"
+                f" - 2 * list_dot_product({a}, {b}) AS BIGINT)")
+
+    return f"""
+WITH w AS MATERIALIZED (
+  SELECT vec_id AS id, label,
+         list_transform(CAST(embedding AS DOUBLE[]),
+           x -> CAST(round(x * 1000000, 0) AS BIGINT)) AS iv
+  FROM embeddings),
+ex AS (SELECT label, p.pos, iv[p.pos] AS val
+       FROM w CROSS JOIN (SELECT unnest(range(1, {dim + 1})) AS pos) p),
+cent AS MATERIALIZED (
+  SELECT label, pos,
+         CAST(round(sum(val) / CAST(count(*) AS DOUBLE), 0) AS BIGINT)
+           AS c
+  FROM ex GROUP BY label, pos),
+cv AS MATERIALIZED (
+  SELECT label, list(c ORDER BY pos) AS cvv FROM cent GROUP BY label),
+scat AS MATERIALIZED (
+  SELECT w.label, CAST(count(*) AS BIGINT) AS n_members,
+         CAST(sum({pd2('w.iv', 'cv.cvv')}) AS BIGINT) AS s2sum
+  FROM w JOIN cv ON w.label = cv.label GROUP BY w.label),
+r AS (SELECT a.label AS label, a.n_members, a.s2sum,
+             max((CAST(a.s2sum AS DOUBLE) / a.n_members
+                  + CAST(b.s2sum AS DOUBLE) / b.n_members)
+                 / {pd2('ca.cvv', 'cb.cvv')}) AS worst
+      FROM scat a JOIN cv ca ON a.label = ca.label
+      JOIN scat b ON a.label != b.label
+      JOIN cv cb ON b.label = cb.label
+      GROUP BY a.label, a.n_members, a.s2sum)
+SELECT label, n_members,
+       round(CAST(s2sum AS DOUBLE) / n_members / 1e12, 6) AS scatter_sq,
+       round(worst, 6) AS worst_ratio
+FROM r ORDER BY label"""
+
+
 def _sql_l2_topk(k: int = 5) -> str:
     """Mirror of similarity.brute_force_l2_topk: integer-micro squared
     L2 via the polarization identity (order-free; sums < 2^53 so the
@@ -10587,6 +10723,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pq_recall": q_pq_recall,
         "matryoshka_recall": q_matryoshka_recall,
         "wedge_closure": q_wedge_closure,
+        "embedding_anisotropy": q_embedding_anisotropy,
+        "kcenter_seeds": q_kcenter_seeds,
+        "davies_bouldin": q_davies_bouldin,
     }
 
 
@@ -14188,4 +14327,7 @@ FROM (SELECT DISTINCT query_id FROM bf) q
 LEFT JOIN h ON q.query_id = h.query_id ORDER BY q.query_id""",
         "matryoshka_recall": _sql_matryoshka_recall(5, MATRYOSHKA_DIMS),
         "wedge_closure": _sql_wedge_closure(),
+        "embedding_anisotropy": _sql_anisotropy(EMB_DIM),
+        "kcenter_seeds": _sql_kcenter(KCENTER_K),
+        "davies_bouldin": _sql_davies_bouldin(EMB_DIM),
     }

@@ -1078,3 +1078,179 @@ def brute_force_l2_topk(
         F.col("d2_micro").asc(), F.col("nbr_id").asc())
     return pairs.withColumn(
         "rank", F.row_number().over(w)).where(F.col("rank") <= k)
+
+
+def embedding_anisotropy(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """One row (n_vectors, mean_pairwise_cosine, mean_self_sq) — the
+    anisotropy read of an embedding space: the mean cosine between ALL
+    distinct vector pairs, computed WITHOUT the O(N^2) pair join via the
+    Gram identity  sum_{i!=j} <v_i, v_j> = ||S||^2 - sum_i ||v_i||^2
+    with S = sum_i v_i over unit-normalized vectors.  High mean cosine
+    = a collapsed/anisotropic space (the known transformer-embedding
+    pathology); near 0 = isotropic.
+
+    Determinism: vectors are unit-normalized then component-rounded to
+    6dp and lifted to 1e-6 integer units, so the per-dimension sums and
+    both quadratic folds are EXACT integers (decimal(38) — S_d^2
+    overflows int64 past ~3e3 vectors); float enters only at the final
+    two read-out divisions.  One explode + one d-row agg: the shuffle
+    carries d partial-sum rows per task, never a pair.
+
+    mean_self_sq reports sum_i ||v^hat_i||^2 / n (~1.0) — the rounding-
+    loss sanity check on the normalization.
+    """
+    v = F.col(vec_col)
+    norm = F.sqrt(F.aggregate(F.transform(v, lambda x: x * x),
+                              F.lit(0.0), lambda a, x: a + x))
+    iv = F.transform(
+        v, lambda x: F.round(F.round(x / norm, 6) * 1_000_000, 0)
+        .cast("long"))
+    ex = emb.select(F.posexplode(iv).alias("pos", "val"))
+    per_dim = ex.groupBy("pos").agg(
+        F.sum("val").alias("s"),
+        F.sum(F.col("val").cast("decimal(38,0)") * F.col("val"))
+        .alias("self_sq"))
+    tot = per_dim.agg(
+        F.sum(F.col("s").cast("decimal(38,0)") * F.col("s")).alias("ss"),
+        F.sum("self_sq").alias("selfsq"))
+    n = emb.select(id_col).distinct().count()
+    return tot.select(
+        F.lit(n).cast("long").alias("n_vectors"),
+        F.round(
+            (F.col("ss") - F.col("selfsq")).cast("double")
+            / F.lit(float(n) * (n - 1)) / F.lit(1e12), 6)
+        .alias("mean_pairwise_cosine"),
+        F.round(F.col("selfsq").cast("double") / F.lit(float(n))
+                / F.lit(1e12), 6).alias("mean_self_sq"))
+
+
+def kcenter_seeds(
+    emb: DataFrame,
+    k: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(seed_rank, vec_id, dist_micro) — Gonzalez farthest-point
+    traversal: seed 1 is the smallest id; each next seed is the vector
+    maximizing its squared-L2 distance (integer micro-space, the
+    brute_force_l2_topk domain) to the chosen set, ties to the smallest
+    id.  The classic 2-approximation for k-center and the deterministic
+    k-means++-style seeding / coreset skeleton.  dist_micro is the
+    vector's min distance to the PRIOR seeds at selection (0 for seed 1).
+
+    Scale: k-1 rounds, each ONE incremental min-dist update against the
+    newest seed (broadcast 1-row join, O(N) work) + one scalar argmax —
+    never a |seeds| x N re-scan; state is lineage-truncated per round
+    (engine/ckpt_blocks discipline).
+    """
+    from plato_spark.engine.ckpt_blocks import checkpoint_tracked
+
+    def ivec(c):
+        return F.transform(
+            c, lambda x: F.round(x.cast("double") * 1_000_000, 0)
+            .cast("long"))
+
+    spark = emb.sparkSession
+    vecs = emb.select(F.col(id_col).alias("id"),
+                      ivec(F.col(vec_col)).alias("iv"))
+    vecs, _ = checkpoint_tracked(vecs)
+    first = vecs.orderBy("id").limit(1).collect()[0]
+    seeds = [(1, int(first["id"]), 0)]
+    d2 = F.aggregate(
+        F.zip_with("iv", "sv", lambda x, y: (x - y) * (x - y)),
+        F.lit(0).cast("long"), lambda a, x: a + x)
+    state = vecs.where(F.col("id") != first["id"]).crossJoin(
+        F.broadcast(vecs.where(F.col("id") == first["id"])
+                    .select(F.col("iv").alias("sv")))
+    ).select("id", "iv", d2.alias("dmin"))
+    state, _ = checkpoint_tracked(state)
+    for r in range(2, k + 1):
+        top = state.orderBy(F.col("dmin").desc(), F.col("id").asc()) \
+            .limit(1).collect()
+        if not top:
+            break
+        sid, sdist = int(top[0]["id"]), int(top[0]["dmin"])
+        seeds.append((r, sid, sdist))
+        sv = vecs.where(F.col("id") == sid).select(
+            F.col("iv").alias("sv"))
+        state = state.where(F.col("id") != sid).crossJoin(
+            F.broadcast(sv)).select(
+            "id", "iv", F.least("dmin", d2).alias("dmin"))
+        state, _ = checkpoint_tracked(state)
+    return spark.createDataFrame(
+        seeds, "seed_rank int, vec_id long, dist_micro long")
+
+
+def davies_bouldin(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """(label, n_members, scatter_sq, worst_ratio) — Davies-Bouldin
+    cluster-validity components over the label column, in the SQUARED-
+    metric variant so every ingredient stays exact: centroids are
+    half-up-rounded integer-micro means, member scatter is the exact
+    integer mean squared distance to the centroid, and the per-cluster
+    ratio max_{j!=i} (s2_i + s2_j) / d2_ij uses exact-integer-derived
+    doubles only in correctly-rounded single divisions (no float SUMS
+    anywhere, so no reduce-order sensitivity).  Lower = tighter/better
+    separated; the mean of worst_ratio over labels is the index.
+
+    The k x k centroid table is broadcast-small; the heavy pass is one
+    member->centroid join, map-side combinable.
+    """
+    def ivec(c):
+        return F.transform(
+            c, lambda x: F.round(x.cast("double") * 1_000_000, 0)
+            .cast("long"))
+
+    vecs = emb.select(F.col(label_col).alias("label"),
+                      ivec(F.col(vec_col)).alias("iv"))
+    ex = vecs.select("label", F.posexplode("iv").alias("pos", "val"))
+    cent = (
+        ex.groupBy("label", "pos")
+        .agg(F.round(F.sum("val") / F.count(F.lit(1)), 0)
+             .cast("long").alias("c"))
+        .groupBy("label")
+        .agg(F.array_sort(F.collect_list(F.struct("pos", "c")))
+             .alias("pc"))
+        .select("label", F.transform("pc", lambda s: s["c"]).alias("cv"))
+    )
+    d2 = F.aggregate(
+        F.zip_with("iv", "cv", lambda x, y: (x - y) * (x - y)),
+        F.lit(0).cast("long"), lambda a, x: a + x)
+    scat = (
+        vecs.join(F.broadcast(cent), "label")
+        .select("label", d2.alias("d2"))
+        .groupBy("label")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_members"),
+             F.sum("d2").alias("s2sum"))
+    )
+    a = scat.join(cent, "label").select(
+        F.col("label").alias("li"), F.col("n_members").alias("ni"),
+        F.col("s2sum").alias("si"), F.col("cv").alias("ci"))
+    b = scat.join(cent, "label").select(
+        F.col("label").alias("lj"), F.col("n_members").alias("nj"),
+        F.col("s2sum").alias("sj"), F.col("cv").alias("cj"))
+    dc2 = F.aggregate(
+        F.zip_with("ci", "cj", lambda x, y: (x - y) * (x - y)),
+        F.lit(0).cast("long"), lambda a_, x: a_ + x)
+    ratios = (
+        a.join(b, F.col("li") != F.col("lj"))
+        .select(
+            "li", "ni", "si",
+            ((F.col("si") / F.col("ni") + F.col("sj") / F.col("nj"))
+             / dc2).alias("ratio"))
+        .groupBy("li", "ni", "si")
+        .agg(F.max("ratio").alias("worst"))
+    )
+    return ratios.select(
+        F.col("li").alias("label"),
+        F.col("ni").alias("n_members"),
+        F.round(F.col("si") / F.col("ni") / 1e12, 6).alias("scatter_sq"),
+        F.round("worst", 6).alias("worst_ratio"))
