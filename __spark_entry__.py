@@ -9950,6 +9950,112 @@ def q_wedge_closure(spark, sf_dir):
                        6)).alias("closure_lift"))
 
 
+def q_priority_late_orders(spark, sf_dir):
+    """TPC-H-Q4-shape order-priority checking: per priority, how many
+    orders have AT LEAST ONE line shipped more than 30 days after the
+    order date (the EXISTS quantifier decorrelated into one semi-join
+    — the Q21 lesson at Q4's simpler shape).  Exact integer counts."""
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    late = (
+        li.select(F.col("l_orderkey").alias("o_orderkey"), "l_shipdate")
+        .join(o.select("o_orderkey", "o_orderdate"), "o_orderkey")
+        .where(F.col("l_shipdate").cast("date")
+               > F.date_add(F.col("o_orderdate").cast("date"), 30))
+        .select("o_orderkey").distinct()
+    )
+    return (
+        o.join(late, "o_orderkey", "semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).cast("long").alias("order_count"))
+    )
+
+
+def q_readability_cli(spark, sf_dir):
+    """Per-source Coleman-Liau readability — the readability formula
+    with NO syllable guessing and NO logs: CLI = 0.0588*L - 0.296*S -
+    15.8 with L = letters per 100 words and S = sentences per 100
+    words, all from exact corpus-level integer counts (letters via the
+    charclass regex, words via the shared TOKEN_RE, sentences via
+    [.!?]+ terminator runs floored at 1 per doc), so the only float ops
+    are two correctly-rounded divisions and one linear combination."""
+    docs = load_table(spark, sf_dir, "documents")
+    letters = F.length(F.regexp_replace("text", "[^A-Za-z]", ""))
+    words = F.size(F.regexp_extract_all(
+        "text", F.lit("[A-Za-z0-9_]+"), F.lit(0)))
+    sents = F.greatest(
+        F.size(F.regexp_extract_all("text", F.lit("[.!?]+"), F.lit(0))),
+        F.lit(1))
+    per = docs.select(
+        "source", letters.cast("long").alias("lt"),
+        words.cast("long").alias("wd"), sents.cast("long").alias("st"))
+    agg = per.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("lt").cast("long").alias("letters"),
+        F.sum("wd").cast("long").alias("words"),
+        F.sum("st").cast("long").alias("sentences"))
+    big_l = F.col("letters") / F.col("words") * 100
+    big_s = F.col("sentences") / F.col("words") * 100
+    return agg.select(
+        "source", "n_docs", "letters", "words", "sentences",
+        F.round(0.0588 * big_l - 0.296 * big_s - 15.8, 6).alias("cli"))
+
+
+SNN_K, SNN_KT = 10, 3
+
+
+def q_snn_clusters(spark, sf_dir):
+    """Jarvis-Patrick shared-nearest-neighbor clustering over the
+    embeddings (similarity.snn_clusters): mutual-kNN links with >= kt
+    shared neighbors, min-id components, singletons keep their id — the
+    density-adaptive clustering family beside kmeans (centroid) and
+    SCAN (graph-structural).  kNN source is the exact top-k yardstick
+    at gate scale; the JP rule itself is exact integer set arithmetic."""
+    from plato_spark.functions.similarity import snn_clusters
+
+    return snn_clusters(_emb_double(spark, sf_dir), k=SNN_K, kt=SNN_KT)
+
+
+def _sql_snn(k: int = 10, kt: int = 3, wcc_iters: int = 10) -> str:
+    """Mirror of similarity.snn_clusters: exact-cosine top-k lists,
+    mutual-kNN + shared-count filter, unrolled hash-min components
+    (wcc_iters pinned past the measured SNN-graph diameter)."""
+    cos = _cos_sql("a.vec", "b.vec")
+    chain = ["j0 AS MATERIALIZED (SELECT id, id AS lab FROM jv)"]
+    for i in range(wcc_iters):
+        chain.append(f"""j{i + 1} AS MATERIALIZED (
+  SELECT v.id, least(l.lab, COALESCE(m.minlab, l.lab)) AS lab
+  FROM jv v JOIN j{i} l ON v.id = l.id
+  LEFT JOIN (SELECT e.dst AS id, min(l2.lab) AS minlab
+             FROM js e JOIN j{i} l2 ON e.src = l2.id
+             GROUP BY e.dst) m ON v.id = m.id)""")
+    return EMB_SQL_PREFIX + f""",
+bf AS MATERIALIZED (
+  SELECT query_id, nbr_id FROM (
+    SELECT a.id AS query_id, b.id AS nbr_id,
+           row_number() OVER (PARTITION BY a.id
+                              ORDER BY round({cos}, 6) DESC,
+                                       b.id ASC) AS rn
+    FROM v a JOIN v b ON a.id != b.id) t WHERE rn <= {k}),
+mut AS MATERIALIZED (
+  SELECT f.query_id AS u, f.nbr_id AS v FROM bf f
+  WHERE f.query_id < f.nbr_id
+    AND EXISTS (SELECT 1 FROM bf r
+                WHERE r.query_id = f.nbr_id AND r.nbr_id = f.query_id)),
+jp AS MATERIALIZED (
+  SELECT m.u AS src, m.v AS dst
+  FROM mut m JOIN bf a ON a.query_id = m.u
+  JOIN bf b ON b.query_id = m.v AND b.nbr_id = a.nbr_id
+  GROUP BY m.u, m.v HAVING count(*) >= {kt}),
+js AS MATERIALIZED (SELECT src, dst FROM jp
+  UNION ALL SELECT dst AS src, src AS dst FROM jp),
+jv AS MATERIALIZED (SELECT DISTINCT src AS id FROM js),
+{", ".join(chain)}
+SELECT v.id AS vec_id, COALESCE(j.lab, v.id) AS cluster
+FROM v LEFT JOIN j{wcc_iters} j ON v.id = j.id
+ORDER BY vec_id"""
+
+
 def q_embedding_anisotropy(spark, sf_dir):
     """Corpus-level embedding anisotropy (similarity.embedding_anisotropy):
     mean pairwise cosine over ALL distinct pairs WITHOUT the O(N^2)
@@ -10726,6 +10832,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_anisotropy": q_embedding_anisotropy,
         "kcenter_seeds": q_kcenter_seeds,
         "davies_bouldin": q_davies_bouldin,
+        "priority_late_orders": q_priority_late_orders,
+        "readability_cli": q_readability_cli,
+        "snn_clusters": q_snn_clusters,
     }
 
 
@@ -14330,4 +14439,33 @@ LEFT JOIN h ON q.query_id = h.query_id ORDER BY q.query_id""",
         "embedding_anisotropy": _sql_anisotropy(EMB_DIM),
         "kcenter_seeds": _sql_kcenter(KCENTER_K),
         "davies_bouldin": _sql_davies_bouldin(EMB_DIM),
+        "priority_late_orders": """
+SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS order_count
+FROM orders o
+WHERE EXISTS (SELECT 1 FROM lineitem l
+              WHERE l.l_orderkey = o.o_orderkey
+                AND CAST(l.l_shipdate AS DATE)
+                    > CAST(o.o_orderdate AS DATE) + INTERVAL 30 DAY)
+GROUP BY o_orderpriority ORDER BY o_orderpriority""",
+        "readability_cli": """
+WITH per AS (
+  SELECT source,
+         CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g'))
+              AS BIGINT) AS lt,
+         CAST(len(regexp_extract_all(text, '[A-Za-z0-9_]+'))
+              AS BIGINT) AS wd,
+         CAST(greatest(len(regexp_extract_all(text, '[.!?]+')), 1)
+              AS BIGINT) AS st
+  FROM documents),
+a AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(lt) AS BIGINT) AS letters,
+             CAST(sum(wd) AS BIGINT) AS words,
+             CAST(sum(st) AS BIGINT) AS sentences
+      FROM per GROUP BY source)
+SELECT source, n_docs, letters, words, sentences,
+       round(0.0588 * (CAST(letters AS DOUBLE) / words * 100)
+             - 0.296 * (CAST(sentences AS DOUBLE) / words * 100)
+             - 15.8, 6) AS cli
+FROM a ORDER BY source""",
+        "snn_clusters": _sql_snn(SNN_K, SNN_KT, 10),
     }

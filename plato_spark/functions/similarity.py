@@ -1254,3 +1254,55 @@ def davies_bouldin(
         F.col("ni").alias("n_members"),
         F.round(F.col("si") / F.col("ni") / 1e12, 6).alias("scatter_sq"),
         F.round("worst", 6).alias("worst_ratio"))
+
+
+def snn_clusters(
+    emb: DataFrame,
+    k: int = 10,
+    kt: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(vec_id, cluster) — Jarvis-Patrick shared-nearest-neighbor
+    clustering (Jarvis & Patrick 1973): link u and v when each is in
+    the other's k-nearest-neighbor list (MUTUAL kNN) AND the two lists
+    share >= kt members; clusters are the connected components of the
+    link graph (min-id labels, algos/wcc), unlinked vectors keep their
+    own id as singleton clusters.  The density-adaptive clustering
+    family beside kmeans (centroid) and SCAN (graph-structural): SNN
+    handles variable-density blobs where a global distance threshold
+    fails.
+
+    kNN here is the exact cosine top-k (ties by nbr_id — the
+    brute_force_topk contract), the documented test-scale yardstick; at
+    production scale feed the same JP rule from ivf_ann/lsh_ann lists
+    instead.  The JP decision itself is exact integer set arithmetic.
+    """
+    from plato_spark.algos.wcc import connected_components
+    from plato_spark.engine.ckpt_blocks import checkpoint_tracked
+
+    bf = brute_force_topk(emb, k=k, id_col=id_col, vec_col=vec_col) \
+        .select("query_id", "nbr_id")
+    bf, _ = checkpoint_tracked(bf)
+    # mutual kNN pairs, canonical u < v
+    fwd = bf.where(F.col("query_id") < F.col("nbr_id")).select(
+        F.col("query_id").alias("u"), F.col("nbr_id").alias("v"))
+    rev = bf.where(F.col("query_id") > F.col("nbr_id")).select(
+        F.col("nbr_id").alias("u"), F.col("query_id").alias("v"))
+    mutual = fwd.join(rev, ["u", "v"], "semi")
+    # shared-neighbor count over the mutual candidates
+    a = bf.select(F.col("query_id").alias("u"), F.col("nbr_id").alias("x"))
+    b = bf.select(F.col("query_id").alias("v"), F.col("nbr_id").alias("x"))
+    shared = (
+        mutual.join(a, "u").join(b, ["v", "x"])
+        .groupBy("u", "v")
+        .agg(F.count(F.lit(1)).alias("shared"))
+        .where(F.col("shared") >= kt)
+        .select(F.col("u").alias("src"), F.col("v").alias("dst"))
+    )
+    comp = connected_components(shared).select(
+        "id", F.col("component").alias("cluster"))
+    ids = emb.select(F.col(id_col).alias("id")).distinct()
+    return ids.join(comp, "id", "left").select(
+        F.col("id").alias("vec_id"),
+        F.coalesce("cluster", F.col("id")).alias("cluster"))
