@@ -9950,6 +9950,121 @@ def q_wedge_closure(spark, sf_dir):
                        6)).alias("closure_lift"))
 
 
+WL_ROUNDS = 3
+
+
+def q_wl_colors(spark, sf_dir):
+    """1-WL color refinement after WL_ROUNDS rounds (algos/wl): the
+    graph-isomorphism signature and the exact expressiveness ceiling of
+    message-passing GNNs — per-vertex colors from portable-md5 hashes
+    of (own color | sorted neighbor-color multiset), bit-identical in
+    both engines."""
+    from plato_spark.algos.wl import wl_colors
+
+    return wl_colors(part_cooccurrence_edges(spark, sf_dir),
+                     rounds=WL_ROUNDS)
+
+
+def q_knn_label_noise(spark, sf_dir):
+    """kNN label-noise triage (similarity.knn_label_noise, Wilson
+    editing): per vector, the count of exact-cosine top-10 neighbors
+    carrying a different label; suspect = disagreement >= 8/10.  The
+    mislabel sweep a labeled training corpus runs before any fit."""
+    from plato_spark.functions.similarity import knn_label_noise
+
+    return knn_label_noise(load_table(spark, sf_dir, "embeddings"), k=10)
+
+
+def q_nearest_centroid_accuracy(spark, sf_dir):
+    """Nearest-centroid (Rocchio) resubstitution accuracy per label
+    (similarity.nearest_centroid_accuracy): integer-micro centroids,
+    exact squared-L2 assignment with smallest-label ties — the
+    linear-separability read of the labeled embedding space."""
+    from plato_spark.functions.similarity import nearest_centroid_accuracy
+
+    return nearest_centroid_accuracy(load_table(spark, sf_dir,
+                                                "embeddings"))
+
+
+def _sql_wl(rounds: int = 3) -> str:
+    from plato_spark.functions.text import PORTABLE_H1_SQL
+
+    ctes = ["wc0 AS MATERIALIZED (SELECT id, CAST(0 AS BIGINT) "
+            "AS color FROM verts)"]
+    for r in range(rounds):
+        h = PORTABLE_H1_SQL.format(
+            s="CAST(p.color AS VARCHAR) || '|' || COALESCE(m.sig, '')")
+        ctes.append(f"""wm{r} AS MATERIALIZED (
+  SELECT e.dst AS id,
+         string_agg(CAST(x.color AS VARCHAR), ',' ORDER BY x.color)
+           AS sig
+  FROM edges e JOIN wc{r} x ON e.src = x.id GROUP BY e.dst),
+wc{r + 1} AS MATERIALIZED (
+  SELECT p.id, {h} AS color
+  FROM wc{r} p LEFT JOIN wm{r} m ON p.id = m.id)""")
+    return (SQL_GRAPH_PREFIX + ", " + ",\n".join(ctes)
+            + f"\nSELECT id, color FROM wc{rounds} ORDER BY id")
+
+
+def _sql_knn_label_noise(k: int = 10) -> str:
+    thr = -(-8 * k // 10)
+    cos = _cos_sql("a.vec", "b.vec")
+    return EMB_SQL_PREFIX + f""",
+lb AS MATERIALIZED (SELECT vec_id AS id, label FROM embeddings),
+bf AS MATERIALIZED (
+  SELECT query_id, nbr_id FROM (
+    SELECT a.id AS query_id, b.id AS nbr_id,
+           row_number() OVER (PARTITION BY a.id
+                              ORDER BY round({cos}, 6) DESC,
+                                       b.id ASC) AS rn
+    FROM v a JOIN v b ON a.id != b.id) t WHERE rn <= {k})
+SELECT bf.query_id AS vec_id, o.label,
+       CAST(sum(CASE WHEN n.label != o.label THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_disagree,
+       CAST(CASE WHEN sum(CASE WHEN n.label != o.label THEN 1 ELSE 0
+                          END) >= {thr} THEN 1 ELSE 0 END AS INT)
+         AS suspect
+FROM bf JOIN lb o ON bf.query_id = o.id
+JOIN lb n ON bf.nbr_id = n.id
+GROUP BY bf.query_id, o.label ORDER BY vec_id"""
+
+
+def _sql_nearest_centroid(dim: int = 64) -> str:
+    def pd2(a, b):
+        return (f"CAST(list_dot_product({a}, {a})"
+                f" + list_dot_product({b}, {b})"
+                f" - 2 * list_dot_product({a}, {b}) AS BIGINT)")
+
+    return f"""
+WITH w AS MATERIALIZED (
+  SELECT vec_id AS id, label,
+         list_transform(CAST(embedding AS DOUBLE[]),
+           x -> CAST(round(x * 1000000, 0) AS BIGINT)) AS iv
+  FROM embeddings),
+ex AS (SELECT label, p.pos, iv[p.pos] AS val
+       FROM w CROSS JOIN (SELECT unnest(range(1, {dim + 1})) AS pos) p),
+cent AS MATERIALIZED (
+  SELECT label AS clabel, pos,
+         CAST(round(sum(val) / CAST(count(*) AS DOUBLE), 0) AS BIGINT)
+           AS c
+  FROM ex GROUP BY label, pos),
+cv AS MATERIALIZED (
+  SELECT clabel, list(c ORDER BY pos) AS cvv FROM cent GROUP BY clabel),
+asg AS MATERIALIZED (
+  SELECT id, label, clabel FROM (
+    SELECT w.id, w.label, cv.clabel,
+           row_number() OVER (PARTITION BY w.id
+                              ORDER BY {pd2('w.iv', 'cv.cvv')} ASC,
+                                       cv.clabel ASC) AS rn
+    FROM w CROSS JOIN cv) t WHERE rn = 1)
+SELECT label, CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(CASE WHEN clabel = label THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_correct,
+       round(CAST(sum(CASE WHEN clabel = label THEN 1 ELSE 0 END)
+                  AS DOUBLE) / count(*), 6) AS accuracy
+FROM asg GROUP BY label ORDER BY label"""
+
+
 def q_priority_late_orders(spark, sf_dir):
     """TPC-H-Q4-shape order-priority checking: per priority, how many
     orders have AT LEAST ONE line shipped more than 30 days after the
@@ -10835,6 +10950,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "priority_late_orders": q_priority_late_orders,
         "readability_cli": q_readability_cli,
         "snn_clusters": q_snn_clusters,
+        "wl_colors": q_wl_colors,
+        "knn_label_noise": q_knn_label_noise,
+        "nearest_centroid_accuracy": q_nearest_centroid_accuracy,
     }
 
 
@@ -14468,4 +14586,7 @@ SELECT source, n_docs, letters, words, sentences,
              - 15.8, 6) AS cli
 FROM a ORDER BY source""",
         "snn_clusters": _sql_snn(SNN_K, SNN_KT, 10),
+        "wl_colors": _sql_wl(WL_ROUNDS),
+        "knn_label_noise": _sql_knn_label_noise(10),
+        "nearest_centroid_accuracy": _sql_nearest_centroid(EMB_DIM),
     }

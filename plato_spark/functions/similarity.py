@@ -1306,3 +1306,88 @@ def snn_clusters(
     return ids.join(comp, "id", "left").select(
         F.col("id").alias("vec_id"),
         F.coalesce("cluster", F.col("id")).alias("cluster"))
+
+
+def knn_label_noise(
+    emb: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """(vec_id, label, n_disagree, suspect) — per-vector label-noise
+    audit: among the k exact-cosine nearest neighbors, how many carry a
+    DIFFERENT label?  High disagreement flags probable mislabels (the
+    classic kNN label-cleaning filter, Wilson editing) — the
+    training-data triage step before fitting anything.  suspect is
+    pinned at n_disagree >= ceil(0.8 * k).  Exact integer counts over
+    the brute_force_topk yardstick lists (production: same rule over
+    ivf/lsh lists)."""
+    thr = -(-8 * k // 10)  # ceil(0.8k)
+    labs = emb.select(F.col(id_col).alias("nbr_id"),
+                      F.col(label_col).alias("nbr_label"))
+    own = emb.select(F.col(id_col).alias("query_id"),
+                     F.col(label_col).alias("label"))
+    bf = brute_force_topk(emb, k=k, id_col=id_col, vec_col=vec_col) \
+        .select("query_id", "nbr_id")
+    dis = (
+        bf.join(labs, "nbr_id").join(own, "query_id")
+        .groupBy("query_id", "label")
+        .agg(F.sum(F.when(F.col("nbr_label") != F.col("label"), 1)
+                   .otherwise(0)).cast("long").alias("n_disagree"))
+    )
+    return dis.select(
+        F.col("query_id").alias("vec_id"), "label", "n_disagree",
+        (F.col("n_disagree") >= thr).cast("int").alias("suspect"))
+
+
+def nearest_centroid_accuracy(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """(label, n, n_correct, accuracy) — nearest-centroid (Rocchio)
+    classification audit per true label: assign every vector to the
+    label whose integer-micro centroid (half-up-rounded per-dim mean,
+    the davies_bouldin domain) is nearest in exact squared L2, ties to
+    the smallest label, and count agreements.  Centroids include the
+    vector itself (documented optimistic bias — the resubstitution
+    read); all-integer distances, one rounded division per label."""
+    def ivec(c):
+        return F.transform(
+            c, lambda x: F.round(x.cast("double") * 1_000_000, 0)
+            .cast("long"))
+
+    vecs = emb.select(F.col(id_col).alias("id"),
+                      F.col(label_col).alias("label"),
+                      ivec(F.col(vec_col)).alias("iv"))
+    ex = vecs.select("label", F.posexplode("iv").alias("pos", "val"))
+    cent = (
+        ex.groupBy("label", "pos")
+        .agg(F.round(F.sum("val") / F.count(F.lit(1)), 0)
+             .cast("long").alias("c"))
+        .groupBy("label")
+        .agg(F.array_sort(F.collect_list(F.struct("pos", "c")))
+             .alias("pc"))
+        .select(F.col("label").alias("clabel"),
+                F.transform("pc", lambda s: s["c"]).alias("cv"))
+    )
+    d2 = F.aggregate(
+        F.zip_with("iv", "cv", lambda x, y: (x - y) * (x - y)),
+        F.lit(0).cast("long"), lambda a, x: a + x)
+    w = Window.partitionBy("id").orderBy(
+        F.col("d2").asc(), F.col("clabel").asc())
+    assigned = (
+        vecs.crossJoin(F.broadcast(cent))
+        .select("id", "label", "clabel", d2.alias("d2"))
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+    )
+    return assigned.groupBy("label").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.when(F.col("clabel") == F.col("label"), 1).otherwise(0))
+        .cast("long").alias("n_correct"),
+    ).select(
+        "label", "n", "n_correct",
+        F.round(F.col("n_correct") / F.col("n"), 6).alias("accuracy"))
