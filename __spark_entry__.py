@@ -9950,6 +9950,101 @@ def q_wedge_closure(spark, sf_dir):
                        6)).alias("closure_lift"))
 
 
+def q_dag_critical_path(spark, sf_dir):
+    """Vertex-weighted critical path (algos/dag.dag_critical_path — the
+    schedule-makespan primitive, dag_levels' (max,+) kernel with weight
+    sums) on the topo_levels planted DAG with w(r) = 1 + (r mod 5).
+    Skip edges make the DP multi-predecessor, but positive weights mean
+    the optimum never skips, so ground truth stays analytic: the oracle
+    reads path_weight(r) as a run-scoped prefix sum (gaps-and-islands)
+    while the engine genuinely relaxes the DAG to a fixpoint."""
+    from plato_spark.algos.dag import dag_critical_path
+    from plato_spark.functions.text import portable_h1
+    from plato_spark.graph.edges import build_dictionary
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select(F.col("doc_id").alias("vkey")).distinct()
+    )
+    n = docs.count()
+    d = build_dictionary(docs, 16)
+    base = d.select(F.col("id").alias("r"))
+    rr = F.col("r")
+
+    def _sel(c):
+        return portable_h1(
+            F.concat(F.lit("topo|"), c.cast("string"))) % 2 == 0
+
+    step = base.where(_sel(rr) & (rr + 1 < n)).select(
+        rr.alias("src"), (rr + 1).cast("long").alias("dst"))
+    skip = base.where(_sel(rr) & _sel(rr + 1) & (rr + 2 < n)).select(
+        rr.alias("src"), (rr + 2).cast("long").alias("dst"))
+    weights = base.select(rr.alias("id"),
+                          (1 + rr % 5).cast("long").alias("w"))
+    return dag_critical_path(step.unionByName(skip), weights)
+
+
+K_ANON_K, K_ANON_BAND = 5, 1000
+
+
+def q_k_anonymity(spark, sf_dir):
+    """Privacy-release audit of the customer dimension: k-anonymity
+    over the quasi-identifier pair (nation, market segment) and
+    l-diversity of the account-balance band (floor(acctbal/1000)) as
+    the sensitive attribute — the pre-release check a training-data
+    export runs.  One row: group counts, the minimum group size, rows
+    in groups below k=5, and the minimum per-group distinct-band count.
+    Exact integers + one rounded division."""
+    c = load_table(spark, sf_dir, "customer")
+    g = c.groupBy("c_nationkey", "c_mktsegment").agg(
+        F.count(F.lit(1)).cast("long").alias("sz"),
+        F.countDistinct(
+            F.floor(F.col("c_acctbal") / K_ANON_BAND)).cast("long")
+        .alias("ldiv"))
+    return g.agg(
+        F.sum("sz").cast("long").alias("n_rows"),
+        F.count(F.lit(1)).cast("long").alias("n_groups"),
+        F.min("sz").cast("long").alias("min_group_size"),
+        F.sum(F.when(F.col("sz") < K_ANON_K, F.col("sz"))
+              .otherwise(0)).cast("long").alias("rows_below_k"),
+        F.min("ldiv").cast("long").alias("min_l_diversity"),
+    ).select(
+        "*",
+        F.round(F.col("rows_below_k") / F.col("n_rows"), 6)
+        .alias("pct_below_k"))
+
+
+def q_abc_classification(spark, sf_dir):
+    """ABC / Pareto inventory classification of parts by lineitem
+    revenue: class A holds rows while the running revenue share is
+    <= 80%, B to 95%, C after — boundaries decided by EXACT integer
+    cross-multiplication (cum_cents * 100 <= 80 * total_cents), never
+    a float share.  The global window runs over the bounded parts
+    DIMENSION (post-aggregation), not the fact table; at 100 TB the
+    same plan holds because |parts| << |lineitem|."""
+    from pyspark.sql import Window
+
+    li = load_table(spark, sf_dir, "lineitem")
+    per = li.groupBy("l_partkey").agg(
+        F.sum(F.round(F.col("l_extendedprice") * 100, 0).cast("long"))
+        .alias("cents"))
+    w = (Window.orderBy(F.col("cents").desc(), F.col("l_partkey").asc())
+         .rowsBetween(Window.unboundedPreceding, 0))
+    tot = per.agg(F.sum("cents").alias("total"))
+    ranked = per.crossJoin(F.broadcast(tot)).select(
+        "cents",
+        F.sum("cents").over(w).alias("cum"),
+        "total")
+    cls = F.when(F.col("cum") * 100 <= 80 * F.col("total"), "A") \
+        .when(F.col("cum") * 100 <= 95 * F.col("total"), "B") \
+        .otherwise("C")
+    return ranked.groupBy(cls.alias("abc_class")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_parts"),
+        F.sum("cents").cast("long").alias("class_revenue_cents"),
+        F.round(F.sum("cents") / F.max("total"), 6)
+        .alias("revenue_share"))
+
+
 WL_ROUNDS = 3
 
 
@@ -10953,6 +11048,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "wl_colors": q_wl_colors,
         "knn_label_noise": q_knn_label_noise,
         "nearest_centroid_accuracy": q_nearest_centroid_accuracy,
+        "dag_critical_path": q_dag_critical_path,
+        "k_anonymity": q_k_anonymity,
+        "abc_classification": q_abc_classification,
     }
 
 
@@ -14589,4 +14687,61 @@ FROM a ORDER BY source""",
         "wl_colors": _sql_wl(WL_ROUNDS),
         "knn_label_noise": _sql_knn_label_noise(10),
         "nearest_centroid_accuracy": _sql_nearest_centroid(EMB_DIM),
+        # closed-form ground truth: positive weights mean the optimal
+        # path never takes a skip edge, so path_weight(r) is the
+        # run-scoped prefix sum of w = 1 + r%5 over r's maximal
+        # consecutive-sel island
+        "dag_critical_path": """
+WITH dd AS (SELECT DISTINCT doc_id FROM documents),
+d AS (SELECT CAST(row_number() OVER (ORDER BY doc_id) - 1 AS BIGINT)
+        AS r FROM dd),
+s AS (SELECT r, (1 + r % 5) AS w,
+             (r = 0 OR (CAST(('0x' || substr(md5('topo|' ||
+                CAST(r - 1 AS VARCHAR)), 1, 14)) AS BIGINT) % 2) != 0)
+               AS brk
+      FROM d),
+c AS (SELECT r, w, CASE WHEN brk THEN r END AS brk_r,
+             sum(w) OVER (ORDER BY r ROWS UNBOUNDED PRECEDING) AS cw
+      FROM s),
+st AS (SELECT r, w, cw,
+              max(brk_r) OVER (ORDER BY r ROWS UNBOUNDED PRECEDING)
+                AS run_start
+       FROM c)
+SELECT a.r AS id, CAST(a.cw - b.cw + b.w AS BIGINT) AS path_weight
+FROM st a JOIN st b ON b.r = a.run_start
+ORDER BY id""",
+        "k_anonymity": f"""
+WITH g AS (SELECT c_nationkey, c_mktsegment,
+                  CAST(count(*) AS BIGINT) AS sz,
+                  CAST(count(DISTINCT floor(c_acctbal / {K_ANON_BAND}))
+                       AS BIGINT) AS ldiv
+           FROM customer GROUP BY c_nationkey, c_mktsegment)
+SELECT CAST(sum(sz) AS BIGINT) AS n_rows,
+       CAST(count(*) AS BIGINT) AS n_groups,
+       CAST(min(sz) AS BIGINT) AS min_group_size,
+       CAST(sum(CASE WHEN sz < {K_ANON_K} THEN sz ELSE 0 END) AS BIGINT)
+         AS rows_below_k,
+       CAST(min(ldiv) AS BIGINT) AS min_l_diversity,
+       round(CAST(sum(CASE WHEN sz < {K_ANON_K} THEN sz ELSE 0 END)
+                  AS DOUBLE) / sum(sz), 6) AS pct_below_k
+FROM g""",
+        "abc_classification": """
+WITH per AS (SELECT l_partkey,
+                    CAST(sum(CAST(round(l_extendedprice * 100, 0)
+                                  AS BIGINT)) AS BIGINT) AS cents
+             FROM lineitem GROUP BY l_partkey),
+t AS (SELECT CAST(sum(cents) AS BIGINT) AS total FROM per),
+rk AS (SELECT cents,
+              sum(cents) OVER (ORDER BY cents DESC, l_partkey ASC
+                               ROWS UNBOUNDED PRECEDING) AS cum,
+              t.total
+       FROM per, t)
+SELECT CASE WHEN cum * 100 <= 80 * total THEN 'A'
+            WHEN cum * 100 <= 95 * total THEN 'B'
+            ELSE 'C' END AS abc_class,
+       CAST(count(*) AS BIGINT) AS n_parts,
+       CAST(sum(cents) AS BIGINT) AS class_revenue_cents,
+       round(CAST(sum(cents) AS DOUBLE) / max(total), 6)
+         AS revenue_share
+FROM rk GROUP BY 1 ORDER BY 1""",
     }

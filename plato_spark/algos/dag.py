@@ -99,3 +99,66 @@ def dag_levels(
             state = merged.select("id", "level")
     e.unpersist()
     return state
+
+
+def dag_critical_path(
+    edges: DataFrame,
+    weights: DataFrame,
+    max_iters: int = 10_000,
+) -> DataFrame:
+    """(id, path_weight) — weight of the HEAVIEST path ending at each
+    vertex, vertex-weighted (max,+) relaxation: the critical-path /
+    schedule-makespan primitive (dag_levels with edge-count replaced by
+    a weight sum; levels are the w=1 special case).
+
+    weights: (id, w) positive vertex weights; vertices absent from
+    ``edges`` still report path_weight = w.  Converges in depth(DAG)
+    supersteps with the same frontier push/pull policy and cycle guard
+    as dag_levels.  Exact integer arithmetic.
+    """
+    spark = edges.sparkSession
+    e0 = edges.select("src", "dst").distinct().persist()
+    n_e = e0.count()
+    shuffle_n = auto_shuffle_partitions(spark, max(n_e, 1))
+    e = e0.repartition(shuffle_n, "src").persist()
+    e.count()
+    e0.unpersist()
+
+    w0 = weights.select("id", F.col("w").cast("long").alias("w"))
+    state = w0.select("id", "w", F.col("w").alias("path_weight"))
+    state = state.transform(cheap_localCheckpoint)
+    n_vertices = state.count()
+    frontier = state.select("id", "path_weight")
+
+    with scoped_shuffle_partitions(spark, shuffle_n):
+        for rnd in range(max_iters):
+            n_front = frontier.count()
+            if n_front == 0:
+                break
+            if rnd >= n_vertices:
+                raise ValueError(
+                    "dag_critical_path: relaxation exceeded n_vertices "
+                    "rounds — input graph has a cycle"
+                )
+            f = frontier
+            if n_front < PUSH_THRESHOLD * n_vertices:
+                f = F.broadcast(f)
+            cand = (
+                e.join(f.select(F.col("id").alias("src"), "path_weight"),
+                       "src")
+                .groupBy(F.col("dst").alias("id"))
+                .agg(F.max("path_weight").alias("best_pred"))
+            )
+            merged = state.join(cand, "id", "left").select(
+                "id", "w",
+                F.greatest(
+                    F.col("path_weight"),
+                    F.col("w") + F.coalesce("best_pred", F.lit(0)),
+                ).alias("path_weight"),
+                (F.col("w") + F.coalesce("best_pred", F.lit(0))
+                 > F.col("path_weight")).alias("improved"),
+            ).transform(cheap_localCheckpoint)
+            frontier = merged.where("improved").select("id", "path_weight")
+            state = merged.select("id", "w", "path_weight")
+    e.unpersist()
+    return state.select("id", "path_weight")
