@@ -9950,6 +9950,73 @@ def q_wedge_closure(spark, sf_dir):
                        6)).alias("closure_lift"))
 
 
+def q_linkpred_first_rank(spark, sf_dir):
+    """Rank-resolved link prediction (functions/linkpred
+    .link_prediction_first_rank): for every held-out edge, the exact
+    position of the true neighbor in each endpoint's full
+    common-neighbor ranking — the MRR read-out as per-edge integers
+    (reciprocal-rank MEANS are reduce-order-sensitive; ranks are not),
+    NULL when the CN scorer cannot reach the pair at any k."""
+    from plato_spark.functions.linkpred import link_prediction_first_rank
+
+    return link_prediction_first_rank(
+        part_cooccurrence_edges(spark, sf_dir), holdout_mod=5)
+
+
+def q_rbm_pairs(spark, sf_dir):
+    """Reciprocal-best-match pairs over the embeddings: (a, b, cosine)
+    where b is a's exact-cosine top-1 neighbor AND a is b's — the
+    mutual-NN matching used for high-precision alignment/dedup seeding
+    (each vector appears in at most one pair; a greedy matching with
+    zero parameter choices).  Built from the brute_force_topk yardstick
+    lists; production feeds the same rule from ivf/lsh."""
+    from plato_spark.functions.similarity import brute_force_topk
+
+    bf = brute_force_topk(_emb_double(spark, sf_dir), k=1).select(
+        "query_id", "nbr_id", "cosine")
+    fwd = bf.where(F.col("query_id") < F.col("nbr_id")).select(
+        F.col("query_id").alias("a"), F.col("nbr_id").alias("b"),
+        "cosine")
+    rev = bf.where(F.col("query_id") > F.col("nbr_id")).select(
+        F.col("nbr_id").alias("a"), F.col("query_id").alias("b"))
+    return fwd.join(rev, ["a", "b"], "semi")
+
+
+HASH_TRICK_BUCKETS = 4096
+
+
+def q_hashing_trick_audit(spark, sf_dir):
+    """Feature-hashing collision audit: the corpus vocabulary hashed
+    into HASH_TRICK_BUCKETS buckets (portable md5 % 4096 — the
+    hashing-trick a wide-feature model actually ships), one row of
+    exact collision stats: distinct tokens, buckets used, max bucket
+    load, tokens sharing a bucket, and the colliding fraction.  The
+    number that decides whether 2^12 features is enough."""
+    from plato_spark.functions.text import portable_h1
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        F.explode(F.regexp_extract_all(
+            "text", F.lit("[A-Za-z0-9_]+"), F.lit(0))).alias("token")
+    ).distinct()
+    bucketed = toks.select(
+        "token",
+        F.pmod(portable_h1(F.col("token")),
+               F.lit(HASH_TRICK_BUCKETS)).alias("b"))
+    loads = bucketed.groupBy("b").agg(
+        F.count(F.lit(1)).cast("long").alias("load"))
+    return loads.agg(
+        F.sum("load").cast("long").alias("n_tokens"),
+        F.count(F.lit(1)).cast("long").alias("n_buckets_used"),
+        F.max("load").cast("long").alias("max_bucket_load"),
+        F.sum(F.when(F.col("load") >= 2, F.col("load")).otherwise(0))
+        .cast("long").alias("n_tokens_colliding"),
+    ).select(
+        "*",
+        F.round(F.col("n_tokens_colliding") / F.col("n_tokens"), 6)
+        .alias("pct_colliding"))
+
+
 def q_dag_critical_path(spark, sf_dir):
     """Vertex-weighted critical path (algos/dag.dag_critical_path — the
     schedule-makespan primitive, dag_levels' (max,+) kernel with weight
@@ -11051,6 +11118,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dag_critical_path": q_dag_critical_path,
         "k_anonymity": q_k_anonymity,
         "abc_classification": q_abc_classification,
+        "linkpred_first_rank": q_linkpred_first_rank,
+        "rbm_pairs": q_rbm_pairs,
+        "hashing_trick_audit": q_hashing_trick_audit,
     }
 
 
@@ -14744,4 +14814,69 @@ SELECT CASE WHEN cum * 100 <= 80 * total THEN 'A'
        round(CAST(sum(cents) AS DOUBLE) / max(total), 6)
          AS revenue_share
 FROM rk GROUP BY 1 ORDER BY 1""",
+        "linkpred_first_rank": SQL_GRAPH_PREFIX + """,
+lpe AS MATERIALIZED (
+  SELECT src, dst,
+         CAST(('0x' || substr(md5('lp:' || CAST(src AS VARCHAR) || ':'
+               || CAST(dst AS VARCHAR)), 1, 14)) AS BIGINT) % 5 = 0
+           AS held
+  FROM canon),
+lpt AS MATERIALIZED (SELECT src, dst FROM lpe WHERE NOT held),
+lph AS MATERIALIZED (SELECT src, dst FROM lpe WHERE held),
+lps AS MATERIALIZED (
+  SELECT src, dst FROM lpt
+  UNION ALL SELECT dst AS src, src AS dst FROM lpt),
+lpc AS MATERIALIZED (
+  SELECT a.dst AS u, b.dst AS v, CAST(count(*) AS BIGINT) AS cn
+  FROM lps a JOIN lps b ON a.src = b.src AND a.dst != b.dst
+  GROUP BY a.dst, b.dst),
+lpc2 AS MATERIALIZED (
+  SELECT c.u, c.v, c.cn FROM lpc c
+  WHERE NOT EXISTS (SELECT 1 FROM lps s
+                    WHERE s.src = c.u AND s.dst = c.v)),
+lpr AS MATERIALIZED (
+  SELECT u, v, CAST(row_number() OVER (
+    PARTITION BY u ORDER BY cn DESC, v ASC) AS BIGINT) AS rnk
+  FROM lpc2)
+SELECT h.src, h.dst,
+       f.rnk AS rank_from_src,
+       r.rnk AS rank_from_dst,
+       least(COALESCE(f.rnk, r.rnk), COALESCE(r.rnk, f.rnk))
+         AS best_rank
+FROM lph h
+LEFT JOIN lpr f ON f.u = h.src AND f.v = h.dst
+LEFT JOIN lpr r ON r.u = h.dst AND r.v = h.src
+ORDER BY h.src, h.dst""",
+        "rbm_pairs": EMB_SQL_PREFIX + f""",
+b1 AS MATERIALIZED (
+  SELECT query_id, nbr_id, cosine FROM (
+    SELECT a.id AS query_id, b.id AS nbr_id,
+           round({_cos_sql("a.vec", "b.vec")}, 6) AS cosine,
+           row_number() OVER (PARTITION BY a.id
+                              ORDER BY round({_cos_sql("a.vec", "b.vec")},
+                                             6) DESC, b.id ASC) AS rn
+    FROM v a JOIN v b ON a.id != b.id) t WHERE rn = 1)
+SELECT f.query_id AS a, f.nbr_id AS b, f.cosine
+FROM b1 f
+WHERE f.query_id < f.nbr_id
+  AND EXISTS (SELECT 1 FROM b1 r
+              WHERE r.query_id = f.nbr_id AND r.nbr_id = f.query_id)
+ORDER BY a""",
+        "hashing_trick_audit": f"""
+WITH toks AS (
+  SELECT DISTINCT unnest(regexp_extract_all(text, '[A-Za-z0-9_]+'))
+    AS token
+  FROM documents),
+bk AS (SELECT token,
+              {H1_SQL.format(s='token')} % {HASH_TRICK_BUCKETS} AS b
+       FROM toks),
+ld AS (SELECT b, CAST(count(*) AS BIGINT) AS load FROM bk GROUP BY b)
+SELECT CAST(sum(load) AS BIGINT) AS n_tokens,
+       CAST(count(*) AS BIGINT) AS n_buckets_used,
+       CAST(max(load) AS BIGINT) AS max_bucket_load,
+       CAST(sum(CASE WHEN load >= 2 THEN load ELSE 0 END) AS BIGINT)
+         AS n_tokens_colliding,
+       round(CAST(sum(CASE WHEN load >= 2 THEN load ELSE 0 END)
+                  AS DOUBLE) / sum(load), 6) AS pct_colliding
+FROM ld""",
     }

@@ -98,3 +98,54 @@ def link_prediction_eval(
                F.round(F.col("n_hits") / F.col("n_test"), 6))
         .otherwise(F.lit(0.0)).alias("hits_at_k"),
     )
+
+
+def link_prediction_first_rank(
+    edges_canon: DataFrame, holdout_mod: int = 5
+) -> DataFrame:
+    """(src, dst, rank_from_src, rank_from_dst, best_rank) — the
+    rank-resolved companion of :func:`link_prediction_eval`: for every
+    held-out edge, WHERE in each endpoint's full common-neighbor
+    ranking (cn DESC, candidate ASC — the same total order hits@k cuts
+    at k) the true neighbor actually sits.  NULL when the pair shares
+    no train common neighbor (unreachable by the CN scorer at any k);
+    best_rank = least non-null side.  Per-edge exact integers — the
+    MRR-style read-out without a float mean (reciprocal-rank sums are
+    reduce-order-sensitive; ranks are not)."""
+    e = edges_canon.select(
+        "src", "dst",
+        (F.pmod(_edge_hash(F.col("src"), F.col("dst")),
+                F.lit(holdout_mod)) == 0).alias("held"),
+    )
+    test = e.where("held").select("src", "dst")
+    train = e.where("NOT held").select("src", "dst")
+    sym = train.unionByName(
+        train.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    a = sym.select(F.col("src").alias("c"), F.col("dst").alias("u"))
+    b = sym.select(F.col("src").alias("c"), F.col("dst").alias("v"))
+    cand = (
+        a.join(b, "c")
+        .where(F.col("u") != F.col("v"))
+        .groupBy("u", "v")
+        .agg(F.count("*").alias("cn"))
+        .join(sym.select(F.col("src").alias("u"), F.col("dst").alias("v")),
+              ["u", "v"], "left_anti")
+    )
+    w = Window.partitionBy("u").orderBy(F.col("cn").desc(), F.col("v").asc())
+    ranked = cand.withColumn("rnk", F.row_number().over(w)).select(
+        "u", "v", "rnk")
+    fwd = ranked.select(F.col("u").alias("src"), F.col("v").alias("dst"),
+                        F.col("rnk").alias("rank_from_src"))
+    rev = ranked.select(F.col("v").alias("src"), F.col("u").alias("dst"),
+                        F.col("rnk").alias("rank_from_dst"))
+    out = test.join(fwd, ["src", "dst"], "left").join(
+        rev, ["src", "dst"], "left")
+    return out.select(
+        "src", "dst",
+        F.col("rank_from_src").cast("long").alias("rank_from_src"),
+        F.col("rank_from_dst").cast("long").alias("rank_from_dst"),
+        F.least(
+            F.coalesce("rank_from_src", "rank_from_dst"),
+            F.coalesce("rank_from_dst", "rank_from_src"),
+        ).cast("long").alias("best_rank"))
