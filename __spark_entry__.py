@@ -9950,6 +9950,83 @@ def q_wedge_closure(spark, sf_dir):
                        6)).alias("closure_lift"))
 
 
+def q_spectral_moments(spark, sf_dir):
+    """Exact spectral moments of the co-occurrence adjacency matrix —
+    trace(A^2) = 2|E|, trace(A^3) = 6*triangles, trace(A^4) =
+    sum_u deg(u)^2 + sum_{u!=v} cn(u,v)^2 (A symmetric, so trace A^4 is
+    the squared Frobenius norm of A^2, whose off-diagonal entries are
+    common-neighbor counts over ALL 2-hop pairs, adjacent or not).
+    Closed-walk counts = eigenvalue power sums, all exact integers — the
+    linear-algebra fingerprint (graph energy bounds, quasi-randomness
+    tests) from one wedge join + one degree fold, no eigensolver."""
+    canon = part_cooccurrence_edges(spark, sf_dir)
+    sym = symmetrize(canon)
+    deg = sym.groupBy(F.col("src").alias("id")).agg(
+        F.count("*").cast("long").alias("deg"))
+    m2 = deg.agg(F.sum("deg")).collect()[0][0]
+    sumdeg2 = deg.agg(
+        F.sum(F.col("deg") * F.col("deg"))).collect()[0][0]
+    ab = canon.select(F.col("src").alias("a"), F.col("dst").alias("b"))
+    ac = canon.select(F.col("src").alias("a2"), F.col("dst").alias("c"))
+    bc = canon.select(F.col("src").alias("b2"), F.col("dst").alias("c2"))
+    tri = (
+        ab.join(ac, F.col("a") == F.col("a2"))
+        .join(bc, (F.col("b") == F.col("b2"))
+              & (F.col("c") == F.col("c2")))
+        .count()
+    )
+    wa = sym.select(F.col("src").alias("c"), F.col("dst").alias("u"))
+    wb = sym.select(F.col("src").alias("c"), F.col("dst").alias("v"))
+    cn2 = (
+        wa.join(wb, "c").where(F.col("u") != F.col("v"))
+        .groupBy("u", "v").agg(F.count(F.lit(1)).alias("cn"))
+        .agg(F.sum(F.col("cn") * F.col("cn"))).collect()[0][0]
+    )
+    return spark.createDataFrame(
+        [(int(m2), 6 * int(tri), int(sumdeg2) + int(cn2))],
+        "trace_a2 long, trace_a3 long, trace_a4 long")
+
+
+def q_seasonal_naive_error(spark, sf_dir):
+    """Forecast-baseline eval of daily order revenue: mean absolute
+    error of the seasonal-naive forecast (value 7 days earlier) vs the
+    1-step naive (previous PRESENT day is not used — strictly d-1;
+    calendar gap days are skipped, not zero-filled), and their MASE-like
+    ratio.  The sanity floor any revenue forecasting model must beat.
+    Exact integer cents; divisions only at the three read-outs."""
+    o = load_table(spark, sf_dir, "orders")
+    per = o.groupBy(
+        F.datediff(F.col("o_orderdate").cast("date"),
+                   F.lit("1970-01-01").cast("date")).alias("day_i")
+    ).agg(F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("long"))
+          .alias("cents"))
+    base = per.select(F.col("day_i").alias("d"),
+                      F.col("cents").alias("v"))
+
+    def err(lag):
+        prev = per.select((F.col("day_i") + lag).alias("d"),
+                          F.col("cents").alias("pv"))
+        return base.join(prev, "d").agg(
+            F.count(F.lit(1)).cast("long"),
+            F.sum(F.abs(F.col("v") - F.col("pv"))).cast("long"))
+
+    n7, ae7 = err(7).collect()[0]
+    n1, ae1 = err(1).collect()[0]
+    out = spark.createDataFrame(
+        [(n7, ae7, n1, ae1)],
+        "n_scored_7d long, abs_err_7d_cents long, "
+        "n_scored_1d long, abs_err_1d_cents long")
+    mae7 = F.col("abs_err_7d_cents") / F.col("n_scored_7d")
+    mae1 = F.col("abs_err_1d_cents") / F.col("n_scored_1d")
+    return out.select(
+        "*",
+        F.round(mae7 / 100, 6).alias("mae_7d"),
+        F.round(mae1 / 100, 6).alias("mae_1d"),
+        F.when((F.col("abs_err_1d_cents") > 0)
+               & (F.col("n_scored_7d") > 0),
+               F.round(mae7 / mae1, 6)).alias("mase_vs_naive1"))
+
+
 def q_linkpred_first_rank(spark, sf_dir):
     """Rank-resolved link prediction (functions/linkpred
     .link_prediction_first_rank): for every held-out edge, the exact
@@ -11121,6 +11198,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "linkpred_first_rank": q_linkpred_first_rank,
         "rbm_pairs": q_rbm_pairs,
         "hashing_trick_audit": q_hashing_trick_audit,
+        "spectral_moments": q_spectral_moments,
+        "seasonal_naive_error": q_seasonal_naive_error,
     }
 
 
@@ -14879,4 +14958,41 @@ SELECT CAST(sum(load) AS BIGINT) AS n_tokens,
        round(CAST(sum(CASE WHEN load >= 2 THEN load ELSE 0 END)
                   AS DOUBLE) / sum(load), 6) AS pct_colliding
 FROM ld""",
+        "spectral_moments": SQL_GRAPH_PREFIX + """,
+tri AS (SELECT CAST(count(*) AS BIGINT) AS t
+        FROM canon a JOIN canon b ON a.src = b.src
+        JOIN canon c ON c.src = a.dst AND c.dst = b.dst),
+cn4 AS (SELECT CAST(sum(cn * cn) AS BIGINT) AS s FROM (
+          SELECT a.dst AS u, b.dst AS v,
+                 CAST(count(*) AS BIGINT) AS cn
+          FROM edges a JOIN edges b
+            ON a.src = b.src AND a.dst != b.dst
+          GROUP BY a.dst, b.dst) z),
+dg AS (SELECT CAST(sum(deg) AS BIGINT) AS m2,
+              CAST(sum(deg * deg) AS BIGINT) AS sd2 FROM deg)
+SELECT dg.m2 AS trace_a2,
+       CAST(6 * tri.t AS BIGINT) AS trace_a3,
+       CAST(dg.sd2 + cn4.s AS BIGINT) AS trace_a4
+FROM dg, tri, cn4""",
+        "seasonal_naive_error": """
+WITH per AS (SELECT CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01'
+                         AS BIGINT) AS day_i,
+                    CAST(sum(CAST(round(o_totalprice * 100, 0)
+                                  AS BIGINT)) AS BIGINT) AS cents
+             FROM orders GROUP BY 1),
+e7 AS (SELECT CAST(count(*) AS BIGINT) AS n,
+              CAST(sum(abs(a.cents - b.cents)) AS BIGINT) AS ae
+       FROM per a JOIN per b ON a.day_i = b.day_i + 7),
+e1 AS (SELECT CAST(count(*) AS BIGINT) AS n,
+              CAST(sum(abs(a.cents - b.cents)) AS BIGINT) AS ae
+       FROM per a JOIN per b ON a.day_i = b.day_i + 1)
+SELECT e7.n AS n_scored_7d, e7.ae AS abs_err_7d_cents,
+       e1.n AS n_scored_1d, e1.ae AS abs_err_1d_cents,
+       round((CAST(e7.ae AS DOUBLE) / e7.n) / 100, 6) AS mae_7d,
+       round((CAST(e1.ae AS DOUBLE) / e1.n) / 100, 6) AS mae_1d,
+       CASE WHEN e1.ae > 0 AND e7.n > 0
+            THEN round((CAST(e7.ae AS DOUBLE) / e7.n)
+                       / (CAST(e1.ae AS DOUBLE) / e1.n), 6)
+       END AS mase_vs_naive1
+FROM e7, e1""",
     }
