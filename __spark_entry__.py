@@ -2054,6 +2054,40 @@ dl{k + 1} AS MATERIALIZED (
     return SQL_GRAPH_PREFIX + ", " + ",\n".join(ctes) + "\n" + sel
 
 
+def _sql_bond_percolation(ps: tuple, iters: int = 16) -> str:
+    """Mirror of algos/percolation.bond_percolation_sweep: nested
+    hash-coupled survivor sets, one unrolled hash-min WCC per level."""
+    hexpr = H1_SQL.format(
+        s="('bond|' || CAST(src AS VARCHAR) || ':' || CAST(dst AS VARCHAR))")
+    ctes = [f"""bh AS MATERIALIZED (
+  SELECT src, dst, {hexpr} % 100 AS h FROM canon)"""]
+    rows = []
+    for p in ps:
+        ctes.append(f"""be{p} AS MATERIALIZED (
+  SELECT src, dst FROM bh WHERE h < {p}),
+bs{p} AS MATERIALIZED (
+  SELECT src, dst FROM be{p}
+  UNION ALL SELECT dst AS src, src AS dst FROM be{p}),
+bv{p} AS MATERIALIZED (SELECT DISTINCT src AS id FROM bs{p}),
+bl{p}_0 AS MATERIALIZED (SELECT id, id AS lab FROM bv{p})""")
+        for k in range(iters):
+            ctes.append(f"""bl{p}_{k + 1} AS MATERIALIZED (
+  SELECT v.id, least(l.lab, COALESCE(m.minlab, l.lab)) AS lab
+  FROM bv{p} v JOIN bl{p}_{k} l ON v.id = l.id
+  LEFT JOIN (SELECT e.dst AS id, min(l2.lab) AS minlab
+             FROM bs{p} e JOIN bl{p}_{k} l2 ON e.src = l2.id
+             GROUP BY e.dst) m ON v.id = m.id)""")
+        rows.append(f"""SELECT CAST({p} AS INTEGER) AS p_pct,
+  (SELECT CAST(count(*) AS BIGINT) FROM bv{p}) AS n_vertices,
+  (SELECT CAST(count(*) AS BIGINT) FROM be{p}) AS n_edges,
+  (SELECT CAST(count(DISTINCT lab) AS BIGINT) FROM bl{p}_{iters})
+    AS n_components,
+  (SELECT CAST(COALESCE(max(c), 0) AS BIGINT) FROM (
+     SELECT count(*) AS c FROM bl{p}_{iters} GROUP BY lab) z) AS largest""")
+    return (SQL_GRAPH_PREFIX + ", " + ",\n".join(ctes) + "\n"
+            + "\nUNION ALL\n".join(rows))
+
+
 def _sql_percolation(thresholds: tuple = (1, 2, 3, 5), iters: int = 16) -> str:
     """Mirror of algos/percolation.percolation_sweep: one unrolled
     hash-min WCC chain per weight threshold over the shrinking edge set;
@@ -9950,6 +9984,49 @@ def q_wedge_closure(spark, sf_dir):
                        6)).alias("closure_lift"))
 
 
+BOND_PS = (25, 50, 75)
+
+
+def q_bond_percolation(spark, sf_dir):
+    """Deterministic bond-percolation sweep (algos/percolation
+    .bond_percolation_sweep): each co-occurrence edge survives at level
+    p iff portable-md5 % 100 < p — nested survivor sets, one hash-min
+    WCC per p — the edge-failure member of the robustness family beside
+    the weight-threshold backbone and hub/random vertex removal."""
+    from plato_spark.algos.percolation import bond_percolation_sweep
+
+    return bond_percolation_sweep(part_cooccurrence_edges(spark, sf_dir),
+                                  ps=BOND_PS)
+
+
+def q_selfjoin_size_audit(spark, sf_dir):
+    """Join-cardinality estimator audit: for each lineitem key column,
+    the EXACT self-equijoin size sum c(k)^2 next to the textbook
+    independence estimate n^2/d — the ratio is the skew multiplier a
+    cost-based optimizer silently eats when it assumes uniform keys
+    (join_skew_audit's max-row sibling, but for JOIN OUTPUT size).
+    Exact integers + one rounded division per key."""
+    li = load_table(spark, sf_dir, "lineitem")
+    parts = []
+    for col in ("l_orderkey", "l_partkey", "l_suppkey"):
+        cnt = li.groupBy(F.col(col).alias("k")).agg(
+            F.count(F.lit(1)).cast("long").alias("c"))
+        parts.append(cnt.agg(
+            F.lit(col).alias("key_col"),
+            F.sum("c").cast("long").alias("n_rows"),
+            F.count(F.lit(1)).cast("long").alias("n_keys"),
+            F.sum(F.col("c") * F.col("c")).cast("long")
+            .alias("exact_join_size")))
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    est = (F.col("n_rows") * F.col("n_rows")) / F.col("n_keys")
+    return out.select(
+        "*",
+        F.round(est, 6).alias("independence_estimate"),
+        F.round(F.col("exact_join_size") / est, 6).alias("skew_ratio"))
+
+
 def q_spectral_moments(spark, sf_dir):
     """Exact spectral moments of the co-occurrence adjacency matrix —
     trace(A^2) = 2|E|, trace(A^3) = 6*triangles, trace(A^4) =
@@ -11200,6 +11277,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hashing_trick_audit": q_hashing_trick_audit,
         "spectral_moments": q_spectral_moments,
         "seasonal_naive_error": q_seasonal_naive_error,
+        "bond_percolation": q_bond_percolation,
+        "selfjoin_size_audit": q_selfjoin_size_audit,
     }
 
 
@@ -14995,4 +15074,29 @@ SELECT e7.n AS n_scored_7d, e7.ae AS abs_err_7d_cents,
                        / (CAST(e1.ae AS DOUBLE) / e1.n), 6)
        END AS mase_vs_naive1
 FROM e7, e1""",
+        "bond_percolation": _sql_bond_percolation(BOND_PS, 16),
+        "selfjoin_size_audit": """
+WITH ko AS (SELECT CAST(count(*) AS BIGINT) AS c FROM lineitem
+            GROUP BY l_orderkey),
+kp AS (SELECT CAST(count(*) AS BIGINT) AS c FROM lineitem
+       GROUP BY l_partkey),
+ks AS (SELECT CAST(count(*) AS BIGINT) AS c FROM lineitem
+       GROUP BY l_suppkey),
+u AS (
+  SELECT 'l_orderkey' AS key_col, CAST(sum(c) AS BIGINT) AS n_rows,
+         CAST(count(*) AS BIGINT) AS n_keys,
+         CAST(sum(c * c) AS BIGINT) AS exact_join_size FROM ko
+  UNION ALL
+  SELECT 'l_partkey', CAST(sum(c) AS BIGINT), CAST(count(*) AS BIGINT),
+         CAST(sum(c * c) AS BIGINT) FROM kp
+  UNION ALL
+  SELECT 'l_suppkey', CAST(sum(c) AS BIGINT), CAST(count(*) AS BIGINT),
+         CAST(sum(c * c) AS BIGINT) FROM ks)
+SELECT key_col, n_rows, n_keys, exact_join_size,
+       round(CAST(n_rows AS DOUBLE) * n_rows / n_keys, 6)
+         AS independence_estimate,
+       round(CAST(exact_join_size AS DOUBLE)
+             / (CAST(n_rows AS DOUBLE) * n_rows / n_keys), 6)
+         AS skew_ratio
+FROM u ORDER BY key_col""",
     }

@@ -157,3 +157,51 @@ def _removal_sweep(edges_canon: DataFrame, ks: tuple, pick) -> DataFrame:
         "removed int, n_vertices long, n_edges long, "
         "n_components long, largest long",
     )
+
+
+def bond_percolation_sweep(
+    edges_canon: DataFrame, ps: tuple = (25, 50, 75)
+) -> DataFrame:
+    """(p_pct, n_vertices, n_edges, n_components, largest) — the EDGE-
+    failure member of the robustness family (weight-threshold sweep =
+    evidence backbone, hub/random removal = vertex failure): keep each
+    edge independently with probability p, watch the giant component
+    emerge/collapse around the percolation threshold.  "Random" is the
+    engine-portable deterministic kind — edge (u,v) survives at level p
+    iff portable_h1('bond|u:v') % 100 < p, so the survivor sets are
+    NESTED across sweep points (the standard coupled-percolation
+    construction) and both engines replay them exactly.  One hash-min
+    WCC per p; sub-critical levels have many small components and the
+    near-critical level the largest diameter — pin oracle rounds there.
+    """
+    from plato_spark.functions.text import portable_h1
+
+    spark = edges_canon.sparkSession
+    keyed = edges_canon.select(
+        "src", "dst",
+        F.pmod(portable_h1(F.concat(
+            F.lit("bond|"), F.col("src").cast("string"),
+            F.lit(":"), F.col("dst").cast("string"))),
+            F.lit(100)).alias("h"),
+    ).persist()
+    rows = []
+    for p in ps:
+        sub = keyed.where(F.col("h") < p).select("src", "dst")
+        m = sub.count()
+        if m == 0:
+            rows.append((int(p), 0, 0, 0, 0))
+            continue
+        labels = connected_components(symmetrize(sub))
+        sizes = labels.groupBy("component").agg(F.count("*").alias("sz"))
+        agg = sizes.agg(
+            F.count("*").alias("nc"),
+            F.sum("sz").alias("nv"),
+            F.max("sz").alias("mx"),
+        ).collect()[0]
+        rows.append((int(p), int(agg["nv"]), int(m),
+                     int(agg["nc"]), int(agg["mx"])))
+    keyed.unpersist()
+    return spark.createDataFrame(
+        rows,
+        "p_pct int, n_vertices long, n_edges long, "
+        "n_components long, largest long")
