@@ -9984,6 +9984,124 @@ def q_wedge_closure(spark, sf_dir):
                        6)).alias("closure_lift"))
 
 
+def q_user_twap(spark, sf_dir):
+    """Per-user TIME-weighted average of the event value (the step-
+    function integral: each value holds until the user's next event;
+    TWAP = sum v_i * dt_i / total time) — the financial/metering
+    aggregate a plain mean silently gets wrong under irregular
+    sampling.  Exact integer arithmetic: values in cents, gaps in epoch
+    micros, one division at read-out; single-event users are NULL
+    (no interval exists), never a fake mean.  One user-partitioned
+    window (lead) + one agg."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("us"),
+        F.round(F.col("value") * 100, 0).cast("long").alias("cents"))
+    w = Window.partitionBy("user_id").orderBy("us", "event_id")
+    seg = ev.select(
+        "user_id", "cents", "us",
+        F.lead("us").over(w).alias("nxt"))
+    return seg.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.sum(F.when(F.col("nxt").isNotNull(),
+                     F.col("cents") * (F.col("nxt") - F.col("us"))))
+        .cast("long").alias("weighted_cents_us"),
+        F.sum(F.when(F.col("nxt").isNotNull(),
+                     F.col("nxt") - F.col("us")))
+        .cast("long").alias("span_us"),
+    ).select(
+        "user_id", "n_events", "span_us",
+        F.when(F.col("span_us") > 0,
+               F.round(F.col("weighted_cents_us") / F.col("span_us")
+                       / 100, 6)).alias("twap"))
+
+
+def q_lang_source_chisq(spark, sf_dir):
+    """Chi-square statistic of the lang x source contingency table
+    (independence of language and container — the mixture-drift test
+    statistic, reported WITHOUT a p-value: no incomplete-gamma libm).
+    Per-cell terms (O-E)^2/E come from exact integer margins through
+    correctly-rounded single divisions, are rounded to 9dp and summed
+    as DECIMAL(38,9) — an order-FREE fold, the pca-gramian lesson
+    applied to a float statistic.  One row: n, rows, cols, dof, chi2."""
+    docs = load_table(spark, sf_dir, "documents")
+    cells = docs.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).cast("long").alias("o"))
+    rm = cells.groupBy("lang").agg(F.sum("o").alias("rm"))
+    cm = cells.groupBy("source").agg(F.sum("o").alias("cm"))
+    n = docs.count()
+    term = F.round(
+        (F.col("o") - F.col("rm") * F.col("cm") / F.lit(float(n)))
+        * (F.col("o") - F.col("rm") * F.col("cm") / F.lit(float(n)))
+        / (F.col("rm") * F.col("cm") / F.lit(float(n))), 9)
+    # absent (lang, source) cells contribute E (their O is 0):
+    # chi2 = sum_present (O-E)^2/E + sum_absent E; the absent mass is
+    # n - sum_present E, each term exact through the same fold
+    present = cells.join(rm, "lang").join(cm, "source").select(
+        term.cast("decimal(38,9)").alias("t"),
+        F.round(F.col("rm") * F.col("cm") / F.lit(float(n)), 9)
+        .cast("decimal(38,9)").alias("e"))
+    nr = cells.select("lang").distinct().count()
+    nc = cells.select("source").distinct().count()
+    # final rounding stays a Spark DECIMAL expression (half-up), never
+    # python round() (half-even) — the 6dp tie discipline
+    return present.agg(
+        F.sum("t").alias("tp"), F.sum("e").alias("ep")
+    ).select(
+        F.lit(n).cast("long").alias("n"),
+        F.lit(nr).cast("long").alias("n_langs"),
+        F.lit(nc).cast("long").alias("n_sources"),
+        F.lit((nr - 1) * (nc - 1)).cast("long").alias("dof"),
+        F.round(F.col("tp") + (F.lit(n) - F.col("ep")), 6)
+        .cast("double").alias("chi2"))
+
+
+def q_clustering_agreement(spark, sf_dir):
+    """Exact Rand index between two INDEPENDENT clusterings of the
+    embeddings — deterministic k-means (centroid paradigm) vs
+    Jarvis-Patrick SNN (density paradigm): pair-counting agreement from
+    the contingency table, ALL integer binomials (sum C(nij,2) etc.),
+    one division — the cross-method stability read that tells you
+    whether cluster structure is real or an artifact of one algorithm's
+    bias."""
+    from plato_spark.functions.similarity import (
+        kmeans_clusters,
+        snn_clusters,
+    )
+
+    emb = _emb_double(spark, sf_dir)
+    km = kmeans_clusters(emb, n_clusters=8, lloyd_iters=2).select(
+        F.col("vec_id").alias("id"), F.col("cluster").alias("ka"))
+    sn = snn_clusters(emb, k=SNN_K, kt=SNN_KT).select(
+        F.col("vec_id").alias("id"), F.col("cluster").alias("kb"))
+    j = km.join(sn, "id")
+    cont = j.groupBy("ka", "kb").agg(
+        F.count(F.lit(1)).cast("long").alias("m"))
+    a_m = j.groupBy("ka").agg(F.count(F.lit(1)).cast("long").alias("c"))
+    b_m = j.groupBy("kb").agg(F.count(F.lit(1)).cast("long").alias("c"))
+
+    def pairs(df):
+        return df.agg(F.sum(F.col("c") * (F.col("c") - 1) / 2)
+                      .cast("long")).collect()[0][0] or 0
+
+    n = j.count()
+    both = cont.agg(F.sum(F.col("m") * (F.col("m") - 1) / 2)
+                    .cast("long")).collect()[0][0] or 0
+    pa, pb = pairs(a_m), pairs(b_m)
+    total = n * (n - 1) // 2
+    out = spark.createDataFrame(
+        [(n, pa, pb, both, total)],
+        "n long, pairs_a long, pairs_b long, pairs_both long, "
+        "pairs_total long")
+    return out.select(
+        "*",
+        F.round((F.col("pairs_total") + 2 * F.col("pairs_both")
+                 - F.col("pairs_a") - F.col("pairs_b"))
+                / F.col("pairs_total"), 6).alias("rand_index"))
+
+
 BOND_PS = (25, 50, 75)
 
 
@@ -11279,6 +11397,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "seasonal_naive_error": q_seasonal_naive_error,
         "bond_percolation": q_bond_percolation,
         "selfjoin_size_audit": q_selfjoin_size_audit,
+        "user_twap": q_user_twap,
+        "lang_source_chisq": q_lang_source_chisq,
+        "clustering_agreement": q_clustering_agreement,
     }
 
 
@@ -15099,4 +15220,69 @@ SELECT key_col, n_rows, n_keys, exact_join_size,
              / (CAST(n_rows AS DOUBLE) * n_rows / n_keys), 6)
          AS skew_ratio
 FROM u ORDER BY key_col""",
+        "user_twap": """
+WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS us,
+                  CAST(round(value * 100, 0) AS BIGINT) AS cents
+           FROM events),
+s AS (SELECT user_id, cents, us,
+             lead(us) OVER (PARTITION BY user_id
+                            ORDER BY us, event_id) AS nxt
+      FROM e)
+SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(CASE WHEN nxt IS NOT NULL THEN nxt - us END) AS BIGINT)
+         AS span_us,
+       CASE WHEN COALESCE(sum(CASE WHEN nxt IS NOT NULL
+                                   THEN nxt - us END), 0) > 0
+            THEN round(CAST(sum(CASE WHEN nxt IS NOT NULL
+                                     THEN cents * (nxt - us) END)
+                            AS DOUBLE)
+                       / sum(CASE WHEN nxt IS NOT NULL
+                                  THEN nxt - us END) / 100, 6)
+       END AS twap
+FROM s GROUP BY user_id ORDER BY user_id""",
+        "lang_source_chisq": """
+WITH c AS (SELECT lang, source, CAST(count(*) AS BIGINT) AS o
+           FROM documents GROUP BY 1, 2),
+rm AS (SELECT lang, CAST(sum(o) AS BIGINT) AS rm FROM c GROUP BY 1),
+cm AS (SELECT source, CAST(sum(o) AS BIGINT) AS cm FROM c GROUP BY 1),
+nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
+p AS (SELECT
+  CAST(round((c.o - rm.rm * cm.cm / CAST(nn.n AS DOUBLE))
+             * (c.o - rm.rm * cm.cm / CAST(nn.n AS DOUBLE))
+             / (rm.rm * cm.cm / CAST(nn.n AS DOUBLE)), 9)
+       AS DECIMAL(38, 9)) AS t,
+  CAST(round(rm.rm * cm.cm / CAST(nn.n AS DOUBLE), 9)
+       AS DECIMAL(38, 9)) AS e
+  FROM c JOIN rm ON c.lang = rm.lang
+  JOIN cm ON c.source = cm.source, nn),
+dims AS (SELECT CAST(count(DISTINCT lang) AS BIGINT) AS nr,
+                CAST(count(DISTINCT source) AS BIGINT) AS nc FROM c)
+SELECT nn.n AS n, dims.nr AS n_langs, dims.nc AS n_sources,
+       CAST((dims.nr - 1) * (dims.nc - 1) AS BIGINT) AS dof,
+       CAST(round(sum(p.t) + (nn.n - sum(p.e)), 6) AS DOUBLE) AS chi2
+FROM p, nn, dims GROUP BY nn.n, dims.nr, dims.nc""",
+        "clustering_agreement": f"""
+WITH kac AS MATERIALIZED (
+  SELECT vec_id AS id, cluster AS a FROM ({_sql_kmeans(8, 2)})),
+kbc AS MATERIALIZED (
+  SELECT vec_id AS id, cluster AS b
+  FROM ({_sql_snn(SNN_K, SNN_KT, 10)})),
+jj AS MATERIALIZED (
+  SELECT kac.id, a, b FROM kac JOIN kbc ON kac.id = kbc.id),
+ct AS (SELECT a, b, CAST(count(*) AS BIGINT) AS m FROM jj GROUP BY 1, 2),
+am AS (SELECT a, CAST(count(*) AS BIGINT) AS c FROM jj GROUP BY 1),
+bm AS (SELECT b, CAST(count(*) AS BIGINT) AS c FROM jj GROUP BY 1),
+s AS (SELECT
+  (SELECT CAST(count(*) AS BIGINT) FROM jj) AS n,
+  (SELECT CAST(COALESCE(sum(c * (c - 1) // 2), 0) AS BIGINT) FROM am)
+    AS pairs_a,
+  (SELECT CAST(COALESCE(sum(c * (c - 1) // 2), 0) AS BIGINT) FROM bm)
+    AS pairs_b,
+  (SELECT CAST(COALESCE(sum(m * (m - 1) // 2), 0) AS BIGINT) FROM ct)
+    AS pairs_both)
+SELECT n, pairs_a, pairs_b, pairs_both,
+       CAST(n * (n - 1) // 2 AS BIGINT) AS pairs_total,
+       round(CAST(n * (n - 1) // 2 + 2 * pairs_both - pairs_a - pairs_b
+                  AS DOUBLE) / (n * (n - 1) // 2), 6) AS rand_index
+FROM s""",
     }
