@@ -9984,6 +9984,97 @@ def q_wedge_closure(spark, sf_dir):
                        6)).alias("closure_lift"))
 
 
+def q_latency_variance(spark, sf_dir):
+    """Per-supplier ship-latency spread WITHOUT float sums: day gaps
+    are exact integers, so mean and the unbiased sample variance come
+    from the all-integer identity var = (n*sum(x^2) - sum(x)^2) /
+    (n*(n-1)) — two integer folds, two correctly-rounded divisions.
+    The consistency read behind supplier SLAs (shipping_latency gives
+    the quantiles; this gives the moment).  Single-shipment suppliers
+    report NULL variance, never a fake 0."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    gap = li.join(o.select(F.col("o_orderkey").alias("l_orderkey"),
+                           "o_orderdate"), "l_orderkey").select(
+        "l_suppkey",
+        F.datediff(F.col("l_shipdate").cast("date"),
+                   F.col("o_orderdate").cast("date"))
+        .cast("long").alias("d"))
+    agg = gap.groupBy("l_suppkey").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("d").cast("long").alias("s"),
+        F.sum(F.col("d") * F.col("d")).cast("long").alias("ss"))
+    return agg.select(
+        "l_suppkey", "n",
+        F.round(F.col("s") / F.col("n"), 6).alias("mean_days"),
+        F.when(F.col("n") > 1,
+               F.round((F.col("n") * F.col("ss") - F.col("s") * F.col("s"))
+                       / (F.col("n") * (F.col("n") - 1)), 6))
+        .alias("var_days"))
+
+
+def q_repeat_customer_revenue(spark, sf_dir):
+    """Repeat-buyer concentration: one row with customer counts and the
+    exact share of order revenue held by customers with >= 2 orders —
+    the retention-economics headline.  Integer cents, two rounded
+    divisions."""
+    o = load_table(spark, sf_dir, "orders")
+    per = o.groupBy("o_custkey").agg(
+        F.count(F.lit(1)).cast("long").alias("n_orders"),
+        F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("long"))
+        .alias("cents"))
+    return per.agg(
+        F.count(F.lit(1)).cast("long").alias("n_customers"),
+        F.sum(F.when(F.col("n_orders") >= 2, 1).otherwise(0))
+        .cast("long").alias("n_repeat"),
+        F.sum("cents").cast("long").alias("revenue_cents"),
+        F.sum(F.when(F.col("n_orders") >= 2, F.col("cents"))
+              .otherwise(0)).cast("long").alias("repeat_revenue_cents"),
+    ).select(
+        "*",
+        F.round(F.col("n_repeat") / F.col("n_customers"), 6)
+        .alias("repeat_frac"),
+        F.round(F.col("repeat_revenue_cents") / F.col("revenue_cents"),
+                6).alias("repeat_revenue_share"))
+
+
+def q_dormant_balance_gap(spark, sf_dir):
+    """Do customers who stopped ordering look different?  Per segment
+    (dormant = no order since 2000-01-01 vs active), exact count, mean
+    and MEDIAN account balance — balances lifted to integer cents so
+    the median is an exact rank pick (lower of the two middles, the
+    deterministic convention), no float sums anywhere."""
+    from pyspark.sql import Window
+
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    recent = o.where(
+        F.col("o_orderdate").cast("date") >= F.lit("2000-01-01")
+    ).select(F.col("o_custkey").alias("c_custkey")).distinct()
+    seg = c.join(recent, "c_custkey", "left_semi").select(
+        F.lit("active").alias("segment"),
+        F.round(F.col("c_acctbal") * 100, 0).cast("long").alias("cents")
+    ).unionByName(
+        c.join(recent, "c_custkey", "left_anti").select(
+            F.lit("dormant").alias("segment"),
+            F.round(F.col("c_acctbal") * 100, 0).cast("long")
+            .alias("cents")))
+    w = Window.partitionBy("segment").orderBy("cents", "segment")
+    ranked = seg.select(
+        "segment", "cents",
+        F.row_number().over(w).alias("rn"))
+    n_per = ranked.groupBy("segment").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("cents").cast("long").alias("s"))
+    med = ranked.join(n_per, "segment").where(
+        F.col("rn") == F.expr("(n + 1) div 2")
+    ).select("segment", F.col("cents").alias("median_cents"))
+    return n_per.join(med, "segment").select(
+        "segment", "n",
+        F.round(F.col("s") / F.col("n") / 100, 6).alias("mean_balance"),
+        F.round(F.col("median_cents") / 100, 6).alias("median_balance"))
+
+
 def q_user_twap(spark, sf_dir):
     """Per-user TIME-weighted average of the event value (the step-
     function integral: each value holds until the user's next event;
@@ -11400,6 +11491,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "user_twap": q_user_twap,
         "lang_source_chisq": q_lang_source_chisq,
         "clustering_agreement": q_clustering_agreement,
+        "latency_variance": q_latency_variance,
+        "repeat_customer_revenue": q_repeat_customer_revenue,
+        "dormant_balance_gap": q_dormant_balance_gap,
     }
 
 
@@ -15285,4 +15379,58 @@ SELECT n, pairs_a, pairs_b, pairs_both,
        round(CAST(n * (n - 1) // 2 + 2 * pairs_both - pairs_a - pairs_b
                   AS DOUBLE) / (n * (n - 1) // 2), 6) AS rand_index
 FROM s""",
+        "latency_variance": """
+WITH g AS (SELECT l.l_suppkey,
+                  CAST(CAST(l.l_shipdate AS DATE)
+                       - CAST(o.o_orderdate AS DATE) AS BIGINT) AS d
+           FROM lineitem l JOIN orders o
+             ON l.l_orderkey = o.o_orderkey),
+a AS (SELECT l_suppkey, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(d) AS BIGINT) AS s,
+             CAST(sum(d * d) AS BIGINT) AS ss
+      FROM g GROUP BY l_suppkey)
+SELECT l_suppkey, n,
+       round(CAST(s AS DOUBLE) / n, 6) AS mean_days,
+       CASE WHEN n > 1
+            THEN round(CAST(n * ss - s * s AS DOUBLE)
+                       / (n * (n - 1)), 6) END AS var_days
+FROM a ORDER BY l_suppkey""",
+        "repeat_customer_revenue": """
+WITH per AS (SELECT o_custkey, CAST(count(*) AS BIGINT) AS n_orders,
+                    CAST(sum(CAST(round(o_totalprice * 100, 0)
+                                  AS BIGINT)) AS BIGINT) AS cents
+             FROM orders GROUP BY o_custkey)
+SELECT CAST(count(*) AS BIGINT) AS n_customers,
+       CAST(sum(CASE WHEN n_orders >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_repeat,
+       CAST(sum(cents) AS BIGINT) AS revenue_cents,
+       CAST(sum(CASE WHEN n_orders >= 2 THEN cents ELSE 0 END)
+            AS BIGINT) AS repeat_revenue_cents,
+       round(CAST(sum(CASE WHEN n_orders >= 2 THEN 1 ELSE 0 END)
+                  AS DOUBLE) / count(*), 6) AS repeat_frac,
+       round(CAST(sum(CASE WHEN n_orders >= 2 THEN cents ELSE 0 END)
+                  AS DOUBLE) / sum(cents), 6) AS repeat_revenue_share
+FROM per""",
+        "dormant_balance_gap": """
+WITH recent AS (SELECT DISTINCT o_custkey AS c_custkey FROM orders
+                WHERE CAST(o_orderdate AS DATE) >= DATE '2000-01-01'),
+seg AS (SELECT CASE WHEN r.c_custkey IS NOT NULL
+                    THEN 'active' ELSE 'dormant' END AS segment,
+               CAST(round(c.c_acctbal * 100, 0) AS BIGINT) AS cents
+        FROM customer c LEFT JOIN recent r
+          ON c.c_custkey = r.c_custkey),
+rk AS (SELECT segment, cents,
+              row_number() OVER (PARTITION BY segment
+                                 ORDER BY cents, segment) AS rn
+       FROM seg),
+np AS (SELECT segment, CAST(count(*) AS BIGINT) AS n,
+              CAST(sum(cents) AS BIGINT) AS s
+       FROM seg GROUP BY segment),
+md AS (SELECT rk.segment, rk.cents AS median_cents
+       FROM rk JOIN np ON rk.segment = np.segment
+       WHERE rk.rn = (np.n + 1) // 2)
+SELECT np.segment, np.n,
+       round(CAST(np.s AS DOUBLE) / np.n / 100, 6) AS mean_balance,
+       round(CAST(md.median_cents AS DOUBLE) / 100, 6) AS median_balance
+FROM np JOIN md ON np.segment = md.segment ORDER BY np.segment""",
     }
