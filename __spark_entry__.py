@@ -9984,6 +9984,90 @@ def q_wedge_closure(spark, sf_dir):
                        6)).alias("closure_lift"))
 
 
+def q_length_qq_table(spark, sf_dir):
+    """QQ table of doc length between src0 and src1 — the visual drift
+    diagnostic behind length_ks_distance's single number: at each
+    decile q, the exact rank-picked length of both distributions
+    (rank = (q*(n-1)) div 10 + 1, the lower-interpolation convention —
+    an integer pick, no float quantile math).  Matching columns means
+    same distribution; a bowed curve localizes WHERE the crawler
+    changed."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+
+    def deciles(src, out):
+        d = docs.where(F.col("source") == src).select(
+            F.col("n_chars").alias("v"))
+        w = Window.orderBy("v")
+        n = d.count()
+        ranked = d.select("v", F.row_number().over(w).alias("rn"))
+        qs = spark.range(0, 11).select(
+            F.col("id").cast("int").alias("decile"),
+            (F.col("id") * (n - 1)).cast("long").alias("t"))
+        return qs.select(
+            "decile", (F.expr("t div 10") + 1).alias("rn")
+        ).join(ranked, "rn").select(
+            "decile", F.col("v").alias(out))
+
+    a = deciles("src0", "len_src0")
+    b = deciles("src1", "len_src1")
+    return a.join(b, "decile").select("decile", "len_src0", "len_src1")
+
+
+def q_missing_days(spark, sf_dir):
+    """Calendar-coverage audit of the order stream: one row with the
+    span, days WITH orders, missing days, and the longest zero-order
+    gap (via one lead window over the distinct day table — never a
+    calendar cross join).  The ingestion-hole check that catches a
+    dead upstream before any trend query lies."""
+    from pyspark.sql import Window
+
+    o = load_table(spark, sf_dir, "orders")
+    days = o.select(
+        F.datediff(F.col("o_orderdate").cast("date"),
+                   F.lit("1970-01-01").cast("date"))
+        .cast("long").alias("d")).distinct()
+    w = Window.orderBy("d")
+    gaps = days.select(
+        "d", (F.lead("d").over(w) - F.col("d") - 1).alias("gap"))
+    return gaps.agg(
+        F.count(F.lit(1)).cast("long").alias("days_with_orders"),
+        (F.max("d") - F.min("d") + 1).cast("long").alias("span_days"),
+        F.coalesce(F.max("gap"), F.lit(0)).cast("long")
+        .alias("longest_gap_days"),
+    ).select(
+        "span_days", "days_with_orders",
+        (F.col("span_days") - F.col("days_with_orders")).cast("long")
+        .alias("missing_days"),
+        "longest_gap_days")
+
+
+def q_customer_streaks(spark, sf_dir):
+    """Per-customer ordering streaks — gaps-and-islands run IN the
+    engine (it is usually only our oracle idiom): distinct order days
+    per customer, island id = day - dense row number (constant within
+    a consecutive-day run), exact max streak and active-day counts."""
+    from pyspark.sql import Window
+
+    o = load_table(spark, sf_dir, "orders")
+    days = o.select(
+        "o_custkey",
+        F.datediff(F.col("o_orderdate").cast("date"),
+                   F.lit("1970-01-01").cast("date"))
+        .cast("long").alias("d")).distinct()
+    w = Window.partitionBy("o_custkey").orderBy("d")
+    isl = days.select(
+        "o_custkey", "d",
+        (F.col("d") - F.row_number().over(w)).alias("isl"))
+    runs = isl.groupBy("o_custkey", "isl").agg(
+        F.count(F.lit(1)).cast("long").alias("run"))
+    return runs.groupBy("o_custkey").agg(
+        F.sum("run").cast("long").alias("n_active_days"),
+        F.max("run").cast("long").alias("max_streak_days"),
+        F.count(F.lit(1)).cast("long").alias("n_streaks"))
+
+
 def q_latency_variance(spark, sf_dir):
     """Per-supplier ship-latency spread WITHOUT float sums: day gaps
     are exact integers, so mean and the unbiased sample variance come
@@ -11494,6 +11578,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "latency_variance": q_latency_variance,
         "repeat_customer_revenue": q_repeat_customer_revenue,
         "dormant_balance_gap": q_dormant_balance_gap,
+        "length_qq_table": q_length_qq_table,
+        "missing_days": q_missing_days,
+        "customer_streaks": q_customer_streaks,
     }
 
 
@@ -15433,4 +15520,45 @@ SELECT np.segment, np.n,
        round(CAST(np.s AS DOUBLE) / np.n / 100, 6) AS mean_balance,
        round(CAST(md.median_cents AS DOUBLE) / 100, 6) AS median_balance
 FROM np JOIN md ON np.segment = md.segment ORDER BY np.segment""",
+        "length_qq_table": """
+WITH a AS (SELECT n_chars AS v,
+                  row_number() OVER (ORDER BY n_chars) AS rn
+           FROM documents WHERE source = 'src0'),
+b AS (SELECT n_chars AS v,
+             row_number() OVER (ORDER BY n_chars) AS rn
+      FROM documents WHERE source = 'src1'),
+na AS (SELECT CAST(count(*) AS BIGINT) AS n FROM a),
+nb AS (SELECT CAST(count(*) AS BIGINT) AS n FROM b),
+q AS (SELECT CAST(range AS INT) AS decile FROM range(0, 11))
+SELECT q.decile, a.v AS len_src0, b.v AS len_src1
+FROM q
+JOIN na ON true JOIN nb ON true
+JOIN a ON a.rn = (q.decile * (na.n - 1)) // 10 + 1
+JOIN b ON b.rn = (q.decile * (nb.n - 1)) // 10 + 1
+ORDER BY q.decile""",
+        "missing_days": """
+WITH days AS (SELECT DISTINCT CAST(CAST(o_orderdate AS DATE)
+                                   - DATE '1970-01-01' AS BIGINT) AS d
+              FROM orders),
+g AS (SELECT d, lead(d) OVER (ORDER BY d) - d - 1 AS gap FROM days)
+SELECT CAST(max(d) - min(d) + 1 AS BIGINT) AS span_days,
+       CAST(count(*) AS BIGINT) AS days_with_orders,
+       CAST(max(d) - min(d) + 1 - count(*) AS BIGINT) AS missing_days,
+       CAST(COALESCE(max(gap), 0) AS BIGINT) AS longest_gap_days
+FROM g""",
+        "customer_streaks": """
+WITH days AS (SELECT DISTINCT o_custkey,
+                     CAST(CAST(o_orderdate AS DATE)
+                          - DATE '1970-01-01' AS BIGINT) AS d
+              FROM orders),
+isl AS (SELECT o_custkey, d,
+               d - row_number() OVER (PARTITION BY o_custkey
+                                      ORDER BY d) AS isl
+        FROM days),
+runs AS (SELECT o_custkey, isl, CAST(count(*) AS BIGINT) AS run
+         FROM isl GROUP BY o_custkey, isl)
+SELECT o_custkey, CAST(sum(run) AS BIGINT) AS n_active_days,
+       CAST(max(run) AS BIGINT) AS max_streak_days,
+       CAST(count(*) AS BIGINT) AS n_streaks
+FROM runs GROUP BY o_custkey ORDER BY o_custkey""",
     }
