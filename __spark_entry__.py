@@ -9984,6 +9984,228 @@ def q_wedge_closure(spark, sf_dir):
                        6)).alias("closure_lift"))
 
 
+def _sql_strength_core(thresholds: tuple, rounds: int = 10) -> str:
+    """Mirror of algos/percolation.strength_core_sweep: unrolled peel
+    rounds per threshold; rounds pinned past the measured fixpoint
+    (extra rounds drop nothing and add 0 to peel_rounds)."""
+    ctes = []
+    rows = []
+    for s in thresholds:
+        ctes.append(f"""sc{s}_0 AS MATERIALIZED (
+  SELECT src, dst, CAST(weight AS BIGINT) AS w FROM canon)""")
+        for k in range(rounds):
+            ctes.append(f"""scb{s}_{k} AS MATERIALIZED (
+  SELECT id FROM (
+    SELECT src AS id, CAST(sum(w) AS BIGINT) AS st FROM (
+      SELECT src, dst, w FROM sc{s}_{k}
+      UNION ALL SELECT dst AS src, src AS dst, w FROM sc{s}_{k}) z
+    GROUP BY src) t
+  WHERE st < {s}),
+sc{s}_{k + 1} AS MATERIALIZED (
+  SELECT e.src, e.dst, e.w FROM sc{s}_{k} e
+  WHERE NOT EXISTS (SELECT 1 FROM scb{s}_{k} b WHERE b.id = e.src)
+    AND NOT EXISTS (SELECT 1 FROM scb{s}_{k} b WHERE b.id = e.dst))""")
+        drops = " + ".join(
+            f"(CASE WHEN (SELECT count(*) FROM scb{s}_{k}) > 0 "
+            f"THEN 1 ELSE 0 END)"
+            for k in range(rounds))
+        rows.append(f"""SELECT CAST({s} AS INTEGER) AS s,
+  (SELECT CAST(count(*) AS BIGINT) FROM (
+     SELECT DISTINCT src AS id FROM sc{s}_{rounds}
+     UNION SELECT DISTINCT dst FROM sc{s}_{rounds}) v) AS n_vertices,
+  (SELECT CAST(count(*) AS BIGINT) FROM sc{s}_{rounds}) AS n_edges,
+  CAST({drops} AS BIGINT) AS peel_rounds""")
+    return (SQL_GRAPH_PREFIX + ", " + ",\n".join(ctes) + "\n"
+            + "\nUNION ALL\n".join(rows))
+
+
+def _sql_kmv_jaccard(k: int = 256) -> str:
+    h = H1_SQL.format(s="token")
+    return f"""
+WITH vocab AS MATERIALIZED (
+  SELECT DISTINCT source,
+         unnest(list_distinct(regexp_extract_all(text,
+           '[A-Za-z0-9_]+'))) AS token
+  FROM documents),
+vh AS MATERIALIZED (SELECT source, token, {h} AS hh FROM vocab),
+bk AS MATERIALIZED (SELECT source, token, hh FROM (
+  SELECT source, token, hh, row_number() OVER (
+    PARTITION BY source ORDER BY hh, token) AS rn FROM vh) t
+  WHERE rn <= {k}),
+srcs AS (SELECT DISTINCT source FROM vh),
+prs AS (SELECT a.source AS sa, b.source AS sb
+        FROM srcs a JOIN srcs b ON a.source < b.source),
+uu AS MATERIALIZED (SELECT DISTINCT sa, sb, token, hh FROM (
+  SELECT p.sa, p.sb, x.token, x.hh FROM prs p
+  JOIN bk x ON x.source = p.sa
+  UNION ALL
+  SELECT p.sa, p.sb, x.token, x.hh FROM prs p
+  JOIN bk x ON x.source = p.sb) z),
+ubk AS MATERIALIZED (SELECT sa, sb, token FROM (
+  SELECT sa, sb, token, row_number() OVER (
+    PARTITION BY sa, sb ORDER BY hh, token) AS rn FROM uu) t
+  WHERE rn <= {k}),
+estt AS (SELECT sa, sb, CAST(count(*) AS BIGINT) AS kk,
+  CAST(sum(CASE WHEN EXISTS (SELECT 1 FROM bk x
+                             WHERE x.source = ubk.sa
+                               AND x.token = ubk.token)
+                 AND EXISTS (SELECT 1 FROM bk y
+                             WHERE y.source = ubk.sb
+                               AND y.token = ubk.token)
+           THEN 1 ELSE 0 END) AS BIGINT) AS both
+  FROM ubk GROUP BY sa, sb),
+ex AS (SELECT p.sa, p.sb, CAST(count(*) AS BIGINT) AS inter
+       FROM prs p JOIN vh a ON a.source = p.sa
+       JOIN vh b ON b.source = p.sb AND b.token = a.token
+       GROUP BY p.sa, p.sb),
+sz AS (SELECT source, CAST(count(*) AS BIGINT) AS nv FROM vh GROUP BY 1),
+fin AS (SELECT e.sa, e.sb,
+  round(CAST(COALESCE(e.both, 0) AS DOUBLE) / e.kk, 6) AS est_jaccard,
+  round(CAST(COALESCE(x.inter, 0) AS DOUBLE)
+        / (za.nv + zb.nv - COALESCE(x.inter, 0)), 6) AS exact_jaccard
+  FROM estt e LEFT JOIN ex x ON e.sa = x.sa AND e.sb = x.sb
+  JOIN sz za ON za.source = e.sa JOIN sz zb ON zb.source = e.sb)
+SELECT sa, sb, est_jaccard, exact_jaccard,
+       round(abs(est_jaccard - exact_jaccard), 6) AS abs_err
+FROM fin ORDER BY sa, sb"""
+
+
+SCORE_THRESHOLDS = (2, 4, 8)
+
+
+def q_strength_core(spark, sf_dir):
+    """s-core sweep (algos/percolation.strength_core_sweep, Eidsaa &
+    Almaas): iteratively peel vertices with total incident WEIGHT < s —
+    the CASCADE member of the robustness family (percolation thresholds
+    edges with no iteration; here each removal weakens neighbors).
+    Exact integer strengths; peel_rounds counts only rounds that
+    removed something, so the pinned-round oracle is idempotent."""
+    from plato_spark.algos.percolation import strength_core_sweep
+
+    return strength_core_sweep(
+        part_cooccurrence_edges(spark, sf_dir, weighted=True),
+        thresholds=SCORE_THRESHOLDS)
+
+
+def q_casing_profile(spark, sf_dir):
+    """Word-level casing fingerprint per source: letter-run tokens
+    classified as lowercase / Titlecase / ALLCAPS by anchored JVM
+    regexes (the charclass_profile discipline one level up) — the
+    boilerplate/shouting detector and the casing prior a tokenizer
+    normalization step needs.  Exact counts + three rounded ratios."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.regexp_extract_all("text", F.lit("[A-Za-z]+"), F.lit(0))
+
+    def cnt(pat):
+        return F.size(F.filter(toks, lambda t: t.rlike(pat))) \
+            .cast("long")
+
+    per = docs.select(
+        "source",
+        F.size(toks).cast("long").alias("w"),
+        cnt("^[a-z]+$").alias("lo"),
+        cnt("^[A-Z][a-z]+$").alias("ti"),
+        cnt("^[A-Z]{2,}$").alias("up"))
+    agg = per.groupBy("source").agg(
+        F.sum("w").cast("long").alias("n_words"),
+        F.sum("lo").cast("long").alias("n_lower"),
+        F.sum("ti").cast("long").alias("n_title"),
+        F.sum("up").cast("long").alias("n_allcaps"))
+    return agg.select(
+        "source", "n_words", "n_lower", "n_title", "n_allcaps",
+        F.round(F.col("n_lower") / F.col("n_words"), 6)
+        .alias("lower_frac"),
+        F.round(F.col("n_title") / F.col("n_words"), 6)
+        .alias("title_frac"),
+        F.round(F.col("n_allcaps") / F.col("n_words"), 6)
+        .alias("allcaps_frac"))
+
+
+KMV_K = 256
+
+
+def q_kmv_jaccard(spark, sf_dir):
+    """KMV (bottom-k) sketch Jaccard between every source pair's
+    vocabulary, NEXT TO the exact value — the sketch-accuracy row: the
+    estimator keeps only the k smallest portable-md5 token hashes per
+    source, estimates J as |both-sketch members among the union's
+    bottom-k| / min(k, |union sketch|), and the gate checks both
+    numbers (the estimate is deterministic because the hash is).  The
+    constant-memory path for pairwise corpus similarity at 100 TB."""
+    from pyspark.sql import Window
+    from plato_spark.functions.text import portable_h1
+
+    docs = load_table(spark, sf_dir, "documents")
+    vocab = docs.select(
+        "source",
+        F.explode(F.array_distinct(F.regexp_extract_all(
+            "text", F.lit("[A-Za-z0-9_]+"), F.lit(0)))).alias("token")
+    ).distinct().select(
+        "source", "token", portable_h1(F.col("token")).alias("h"))
+    vocab = vocab.persist()
+    w = Window.partitionBy("source").orderBy("h", "token")
+    bk = vocab.select(
+        "source", "token", "h",
+        F.row_number().over(w).alias("rn")).where(
+        F.col("rn") <= KMV_K).drop("rn").persist()
+    srcs = vocab.select("source").distinct()
+    pairs = srcs.select(F.col("source").alias("sa")).join(
+        srcs.select(F.col("source").alias("sb")),
+        F.col("sa") < F.col("sb"))
+    u = pairs.join(bk.withColumnRenamed("source", "sa"), "sa").select(
+        "sa", "sb", "token", "h"
+    ).unionByName(
+        pairs.join(bk.withColumnRenamed("source", "sb"), "sb")
+        .select("sa", "sb", "token", "h")
+    ).distinct()
+    wp = Window.partitionBy("sa", "sb").orderBy("h", "token")
+    ubk = u.select("sa", "sb", "token",
+                   F.row_number().over(wp).alias("rn")).where(
+        F.col("rn") <= KMV_K)
+    in_a = bk.select(F.col("source").alias("sa"),
+                     F.col("token").alias("token"))
+    in_b = bk.select(F.col("source").alias("sb"),
+                     F.col("token").alias("token"))
+    est = ubk.groupBy("sa", "sb").agg(
+        F.count(F.lit(1)).cast("long").alias("kk")
+    ).join(
+        ubk.join(in_a, ["sa", "token"], "semi")
+        .join(in_b, ["sb", "token"], "semi")
+        .groupBy("sa", "sb")
+        .agg(F.count(F.lit(1)).cast("long").alias("both")),
+        ["sa", "sb"], "left")
+    ex = (
+        pairs.join(vocab.withColumnRenamed("source", "sa"), "sa")
+        .select("sa", "sb", "token")
+        .join(vocab.select(F.col("source").alias("sb"),
+                           F.col("token").alias("token")),
+              ["sb", "token"], "semi")
+        .groupBy("sa", "sb")
+        .agg(F.count(F.lit(1)).cast("long").alias("inter"))
+    )
+    sizes = vocab.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("nv"))
+    out = (
+        est.join(ex, ["sa", "sb"], "left")
+        .join(sizes.withColumnRenamed("source", "sa")
+              .withColumnRenamed("nv", "na"), "sa")
+        .join(sizes.withColumnRenamed("source", "sb")
+              .withColumnRenamed("nv", "nb"), "sb")
+        .select(
+            "sa", "sb",
+            F.round(F.coalesce("both", F.lit(0)) / F.col("kk"), 6)
+            .alias("est_jaccard"),
+            F.round(F.coalesce("inter", F.lit(0))
+                    / (F.col("na") + F.col("nb")
+                       - F.coalesce("inter", F.lit(0))), 6)
+            .alias("exact_jaccard"))
+    )
+    return out.select(
+        "sa", "sb", "est_jaccard", "exact_jaccard",
+        F.round(F.abs(F.col("est_jaccard") - F.col("exact_jaccard")), 6)
+        .alias("abs_err"))
+
+
 def q_length_qq_table(spark, sf_dir):
     """QQ table of doc length between src0 and src1 — the visual drift
     diagnostic behind length_ks_distance's single number: at each
@@ -11581,6 +11803,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "length_qq_table": q_length_qq_table,
         "missing_days": q_missing_days,
         "customer_streaks": q_customer_streaks,
+        "strength_core": q_strength_core,
+        "casing_profile": q_casing_profile,
+        "kmv_jaccard": q_kmv_jaccard,
     }
 
 
@@ -15561,4 +15786,26 @@ SELECT o_custkey, CAST(sum(run) AS BIGINT) AS n_active_days,
        CAST(max(run) AS BIGINT) AS max_streak_days,
        CAST(count(*) AS BIGINT) AS n_streaks
 FROM runs GROUP BY o_custkey ORDER BY o_custkey""",
+        "strength_core": _sql_strength_core(SCORE_THRESHOLDS, 10),
+        "casing_profile": """
+WITH per AS (SELECT source,
+  CAST(len(regexp_extract_all(text, '[A-Za-z]+')) AS BIGINT) AS w,
+  CAST(len(list_filter(regexp_extract_all(text, '[A-Za-z]+'),
+       x -> regexp_matches(x, '^[a-z]+$'))) AS BIGINT) AS lo,
+  CAST(len(list_filter(regexp_extract_all(text, '[A-Za-z]+'),
+       x -> regexp_matches(x, '^[A-Z][a-z]+$'))) AS BIGINT) AS ti,
+  CAST(len(list_filter(regexp_extract_all(text, '[A-Za-z]+'),
+       x -> regexp_matches(x, '^[A-Z]{2,}$'))) AS BIGINT) AS up
+  FROM documents),
+a AS (SELECT source, CAST(sum(w) AS BIGINT) AS n_words,
+             CAST(sum(lo) AS BIGINT) AS n_lower,
+             CAST(sum(ti) AS BIGINT) AS n_title,
+             CAST(sum(up) AS BIGINT) AS n_allcaps
+      FROM per GROUP BY source)
+SELECT source, n_words, n_lower, n_title, n_allcaps,
+       round(CAST(n_lower AS DOUBLE) / n_words, 6) AS lower_frac,
+       round(CAST(n_title AS DOUBLE) / n_words, 6) AS title_frac,
+       round(CAST(n_allcaps AS DOUBLE) / n_words, 6) AS allcaps_frac
+FROM a ORDER BY source""",
+        "kmv_jaccard": _sql_kmv_jaccard(KMV_K),
     }

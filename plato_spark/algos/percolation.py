@@ -205,3 +205,63 @@ def bond_percolation_sweep(
         rows,
         "p_pct int, n_vertices long, n_edges long, "
         "n_components long, largest long")
+
+
+def strength_core_sweep(
+    edges_canon_weighted: DataFrame,
+    thresholds: tuple = (2, 4, 8),
+    max_rounds: int = 32,
+) -> DataFrame:
+    """(s, n_vertices, n_edges, peel_rounds) — the s-core (strength
+    core) sweep: repeatedly delete vertices whose total incident WEIGHT
+    is below s until stable, per threshold.  The weighted sibling of
+    k-core and the missing CASCADE member of the robustness family —
+    bond/weight percolation threshold edges with no iteration; here a
+    removal weakens neighbors and can topple them in the next round
+    (Eidsaa & Almaas 2013's s-core).  Exact integer strengths (the
+    co-occurrence weights are counts); peel_rounds counts rounds that
+    actually removed something, so the pinned-round oracle reproduces
+    it idempotently.
+
+    Scale: per round one symmetrized strength agg + two anti-joins on
+    the shrinking edge set, lineage truncated per round
+    (engine/ckpt_blocks)."""
+    from plato_spark.engine.ckpt_blocks import checkpoint_tracked, free_blocks
+
+    spark = edges_canon_weighted.sparkSession
+    base = edges_canon_weighted.select(
+        "src", "dst", F.col("weight").cast("long").alias("w"))
+    base, base_ids = checkpoint_tracked(base)
+    rows = []
+    for s in thresholds:
+        live, live_ids = checkpoint_tracked(base)
+        rounds = 0
+        for _ in range(max_rounds):
+            sym = live.select("src", "dst", "w").unionByName(
+                live.select(F.col("dst").alias("src"),
+                            F.col("src").alias("dst"), "w"))
+            st = sym.groupBy(F.col("src").alias("id")).agg(
+                F.sum("w").alias("strength"))
+            bad = st.where(F.col("strength") < s).select("id")
+            n_bad = bad.count()
+            if n_bad == 0:
+                break
+            rounds += 1
+            nxt = (
+                live.join(bad.withColumnRenamed("id", "src"),
+                          "src", "left_anti")
+                .join(bad.withColumnRenamed("id", "dst"),
+                      "dst", "left_anti")
+                .select("src", "dst", "w")
+            )
+            nxt, nxt_ids = checkpoint_tracked(nxt)
+            free_blocks(spark, live_ids)
+            live, live_ids = nxt, nxt_ids
+        m = live.count()
+        nv = live.select(F.col("src").alias("id")).unionByName(
+            live.select(F.col("dst").alias("id"))).distinct().count()
+        rows.append((int(s), int(nv), int(m), int(rounds)))
+        free_blocks(spark, live_ids)
+    free_blocks(spark, base_ids)
+    return spark.createDataFrame(
+        rows, "s int, n_vertices long, n_edges long, peel_rounds long")
