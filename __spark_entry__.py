@@ -9984,6 +9984,102 @@ def q_wedge_closure(spark, sf_dir):
                        6)).alias("closure_lift"))
 
 
+def q_stickiness(spark, sf_dir):
+    """Per-day DAU / trailing-7-day WAU stickiness — the engagement
+    ratio product teams watch.  WAU via a bounded 7-day band join over
+    the distinct (day, user) table (never a sliding distinct window,
+    which Spark cannot do exactly), exact integer counts, one division.
+    Days with no events are absent (consistent with the distinct-day
+    accounting elsewhere)."""
+    ev = load_table(spark, sf_dir, "events")
+    du = ev.select(
+        F.datediff(F.col("ts").cast("date"),
+                   F.lit("1970-01-01").cast("date"))
+        .cast("long").alias("d"), "user_id").distinct().persist()
+    dau = du.groupBy("d").agg(
+        F.count(F.lit(1)).cast("long").alias("dau"))
+    days = du.select("d").distinct()
+    wau = (
+        days.join(
+            du.select(F.col("d").alias("d2"), "user_id"),
+            (F.col("d2") <= F.col("d")) & (F.col("d2") >= F.col("d") - 6))
+        .select("d", "user_id").distinct()
+        .groupBy("d").agg(F.count(F.lit(1)).cast("long").alias("wau"))
+    )
+    return dau.join(wau, "d").select(
+        F.col("d").alias("day_i"), "dau", "wau",
+        F.round(F.col("dau") / F.col("wau"), 6).alias("stickiness"))
+
+
+def q_attribution_comparison(spark, sf_dir):
+    """First-touch vs last-touch attribution disagreement: for every
+    purchase, the earliest and latest preceding view/click of the same
+    user (ties by event_id — the asof_attribution discipline), and one
+    row of exact counts: how many conversions exist, how many have any
+    touch, and how often the two models credit the SAME event — the
+    number that says whether the attribution-model debate matters on
+    this data."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    conv = ev.where(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("conversion_id"), "user_id",
+        us.alias("cts"))
+    touch = ev.where(F.col("event_type").isin("view", "click")).select(
+        "user_id", F.col("event_id").alias("touch_id"), us.alias("tts"))
+    j = conv.join(touch, "user_id").where(F.col("tts") <= F.col("cts"))
+    w_first = Window.partitionBy("conversion_id").orderBy(
+        F.col("tts").asc(), F.col("touch_id").asc())
+    w_last = Window.partitionBy("conversion_id").orderBy(
+        F.col("tts").desc(), F.col("touch_id").desc())
+    picked = j.select(
+        "conversion_id",
+        F.first("touch_id").over(w_first).alias("first_touch"),
+        F.first("touch_id").over(w_last).alias("last_touch"),
+    ).distinct()
+    n_conv = conv.count()
+    agg = picked.agg(
+        F.count(F.lit(1)).cast("long").alias("with_touch"),
+        F.sum(F.when(F.col("first_touch") == F.col("last_touch"), 1)
+              .otherwise(0)).cast("long").alias("same_touch"))
+    return agg.select(
+        F.lit(n_conv).cast("long").alias("n_conversions"),
+        "with_touch", "same_touch",
+        F.round(F.col("same_touch") / F.col("with_touch"), 6)
+        .alias("same_frac"))
+
+
+def q_revenue_lorenz(spark, sf_dir):
+    """Lorenz curve deciles of customer revenue — the table behind
+    revenue_gini's scalar: customers ranked by (revenue, custkey),
+    cumulative revenue share at each population decile boundary (exact
+    integer rank (q*(n-1)) div 10 + 1 and integer cents; one division
+    per row).  Reading: decile 9 at 0.4 means the bottom 90% of
+    customers hold 40% of revenue."""
+    from pyspark.sql import Window
+
+    o = load_table(spark, sf_dir, "orders")
+    per = o.groupBy("o_custkey").agg(
+        F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("long"))
+        .alias("cents"))
+    w = (Window.orderBy(F.col("cents").asc(), F.col("o_custkey").asc())
+         .rowsBetween(Window.unboundedPreceding, 0))
+    n = per.count()
+    tot = per.agg(F.sum("cents").alias("total"))
+    ranked = per.crossJoin(F.broadcast(tot)).select(
+        F.row_number().over(
+            Window.orderBy(F.col("cents").asc(),
+                           F.col("o_custkey").asc())).alias("rn"),
+        F.sum("cents").over(w).alias("cum"), "total")
+    qs = spark.range(1, 11).select(
+        F.col("id").cast("int").alias("decile"),
+        (F.expr(f"id * ({n} - 1) div 10") + 1).alias("rn"))
+    return qs.join(ranked, "rn").select(
+        "decile",
+        F.round(F.col("cum") / F.col("total"), 6).alias("cum_share"))
+
+
 def _sql_strength_core(thresholds: tuple, rounds: int = 10) -> str:
     """Mirror of algos/percolation.strength_core_sweep: unrolled peel
     rounds per threshold; rounds pinned past the measured fixpoint
@@ -11806,6 +11902,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "strength_core": q_strength_core,
         "casing_profile": q_casing_profile,
         "kmv_jaccard": q_kmv_jaccard,
+        "stickiness": q_stickiness,
+        "attribution_comparison": q_attribution_comparison,
+        "revenue_lorenz": q_revenue_lorenz,
     }
 
 
@@ -15808,4 +15907,60 @@ SELECT source, n_words, n_lower, n_title, n_allcaps,
        round(CAST(n_allcaps AS DOUBLE) / n_words, 6) AS allcaps_frac
 FROM a ORDER BY source""",
         "kmv_jaccard": _sql_kmv_jaccard(KMV_K),
+        "stickiness": """
+WITH du AS (SELECT DISTINCT CAST(CAST(ts AS DATE) - DATE '1970-01-01'
+                                 AS BIGINT) AS d, user_id
+            FROM events),
+dau AS (SELECT d, CAST(count(*) AS BIGINT) AS dau FROM du GROUP BY d),
+days AS (SELECT DISTINCT d FROM du),
+wau AS (SELECT days.d, CAST(count(DISTINCT du.user_id) AS BIGINT) AS wau
+        FROM days JOIN du ON du.d <= days.d AND du.d >= days.d - 6
+        GROUP BY days.d)
+SELECT dau.d AS day_i, dau.dau, wau.wau,
+       round(CAST(dau.dau AS DOUBLE) / wau.wau, 6) AS stickiness
+FROM dau JOIN wau ON dau.d = wau.d ORDER BY day_i""",
+        "attribution_comparison": """
+WITH conv AS (SELECT event_id AS conversion_id, user_id,
+                     epoch_us(ts) AS cts
+              FROM events WHERE event_type = 'purchase'),
+touch AS (SELECT user_id, event_id AS touch_id, epoch_us(ts) AS tts
+          FROM events WHERE event_type IN ('view', 'click')),
+j AS (SELECT c.conversion_id, t.touch_id, t.tts
+      FROM conv c JOIN touch t
+        ON c.user_id = t.user_id AND t.tts <= c.cts),
+p AS (SELECT DISTINCT conversion_id,
+        first_value(touch_id) OVER (PARTITION BY conversion_id
+          ORDER BY tts ASC, touch_id ASC
+          ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+          AS first_touch,
+        first_value(touch_id) OVER (PARTITION BY conversion_id
+          ORDER BY tts DESC, touch_id DESC
+          ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+          AS last_touch
+      FROM j)
+SELECT (SELECT CAST(count(*) AS BIGINT) FROM conv) AS n_conversions,
+       CAST(count(*) AS BIGINT) AS with_touch,
+       CAST(sum(CASE WHEN first_touch = last_touch THEN 1 ELSE 0 END)
+            AS BIGINT) AS same_touch,
+       round(CAST(sum(CASE WHEN first_touch = last_touch
+                           THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 6)
+         AS same_frac
+FROM p""",
+        "revenue_lorenz": """
+WITH per AS (SELECT o_custkey,
+                    CAST(sum(CAST(round(o_totalprice * 100, 0)
+                                  AS BIGINT)) AS BIGINT) AS cents
+             FROM orders GROUP BY o_custkey),
+t AS (SELECT CAST(sum(cents) AS BIGINT) AS total,
+             CAST(count(*) AS BIGINT) AS n FROM per),
+rk AS (SELECT row_number() OVER (ORDER BY cents ASC, o_custkey ASC)
+                AS rn,
+              sum(cents) OVER (ORDER BY cents ASC, o_custkey ASC
+                               ROWS UNBOUNDED PRECEDING) AS cum
+       FROM per),
+q AS (SELECT CAST(range AS INT) AS decile FROM range(1, 11))
+SELECT q.decile,
+       round(CAST(rk.cum AS DOUBLE) / t.total, 6) AS cum_share
+FROM q, t JOIN rk ON rk.rn = (q.decile * (t.n - 1)) // 10 + 1
+ORDER BY q.decile""",
     }
