@@ -9984,6 +9984,86 @@ def q_wedge_closure(spark, sf_dir):
                        6)).alias("closure_lift"))
 
 
+def q_hourly_conversion(spark, sf_dir):
+    """Conversion rate by hour of day: views/clicks vs purchases per
+    hour bucket with the exact purchase-per-touch ratio — the dayparting
+    read behind send-time optimization.  NULL rate on hours with no
+    touches (never a fake 0)."""
+    ev = load_table(spark, sf_dir, "events")
+    per = ev.groupBy(F.hour(F.col("ts")).cast("int").alias("hour")).agg(
+        F.sum(F.when(F.col("event_type").isin("view", "click"), 1)
+              .otherwise(0)).cast("long").alias("n_touches"),
+        F.sum(F.when(F.col("event_type") == "purchase", 1)
+              .otherwise(0)).cast("long").alias("n_purchases"))
+    return per.select(
+        "hour", "n_touches", "n_purchases",
+        F.when(F.col("n_touches") > 0,
+               F.round(F.col("n_purchases") / F.col("n_touches"), 6))
+        .alias("conversion"))
+
+
+def q_single_source_parts(spark, sf_dir):
+    """Supply-chain concentration risk: parts served by exactly ONE
+    supplier (per the lineitem history) and the exact revenue share
+    riding on them — the single-point-of-failure audit.  One row,
+    integer cents, one division."""
+    li = load_table(spark, sf_dir, "lineitem")
+    per = li.groupBy("l_partkey").agg(
+        F.countDistinct("l_suppkey").cast("long").alias("n_supp"),
+        F.sum(F.round(F.col("l_extendedprice") * 100, 0).cast("long"))
+        .alias("cents"))
+    return per.agg(
+        F.count(F.lit(1)).cast("long").alias("n_parts"),
+        F.sum(F.when(F.col("n_supp") == 1, 1).otherwise(0))
+        .cast("long").alias("n_single_source"),
+        F.sum("cents").cast("long").alias("revenue_cents"),
+        F.sum(F.when(F.col("n_supp") == 1, F.col("cents")).otherwise(0))
+        .cast("long").alias("at_risk_cents"),
+    ).select(
+        "*",
+        F.round(F.col("at_risk_cents") / F.col("revenue_cents"), 6)
+        .alias("at_risk_share"))
+
+
+def q_customer_value_drift(spark, sf_dir):
+    """Are repeat customers spending more over time?  Per multi-order
+    customer, last order value minus first (order by date, ties by
+    orderkey — exact cents), rolled into one row: growing / shrinking /
+    flat counts and the mean drift.  The retention-quality read beside
+    repeat_customer_revenue's share."""
+    from pyspark.sql import Window
+
+    o = load_table(spark, sf_dir, "orders")
+    base = o.select(
+        "o_custkey",
+        F.round(F.col("o_totalprice") * 100, 0).cast("long")
+        .alias("cents"),
+        F.col("o_orderdate").cast("date").alias("od"), "o_orderkey")
+    wf = Window.partitionBy("o_custkey").orderBy(
+        F.col("od").asc(), F.col("o_orderkey").asc())
+    wl = Window.partitionBy("o_custkey").orderBy(
+        F.col("od").desc(), F.col("o_orderkey").desc())
+    per = base.select(
+        "o_custkey",
+        F.first("cents").over(wf).alias("first_c"),
+        F.first("cents").over(wl).alias("last_c"),
+        F.count(F.lit(1)).over(
+            Window.partitionBy("o_custkey")).alias("n"),
+    ).distinct().where(F.col("n") >= 2)
+    return per.agg(
+        F.count(F.lit(1)).cast("long").alias("n_multi_customers"),
+        F.sum(F.when(F.col("last_c") > F.col("first_c"), 1).otherwise(0))
+        .cast("long").alias("n_growing"),
+        F.sum(F.when(F.col("last_c") < F.col("first_c"), 1).otherwise(0))
+        .cast("long").alias("n_shrinking"),
+        F.sum(F.col("last_c") - F.col("first_c")).cast("long")
+        .alias("drift_cents_sum"),
+    ).select(
+        "*",
+        F.round(F.col("drift_cents_sum") / F.col("n_multi_customers")
+                / 100, 6).alias("mean_drift"))
+
+
 def q_stickiness(spark, sf_dir):
     """Per-day DAU / trailing-7-day WAU stickiness — the engagement
     ratio product teams watch.  WAU via a bounded 7-day band join over
@@ -11905,6 +11985,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stickiness": q_stickiness,
         "attribution_comparison": q_attribution_comparison,
         "revenue_lorenz": q_revenue_lorenz,
+        "hourly_conversion": q_hourly_conversion,
+        "single_source_parts": q_single_source_parts,
+        "customer_value_drift": q_customer_value_drift,
     }
 
 
@@ -15963,4 +16046,57 @@ SELECT q.decile,
        round(CAST(rk.cum AS DOUBLE) / t.total, 6) AS cum_share
 FROM q, t JOIN rk ON rk.rn = (q.decile * (t.n - 1)) // 10 + 1
 ORDER BY q.decile""",
+        "hourly_conversion": """
+WITH per AS (SELECT CAST(hour(ts) AS INTEGER) AS hour,
+  CAST(sum(CASE WHEN event_type IN ('view', 'click') THEN 1 ELSE 0 END)
+       AS BIGINT) AS n_touches,
+  CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+       AS BIGINT) AS n_purchases
+  FROM events GROUP BY 1)
+SELECT hour, n_touches, n_purchases,
+       CASE WHEN n_touches > 0
+            THEN round(CAST(n_purchases AS DOUBLE) / n_touches, 6)
+       END AS conversion
+FROM per ORDER BY hour""",
+        "single_source_parts": """
+WITH per AS (SELECT l_partkey,
+                    CAST(count(DISTINCT l_suppkey) AS BIGINT) AS n_supp,
+                    CAST(sum(CAST(round(l_extendedprice * 100, 0)
+                                  AS BIGINT)) AS BIGINT) AS cents
+             FROM lineitem GROUP BY l_partkey)
+SELECT CAST(count(*) AS BIGINT) AS n_parts,
+       CAST(sum(CASE WHEN n_supp = 1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_single_source,
+       CAST(sum(cents) AS BIGINT) AS revenue_cents,
+       CAST(sum(CASE WHEN n_supp = 1 THEN cents ELSE 0 END) AS BIGINT)
+         AS at_risk_cents,
+       round(CAST(sum(CASE WHEN n_supp = 1 THEN cents ELSE 0 END)
+                  AS DOUBLE) / sum(cents), 6) AS at_risk_share
+FROM per""",
+        "customer_value_drift": """
+WITH base AS (SELECT o_custkey,
+                     CAST(round(o_totalprice * 100, 0) AS BIGINT)
+                       AS cents,
+                     CAST(o_orderdate AS DATE) AS od, o_orderkey
+              FROM orders),
+per AS (SELECT DISTINCT o_custkey,
+          first_value(cents) OVER (PARTITION BY o_custkey
+            ORDER BY od ASC, o_orderkey ASC
+            ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+            AS first_c,
+          first_value(cents) OVER (PARTITION BY o_custkey
+            ORDER BY od DESC, o_orderkey DESC
+            ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+            AS last_c,
+          count(*) OVER (PARTITION BY o_custkey) AS n
+        FROM base)
+SELECT CAST(count(*) AS BIGINT) AS n_multi_customers,
+       CAST(sum(CASE WHEN last_c > first_c THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_growing,
+       CAST(sum(CASE WHEN last_c < first_c THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_shrinking,
+       CAST(sum(last_c - first_c) AS BIGINT) AS drift_cents_sum,
+       round(CAST(sum(last_c - first_c) AS DOUBLE) / count(*) / 100, 6)
+         AS mean_drift
+FROM per WHERE n >= 2""",
     }
