@@ -9984,6 +9984,75 @@ def q_wedge_closure(spark, sf_dir):
                        6)).alias("closure_lift"))
 
 
+def q_supplier_percentile(spark, sf_dir):
+    """Each supplier's revenue percentile WITHIN its nation —
+    percent_rank = (rank-1)/(n-1), an EXACT rational from two window
+    integers (the one window statistic that needs no quantile math at
+    all), ties sharing a rank under (revenue, suppkey) total order
+    broken deterministically.  The cross-nation league table."""
+    from pyspark.sql import Window
+
+    li = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    per = li.groupBy("l_suppkey").agg(
+        F.sum(F.round(F.col("l_extendedprice") * 100, 0).cast("long"))
+        .alias("cents"))
+    j = per.join(s.select(F.col("s_suppkey").alias("l_suppkey"),
+                          "s_nationkey"), "l_suppkey")
+    w = Window.partitionBy("s_nationkey").orderBy(
+        F.col("cents").asc(), F.col("l_suppkey").asc())
+    return j.select(
+        F.col("l_suppkey").alias("s_suppkey"), "s_nationkey", "cents",
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"))
+
+
+def q_gini_mean_difference(spark, sf_dir):
+    """Gini mean difference of order values — the robust dispersion
+    metric E|X - X'| — WITHOUT the O(n^2) pair join: over values sorted
+    ascending, the UNORDERED pairwise sum sum_{i<j}(x_j - x_i) equals
+    sum x_(i) * (2i - n - 1) — one rank window + one exact integer fold
+    (cents * small integers); GMD doubles it over n(n-1) ordered pairs,
+    and relative_gmd = GMD/mean (exactly twice the Gini coefficient).
+    Two divisions at read-out."""
+    from pyspark.sql import Window
+
+    o = load_table(spark, sf_dir, "orders")
+    v = o.select(F.round(F.col("o_totalprice") * 100, 0).cast("long")
+                 .alias("c"), "o_orderkey")
+    w = Window.orderBy(F.col("c").asc(), F.col("o_orderkey").asc())
+    ranked = v.select("c", F.row_number().over(w).alias("i"))
+    n = v.count()
+    agg = ranked.agg(
+        F.sum(F.col("c") * (2 * F.col("i") - n - 1)).cast("long")
+        .alias("pairsum"),
+        F.sum("c").cast("long").alias("total"))
+    return agg.select(
+        F.lit(n).cast("long").alias("n_orders"),
+        "pairsum", "total",
+        F.round(2 * F.col("pairsum") / F.lit(float(n) * (n - 1)) / 100,
+                6).alias("gmd"),
+        F.round(2 * F.col("pairsum") / F.lit(float(n - 1))
+                / F.col("total"), 6).alias("relative_gmd"))
+
+
+def q_dup_order_audit(spark, sf_dir):
+    """Suspect-duplicate audit: orders sharing (customer, order date,
+    exact total cents) — the double-submit / replay detector a billing
+    pipeline runs.  One row of exact counts."""
+    o = load_table(spark, sf_dir, "orders")
+    g = o.groupBy(
+        "o_custkey", F.col("o_orderdate").cast("date").alias("od"),
+        F.round(F.col("o_totalprice") * 100, 0).cast("long")
+        .alias("cents")
+    ).agg(F.count(F.lit(1)).cast("long").alias("c"))
+    return g.agg(
+        F.count(F.lit(1)).cast("long").alias("n_groups"),
+        F.sum(F.when(F.col("c") >= 2, 1).otherwise(0)).cast("long")
+        .alias("n_dup_groups"),
+        F.sum(F.when(F.col("c") >= 2, F.col("c")).otherwise(0))
+        .cast("long").alias("n_dup_orders"))
+
+
 def q_hourly_conversion(spark, sf_dir):
     """Conversion rate by hour of day: views/clicks vs purchases per
     hour bucket with the exact purchase-per-touch ratio — the dayparting
@@ -11988,6 +12057,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hourly_conversion": q_hourly_conversion,
         "single_source_parts": q_single_source_parts,
         "customer_value_drift": q_customer_value_drift,
+        "supplier_percentile": q_supplier_percentile,
+        "gini_mean_difference": q_gini_mean_difference,
+        "dup_order_audit": q_dup_order_audit,
     }
 
 
@@ -16099,4 +16171,44 @@ SELECT CAST(count(*) AS BIGINT) AS n_multi_customers,
        round(CAST(sum(last_c - first_c) AS DOUBLE) / count(*) / 100, 6)
          AS mean_drift
 FROM per WHERE n >= 2""",
+        "supplier_percentile": """
+WITH per AS (SELECT l_suppkey,
+                    CAST(sum(CAST(round(l_extendedprice * 100, 0)
+                                  AS BIGINT)) AS BIGINT) AS cents
+             FROM lineitem GROUP BY l_suppkey)
+SELECT p.l_suppkey AS s_suppkey, s.s_nationkey, p.cents,
+       round(percent_rank() OVER (PARTITION BY s.s_nationkey
+                                  ORDER BY p.cents ASC,
+                                           p.l_suppkey ASC), 6)
+         AS pct_rank
+FROM per p JOIN supplier s ON p.l_suppkey = s.s_suppkey
+ORDER BY s_suppkey""",
+        "gini_mean_difference": """
+WITH v AS (SELECT CAST(round(o_totalprice * 100, 0) AS BIGINT) AS c,
+                  o_orderkey
+           FROM orders),
+nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM v),
+rk AS (SELECT c, row_number() OVER (ORDER BY c ASC, o_orderkey ASC)
+                AS i
+       FROM v),
+a AS (SELECT CAST(sum(c * (2 * i - nn.n - 1)) AS BIGINT) AS pairsum,
+             CAST(sum(c) AS BIGINT) AS total, nn.n
+      FROM rk, nn GROUP BY nn.n)
+SELECT n AS n_orders, pairsum, total,
+       round(CAST(2 * pairsum AS DOUBLE) / (n * (n - 1.0)) / 100, 6)
+         AS gmd,
+       round(CAST(2 * pairsum AS DOUBLE) / (n - 1.0) / total, 6)
+         AS relative_gmd
+FROM a""",
+        "dup_order_audit": """
+WITH g AS (SELECT o_custkey, CAST(o_orderdate AS DATE) AS od,
+                  CAST(round(o_totalprice * 100, 0) AS BIGINT) AS cents,
+                  CAST(count(*) AS BIGINT) AS c
+           FROM orders GROUP BY 1, 2, 3)
+SELECT CAST(count(*) AS BIGINT) AS n_groups,
+       CAST(sum(CASE WHEN c >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_dup_groups,
+       CAST(sum(CASE WHEN c >= 2 THEN c ELSE 0 END) AS BIGINT)
+         AS n_dup_orders
+FROM g""",
     }
