@@ -9984,6 +9984,72 @@ def q_wedge_closure(spark, sf_dir):
                        6)).alias("closure_lift"))
 
 
+def q_triangle_participation(spark, sf_dir):
+    """One row — triangle participation: how many vertices sit in at
+    least one triangle (and the rate) next to the triangle count.  The
+    clustering summary between transitivity's global ratio and the
+    per-vertex lcc table; exact integers + one division."""
+    canon = part_cooccurrence_edges(spark, sf_dir)
+    ab = canon.select(F.col("src").alias("a"), F.col("dst").alias("b"))
+    ac = canon.select(F.col("src").alias("a2"), F.col("dst").alias("c"))
+    bc = canon.select(F.col("src").alias("b2"), F.col("dst").alias("c2"))
+    tri = (
+        ab.join(ac, F.col("a") == F.col("a2"))
+        .join(bc, (F.col("b") == F.col("b2"))
+              & (F.col("c") == F.col("c2")))
+        .select("a", "b", "c").persist()
+    )
+    n_tri = tri.count()
+    corners = tri.select(F.col("a").alias("id")).unionByName(
+        tri.select(F.col("b").alias("id"))).unionByName(
+        tri.select(F.col("c").alias("id"))).distinct()
+    n_in = corners.count()
+    verts = canon.select(F.col("src").alias("id")).unionByName(
+        canon.select(F.col("dst").alias("id"))).distinct()
+    n_v = verts.count()
+    out = spark.createDataFrame(
+        [(n_v, n_in, n_tri)],
+        "n_vertices long, n_in_triangle long, n_triangles long")
+    return out.select(
+        "*",
+        F.round(F.col("n_in_triangle") / F.col("n_vertices"), 6)
+        .alias("participation"))
+
+
+def q_supplier_rank_corr(spark, sf_dir):
+    """Spearman rank correlation between supplier account balance and
+    shipped revenue — does the balance sheet predict the order book? —
+    through the exact integer identity rho = 1 - 6*sum(d^2)/(n(n^2-1))
+    over deterministic total-order ranks (value, then suppkey — the
+    centrality_rank_corr tie discipline).  One row, all-integer folds,
+    one division."""
+    from pyspark.sql import Window
+
+    li = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    rev = li.groupBy(F.col("l_suppkey").alias("s_suppkey")).agg(
+        F.sum(F.round(F.col("l_extendedprice") * 100, 0).cast("long"))
+        .alias("cents"))
+    j = s.select("s_suppkey",
+                 F.round(F.col("s_acctbal") * 100, 0).cast("long")
+                 .alias("bal")).join(rev, "s_suppkey")
+    wa = Window.orderBy(F.col("bal").asc(), F.col("s_suppkey").asc())
+    wb = Window.orderBy(F.col("cents").asc(), F.col("s_suppkey").asc())
+    ranked = j.select(
+        "s_suppkey",
+        F.row_number().over(wa).alias("ra"),
+        F.row_number().over(wb).alias("rb"))
+    n = j.count()
+    agg = ranked.agg(
+        F.sum((F.col("ra") - F.col("rb")) * (F.col("ra") - F.col("rb")))
+        .cast("long").alias("d2"))
+    return agg.select(
+        F.lit(n).cast("long").alias("n_suppliers"),
+        "d2",
+        F.round(1 - 6 * F.col("d2")
+                / F.lit(float(n) * (n * n - 1)), 6).alias("spearman"))
+
+
 def q_supplier_percentile(spark, sf_dir):
     """Each supplier's revenue percentile WITHIN its nation —
     percent_rank = (rank-1)/(n-1), an EXACT rational from two window
@@ -12060,6 +12126,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "supplier_percentile": q_supplier_percentile,
         "gini_mean_difference": q_gini_mean_difference,
         "dup_order_audit": q_dup_order_audit,
+        "triangle_participation": q_triangle_participation,
+        "supplier_rank_corr": q_supplier_rank_corr,
     }
 
 
@@ -16211,4 +16279,39 @@ SELECT CAST(count(*) AS BIGINT) AS n_groups,
        CAST(sum(CASE WHEN c >= 2 THEN c ELSE 0 END) AS BIGINT)
          AS n_dup_orders
 FROM g""",
+        "triangle_participation": SQL_GRAPH_PREFIX + """,
+tp AS MATERIALIZED (
+  SELECT a.src AS x, a.dst AS y, b.dst AS z
+  FROM canon a JOIN canon b ON a.dst = b.src
+  JOIN canon c ON c.src = a.src AND c.dst = b.dst),
+tc AS (SELECT DISTINCT id FROM (
+  SELECT x AS id FROM tp UNION ALL SELECT y FROM tp
+  UNION ALL SELECT z FROM tp) u)
+SELECT (SELECT CAST(count(*) AS BIGINT) FROM verts) AS n_vertices,
+       (SELECT CAST(count(*) AS BIGINT) FROM tc) AS n_in_triangle,
+       (SELECT CAST(count(*) AS BIGINT) FROM tp) AS n_triangles,
+       round(CAST((SELECT count(*) FROM tc) AS DOUBLE)
+             / (SELECT count(*) FROM verts), 6) AS participation""",
+        "supplier_rank_corr": """
+WITH rev AS (SELECT l_suppkey AS s_suppkey,
+                    CAST(sum(CAST(round(l_extendedprice * 100, 0)
+                                  AS BIGINT)) AS BIGINT) AS cents
+             FROM lineitem GROUP BY l_suppkey),
+j AS (SELECT s.s_suppkey,
+             CAST(round(s.s_acctbal * 100, 0) AS BIGINT) AS bal,
+             rev.cents
+      FROM supplier s JOIN rev ON s.s_suppkey = rev.s_suppkey),
+rk AS (SELECT s_suppkey,
+              row_number() OVER (ORDER BY bal ASC, s_suppkey ASC)
+                AS ra,
+              row_number() OVER (ORDER BY cents ASC, s_suppkey ASC)
+                AS rb
+       FROM j),
+a AS (SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum((ra - rb) * (ra - rb)) AS BIGINT) AS d2
+      FROM rk)
+SELECT n AS n_suppliers, d2,
+       round(1 - CAST(6 * d2 AS DOUBLE) / (n * (n * n - 1.0)), 6)
+         AS spearman
+FROM a""",
     }
