@@ -9984,6 +9984,75 @@ def q_wedge_closure(spark, sf_dir):
                        6)).alias("closure_lift"))
 
 
+def q_algebraic_connectivity(spark, sf_dir):
+    """Algebraic-connectivity (lambda_2) estimate: the Rayleigh
+    quotient x^T L x / x^T x of the Fiedler coordinate the spectral
+    chain already computes — x^T L x = sum over canonical edges of
+    (x_u - x_v)^2, so both folds are EXACT integers once the
+    6dp-rounded coordinate is lifted to 1e-6 units; one division.  The
+    how-partitionable scalar behind the spectral-bisection sweep
+    (higher = better connected = worse cuts)."""
+    coords = q_spectral_coord(spark, sf_dir).select(
+        "id", F.round(F.col("f") * 1_000_000, 0).cast("long").alias("xi"))
+    canon = part_cooccurrence_edges(spark, sf_dir)
+    xu = coords.select(F.col("id").alias("src"), F.col("xi").alias("xu"))
+    xv = coords.select(F.col("id").alias("dst"), F.col("xi").alias("xv"))
+    xlx = canon.join(xu, "src").join(xv, "dst").agg(
+        F.sum((F.col("xu") - F.col("xv")) * (F.col("xu") - F.col("xv")))
+        .cast("long").alias("xlx")).collect()[0]["xlx"]
+    xx = coords.agg(F.sum(F.col("xi") * F.col("xi")).cast("long")
+                    .alias("xx")).collect()[0]["xx"]
+    out = spark.createDataFrame(
+        [(int(xlx), int(xx))], "xlx_micro2 long, xx_micro2 long")
+    return out.select(
+        "*",
+        F.round(F.col("xlx_micro2") / F.col("xx_micro2"), 6)
+        .alias("lambda2_est"))
+
+
+def q_bracket_balance(spark, sf_dir):
+    """Per-source bracket/quote hygiene: docs whose parentheses don't
+    balance (open != close counts) or whose double-quote count is odd —
+    the extraction-damage detector (truncated docs, stripped markup).
+    Exact regex counts, one rounded ratio."""
+    docs = load_table(spark, sf_dir, "documents")
+
+    def n(pat):
+        return F.size(F.regexp_extract_all("text", F.lit(pat),
+                                           F.lit(0))).cast("long")
+
+    per = docs.select(
+        "source",
+        (n(r"\(") != n(r"\)")).cast("int").alias("paren_bad"),
+        (F.pmod(n("\""), F.lit(2)) == 1).cast("int").alias("quote_bad"))
+    return per.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("paren_bad").cast("long").alias("n_unbalanced_paren"),
+        F.sum("quote_bad").cast("long").alias("n_odd_quotes"),
+    ).select(
+        "*",
+        F.round((F.col("n_unbalanced_paren") + F.col("n_odd_quotes"))
+                / F.col("n_docs"), 6).alias("damage_rate"))
+
+
+def q_ptype_revenue(spark, sf_dir):
+    """Revenue rollup over the part TYPE tier (the one part dimension
+    column without its own cut): broadcast part join, exact integer
+    cents, per-tier share with one division each."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    j = li.join(F.broadcast(p.select(
+        F.col("p_partkey").alias("l_partkey"), "p_type")), "l_partkey")
+    per = j.groupBy("p_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_lines"),
+        F.sum(F.round(F.col("l_extendedprice") * 100, 0).cast("long"))
+        .alias("cents"))
+    tot = per.agg(F.sum("cents").alias("total"))
+    return per.crossJoin(F.broadcast(tot)).select(
+        "p_type", "n_lines", F.col("cents").alias("revenue_cents"),
+        F.round(F.col("cents") / F.col("total"), 6).alias("share"))
+
+
 def q_triangle_participation(spark, sf_dir):
     """One row — triangle participation: how many vertices sit in at
     least one triangle (and the rate) next to the triangle count.  The
@@ -12128,6 +12197,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dup_order_audit": q_dup_order_audit,
         "triangle_participation": q_triangle_participation,
         "supplier_rank_corr": q_supplier_rank_corr,
+        "algebraic_connectivity": q_algebraic_connectivity,
+        "bracket_balance": q_bracket_balance,
+        "ptype_revenue": q_ptype_revenue,
     }
 
 
@@ -16314,4 +16386,49 @@ SELECT n AS n_suppliers, d2,
        round(1 - CAST(6 * d2 AS DOUBLE) / (n * (n * n - 1.0)), 6)
          AS spearman
 FROM a""",
+        # outer CTEs renamed (li3/canon3): the nested spectral chain
+        # brings its own li/canon (binder quirk, see coarsen_stats)
+        "algebraic_connectivity": f"""
+WITH sc AS MATERIALIZED (
+  SELECT id, CAST(round(f * 1000000, 0) AS BIGINT) AS xi
+  FROM ({_sql_spectral(SPECTRAL_ROUNDS)})),
+li3 AS MATERIALIZED (SELECT DISTINCT l_orderkey, l_partkey
+                     FROM lineitem),
+canon3 AS MATERIALIZED (
+  SELECT a.l_partkey AS src, b.l_partkey AS dst
+  FROM li3 a JOIN li3 b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY a.l_partkey, b.l_partkey),
+s AS (SELECT
+  (SELECT CAST(sum((u.xi - v.xi) * (u.xi - v.xi)) AS BIGINT)
+   FROM canon3 c JOIN sc u ON c.src = u.id JOIN sc v ON c.dst = v.id)
+    AS xlx_micro2,
+  (SELECT CAST(sum(xi * xi) AS BIGINT) FROM sc) AS xx_micro2)
+SELECT xlx_micro2, xx_micro2,
+       round(CAST(xlx_micro2 AS DOUBLE) / xx_micro2, 6) AS lambda2_est
+FROM s""",
+        "bracket_balance": """
+WITH per AS (SELECT source,
+  CASE WHEN len(regexp_extract_all(text, '\\('))
+            != len(regexp_extract_all(text, '\\)'))
+       THEN 1 ELSE 0 END AS paren_bad,
+  CASE WHEN len(regexp_extract_all(text, '"')) % 2 = 1
+       THEN 1 ELSE 0 END AS quote_bad
+  FROM documents)
+SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(paren_bad) AS BIGINT) AS n_unbalanced_paren,
+       CAST(sum(quote_bad) AS BIGINT) AS n_odd_quotes,
+       round(CAST(sum(paren_bad) + sum(quote_bad) AS DOUBLE)
+             / count(*), 6) AS damage_rate
+FROM per GROUP BY source ORDER BY source""",
+        "ptype_revenue": """
+WITH per AS (SELECT p.p_type, CAST(count(*) AS BIGINT) AS n_lines,
+                    CAST(sum(CAST(round(l.l_extendedprice * 100, 0)
+                                  AS BIGINT)) AS BIGINT) AS cents
+             FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+             GROUP BY p.p_type),
+t AS (SELECT CAST(sum(cents) AS BIGINT) AS total FROM per)
+SELECT p_type, n_lines, cents AS revenue_cents,
+       round(CAST(cents AS DOUBLE) / t.total, 6) AS share
+FROM per, t ORDER BY p_type""",
     }
