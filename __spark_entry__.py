@@ -9984,6 +9984,80 @@ def q_wedge_closure(spark, sf_dir):
                        6)).alias("closure_lift"))
 
 
+def q_tax_incidence(spark, sf_dir):
+    """Tax-rate incidence rollup — the one lineitem column (l_tax) with
+    no cut of its own until now: per integer tax band (rate x 100),
+    line counts, taxable base and collected tax in EXACT integer
+    cent-percent units (base_cents x tax_units — no float tax math),
+    plus each band's share of total collections."""
+    li = load_table(spark, sf_dir, "lineitem")
+    per = li.groupBy(
+        F.round(F.col("l_tax") * 100, 0).cast("long").alias("tax_pct")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_lines"),
+        F.sum(F.round(F.col("l_extendedprice") * 100, 0).cast("long"))
+        .alias("base_cents"),
+        F.sum(F.round(F.col("l_extendedprice") * 100, 0).cast("long")
+              * F.round(F.col("l_tax") * 100, 0).cast("long"))
+        .cast("long").alias("collected_cpct"))
+    tot = per.agg(F.sum("collected_cpct").alias("t"))
+    return per.crossJoin(F.broadcast(tot)).select(
+        "tax_pct", "n_lines", "base_cents", "collected_cpct",
+        F.when(F.col("t") > 0,
+               F.round(F.col("collected_cpct") / F.col("t"), 6))
+        .alias("collection_share"))
+
+
+def q_lineitem_corr_matrix(spark, sf_dir):
+    """Pairwise Pearson correlation over the four lineitem numerics
+    (quantity, extendedprice, discount, tax) — discount_qty_corr's
+    single pair generalized to the full matrix, every moment an exact
+    integer fold (values lifted to integer units) with float entering
+    only at the two correctly-rounded sqrts and one division per pair.
+    The feature-redundancy screen before any modeling."""
+    li = load_table(spark, sf_dir, "lineitem")
+    cols = {
+        "quantity": F.col("l_quantity").cast("long"),
+        "extendedprice": F.round(F.col("l_extendedprice") * 100, 0)
+        .cast("long"),
+        "discount": F.round(F.col("l_discount") * 100, 0).cast("long"),
+        "tax": F.round(F.col("l_tax") * 100, 0).cast("long"),
+    }
+    v = li.select(*[e.alias(k) for k, e in cols.items()])
+    names = list(cols)
+    # decimal(38) folds: n * sum(x^2) overflows int64 at cent scale
+    # (6e4 rows x 1e14 per-row squares already ~6e18)
+    dec = "decimal(38,0)"
+    aggs = [F.count(F.lit(1)).cast(dec).alias("n")]
+    for k in names:
+        aggs.append(F.sum(F.col(k)).cast(dec).alias(f"s_{k}"))
+        aggs.append(F.sum(F.col(k).cast(dec) * F.col(k))
+                    .alias(f"ss_{k}"))
+    for i, a in enumerate(names):
+        for b in names[i + 1:]:
+            aggs.append(F.sum(F.col(a).cast(dec) * F.col(b))
+                        .alias(f"sp_{a}_{b}"))
+    m = v.agg(*aggs)
+    rows = []
+    for i, a in enumerate(names):
+        for b in names[i + 1:]:
+            num = F.col("n") * F.col(f"sp_{a}_{b}") \
+                - F.col(f"s_{a}") * F.col(f"s_{b}")
+            va = F.col("n") * F.col(f"ss_{a}") \
+                - F.col(f"s_{a}") * F.col(f"s_{a}")
+            vb = F.col("n") * F.col(f"ss_{b}") \
+                - F.col(f"s_{b}") * F.col(f"s_{b}")
+            rows.append(m.select(
+                F.lit(a).alias("col_a"), F.lit(b).alias("col_b"),
+                F.round(num.cast("double")
+                        / F.sqrt(va.cast("double") * vb.cast("double")),
+                        6).alias("pearson")))
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionByName(r)
+    return out
+
+
 def q_algebraic_connectivity(spark, sf_dir):
     """Algebraic-connectivity (lambda_2) estimate: the Rayleigh
     quotient x^T L x / x^T x of the Fiedler coordinate the spectral
@@ -12200,6 +12274,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "algebraic_connectivity": q_algebraic_connectivity,
         "bracket_balance": q_bracket_balance,
         "ptype_revenue": q_ptype_revenue,
+        "tax_incidence": q_tax_incidence,
+        "lineitem_corr_matrix": q_lineitem_corr_matrix,
     }
 
 
@@ -16431,4 +16507,72 @@ t AS (SELECT CAST(sum(cents) AS BIGINT) AS total FROM per)
 SELECT p_type, n_lines, cents AS revenue_cents,
        round(CAST(cents AS DOUBLE) / t.total, 6) AS share
 FROM per, t ORDER BY p_type""",
+        "tax_incidence": """
+WITH per AS (SELECT CAST(round(l_tax * 100, 0) AS BIGINT) AS tax_pct,
+                    CAST(count(*) AS BIGINT) AS n_lines,
+                    CAST(sum(CAST(round(l_extendedprice * 100, 0)
+                                  AS BIGINT)) AS BIGINT) AS base_cents,
+                    CAST(sum(CAST(round(l_extendedprice * 100, 0)
+                                  AS BIGINT)
+                             * CAST(round(l_tax * 100, 0) AS BIGINT))
+                         AS BIGINT) AS collected_cpct
+             FROM lineitem GROUP BY 1),
+t AS (SELECT CAST(sum(collected_cpct) AS BIGINT) AS t FROM per)
+SELECT tax_pct, n_lines, base_cents, collected_cpct,
+       CASE WHEN t.t > 0
+            THEN round(CAST(collected_cpct AS DOUBLE) / t.t, 6)
+       END AS collection_share
+FROM per, t ORDER BY tax_pct""",
+        "lineitem_corr_matrix": """
+WITH v AS (SELECT CAST(l_quantity AS BIGINT) AS v_quantity, CAST(round(l_extendedprice * 100, 0) AS BIGINT) AS v_extendedprice, CAST(round(l_discount * 100, 0) AS BIGINT) AS v_discount, CAST(round(l_tax * 100, 0) AS BIGINT) AS v_tax FROM lineitem),
+m AS MATERIALIZED (SELECT CAST(count(*) AS HUGEINT) AS n,
+  CAST(sum(v_quantity) AS HUGEINT) AS s_quantity,
+  sum(CAST(v_quantity AS HUGEINT) * v_quantity) AS ss_quantity,
+  CAST(sum(v_extendedprice) AS HUGEINT) AS s_extendedprice,
+  sum(CAST(v_extendedprice AS HUGEINT) * v_extendedprice) AS ss_extendedprice,
+  CAST(sum(v_discount) AS HUGEINT) AS s_discount,
+  sum(CAST(v_discount AS HUGEINT) * v_discount) AS ss_discount,
+  CAST(sum(v_tax) AS HUGEINT) AS s_tax,
+  sum(CAST(v_tax AS HUGEINT) * v_tax) AS ss_tax,
+  sum(CAST(v_quantity AS HUGEINT) * v_extendedprice) AS sp_quantity_extendedprice,
+  sum(CAST(v_quantity AS HUGEINT) * v_discount) AS sp_quantity_discount,
+  sum(CAST(v_quantity AS HUGEINT) * v_tax) AS sp_quantity_tax,
+  sum(CAST(v_extendedprice AS HUGEINT) * v_discount) AS sp_extendedprice_discount,
+  sum(CAST(v_extendedprice AS HUGEINT) * v_tax) AS sp_extendedprice_tax,
+  sum(CAST(v_discount AS HUGEINT) * v_tax) AS sp_discount_tax FROM v)
+SELECT 'quantity' AS col_a, 'extendedprice' AS col_b,
+  round(CAST(n * sp_quantity_extendedprice - s_quantity * s_extendedprice AS DOUBLE)
+        / sqrt(CAST(n * ss_quantity - s_quantity * s_quantity AS DOUBLE)
+               * CAST(n * ss_extendedprice - s_extendedprice * s_extendedprice AS DOUBLE)), 6)
+    AS pearson FROM m
+UNION ALL
+SELECT 'quantity' AS col_a, 'discount' AS col_b,
+  round(CAST(n * sp_quantity_discount - s_quantity * s_discount AS DOUBLE)
+        / sqrt(CAST(n * ss_quantity - s_quantity * s_quantity AS DOUBLE)
+               * CAST(n * ss_discount - s_discount * s_discount AS DOUBLE)), 6)
+    AS pearson FROM m
+UNION ALL
+SELECT 'quantity' AS col_a, 'tax' AS col_b,
+  round(CAST(n * sp_quantity_tax - s_quantity * s_tax AS DOUBLE)
+        / sqrt(CAST(n * ss_quantity - s_quantity * s_quantity AS DOUBLE)
+               * CAST(n * ss_tax - s_tax * s_tax AS DOUBLE)), 6)
+    AS pearson FROM m
+UNION ALL
+SELECT 'extendedprice' AS col_a, 'discount' AS col_b,
+  round(CAST(n * sp_extendedprice_discount - s_extendedprice * s_discount AS DOUBLE)
+        / sqrt(CAST(n * ss_extendedprice - s_extendedprice * s_extendedprice AS DOUBLE)
+               * CAST(n * ss_discount - s_discount * s_discount AS DOUBLE)), 6)
+    AS pearson FROM m
+UNION ALL
+SELECT 'extendedprice' AS col_a, 'tax' AS col_b,
+  round(CAST(n * sp_extendedprice_tax - s_extendedprice * s_tax AS DOUBLE)
+        / sqrt(CAST(n * ss_extendedprice - s_extendedprice * s_extendedprice AS DOUBLE)
+               * CAST(n * ss_tax - s_tax * s_tax AS DOUBLE)), 6)
+    AS pearson FROM m
+UNION ALL
+SELECT 'discount' AS col_a, 'tax' AS col_b,
+  round(CAST(n * sp_discount_tax - s_discount * s_tax AS DOUBLE)
+        / sqrt(CAST(n * ss_discount - s_discount * s_discount AS DOUBLE)
+               * CAST(n * ss_tax - s_tax * s_tax AS DOUBLE)), 6)
+    AS pearson FROM m""",
     }
