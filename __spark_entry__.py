@@ -9984,6 +9984,49 @@ def q_wedge_closure(spark, sf_dir):
                        6)).alias("closure_lift"))
 
 
+def q_monthly_profile(spark, sf_dir):
+    """Calendar-month seasonality of orders (the month-of-year slot
+    beside dow_profile and hourly_profile): per month 1-12, order
+    count, exact cents revenue, and each month's share of both — the
+    seasonality prior behind inventory and the deseasonalized trend
+    reads."""
+    o = load_table(spark, sf_dir, "orders")
+    per = o.groupBy(
+        F.month(F.col("o_orderdate").cast("date")).cast("int")
+        .alias("month")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_orders"),
+        F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("long"))
+        .alias("revenue_cents"))
+    tot = per.agg(F.sum("n_orders").alias("no"),
+                  F.sum("revenue_cents").alias("rc"))
+    return per.crossJoin(F.broadcast(tot)).select(
+        "month", "n_orders", "revenue_cents",
+        F.round(F.col("n_orders") / F.col("no"), 6).alias("order_share"),
+        F.round(F.col("revenue_cents") / F.col("rc"), 6)
+        .alias("revenue_share"))
+
+
+def q_daily_error_rate(spark, sf_dir):
+    """Per-day error pressure of the event stream: events, errors and
+    the exact error rate per calendar day — the ops dashboard row the
+    rate_spikes detector thresholds.  Integer day index (epoch days),
+    one division, days without events absent."""
+    ev = load_table(spark, sf_dir, "events")
+    per = ev.groupBy(
+        F.datediff(F.col("ts").cast("date"),
+                   F.lit("1970-01-01").cast("date"))
+        .cast("long").alias("day_i")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.sum(F.when(F.col("event_type") == "error", 1).otherwise(0))
+        .cast("long").alias("n_errors"))
+    return per.select(
+        "day_i", "n_events", "n_errors",
+        F.round(F.col("n_errors") / F.col("n_events"), 6)
+        .alias("error_rate"))
+
+
 def q_tax_incidence(spark, sf_dir):
     """Tax-rate incidence rollup — the one lineitem column (l_tax) with
     no cut of its own until now: per integer tax band (rate x 100),
@@ -12276,6 +12319,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ptype_revenue": q_ptype_revenue,
         "tax_incidence": q_tax_incidence,
         "lineitem_corr_matrix": q_lineitem_corr_matrix,
+        "monthly_profile": q_monthly_profile,
+        "daily_error_rate": q_daily_error_rate,
     }
 
 
@@ -16575,4 +16620,26 @@ SELECT 'discount' AS col_a, 'tax' AS col_b,
         / sqrt(CAST(n * ss_discount - s_discount * s_discount AS DOUBLE)
                * CAST(n * ss_tax - s_tax * s_tax AS DOUBLE)), 6)
     AS pearson FROM m""",
+        "monthly_profile": """
+WITH per AS (SELECT CAST(month(CAST(o_orderdate AS DATE)) AS INTEGER)
+                      AS month,
+                    CAST(count(*) AS BIGINT) AS n_orders,
+                    CAST(sum(CAST(round(o_totalprice * 100, 0)
+                                  AS BIGINT)) AS BIGINT)
+                      AS revenue_cents
+             FROM orders GROUP BY 1),
+t AS (SELECT CAST(sum(n_orders) AS BIGINT) AS no,
+             CAST(sum(revenue_cents) AS BIGINT) AS rc FROM per)
+SELECT month, n_orders, revenue_cents,
+       round(CAST(n_orders AS DOUBLE) / t.no, 6) AS order_share,
+       round(CAST(revenue_cents AS DOUBLE) / t.rc, 6) AS revenue_share
+FROM per, t ORDER BY month""",
+        "daily_error_rate": """
+SELECT CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS day_i,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_errors,
+       round(CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+                  AS DOUBLE) / count(*), 6) AS error_rate
+FROM events GROUP BY 1 ORDER BY day_i""",
     }
