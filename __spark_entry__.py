@@ -9984,6 +9984,87 @@ def q_wedge_closure(spark, sf_dir):
                        6)).alias("closure_lift"))
 
 
+def q_coreness_degree_corr(spark, sf_dir):
+    """Spearman rank correlation between coreness and degree — the
+    'is the core decomposition just degree in disguise?' audit (a rank
+    correlation near 1 says a cheap degree cut would partition as well
+    as the full peel).  Exact integer identity over deterministic
+    (value, id) total-order ranks; the oracle nests the proven unrolled
+    h-index kcore chain."""
+    from pyspark.sql import Window
+    from plato_spark.graph.edges import symmetrize
+
+    canon = part_cooccurrence_edges(spark, sf_dir)
+    cores = kcore(canon)
+    deg = symmetrize(canon).groupBy(F.col("src").alias("id")).agg(
+        F.count(F.lit(1)).cast("long").alias("deg"))
+    j = cores.join(deg, "id")
+    wa = Window.orderBy(F.col("coreness").asc(), F.col("id").asc())
+    wb = Window.orderBy(F.col("deg").asc(), F.col("id").asc())
+    ranked = j.select(
+        "id",
+        F.row_number().over(wa).alias("ra"),
+        F.row_number().over(wb).alias("rb"))
+    n = j.count()
+    agg = ranked.agg(
+        F.sum((F.col("ra") - F.col("rb")) * (F.col("ra") - F.col("rb")))
+        .cast("long").alias("d2"))
+    return agg.select(
+        F.lit(n).cast("long").alias("n_vertices"),
+        "d2",
+        F.round(1 - 6 * F.col("d2")
+                / F.lit(float(n) * (n * n - 1)), 6).alias("spearman"))
+
+
+def q_circuit_rank(spark, sf_dir):
+    """Circuit rank (cyclomatic number) m - n + c of the co-occurrence
+    graph — the dimension of its cycle space: 0 certifies a forest,
+    and the number is exactly how many edges any spanning forest leaves
+    out (the independent-cycle budget behind bridge/backbone reasoning).
+    Three exact counts (edges, vertices, hash-min components), pure
+    integer arithmetic."""
+    from plato_spark.algos.wcc import connected_components
+    from plato_spark.graph.edges import symmetrize
+
+    canon = part_cooccurrence_edges(spark, sf_dir).persist()
+    m = canon.count()
+    comp = connected_components(symmetrize(canon))
+    n = comp.count()
+    c = comp.select("component").distinct().count()
+    out = spark.createDataFrame(
+        [(m, n, c)], "n_edges long, n_vertices long, n_components long")
+    return out.select(
+        "*",
+        (F.col("n_edges") - F.col("n_vertices")
+         + F.col("n_components")).cast("long").alias("circuit_rank"))
+
+
+def q_token_length_profile(spark, sf_dir):
+    """Per-source token-length fingerprint: token count, exact mean
+    length (sum of lengths / count — two integer folds), the longest
+    token, and the share of long tokens (> 10 chars) — the
+    tokenizer-fertility prior (long-token-heavy sources fragment into
+    more subwords)."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "source",
+        F.explode(F.regexp_extract_all(
+            "text", F.lit("[A-Za-z0-9_]+"), F.lit(0))).alias("t"))
+    per = toks.select("source", F.length("t").cast("long").alias("l"))
+    return per.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_tokens"),
+        F.sum("l").cast("long").alias("total_chars"),
+        F.max("l").cast("long").alias("max_len"),
+        F.sum(F.when(F.col("l") > 10, 1).otherwise(0)).cast("long")
+        .alias("n_long"),
+    ).select(
+        "source", "n_tokens", "total_chars", "max_len", "n_long",
+        F.round(F.col("total_chars") / F.col("n_tokens"), 6)
+        .alias("mean_len"),
+        F.round(F.col("n_long") / F.col("n_tokens"), 6)
+        .alias("long_frac"))
+
+
 def q_monthly_profile(spark, sf_dir):
     """Calendar-month seasonality of orders (the month-of-year slot
     beside dow_profile and hourly_profile): per month 1-12, order
@@ -12321,6 +12402,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lineitem_corr_matrix": q_lineitem_corr_matrix,
         "monthly_profile": q_monthly_profile,
         "daily_error_rate": q_daily_error_rate,
+        "coreness_degree_corr": q_coreness_degree_corr,
+        "circuit_rank": q_circuit_rank,
+        "token_length_profile": q_token_length_profile,
     }
 
 
@@ -16642,4 +16726,59 @@ SELECT CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS day_i,
        round(CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
                   AS DOUBLE) / count(*), 6) AS error_rate
 FROM events GROUP BY 1 ORDER BY day_i""",
+        "coreness_degree_corr": f"""
+WITH kc AS MATERIALIZED (
+  SELECT id, coreness FROM ({_sql_kcore()})),
+li4 AS MATERIALIZED (SELECT DISTINCT l_orderkey, l_partkey
+                     FROM lineitem),
+canon4 AS MATERIALIZED (
+  SELECT a.l_partkey AS src, b.l_partkey AS dst
+  FROM li4 a JOIN li4 b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY a.l_partkey, b.l_partkey),
+dg4 AS MATERIALIZED (
+  SELECT id, CAST(count(*) AS BIGINT) AS deg FROM (
+    SELECT src AS id FROM canon4
+    UNION ALL SELECT dst AS id FROM canon4) z GROUP BY id),
+jj AS (SELECT kc.id, kc.coreness, dg4.deg
+       FROM kc JOIN dg4 ON kc.id = dg4.id),
+rk AS (SELECT id,
+              row_number() OVER (ORDER BY coreness ASC, id ASC) AS ra,
+              row_number() OVER (ORDER BY deg ASC, id ASC) AS rb
+       FROM jj),
+a AS (SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum((ra - rb) * (ra - rb)) AS BIGINT) AS d2
+      FROM rk)
+SELECT n AS n_vertices, d2,
+       round(1 - CAST(6 * d2 AS DOUBLE) / (n * (n * n - 1.0)), 6)
+         AS spearman
+FROM a""",
+        "circuit_rank": _sql_wcc(WCC_SQL_ITERS).replace(
+            "SELECT id, lab AS component FROM l"
+            + str(WCC_SQL_ITERS) + " ORDER BY id",
+            f"""SELECT
+  (SELECT CAST(count(*) AS BIGINT) FROM canon) AS n_edges,
+  (SELECT CAST(count(*) AS BIGINT) FROM l{WCC_SQL_ITERS})
+    AS n_vertices,
+  (SELECT CAST(count(DISTINCT lab) AS BIGINT) FROM l{WCC_SQL_ITERS})
+    AS n_components,
+  CAST((SELECT count(*) FROM canon)
+       - (SELECT count(*) FROM l{WCC_SQL_ITERS})
+       + (SELECT count(DISTINCT lab) FROM l{WCC_SQL_ITERS}) AS BIGINT)
+    AS circuit_rank"""),
+        "token_length_profile": """
+WITH t AS (SELECT source,
+                  unnest(regexp_extract_all(text, '[A-Za-z0-9_]+'))
+                    AS tk
+           FROM documents),
+per AS (SELECT source, CAST(length(tk) AS BIGINT) AS l FROM t)
+SELECT source, CAST(count(*) AS BIGINT) AS n_tokens,
+       CAST(sum(l) AS BIGINT) AS total_chars,
+       CAST(max(l) AS BIGINT) AS max_len,
+       CAST(sum(CASE WHEN l > 10 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_long,
+       round(CAST(sum(l) AS DOUBLE) / count(*), 6) AS mean_len,
+       round(CAST(sum(CASE WHEN l > 10 THEN 1 ELSE 0 END) AS DOUBLE)
+             / count(*), 6) AS long_frac
+FROM per GROUP BY source ORDER BY source""",
     }
