@@ -9984,6 +9984,50 @@ def q_wedge_closure(spark, sf_dir):
                        6)).alias("closure_lift"))
 
 
+def q_linenumber_audit(spark, sf_dir):
+    """Line-number integrity of orders: l_linenumber should be a dense
+    1..k sequence per order — violations (max != count, or duplicates
+    collapsing the distinct count) flag partial deletes / double
+    ingestion.  One grouped pass, exact counts, one rounded ratio."""
+    li = load_table(spark, sf_dir, "lineitem")
+    per = li.groupBy("l_orderkey").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.countDistinct("l_linenumber").cast("long").alias("nd"),
+        F.max("l_linenumber").cast("long").alias("mx"),
+        F.min("l_linenumber").cast("long").alias("mn"))
+    bad = (F.col("mx") != F.col("n")) | (F.col("nd") != F.col("n")) \
+        | (F.col("mn") != 1)
+    return per.agg(
+        F.count(F.lit(1)).cast("long").alias("n_orders"),
+        F.sum(bad.cast("int")).cast("long").alias("n_violations"),
+    ).select(
+        "*",
+        F.round(F.col("n_violations") / F.col("n_orders"), 6)
+        .alias("violation_rate"))
+
+
+def q_supplier_brand_focus(spark, sf_dir):
+    """Per-supplier brand specialization: the Herfindahl concentration
+    of each supplier's line volume over part brands (the entropy-free
+    mixture scalar, lang_concentration's business twin) — 1.0 = single-
+    brand specialist, 1/n_brands = perfectly diversified.  Exact
+    integer cross-multiplication, ONE division per supplier."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    j = li.join(F.broadcast(p.select(
+        F.col("p_partkey").alias("l_partkey"), "p_brand")), "l_partkey")
+    per = j.groupBy("l_suppkey", "p_brand").agg(
+        F.count(F.lit(1)).cast("long").alias("c"))
+    return per.groupBy("l_suppkey").agg(
+        F.count(F.lit(1)).cast("long").alias("n_brands"),
+        F.sum("c").cast("long").alias("n_lines"),
+        F.sum(F.col("c") * F.col("c")).cast("long").alias("ss"),
+    ).select(
+        "l_suppkey", "n_brands", "n_lines",
+        F.round(F.col("ss") / (F.col("n_lines") * F.col("n_lines")), 6)
+        .alias("hhi"))
+
+
 def q_coreness_degree_corr(spark, sf_dir):
     """Spearman rank correlation between coreness and degree — the
     'is the core decomposition just degree in disguise?' audit (a rank
@@ -12405,6 +12449,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "coreness_degree_corr": q_coreness_degree_corr,
         "circuit_rank": q_circuit_rank,
         "token_length_profile": q_token_length_profile,
+        "linenumber_audit": q_linenumber_audit,
+        "supplier_brand_focus": q_supplier_brand_focus,
     }
 
 
@@ -16781,4 +16827,26 @@ SELECT source, CAST(count(*) AS BIGINT) AS n_tokens,
        round(CAST(sum(CASE WHEN l > 10 THEN 1 ELSE 0 END) AS DOUBLE)
              / count(*), 6) AS long_frac
 FROM per GROUP BY source ORDER BY source""",
+        "linenumber_audit": """
+WITH per AS (SELECT l_orderkey, CAST(count(*) AS BIGINT) AS n,
+                    CAST(count(DISTINCT l_linenumber) AS BIGINT) AS nd,
+                    CAST(max(l_linenumber) AS BIGINT) AS mx,
+                    CAST(min(l_linenumber) AS BIGINT) AS mn
+             FROM lineitem GROUP BY l_orderkey)
+SELECT CAST(count(*) AS BIGINT) AS n_orders,
+       CAST(sum(CASE WHEN mx != n OR nd != n OR mn != 1
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_violations,
+       round(CAST(sum(CASE WHEN mx != n OR nd != n OR mn != 1
+                           THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 6)
+         AS violation_rate
+FROM per""",
+        "supplier_brand_focus": """
+WITH per AS (SELECT l.l_suppkey, p.p_brand,
+                    CAST(count(*) AS BIGINT) AS c
+             FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+             GROUP BY l.l_suppkey, p.p_brand)
+SELECT l_suppkey, CAST(count(*) AS BIGINT) AS n_brands,
+       CAST(sum(c) AS BIGINT) AS n_lines,
+       round(CAST(sum(c * c) AS DOUBLE) / (sum(c) * sum(c)), 6) AS hhi
+FROM per GROUP BY l_suppkey ORDER BY l_suppkey""",
     }
