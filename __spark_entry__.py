@@ -9984,6 +9984,64 @@ def q_wedge_closure(spark, sf_dir):
                        6)).alias("closure_lift"))
 
 
+def q_nation_arpu(spark, sf_dir):
+    """Average revenue per customer BY NATION — the per-capita view the
+    raw rollup hides (a big nation with many idle customers can out-
+    revenue a small engaged one while losing per head).  Exact cents,
+    customer counts from the dimension (idle customers stay in the
+    denominator), one division per nation."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    rev = o.groupBy("o_custkey").agg(
+        F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("long"))
+        .alias("cents"))
+    per = (
+        c.select("c_custkey", "c_nationkey")
+        .join(rev.withColumnRenamed("o_custkey", "c_custkey"),
+              "c_custkey", "left")
+        .groupBy("c_nationkey")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_customers"),
+             F.sum(F.coalesce("cents", F.lit(0))).cast("long")
+             .alias("revenue_cents"))
+    )
+    return per.join(
+        F.broadcast(n.select(F.col("n_nationkey").alias("c_nationkey"),
+                             "n_name")), "c_nationkey"
+    ).select(
+        F.col("c_nationkey").alias("nationkey"), "n_name",
+        "n_customers", "revenue_cents",
+        F.round(F.col("revenue_cents") / F.col("n_customers") / 100, 6)
+        .alias("arpu"))
+
+
+def q_first_day_conversion(spark, sf_dir):
+    """Activation audit: how many users convert (purchase) on their
+    FIRST active day — the onboarding-funnel headline.  Exact integer
+    day comparison (min day per user vs purchase days), one row, one
+    division."""
+    ev = load_table(spark, sf_dir, "events")
+    d = F.datediff(F.col("ts").cast("date"),
+                   F.lit("1970-01-01").cast("date")).cast("long")
+    days = ev.select("user_id", d.alias("d"),
+                     (F.col("event_type") == "purchase").alias("p"))
+    first = days.groupBy("user_id").agg(F.min("d").alias("fd"))
+    conv = (
+        days.where("p")
+        .join(first, "user_id")
+        .where(F.col("d") == F.col("fd"))
+        .select("user_id").distinct()
+    )
+    n_users = first.count()
+    n_conv = conv.count()
+    out = spark.createDataFrame(
+        [(n_users, n_conv)], "n_users long, n_first_day_converts long")
+    return out.select(
+        "*",
+        F.round(F.col("n_first_day_converts") / F.col("n_users"), 6)
+        .alias("first_day_conversion"))
+
+
 def q_linenumber_audit(spark, sf_dir):
     """Line-number integrity of orders: l_linenumber should be a dense
     1..k sequence per order — violations (max != count, or duplicates
@@ -12451,6 +12509,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_length_profile": q_token_length_profile,
         "linenumber_audit": q_linenumber_audit,
         "supplier_brand_focus": q_supplier_brand_focus,
+        "nation_arpu": q_nation_arpu,
+        "first_day_conversion": q_first_day_conversion,
     }
 
 
@@ -16849,4 +16909,37 @@ SELECT l_suppkey, CAST(count(*) AS BIGINT) AS n_brands,
        CAST(sum(c) AS BIGINT) AS n_lines,
        round(CAST(sum(c * c) AS DOUBLE) / (sum(c) * sum(c)), 6) AS hhi
 FROM per GROUP BY l_suppkey ORDER BY l_suppkey""",
+        "nation_arpu": """
+WITH rev AS (SELECT o_custkey,
+                    CAST(sum(CAST(round(o_totalprice * 100, 0)
+                                  AS BIGINT)) AS BIGINT) AS cents
+             FROM orders GROUP BY o_custkey),
+per AS (SELECT c.c_nationkey,
+               CAST(count(*) AS BIGINT) AS n_customers,
+               CAST(sum(COALESCE(rev.cents, 0)) AS BIGINT)
+                 AS revenue_cents
+        FROM customer c LEFT JOIN rev ON c.c_custkey = rev.o_custkey
+        GROUP BY c.c_nationkey)
+SELECT per.c_nationkey AS nationkey, n.n_name, per.n_customers,
+       per.revenue_cents,
+       round(CAST(per.revenue_cents AS DOUBLE) / per.n_customers / 100,
+             6) AS arpu
+FROM per JOIN nation n ON per.c_nationkey = n.n_nationkey
+ORDER BY nationkey""",
+        "first_day_conversion": """
+WITH days AS (SELECT user_id,
+                     CAST(CAST(ts AS DATE) - DATE '1970-01-01'
+                          AS BIGINT) AS d,
+                     event_type = 'purchase' AS p
+              FROM events),
+f AS (SELECT user_id, CAST(min(d) AS BIGINT) AS fd
+      FROM days GROUP BY user_id),
+conv AS (SELECT DISTINCT days.user_id
+         FROM days JOIN f ON days.user_id = f.user_id
+         WHERE days.p AND days.d = f.fd)
+SELECT (SELECT CAST(count(*) AS BIGINT) FROM f) AS n_users,
+       (SELECT CAST(count(*) AS BIGINT) FROM conv)
+         AS n_first_day_converts,
+       round(CAST((SELECT count(*) FROM conv) AS DOUBLE)
+             / (SELECT count(*) FROM f), 6) AS first_day_conversion""",
     }
