@@ -184,5 +184,9 @@ def vertex_cover_stats(edges_canon: DataFrame, max_iters: int = 64) -> DataFrame
         "cover_size long, n_uncovered long")
     return base.select(
         "*",
-        F.round(F.col("cover_size") / F.col("n_matched"), 6)
+        # Explicit NULL on an empty matching (n_matched = 0) — Spark's
+        # and DuckDB's divide-by-zero semantics differ, and the repo
+        # convention is NULL, not a fake 0 (ADVICE r4).
+        F.when(F.col("n_matched") > 0,
+               F.round(F.col("cover_size") / F.col("n_matched"), 6))
         .alias("approx_ratio"))

@@ -238,7 +238,9 @@ def mixing_null_model(edges: DataFrame, labels: DataFrame) -> DataFrame:
     cols = m.groupBy(F.col("dst_label")).agg(
         F.sum("edges").cast("long").alias("c"))
     tot = m.agg(F.sum("edges").cast("long").alias("mm"))
-    grid = rows.crossJoin(cols).crossJoin(F.broadcast(tot))
+    # both grid factors are |labels|-bounded — broadcast the right sides
+    # so the grid is a local expansion, not a CartesianProduct shuffle
+    grid = rows.crossJoin(F.broadcast(cols)).crossJoin(F.broadcast(tot))
     obs = grid.join(m, ["src_label", "dst_label"], "left").select(
         "src_label", "dst_label", "r", "c", "mm",
         F.coalesce("edges", F.lit(0)).cast("long").alias("observed"),

@@ -47,7 +47,9 @@ def percolation_sweep(
         if m == 0:
             rows.append((int(t), 0, 0, 0, 0))
             continue
-        labels = connected_components(symmetrize(sub))
+        # connected_components symmetrizes internally; passing the
+        # canonical set avoids doubling every edge in the WCC shuffle.
+        labels = connected_components(sub)
         sizes = labels.groupBy("component").agg(F.count("*").alias("sz"))
         agg = sizes.agg(
             F.count("*").alias("nc"),
@@ -141,7 +143,9 @@ def _removal_sweep(edges_canon: DataFrame, ks: tuple, pick) -> DataFrame:
         if m == 0:
             rows.append((int(k), 0, 0, 0, 0))
             continue
-        labels = connected_components(symmetrize(sub))
+        # connected_components symmetrizes internally; passing the
+        # canonical set avoids doubling every edge in the WCC shuffle.
+        labels = connected_components(sub)
         sizes = labels.groupBy("component").agg(F.count(F.lit(1)).alias("sz"))
         agg = sizes.agg(
             F.count(F.lit(1)).alias("nc"),
@@ -191,7 +195,9 @@ def bond_percolation_sweep(
         if m == 0:
             rows.append((int(p), 0, 0, 0, 0))
             continue
-        labels = connected_components(symmetrize(sub))
+        # connected_components symmetrizes internally; passing the
+        # canonical set avoids doubling every edge in the WCC shuffle.
+        labels = connected_components(sub)
         sizes = labels.groupBy("component").agg(F.count("*").alias("sz"))
         agg = sizes.agg(
             F.count("*").alias("nc"),
@@ -257,6 +263,23 @@ def strength_core_sweep(
             nxt, nxt_ids = checkpoint_tracked(nxt)
             free_blocks(spark, live_ids)
             live, live_ids = nxt, nxt_ids
+        else:
+            # Round budget exhausted: re-check convergence on the final
+            # live set (the last removal may have settled it).  A
+            # truncated peel would silently diverge from the
+            # pinned-round DuckDB oracle — fail loudly instead (same
+            # contract as dag_critical_path's cycle guard).
+            sym = live.select("src", "dst", "w").unionByName(
+                live.select(F.col("dst").alias("src"),
+                            F.col("src").alias("dst"), "w"))
+            n_bad = (sym.groupBy(F.col("src").alias("id"))
+                     .agg(F.sum("w").alias("strength"))
+                     .where(F.col("strength") < s).count())
+            if n_bad > 0:
+                raise RuntimeError(
+                    f"strength_core_sweep: s={s} did not converge in "
+                    f"{max_rounds} rounds ({n_bad} vertices still below "
+                    f"threshold); raise max_rounds")
         m = live.count()
         nv = live.select(F.col("src").alias("id")).unionByName(
             live.select(F.col("dst").alias("id"))).distinct().count()

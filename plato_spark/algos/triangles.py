@@ -233,6 +233,7 @@ def common_neighbor_payload(
     payload: DataFrame,
     value_col: str,
     id_col: str = "id",
+    cents: bool = False,
 ) -> DataFrame:
     """Per linked pair: aggregate a per-vertex payload over the COMMON
     neighbors — the reference's `mutual` example with vertex data
@@ -241,16 +242,36 @@ def common_neighbor_payload(
 
     Returns (src, dst, common_count: long, value_avg: double 6dp); pairs
     with no common neighbors get count 0 and NULL avg.
+
+    cents=True: the payload is an exact 2-decimal non-negative currency
+    value; value_avg is computed ENTIRELY in int64 (HALF_UP at 6dp:
+    floor((2*sum_cents*10^4 + n) / (2n)) / 10^6) so engines sharing the
+    dataset produce bit-identical doubles.  A raw round(avg(double), 6)
+    can land on an exact 7th-digit-5 tie where Spark's exact-decimal
+    HALF_UP and DuckDB's multiply-then-round disagree by 1e-6 (observed
+    on 5/8899 pairs at sf0.001).
     """
     pairs = common_neighbors(canon, as_count=False)
     exploded = pairs.select("src", "dst", F.explode("common").alias("nbr"))
     joined = exploded.join(
         payload.select(F.col(id_col).alias("nbr"), F.col(value_col).alias("v")), "nbr"
     )
-    aggd = joined.groupBy("src", "dst").agg(
-        F.count("*").cast("long").alias("common_count"),
-        F.round(F.avg("v"), 6).alias("value_avg"),
-    )
+    if cents:
+        aggd = joined.groupBy("src", "dst").agg(
+            F.count("*").cast("long").alias("common_count"),
+            F.sum(F.round(F.col("v") * 100).cast("long")).alias("_cents"),
+        ).select(
+            "src", "dst", "common_count",
+            (F.expr(
+                "CAST((2 * _cents * 10000 + common_count)"
+                " DIV (2 * common_count) AS DOUBLE)") / F.lit(1e6)
+             ).alias("value_avg"),
+        )
+    else:
+        aggd = joined.groupBy("src", "dst").agg(
+            F.count("*").cast("long").alias("common_count"),
+            F.round(F.avg("v"), 6).alias("value_avg"),
+        )
     return (
         canon.select("src", "dst")
         .join(aggd, ["src", "dst"], "left")

@@ -1,0 +1,2311 @@
+"""Entry-registry queries: graph2 domain (split from the former
+monolithic __spark_entry__.py; round-5 manifest-ization).
+"""
+
+from __future__ import annotations
+
+from plato_spark.entry.common import (  # noqa: F401
+    BOND_PS,
+    DIFF_ALPHA,
+    DIFF_ROUNDS,
+    F,
+    H1_SQL,
+    HIT_ROUNDS,
+    HIT_SEEDS,
+    HUB_SWEEP_SQL_ITERS,
+    PCA_ROUNDS,
+    PPR_ITERS,
+    PRC_ITERS,
+    PR_ITERS,
+    SCORE_THRESHOLDS,
+    SEEDED_LPA_ITERS,
+    SIMRANK_ITERS,
+    SIMRANK_K,
+    SPECTRAL_ROUNDS,
+    SP_COUNT_SQL_LEVELS,
+    SQL_GRAPH_PREFIX,
+    TOKEN_RE_SQL,
+    WCC_SQL_ITERS,
+    WL_ROUNDS,
+    _sql_attr_diffusion,
+    _sql_bond_percolation,
+    _sql_butterflies,
+    _sql_citation_prefix,
+    _sql_coloring_msf,
+    _sql_component_stability,
+    _sql_degree_quantiles,
+    _sql_densest,
+    _sql_edge_betweenness,
+    _sql_harmonic_exact,
+    _sql_hitting,
+    _sql_kcore,
+    _sql_lang_modularity,
+    _sql_matching,
+    _sql_mis,
+    _sql_modularity,
+    _sql_motif_census,
+    _sql_msf,
+    _sql_onion,
+    _sql_pagerank,
+    _sql_pagerank_concentration,
+    _sql_pagerank_trace,
+    _sql_pca_component,
+    _sql_percolation,
+    _sql_ppr_sweep,
+    _sql_rank_corr,
+    _sql_reference_graph,
+    _sql_salsa,
+    _sql_seeded_lpa,
+    _sql_simrank,
+    _sql_sp_counts,
+    _sql_spectral,
+    _sql_strength_core,
+    _sql_wcc,
+    _sql_wcc_trace,
+    _sql_wedge_closure,
+    _sql_wl,
+    _sym,
+    common_neighbor_payload,
+    connected_components,
+    kcore,
+    load_table,
+    louvain,
+    neighborhood_similarity,
+    pagerank,
+    part_cooccurrence_edges,
+    personalized_pagerank,
+    q_reference_graph,
+    q_spectral_coord,
+    symmetrize,
+    triangle_count,
+)
+
+
+def q_degree_incremental(spark, sf_dir):
+    """Incrementally-maintained vertex degrees (streaming/degree_stream):
+    the canonical edge table arrives as four micro-batches folded into
+    bucket-pruned, epoch-tagged exactly-once state; the read-out must
+    equal the batch degree count verbatim (addition monoid).  The live
+    control surface for hub salting / push-pull policy on a growing
+    crawl."""
+    import shutil
+    import tempfile
+
+    from plato_spark.streaming.degree_stream import (
+        merge_degree_batch,
+        read_degree_state,
+    )
+
+    canon = part_cooccurrence_edges(spark, sf_dir).persist()
+    sd = tempfile.mkdtemp(prefix="plato_incdeg_")
+    try:
+        for i in range(4):
+            # nbuckets=8 at gate scale: a dense fixture batch touches
+            # every bucket, so bucket count is pure write overhead here;
+            # production crawls touch few of many buckets (the pruning
+            # case measured in streaming/incremental.py)
+            merge_degree_batch(
+                canon.where(F.pmod(F.col("src") + F.col("dst"), F.lit(4)) == i),
+                sd,
+                epoch_id=i,
+                nbuckets=8,
+            )
+        out = read_degree_state(spark, sd).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(sd, ignore_errors=True)
+    canon.unpersist()
+    return out
+
+
+def q_sp_counts(spark, sf_dir):
+    """BFS shortest-path counts from the smallest vertex
+    (algos/bfs.bfs_path_counts — Brandes' sigma standalone): (id, dist,
+    sigma) with exact BIGINT path counts; sigma=1 flags routing
+    bottlenecks, large sigma flags redundant connectivity."""
+    from plato_spark.algos.bfs import bfs_path_counts
+
+    sym = _sym(spark, sf_dir)
+    root = sym.agg(F.min("src")).collect()[0][0]
+    out = bfs_path_counts(sym, int(root))
+    return out.select("id", F.col("dist").cast("long").alias("dist"), "sigma")
+
+
+def q_triangle_incremental(spark, sf_dir):
+    """Incrementally-maintained exact triangle count
+    (streaming/triangle_stream): the canonical edge table arrives as
+    four micro-batches; each batch counts only the triangles its new
+    edges close against history (id-ordered union enumeration with
+    is_new flags), and the running total telescopes to the one-shot
+    batch triangle count — the oracle verbatim."""
+    import shutil
+    import tempfile
+
+    from plato_spark.streaming.triangle_stream import (
+        merge_triangle_batch,
+        read_triangle_state,
+    )
+
+    canon = part_cooccurrence_edges(spark, sf_dir).persist()
+    sd = tempfile.mkdtemp(prefix="plato_inctri_")
+    try:
+        for i in range(4):
+            merge_triangle_batch(
+                canon.where(F.pmod(F.col("src") + F.col("dst"), F.lit(4)) == i),
+                sd,
+                epoch_id=i,
+            )
+        out = read_triangle_state(spark, sd).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(sd, ignore_errors=True)
+    canon.unpersist()
+    return out
+
+
+def q_component_stability(spark, sf_dir):
+    """Rand / adjusted-Rand agreement (algos/partition_metrics) between
+    the citation support graph's WCC partition and the partition after
+    removing the top-100 hubs — quantifies what q_hub_removal shows
+    structurally: how much does hub removal reshuffle co-membership?
+    Restricted to vertices present in both partitions; exact binomial
+    pair-count folds (shiftright halving, no double division)."""
+    from plato_spark.algos.partition_metrics import partition_rand_index
+    from plato_spark.algos.wcc import connected_components
+    from plato_spark.graph.edges import canonicalize_undirected, symmetrize
+
+    support = canonicalize_undirected(q_reference_graph(spark, sf_dir)).persist()
+    labels_a = connected_components(symmetrize(support))
+    deg = (
+        symmetrize(support)
+        .groupBy(F.col("src").alias("id"))
+        .agg(F.count(F.lit(1)).cast("long").alias("deg"))
+    )
+    hubs = F.broadcast(deg.orderBy(F.desc("deg"), F.asc("id")).limit(100).select("id"))
+    sub = support.join(
+        hubs.withColumnRenamed("id", "src"), "src", "anti"
+    ).join(hubs.withColumnRenamed("id", "dst"), "dst", "anti")
+    labels_b = connected_components(symmetrize(sub))
+    out = partition_rand_index(labels_a, labels_b)
+    support.unpersist()
+    return out
+
+
+def q_directed_assortativity(spark, sf_dir):
+    """The four directed degree-degree correlations out-in/out-out/
+    in-in/in-out (graph/edges.directed_degree_assortativity, Foster et
+    al. PNAS 2010) over the planted citation digraph — the directed
+    refinement of the undirected assortativity scalar."""
+    from plato_spark.graph.edges import directed_degree_assortativity
+
+    return directed_degree_assortativity(q_reference_graph(spark, sf_dir))
+
+
+def q_triad_census(spark, sf_dir):
+    """Full 16-class Holland-Leinhardt triad census (algos/triads) over
+    the planted citation digraph with the whole document table as the
+    vertex universe — the complete directed-structure fingerprint whose
+    2-vertex prefix is q_dyad_census.  Engine: analytic decomposition
+    (wedge enumeration for >=2-edge triples, per-dyad arithmetic for
+    1-edge triples, complement for 003); oracle: independent FULL
+    brute force over all C(500,3) ~ 20.7M triples — two genuinely
+    different methods agreeing exactly."""
+    from plato_spark.algos.triads import triad_census
+
+    edges = q_reference_graph(spark, sf_dir)
+    verts = load_table(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("id")
+    )
+    return triad_census(edges, verts)
+
+
+def q_pagerank_citation(spark, sf_dir):
+    """Directed PageRank on the planted citation digraph — same kernel
+    (algos/pagerank, join impl) and damping as q_pagerank, but on a
+    graph where dangling vertices are REAL (docs nobody planted an
+    out-link for): exercises the lost-mass branch the symmetrized
+    co-occurrence graph keeps inert (plato pagerank.hpp:100-146 —
+    rank of a vertex with no out-edges decays, no redistribution).
+    Fixed 12 supersteps, eps=0, identical on both engines."""
+    edges = q_reference_graph(spark, sf_dir)
+    r = pagerank(edges, eps=0.0, max_iters=PRC_ITERS, impl="join")
+    return r.select("id", F.round("rank", 6).alias("rank"))
+
+
+def q_source_mixing(spark, sf_dir):
+    """Cross-SOURCE citation mixing matrix (algos/mixing
+    .attribute_mixing_matrix keyed on source): the container-level
+    entanglement dashboard beside the language one — per
+    (src_source, dst_source) directed edge counts."""
+    from plato_spark.algos.mixing import attribute_mixing_matrix
+
+    edges = q_reference_graph(spark, sf_dir)
+    labels = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source")
+    return attribute_mixing_matrix(edges, labels).select(
+        F.col("src_label").alias("src_source"),
+        F.col("dst_label").alias("dst_source"),
+        "edges",
+    )
+
+
+def q_cocitation_cosine(spark, sf_dir):
+    """Cosine-normalized co-citation (Small's weight over the geometric
+    mean of citation in-degrees): corrects raw co-citation's popularity
+    bias — two blockbusters co-cited 10 times may be LESS related than
+    two niche docs co-cited 3 times.  One broadcast-scale join per side
+    onto the existing co_citation kernel, exact integers until one
+    rounded division."""
+    from plato_spark.algos.citations import co_citation
+
+    edges = q_reference_graph(spark, sf_dir)
+    cc = co_citation(edges)
+    ind = edges.groupBy(F.col("dst").alias("id")).agg(
+        F.count(F.lit(1)).cast("long").alias("ind"))
+    return (
+        cc.join(ind.select(F.col("id").alias("a"),
+                           F.col("ind").alias("da")), "a")
+        .join(ind.select(F.col("id").alias("b"),
+                         F.col("ind").alias("db")), "b")
+        .select(
+            "a", "b", "weight",
+            F.round(F.col("weight")
+                    / F.sqrt((F.col("da") * F.col("db")).cast("double")), 6)
+            .alias("cosine"),
+        )
+    )
+
+
+def q_bibcoupling_cosine(spark, sf_dir):
+    """Cosine-normalized bibliographic coupling (Kessler's weight over
+    the geometric mean of OUT-degrees): cocitation_cosine's time-mirror
+    — shared references instead of shared citers, corrected for
+    reference-list length (a survey shares references with everyone)."""
+    from plato_spark.algos.citations import bibliographic_coupling
+
+    edges = q_reference_graph(spark, sf_dir)
+    bc = bibliographic_coupling(edges)
+    outd = edges.groupBy(F.col("src").alias("id")).agg(
+        F.count(F.lit(1)).cast("long").alias("od"))
+    return (
+        bc.join(outd.select(F.col("id").alias("a"),
+                            F.col("od").alias("da")), "a")
+        .join(outd.select(F.col("id").alias("b"),
+                          F.col("od").alias("db")), "b")
+        .select(
+            "a", "b", "weight",
+            F.round(F.col("weight")
+                    / F.sqrt((F.col("da") * F.col("db")).cast("double")), 6)
+            .alias("cosine"),
+        )
+    )
+
+
+def q_degree_quantiles(spark, sf_dir):
+    """Degree-distribution percentiles (p50/p90/p99 of the symmetrized
+    co-occurrence degrees via the histogram quantile kernel): the
+    skew dashboard number beside degree_gini's scalar and the log2
+    histogram's shape."""
+    from plato_spark.functions.quantiles import histogram_quantiles
+    from plato_spark.graph.edges import symmetrize
+
+    deg = (
+        symmetrize(part_cooccurrence_edges(spark, sf_dir))
+        .groupBy(F.col("src").alias("id"))
+        .agg(F.count(F.lit(1)).cast("long").alias("deg"))
+    )
+    return histogram_quantiles(deg, "deg", quantiles=(0.5, 0.9, 0.99),
+                               nbins=256)
+
+
+def q_co_citation(spark, sf_dir):
+    """Co-citation pairs (algos/citations.co_citation — Small 1973):
+    docs cited together by a common third doc, over the planted
+    citation digraph.  The 'related work' similarity signal that
+    accrues as the corpus grows."""
+    from plato_spark.algos.citations import co_citation
+
+    return co_citation(q_reference_graph(spark, sf_dir))
+
+
+def q_biblio_coupling(spark, sf_dir):
+    """Bibliographic coupling pairs (algos/citations
+    .bibliographic_coupling — Kessler 1963): docs citing the same
+    targets, over the planted citation digraph.  Computable at crawl
+    time from a doc's own out-links, unlike co-citation."""
+    from plato_spark.algos.citations import bibliographic_coupling
+
+    return bibliographic_coupling(q_reference_graph(spark, sf_dir))
+
+
+def q_degree_clustering(spark, sf_dir):
+    """Degree-dependent clustering curve c(k) (algos/triangles
+    .degree_clustering_curve) on the co-occurrence graph — the
+    hierarchical-modularity probe (Ravasz-Barabási), ratio-of-sums per
+    degree class so both engines stay in exact BIGINTs."""
+    from plato_spark.algos.triangles import degree_clustering_curve
+
+    return degree_clustering_curve(part_cooccurrence_edges(spark, sf_dir))
+
+
+def q_strength_disparity(spark, sf_dir):
+    """Per-vertex edge-weight concentration Y(v) (graph/edges
+    .strength_disparity) on the weighted co-occurrence graph — the
+    weight-aware sibling of the degree audits, deciding whether a hub
+    needs whole-vertex salting or just its one heavy edge isolated."""
+    from plato_spark.graph.edges import strength_disparity
+
+    return strength_disparity(
+        part_cooccurrence_edges(spark, sf_dir, weighted=True)
+    )
+
+
+def q_edge_smoothness(spark, sf_dir):
+    """Dirichlet energy of doc length over the planted citation digraph
+    (graph/edges.attribute_dirichlet) — 'do linked documents look
+    alike?', the smoothness precondition for neighborhood aggregation
+    (GNN feeds, label spreading) carrying any signal.  Exact BIGINT
+    folds, one rounded division."""
+    from plato_spark.graph.edges import attribute_dirichlet
+
+    edges = q_reference_graph(spark, sf_dir)
+    attrs = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    return attribute_dirichlet(edges, attrs)
+
+
+def q_hub_churn(spark, sf_dir):
+    """Top-100 hub stability between the two day-parity halves of the
+    event stream (graph/edges.hub_rank_churn over two co-activity
+    snapshot graphs): Spearman-footrule rank drift + top-list
+    entry/exit counts — the audit that decides whether yesterday's
+    hub-capped partitioning is still valid today."""
+    from plato_spark.functions.events import co_activity_edges
+    from plato_spark.graph.edges import hub_rank_churn
+
+    ev = load_table(spark, sf_dir, "events")
+    half = F.pmod(
+        F.datediff(
+            F.to_date(F.col("ts").cast("timestamp")),
+            F.to_date(F.lit("1970-01-01")),
+        ),
+        F.lit(2),
+    )
+    a = ev.where(half == 0)
+    b = ev.where(half == 1)
+    return hub_rank_churn(
+        co_activity_edges(a), co_activity_edges(b), k=100
+    )
+
+
+def q_bowtie(spark, sf_dir):
+    """Broder bow-tie decomposition (algos/bowtie) — CORE / IN / OUT /
+    TENDRIL / DISCONNECTED vertex census of a planted variable-degree
+    citation digraph.  The q_reference_graph wiring gives every doc
+    out-degree exactly 2, which makes OUT/TENDRIL/DISCONNECTED
+    structurally empty (every forward path re-enters the giant SCC) —
+    so this fixture draws out-degree k = md5-hash('deg|id') % 3 in
+    {0, 1, 2} per doc, which populates all five categories (59/75/111/
+    162/93 at the shared 500-doc table).  PLANTED-TRUTH wiring; the
+    engine still runs the real SCC + reachability + WCC kernels."""
+    from plato_spark.algos.bowtie import bowtie_decomposition
+    from plato_spark.functions.text import portable_h1
+
+    docs = load_table(spark, sf_dir, "documents")
+    n = docs.select("doc_id").distinct().count()
+    sid = F.col("doc_id").cast("string")
+    k = F.pmod(portable_h1(F.concat(F.lit("deg|"), sid)), F.lit(3))
+
+    def _target(j):
+        return F.pmod(
+            portable_h1(F.concat(F.lit("ref|"), sid, F.lit(f"|{j}"))),
+            F.lit(n),
+        ).cast("long")
+
+    base = docs.select(
+        F.col("doc_id").alias("src"),
+        k.alias("k"),
+        _target(0).alias("t0"),
+        _target(1).alias("t1"),
+    )
+    edges = (
+        base.where(F.col("k") >= 1).select("src", F.col("t0").alias("dst"))
+        .unionByName(
+            base.where(F.col("k") >= 2).select("src", F.col("t1").alias("dst"))
+        )
+        .where(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+    return bowtie_decomposition(edges, docs.select(F.col("doc_id").alias("id")))
+
+
+def q_brand_mixing(spark, sf_dir):
+    """Brand mixing over the co-occurrence graph (algos/mixing
+    .attribute_mixing_matrix keyed on p_brand, canonical edges as the
+    directed input): do baskets stay within a brand or mix? — the
+    product-category cohesion matrix, the merchandising twin of the
+    language one."""
+    from plato_spark.algos.mixing import attribute_mixing_matrix
+
+    canon = part_cooccurrence_edges(spark, sf_dir)
+    labels = load_table(spark, sf_dir, "part").select(
+        F.col("p_partkey").alias("doc_id"), F.col("p_brand"))
+    return attribute_mixing_matrix(canon, labels).select(
+        F.col("src_label").alias("src_brand"),
+        F.col("dst_label").alias("dst_brand"),
+        "edges",
+    )
+
+
+def q_lang_mixing(spark, sf_dir):
+    """Cross-language citation mixing matrix (algos/mixing
+    .attribute_mixing_matrix) over the planted citation digraph — per
+    (src_lang, dst_lang) directed edge counts, the entanglement
+    dashboard behind per-language corpus splits (a split is only clean
+    if the off-diagonal mass is small)."""
+    from plato_spark.algos.mixing import attribute_mixing_matrix
+
+    edges = q_reference_graph(spark, sf_dir)
+    labels = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    return attribute_mixing_matrix(edges, labels).select(
+        F.col("src_label").alias("src_lang"),
+        F.col("dst_label").alias("dst_lang"),
+        "edges",
+    )
+
+
+def q_attr_assortativity(spark, sf_dir):
+    """Newman categorical assortativity by language (algos/mixing
+    .attribute_assortativity) over the planted citation digraph — the
+    scalar 'do same-language docs cite each other' audit beside the
+    degree-assortativity scalar.  Exact integer folds, one rounded
+    division (NULL when undefined)."""
+    from plato_spark.algos.mixing import attribute_assortativity
+
+    edges = q_reference_graph(spark, sf_dir)
+    labels = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    return attribute_assortativity(edges, labels)
+
+
+def q_modularity(spark, sf_dir):
+    """Weighted modularity of the one-level Louvain partition (exact
+    integer fold, single IEEE division at read-out; algos/modularity)."""
+    from plato_spark.algos.modularity import modularity
+
+    canon = part_cooccurrence_edges(spark, sf_dir, weighted=True)
+    labels = louvain(
+        canon, outer_iterations=1, inner_iterations=1, weight="weight"
+    )
+    return modularity(canon, labels, weight="weight")
+
+
+def q_mis(spark, sf_dir):
+    """Deterministic Luby maximal independent set (unique portable-hash
+    priorities; algos/mis) — (id, mis_round) for every MIS member."""
+    from plato_spark.algos.mis import maximal_independent_set
+
+    return maximal_independent_set(
+        symmetrize(part_cooccurrence_edges(spark, sf_dir))
+    )
+
+
+def q_matching(spark, sf_dir):
+    """Deterministic maximal matching (locally-minimal hash-priority
+    edges; algos/matching) — (src, dst, match_round) per matched edge."""
+    from plato_spark.algos.matching import maximal_matching
+
+    return maximal_matching(part_cooccurrence_edges(spark, sf_dir))
+
+
+def q_co_activity(spark, sf_dir):
+    """Temporal co-activity graph from the event stream: users linked
+    per shared (event_type, hour) bucket, 256-user bucket guard
+    (functions/events.co_activity_edges)."""
+    from plato_spark.functions.events import co_activity_edges
+
+    return co_activity_edges(load_table(spark, sf_dir, "events"))
+
+
+def q_percolation(spark, sf_dir):
+    """Weight-threshold percolation sweep of the co-occurrence graph
+    (algos/percolation): component structure at weight >= {1,2,3,5}."""
+    from plato_spark.algos.percolation import percolation_sweep
+
+    return percolation_sweep(
+        part_cooccurrence_edges(spark, sf_dir, weighted=True), (1, 2, 3, 5)
+    )
+
+
+def q_butterfly_vertices(spark, sf_dir):
+    """Per-part butterfly participation over the order x part incidence
+    (algos/butterflies.butterfly_per_vertex) — (id, butterflies)."""
+    from plato_spark.algos.butterflies import butterfly_per_vertex
+
+    inc = (
+        load_table(spark, sf_dir, "lineitem")
+        .select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p"))
+        .distinct()
+    )
+    return butterfly_per_vertex(inc, left="o", right="p", side="right")
+
+
+def q_rich_club(spark, sf_dir):
+    """Rich-club coefficients of the co-occurrence graph at k in
+    {4,8,16,32} (algos/motifs.rich_club) — exact counts + one rounded
+    division per k."""
+    from plato_spark.algos.motifs import rich_club
+
+    return rich_club(part_cooccurrence_edges(spark, sf_dir))
+
+
+def q_densest(spark, sf_dir):
+    """(2+eps)-approximate densest subgraph via logarithmic-round
+    average-degree peeling (Bahmani et al. PVLDB'12; algos/densest) —
+    winning snapshot's vertices + exact rational density."""
+    from plato_spark.algos.densest import densest_subgraph
+
+    return densest_subgraph(part_cooccurrence_edges(spark, sf_dir))
+
+
+def q_weighted_matching(spark, sf_dir):
+    """Locally-heaviest greedy weighted matching (Preis 1999 shape,
+    1/2-approximation; algos/matching with weight-first priority)."""
+    from plato_spark.algos.matching import maximal_matching
+
+    return maximal_matching(
+        part_cooccurrence_edges(spark, sf_dir, weighted=True),
+        weight_col="weight",
+    )
+
+
+def q_salsa(spark, sf_dir):
+    """SALSA hub/authority scores over the order x part incidence
+    (algos/salsa; 5 L1-normalized degree-stochastic iterations)."""
+    from plato_spark.algos.salsa import salsa
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p")
+    )
+    return salsa(li, iters=5, left="o", right="p")
+
+
+def q_motif_census(spark, sf_dir):
+    """Exact motif census of the co-occurrence graph (algos/motifs):
+    one row (n_vertices, n_edges, wedges, triangles, four_cycles);
+    `triangles` cross-checks the independent orientation-based
+    triangle_count query."""
+    from plato_spark.algos.motifs import motif_census
+
+    return motif_census(part_cooccurrence_edges(spark, sf_dir))
+
+
+def q_mixing_null_model(spark, sf_dir):
+    """Language mixing matrix vs its configuration-model null
+    (algos/mixing.mixing_null_model) over the planted citation digraph:
+    observed, expected = rowsum*colsum/M, and lift per label pair —
+    full |labels|^2 grid, exact integer folds, one rounded division
+    each."""
+    from plato_spark.algos.mixing import mixing_null_model
+
+    edges = q_reference_graph(spark, sf_dir)
+    labels = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    return mixing_null_model(edges, labels).select(
+        F.col("src_label").alias("src_lang"),
+        F.col("dst_label").alias("dst_lang"),
+        "observed", "expected", "lift",
+    )
+
+
+def q_pagerank_concentration(spark, sf_dir):
+    """Attention concentration of the citation PageRank: share of total
+    rank mass held by the top-k vertices, k in (10, 100) — the
+    hub-domination audit behind mixture balancing (if 100 docs hold
+    half the attention, per-source caps matter).  The 6dp-rounded ranks
+    are EXACT integers at 1e6 scale, so shares are integer sums with
+    one division; top-k under the (rank DESC, id) total order."""
+    pr = pagerank(q_reference_graph(spark, sf_dir), eps=0.0,
+                  max_iters=PRC_ITERS, impl="join").select(
+        "id", F.round(F.col("rank") * 1e6, 0).cast("long").alias("r6"))
+    pr = pr.localCheckpoint(eager=True)
+    tot = pr.agg(F.sum("r6").cast("long").alias("tot"))
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.desc("r6"), F.asc("id"))
+    spark_k = spark.createDataFrame([(10,), (100,)], "k int")
+    top = pr.orderBy(F.desc("r6"), F.asc("id")).limit(100).select(
+        "r6", F.row_number().over(w).alias("rn"))
+    return (
+        spark_k.join(top, F.col("rn") <= F.col("k"))
+        .groupBy("k")
+        .agg(F.sum("r6").cast("long").alias("mass"))
+        .crossJoin(F.broadcast(tot))
+        .select("k", "mass", "tot",
+                F.round((F.lit(100) * F.col("mass")) / F.col("tot"), 6)
+                .alias("share_pct"))
+    )
+
+
+def q_centrality_rank_corr(spark, sf_dir):
+    """Spearman-style rank agreement between total degree and directed
+    PageRank on the citation digraph (algos/rankcorr.rank_correlation):
+    does link structure add signal over the cheap statistic?  Ranks via
+    the distributed dictionary rank on a composite int64 key (pinned
+    (score DESC, id) order — documented tie deviation), exact BIGINT
+    d^2 fold, one rounded division."""
+    from plato_spark.algos.rankcorr import rank_correlation
+
+    edges = q_reference_graph(spark, sf_dir)
+    deg = (
+        edges.select(F.col("src").alias("id"))
+        .unionByName(edges.select(F.col("dst").alias("id")))
+        .groupBy("id").agg(F.count(F.lit(1)).cast("long").alias("score_u"))
+    )
+    pr = pagerank(edges, eps=0.0, max_iters=PRC_ITERS, impl="join").select(
+        "id", F.round(F.col("rank") * 1e6, 0).cast("long").alias("score_u")
+    )
+    return rank_correlation(deg, pr)
+
+
+def q_degree_mixing_matrix(spark, sf_dir):
+    """Joint degree-degree edge distribution: (bucket_lo, bucket_hi,
+    n_edges) over bit-length degree buckets (the deterministic log2
+    discipline) — the MATRIX behind the assortativity scalar.  The
+    scalar can be ~0 while the matrix shows structure (hubs wired to
+    leaves AND to each other cancel); buckets are unordered
+    (least/greatest) because canonical a<b says nothing about which
+    endpoint is bigger.  One degree agg + two tag joins on the edge
+    table's own keys."""
+    canon = part_cooccurrence_edges(spark, sf_dir)
+    sym = canon.unionByName(canon.select(
+        F.col("dst").alias("src"), F.col("src").alias("dst")))
+    deg = sym.groupBy(F.col("src").alias("id")).agg(
+        F.count(F.lit(1)).cast("long").alias("deg"))
+    e = (
+        canon.join(deg.select(F.col("id").alias("sid"),
+                              F.col("deg").alias("ds")),
+                   F.col("src") == F.col("sid"))
+        .join(deg.select(F.col("id").alias("did"),
+                         F.col("deg").alias("dd")),
+              F.col("dst") == F.col("did"))
+    )
+    bs = F.length(F.bin(F.col("ds"))).cast("int")
+    bd = F.length(F.bin(F.col("dd"))).cast("int")
+    return (
+        e.select(F.least(bs, bd).alias("bucket_lo"),
+                 F.greatest(bs, bd).alias("bucket_hi"))
+        .groupBy("bucket_lo", "bucket_hi")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_edges"))
+    )
+
+
+def q_friendship_paradox(spark, sf_dir):
+    """The friendship-paradox magnitude in one row: mean degree 2E/V
+    vs mean NEIGHBOR degree Σd²/Σd — your contacts have more contacts
+    than you whenever the degree distribution has variance, and the
+    ratio measures by how much (the sampling-bias warning for any
+    neighbor-based estimator, e.g. GNN neighbor sampling).  Every term
+    folds as exact integers; two divisions rounded 6dp."""
+    canon = part_cooccurrence_edges(spark, sf_dir)
+    sym = canon.unionByName(canon.select(
+        F.col("dst").alias("src"), F.col("src").alias("dst")))
+    deg = sym.groupBy(F.col("src").alias("id")).agg(
+        F.count(F.lit(1)).cast("long").alias("d"))
+    return deg.agg(
+        F.count(F.lit(1)).cast("long").alias("v"),
+        (F.sum("d") / 2).cast("long").alias("e"),
+        F.round(F.sum("d") / F.count(F.lit(1)), 6).alias("mean_deg"),
+        F.round(F.sum(F.col("d") * F.col("d")) / F.sum("d"), 6)
+        .alias("mean_nbr_deg"),
+        F.round((F.sum(F.col("d") * F.col("d")) / F.sum("d"))
+                / (F.sum("d") / F.count(F.lit(1))), 6).alias("paradox"),
+    )
+
+
+def q_lcc_histogram(spark, sf_dir):
+    """Local-clustering-coefficient distribution in 10 EXACT bins:
+    bin = min((20·T) div (d·(d-1)), 9) — the rational 2T/(d(d-1)) is
+    binned by INTEGER cross-multiply, so bin membership never rides a
+    float (a 0.septillion-ulp lcc at a bin edge would otherwise flip
+    between engines).  deg < 2 vertices land in bin 0 with lcc 0, the
+    clustering_coefficient convention; lcc = 1.0 caps into bin 9.
+    The shape statistic behind transitivity's single scalar."""
+    from plato_spark.algos.triangles import _degrees, triangle_count
+
+    canon = part_cooccurrence_edges(spark, sf_dir)
+    tri = triangle_count(canon, per_vertex=True)
+    deg = _degrees(canon)
+    j = tri.join(deg, "id", "left")
+    b = F.when(
+        F.col("deg") >= 2,
+        F.least(F.expr("(20 * triangles) div (deg * (deg - 1))"),
+                F.lit(9)),
+    ).otherwise(F.lit(0)).cast("int")
+    return j.select(b.alias("bin")).groupBy("bin").agg(
+        F.count(F.lit(1)).cast("long").alias("n_vertices"))
+
+
+def q_edge_weight_spectrum(spark, sf_dir):
+    """Co-occurrence edge-weight spectrum: per bit-length weight bucket
+    the edge count and total weight mass — the evidence-strength shape
+    of the weighted graph (a mass-heavy tail bucket says a few
+    always-together pairs carry the graph; the degree histogram can't
+    see that).  Weights are exact integer counts; one
+    map-side-combined agg over the canonical edge table."""
+    canon = part_cooccurrence_edges(spark, sf_dir, weighted=True)
+    wgt = F.col("weight").cast("long")
+    return (
+        canon.select(F.length(F.bin(wgt)).cast("int").alias("bucket"),
+                     wgt.alias("w"))
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_edges"),
+             F.sum("w").cast("long").alias("weight_mass"))
+    )
+
+
+def q_link_overlap(spark, sf_dir):
+    """Overlap (hub-promoted) coefficient per linked pair
+    (algos/triangles.neighborhood_similarity method='overlap'):
+    |N(u)∩N(v)| / min(deg) — completes the link-score family
+    (jaccard / adamic-adar / resource-allocation / preferential);
+    containment-vs-resemblance for neighborhoods: a leaf inside a hub's
+    neighborhood scores 1.0 where Jaccard dilutes it."""
+    from plato_spark.algos.triangles import neighborhood_similarity
+
+    return neighborhood_similarity(
+        part_cooccurrence_edges(spark, sf_dir), method="overlap")
+
+
+def q_densification_curve(spark, sf_dir):
+    """Temporal graph growth: per day, CUMULATIVE distinct users and
+    distinct (user, event_type) incidences — the densification read-out
+    (do incidences grow superlinearly in vertices, the Leskovec
+    densification-law question).  Cumulative-distinct never runs as a
+    distinct-per-window: each entity contributes its FIRST-SEEN day
+    (one map-side-combined min per key), then a running sum over the
+    <=|days| day table — the bounded offsets-table role.  Day emits as
+    yyyy-MM-dd text (the retention_cohorts portability lesson)."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", F.to_date("ts").alias("d"))
+    fu = (ev.groupBy("user_id").agg(F.min("d").alias("d"))
+          .groupBy("d").agg(F.count(F.lit(1)).cast("long").alias("nu")))
+    fi = (ev.groupBy("user_id", "event_type").agg(F.min("d").alias("d"))
+          .groupBy("d").agg(F.count(F.lit(1)).cast("long").alias("ni")))
+    days = ev.select("d").distinct()
+    j = (days.join(fu, "d", "left").join(fi, "d", "left")
+         .select("d", F.coalesce("nu", F.lit(0)).alias("nu"),
+                 F.coalesce("ni", F.lit(0)).alias("ni")))
+    w = (Window.orderBy("d")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    return j.select(
+        F.date_format("d", "yyyy-MM-dd").alias("day"),
+        F.sum("nu").over(w).cast("long").alias("cum_users"),
+        F.sum("ni").over(w).cast("long").alias("cum_incidences"),
+    )
+
+
+def q_blocklist_hits(spark, sf_dir):
+    """Blocklist coverage audit per source (functions/text
+    .blocklist_hits): JVM array-filter hit counts for a term list,
+    zero Python, zero pre-agg shuffle."""
+    from plato_spark.functions.text import blocklist_hits
+
+    return blocklist_hits(load_table(spark, sf_dir, "documents"))
+
+
+def q_strength_assortativity(spark, sf_dir):
+    """Weighted (strength) assortativity of the co-occurrence graph
+    (graph/edges.strength_assortativity): do heavily-evidenced vertices
+    attach to each other? — the evidence-mass sibling of the
+    degree-assortativity scalar, same zero-variance-NULL sufficient-
+    statistics form."""
+    from plato_spark.graph.edges import strength_assortativity
+
+    return strength_assortativity(
+        part_cooccurrence_edges(spark, sf_dir, weighted=True))
+
+
+def q_instability(spark, sf_dir):
+    """Martin instability I = fan_out/(fan_in+fan_out) per doc of the
+    citation digraph (algos/citations.instability) — the
+    code-architecture coupling audit; full doc table as the universe so
+    isolated docs report (0,0,NULL)."""
+    from plato_spark.algos.citations import instability
+
+    edges = q_reference_graph(spark, sf_dir)
+    verts = load_table(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("id"))
+    return instability(edges, verts)
+
+
+def q_lang_modularity(spark, sf_dir):
+    """Newman modularity of the LANGUAGE partition on the citation
+    support graph (algos/modularity.modularity with lang as the
+    community) — the partition-quality scalar beside lang_conductance's
+    per-class cuts and attr_assortativity's correlation: 'would
+    splitting the corpus by language cut few citations?' answered in
+    one exact-integer fold."""
+    from plato_spark.algos.modularity import modularity
+    from plato_spark.graph.edges import canonicalize_undirected
+
+    canon = canonicalize_undirected(q_reference_graph(spark, sf_dir))
+    labels = load_table(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("id"), F.col("lang").alias("community"))
+    return modularity(canon, labels)
+
+
+def q_harmonic_exact(spark, sf_dir):
+    """Exact per-root harmonic centrality over the shared pinned-root
+    multi-source BFS (algos/closeness.harmonic_exact): integer L/d
+    weight folds, one float division at read-out."""
+    from plato_spark.algos.closeness import harmonic_exact
+
+    return harmonic_exact(part_cooccurrence_edges(spark, sf_dir),
+                          num_roots=64)
+
+
+def q_msf(spark, sf_dir):
+    """Borůvka minimum spanning forest under the unique total order
+    (weight, src, dst) (algos/msf) — (src, dst, weight, msf_round)."""
+    from plato_spark.algos.msf import boruvka_msf
+
+    return boruvka_msf(part_cooccurrence_edges(spark, sf_dir, weighted=True))
+
+
+def q_coloring(spark, sf_dir):
+    """Deterministic Jones–Plassmann greedy coloring (unique hash
+    priorities; algos/coloring) over the Borůvka spanning forest of the
+    co-occurrence graph — (id, color, jp_round) per vertex.
+
+    The forest (not the raw graph) is the fixture because JP's round
+    count is the longest decreasing-priority path: on the dense
+    co-occurrence cliques winners per round are ~V/(deg+1) (~17/round at
+    sf0.01 → ~120 rounds), while the sparse forest converges in O(log V)
+    (measured 9 rounds at sf0.01) — the regime the operator targets.
+    """
+    from plato_spark.algos.coloring import jones_plassmann_coloring
+    from plato_spark.algos.msf import boruvka_msf
+
+    forest = boruvka_msf(part_cooccurrence_edges(spark, sf_dir, weighted=True))
+    return jones_plassmann_coloring(symmetrize(forest.select("src", "dst")))
+
+
+def q_butterflies(spark, sf_dir):
+    """Exact bipartite butterfly statistics over the order x part
+    incidence (algos/butterflies) — one row of int64 motif counts."""
+    from plato_spark.algos.butterflies import butterfly_stats
+
+    inc = (
+        load_table(spark, sf_dir, "lineitem")
+        .select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p"))
+        .distinct()
+    )
+    return butterfly_stats(inc, left="o", right="p")
+
+
+def q_spread_behaviour(spark, sf_dir):
+    """spread.cc list mode (example/spread.cc:718-760): per relation
+    vertex, aggregate its neighbors' behaviour rows by behaviour id —
+    relation graph = co-occurrence edges, behaviour table = events
+    (user_id -> event_type, value)."""
+    from plato_spark.algos.spread import spread_aggregate
+
+    canon = part_cooccurrence_edges(spark, sf_dir)
+    beh = load_table(spark, sf_dir, "events").select(
+        F.col("user_id").alias("id"), "event_type", "value"
+    )
+    return spread_aggregate(
+        canon, beh, id_col="id", behaviour_col="event_type", sum_cols=("value",)
+    )
+
+
+def q_common_neighbor_payload(spark, sf_dir):
+    """Mutual with vertex payload: avg part retail price over each linked
+    pair's common neighbors (example/mutual.cc vertex-data variant).
+    cents=True: retail prices are exact 2-decimal values, so the average
+    is exact int64 math (HALF_UP at 6dp) — immune to the
+    round(avg(double)) 7th-digit tie that split the engines by 1e-6 on
+    5 pairs at sf0.001."""
+    canon = part_cooccurrence_edges(spark, sf_dir)
+    payload = load_table(spark, sf_dir, "part").select(
+        F.col("p_partkey").alias("id"), F.col("p_retailprice").alias("v")
+    )
+    return common_neighbor_payload(canon, payload, "v", cents=True)
+
+
+def q_seeded_lpa(spark, sf_dir):
+    """Semi-supervised label spreading (algos/lpa.seeded_label_propagation)
+    on the symmetric co-occurrence graph: every 40th vertex is a clamped
+    seed carrying label md5-hash(id) % 4; three deterministic vote rounds
+    spread labels outward (smallest label on ties); unreached -> -1."""
+    from plato_spark.algos.lpa import seeded_label_propagation
+    from plato_spark.functions.text import portable_h1
+
+    sym = _sym(spark, sf_dir)
+    verts = sym.select(F.col("src").alias("id")).distinct()
+    seeds = verts.where(F.col("id") % 40 == 0).select(
+        "id",
+        (portable_h1(F.concat(F.lit("seedlab|"), F.col("id").cast("string")))
+         % 4).alias("label"),
+    )
+    return seeded_label_propagation(sym, seeds, iterations=SEEDED_LPA_ITERS)
+
+
+def q_topo_levels(spark, sf_dir):
+    """DAG longest-path levels (topological depth) on a PLANTED-TRUTH
+    dependency DAG derived deterministically from the corpus: doc_ids
+    are dense-ranked; rank r emits a chain edge r -> r+1 iff
+    md5-parity sel(r), and a skip edge r -> r+2 iff sel(r) and sel(r+1)
+    (skips add multi-predecessor joins without changing the longest
+    path).  Ground truth is the run length: level(r) = r - start of r's
+    maximal consecutive-sel run, which the oracle computes with one
+    gaps-and-islands window — while the engine must genuinely relax the
+    planted DAG to a fixpoint (depth = longest run, ~2*log2(n) rounds)."""
+    from plato_spark.algos.dag import dag_levels
+    from plato_spark.functions.text import portable_h1
+    from plato_spark.graph.edges import build_dictionary
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select(F.col("doc_id").alias("vkey")).distinct()
+    )
+    n = docs.count()
+    d = build_dictionary(docs, 16)
+    base = d.select(F.col("id").alias("r"))
+    rr = F.col("r")
+
+    def _sel(c):
+        return portable_h1(F.concat(F.lit("topo|"), c.cast("string"))) % 2 == 0
+
+    step = base.where(_sel(rr) & (rr + 1 < n)).select(
+        rr.alias("src"), (rr + 1).cast("long").alias("dst")
+    )
+    skip = base.where(_sel(rr) & _sel(rr + 1) & (rr + 2 < n)).select(
+        rr.alias("src"), (rr + 2).cast("long").alias("dst")
+    )
+    edges = step.unionByName(skip)
+    verts = base.select(rr.alias("id"))
+    return dag_levels(edges, vertices=verts).select("id", "level")
+
+
+def q_wcc_trace(spark, sf_dir):
+    """Per-superstep WCC convergence trace (algos/wcc.wcc_trace): the
+    north rule's iteration metrics — messages-sent bound (frontier) and
+    delta (changed count) per round — as a first-class oracle-checkable
+    table instead of log lines.  Exact integers; pinned at
+    WCC_SQL_ITERS rounds (>= measured diameter), trailing rows (0, 0)."""
+    from plato_spark.algos.wcc import wcc_trace
+
+    return wcc_trace(part_cooccurrence_edges(spark, sf_dir), rounds=WCC_SQL_ITERS)
+
+
+def q_onion_layers(spark, sf_dir):
+    """Onion decomposition (algos/kcore.onion_layers): peel-layer index
+    + coreness per vertex over the co-occurrence graph — the
+    depth-inside-the-core structure the flat core number hides; exact
+    integers, branch-free batch peel mirrored by the unrolled oracle."""
+    from plato_spark.algos.kcore import onion_layers
+
+    return onion_layers(part_cooccurrence_edges(spark, sf_dir))
+
+
+def q_edge_betweenness(spark, sf_dir):
+    """Girvan-Newman edge betweenness, sampled Brandes estimator
+    (algos/betweenness.edge_betweenness_sampled) — the dependency
+    accumulation re-keyed to DAG edges; high scores mark the
+    inter-community bridges whose traffic a vertex-cut placement pays
+    per superstep.  Same pinned 4-smallest-root policy as
+    betweenness_sampled."""
+    from plato_spark.algos.betweenness import edge_betweenness_sampled
+
+    return edge_betweenness_sampled(
+        part_cooccurrence_edges(spark, sf_dir), num_samples=4
+    )
+
+
+def q_ppr_sweep(spark, sf_dir):
+    """Andersen-Chung-Lang local-clustering sweep
+    (algos/local_cluster.ppr_sweep_cut): single-seed personalized
+    PageRank (seed = smallest vertex, PPR_ITERS pinned supersteps)
+    ordered by round(rank,6)/deg, with exact BIGINT prefix cut/volume
+    and one rounded conductance division per sweep row — 'the community
+    around THIS repo' without touching global labels."""
+    from plato_spark.algos.local_cluster import ppr_sweep_cut
+
+    sym = _sym(spark, sf_dir)
+    seed = int(sym.agg(F.min("src")).collect()[0][0])
+    r = personalized_pagerank(sym, sources=[seed], iterations=PPR_ITERS)
+    return ppr_sweep_cut(part_cooccurrence_edges(spark, sf_dir), r, k=32)
+
+
+def q_lang_conductance(spark, sf_dir):
+    """Per-language conductance over the planted citation digraph
+    (algos/mixing.attribute_conductance): cut / min-volume per lang
+    class — the normalized cut-quality audit beside lang_mixing's raw
+    off-diagonal counts and attr_assortativity's global scalar.  Exact
+    BIGINT cut/volume folds, one rounded division per class."""
+    from plato_spark.algos.mixing import attribute_conductance
+
+    edges = q_reference_graph(spark, sf_dir)
+    labels = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    return attribute_conductance(edges, labels).select(
+        F.col("label").alias("lang"), "cut_edges", "volume", "conductance"
+    )
+
+
+def q_pca_component(spark, sf_dir):
+    """Top principal component of the embedding space
+    (functions/similarity.pca_component): exact-integer gramian fold +
+    integer-disciplined power iteration, PCA_ROUNDS pinned rounds."""
+    from plato_spark.functions.similarity import pca_component
+
+    return pca_component(load_table(spark, sf_dir, "embeddings"),
+                         rounds=PCA_ROUNDS)
+
+
+def q_attr_diffusion(spark, sf_dir):
+    """Doc-length feature diffusion over the symmetrized citation graph
+    (algos/diffusion.attribute_diffusion): K-round (1-a)x0 + a*mean
+    neighbor smoothing — the regression sibling of label spreading and
+    the closed form of an untrained mean-aggregation GCN."""
+    from plato_spark.algos.diffusion import attribute_diffusion
+
+    cg = q_reference_graph(spark, sf_dir).select("src", "dst")
+    sym = cg.unionByName(
+        cg.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).distinct()
+    attrs = load_table(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("id"), F.col("n_chars").alias("x0")
+    )
+    return attribute_diffusion(sym, attrs, alpha=DIFF_ALPHA,
+                               rounds=DIFF_ROUNDS)
+
+
+def q_hitting_time(spark, sf_dir):
+    """Sarkar-Moore truncated hitting time to the HIT_SEEDS smallest
+    vertices (algos/hitting.truncated_hitting_time): HIT_ROUNDS pinned
+    Jacobi supersteps, 6dp read-out — the random-walk proximity
+    complement of personalized PageRank."""
+    from plato_spark.algos.hitting import truncated_hitting_time
+
+    sym = _sym(spark, sf_dir)
+    seeds = [
+        r["id"]
+        for r in sym.select(F.col("src").alias("id")).distinct()
+        .orderBy("id").limit(HIT_SEEDS).collect()
+    ]
+    return truncated_hitting_time(sym, seeds, rounds=HIT_ROUNDS)
+
+
+def q_simrank(spark, sf_dir):
+    """SimRank structural similarity among the SIMRANK_K highest-degree
+    vertices over their induced subgraph (algos/simrank.simrank_topk):
+    the seeded production shape of the inherently-quadratic pair
+    iteration, SIMRANK_ITERS pinned rounds, 6dp read-out round."""
+    from plato_spark.algos.simrank import simrank_topk
+
+    return simrank_topk(_sym(spark, sf_dir), k=SIMRANK_K,
+                        iters=SIMRANK_ITERS)
+
+
+def q_pagerank_trace(spark, sf_dir):
+    """Per-superstep PageRank convergence trace
+    (algos/pagerank.pagerank_trace): changed-count + max-delta per round
+    from the 6dp-pre-rounded rank vectors — the float-fixpoint sibling
+    of wcc_trace, PR_ITERS pinned rounds."""
+    from plato_spark.algos.pagerank import pagerank_trace
+
+    return pagerank_trace(_sym(spark, sf_dir), rounds=PR_ITERS)
+
+
+def q_forman_curvature(spark, sf_dir):
+    """Per-edge augmented Forman-Ricci curvature (algos/curvature):
+    4 - deg(u) - deg(v) + 3*triangles(e) — the discrete-geometry read
+    of edge role (negative = inter-community traffic edge, positive =
+    triangle-wrapped intra-community edge) at one common-neighbor join
+    instead of all-sources Brandes.  All-integer output, no division."""
+    from plato_spark.algos.curvature import forman_curvature
+
+    return forman_curvature(part_cooccurrence_edges(spark, sf_dir))
+
+
+def q_vertex_cover(spark, sf_dir):
+    """Matching-based 2-approximate vertex cover with in-row
+    certificates (algos/matching.vertex_cover_stats): n_uncovered = 0
+    certifies coverage, n_matched lower-bounds the optimum, approx_ratio
+    = cover/lower <= 2.  The oracle re-derives the cover from the
+    identical unrolled hash-priority matching chain."""
+    from plato_spark.algos.matching import vertex_cover_stats
+
+    return vertex_cover_stats(part_cooccurrence_edges(spark, sf_dir))
+
+
+def q_wedge_closure(spark, sf_dir):
+    """Temporal triadic closure on the co-activity graph: open wedges
+    (two users sharing an early-half neighbor but not linked) that CLOSE
+    in the late half, against the base rate of new-edge formation over
+    all unlinked early pairs — the Granovetter closure hypothesis as a
+    lift number.  Split at the exact integer epoch-micros midpoint (the
+    coactivity_churn discipline); exact integer counts, divisions only
+    in the three read-out rates.  Wedge enumeration rides the
+    clique-guarded co-activity extraction (max_bucket caps the degree),
+    the standard triangle-join shape."""
+    from plato_spark.functions.events import co_activity_edges
+    from plato_spark.graph.edges import symmetrize
+
+    ev = load_table(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    bounds = ev.agg(F.min(us).alias("mn"), F.max(us).alias("mx")).select(
+        F.expr("(mn + mx) div 2").alias("mid"))
+    tagged = ev.crossJoin(F.broadcast(bounds))
+    ea = co_activity_edges(tagged.where(us < F.col("mid"))) \
+        .select("src", "dst").persist()
+    eb = co_activity_edges(tagged.where(us >= F.col("mid"))) \
+        .select("src", "dst").persist()
+    syma = symmetrize(ea)
+    lu = syma.select(F.col("src").alias("v"), F.col("dst").alias("src"))
+    lw = syma.select(F.col("src").alias("v"), F.col("dst").alias("dst"))
+    wedge = (
+        lu.join(lw, "v")
+        .where(F.col("src") < F.col("dst"))
+        .select("src", "dst").distinct()
+    )
+    open_pairs = wedge.join(ea, ["src", "dst"], "left_anti").persist()
+    n_open = open_pairs.count()
+    n_closed = open_pairs.join(eb, ["src", "dst"], "semi").count()
+    n_verts = syma.select("src").distinct().count()
+    # all unlinked early-vertex pairs, and the late edges they gained
+    eb_within = (
+        eb.join(ea.select(F.col("src").alias("id")).unionByName(
+            ea.select(F.col("dst").alias("id"))).distinct()
+            .withColumnRenamed("id", "src"), "src", "semi")
+        .join(ea.select(F.col("src").alias("id")).unionByName(
+            ea.select(F.col("dst").alias("id"))).distinct()
+            .withColumnRenamed("id", "dst"), "dst", "semi")
+        .join(ea, ["src", "dst"], "left_anti")
+    )
+    n_new = eb_within.count()
+    n_ea = ea.count()
+    cand = n_verts * (n_verts - 1) // 2 - n_ea
+    base = spark.createDataFrame(
+        [(n_open, n_closed, cand, n_new)],
+        "open_wedge_pairs long, closed_pairs long, "
+        "candidate_pairs long, new_edges long")
+    rate = F.when(F.col("open_wedge_pairs") > 0,
+                  F.round(F.col("closed_pairs")
+                          / F.col("open_wedge_pairs"), 6))
+    brate = F.when(F.col("candidate_pairs") > 0,
+                   F.round(F.col("new_edges")
+                           / F.col("candidate_pairs"), 6))
+    return base.select(
+        "*", rate.alias("closure_rate"), brate.alias("base_rate"),
+        F.when((F.col("open_wedge_pairs") > 0) & (F.col("new_edges") > 0)
+               & (F.col("candidate_pairs") > 0),
+               F.round((F.col("closed_pairs") * F.col("candidate_pairs"))
+                       / (F.col("open_wedge_pairs") * F.col("new_edges")),
+                       6)).alias("closure_lift"))
+
+
+def q_coreness_degree_corr(spark, sf_dir):
+    """Spearman rank correlation between coreness and degree — the
+    'is the core decomposition just degree in disguise?' audit (a rank
+    correlation near 1 says a cheap degree cut would partition as well
+    as the full peel).  Exact integer identity over deterministic
+    (value, id) total-order ranks; the oracle nests the proven unrolled
+    h-index kcore chain."""
+    from pyspark.sql import Window
+    from plato_spark.graph.edges import symmetrize
+
+    canon = part_cooccurrence_edges(spark, sf_dir)
+    cores = kcore(canon)
+    deg = symmetrize(canon).groupBy(F.col("src").alias("id")).agg(
+        F.count(F.lit(1)).cast("long").alias("deg"))
+    j = cores.join(deg, "id")
+    wa = Window.orderBy(F.col("coreness").asc(), F.col("id").asc())
+    wb = Window.orderBy(F.col("deg").asc(), F.col("id").asc())
+    ranked = j.select(
+        "id",
+        F.row_number().over(wa).alias("ra"),
+        F.row_number().over(wb).alias("rb"))
+    n = j.count()
+    agg = ranked.agg(
+        F.sum((F.col("ra") - F.col("rb")) * (F.col("ra") - F.col("rb")))
+        .cast("long").alias("d2"))
+    return agg.select(
+        F.lit(n).cast("long").alias("n_vertices"),
+        "d2",
+        F.round(1 - 6 * F.col("d2")
+                / F.lit(float(n) * (n * n - 1)), 6).alias("spearman"))
+
+
+def q_circuit_rank(spark, sf_dir):
+    """Circuit rank (cyclomatic number) m - n + c of the co-occurrence
+    graph — the dimension of its cycle space: 0 certifies a forest,
+    and the number is exactly how many edges any spanning forest leaves
+    out (the independent-cycle budget behind bridge/backbone reasoning).
+    Three exact counts (edges, vertices, hash-min components), pure
+    integer arithmetic."""
+    from plato_spark.algos.wcc import connected_components
+    from plato_spark.graph.edges import symmetrize
+
+    canon = part_cooccurrence_edges(spark, sf_dir).persist()
+    m = canon.count()
+    comp = connected_components(symmetrize(canon))
+    n = comp.count()
+    c = comp.select("component").distinct().count()
+    out = spark.createDataFrame(
+        [(m, n, c)], "n_edges long, n_vertices long, n_components long")
+    return out.select(
+        "*",
+        (F.col("n_edges") - F.col("n_vertices")
+         + F.col("n_components")).cast("long").alias("circuit_rank"))
+
+
+def q_algebraic_connectivity(spark, sf_dir):
+    """Algebraic-connectivity (lambda_2) estimate: the Rayleigh
+    quotient x^T L x / x^T x of the Fiedler coordinate the spectral
+    chain already computes — x^T L x = sum over canonical edges of
+    (x_u - x_v)^2, so both folds are EXACT integers once the
+    6dp-rounded coordinate is lifted to 1e-6 units; one division.  The
+    how-partitionable scalar behind the spectral-bisection sweep
+    (higher = better connected = worse cuts)."""
+    coords = q_spectral_coord(spark, sf_dir).select(
+        "id", F.round(F.col("f") * 1_000_000, 0).cast("long").alias("xi"))
+    canon = part_cooccurrence_edges(spark, sf_dir)
+    xu = coords.select(F.col("id").alias("src"), F.col("xi").alias("xu"))
+    xv = coords.select(F.col("id").alias("dst"), F.col("xi").alias("xv"))
+    xlx = canon.join(xu, "src").join(xv, "dst").agg(
+        F.sum((F.col("xu") - F.col("xv")) * (F.col("xu") - F.col("xv")))
+        .cast("long").alias("xlx")).collect()[0]["xlx"]
+    xx = coords.agg(F.sum(F.col("xi") * F.col("xi")).cast("long")
+                    .alias("xx")).collect()[0]["xx"]
+    out = spark.createDataFrame(
+        [(int(xlx), int(xx))], "xlx_micro2 long, xx_micro2 long")
+    return out.select(
+        "*",
+        F.round(F.col("xlx_micro2") / F.col("xx_micro2"), 6)
+        .alias("lambda2_est"))
+
+
+def q_triangle_participation(spark, sf_dir):
+    """One row — triangle participation: how many vertices sit in at
+    least one triangle (and the rate) next to the triangle count.  The
+    clustering summary between transitivity's global ratio and the
+    per-vertex lcc table; exact integers + one division."""
+    canon = part_cooccurrence_edges(spark, sf_dir)
+    ab = canon.select(F.col("src").alias("a"), F.col("dst").alias("b"))
+    ac = canon.select(F.col("src").alias("a2"), F.col("dst").alias("c"))
+    bc = canon.select(F.col("src").alias("b2"), F.col("dst").alias("c2"))
+    tri = (
+        ab.join(ac, F.col("a") == F.col("a2"))
+        .join(bc, (F.col("b") == F.col("b2"))
+              & (F.col("c") == F.col("c2")))
+        .select("a", "b", "c").persist()
+    )
+    n_tri = tri.count()
+    corners = tri.select(F.col("a").alias("id")).unionByName(
+        tri.select(F.col("b").alias("id"))).unionByName(
+        tri.select(F.col("c").alias("id"))).distinct()
+    n_in = corners.count()
+    verts = canon.select(F.col("src").alias("id")).unionByName(
+        canon.select(F.col("dst").alias("id"))).distinct()
+    n_v = verts.count()
+    out = spark.createDataFrame(
+        [(n_v, n_in, n_tri)],
+        "n_vertices long, n_in_triangle long, n_triangles long")
+    return out.select(
+        "*",
+        F.round(F.col("n_in_triangle") / F.col("n_vertices"), 6)
+        .alias("participation"))
+
+
+def q_strength_core(spark, sf_dir):
+    """s-core sweep (algos/percolation.strength_core_sweep, Eidsaa &
+    Almaas): iteratively peel vertices with total incident WEIGHT < s —
+    the CASCADE member of the robustness family (percolation thresholds
+    edges with no iteration; here each removal weakens neighbors).
+    Exact integer strengths; peel_rounds counts only rounds that
+    removed something, so the pinned-round oracle is idempotent."""
+    from plato_spark.algos.percolation import strength_core_sweep
+
+    return strength_core_sweep(
+        part_cooccurrence_edges(spark, sf_dir, weighted=True),
+        thresholds=SCORE_THRESHOLDS)
+
+
+def q_missing_days(spark, sf_dir):
+    """Calendar-coverage audit of the order stream: one row with the
+    span, days WITH orders, missing days, and the longest zero-order
+    gap (via one lead window over the distinct day table — never a
+    calendar cross join).  The ingestion-hole check that catches a
+    dead upstream before any trend query lies."""
+    from pyspark.sql import Window
+
+    o = load_table(spark, sf_dir, "orders")
+    days = o.select(
+        F.datediff(F.col("o_orderdate").cast("date"),
+                   F.lit("1970-01-01").cast("date"))
+        .cast("long").alias("d")).distinct()
+    w = Window.orderBy("d")
+    gaps = days.select(
+        "d", (F.lead("d").over(w) - F.col("d") - 1).alias("gap"))
+    return gaps.agg(
+        F.count(F.lit(1)).cast("long").alias("days_with_orders"),
+        (F.max("d") - F.min("d") + 1).cast("long").alias("span_days"),
+        F.coalesce(F.max("gap"), F.lit(0)).cast("long")
+        .alias("longest_gap_days"),
+    ).select(
+        "span_days", "days_with_orders",
+        (F.col("span_days") - F.col("days_with_orders")).cast("long")
+        .alias("missing_days"),
+        "longest_gap_days")
+
+
+def q_bond_percolation(spark, sf_dir):
+    """Deterministic bond-percolation sweep (algos/percolation
+    .bond_percolation_sweep): each co-occurrence edge survives at level
+    p iff portable-md5 % 100 < p — nested survivor sets, one hash-min
+    WCC per p — the edge-failure member of the robustness family beside
+    the weight-threshold backbone and hub/random vertex removal."""
+    from plato_spark.algos.percolation import bond_percolation_sweep
+
+    return bond_percolation_sweep(part_cooccurrence_edges(spark, sf_dir),
+                                  ps=BOND_PS)
+
+
+def q_spectral_moments(spark, sf_dir):
+    """Exact spectral moments of the co-occurrence adjacency matrix —
+    trace(A^2) = 2|E|, trace(A^3) = 6*triangles, trace(A^4) =
+    sum_u deg(u)^2 + sum_{u!=v} cn(u,v)^2 (A symmetric, so trace A^4 is
+    the squared Frobenius norm of A^2, whose off-diagonal entries are
+    common-neighbor counts over ALL 2-hop pairs, adjacent or not).
+    Closed-walk counts = eigenvalue power sums, all exact integers — the
+    linear-algebra fingerprint (graph energy bounds, quasi-randomness
+    tests) from one wedge join + one degree fold, no eigensolver."""
+    canon = part_cooccurrence_edges(spark, sf_dir)
+    sym = symmetrize(canon)
+    deg = sym.groupBy(F.col("src").alias("id")).agg(
+        F.count("*").cast("long").alias("deg"))
+    m2 = deg.agg(F.sum("deg")).collect()[0][0]
+    sumdeg2 = deg.agg(
+        F.sum(F.col("deg") * F.col("deg"))).collect()[0][0]
+    ab = canon.select(F.col("src").alias("a"), F.col("dst").alias("b"))
+    ac = canon.select(F.col("src").alias("a2"), F.col("dst").alias("c"))
+    bc = canon.select(F.col("src").alias("b2"), F.col("dst").alias("c2"))
+    tri = (
+        ab.join(ac, F.col("a") == F.col("a2"))
+        .join(bc, (F.col("b") == F.col("b2"))
+              & (F.col("c") == F.col("c2")))
+        .count()
+    )
+    wa = sym.select(F.col("src").alias("c"), F.col("dst").alias("u"))
+    wb = sym.select(F.col("src").alias("c"), F.col("dst").alias("v"))
+    cn2 = (
+        wa.join(wb, "c").where(F.col("u") != F.col("v"))
+        .groupBy("u", "v").agg(F.count(F.lit(1)).alias("cn"))
+        .agg(F.sum(F.col("cn") * F.col("cn"))).collect()[0][0]
+    )
+    return spark.createDataFrame(
+        [(int(m2), 6 * int(tri), int(sumdeg2) + int(cn2))],
+        "trace_a2 long, trace_a3 long, trace_a4 long")
+
+
+def q_dag_critical_path(spark, sf_dir):
+    """Vertex-weighted critical path (algos/dag.dag_critical_path — the
+    schedule-makespan primitive, dag_levels' (max,+) kernel with weight
+    sums) on the topo_levels planted DAG with w(r) = 1 + (r mod 5).
+    Skip edges make the DP multi-predecessor, but positive weights mean
+    the optimum never skips, so ground truth stays analytic: the oracle
+    reads path_weight(r) as a run-scoped prefix sum (gaps-and-islands)
+    while the engine genuinely relaxes the DAG to a fixpoint."""
+    from plato_spark.algos.dag import dag_critical_path
+    from plato_spark.functions.text import portable_h1
+    from plato_spark.graph.edges import build_dictionary
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select(F.col("doc_id").alias("vkey")).distinct()
+    )
+    n = docs.count()
+    d = build_dictionary(docs, 16)
+    base = d.select(F.col("id").alias("r"))
+    rr = F.col("r")
+
+    def _sel(c):
+        return portable_h1(
+            F.concat(F.lit("topo|"), c.cast("string"))) % 2 == 0
+
+    step = base.where(_sel(rr) & (rr + 1 < n)).select(
+        rr.alias("src"), (rr + 1).cast("long").alias("dst"))
+    skip = base.where(_sel(rr) & _sel(rr + 1) & (rr + 2 < n)).select(
+        rr.alias("src"), (rr + 2).cast("long").alias("dst"))
+    weights = base.select(rr.alias("id"),
+                          (1 + rr % 5).cast("long").alias("w"))
+    return dag_critical_path(step.unionByName(skip), weights)
+
+
+def q_wl_colors(spark, sf_dir):
+    """1-WL color refinement after WL_ROUNDS rounds (algos/wl): the
+    graph-isomorphism signature and the exact expressiveness ceiling of
+    message-passing GNNs — per-vertex colors from portable-md5 hashes
+    of (own color | sorted neighbor-color multiset), bit-identical in
+    both engines."""
+    from plato_spark.algos.wl import wl_colors
+
+    return wl_colors(part_cooccurrence_edges(spark, sf_dir),
+                     rounds=WL_ROUNDS)
+
+
+QUERIES = {
+    "weighted_matching": q_weighted_matching,
+    "pagerank_trace": q_pagerank_trace,
+    "simrank": q_simrank,
+    "hitting_time": q_hitting_time,
+    "attr_diffusion": q_attr_diffusion,
+    "mis": q_mis,
+    "modularity": q_modularity,
+    "component_stability": q_component_stability,
+    "degree_incremental": q_degree_incremental,
+    "triangle_incremental": q_triangle_incremental,
+    "sp_counts": q_sp_counts,
+    "directed_assortativity": q_directed_assortativity,
+    "triad_census": q_triad_census,
+    "degree_mixing_matrix": q_degree_mixing_matrix,
+    "link_overlap": q_link_overlap,
+    "densification_curve": q_densification_curve,
+    "edge_weight_spectrum": q_edge_weight_spectrum,
+    "lcc_histogram": q_lcc_histogram,
+    "friendship_paradox": q_friendship_paradox,
+    "harmonic_exact": q_harmonic_exact,
+    "instability": q_instability,
+    "strength_assortativity": q_strength_assortativity,
+    "pca_component": q_pca_component,
+    "lang_modularity": q_lang_modularity,
+    "blocklist_hits": q_blocklist_hits,
+    "centrality_rank_corr": q_centrality_rank_corr,
+    "pagerank_concentration": q_pagerank_concentration,
+    "mixing_null_model": q_mixing_null_model,
+    "pagerank_citation": q_pagerank_citation,
+    "co_citation": q_co_citation,
+    "source_mixing": q_source_mixing,
+    "brand_mixing": q_brand_mixing,
+    "cocitation_cosine": q_cocitation_cosine,
+    "bibcoupling_cosine": q_bibcoupling_cosine,
+    "degree_quantiles": q_degree_quantiles,
+    "biblio_coupling": q_biblio_coupling,
+    "degree_clustering": q_degree_clustering,
+    "strength_disparity": q_strength_disparity,
+    "edge_smoothness": q_edge_smoothness,
+    "hub_churn": q_hub_churn,
+    "bowtie": q_bowtie,
+    "lang_mixing": q_lang_mixing,
+    "attr_assortativity": q_attr_assortativity,
+    "salsa": q_salsa,
+    "maximal_matching": q_matching,
+    "butterflies": q_butterflies,
+    "graph_coloring": q_coloring,
+    "min_spanning_forest": q_msf,
+    "motif_census": q_motif_census,
+    "densest_subgraph": q_densest,
+    "butterfly_vertices": q_butterfly_vertices,
+    "rich_club": q_rich_club,
+    "co_activity_edges": q_co_activity,
+    "percolation": q_percolation,
+    "topo_levels": q_topo_levels,
+    "seeded_lpa": q_seeded_lpa,
+    "spread_behaviour": q_spread_behaviour,
+    "common_neighbor_payload": q_common_neighbor_payload,
+    "wcc_trace": q_wcc_trace,
+    "lang_conductance": q_lang_conductance,
+    "ppr_sweep": q_ppr_sweep,
+    "edge_betweenness": q_edge_betweenness,
+    "onion_layers": q_onion_layers,
+    "forman_curvature": q_forman_curvature,
+    "vertex_cover": q_vertex_cover,
+    "wedge_closure": q_wedge_closure,
+    "wl_colors": q_wl_colors,
+    "dag_critical_path": q_dag_critical_path,
+    "spectral_moments": q_spectral_moments,
+    "bond_percolation": q_bond_percolation,
+    "missing_days": q_missing_days,
+    "strength_core": q_strength_core,
+    "triangle_participation": q_triangle_participation,
+    "algebraic_connectivity": q_algebraic_connectivity,
+    "coreness_degree_corr": q_coreness_degree_corr,
+    "circuit_rank": q_circuit_rank,
+}
+
+
+ORACLES = {
+    "weighted_matching": _sql_matching(12, weighted=True),
+    "pagerank_trace": _sql_pagerank_trace(PR_ITERS),
+    "simrank": _sql_simrank(SIMRANK_K, SIMRANK_ITERS),
+    "hitting_time": _sql_hitting(HIT_ROUNDS, HIT_SEEDS),
+    "attr_diffusion": _sql_attr_diffusion(DIFF_ROUNDS, DIFF_ALPHA),
+    "mis": _sql_mis(8),
+    "modularity": _sql_modularity(),
+    "component_stability": _sql_component_stability(HUB_SWEEP_SQL_ITERS),
+    "degree_incremental": SQL_GRAPH_PREFIX
+        + "SELECT id, deg FROM deg",
+    "triangle_incremental": SQL_GRAPH_PREFIX
+        + """SELECT
+              (SELECT CAST(count(*) AS BIGINT)
+               FROM canon a JOIN canon b ON a.dst = b.src
+               JOIN canon c ON c.src = a.src AND c.dst = b.dst) AS triangles,
+              (SELECT CAST(count(*) AS BIGINT) FROM canon) AS edges,
+              CAST(3 AS BIGINT) AS epoch""",
+    "sp_counts": _sql_sp_counts(SP_COUNT_SQL_LEVELS),
+    "directed_assortativity": f"""
+            WITH g AS MATERIALIZED ({_sql_reference_graph()}),
+            e AS MATERIALIZED (
+              SELECT DISTINCT src, dst FROM g WHERE src != dst),
+            od AS (SELECT src AS id, CAST(count(*) AS DOUBLE) AS od
+                   FROM e GROUP BY src),
+            ig AS (SELECT dst AS id, CAST(count(*) AS DOUBLE) AS ig
+                   FROM e GROUP BY dst),
+            vv AS MATERIALIZED (
+              SELECT v.id, COALESCE(od.od, 0) AS od, COALESCE(ig.ig, 0) AS ig
+              FROM (SELECT src AS id FROM e UNION SELECT dst FROM e) v
+              LEFT JOIN od ON v.id = od.id LEFT JOIN ig ON v.id = ig.id),
+            j AS (SELECT s.od AS xo, s.ig AS xi, d.od AS yo, d.ig AS yi
+                  FROM e JOIN vv s ON e.src = s.id JOIN vv d ON e.dst = d.id),
+            a AS (SELECT CAST(count(*) AS DOUBLE) AS n,
+                   sum(xo) AS sxo, sum(xi) AS sxi,
+                   sum(yo) AS syo, sum(yi) AS syi,
+                   sum(xo*xo) AS sxo2, sum(xi*xi) AS sxi2,
+                   sum(yo*yo) AS syo2, sum(yi*yi) AS syi2,
+                   sum(xo*yo) AS sxoyo, sum(xo*yi) AS sxoyi,
+                   sum(xi*yo) AS sxiyo, sum(xi*yi) AS sxiyi
+                  FROM j)
+            SELECT 'out-in' AS mode,
+                   CASE WHEN n*sxo2 - sxo*sxo > 0 AND n*syi2 - syi*syi > 0
+                        THEN round((n*sxoyi - sxo*syi)
+                             / (sqrt(n*sxo2 - sxo*sxo)
+                                * sqrt(n*syi2 - syi*syi)), 6)
+                   END AS assortativity FROM a
+            UNION ALL
+            SELECT 'out-out',
+                   CASE WHEN n*sxo2 - sxo*sxo > 0 AND n*syo2 - syo*syo > 0
+                        THEN round((n*sxoyo - sxo*syo)
+                             / (sqrt(n*sxo2 - sxo*sxo)
+                                * sqrt(n*syo2 - syo*syo)), 6)
+                   END FROM a
+            UNION ALL
+            SELECT 'in-in',
+                   CASE WHEN n*sxi2 - sxi*sxi > 0 AND n*syi2 - syi*syi > 0
+                        THEN round((n*sxiyi - sxi*syi)
+                             / (sqrt(n*sxi2 - sxi*sxi)
+                                * sqrt(n*syi2 - syi*syi)), 6)
+                   END FROM a
+            UNION ALL
+            SELECT 'in-out',
+                   CASE WHEN n*sxi2 - sxi*sxi > 0 AND n*syo2 - syo*syo > 0
+                        THEN round((n*sxiyo - sxi*syo)
+                             / (sqrt(n*sxi2 - sxi*sxi)
+                                * sqrt(n*syo2 - syo*syo)), 6)
+                   END FROM a""",
+    "triad_census": f"""
+            WITH g AS MATERIALIZED ({_sql_reference_graph()}),
+            dy AS MATERIALIZED (
+              SELECT least(src, dst) AS a, greatest(src, dst) AS b,
+                     CAST(max(CASE WHEN src < dst THEN 1 ELSE 0 END)
+                          AS TINYINT) AS f,
+                     CAST(max(CASE WHEN src > dst THEN 1 ELSE 0 END)
+                          AS TINYINT) AS r
+              FROM g GROUP BY 1, 2),
+            v AS MATERIALIZED (SELECT DISTINCT doc_id AS id FROM documents),
+            tri AS (SELECT v1.id AS p, v2.id AS q, v3.id AS s
+                    FROM v v1 JOIN v v2 ON v1.id < v2.id
+                              JOIN v v3 ON v2.id < v3.id),
+            tt AS (SELECT
+                     COALESCE(d1.f, 0) AS f1, COALESCE(d1.r, 0) AS b1,
+                     COALESCE(d2.f, 0) AS f2, COALESCE(d2.r, 0) AS b2,
+                     COALESCE(d3.f, 0) AS f3, COALESCE(d3.r, 0) AS b3
+                   FROM tri
+                   LEFT JOIN dy d1 ON d1.a = tri.p AND d1.b = tri.q
+                   LEFT JOIN dy d2 ON d2.a = tri.p AND d2.b = tri.s
+                   LEFT JOIN dy d3 ON d3.a = tri.q AND d3.b = tri.s),
+            inv AS (SELECT
+               f1*b1 + f2*b2 + f3*b3 AS m,
+               (f1+b1-2*f1*b1) + (f2+b2-2*f2*b2) + (f3+b3-2*f3*b3) AS a,
+               (f1-f1*b1)+(f2-f2*b2) AS op, (b1-f1*b1)+(b2-f2*b2) AS ip,
+               (b1-f1*b1)+(f3-f3*b3) AS oq, (f1-f1*b1)+(b3-f3*b3) AS iq,
+               (b2-f2*b2)+(b3-f3*b3) AS os, (f2-f2*b2)+(f3-f3*b3) AS is_,
+               f1*b1 AS m1, f2*b2 AS m2
+              FROM tt),
+            cls AS (SELECT CASE
+               WHEN m = 0 AND a = 0 THEN '003'
+               WHEN m = 0 AND a = 1 THEN '012'
+               WHEN m = 1 AND a = 0 THEN '102'
+               WHEN m = 0 AND a = 2 THEN
+                 CASE WHEN greatest(op, oq, os) = 2 THEN '021D'
+                      WHEN greatest(ip, iq, is_) = 2 THEN '021U'
+                      ELSE '021C' END
+               WHEN m = 1 AND a = 1 THEN
+                 CASE WHEN (CASE WHEN m1 = 1 THEN os WHEN m2 = 1 THEN oq
+                                 ELSE op END) = 1
+                      THEN '111D' ELSE '111U' END
+               WHEN m = 0 AND a = 3 THEN
+                 CASE WHEN op = 1 AND ip = 1 AND oq = 1 AND iq = 1
+                           AND os = 1 AND is_ = 1
+                      THEN '030C' ELSE '030T' END
+               WHEN m = 1 AND a = 2 THEN
+                 CASE WHEN (CASE WHEN m1 = 1 THEN os WHEN m2 = 1 THEN oq
+                                 ELSE op END) = 2 THEN '120D'
+                      WHEN (CASE WHEN m1 = 1 THEN is_ WHEN m2 = 1 THEN iq
+                                 ELSE ip END) = 2 THEN '120U'
+                      ELSE '120C' END
+               WHEN m = 2 AND a = 0 THEN '201'
+               WHEN m = 2 AND a = 1 THEN '210'
+               ELSE '300' END AS triad
+              FROM inv)
+            SELECT t.triad, CAST(COALESCE(c.n, 0) AS BIGINT) AS n
+            FROM (VALUES ('003'),('012'),('102'),('021D'),('021U'),
+                         ('021C'),('111D'),('111U'),('030T'),('030C'),
+                         ('201'),('120D'),('120U'),('120C'),('210'),
+                         ('300')) AS t(triad)
+            LEFT JOIN (SELECT triad, CAST(count(*) AS BIGINT) AS n
+                       FROM cls GROUP BY 1) c
+                   ON t.triad = c.triad""",
+    "degree_mixing_matrix": SQL_GRAPH_PREFIX + """
+SELECT least(CAST(length(bin(da.deg)) AS INTEGER),
+             CAST(length(bin(db.deg)) AS INTEGER)) AS bucket_lo,
+       greatest(CAST(length(bin(da.deg)) AS INTEGER),
+                CAST(length(bin(db.deg)) AS INTEGER)) AS bucket_hi,
+       CAST(count(*) AS BIGINT) AS n_edges
+FROM canon c JOIN deg da ON c.src = da.id JOIN deg db ON c.dst = db.id
+GROUP BY 1, 2 ORDER BY bucket_lo, bucket_hi""",
+    "link_overlap": SQL_GRAPH_PREFIX
+        + """SELECT c.src, c.dst,
+                    round(COALESCE(t.cnt, 0)
+                          / least(du.deg, dv.deg), 6) AS score
+             FROM canon c
+             JOIN deg du ON c.src = du.id JOIN deg dv ON c.dst = dv.id
+             LEFT JOIN (
+               SELECT a.src AS u, b.src AS v, count(*) AS cnt
+               FROM edges a JOIN edges b ON a.dst = b.dst AND a.src < b.src
+               GROUP BY a.src, b.src) t ON c.src = t.u AND c.dst = t.v""",
+    "densification_curve": """
+WITH ev AS MATERIALIZED (
+  SELECT user_id, event_type, CAST(ts AS DATE) AS d FROM events),
+fu AS (SELECT d, CAST(count(*) AS BIGINT) AS nu FROM (
+         SELECT user_id, min(d) AS d FROM ev GROUP BY user_id)
+       GROUP BY d),
+fi AS (SELECT d, CAST(count(*) AS BIGINT) AS ni FROM (
+         SELECT user_id, event_type, min(d) AS d FROM ev
+         GROUP BY user_id, event_type)
+       GROUP BY d),
+days AS (SELECT DISTINCT d FROM ev)
+SELECT strftime(days.d, '%Y-%m-%d') AS day,
+       CAST(sum(COALESCE(fu.nu, 0)) OVER (ORDER BY days.d
+            ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_users,
+       CAST(sum(COALESCE(fi.ni, 0)) OVER (ORDER BY days.d
+            ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_incidences
+FROM days LEFT JOIN fu ON days.d = fu.d LEFT JOIN fi ON days.d = fi.d
+ORDER BY day""",
+    "edge_weight_spectrum": SQL_GRAPH_PREFIX + """
+SELECT CAST(length(bin(CAST(weight AS BIGINT))) AS INTEGER) AS bucket,
+       CAST(count(*) AS BIGINT) AS n_edges,
+       CAST(sum(CAST(weight AS BIGINT)) AS BIGINT) AS weight_mass
+FROM canon GROUP BY bucket ORDER BY bucket""",
+    "lcc_histogram": SQL_GRAPH_PREFIX
+        + """, tri AS MATERIALIZED (
+  SELECT a.src AS x, a.dst AS y, b.dst AS z
+  FROM canon a JOIN canon b ON a.dst = b.src
+  JOIN canon c ON c.src = a.src AND c.dst = b.dst),
+corners AS (SELECT x AS id FROM tri UNION ALL
+            SELECT y AS id FROM tri UNION ALL
+            SELECT z AS id FROM tri),
+tv AS (SELECT id, CAST(count(*) AS BIGINT) AS t FROM corners GROUP BY id)
+SELECT CAST(CASE WHEN d.deg >= 2
+            THEN least((20 * COALESCE(tv.t, 0))
+                       // (d.deg * (d.deg - 1)), 9)
+            ELSE 0 END AS INTEGER) AS bin,
+       CAST(count(*) AS BIGINT) AS n_vertices
+FROM verts v JOIN deg d ON v.id = d.id LEFT JOIN tv ON v.id = tv.id
+GROUP BY 1 ORDER BY bin""",
+    "friendship_paradox": SQL_GRAPH_PREFIX + """
+SELECT CAST(count(*) AS BIGINT) AS v,
+       CAST(sum(deg) / 2 AS BIGINT) AS e,
+       round(CAST(sum(deg) AS DOUBLE) / count(*), 6) AS mean_deg,
+       round(CAST(sum(deg * deg) AS DOUBLE) / sum(deg), 6)
+         AS mean_nbr_deg,
+       round((CAST(sum(deg * deg) AS DOUBLE) / sum(deg))
+             / (CAST(sum(deg) AS DOUBLE) / count(*)), 6) AS paradox
+FROM deg""",
+    "harmonic_exact": _sql_harmonic_exact(64, bfs_iters=6),
+    "instability": f"""
+WITH g AS MATERIALIZED ({_sql_reference_graph()}),
+fi AS (SELECT dst AS id, CAST(count(*) AS BIGINT) AS fan_in
+       FROM g GROUP BY dst),
+fo AS (SELECT src AS id, CAST(count(*) AS BIGINT) AS fan_out
+       FROM g GROUP BY src)
+SELECT d.doc_id AS id,
+       CAST(COALESCE(fi.fan_in, 0) AS BIGINT) AS fan_in,
+       CAST(COALESCE(fo.fan_out, 0) AS BIGINT) AS fan_out,
+       CASE WHEN COALESCE(fi.fan_in, 0) + COALESCE(fo.fan_out, 0) > 0
+            THEN round(CAST(COALESCE(fo.fan_out, 0) AS DOUBLE)
+                       / (COALESCE(fi.fan_in, 0)
+                          + COALESCE(fo.fan_out, 0)), 6)
+       END AS instability
+FROM documents d LEFT JOIN fi ON d.doc_id = fi.id
+LEFT JOIN fo ON d.doc_id = fo.id""",
+    "strength_assortativity": SQL_GRAPH_PREFIX + """
+            SELECT round(corr(d1.wsum, d2.wsum), 6) AS assortativity
+            FROM edges e JOIN deg d1 ON e.src = d1.id
+                         JOIN deg d2 ON e.dst = d2.id""",
+    "pca_component": _sql_pca_component(PCA_ROUNDS),
+    "lang_modularity": _sql_lang_modularity(),
+    "blocklist_hits": f"""
+WITH t AS (SELECT source,
+             length(list_filter(
+               regexp_extract_all(text, '{TOKEN_RE_SQL}'),
+               x -> list_contains(['slow', 'dup'], x))) AS h
+           FROM documents)
+SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(CASE WHEN h > 0 THEN 1 ELSE 0 END) AS BIGINT) AS docs_hit,
+       CAST(sum(h) AS BIGINT) AS n_hits,
+       round(CAST(100 * sum(CASE WHEN h > 0 THEN 1 ELSE 0 END) AS DOUBLE)
+             / count(*), 6) AS hit_pct
+FROM t GROUP BY source ORDER BY source""",
+    "centrality_rank_corr": _sql_rank_corr(),
+    "pagerank_concentration": _sql_pagerank_concentration(),
+    "mixing_null_model": f"""
+            WITH g AS MATERIALIZED ({_sql_reference_graph()}),
+            e AS (SELECT x.lang AS sl, y.lang AS dl
+                  FROM g JOIN documents x ON g.src = x.doc_id
+                         JOIN documents y ON g.dst = y.doc_id),
+            mm AS MATERIALIZED (SELECT sl, dl, CAST(count(*) AS BIGINT) AS c
+                                FROM e GROUP BY 1, 2),
+            r AS (SELECT sl AS l, CAST(sum(c) AS BIGINT) AS rs
+                  FROM mm GROUP BY 1),
+            c2 AS (SELECT dl AS l, CAST(sum(c) AS BIGINT) AS cs
+                   FROM mm GROUP BY 1),
+            t AS (SELECT CAST(sum(c) AS BIGINT) AS m FROM mm)
+            SELECT r.l AS src_lang, c2.l AS dst_lang,
+                   CAST(COALESCE(mm.c, 0) AS BIGINT) AS observed,
+                   round(CAST(r.rs * c2.cs AS DOUBLE) / t.m, 6) AS expected,
+                   round(CAST(COALESCE(mm.c, 0) * t.m AS DOUBLE)
+                         / (r.rs * c2.cs), 6) AS lift
+            FROM r CROSS JOIN c2 CROSS JOIN t
+            LEFT JOIN mm ON mm.sl = r.l AND mm.dl = c2.l""",
+    "pagerank_citation": _sql_pagerank(
+            PRC_ITERS, prefix=_sql_citation_prefix()
+        ),
+    "co_citation": f"""
+            WITH g AS MATERIALIZED ({_sql_reference_graph()}),
+            kv AS (SELECT DISTINCT src AS k, dst AS v FROM g),
+            ok AS (SELECT k FROM kv GROUP BY k HAVING count(*) <= 256),
+            k2 AS MATERIALIZED (
+              SELECT kv.k, kv.v FROM kv JOIN ok ON kv.k = ok.k)
+            SELECT a.v AS a, b.v AS b, CAST(count(*) AS BIGINT) AS weight
+            FROM k2 a JOIN k2 b ON a.k = b.k AND a.v < b.v
+            GROUP BY 1, 2""",
+    "source_mixing": f"""
+            WITH g AS MATERIALIZED ({_sql_reference_graph()})
+            SELECT x.source AS src_source, y.source AS dst_source,
+                   CAST(count(*) AS BIGINT) AS edges
+            FROM g JOIN documents x ON g.src = x.doc_id
+                   JOIN documents y ON g.dst = y.doc_id
+            GROUP BY 1, 2""",
+    "brand_mixing": SQL_GRAPH_PREFIX + """
+SELECT x.p_brand AS src_brand, y.p_brand AS dst_brand,
+       CAST(count(*) AS BIGINT) AS edges
+FROM canon c JOIN part x ON c.src = x.p_partkey
+             JOIN part y ON c.dst = y.p_partkey
+GROUP BY 1, 2""",
+    "cocitation_cosine": f"""
+            WITH g AS MATERIALIZED ({_sql_reference_graph()}),
+            kv AS (SELECT DISTINCT src AS k, dst AS v FROM g),
+            ok AS (SELECT k FROM kv GROUP BY k HAVING count(*) <= 256),
+            k2 AS MATERIALIZED (
+              SELECT kv.k, kv.v FROM kv JOIN ok ON kv.k = ok.k),
+            cc AS MATERIALIZED (
+              SELECT a.v AS a, b.v AS b, CAST(count(*) AS BIGINT) AS weight
+              FROM k2 a JOIN k2 b ON a.k = b.k AND a.v < b.v
+              GROUP BY a.v, b.v),
+            ind AS (SELECT dst AS id, CAST(count(*) AS BIGINT) AS ind
+                    FROM g GROUP BY dst)
+            SELECT cc.a, cc.b, cc.weight,
+                   round(CAST(cc.weight AS DOUBLE)
+                         / sqrt(CAST(da.ind * db.ind AS DOUBLE)), 6)
+                     AS cosine
+            FROM cc JOIN ind da ON cc.a = da.id JOIN ind db ON cc.b = db.id""",
+    "bibcoupling_cosine": f"""
+            WITH g AS MATERIALIZED ({_sql_reference_graph()}),
+            kv AS (SELECT DISTINCT dst AS k, src AS v FROM g),
+            ok AS (SELECT k FROM kv GROUP BY k HAVING count(*) <= 256),
+            k2 AS MATERIALIZED (
+              SELECT kv.k, kv.v FROM kv JOIN ok ON kv.k = ok.k),
+            bc AS MATERIALIZED (
+              SELECT a.v AS a, b.v AS b, CAST(count(*) AS BIGINT) AS weight
+              FROM k2 a JOIN k2 b ON a.k = b.k AND a.v < b.v
+              GROUP BY a.v, b.v),
+            outd AS (SELECT src AS id, CAST(count(*) AS BIGINT) AS od
+                     FROM g GROUP BY src)
+            SELECT bc.a, bc.b, bc.weight,
+                   round(CAST(bc.weight AS DOUBLE)
+                         / sqrt(CAST(da.od * db.od AS DOUBLE)), 6) AS cosine
+            FROM bc JOIN outd da ON bc.a = da.id
+                    JOIN outd db ON bc.b = db.id""",
+    "degree_quantiles": _sql_degree_quantiles(256),
+    "biblio_coupling": f"""
+            WITH g AS MATERIALIZED ({_sql_reference_graph()}),
+            kv AS (SELECT DISTINCT dst AS k, src AS v FROM g),
+            ok AS (SELECT k FROM kv GROUP BY k HAVING count(*) <= 256),
+            k2 AS MATERIALIZED (
+              SELECT kv.k, kv.v FROM kv JOIN ok ON kv.k = ok.k)
+            SELECT a.v AS a, b.v AS b, CAST(count(*) AS BIGINT) AS weight
+            FROM k2 a JOIN k2 b ON a.k = b.k AND a.v < b.v
+            GROUP BY 1, 2""",
+    "degree_clustering": SQL_GRAPH_PREFIX
+        + """, tri AS MATERIALIZED (
+  SELECT a.src AS x, a.dst AS y, b.dst AS z
+  FROM canon a JOIN canon b ON a.dst = b.src
+  JOIN canon c ON c.src = a.src AND c.dst = b.dst),
+corners AS (SELECT x AS id FROM tri UNION ALL
+            SELECT y AS id FROM tri UNION ALL
+            SELECT z AS id FROM tri),
+tv AS (SELECT id, CAST(count(*) AS BIGINT) AS t FROM corners GROUP BY id),
+pv AS (SELECT d.id, d.deg, COALESCE(tv.t, 0) AS t
+       FROM deg d LEFT JOIN tv ON d.id = tv.id),
+cls AS (SELECT deg, CAST(count(*) AS BIGINT) AS n_vertices,
+               CAST(sum(2 * t) AS BIGINT) AS closed,
+               CAST(sum(deg * (deg - 1)) AS BIGINT) AS possible
+        FROM pv GROUP BY deg)
+SELECT CAST(deg AS BIGINT) AS deg, n_vertices, closed, possible,
+       CASE WHEN possible > 0
+            THEN round(CAST(closed AS DOUBLE) / possible, 6)
+            ELSE 0.0 END AS cc
+FROM cls""",
+    "strength_disparity": SQL_GRAPH_PREFIX
+        + """
+            SELECT id, deg, strength,
+                   round(CAST(sq AS DOUBLE)
+                         / CAST(strength * strength AS DOUBLE), 6)
+                     AS disparity
+            FROM (SELECT src AS id, CAST(count(*) AS BIGINT) AS deg,
+                         CAST(sum(CAST(weight AS BIGINT)) AS BIGINT)
+                           AS strength,
+                         CAST(sum(CAST(weight AS BIGINT)
+                                  * CAST(weight AS BIGINT)) AS BIGINT) AS sq
+                  FROM edges GROUP BY src)""",
+    "edge_smoothness": f"""
+            WITH g AS MATERIALIZED ({_sql_reference_graph()}),
+            d AS (SELECT CAST(x.n_chars - y.n_chars AS BIGINT) AS diff
+                  FROM g JOIN documents x ON g.src = x.doc_id
+                         JOIN documents y ON g.dst = y.doc_id),
+            a AS (SELECT CAST(count(*) AS BIGINT) AS m_edges,
+                         CAST(COALESCE(sum(diff * diff), 0) AS BIGINT)
+                           AS energy,
+                         CAST(COALESCE(sum(abs(diff)), 0) AS BIGINT)
+                           AS sum_abs_diff
+                  FROM d)
+            SELECT m_edges, energy, sum_abs_diff,
+                   CASE WHEN m_edges > 0
+                        THEN round(CAST(energy AS DOUBLE) / m_edges, 6)
+                        ELSE NULL END AS avg_sq_diff
+            FROM a""",
+    "hub_churn": """
+            WITH ue AS MATERIALIZED (
+              SELECT DISTINCT user_id AS u, event_type AS t,
+                     date_trunc('hour', ts) AS h,
+                     date_diff('day', DATE '1970-01-01', CAST(ts AS DATE))
+                       % 2 AS p
+              FROM events),
+            ok AS (SELECT p, t, h FROM ue GROUP BY p, t, h
+                   HAVING count(*) <= 256),
+            u2 AS MATERIALIZED (
+              SELECT ue.p, ue.u, ue.t, ue.h FROM ue
+              JOIN ok ON ue.p = ok.p AND ue.t = ok.t AND ue.h = ok.h),
+            pairs AS MATERIALIZED (
+              SELECT DISTINCT a.p, a.u AS src, b.u AS dst
+              FROM u2 a JOIN u2 b
+                ON a.p = b.p AND a.t = b.t AND a.h = b.h AND a.u < b.u),
+            deg AS (SELECT p, id, CAST(count(*) AS BIGINT) AS deg
+                    FROM (SELECT p, src AS id FROM pairs
+                          UNION ALL SELECT p, dst FROM pairs)
+                    GROUP BY p, id),
+            t0 AS (SELECT id, row_number() OVER (ORDER BY deg DESC, id)
+                            AS r
+                   FROM deg WHERE p = 0 ORDER BY deg DESC, id LIMIT 100),
+            t1 AS (SELECT id, row_number() OVER (ORDER BY deg DESC, id)
+                            AS r
+                   FROM deg WHERE p = 1 ORDER BY deg DESC, id LIMIT 100),
+            c AS (SELECT CAST(count(*) AS BIGINT) AS n_common,
+                         CAST(COALESCE(sum(abs(t0.r - t1.r)), 0) AS BIGINT)
+                           AS footrule
+                  FROM t0 JOIN t1 USING (id)),
+            en AS (SELECT CAST(count(*) AS BIGINT) AS entered FROM t1
+                   WHERE id NOT IN (SELECT id FROM t0)),
+            ex AS (SELECT CAST(count(*) AS BIGINT) AS exited FROM t0
+                   WHERE id NOT IN (SELECT id FROM t1))
+            SELECT n_common, entered, exited, footrule,
+                   CASE WHEN n_common > 0
+                        THEN round(CAST(footrule AS DOUBLE) / n_common, 6)
+                        ELSE NULL END AS avg_rank_shift
+            FROM c, en, ex""",
+    "bowtie": f"""
+            WITH RECURSIVE nn AS (
+              SELECT CAST(count(DISTINCT doc_id) AS BIGINT) AS n
+              FROM documents),
+            d AS (SELECT doc_id,
+                    {H1_SQL.format(
+                        s="('deg|' || CAST(doc_id AS VARCHAR))")} % 3 AS k
+                  FROM documents),
+            g AS MATERIALIZED (
+              SELECT DISTINCT doc_id AS src,
+                     CAST({H1_SQL.format(
+                        s="('ref|' || CAST(doc_id AS VARCHAR) || '|' "
+                          "|| CAST(j AS VARCHAR))")} % n AS BIGINT) AS dst
+              FROM d, nn, (VALUES (0), (1)) AS js(j)
+              WHERE j < k
+                AND doc_id != {H1_SQL.format(
+                        s="('ref|' || CAST(doc_id AS VARCHAR) || '|' "
+                          "|| CAST(j AS VARCHAR))")} % n),
+            r(u, v) AS (
+              SELECT src, dst FROM g
+              UNION
+              SELECT r.u, g.dst FROM r JOIN g ON r.v = g.src),
+            verts AS (SELECT DISTINCT doc_id AS id FROM documents),
+            mut AS (SELECT r1.u AS x, min(r1.v) AS m
+                    FROM r r1 JOIN r r2 ON r1.u = r2.v AND r1.v = r2.u
+                    GROUP BY r1.u),
+            lab AS (SELECT v.id, least(v.id, coalesce(mut.m, v.id)) AS label
+                    FROM verts v LEFT JOIN mut ON v.id = mut.x),
+            core AS (SELECT label FROM lab GROUP BY label
+                     ORDER BY count(*) DESC, label LIMIT 1),
+            rep AS (SELECT label AS rid FROM core),
+            fwd AS (SELECT DISTINCT v AS id FROM r, rep WHERE u = rid),
+            bwd AS (SELECT DISTINCT u AS id FROM r, rep WHERE v = rid),
+            und AS (SELECT src AS a, dst AS b FROM g
+                    UNION SELECT dst, src FROM g),
+            w(id) AS (SELECT rid FROM rep
+                      UNION
+                      SELECT und.b FROM w JOIN und ON w.id = und.a),
+            cls AS (SELECT v.id,
+                      CASE WHEN l.label = (SELECT label FROM core)
+                             THEN 'CORE'
+                           WHEN v.id IN (SELECT id FROM bwd) THEN 'IN'
+                           WHEN v.id IN (SELECT id FROM fwd) THEN 'OUT'
+                           WHEN v.id IN (SELECT id FROM w) THEN 'TENDRIL'
+                           ELSE 'DISCONNECTED' END AS component
+                    FROM verts v JOIN lab l ON v.id = l.id)
+            SELECT cat.component, CAST(coalesce(n, 0) AS BIGINT) AS n
+            FROM (VALUES ('CORE'), ('IN'), ('OUT'), ('TENDRIL'),
+                         ('DISCONNECTED')) AS cat(component)
+            LEFT JOIN (SELECT component, count(*) AS n
+                       FROM cls GROUP BY component) c
+                   ON cat.component = c.component""",
+    "lang_mixing": f"""
+            WITH g AS MATERIALIZED ({_sql_reference_graph()})
+            SELECT x.lang AS src_lang, y.lang AS dst_lang,
+                   CAST(count(*) AS BIGINT) AS edges
+            FROM g JOIN documents x ON g.src = x.doc_id
+                   JOIN documents y ON g.dst = y.doc_id
+            GROUP BY 1, 2""",
+    "attr_assortativity": f"""
+            WITH g AS MATERIALIZED ({_sql_reference_graph()}),
+            e AS (SELECT x.lang AS sl, y.lang AS dl
+                  FROM g JOIN documents x ON g.src = x.doc_id
+                         JOIN documents y ON g.dst = y.doc_id),
+            mm AS (SELECT sl, dl, CAST(count(*) AS BIGINT) AS c
+                   FROM e GROUP BY 1, 2),
+            r AS (SELECT sl AS l, CAST(sum(c) AS BIGINT) AS rs
+                  FROM mm GROUP BY 1),
+            c2 AS (SELECT dl AS l, CAST(sum(c) AS BIGINT) AS cs
+                   FROM mm GROUP BY 1),
+            s AS (SELECT CAST(COALESCE(sum(rs * cs), 0) AS BIGINT) AS sum_rc
+                  FROM r JOIN c2 USING (l)),
+            t AS (SELECT CAST(COALESCE(sum(c), 0) AS BIGINT) AS m_edges,
+                         CAST(COALESCE(sum(CASE WHEN sl = dl THEN c
+                                                ELSE 0 END), 0) AS BIGINT)
+                           AS same_label
+                  FROM mm)
+            SELECT m_edges, same_label, sum_rc,
+                   CASE WHEN m_edges * m_edges - sum_rc != 0
+                        THEN round(CAST(m_edges * same_label - sum_rc
+                                        AS DOUBLE)
+                                   / (m_edges * m_edges - sum_rc), 6)
+                        ELSE NULL END AS assortativity
+            FROM t, s""",
+    "salsa": _sql_salsa(5),
+    "maximal_matching": _sql_matching(12),
+    "butterflies": _sql_butterflies(),
+    "graph_coloring": _sql_coloring_msf(12, 8, 6),
+    "min_spanning_forest": _sql_msf(8, 6),
+    "motif_census": _sql_motif_census(),
+    "densest_subgraph": _sql_densest(12),
+    "butterfly_vertices": """
+WITH inc AS MATERIALIZED (
+  SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+pw AS MATERIALIZED (
+  SELECT a.p AS u, b.p AS v, CAST(count(*) AS BIGINT) AS w
+  FROM inc a JOIN inc b ON a.o = b.o AND a.p < b.p
+  GROUP BY a.p, b.p HAVING count(*) >= 2),
+per AS (SELECT u AS id, w * (w - 1) // 2 AS b FROM pw
+        UNION ALL SELECT v AS id, w * (w - 1) // 2 AS b FROM pw)
+SELECT id, CAST(sum(b) AS BIGINT) AS butterflies FROM per GROUP BY id
+ORDER BY id""",
+    "rich_club": SQL_GRAPH_PREFIX + """
+SELECT CAST(k AS INTEGER) AS k,
+       (SELECT CAST(count(*) AS BIGINT) FROM deg WHERE deg > k) AS n_rich,
+       (SELECT CAST(count(*) AS BIGINT) FROM canon c
+        JOIN deg a ON c.src = a.id JOIN deg b ON c.dst = b.id
+        WHERE a.deg > k AND b.deg > k) AS e_rich,
+       CASE WHEN (SELECT count(*) FROM deg WHERE deg > k) >= 2
+            THEN round(
+              2.0 * (SELECT count(*) FROM canon c
+                     JOIN deg a ON c.src = a.id JOIN deg b ON c.dst = b.id
+                     WHERE a.deg > k AND b.deg > k)
+              / ((SELECT count(*) FROM deg WHERE deg > k)
+                 * ((SELECT count(*) FROM deg WHERE deg > k) - 1)), 6)
+            ELSE 0.0 END AS phi
+FROM (SELECT unnest([4, 8, 16, 32]) AS k) ks ORDER BY k""",
+    "co_activity_edges": """
+WITH ue AS MATERIALIZED (
+  SELECT DISTINCT user_id AS u, event_type AS t,
+         date_trunc('hour', ts) AS h
+  FROM events),
+ok AS (SELECT t, h FROM ue GROUP BY t, h HAVING count(*) <= 256),
+u2 AS MATERIALIZED (
+  SELECT ue.u, ue.t, ue.h FROM ue
+  JOIN ok ON ue.t = ok.t AND ue.h = ok.h)
+SELECT a.u AS src, b.u AS dst, CAST(count(*) AS BIGINT) AS weight
+FROM u2 a JOIN u2 b ON a.t = b.t AND a.h = b.h AND a.u < b.u
+GROUP BY a.u, b.u ORDER BY src, dst""",
+    "percolation": _sql_percolation((1, 2, 3, 5), 16),
+    "topo_levels": """
+            WITH dd AS (SELECT DISTINCT doc_id FROM documents),
+            d AS (SELECT CAST(row_number() OVER (ORDER BY doc_id) - 1
+                              AS BIGINT) AS r FROM dd),
+            s AS (SELECT r,
+                         (r = 0 OR (CAST(('0x' || substr(md5('topo|' ||
+                            CAST(r - 1 AS VARCHAR)), 1, 14)) AS BIGINT)
+                            % 2) != 0) AS brk
+                  FROM d),
+            b AS (SELECT r, CASE WHEN brk THEN r END AS brk_r FROM s)
+            SELECT r AS id,
+                   CAST(r - max(brk_r) OVER (ORDER BY r
+                        ROWS UNBOUNDED PRECEDING) AS BIGINT) AS level
+            FROM b""",
+    "seeded_lpa": _sql_seeded_lpa(SEEDED_LPA_ITERS),
+    "spread_behaviour": SQL_GRAPH_PREFIX + """
+            SELECT e.src AS uin, ev.event_type AS behaviour_id,
+                   CAST(count(*) AS BIGINT) AS cnt,
+                   round(sum(ev.value), 6) AS value_sum
+            FROM edges e JOIN events ev ON e.dst = ev.user_id
+            GROUP BY e.src, ev.event_type""",
+    "common_neighbor_payload": SQL_GRAPH_PREFIX
+        + """SELECT c.src, c.dst,
+                    CAST(COALESCE(t.cnt, 0) AS BIGINT) AS common_count,
+                    t.avg_v AS value_avg
+             FROM canon c LEFT JOIN (
+               -- exact int64 HALF_UP avg at 6dp (cents): mirrors
+               -- algos/triangles.common_neighbor_payload cents=True
+               SELECT a.src AS u, b.src AS v, count(*) AS cnt,
+                      CAST((2 * sum(CAST(round(p.p_retailprice * 100)
+                                         AS BIGINT)) * 10000 + count(*))
+                           // (2 * count(*)) AS DOUBLE) / 1000000.0
+                        AS avg_v
+               FROM edges a JOIN edges b ON a.dst = b.dst AND a.src < b.src
+               JOIN part p ON p.p_partkey = a.dst
+               GROUP BY a.src, b.src) t ON c.src = t.u AND c.dst = t.v""",
+    "wcc_trace": _sql_wcc_trace(WCC_SQL_ITERS),
+    "lang_conductance": f"""
+            WITH cg AS MATERIALIZED ({_sql_reference_graph()}),
+            lab AS MATERIALIZED (
+              SELECT doc_id AS id, lang AS label FROM documents),
+            canon AS MATERIALIZED (
+              SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+              FROM cg WHERE src != dst),
+            e AS MATERIALIZED (
+              SELECT c.a, c.b, x.label AS la, y.label AS lb
+              FROM canon c JOIN lab x ON c.a = x.id
+                           JOIN lab y ON c.b = y.id),
+            vol AS (
+              SELECT label, CAST(count(*) AS BIGINT) AS volume FROM (
+                SELECT la AS label FROM e
+                UNION ALL SELECT lb FROM e) t GROUP BY label),
+            cut AS (
+              SELECT label, CAST(count(*) AS BIGINT) AS cut_edges FROM (
+                SELECT la AS label FROM e WHERE la != lb
+                UNION ALL SELECT lb FROM e WHERE la != lb) t GROUP BY label),
+            tot AS (SELECT 2 * CAST(count(*) AS BIGINT) AS tot_vol FROM e)
+            SELECT v.label AS lang,
+                   COALESCE(c.cut_edges, 0) AS cut_edges,
+                   v.volume,
+                   CASE WHEN least(v.volume, t.tot_vol - v.volume) > 0
+                        THEN round(CAST(COALESCE(c.cut_edges, 0) AS DOUBLE)
+                             / CAST(least(v.volume, t.tot_vol - v.volume)
+                                    AS DOUBLE), 6)
+                   END AS conductance
+            FROM vol v LEFT JOIN cut c ON v.label = c.label, tot t
+            ORDER BY lang""",
+    "ppr_sweep": _sql_ppr_sweep(PPR_ITERS, k=32),
+    "edge_betweenness": _sql_edge_betweenness(),
+    "onion_layers": _sql_onion(),
+    "forman_curvature": SQL_GRAPH_PREFIX
+        + """SELECT c.src, c.dst,
+                    CAST(COALESCE(t.cn, 0) AS BIGINT) AS support,
+                    CAST(4 - du.deg - dv.deg + 3 * COALESCE(t.cn, 0)
+                         AS BIGINT) AS curvature
+             FROM canon c
+             JOIN deg du ON c.src = du.id JOIN deg dv ON c.dst = dv.id
+             LEFT JOIN (
+               SELECT a.src AS u, b.src AS v,
+                      CAST(count(*) AS BIGINT) AS cn
+               FROM edges a JOIN edges b
+                 ON a.dst = b.dst AND a.src < b.src
+               GROUP BY a.src, b.src) t
+               ON c.src = t.u AND c.dst = t.v
+             ORDER BY c.src, c.dst""",
+    "vertex_cover": f"""
+WITH li2 AS MATERIALIZED (
+  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+canon2 AS MATERIALIZED (
+  SELECT a.l_partkey AS src, b.l_partkey AS dst
+  FROM li2 a JOIN li2 b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY a.l_partkey, b.l_partkey),
+verts2 AS MATERIALIZED (
+  SELECT DISTINCT src AS id FROM canon2
+  UNION SELECT DISTINCT dst FROM canon2),
+m AS MATERIALIZED (
+  SELECT src, dst FROM ({_sql_matching(12)})),
+cov AS MATERIALIZED (
+  SELECT src AS id FROM m UNION SELECT dst AS id FROM m),
+s AS (SELECT
+  (SELECT CAST(count(*) AS BIGINT) FROM verts2) AS n_vertices,
+  (SELECT CAST(count(*) AS BIGINT) FROM canon2) AS n_edges,
+  (SELECT CAST(count(*) AS BIGINT) FROM m) AS n_matched,
+  (SELECT CAST(count(*) AS BIGINT) FROM cov) AS cover_size,
+  (SELECT CAST(count(*) AS BIGINT) FROM canon2 c
+   WHERE NOT EXISTS (SELECT 1 FROM cov v WHERE v.id = c.src)
+     AND NOT EXISTS (SELECT 1 FROM cov v WHERE v.id = c.dst))
+    AS n_uncovered)
+SELECT n_vertices, n_edges, n_matched, cover_size, n_uncovered,
+       CASE WHEN n_matched > 0
+            THEN round(CAST(cover_size AS DOUBLE) / n_matched, 6)
+       END AS approx_ratio
+FROM s""",
+    "wedge_closure": _sql_wedge_closure(),
+    "wl_colors": _sql_wl(WL_ROUNDS),
+    "dag_critical_path": """
+WITH dd AS (SELECT DISTINCT doc_id FROM documents),
+d AS (SELECT CAST(row_number() OVER (ORDER BY doc_id) - 1 AS BIGINT)
+        AS r FROM dd),
+s AS (SELECT r, (1 + r % 5) AS w,
+             (r = 0 OR (CAST(('0x' || substr(md5('topo|' ||
+                CAST(r - 1 AS VARCHAR)), 1, 14)) AS BIGINT) % 2) != 0)
+               AS brk
+      FROM d),
+c AS (SELECT r, w, CASE WHEN brk THEN r END AS brk_r,
+             sum(w) OVER (ORDER BY r ROWS UNBOUNDED PRECEDING) AS cw
+      FROM s),
+st AS (SELECT r, w, cw,
+              max(brk_r) OVER (ORDER BY r ROWS UNBOUNDED PRECEDING)
+                AS run_start
+       FROM c)
+SELECT a.r AS id, CAST(a.cw - b.cw + b.w AS BIGINT) AS path_weight
+FROM st a JOIN st b ON b.r = a.run_start
+ORDER BY id""",
+    "spectral_moments": SQL_GRAPH_PREFIX + """,
+tri AS (SELECT CAST(count(*) AS BIGINT) AS t
+        FROM canon a JOIN canon b ON a.src = b.src
+        JOIN canon c ON c.src = a.dst AND c.dst = b.dst),
+cn4 AS (SELECT CAST(sum(cn * cn) AS BIGINT) AS s FROM (
+          SELECT a.dst AS u, b.dst AS v,
+                 CAST(count(*) AS BIGINT) AS cn
+          FROM edges a JOIN edges b
+            ON a.src = b.src AND a.dst != b.dst
+          GROUP BY a.dst, b.dst) z),
+dg AS (SELECT CAST(sum(deg) AS BIGINT) AS m2,
+              CAST(sum(deg * deg) AS BIGINT) AS sd2 FROM deg)
+SELECT dg.m2 AS trace_a2,
+       CAST(6 * tri.t AS BIGINT) AS trace_a3,
+       CAST(dg.sd2 + cn4.s AS BIGINT) AS trace_a4
+FROM dg, tri, cn4""",
+    "bond_percolation": _sql_bond_percolation(BOND_PS, 16),
+    "missing_days": """
+WITH days AS (SELECT DISTINCT CAST(CAST(o_orderdate AS DATE)
+                                   - DATE '1970-01-01' AS BIGINT) AS d
+              FROM orders),
+g AS (SELECT d, lead(d) OVER (ORDER BY d) - d - 1 AS gap FROM days)
+SELECT CAST(max(d) - min(d) + 1 AS BIGINT) AS span_days,
+       CAST(count(*) AS BIGINT) AS days_with_orders,
+       CAST(max(d) - min(d) + 1 - count(*) AS BIGINT) AS missing_days,
+       CAST(COALESCE(max(gap), 0) AS BIGINT) AS longest_gap_days
+FROM g""",
+    "strength_core": _sql_strength_core(SCORE_THRESHOLDS, 10),
+    "triangle_participation": SQL_GRAPH_PREFIX + """,
+tp AS MATERIALIZED (
+  SELECT a.src AS x, a.dst AS y, b.dst AS z
+  FROM canon a JOIN canon b ON a.dst = b.src
+  JOIN canon c ON c.src = a.src AND c.dst = b.dst),
+tc AS (SELECT DISTINCT id FROM (
+  SELECT x AS id FROM tp UNION ALL SELECT y FROM tp
+  UNION ALL SELECT z FROM tp) u)
+SELECT (SELECT CAST(count(*) AS BIGINT) FROM verts) AS n_vertices,
+       (SELECT CAST(count(*) AS BIGINT) FROM tc) AS n_in_triangle,
+       (SELECT CAST(count(*) AS BIGINT) FROM tp) AS n_triangles,
+       round(CAST((SELECT count(*) FROM tc) AS DOUBLE)
+             / (SELECT count(*) FROM verts), 6) AS participation""",
+    "algebraic_connectivity": f"""
+WITH sc AS MATERIALIZED (
+  SELECT id, CAST(round(f * 1000000, 0) AS BIGINT) AS xi
+  FROM ({_sql_spectral(SPECTRAL_ROUNDS)})),
+li3 AS MATERIALIZED (SELECT DISTINCT l_orderkey, l_partkey
+                     FROM lineitem),
+canon3 AS MATERIALIZED (
+  SELECT a.l_partkey AS src, b.l_partkey AS dst
+  FROM li3 a JOIN li3 b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY a.l_partkey, b.l_partkey),
+s AS (SELECT
+  (SELECT CAST(sum((u.xi - v.xi) * (u.xi - v.xi)) AS BIGINT)
+   FROM canon3 c JOIN sc u ON c.src = u.id JOIN sc v ON c.dst = v.id)
+    AS xlx_micro2,
+  (SELECT CAST(sum(xi * xi) AS BIGINT) FROM sc) AS xx_micro2)
+SELECT xlx_micro2, xx_micro2,
+       round(CAST(xlx_micro2 AS DOUBLE) / xx_micro2, 6) AS lambda2_est
+FROM s""",
+    "coreness_degree_corr": f"""
+WITH kc AS MATERIALIZED (
+  SELECT id, coreness FROM ({_sql_kcore()})),
+li4 AS MATERIALIZED (SELECT DISTINCT l_orderkey, l_partkey
+                     FROM lineitem),
+canon4 AS MATERIALIZED (
+  SELECT a.l_partkey AS src, b.l_partkey AS dst
+  FROM li4 a JOIN li4 b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY a.l_partkey, b.l_partkey),
+dg4 AS MATERIALIZED (
+  SELECT id, CAST(count(*) AS BIGINT) AS deg FROM (
+    SELECT src AS id FROM canon4
+    UNION ALL SELECT dst AS id FROM canon4) z GROUP BY id),
+jj AS (SELECT kc.id, kc.coreness, dg4.deg
+       FROM kc JOIN dg4 ON kc.id = dg4.id),
+rk AS (SELECT id,
+              row_number() OVER (ORDER BY coreness ASC, id ASC) AS ra,
+              row_number() OVER (ORDER BY deg ASC, id ASC) AS rb
+       FROM jj),
+a AS (SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum((ra - rb) * (ra - rb)) AS BIGINT) AS d2
+      FROM rk)
+SELECT n AS n_vertices, d2,
+       round(1 - CAST(6 * d2 AS DOUBLE) / (n * (n * n - 1.0)), 6)
+         AS spearman
+FROM a""",
+    "circuit_rank": _sql_wcc(WCC_SQL_ITERS).replace(
+            "SELECT id, lab AS component FROM l"
+            + str(WCC_SQL_ITERS) + " ORDER BY id",
+            f"""SELECT
+  (SELECT CAST(count(*) AS BIGINT) FROM canon) AS n_edges,
+  (SELECT CAST(count(*) AS BIGINT) FROM l{WCC_SQL_ITERS})
+    AS n_vertices,
+  (SELECT CAST(count(DISTINCT lab) AS BIGINT) FROM l{WCC_SQL_ITERS})
+    AS n_components,
+  CAST((SELECT count(*) FROM canon)
+       - (SELECT count(*) FROM l{WCC_SQL_ITERS})
+       + (SELECT count(DISTINCT lab) FROM l{WCC_SQL_ITERS}) AS BIGINT)
+    AS circuit_rank"""),
+}

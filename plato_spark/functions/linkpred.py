@@ -27,7 +27,7 @@ from pyspark.sql import functions as F
 
 from plato_spark.functions.text import portable_h1
 
-__all__ = ["link_prediction_eval"]
+__all__ = ["link_prediction_eval", "link_prediction_first_rank"]
 
 
 def _edge_hash(src, dst):

@@ -76,9 +76,10 @@ def histogram_quantiles(
         .cast("long").alias("r"),
     )
     # first bin whose cumulative count reaches the rank (tiny cross join:
-    # |quantiles| x nbins rows)
+    # |quantiles| x nbins rows; the rank literal is the broadcast build
+    # side so the pick never shuffles the histogram)
     pick = (
-        ranks.crossJoin(cum)
+        cum.crossJoin(F.broadcast(ranks))
         .where(F.col("cum") >= F.col("r"))
         .groupBy("q", "r")
         .agg(F.min(F.struct("bin", "cnt", "cum")).alias("t"))

@@ -34,15 +34,17 @@ def test_packing_sensitivity_exact_tradeoff(spark, tmp_path):
     # budget 16: 1 chunk, waste 1, no splits
     texts = ["a b c d e", "f g h i j", "k l m n o"]
     sf = _docs(spark, tmp_path, texts)
-    import __spark_entry__ as e
-    orig = e.PACKING_SWEEP
-    e.PACKING_SWEEP = (4, 16)
+    # patch the constant where the callable reads it (its defining
+    # module — since the r5 entry split, __spark_entry__ only re-exports)
+    import plato_spark.entry.pipeline as pl
+    orig = pl.PACKING_SWEEP
+    pl.PACKING_SWEEP = (4, 16)
     try:
         got = {r.budget: (r.total_tokens, r.total_chunks, r.split_docs,
                           r.extra_splits, r.tail_waste)
-               for r in e.q_packing_sensitivity(spark, sf).collect()}
+               for r in pl.q_packing_sensitivity(spark, sf).collect()}
     finally:
-        e.PACKING_SWEEP = orig
+        pl.PACKING_SWEEP = orig
     assert got[16] == (15, 1, 0, 0, 1)
     tt, chunks, splits, extra, waste = got[4]
     assert tt == 15 and chunks == 4 and waste == 1
