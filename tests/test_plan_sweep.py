@@ -30,5 +30,9 @@ def test_plan_is_clean(spark, name):
     df = entrymod.queries()[name](spark, SF_DIR)
     found = plan_violations(formatted_plan(df))
     if name in ALLOW:
+        # the allowlist covers ONLY the bounded/fenced BNLJ; a
+        # CartesianProduct or row-Python UDF still fails here
+        hard = [v for v in found if "BroadcastNestedLoopJoin" not in v]
+        assert not hard, f"{name} (allowlisted for BNLJ only): {hard}"
         pytest.skip(f"allowlisted: {ALLOW[name]}")
     assert not found, f"{name}: {found}"
