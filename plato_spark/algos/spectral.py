@@ -102,7 +102,18 @@ def spectral_coordinate(edges: DataFrame, rounds: int = 20) -> DataFrame:
         )
         state = cheap_localCheckpoint(state)
 
-    out = state.select("id", F.round("x", 6).alias("f"))
+    # canonicalize signed zero: the Fiedler coordinate has an atom of
+    # mass AT zero (weakly-attached vertices), and a value the two
+    # engines place at +eps vs -eps rounds to +-0.0 — numerically equal
+    # (IEEE -0.0 == 0.0) but "-0.0" != "0.0" under any stringified
+    # row-sort, which misaligns the whole sorted block in a value-hash
+    # compare (observed at sf0.1: one -0.0 shifted 10k rows).  The
+    # oracle applies the same CASE (entry/common._sql_spectral).
+    f6 = F.round("x", 6)
+    out = state.select(
+        "id",
+        F.when(f6 == 0.0, F.lit(0.0)).otherwise(f6).alias("f"),
+    )
     out = out.localCheckpoint(eager=True)
     e.unpersist()
     base.unpersist()

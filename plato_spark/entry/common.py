@@ -935,7 +935,10 @@ def _sql_kcore(iters: int = KCORE_SQL_ITERS) -> str:
     )
 
 
-ONION_SQL_ROUNDS = 88
+ONION_SQL_ROUNDS = 168  # measured fixpoints: <=88 at sf0.01, 144 at
+# sf0.1 (the r5 sf0.1 tail replica caught the 88-pin truncating there;
+# tools/validate_fixpoint.py is the loop-to-convergence twin that
+# measures the depth at any sf)
 
 
 def _sql_onion(rounds: int = ONION_SQL_ROUNDS) -> str:
@@ -1747,11 +1750,13 @@ e{i + 1} AS MATERIALIZED (
     )
 
 
-def _sql_mis(rounds: int = 8) -> str:
+def _sql_mis(rounds: int = 12) -> str:
     """Mirror of algos/mis.maximal_independent_set: unrolled Luby rounds
     with the unique portable-hash priority (p = (h1(id) % 2^31) * 2^31
     + id); rounds pinned past the measured fixpoint (4 at sf0.001, 6 at
-    sf0.01) — extra rounds operate on an empty alive set and add no rows.
+    sf0.01, 9 at sf0.1 — the 8-pin truncated there by one vertex, caught
+    by the r5 sf0.1 tail replica) — extra rounds operate on an empty
+    alive set and add no rows.
     """
     pri = (
         "(CAST(('0x' || substr(md5(CAST(id AS VARCHAR)), 1, 14)) AS BIGINT)"
@@ -2503,11 +2508,14 @@ SELECT
 """
 
 
-def _sql_trussness(k_max: int = 6, rounds: tuple = (4, 5, 6, 8)) -> str:
+def _sql_trussness(k_max: int = 6, rounds: tuple = (4, 10, 11, 8)) -> str:
     """Mirror of algos/ktruss.truss_decomposition: phased support-peel,
     trussness = 2 + number of phases survived (p_k nests in p_{k-1}).
     ``rounds`` pins the unrolled peel rounds per phase, >= the measured
-    engine fixpoints at sf0.01 ((2,3,4,6); extra rounds are identity)."""
+    engine fixpoints at sf0.01 ((2,3,4,6)) AND sf0.1 ((2,8,9,6) via
+    tools/validate_fixpoint.py — the old (4,5,6,8) pin under-peeled
+    phases k=4/k=5 there by 46 edges, caught by the r5 sf0.1 tail
+    replica; extra rounds are identity)."""
     ctes = ["e0 AS MATERIALIZED (SELECT src, dst FROM canon)"]
     i = 0
     bounds = []
@@ -4037,7 +4045,13 @@ x{k + 1} AS MATERIALIZED (
   FROM c{k + 1}, mm{k + 1} m)""")
     return (
         SQL_GRAPH_PREFIX + ", " + ",\n".join(ctes)
-        + f"\nSELECT id, round(x, 6) AS f FROM x{iters} ORDER BY id"
+        # CASE canonicalizes IEEE -0.0 to +0.0 (the Fiedler coordinate
+        # has an atom at zero; see algos/spectral.py): DuckDB's
+        # round(-1e-9, 6) yields -0.0, which value-compares equal to
+        # 0.0 but string-sorts into the negative block, misaligning a
+        # sorted value-hash compare.
+        + f"\nSELECT id, CASE WHEN round(x, 6) = 0 THEN 0.0 "
+          f"ELSE round(x, 6) END AS f FROM x{iters} ORDER BY id"
     )
 
 

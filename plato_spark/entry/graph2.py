@@ -1540,7 +1540,7 @@ ORACLES = {
     "simrank": _sql_simrank(SIMRANK_K, SIMRANK_ITERS),
     "hitting_time": _sql_hitting(HIT_ROUNDS, HIT_SEEDS),
     "attr_diffusion": _sql_attr_diffusion(DIFF_ROUNDS, DIFF_ALPHA),
-    "mis": _sql_mis(8),
+    "mis": _sql_mis(12),
     "modularity": _sql_modularity(),
     "component_stability": _sql_component_stability(HUB_SWEEP_SQL_ITERS),
     "degree_incremental": SQL_GRAPH_PREFIX

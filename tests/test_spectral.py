@@ -59,6 +59,21 @@ def test_spectral_matches_numpy_mirror(spark):
         assert abs(got[v] - exp[v]) <= 2e-6, (v, got[v], exp[v])
 
 
+def test_spectral_zero_is_canonical_positive(spark):
+    # odd path 0-1-2-3-4: the center vertex's Fiedler coordinate is 0
+    # by antisymmetry, and float iteration lands at +-eps, rounding to
+    # IEEE +-0.0 — which value-compares equal but string-sorts apart,
+    # misaligning sorted value-hash compares (seen at sf0.1).  The
+    # output guard must canonicalize every zero to +0.0.
+    import math
+
+    edges = [(i, i + 1) for i in range(4)]
+    got = {r.id: r.f for r in
+           spectral_coordinate(_sym(spark, edges), rounds=40).collect()}
+    assert got[2] == 0.0
+    assert math.copysign(1.0, got[2]) == 1.0
+
+
 def test_spectral_path_is_monotone(spark):
     # the Fiedler vector of a path is monotone along it; 30 rounds on a
     # 6-path is converged enough for the ORDER to hold

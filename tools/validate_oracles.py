@@ -30,6 +30,10 @@ def normalize(rows, cols):
             v = r[i]
             if isinstance(v, float):
                 v = round(v, 9)
+                if v == 0.0:
+                    v = 0.0  # fold IEEE -0.0: equal under ==, but
+                    # "-0.0" != "0.0" under the stringified row-sort
+                    # below, which would misalign whole sorted blocks
             vals.append(v)
         out.append(tuple(vals))
     out.sort(key=lambda t: tuple(str(x) for x in t))
