@@ -1002,6 +1002,28 @@ def q_random_removal(spark, sf_dir):
     return random_removal_sweep(support, ks=HUB_SWEEP_KS)
 
 
+def q_powerlaw_alpha(spark, sf_dir):
+    """Discrete power-law exponent of the degree distribution
+    (graph/edges.powerlaw_alpha, Clauset-Shalizi-Newman MLE at pinned
+    kmin=2) — the scale-free audit behind every hub/salting policy:
+    alpha in [2,3] means hub degree grows with graph size and skew
+    handling is structural.  Log-sum folds over the degree histogram."""
+    from plato_spark.graph.edges import powerlaw_alpha
+
+    return powerlaw_alpha(part_cooccurrence_edges(spark, sf_dir), kmin=2)
+
+
+def q_degree_centralization(spark, sf_dir):
+    """Freeman degree centralization (graph/edges.degree_centralization)
+    — single-hub dominance on [0,1] (1.0 = perfect star), the direct
+    'does ONE vertex bottleneck every superstep' audit beside
+    degree_gini's whole-distribution inequality.  Numerator is the
+    exact int64 identity n*d_max - sum(d); one division."""
+    from plato_spark.graph.edges import degree_centralization
+
+    return degree_centralization(part_cooccurrence_edges(spark, sf_dir))
+
+
 QUERIES = {
     "closeness_exact": q_closeness_exact,
     "infomap": q_infomap,
@@ -1083,6 +1105,8 @@ QUERIES = {
     "metapath_walks": q_metapath_walks,
     "component_edges": q_component_edges,
     "major_component_edges": q_major_component_edges,
+    "powerlaw_alpha": q_powerlaw_alpha,
+    "degree_centralization": q_degree_centralization,
 }
 
 
@@ -1441,4 +1465,31 @@ SELECT c.src, c.dst
 FROM canon c JOIN l{WCC_SQL_ITERS} l ON c.src = l.id
 WHERE l.lab = (SELECT lab FROM maj)""",
         ),
+    "powerlaw_alpha": SQL_GRAPH_PREFIX
+        + """, hist AS (SELECT deg AS v, CAST(count(*) AS BIGINT) AS c
+                        FROM deg GROUP BY deg),
+            a AS (SELECT CAST(COALESCE(sum(c), 0) AS BIGINT) AS n_tail,
+                         CAST(max(v) AS BIGINT) AS max_degree,
+                         sum(CAST(c AS DOUBLE)
+                             * ln(CAST(v AS DOUBLE) / 1.5)) AS logsum
+                  FROM hist WHERE v >= 2)
+            SELECT CAST(2 AS BIGINT) AS kmin, n_tail, max_degree,
+                   CASE WHEN n_tail > 0
+                        THEN round(1.0 + n_tail / logsum, 6) END AS alpha,
+                   CASE WHEN n_tail > 0
+                        THEN round((n_tail / logsum)
+                                   / sqrt(CAST(n_tail AS DOUBLE)), 6)
+                   END AS sigma
+            FROM a""",
+    "degree_centralization": SQL_GRAPH_PREFIX
+        + """, a AS (SELECT CAST(count(*) AS BIGINT) AS n,
+                      CAST(max(deg) AS BIGINT) AS mx,
+                      CAST(sum(deg) AS BIGINT) AS tot FROM deg)
+            SELECT n AS n_vertices, mx AS max_degree,
+                   CASE WHEN n > 2
+                        THEN round(CAST(n * mx - tot AS DOUBLE)
+                                   / (CAST(n - 1 AS DOUBLE)
+                                      * CAST(n - 2 AS DOUBLE)), 6)
+                   END AS centralization
+            FROM a""",
 }

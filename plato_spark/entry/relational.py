@@ -1856,6 +1856,17 @@ def q_priority_late_orders(spark, sf_dir):
     )
 
 
+def q_forecast_revenue(spark, sf_dir):
+    """TPC-H-Q6 shape (functions/relational.forecast_revenue): revenue
+    delta from mid-band discounts on small-quantity lines in one ship
+    year — pure scan + three pushed predicates + single-row fold, the
+    no-join end of the Q-family; exact cents x percent-unit int64
+    products, integer band compares."""
+    from plato_spark.functions.relational import forecast_revenue
+
+    return forecast_revenue(load_table(spark, sf_dir, "lineitem"))
+
+
 QUERIES = {
     "pricing_summary": q_pricing_summary,
     "zorder_key": q_zorder_key,
@@ -1932,6 +1943,7 @@ QUERIES = {
     "linenumber_audit": q_linenumber_audit,
     "supplier_brand_focus": q_supplier_brand_focus,
     "nation_arpu": q_nation_arpu,
+    "forecast_revenue": q_forecast_revenue,
 }
 
 
@@ -3164,4 +3176,23 @@ SELECT per.c_nationkey AS nationkey, n.n_name, per.n_customers,
              6) AS arpu
 FROM per JOIN nation n ON per.c_nationkey = n.n_nationkey
 ORDER BY nationkey""",
+    "forecast_revenue": """
+WITH f AS (
+  SELECT CAST(round(l_discount * 100, 0) AS BIGINT) AS dc,
+         CAST(round(l_extendedprice * 100, 0) AS BIGINT) AS pc
+  FROM lineitem
+  WHERE CAST(l_shipdate AS DATE) >= DATE '1996-01-01'
+    AND CAST(l_shipdate AS DATE) < DATE '1997-01-01'
+    AND CAST(round(l_quantity, 0) AS BIGINT) < 24
+    AND CAST(round(l_discount * 100, 0) AS BIGINT) BETWEEN 5 AND 7),
+a AS (SELECT CAST(count(*) AS BIGINT) AS n_lines,
+             CAST(COALESCE(sum(dc), 0) AS BIGINT) AS dsum,
+             CAST(COALESCE(sum(pc * dc), 0) AS BIGINT) AS delta_u
+      FROM f)
+SELECT n_lines,
+       CASE WHEN n_lines > 0
+            THEN round(CAST(dsum AS DOUBLE) / n_lines, 6)
+       END AS avg_discount_pct,
+       round(CAST(delta_u AS DOUBLE) / 1e4, 2) AS revenue_delta
+FROM a""",
 }

@@ -21,7 +21,8 @@ __all__ = ["revenue_rollup", "value_outliers", "pricing_summary",
            "trade_volume", "local_supplier_volume", "returned_items",
            "top_supplier", "product_profit", "small_qty_revenue",
            "dormant_customers", "late_shipments", "waiting_suppliers",
-           "market_share", "brand_band_revenue", "join_skew_audit"]
+           "market_share", "brand_band_revenue", "join_skew_audit",
+           "forecast_revenue"]
 
 
 def _cents(col):
@@ -935,4 +936,50 @@ def join_skew_audit(df: DataFrame, keys: tuple) -> DataFrame:
                 / F.col("n_rows"), 6).alias("skew_factor"),
         F.round(F.col("max_key_rows") / F.col("n_rows"), 6)
         .alias("top_share"),
+    )
+
+
+def forecast_revenue(
+    lineitem: DataFrame,
+    date_lo: str = "1996-01-01",
+    date_hi: str = "1997-01-01",
+    disc_lo: int = 5,
+    disc_hi: int = 7,
+    qty_max: int = 24,
+) -> DataFrame:
+    """1-row (n_lines, avg_discount_pct, revenue_delta) — the
+    TPC-H-Q6 shape: how much revenue would have been gained in a year
+    if the mid-band discounts (5-7%) on small-quantity lines had not
+    been granted — sum(l_extendedprice * l_discount) under three
+    pushed predicates.
+
+    The point of the shape is that it is pure scan + filter + fold:
+    every predicate (date window, discount band, quantity cap) pushes
+    to the parquet scan, no join, map-side-combined single-row agg.
+    Money math is exact: cents x discount-percent-units int64 products
+    (<= 1e7 x 10 per line — no overflow until ~9e18 total), one
+    division at read-out.  The discount-band test compares ROUNDED
+    integer percent units, never float equality."""
+    dc = F.round(F.col("l_discount") * 100, 0).cast("long")
+    f = lineitem.where(
+        (F.col("l_shipdate").cast("date") >= F.lit(date_lo).cast("date"))
+        & (F.col("l_shipdate").cast("date") < F.lit(date_hi).cast("date"))
+        & (F.round(F.col("l_quantity"), 0).cast("long") < qty_max)
+    ).select(
+        dc.alias("dc"),
+        _cents(F.col("l_extendedprice")).alias("pc"),
+    ).where((F.col("dc") >= disc_lo) & (F.col("dc") <= disc_hi))
+    agg = f.agg(
+        F.count(F.lit(1)).cast("long").alias("n_lines"),
+        F.coalesce(F.sum("dc"), F.lit(0)).cast("long").alias("dsum"),
+        F.coalesce(F.sum(F.col("pc") * F.col("dc")), F.lit(0))
+        .cast("long").alias("delta_u"),
+    )
+    return agg.select(
+        "n_lines",
+        F.when(
+            F.col("n_lines") > 0,
+            F.round(F.col("dsum") / F.col("n_lines"), 6),
+        ).alias("avg_discount_pct"),
+        F.round(F.col("delta_u") / F.lit(1e4), 2).alias("revenue_delta"),
     )

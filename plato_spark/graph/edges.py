@@ -572,3 +572,87 @@ def strength_assortativity(weighted_canon: DataFrame) -> DataFrame:
             F.round(num / (F.sqrt(vx) * F.sqrt(vy)), 6),
         ).alias("assortativity")
     )
+
+
+def powerlaw_alpha(canon: DataFrame, kmin: int = 2) -> DataFrame:
+    """1-row (kmin, n_tail, max_degree, alpha, sigma) — discrete
+    power-law exponent of the UNDIRECTED degree distribution by the
+    Clauset-Shalizi-Newman MLE approximation
+    alpha = 1 + n / sum_i ln(d_i / (kmin - 0.5)) over degrees >= kmin,
+    with standard error sigma = (alpha - 1) / sqrt(n).
+
+    This is the scale-free test behind every 100-TB skew decision the
+    engine makes (salting thresholds, AQE skew joins, broadcast
+    frontiers): alpha in [2, 3] means hub degree grows unboundedly with
+    graph size, so hub handling is structural, not incidental; alpha
+    well above 3 means the tail thins fast enough that plain hash
+    partitioning holds.  Reference context: plato's partitioners carry
+    explicit degree-aware variants for exactly this regime
+    (/root/reference/plato/graph/partition/dcsc.hpp hub handling).
+
+    Plan: the log-sum folds over the DEGREE HISTOGRAM (one shuffle for
+    the degree agg, then |distinct degrees| rows — hundreds at any
+    scale): a degree class (v, c) contributes c * ln(v / (kmin-0.5)).
+    The 0.5 continuity correction makes every tail term strictly
+    positive, so the division is well-defined whenever n_tail > 0;
+    n_tail = 0 yields NULL alpha (NULL-not-fake-0 convention).
+    """
+    sym = symmetrize(canon.select("src", "dst"))
+    deg = sym.groupBy(F.col("src").alias("id")).agg(
+        F.count("*").cast("long").alias("deg"))
+    hist = deg.groupBy(F.col("deg").alias("v")).agg(
+        F.count("*").cast("long").alias("c"))
+    shift = F.lit(float(kmin) - 0.5)
+    agg = hist.where(F.col("v") >= kmin).agg(
+        F.coalesce(F.sum("c"), F.lit(0)).cast("long").alias("n_tail"),
+        F.max("v").cast("long").alias("max_degree"),
+        F.sum(F.col("c") * F.log(F.col("v") / shift)).alias("logsum"),
+    )
+    alpha = F.lit(1.0) + F.col("n_tail") / F.col("logsum")
+    return agg.select(
+        F.lit(kmin).cast("long").alias("kmin"),
+        "n_tail",
+        "max_degree",
+        F.when(F.col("n_tail") > 0, F.round(alpha, 6)).alias("alpha"),
+        F.when(
+            F.col("n_tail") > 0,
+            F.round((alpha - 1) / F.sqrt(F.col("n_tail")), 6),
+        ).alias("sigma"),
+    )
+
+
+def degree_centralization(canon: DataFrame) -> DataFrame:
+    """1-row (n_vertices, max_degree, centralization) — Freeman degree
+    centralization of the undirected graph:
+    C = sum_i (d_max - d_i) / ((n - 1) * (n - 2)), the star-likeness
+    scalar (1.0 = perfect star, 0.0 = regular graph).  Complements
+    degree_gini: gini reads inequality of the whole distribution,
+    centralization reads single-hub dominance — the direct 'does ONE
+    vertex bottleneck every superstep' audit.
+
+    Plan: sum_i (d_max - d_i) = n * d_max - sum d_i, so the numerator
+    is three exact int64 scalars off one degree aggregation — no
+    second pass, no window; one IEEE division at read-out.  Vertices
+    are the edge-incident set (isolated vertices carry no rows, same
+    contract as degree_gini).  Graphs with n <= 2 yield NULL (the
+    normalizer vanishes)."""
+    sym = symmetrize(canon.select("src", "dst"))
+    deg = sym.groupBy(F.col("src").alias("id")).agg(
+        F.count("*").cast("long").alias("deg"))
+    agg = deg.agg(
+        F.count("*").cast("long").alias("n"),
+        F.max("deg").cast("long").alias("max_degree"),
+        F.sum("deg").cast("long").alias("total"),
+    )
+    return agg.select(
+        F.col("n").alias("n_vertices"),
+        "max_degree",
+        F.when(
+            F.col("n") > 2,
+            F.round(
+                (F.col("n") * F.col("max_degree") - F.col("total"))
+                / ((F.col("n") - 1) * (F.col("n") - 2)),
+                6,
+            ),
+        ).alias("centralization"),
+    )
