@@ -788,8 +788,15 @@ def _sql_graphsage(layers: int = 2, dim: int = 64) -> str:
     symmetrized planted citation graph (floor matches Spark's F.floor;
     DuckDB's // would also floor but Spark's `div` would truncate —
     the negative-sum trap the tests pin)."""
-    ctes = [f"""cg AS MATERIALIZED ({_sql_reference_graph()})""", """se AS MATERIALIZED (
-  SELECT src, dst FROM cg UNION SELECT dst AS src, src AS dst FROM cg)""", """degs AS MATERIALIZED (
+    ctes = [f"""cg AS MATERIALIZED ({_sql_reference_graph()})""", """se0 AS MATERIALIZED (
+  SELECT src, dst FROM cg UNION SELECT dst AS src, src AS dst FROM cg)""", """fe AS (SELECT DISTINCT vec_id AS id FROM embeddings)""", """se AS MATERIALIZED (
+  -- feature-less vertices are dropped from the universe AND from
+  -- neighbor means (the engine contract, algos/sage.py): edges keep
+  -- only feature-carrying endpoints, so deg is the FILTERED degree —
+  -- at SFs where some graph vertices lack embedding rows the
+  -- unfiltered degree would deflate every mean (caught at sf0.1)
+  SELECT se0.src, se0.dst FROM se0
+  JOIN fe a ON se0.src = a.id JOIN fe b ON se0.dst = b.id)""", """degs AS MATERIALIZED (
   SELECT src AS id, CAST(count(*) AS BIGINT) AS deg FROM se GROUP BY src)""", f"""dims AS (SELECT unnest(generate_series(1, {dim})) AS d)""", """sg0 AS MATERIALIZED (
   SELECT e.vec_id AS id, CAST(dims.d - 1 AS INTEGER) AS dim,
          CAST(round(CAST(e.embedding[dims.d] AS DOUBLE) * 1000000, 0)
