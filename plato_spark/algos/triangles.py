@@ -209,20 +209,38 @@ def neighborhood_similarity(canon: DataFrame, method: str = "jaccard") -> DataFr
     if method in ("adamic_adar", "resource_allocation"):
         lists = common_neighbors(canon, as_count=False)
         exploded = lists.select("src", "dst", F.explode("common").alias("w"))
+        # per-term quantization to int64 PICOUNITS before the sum: a raw
+        # sum of 1/deg (or 1/ln deg) doubles is reassociation-sensitive,
+        # and a pair whose true score sits on an exact 6dp half-tie then
+        # splits engines by 1e-6 depending on reduce order (observed on
+        # 1/1,196,000 pairs at sf0.1).  round(1e12/deg) is one identical
+        # IEEE division + HALF_UP on both engines, the int64 sum is
+        # order-free, and the 6dp readout is pure integer HALF_UP.
+        # Quantization error <= 5e-13 * |common| — deterministic and far
+        # below the readout grain.  (adamic_adar's ln keeps a residual
+        # libm-vs-Java last-ulp risk inside the ONE per-term division —
+        # measure-zero next to the per-pair sum ties this removes.)
         contrib = (
-            1.0 / F.log("deg") if method == "adamic_adar" else 1.0 / F.col("deg")
+            1e12 / F.log("deg") if method == "adamic_adar"
+            else 1e12 / F.col("deg")
         )
         scored = (
             exploded.join(deg.select(F.col("id").alias("w"), "deg"), "w")
             .groupBy("src", "dst")
-            .agg(F.sum(contrib).alias("s"))
+            .agg(F.sum(F.round(contrib, 0).cast("long")).cast("long")
+                 .alias("su"))
         )
         return (
             canon.select("src", "dst")
             .join(scored, ["src", "dst"], "left")
             .select(
                 "src", "dst",
-                F.round(F.coalesce("s", F.lit(0.0)), 6).alias("score"),
+                (
+                    ((F.coalesce("su", F.lit(0)) + F.lit(500000))
+                     - (F.coalesce("su", F.lit(0)) + F.lit(500000))
+                     % F.lit(1000000)) / F.lit(1000000)
+                    / F.lit(1e6)
+                ).alias("score"),
             )
         )
     raise ValueError(f"unknown method {method!r}")

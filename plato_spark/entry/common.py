@@ -3168,7 +3168,7 @@ mt AS MATERIALIZED (
     FROM cv c WHERE c.u = t.u AND c.ts >= t.ts
     ORDER BY c.ts, c.eid LIMIT 1) c ON TRUE
   WHERE c.ceid IS NOT NULL),
-x AS (SELECT CAST(gap_us AS DOUBLE) AS x FROM mt),
+x AS (SELECT CAST(gap_us AS DOUBLE) / 1000000.0 AS x FROM mt),
 st AS (SELECT min(x) AS lo, max(x) AS hi, CAST(count(x) AS BIGINT) AS n
        FROM x),
 st2 AS (SELECT lo, hi, n, (hi - lo) / {nbins} AS w,

@@ -201,16 +201,24 @@ def q_asof_next(spark, sf_dir):
 
 def q_conversion_latency(spark, sf_dir):
     """Time-to-convert quantiles (asof_next matches -> histogram
-    quantiles over exact integer microsecond gaps): the latency
-    distribution behind the conversion-window choice (windowed_funnel's
-    W and asof_next's cap stop being folklore)."""
+    quantiles over the gap, read in SECONDS): the latency distribution
+    behind the conversion-window choice (windowed_funnel's W and
+    asof_next's cap stop being folklore).
+
+    Seconds, not microseconds, through the histogram: at sf0.1 the
+    gaps reach ~4e11 us, where one double ulp (6.1e-5) EXCEEDS the 6dp
+    readout grain — the interpolation product then differs by one ulp
+    across engines and survives rounding (caught by the sf0.1 sweep).
+    At seconds magnitude (~4e5) the ulp is ~1e-10 and the 6dp contract
+    is safe by six orders."""
     from plato_spark.functions.events import asof_next
     from plato_spark.functions.quantiles import histogram_quantiles
 
     m = asof_next(load_table(spark, sf_dir, "events"), window_s=None)
+    m = m.where(F.col("conversion_id").isNotNull()).withColumn(
+        "gap_s", F.col("gap_us").cast("double") / F.lit(1000000.0))
     return histogram_quantiles(
-        m.where(F.col("conversion_id").isNotNull()), "gap_us",
-        quantiles=(0.5, 0.9, 0.99), nbins=256,
+        m, "gap_s", quantiles=(0.5, 0.9, 0.99), nbins=256,
     )
 
 

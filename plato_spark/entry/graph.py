@@ -1136,9 +1136,18 @@ ORACLES = {
              FROM canon c
              JOIN deg du ON c.src = du.id JOIN deg dv ON c.dst = dv.id""",
     "link_resource_alloc": SQL_GRAPH_PREFIX
-        + """SELECT c.src, c.dst, round(COALESCE(t.s, 0.0), 6) AS score
+        + """SELECT c.src, c.dst,
+               -- int64 picounit terms + integer HALF_UP readout: the
+               -- order-free twin of the engine's quantized sum (a raw
+               -- double sum split engines on one 6dp half-tie pair
+               -- at sf0.1)
+               CAST((COALESCE(t.su, 0) + 500000)
+                    - (COALESCE(t.su, 0) + 500000) % 1000000 AS BIGINT)
+                 / 1000000 / 1000000.0 AS score
              FROM canon c LEFT JOIN (
-               SELECT a.src AS u, b.src AS v, sum(1.0 / d.deg) AS s
+               SELECT a.src AS u, b.src AS v,
+                      CAST(sum(CAST(round(1000000000000.0 / d.deg, 0)
+                                    AS BIGINT)) AS BIGINT) AS su
                FROM edges a JOIN edges b ON a.dst = b.dst AND a.src < b.src
                JOIN deg d ON d.id = a.dst
                GROUP BY a.src, b.src) t ON c.src = t.u AND c.dst = t.v""",
@@ -1431,9 +1440,14 @@ FROM vc LEFT JOIN ec ON vc.component = ec.component""",
                FROM edges a JOIN edges b ON a.dst = b.dst AND a.src < b.src
                GROUP BY a.src, b.src) t ON c.src = t.u AND c.dst = t.v""",
     "link_adamic_adar": SQL_GRAPH_PREFIX
-        + """SELECT c.src, c.dst, round(COALESCE(t.s, 0.0), 6) AS score
+        + """SELECT c.src, c.dst,
+               CAST((COALESCE(t.su, 0) + 500000)
+                    - (COALESCE(t.su, 0) + 500000) % 1000000 AS BIGINT)
+                 / 1000000 / 1000000.0 AS score
              FROM canon c LEFT JOIN (
-               SELECT a.src AS u, b.src AS v, sum(1.0 / ln(d.deg)) AS s
+               SELECT a.src AS u, b.src AS v,
+                      CAST(sum(CAST(round(1000000000000.0 / ln(d.deg), 0)
+                                    AS BIGINT)) AS BIGINT) AS su
                FROM edges a JOIN edges b ON a.dst = b.dst AND a.src < b.src
                JOIN deg d ON d.id = a.dst
                GROUP BY a.src, b.src) t ON c.src = t.u AND c.dst = t.v""",
