@@ -194,10 +194,19 @@ def edge_betweenness_sampled(
                            F.col("sigma").alias("sig_u")),
                 ["root", "src"],
             )
+            # int64 PICOUNIT terms: the cross-root/level sum must be an
+            # order-free integer fold — raw double terms summed in
+            # reduce order split engines on exact 6dp half-ties
+            # (2/1,196,000 edges at sf0.1).  One identical
+            # multiply+round per term on both engines (the oracle uses
+            # the same sig_u * contrib association); |term| <= n, so
+            # term*1e12 stays in int64 through ~1e6-vertex samples —
+            # the sampled-roots regime this estimator is for.
             terms = dag.select(
                 F.least("src", "dst").alias("src"),
                 F.greatest("src", "dst").alias("dst"),
-                (F.col("sig_u") * F.col("contrib")).alias("term"),
+                F.round(F.col("sig_u") * F.col("contrib") * F.lit(1e12), 0)
+                .cast("long").alias("term"),
             )
             edge_terms = (
                 terms if edge_terms is None
@@ -217,17 +226,21 @@ def edge_betweenness_sampled(
                 .transform(cheap_localCheckpoint)
             )
         scores = (
-            edge_terms.groupBy("src", "dst").agg(F.sum("term").alias("t"))
+            edge_terms.groupBy("src", "dst")
+            .agg(F.sum("term").cast("long").alias("t"))
             if edge_terms is not None else None
         )
         out = canon
         if scores is not None:
             out = canon.join(scores, ["src", "dst"], "left")
         else:
-            out = canon.select("src", "dst", F.lit(None).cast("double").alias("t"))
+            out = canon.select("src", "dst", F.lit(None).cast("long").alias("t"))
+        su = F.coalesce("t", F.lit(0)) + F.lit(500000)
         out = out.select(
             "src", "dst",
-            F.round(F.coalesce("t", F.lit(0.0)), 6).alias("edge_betweenness"),
+            # integer HALF_UP at 6dp from the picounit sum
+            ((su - su % F.lit(1000000)) / F.lit(1000000) / F.lit(1e6))
+            .alias("edge_betweenness"),
         ).persist()
         out.count()
     return out

@@ -548,9 +548,14 @@ def _sql_edge_betweenness(samples: int = 4, levels: int = 5) -> str:
     least/greatest and summed over roots and levels; canon edges on no
     sampled DAG score 0.0."""
     K = levels
+    # int64 picounit terms + integer HALF_UP readout, mirroring the
+    # engine exactly (incl. the sigma * ((1+delta)/sigma) association):
+    # a raw double sum over roots/levels split engines on exact 6dp
+    # half-ties (2/1,196,000 edges at sf0.1)
     terms = " UNION ALL ".join(
         f"""SELECT least(e.src, e.dst) AS a, greatest(e.src, e.dst) AS b,
-           l.sigma * (1.0 + n.delta) / n.sigma AS term
+           CAST(round(l.sigma * ((1.0 + n.delta) / n.sigma)
+                      * 1000000000000.0, 0) AS BIGINT) AS term
     FROM edges e
     JOIN (SELECT root, id, sigma FROM vis{K} WHERE dist = {k}) l
       ON e.src = l.id
@@ -562,8 +567,11 @@ def _sql_edge_betweenness(samples: int = 4, levels: int = 5) -> str:
         + ",\n".join(_sql_brandes_ctes(samples, levels))
         + f""",
 allt AS ({terms}),
-es AS (SELECT a, b, sum(term) AS t FROM allt GROUP BY a, b)
-SELECT c.src, c.dst, round(COALESCE(es.t, 0.0), 6) AS edge_betweenness
+es AS (SELECT a, b, CAST(sum(term) AS BIGINT) AS t FROM allt GROUP BY a, b)
+SELECT c.src, c.dst,
+       CAST((COALESCE(es.t, 0) + 500000)
+            - (COALESCE(es.t, 0) + 500000) % 1000000 AS BIGINT)
+         / 1000000 / 1000000.0 AS edge_betweenness
 FROM canon c LEFT JOIN es ON c.src = es.a AND c.dst = es.b
 ORDER BY c.src, c.dst"""
     )
