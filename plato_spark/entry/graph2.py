@@ -1612,9 +1612,21 @@ ORACLES = {
                           AS TINYINT) AS r
               FROM g GROUP BY 1, 2),
             v AS MATERIALIZED (SELECT DISTINCT doc_id AS id FROM documents),
-            tri AS (SELECT v1.id AS p, v2.id AS q, v3.id AS s
-                    FROM v v1 JOIN v v2 ON v1.id < v2.id
-                              JOIN v v3 ON v2.id < v3.id),
+            -- brute force restricted to triples touching >= 1 edge
+            -- (the all-null class 003 is recovered by complement at
+            -- the end): per-triple classification stays a full
+            -- independent dyad-table lookup, but enumeration is
+            -- O(|dyads| * n) = 5e7 rows at sf0.1 instead of the
+            -- C(n,3) = 2.1e10 full cross that exceeded the disk
+            -- budget there; the sorted triple is rebuilt from the
+            -- exact integer identity q = a+b+w - min - max
+            tri AS MATERIALIZED (
+              SELECT DISTINCT least(d.a, least(d.b, w.id)) AS p,
+                     (d.a + d.b + w.id)
+                       - least(d.a, least(d.b, w.id))
+                       - greatest(d.a, greatest(d.b, w.id)) AS q,
+                     greatest(d.a, greatest(d.b, w.id)) AS s
+              FROM dy d JOIN v w ON w.id <> d.a AND w.id <> d.b),
             tt AS (SELECT
                      COALESCE(d1.f, 0) AS f1, COALESCE(d1.r, 0) AS b1,
                      COALESCE(d2.f, 0) AS f2, COALESCE(d2.r, 0) AS b2,
@@ -1656,8 +1668,14 @@ ORACLES = {
                WHEN m = 2 AND a = 0 THEN '201'
                WHEN m = 2 AND a = 1 THEN '210'
                ELSE '300' END AS triad
-              FROM inv)
-            SELECT t.triad, CAST(COALESCE(c.n, 0) AS BIGINT) AS n
+              FROM inv),
+            nn AS (SELECT CAST(count(*) AS BIGINT) AS nv FROM v),
+            tot AS (SELECT CAST(count(*) AS BIGINT) AS ne FROM cls)
+            SELECT t.triad,
+                   CAST(CASE WHEN t.triad = '003'
+                        THEN (SELECT nv * (nv - 1) * (nv - 2) // 6
+                              FROM nn) - (SELECT ne FROM tot)
+                        ELSE COALESCE(c.n, 0) END AS BIGINT) AS n
             FROM (VALUES ('003'),('012'),('102'),('021D'),('021U'),
                          ('021C'),('111D'),('111U'),('030T'),('030C'),
                          ('201'),('120D'),('120U'),('120C'),('210'),
