@@ -159,10 +159,42 @@ def duck_trussness(con, k_max: int = 6):
     return out, ["src", "dst", "trussness"], phase_rounds
 
 
+def duck_ktruss(con, k: int = 5):
+    """(src, dst) — the maximal k-truss by the SAME per-round support
+    peel as entry/common._sql_ktruss, looped to the fixpoint instead of
+    the unrolled KTRUSS_SQL_ITERS chain (whose MATERIALIZED round count
+    is cost-prohibitive at sf0.1) — the single-phase k=5 special case
+    of duck_trussness's loop."""
+    con.execute("CREATE OR REPLACE TEMP TABLE ke AS "
+                "SELECT src, dst FROM canon")
+    r = 0
+    while True:
+        before = con.execute("SELECT count(*) FROM ke").fetchone()[0]
+        con.execute("""CREATE OR REPLACE TEMP TABLE ksy AS
+          SELECT src, dst FROM ke
+          UNION ALL SELECT dst AS src, src AS dst FROM ke""")
+        con.execute("""CREATE OR REPLACE TEMP TABLE ke2 AS
+          SELECT e.src, e.dst FROM ke e
+          JOIN (SELECT a.src AS u, b.src AS v, count(*) AS c
+                FROM ksy a JOIN ksy b
+                  ON a.dst = b.dst AND a.src < b.src
+                GROUP BY a.src, b.src) s
+            ON e.src = s.u AND e.dst = s.v
+          WHERE s.c >= %d""" % (k - 2))
+        con.execute("CREATE OR REPLACE TEMP TABLE ke AS SELECT * FROM ke2")
+        after = con.execute("SELECT count(*) FROM ke").fetchone()[0]
+        r += 1
+        if after == before:
+            break
+    out = con.execute("SELECT src, dst FROM ke ORDER BY src, dst").fetchall()
+    return out, ["src", "dst"], [r]
+
+
 TWINS = {
     "onion_layers": duck_onion,
     "mis": duck_mis,
     "trussness": duck_trussness,
+    "ktruss": duck_ktruss,
 }
 
 
