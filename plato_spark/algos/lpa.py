@@ -30,6 +30,7 @@ from plato_spark.engine.superstep import SuperstepDriver
 from plato_spark.graph.partitioning import (
     auto_shuffle_partitions,
     scoped_shuffle_partitions,
+    scoped_superstep_confs,
 )
 
 
@@ -56,45 +57,48 @@ def label_propagation(
     e0 = edges.select(*cols).persist()
     n_e = e0.count()
     shuffle_n = auto_shuffle_partitions(spark, n_e)
-    e = e0.repartition(shuffle_n, "src").persist()
-    e.count()
-    e0.unpersist()
-    verts = (
-        e.select(F.col("src").alias("id"))
-        .unionByName(e.select(F.col("dst").alias("id")))
-        .distinct()
-        .repartition(shuffle_n, "id")
-    )
-    n_edges = e.count()
-
-    state0 = verts.select("id", F.col("id").alias("label"))
-
-    vote_w = (F.col(weight).cast("long") if weight
-              else F.lit(1).cast("long"))
-
-    def step(state: DataFrame, k: int):
-        votes = (
-            e.join(state.select(F.col("id").alias("src"), "label"), "src")
-            .groupBy(F.col("dst").alias("id"), "label")
-            .agg(F.sum(vote_w).alias("cnt"))
-        )
-        # argmax with smallest-label tie-break: max over (cnt, -label)
-        winner = (
-            votes.groupBy("id")
-            .agg(F.max(F.struct(F.col("cnt"), (-F.col("label")).alias("neg"))).alias("m"))
-            .select("id", (-F.col("m.neg")).alias("new_label"))
-        )
-        new_state = (
-            state.join(winner, "id", "left")
-            .select("id", F.coalesce("new_label", F.col("label")).alias("label"))
-        )
-        return new_state, {
-            "messages_sent": n_edges,
-            "converged": k + 1 >= iterations,
-        }
-
     driver = SuperstepDriver(ckpt=ckpt, max_iters=iterations)
-    with scoped_shuffle_partitions(spark, shuffle_n):
+    with scoped_superstep_confs(spark, shuffle_n):
+        e = e0.repartition(shuffle_n, "src").persist()
+        n_edges = e.count()
+        e0.unpersist()
+        # vertex set as full_outer of the two endpoint aggregations: the
+        # src side reads straight off the hash(src) cache (no exchange),
+        # so only one <=V-rows-per-partition exchange instead of the
+        # 2E-row distinct-union pass (r6)
+        srcs = e.groupBy(F.col("src").alias("id")).agg(
+            F.count(F.lit(1)).alias("_o"))
+        dsts = e.groupBy(F.col("dst").alias("id")).agg(
+            F.count(F.lit(1)).alias("_i"))
+        verts = srcs.join(dsts, "id", "full_outer").select("id")
+
+        state0 = verts.select("id", F.col("id").alias("label"))
+
+        vote_w = (F.col(weight).cast("long") if weight
+                  else F.lit(1).cast("long"))
+
+        def step(state: DataFrame, k: int):
+            votes = (
+                e.join(state.select(F.col("id").alias("src"), "label")
+                       .hint("shuffle_hash"), "src")
+                .groupBy(F.col("dst").alias("id"), "label")
+                .agg(F.sum(vote_w).alias("cnt"))
+            )
+            # argmax with smallest-label tie-break: max over (cnt, -label)
+            winner = (
+                votes.groupBy("id")
+                .agg(F.max(F.struct(F.col("cnt"), (-F.col("label")).alias("neg"))).alias("m"))
+                .select("id", (-F.col("m.neg")).alias("new_label"))
+            )
+            new_state = (
+                state.join(winner.hint("shuffle_hash"), "id", "left")
+                .select("id", F.coalesce("new_label", F.col("label")).alias("label"))
+            )
+            return new_state, {
+                "messages_sent": n_edges,
+                "converged": k + 1 >= iterations,
+            }
+
         final = driver.run(state0, step)
         # sever the result's lineage from the internal edge cache, then
         # release it — no dead cached tables accumulating across queries

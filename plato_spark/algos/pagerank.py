@@ -31,10 +31,10 @@ from __future__ import annotations
 
 import time
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Observation
 from pyspark.sql import functions as F
 
-from plato_spark.engine.ckpt_blocks import cheap_localCheckpoint
+from plato_spark.engine.ckpt_blocks import cheap_localCheckpoint, loop_localCheckpoint
 
 from plato_spark.engine.checkpoint import CheckpointManager
 from plato_spark.graph.csr import build_csr_blocks, build_route, spmv_gather
@@ -42,6 +42,7 @@ from plato_spark.graph.partitioning import (
     auto_shuffle_partitions,
     degree_weighted_ranges,
     scoped_shuffle_partitions,
+    scoped_superstep_confs,
 )
 
 
@@ -65,30 +66,30 @@ def pagerank(
     edges0 = edges.persist()
     n_edges_pre = edges0.count()
     shuffle_n = auto_shuffle_partitions(spark, n_edges_pre)
-    edges = edges0.repartition(shuffle_n, "src").persist()
-
-    # --- static per-vertex divisor: out-degree (or out-weight-sum) -------
-    if weight is None:
-        div = edges.groupBy(F.col("src").alias("id")).agg(F.count("*").alias("wsum"))
-    else:
-        div = edges.groupBy(F.col("src").alias("id")).agg(F.sum(weight).alias("wsum"))
-    verts = (
-        edges.select(F.col("src").alias("id"))
-        .unionByName(edges.select(F.col("dst").alias("id")))
-        .distinct()
-    )
-    base = (
-        verts.join(div, "id", "left")
-        .select("id", F.coalesce("wsum", F.lit(0.0)).cast("double").alias("wsum"))
-        .repartition(shuffle_n, "id")
-        .persist()
-    )
-    n_edges = edges.count()
-    edges0.unpersist()
-    base.count()
 
     # --- physical gather strategy ---------------------------------------
     if impl == "spmv":
+        edges = edges0.repartition(shuffle_n, "src").persist()
+        if weight is None:
+            div = edges.groupBy(F.col("src").alias("id")).agg(
+                F.count("*").alias("wsum"))
+        else:
+            div = edges.groupBy(F.col("src").alias("id")).agg(
+                F.sum(weight).alias("wsum"))
+        verts = (
+            edges.select(F.col("src").alias("id"))
+            .unionByName(edges.select(F.col("dst").alias("id")))
+            .distinct()
+        )
+        base = (
+            verts.join(div, "id", "left")
+            .select("id", F.coalesce("wsum", F.lit(0.0)).cast("double").alias("wsum"))
+            .repartition(shuffle_n, "id")
+            .persist()
+        )
+        n_edges = edges.count()
+        edges0.unpersist()
+        base.count()
         if num_blocks is None:
             num_blocks = min(shuffle_n, 64)
         max_id = edges.agg(F.greatest(F.max("src"), F.max("dst"))).collect()[0][0]
@@ -111,21 +112,53 @@ def pagerank(
                                weighted=weight is not None).withColumnRenamed(
                 "gathered", "g")
     elif impl == "join":
+        # ONE hash-partitioned cached copy of the edges (r6: the former
+        # second `edges` copy existed only to derive degrees/vertices,
+        # which the two aggregations below read straight off edge_val;
+        # the distinct-union vertex pass is replaced by the dst-side
+        # aggregation — full_outer(div, dsts) IS the vertex set).
+        if weight is None:
+            edge_val = edges0.select("src", "dst")
+        else:
+            edge_val = edges0.select(
+                "src", "dst", F.col(weight).cast("double").alias("w"))
+        edge_val = edge_val.repartition(shuffle_n, "src").persist()
+        n_edges = edge_val.count()
+        edges0.unpersist()
         msgs_per_step = n_edges
         if weight is None:
-            edge_val = edges.select("src", "dst", F.lit(1.0).alias("w"))
+            div = edge_val.groupBy(F.col("src").alias("id")).agg(
+                F.count(F.lit(1)).cast("double").alias("wsum"))
         else:
-            edge_val = edges.select("src", "dst", F.col(weight).cast("double").alias("w"))
-        edge_val = edge_val.repartition(shuffle_n, "src").persist()
-        edge_val.count()
+            div = edge_val.groupBy(F.col("src").alias("id")).agg(
+                F.sum("w").alias("wsum"))
+        dsts = edge_val.groupBy(F.col("dst").alias("id")).agg(
+            F.count(F.lit(1)).alias("_indeg"))
+        base = (
+            div.join(dsts, "id", "full_outer")
+            .select("id", F.coalesce(F.col("wsum").cast("double"), F.lit(0.0))
+                    .alias("wsum"))
+            .persist()
+        )
+        # NOTE: base is materialized inside the superstep conf scope below
+        # so its exchanges run at shuffle_n and its layout (hash(id,
+        # shuffle_n)) matches every in-loop join.
+
+        gsum = (F.sum("contrib") if weight is None
+                else F.sum(F.col("contrib") * F.col("w")))
 
         def gather(contribs: DataFrame) -> DataFrame:
+            # build side = the V-row contrib table (hint), never the
+            # cached E-row edge table; both sides arrive hash(src, n) so
+            # the join is exchange-free
             return (
                 edge_val.join(
-                    contribs.select(F.col("id").alias("src"), "contrib"), "src"
+                    contribs.select(F.col("id").alias("src"), "contrib")
+                    .hint("shuffle_hash"),
+                    "src",
                 )
                 .groupBy(F.col("dst").alias("id"))
-                .agg(F.sum(F.col("contrib") * F.col("w")).alias("g"))
+                .agg(gsum.alias("g"))
             )
     else:
         raise ValueError(f"unknown impl {impl!r}")
@@ -156,7 +189,11 @@ def pagerank(
         )
 
     k = start_iter
-    with scoped_shuffle_partitions(spark, shuffle_n):
+    with scoped_superstep_confs(spark, shuffle_n):
+        if impl == "join":
+            # materialize base under the loop confs so its exchanges run
+            # at shuffle_n and its layout matches every in-loop join
+            base.count()
         state, k = _pagerank_loop(
             spark, state, k, max_iters, last_epoch, damping, eps, gather,
             contrib_state, ckpt, stats, msgs_per_step, n_edges,
@@ -169,25 +206,31 @@ def _pagerank_loop(spark, state, k, max_iters, last_epoch, damping, eps,
     while k < max_iters:
         t0 = time.time()
         g = gather(contrib_state(state))
+        rank_new = (F.lit(1.0 - damping)
+                    + F.lit(damping) * F.coalesce("g", F.lit(0.0)))
         new_state = (
-            state.join(g, "id", "left")
+            # build side = the V-row gathered table (hint), co-partitioned
+            # with state on id: exchange-free left join
+            state.join(g.hint("shuffle_hash"), "id", "left")
             .select(
                 "id",
                 "wsum",
-                (F.lit(1.0 - damping) + F.lit(damping) * F.coalesce("g", F.lit(0.0))
-                 ).alias("rank"),
-                F.abs(
-                    F.lit(1.0 - damping)
-                    + F.lit(damping) * F.coalesce("g", F.lit(0.0))
-                    - F.col("rank")
-                ).alias("adelta"),
+                rank_new.alias("rank"),
+                F.abs(rank_new - F.col("rank")).alias("adelta"),
             )
         )
         is_final = last_epoch or (k == max_iters - 1)
         if ckpt is None:
-            new_state = new_state.transform(cheap_localCheckpoint)
-        delta = new_state.agg(F.sum("adelta")).collect()[0][0]
-        new_state = new_state.drop("adelta")
+            # one driver action per superstep: the L1 delta rides the
+            # checkpoint job as an observed metric (CollectMetrics)
+            # instead of a second agg pass over the materialized state
+            obs = Observation()
+            new_state = new_state.observe(obs, F.sum("adelta").alias("d"))
+            new_state = loop_localCheckpoint(new_state.drop("adelta"), k)
+            delta = obs.get["d"]
+        else:
+            delta = new_state.agg(F.sum("adelta")).collect()[0][0]
+            new_state = new_state.drop("adelta")
         if ckpt is not None:
             new_state = ckpt.save(
                 k,

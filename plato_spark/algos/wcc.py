@@ -20,7 +20,7 @@ symmetrized internally, matching plato's undirected edge doubling
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Observation
 from pyspark.sql import functions as F
 
 from plato_spark.engine.checkpoint import CheckpointManager
@@ -30,6 +30,7 @@ from plato_spark.graph.edges import symmetrize
 from plato_spark.graph.partitioning import (
     auto_shuffle_partitions,
     scoped_shuffle_partitions,
+    scoped_superstep_confs,
 )
 
 # plato's push threshold: active_edges/edges < 0.05 (dualmode.hpp:41-43).
@@ -56,44 +57,59 @@ def connected_components(
     Both produce identical min-vid labels (equivalence-tested).
     """
     spark = edges.sparkSession
-    sym0 = symmetrize(edges.select("src", "dst")).persist()
-    n_sym = sym0.count()
+    edges = edges.select("src", "dst")
+    # |sym| = 2|canon| by construction: size the loop off one cheap count
+    # of the (typically already-cached) input instead of materializing the
+    # symmetrized table twice (r6)
+    n_sym = 2 * edges.count()
     shuffle_n = auto_shuffle_partitions(spark, n_sym)
-    sym = sym0.repartition(shuffle_n, "src").persist()
-    sym.count()
-    sym0.unpersist()
+    with scoped_superstep_confs(spark, shuffle_n):
+        sym = symmetrize(edges).repartition(shuffle_n, "src").persist()
+        sym.count()
 
-    verts = (
-        sym.select(F.col("src").alias("id")).distinct()
-        .repartition(shuffle_n, "id")
-    )
-    n_vertices = verts.count()
+        # distinct() already leaves the vertex table hash(id, shuffle_n)
+        verts = sym.select(F.col("src").alias("id")).distinct()
+        n_vertices = verts.count()
 
     state0 = verts.select("id", F.col("id").alias("label"), F.lit(True).alias("changed"))
 
+    # round-(k-1) observation carrying |changed| so no round pays a
+    # separate frontier-count job: the metric rides the checkpoint
+    # materialization of the state the frontier is read from
+    pending_obs: list = []
+
     def step(state: DataFrame, k: int):
+        n_front = (int(pending_obs.pop().get["changed"])
+                   if pending_obs else n_vertices)
+        if n_front == 0:
+            return state, {"converged": True, "messages_sent": 0, "frontier": 0}
         frontier = state.where("changed").select(
             F.col("id").alias("src"), F.col("label").alias("msg")
         )
-        n_front = frontier.count()
-        if n_front == 0:
-            return state, {"converged": True, "messages_sent": 0, "frontier": 0}
         # push/pull policy: broadcast a sparse frontier (plato's push mode)
         if n_front < PUSH_THRESHOLD * n_vertices:
             frontier = F.broadcast(frontier)
+        else:
+            # dense round: frontier arrives hash(id->src, n), co-partitioned
+            # with the cached sym — build the V-row hash, stream the edges
+            frontier = frontier.hint("shuffle_hash")
         cands = (
             sym.join(frontier, "src")
             .groupBy(F.col("dst").alias("id"))
             .agg(F.min("msg").alias("cand"))
         )
         new_state = (
-            state.join(cands, "id", "left")
+            state.join(cands.hint("shuffle_hash"), "id", "left")
             .select(
                 "id",
                 F.least(F.col("label"), F.coalesce("cand", F.col("label"))).alias("label"),
                 (F.coalesce("cand", F.col("label")) < F.col("label")).alias("changed"),
             )
         )
+        obs = Observation()
+        new_state = new_state.observe(
+            obs, F.sum(F.col("changed").cast("long")).alias("changed"))
+        pending_obs.append(obs)
         return new_state, {
             "messages_sent": n_front,
             "frontier": n_front,
@@ -138,7 +154,7 @@ def connected_components(
         }
 
     driver = SuperstepDriver(ckpt=ckpt, max_iters=max_iters)
-    with scoped_shuffle_partitions(spark, shuffle_n):
+    with scoped_superstep_confs(spark, shuffle_n):
         final = driver.run(state0, step_jump if impl == "jump" else step)
         # sever the result's lineage from the internal edge cache, then
         # release it — no dead cached tables accumulating across queries

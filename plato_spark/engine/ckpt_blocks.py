@@ -77,12 +77,61 @@ def cheap_localCheckpoint(df: DataFrame) -> DataFrame:
         return ck
 
 
+def loop_localCheckpoint(df: DataFrame, k: int, reset_every: int = 8) -> DataFrame:
+    """Per-round lineage truncation for LINEAR superstep loops that keeps
+    the state's physical layout visible to the planner.
+
+    :func:`cheap_localCheckpoint`'s stats-less rewrap also drops the
+    checkpointed plan's ``outputPartitioning``/``outputOrdering`` — so a
+    loop whose state is hash-partitioned on the join key re-pays an
+    Exchange + Sort on the state side of EVERY superstep join (measured
+    r6 at sf0.1 pagerank: 3 exchanges/superstep instead of the 1 the
+    design intends; per-superstep 0.48s -> 0.30s once fixed).
+
+    Plain ``localCheckpoint(eager=True)`` preserves partitioning, but its
+    ``LogicalRDD`` also inherits the optimized plan's join-multiplied
+    ``sizeInBytes`` BigInt.  In a round plan that references the previous
+    state TWICE (state JOIN f(state) — pagerank/wcc/lpa all do), the
+    stored size's digit count DOUBLES per round, which is the
+    million-digit Karatsuba pathology cheap_localCheckpoint exists to
+    prevent.  Hybrid fix: plain checkpoint every round (layout
+    preserved), stats-less rewrap every ``reset_every``-th round, capping
+    digit growth at 2^reset_every * d (a few thousand digits — sub-ms to
+    multiply) while only one round in ``reset_every`` re-pays the
+    layout exchanges.
+    """
+    ck = df.localCheckpoint(eager=True)
+    if k % reset_every == reset_every - 1:
+        spark = df.sparkSession
+        try:
+            jrdd = ck._jdf.queryExecution().toRdd()
+            newjdf = spark._jsparkSession.internalCreateDataFrame(
+                jrdd, ck._jdf.schema(), False
+            )
+            return DataFrame(newjdf, spark)
+        except Exception:
+            return ck
+    return ck
+
+
 def checkpoint_tracked(df: DataFrame) -> tuple[DataFrame, set[int]]:
     """:func:`cheap_localCheckpoint` + the block-manager RDD ids that
     back it (to pass to :func:`free_blocks` once superseded)."""
     sc = df.sparkSession.sparkContext
     before = _persistent_ids(sc)
     out = cheap_localCheckpoint(df)
+    ids = _persistent_ids(sc) - before
+    return out, ids
+
+
+def loop_checkpoint_tracked(
+    df: DataFrame, k: int, reset_every: int = 8
+) -> tuple[DataFrame, set[int]]:
+    """:func:`loop_localCheckpoint` + the block-manager RDD ids that back
+    it (to pass to :func:`free_blocks` once superseded)."""
+    sc = df.sparkSession.sparkContext
+    before = _persistent_ids(sc)
+    out = loop_localCheckpoint(df, k, reset_every)
     ids = _persistent_ids(sc) - before
     return out, ids
 

@@ -28,7 +28,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame
 
 from plato_spark.engine.checkpoint import CheckpointManager
-from plato_spark.engine.ckpt_blocks import checkpoint_tracked, free_blocks
+from plato_spark.engine.ckpt_blocks import free_blocks, loop_checkpoint_tracked
 
 StepFn = Callable[[DataFrame, int], tuple[DataFrame, dict]]
 
@@ -70,7 +70,11 @@ class SuperstepDriver:
                 free_blocks(new_state.sparkSession, prev_ids)
                 prev_ids = set()
             elif k % self.lineage_truncate_every == 0:
-                new_state, new_ids = checkpoint_tracked(new_state)
+                # layout-preserving truncation (r6): the checkpointed
+                # state keeps its hash partitioning so next round's joins
+                # are exchange-free; stats reset every 8 rounds caps the
+                # join-multiplied sizeInBytes digit growth
+                new_state, new_ids = loop_checkpoint_tracked(new_state, k)
                 free_blocks(new_state.sparkSession, prev_ids)
                 prev_ids = new_ids
             metrics = {**metrics, "iteration": k, "superstep_sec": time.time() - t0}
