@@ -37,7 +37,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from plato_spark.engine.ckpt_blocks import cheap_localCheckpoint
+# r6: layout-preserving truncation — exact-valued loop, plan metadata
+# change cannot move any float reduce order (see ckpt_blocks docstring)
+from plato_spark.engine.ckpt_blocks import (
+    auto_loop_localCheckpoint as cheap_localCheckpoint,
+)
 
 from plato_spark.graph.edges import symmetrize
 from plato_spark.graph.partitioning import (

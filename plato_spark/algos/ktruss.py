@@ -46,7 +46,12 @@ from plato_spark.algos.triangles import (
     _segmented_undirected_adj,
     common_neighbors,
 )
-from plato_spark.engine.ckpt_blocks import checkpoint_tracked, free_blocks
+# r6: layout-preserving truncation — exact-valued loop, plan metadata
+# change cannot move any float reduce order (see ckpt_blocks docstring)
+from plato_spark.engine.ckpt_blocks import (
+    auto_loop_checkpoint_tracked as checkpoint_tracked,
+    free_blocks,
+)
 from plato_spark.graph.edges import symmetrize
 
 ENDS_BROADCAST_MAX = 1_000_000

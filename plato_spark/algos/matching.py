@@ -32,7 +32,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from plato_spark.engine.ckpt_blocks import checkpoint_tracked, free_blocks
+# r6: layout-preserving truncation — exact-valued loop, plan metadata
+# change cannot move any float reduce order (see ckpt_blocks docstring)
+from plato_spark.engine.ckpt_blocks import (
+    auto_loop_checkpoint_tracked as checkpoint_tracked,
+    free_blocks,
+)
 from plato_spark.functions.text import portable_h1
 
 __all__ = ["maximal_matching", "vertex_cover_stats"]

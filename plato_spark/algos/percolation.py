@@ -232,7 +232,12 @@ def strength_core_sweep(
     Scale: per round one symmetrized strength agg + two anti-joins on
     the shrinking edge set, lineage truncated per round
     (engine/ckpt_blocks)."""
-    from plato_spark.engine.ckpt_blocks import checkpoint_tracked, free_blocks
+    # r6: layout-preserving truncation — exact-valued loop, plan metadata
+    # change cannot move any float reduce order (see ckpt_blocks docstring)
+    from plato_spark.engine.ckpt_blocks import (
+        auto_loop_checkpoint_tracked as checkpoint_tracked,
+        free_blocks,
+    )
 
     spark = edges_canon_weighted.sparkSession
     base = edges_canon_weighted.select(

@@ -77,7 +77,14 @@ def triangle_count(canon: DataFrame, per_vertex: bool = False) -> DataFrame:
     spark = canon.sparkSession
     canon = canon.persist()
     n_edges = canon.count()
-    with scoped_shuffle_partitions(spark, auto_shuffle_partitions(spark, n_edges)):
+    # intersection work is CPU-bound (sum of oriented-degree merges, not
+    # shuffle bytes): size partitions for compute granularity — 75k edges
+    # per task instead of the shuffle-oriented 250k default (r6 A/B at
+    # sf0.1: 2.9s @ 5 partitions -> 2.3s @ 16 on 32 cores); the ceiling
+    # stays the session conf, so cluster-scale fan-out is unchanged
+    with scoped_shuffle_partitions(
+        spark, auto_shuffle_partitions(spark, n_edges, rows_per_partition=75_000)
+    ):
         # materialize inside the scope — shuffle.partitions is read at
         # execution time, so a lazily-returned plan would miss the scope
         caches: list[DataFrame] = []

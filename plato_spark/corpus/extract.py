@@ -104,6 +104,14 @@ def path_link_edges(corpus: DataFrame) -> DataFrame:
 
     Chain files within each (repo, dir) in lexicographic order; link the repo
     vertex to each directory's head file.
+
+    Plan shape (r6): ONE pass — lead() and row_number() share a single
+    window spec (one sort), and the chain/head edge variants leave the
+    window as an exploded 2-slot array, so the (deduplicated) file table
+    is scanned once instead of once per edge variant (the old
+    chain-UNION-heads plan re-ran the corpus dropDuplicates scan twice).
+    Output set is identical: explode emits the same (src, dst) pairs the
+    union produced, and the same final distinct applies.
     """
     files = (
         corpus.select(
@@ -116,25 +124,30 @@ def path_link_edges(corpus: DataFrame) -> DataFrame:
         .dropDuplicates(["repo", "path"])
     )
     w = Window.partitionBy("repo", "dir").orderBy("path")
-    chain = (
-        files.withColumn("nxt", F.lead("fkey").over(w))
-        .where(F.col("nxt").isNotNull())
-        .select(
-            F.least("fkey", "nxt").alias("src"),
-            F.greatest("fkey", "nxt").alias("dst"),
-        )
+    ann = files.select(
+        "repo", "fkey",
+        F.lead("fkey").over(w).alias("nxt"),
+        F.row_number().over(w).alias("rn"),
     )
-    heads = (
-        files.withColumn("rn", F.row_number().over(w))
-        .where(F.col("rn") == 1)
-        .select(
-            F.concat(F.lit("repo:"), F.col("repo")).alias("a"),
-            F.col("fkey").alias("b"),
-        )
-        .select(F.least("a", "b").alias("src"), F.greatest("a", "b").alias("dst"))
-    )
+    rkey = F.concat(F.lit("repo:"), F.col("repo"))
+    pair = ann.select(
+        F.explode(
+            F.array(
+                F.when(
+                    F.col("nxt").isNotNull(),
+                    F.struct(F.least("fkey", "nxt").alias("src"),
+                             F.greatest("fkey", "nxt").alias("dst")),
+                ),
+                F.when(
+                    F.col("rn") == 1,
+                    F.struct(F.least(rkey, F.col("fkey")).alias("src"),
+                             F.greatest(rkey, F.col("fkey")).alias("dst")),
+                ),
+            )
+        ).alias("p")
+    ).where(F.col("p").isNotNull())
     return (
-        chain.unionByName(heads)
+        pair.select("p.src", "p.dst")
         .distinct()
         .select("src", "dst", F.lit(1.0).alias("weight"), F.lit("path_link").alias("etype"))
     )
@@ -166,9 +179,16 @@ def extract_graph_encoded(
 
     spark = corpus.sparkSession
     stamped = with_content_sha(corpus)
+    # key the (commit, file) table by commit up front: hash(commit)
+    # clusters every (commit, fkey) dedup group AND the later
+    # groupBy(commit) list-building aggregation, so when the dictionary
+    # join broadcasts (dictionary ≪ corpus) the whole
+    # dedup -> encode -> commit-lists chain runs on ONE exchange (r6;
+    # previously dedup exchanged on (commit, fkey) and the groupBy paid
+    # a second full exchange on commit)
     files_cf = stamped.select(
         "commit", F.concat_ws("/", "repo", "path").alias("fkey")
-    ).dropDuplicates(["commit", "fkey"]).persist()
+    ).repartition("commit").dropDuplicates(["commit", "fkey"]).persist()
     if num_partitions is None:
         num_partitions = auto_shuffle_partitions(spark, files_cf.count())
 

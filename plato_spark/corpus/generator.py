@@ -54,7 +54,15 @@ def synth_corpus(spark: SparkSession, sf: float, num_partitions: int | None = No
     span = p["max_slots"] - p["min_slots"] + 1
 
     if num_partitions is None:
-        num_partitions = int(spark.conf.get("spark.sql.shuffle.partitions"))
+        # generation is an embarrassingly parallel compute-bound scan
+        # (md5 bodies): spread it over the full executor width even when
+        # the ambient shuffle conf is sized down for a small workload —
+        # every row is a pure function of its range index, so the
+        # partition count never changes the data (TESTDATA.md invariant)
+        num_partitions = max(
+            int(spark.conf.get("spark.sql.shuffle.partitions")),
+            spark.sparkContext.defaultParallelism,
+        )
 
     commits = (
         spark.range(0, n_commits, 1, num_partitions)

@@ -124,6 +124,26 @@ def checkpoint_tracked(df: DataFrame) -> tuple[DataFrame, set[int]]:
     return out, ids
 
 
+_auto_ck_calls = 0
+
+
+def auto_loop_localCheckpoint(df: DataFrame) -> DataFrame:
+    """:func:`loop_localCheckpoint` for call sites without a loop index:
+    a process-global call counter schedules the stats reset.  Any chain
+    of checkpoints sees at most ``reset_every - 1`` consecutive
+    non-reset truncations (every checkpoint anywhere increments the same
+    counter), so the digit-growth cap holds for every loop regardless of
+    interleaving.  Drop-in replacement for :func:`cheap_localCheckpoint`
+    in loops whose per-round VALUES are exact (integer / boolean /
+    min-max folds): the only difference is plan metadata (partitioning
+    kept, stats periodically reset), so downstream join-strategy changes
+    cannot move a float reduce order — there is none.
+    """
+    global _auto_ck_calls
+    _auto_ck_calls += 1
+    return loop_localCheckpoint(df, _auto_ck_calls - 1)
+
+
 def loop_checkpoint_tracked(
     df: DataFrame, k: int, reset_every: int = 8
 ) -> tuple[DataFrame, set[int]]:
@@ -132,6 +152,17 @@ def loop_checkpoint_tracked(
     sc = df.sparkSession.sparkContext
     before = _persistent_ids(sc)
     out = loop_localCheckpoint(df, k, reset_every)
+    ids = _persistent_ids(sc) - before
+    return out, ids
+
+
+def auto_loop_checkpoint_tracked(df: DataFrame) -> tuple[DataFrame, set[int]]:
+    """:func:`auto_loop_localCheckpoint` + backing block-manager ids —
+    the tracked drop-in for :func:`checkpoint_tracked` in exact-valued
+    loops."""
+    sc = df.sparkSession.sparkContext
+    before = _persistent_ids(sc)
+    out = auto_loop_localCheckpoint(df)
     ids = _persistent_ids(sc) - before
     return out, ids
 

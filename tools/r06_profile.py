@@ -19,6 +19,8 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+import pandas as pd  # noqa: E402
+
 from pyspark.sql import functions as F  # noqa: E402
 
 from plato_spark.session import get_spark  # noqa: E402
@@ -64,7 +66,6 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
 
     # warm-up identical to bench.py
-    import pandas as pd
     from pyspark.sql.functions import pandas_udf
     spark.range(0, 1_000_000, 1, 8).groupBy((F.col("id") % 7).alias("k")).count().collect()
 
