@@ -23,7 +23,7 @@ from plato_spark.engine.ckpt_blocks import (
 
 from plato_spark.graph.partitioning import (
     auto_shuffle_partitions,
-    scoped_shuffle_partitions,
+    scoped_superstep_confs,
 )
 
 PUSH_THRESHOLD = 0.05
@@ -52,7 +52,7 @@ def bfs(edges: DataFrame, root: int, max_iters: int = 10_000) -> DataFrame:
 
     visited = spark.createDataFrame([(int(root), 0)], "id long, dist int")
     frontier = visited
-    with scoped_shuffle_partitions(spark, shuffle_n):
+    with scoped_superstep_confs(spark, shuffle_n):
         level = 0
         while level < max_iters:
             level += 1
@@ -158,7 +158,7 @@ def bfs_path_counts(
         [(int(root), 0, 1)], "id long, dist int, sigma long"
     )
     frontier = visited.select("id", "sigma")
-    with scoped_shuffle_partitions(spark, shuffle_n):
+    with scoped_superstep_confs(spark, shuffle_n):
         level = 0
         while level < max_iters:
             level += 1

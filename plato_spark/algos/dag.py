@@ -37,7 +37,7 @@ from plato_spark.engine.ckpt_blocks import (
 )
 from plato_spark.graph.partitioning import (
     auto_shuffle_partitions,
-    scoped_shuffle_partitions,
+    scoped_superstep_confs,
 )
 
 PUSH_THRESHOLD = 0.05  # same frontier-broadcast policy as algos/wcc.py
@@ -76,7 +76,7 @@ def dag_levels(
     n_vertices = state.count()
     frontier = state
 
-    with scoped_shuffle_partitions(spark, shuffle_n):
+    with scoped_superstep_confs(spark, shuffle_n):
         for rnd in range(max_iters):
             n_front = frontier.count()
             if n_front == 0:
@@ -134,7 +134,7 @@ def dag_critical_path(
     n_vertices = state.count()
     frontier = state.select("id", "path_weight")
 
-    with scoped_shuffle_partitions(spark, shuffle_n):
+    with scoped_superstep_confs(spark, shuffle_n):
         for rnd in range(max_iters):
             n_front = frontier.count()
             if n_front == 0:

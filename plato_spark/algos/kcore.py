@@ -46,7 +46,7 @@ from plato_spark.engine.ckpt_blocks import (
 from plato_spark.graph.edges import symmetrize
 from plato_spark.graph.partitioning import (
     auto_shuffle_partitions,
-    scoped_shuffle_partitions,
+    scoped_superstep_confs,
 )
 
 # plato's push threshold (dualmode.hpp:41-43), same policy as wcc.
@@ -110,7 +110,7 @@ def kcore(
     n_front = n_vertices
     front_deg_sum = n_sym  # sum of all degrees = |sym|
 
-    with scoped_shuffle_partitions(spark, shuffle_n):
+    with scoped_superstep_confs(spark, shuffle_n):
         k = 0
         prev_cached = None
         while k < max_iters and n_front > 0:
@@ -227,7 +227,7 @@ def onion_layers(edges: DataFrame, max_rounds: int = 10_000) -> DataFrame:
     k = 0
     parts: list[DataFrame] = []
     r = 0
-    with scoped_shuffle_partitions(spark, shuffle_n):
+    with scoped_superstep_confs(spark, shuffle_n):
         while r < max_rounds:
             r += 1
             inner = (

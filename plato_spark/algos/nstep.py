@@ -23,7 +23,7 @@ from plato_spark.engine.ckpt_blocks import (
 
 from plato_spark.graph.partitioning import (
     auto_shuffle_partitions,
-    scoped_shuffle_partitions,
+    scoped_superstep_confs,
 )
 
 
@@ -69,7 +69,7 @@ def nstep_degrees(
     state = verts.groupBy("id").agg(F.hll_sketch_agg("id", lg_k).alias("sk")).persist()
     state.count()
 
-    with scoped_shuffle_partitions(spark, shuffle_n):
+    with scoped_superstep_confs(spark, shuffle_n):
         prev = state
         for _ in range(steps):
             merged = (

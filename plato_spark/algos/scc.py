@@ -52,7 +52,7 @@ from plato_spark.engine.ckpt_blocks import (
 )
 from plato_spark.graph.partitioning import (
     auto_shuffle_partitions,
-    scoped_shuffle_partitions,
+    scoped_superstep_confs,
 )
 
 
@@ -89,7 +89,7 @@ def strongly_connected_components(
 
     done_parts: list[DataFrame] = []
 
-    with scoped_shuffle_partitions(spark, shuffle_n):
+    with scoped_superstep_confs(spark, shuffle_n):
         for _round in range(max_rounds):
             if verts.count() == 0:
                 break

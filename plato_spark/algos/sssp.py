@@ -26,7 +26,7 @@ from plato_spark.engine.ckpt_blocks import (
 
 from plato_spark.graph.partitioning import (
     auto_shuffle_partitions,
-    scoped_shuffle_partitions,
+    scoped_superstep_confs,
 )
 
 PUSH_THRESHOLD = 0.05  # same frontier-broadcast policy as algos/wcc.py
@@ -61,7 +61,7 @@ def sssp(
 
     state = spark.createDataFrame([(int(root), 0.0)], "id long, dist double")
     frontier = state
-    with scoped_shuffle_partitions(spark, shuffle_n):
+    with scoped_superstep_confs(spark, shuffle_n):
         for _ in range(max_iters):
             n_front = frontier.count()
             if n_front == 0:
@@ -135,7 +135,7 @@ def widest_path(
     )
     frontier = state
     neg_inf = F.lit(float("-inf"))
-    with scoped_shuffle_partitions(spark, shuffle_n):
+    with scoped_superstep_confs(spark, shuffle_n):
         for _ in range(max_iters):
             n_front = frontier.count()
             if n_front == 0:
