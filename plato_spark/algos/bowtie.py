@@ -54,8 +54,23 @@ def reachable_set(
 ) -> DataFrame:
     """All vertex ids reachable from ``seeds`` (included) over directed
     ``edges`` (src, dst).  ``seeds`` must have column ``id``."""
-    reach = seeds.select("id").distinct().transform(cheap_localCheckpoint)
-    frontier = reach
+    # r6: checkpoint only the per-round FRONTIER, not the whole visited
+    # set — the old loop re-materialized the full (growing) reach table
+    # every round, O(rounds x |reach|) row copies.  The visited set is
+    # the union of the disjoint checkpointed frontiers (each new
+    # frontier anti-joins the union, so disjointness is invariant);
+    # the union lineage is collapsed every 10 rounds to bound plan
+    # width on long chains.  Same exact set, same round count.
+    seed_part = seeds.select("id").distinct().transform(cheap_localCheckpoint)
+    parts = [seed_part]
+
+    def visited():
+        v = parts[0]
+        for p in parts[1:]:
+            v = v.unionByName(p)
+        return v
+
+    frontier = seed_part
     rounds = 0
     while rounds < max_iters:
         rounds += 1
@@ -69,12 +84,14 @@ def reachable_set(
             edges.join(f, "src")
             .select(F.col("dst").alias("id"))
             .distinct()
-            .join(reach, "id", "anti")
+            .join(visited(), "id", "anti")
             .transform(cheap_localCheckpoint)
         )
-        reach = reach.unionByName(nxt).transform(cheap_localCheckpoint)
+        parts.append(nxt)
+        if len(parts) >= 10:
+            parts = [visited().transform(cheap_localCheckpoint)]
         frontier = nxt
-    return reach
+    return visited()
 
 
 def bowtie_decomposition(edges: DataFrame, verts: DataFrame) -> DataFrame:

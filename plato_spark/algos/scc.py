@@ -178,6 +178,19 @@ def strongly_connected_components(
                 .select("src", "dst", F.col("c_src").alias("color"))
                 .transform(cheap_localCheckpoint)
             )
+            # r6: checkpoint only the per-round frontier; the closure is
+            # the union of disjoint checkpointed frontiers (anti-join
+            # keeps them disjoint), collapsed every 10 rounds — the old
+            # loop re-materialized the whole growing `reached` table
+            # every round (same fix as bowtie.reachable_set)
+            parts = [reached]
+
+            def _vis():
+                v = parts[0]
+                for p in parts[1:]:
+                    v = v.unionByName(p)
+                return v
+
             while True:
                 if frontier.count() == 0:
                     break
@@ -191,11 +204,14 @@ def strongly_connected_components(
                     .where(F.col("color") == F.col("c"))
                     .select("color", F.col("src").alias("id"))
                     .distinct()
-                    .join(reached, ["color", "id"], "anti")
+                    .join(_vis(), ["color", "id"], "anti")
                     .transform(cheap_localCheckpoint)
                 )
-                reached = reached.unionByName(preds).transform(cheap_localCheckpoint)
+                parts.append(preds)
+                if len(parts) >= 10:
+                    parts = [_vis().transform(cheap_localCheckpoint)]
                 frontier = preds
+            reached = _vis()
 
             done_parts.append(
                 reached.select("id", F.col("color").alias("scc"))
